@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Timing = full query wall time (plan + execute + collect-to-count),
+per-query, after one warmup of the flagship to absorb JVM/session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from interop_datalake_spark import catalog  # noqa: E402
+from interop_datalake_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: the flagship + every query family that stresses a
+# distinct physical path (shuffle join, broadcast chain, expand/rollup,
+# top-k, window, dedup, similarity). Updated as the catalog grows.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_basic",
+    "agg_rollup",
+    "sort_limit_topk",
+    "join_anti",
+    "window_rank",
+    "topk_per_group",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    spark = get_spark(
+        master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = catalog.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # warmup: absorb session/codegen init so per-query numbers are real
+    queries[names[0]](spark, SF_DIR).count()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        df.count()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(per_query.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

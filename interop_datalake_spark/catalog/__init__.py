@@ -1,0 +1,27 @@
+"""Merged query catalog: every implemented operator from SURVEY.md §2
+appears here once, as a (queries, oracle_sql) pair consumed by
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from interop_datalake_spark.catalog import relational
+
+_MODULES = [relational]
+
+
+def all_queries():
+    out = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

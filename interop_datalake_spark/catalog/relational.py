@@ -1,0 +1,452 @@
+"""Relational core query catalog — scans, filters, joins, aggregates.
+
+Each entry is a named query (SURVEY.md §2.B "Relational core") with a
+DuckDB oracle twin. Column aliases match exactly between the Spark
+DataFrame and the oracle SQL (driver hashes values after sorting columns
+by name).
+
+Scale notes are inline per query: which side broadcasts, where the
+shuffle lands, why the plan survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q1 pricing summary — flagship. scan → filter (pushed to parquet) →
+# hash agg (partial map-side + final after one shuffle on the 2 grouping
+# cols) → sort of a handful of groups. At 100 TB: grouping cardinality is
+# tiny (R/A/N × O/F) so the shuffle moves only partial aggregates; the
+# filter prunes row groups via parquet min/max stats on l_shipdate.
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                           AS sum_qty,
+       round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+       round(avg(l_quantity), 4)                                           AS avg_qty,
+       round(avg(l_extendedprice), 4)                                      AS avg_price,
+       round(avg(l_discount), 6)                                           AS avg_disc,
+       count(*)                                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3 shipping priority — customer ⋈ orders ⋈ lineitem, agg, top-10.
+# customer (filtered to one segment) broadcasts; orders⋈lineitem is the
+# big shuffle join on l_orderkey — at scale both sides would be bucketed
+# on orderkey to kill that shuffle. Catalyst rewrites sort+limit into
+# TakeOrderedAndProject (no global sort).
+# ---------------------------------------------------------------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5 local supplier volume — 5-way join with broadcast dim chain
+# (region→nation→customer/supplier). Only orders⋈lineitem shuffles;
+# region/nation/supplier broadcast (dims stay small at any SF).
+# ---------------------------------------------------------------------------
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # TPC-H Q5: customer and supplier must share the nation
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# projection + filter with pushdown: a 3-column scan of an 11-column
+# table — ReadSchema in the plan must show only the selected columns and
+# PushedFilters must carry both predicates into the parquet reader.
+# ---------------------------------------------------------------------------
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 49) & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+SCAN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity >= 49 AND l_discount > 0.05
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast inner join — explicit broadcast() of the dim table: at any
+# scale nation is tiny, so a shuffle-free broadcast-hash join is the
+# only acceptable plan.
+# ---------------------------------------------------------------------------
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+JOIN_BROADCAST_ORACLE = """
+SELECT n_name, count(*) AS customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# left semi join — the reference's batch point-lookup semantics (R8:
+# retrieveBinaryData(urls) drops missing keys, SURVEY §2) is an IN-list
+# semi join. Semi joins never widen rows, so the shuffle carries only the
+# probe side's needed columns.
+# ---------------------------------------------------------------------------
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+JOIN_SEMI_ORACLE = """
+SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# left anti join — orphan detection (customers with no orders).
+# ---------------------------------------------------------------------------
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# outer join with null handling — every customer, order stats or zero.
+# ---------------------------------------------------------------------------
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("cnt"), F.sum("o_totalprice").alias("tot")
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce(F.col("tot"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_LEFT_OUTER_ORACLE = """
+SELECT c_custkey,
+       coalesce(cnt, 0)             AS n_orders,
+       round(coalesce(tot, 0.0), 2) AS total_spent
+FROM customer
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS tot
+    FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# basic aggregate suite over one scan (count/sum/avg/min/max + distinct).
+# Spark splits into partial (map-side) + final agg automatically; the
+# count(distinct) triggers an expand+two-phase plan.
+# ---------------------------------------------------------------------------
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_BASIC_ORACLE = """
+SELECT l_returnflag,
+       count(*)                        AS cnt,
+       round(sum(l_extendedprice), 2)  AS sum_price,
+       round(avg(l_quantity), 4)       AS avg_qty,
+       round(min(l_extendedprice), 2)  AS min_price,
+       round(max(l_extendedprice), 2)  AS max_price,
+       count(DISTINCT l_partkey)       AS distinct_parts
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup — tenant×type×date style reporting over the lake layout
+# (here: returnflag × linestatus). grouping_id exposed as grp level.
+# ---------------------------------------------------------------------------
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+AGG_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+AGG_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_gs_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+AGG_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# global top-k: Catalyst rewrites orderBy+limit → TakeOrderedAndProject,
+# so each partition computes a local top-k and only k rows per partition
+# reach the driver-side merge — no global sort at any scale.
+# ---------------------------------------------------------------------------
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(25)
+    )
+
+
+SORT_LIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "scan_filter_project": scan_filter_project,
+    "join_broadcast": join_broadcast,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_left_outer": join_left_outer,
+    "agg_basic": agg_basic,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "sort_limit_topk": sort_limit_topk,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_ORACLE,
+    "q3_shipping_priority": Q3_ORACLE,
+    "q5_local_supplier_volume": Q5_ORACLE,
+    "scan_filter_project": SCAN_ORACLE,
+    "join_broadcast": JOIN_BROADCAST_ORACLE,
+    "join_semi": JOIN_SEMI_ORACLE,
+    "join_anti": JOIN_ANTI_ORACLE,
+    "join_left_outer": JOIN_LEFT_OUTER_ORACLE,
+    "agg_basic": AGG_BASIC_ORACLE,
+    "agg_rollup": AGG_ROLLUP_ORACLE,
+    "agg_cube": AGG_CUBE_ORACLE,
+    "agg_grouping_sets": AGG_GROUPING_SETS_ORACLE,
+    "sort_limit_topk": SORT_LIMIT_ORACLE,
+}

@@ -1,0 +1,43 @@
+"""Table sources — parquet scans over the star-schema testdata.
+
+Scan layer notes (scale stance): these are plain ``spark.read.parquet``
+scans so Catalyst's predicate pushdown + column pruning reach the
+parquet footers for free (check ``PushedFilters`` / ``ReadSchema`` in
+``.explain("formatted")``). Partitioned lake tables (written by
+``lake.publish``) additionally get Hive partition discovery and
+partition pruning on ``fhir_tenant_id`` / ``_date``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the driver-provided star schema + docs/embeddings (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Column pruning/pushdown stay enabled
+    because this returns the raw scan, never a cached/collected copy."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,33 @@
+"""Driver-gate emulation: every catalog query with an oracle must match
+DuckDB on sf0.01 (row count + columns + order-insensitive values)."""
+
+import pytest
+
+from interop_datalake_spark import catalog
+from tests.oracle import compare, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def conn(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+_QUERIES = catalog.all_queries()
+_ORACLES = catalog.all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES.keys()))
+def test_oracle_parity(name, spark, sf_dir, conn):
+    df = _QUERIES[name](spark, sf_dir)
+    errors = compare(df, conn, _ORACLES[name])
+    assert not errors, f"{name}: " + "; ".join(errors[:6])
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only(name, spark, sf_dir):
+    """Queries without an oracle still must run and return a stable schema."""
+    df = _QUERIES[name](spark, sf_dir)
+    assert df.columns
+    assert df.count() >= 0
