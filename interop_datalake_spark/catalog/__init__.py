@@ -5,9 +5,9 @@ appears here once, as a (queries, oracle_sql) pair consumed by
 
 from __future__ import annotations
 
-from interop_datalake_spark.catalog import relational
+from interop_datalake_spark.catalog import lake_ops, relational
 
-_MODULES = [relational]
+_MODULES = [relational, lake_ops]
 
 
 def all_queries():

@@ -1,0 +1,129 @@
+"""Lake-layer catalog queries — reference-surface ops the driver can
+hash-check. The inputs are the reference's own pinned test fixtures
+(FIXTURES.md A1/A4), created in-query; the oracles are golden VALUES
+derived from the reference's test expectations, so the driver verifies
+the *semantics the reference pins*, not just SQL echo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.functions.hl7 import msh9_event, msh9_type
+from interop_datalake_spark.functions.uris import (
+    binary_file_path,
+    fhir_file_path,
+    parse_object_url,
+)
+
+# the 8 pinned MSH-9 shapes (HL7UtilsTest.kt:8-106 via FIXTURES.md A4)
+_HL7_CASES = [
+    (1, ""),
+    (2, "MSH"),
+    (3, "MSH|"),
+    (4, "MSH|^~\\&|EPIC|EPICADT|SMS"),
+    (5, "MSH|^~\\&|EPIC|EPICADT|SMS|SMSADT|199912271408|CHARRIS||1817457|D|2.5|"),
+    (6, "MSH|^~\\&|EPIC|EPICADT|SMS|SMSADT|199912271408|CHARRIS|MDMD^T02|1817457|D|2.5|"),
+    (7, "MSH|^~\\&|EPIC|EPICADT|SMS|SMSADT|199912271408|CHARRIS|MDMDT02|1817457|D|2.5|"),
+    (
+        8,
+        "MSH|^~\\&|EPIC|EPICADT|SMS|SMSADT|199912271408|CHARRIS|MDM^T02|1817457|D|2.5|\n"
+        "PID|||0493575^^^2^ID 1||DOE^JOHN||19480203|M",
+    ),
+]
+
+
+def hl7_msh9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_HL7_CASES, "msg_id INT, message STRING")
+    return df.select(
+        "msg_id",
+        msh9_type("message").alias("message_type"),
+        msh9_event("message").alias("message_event"),
+    ).orderBy("msg_id")
+
+
+HL7_ORACLE = """
+SELECT * FROM (VALUES
+  (1, NULL, NULL), (2, NULL, NULL), (3, NULL, NULL), (4, NULL, NULL),
+  (5, NULL, NULL), (6, NULL, NULL), (7, NULL, NULL), (8, 'MDM', 'T02')
+) AS t(msg_id, message_type, message_event) ORDER BY msg_id
+"""
+
+
+_URL_CASES = [
+    (1, "https://objectstorage.us-phoenix-1.oraclecloud.com/n/ns1/b/dbucket/o/ehr/Binary/fhir_tenant_id=t/abc.json"),
+    (2, ""),
+    (3, "https://example.com/wrong/shape"),
+    (4, "https://objectstorage.host.com/n/ns/b/bkt"),
+]
+
+
+def object_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 URI parse; malformed → NULLs (OCIClientTest.kt:244-254)."""
+    df = spark.createDataFrame(_URL_CASES, "case_id INT, url STRING")
+    parsed = parse_object_url("url")
+    return df.select(
+        "case_id",
+        parsed["namespace"].alias("namespace"),
+        parsed["bucket"].alias("bucket"),
+        parsed["path"].alias("path"),
+    ).orderBy("case_id")
+
+
+URL_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'ns1', 'dbucket', 'ehr/Binary/fhir_tenant_id=t/abc.json'),
+  (2, NULL, NULL, NULL), (3, NULL, NULL, NULL), (4, NULL, NULL, NULL)
+) AS t(case_id, namespace, bucket, path) ORDER BY case_id
+"""
+
+
+def lake_path_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5/R12 path templating with the reference's golden expectations
+    (pinned date 1990-01-03, DatalakePublishServiceTest.kt:39-93)."""
+    df = spark.createDataFrame(
+        [
+            ("Location", "abc", "mockTenant", "1990-01-03"),
+            ("Practitioner", "abc", "mockTenant", "1990-01-03"),
+            ("Patient", "FHIRID", "ronin", "2023-06-26"),
+        ],
+        "resource_type STRING, resource_id STRING, tenant_id STRING, d STRING",
+    )
+    return df.select(
+        "resource_id",
+        "resource_type",
+        fhir_file_path(
+            "resource_type", "tenant_id", "resource_id", F.col("d").cast("date")
+        ).alias("fhir_path"),
+        binary_file_path("tenant_id", "resource_id").alias("binary_path"),
+    ).orderBy("resource_type", "resource_id")
+
+
+PATHS_ORACLE = """
+SELECT * FROM (VALUES
+  ('abc', 'Location',
+   'ehr/location/fhir_tenant_id=mockTenant/_date=1990-01-03/abc.json',
+   'ehr/Binary/fhir_tenant_id=mockTenant/abc.json'),
+  ('FHIRID', 'Patient',
+   'ehr/patient/fhir_tenant_id=ronin/_date=2023-06-26/FHIRID.json',
+   'ehr/Binary/fhir_tenant_id=ronin/FHIRID.json'),
+  ('abc', 'Practitioner',
+   'ehr/practitioner/fhir_tenant_id=mockTenant/_date=1990-01-03/abc.json',
+   'ehr/Binary/fhir_tenant_id=mockTenant/abc.json')
+) AS t(resource_id, resource_type, fhir_path, binary_path)
+ORDER BY resource_type, resource_id
+"""
+
+
+QUERIES = {
+    "hl7_msh9": hl7_msh9,
+    "object_url_parse": object_url_parse,
+    "lake_path_templates": lake_path_templates,
+}
+
+ORACLES = {
+    "hl7_msh9": HL7_ORACLE,
+    "object_url_parse": URL_ORACLE,
+    "lake_path_templates": PATHS_ORACLE,
+}

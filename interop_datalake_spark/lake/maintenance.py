@@ -1,0 +1,70 @@
+"""Lake maintenance — small-file compaction.
+
+The reference's one-object-per-resource layout
+(``DatalakePublishService.kt:68-76``) makes the small-file problem
+intrinsic: a 100 TB bronze zone written that way is billions of tiny
+objects, and scan throughput dies on open() overhead. The fix at the
+table layer is periodic compaction: rewrite each Hive partition's many
+small files into few large ones (Delta ``OPTIMIZE`` when available;
+plain parquet rewrite otherwise).
+
+Scale notes: the rewrite is one Spark job — read (partition-pruned if
+``partition_filter`` given), ``repartition`` by the partition columns so
+each output partition's rows co-locate, write to a staging path, swap.
+The repartition-by-partition-columns keeps one task per output
+partition writing sequential large files instead of 32 tasks each
+writing a sliver into every partition.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.session import DatalakeSession
+
+
+def compact_table(
+    session: DatalakeSession,
+    table: str,
+    partition_cols: list[str],
+    target_files_per_partition: int = 1,
+    partition_filter: str | None = None,
+) -> int:
+    """Rewrite a lake table with large files; returns rows rewritten.
+
+    Local-filesystem staging swap; on a real object store this becomes
+    Delta ``OPTIMIZE`` / Iceberg ``rewrite_data_files`` (transactional).
+    """
+    path = session.table_path(table)
+    df = session.read_table(table)
+    if partition_filter:
+        df = df.filter(partition_filter)
+    n = df.count()
+    if n == 0:
+        return 0
+
+    staging = f"{path}__compacting"
+    writer = df
+    if partition_cols:
+        salt = (F.abs(F.hash(*[F.col(c) for c in partition_cols])) %
+                target_files_per_partition) if target_files_per_partition > 1 else F.lit(0)
+        writer = df.withColumn("_bucket", salt).repartition(
+            *[F.col(c) for c in partition_cols], F.col("_bucket")
+        ).drop("_bucket")
+    else:
+        writer = df.coalesce(target_files_per_partition)
+    w = writer.write.mode("overwrite").format(session.format)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.save(staging)
+
+    # swap: only safe on a filesystem; object stores use table-format commits
+    real, stage = Path(path), Path(staging)
+    backup = Path(f"{path}__pre_compact")
+    real.rename(backup)
+    stage.rename(real)
+    shutil.rmtree(backup)
+    return n

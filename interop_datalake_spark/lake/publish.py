@@ -1,0 +1,146 @@
+"""Partitioned lake sinks — the reference's publish surface on Spark.
+
+Reference parity:
+- R1/R2 ``publishFHIRR4`` (``DatalakePublishService.kt:50-90``):
+  empty-input no-op (:56-59), ingest-date stamp (:60), id-presence
+  filter (:61), partitioned fan-out write (:66-76), raise-after-write
+  when ids were missing (:83-88).
+- R3 ``publishBinaryData`` (:100-120): keyed sink, no date partition.
+- R7 ``publishRawData`` (:169-196): single-record sink, returns full URL.
+- R4 ``runInPool`` (:126-146): the reference's bounded thread pool is
+  Spark's task parallelism — ``repartition`` before write controls
+  file count, the cluster scheduler controls concurrency.
+
+Semantics deliberately improved (documented, SURVEY §7): the reference
+performs N independent PUTs and raises afterwards, leaving partial
+batches on failure. Here one Spark write commits through the
+FileOutputCommitter (or Delta, when available) — the batch is atomic.
+The *validation* behavior is kept identical: publishing resources that
+lack ids raises AFTER the valid subset is durably written.
+
+Scale design: writes are ``partitionBy(resource_type, fhir_tenant_id,
+_date)`` so downstream reads get Hive partition pruning; the id filter
+and date stamp ride the write job itself via ``Observation`` metrics —
+a single pass over the input, no extra count job.
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.functions.uris import datalake_full_url, raw_data_file_path
+from interop_datalake_spark.session import DatalakeSession
+
+FHIR_TABLE = "ehr"
+BINARY_TABLE = "ehr_binary"
+RAW_TABLE = "raw_data_response"
+
+def _id_present():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("resource_id").isNotNull() & (F.col("resource_id") != "")
+
+
+class MissingResourceIdError(ValueError):
+    """Raised when a publish batch contained id-less resources — after
+    the valid rows were written, mirroring ``DatalakePublishService.kt:83-88``."""
+
+
+def publish_fhir_r4(
+    session: DatalakeSession, tenant_id: str, resources: DataFrame
+) -> int:
+    """Publish a (possibly mixed-type) batch of FHIR resources.
+
+    ``resources`` needs columns ``resource_type, resource_id,
+    resource_json`` (FIXTURES.md A1). Returns the number of rows
+    written. Raises :class:`MissingResourceIdError` if any row lacked
+    an id — after writing the valid rows (reference ordering,
+    ``DatalakePublishService.kt:79-88``).
+    """
+    if not resources.head(1):  # empty-input no-op (:56-59)
+        return 0
+
+    obs = Observation("publish_fhir_r4")
+    stamped = (
+        resources.withColumn("fhir_tenant_id", F.lit(tenant_id))
+        .withColumn("resource_type", F.lower(F.col("resource_type")))
+        .withColumn("_date", F.current_date())  # ingest date (:60)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(_id_present(), 1)).alias("valid"),
+        )
+    )
+    valid = stamped.filter(_id_present())
+    (
+        valid.write.mode("append")
+        .partitionBy("resource_type", "fhir_tenant_id", "_date")
+        .format(session.format)
+        .save(session.table_path(FHIR_TABLE))
+    )
+    metrics = obs.get
+    dropped = metrics["total"] - metrics["valid"]
+    if dropped:
+        raise MissingResourceIdError(
+            f"{dropped} resource(s) lacked FHIR IDs and were not published"
+        )
+    return metrics["valid"]
+
+
+def publish_binary(
+    session: DatalakeSession, tenant_id: str, binaries: DataFrame
+) -> int:
+    """Publish Binary resources keyed by (tenant, id); no date partition
+    (``DatalakePublishService.kt:100-120``, path layout :148-153).
+
+    Unlike FHIR publish, a missing id here is a hard error before any
+    write — the reference dereferences ``binary.id!!`` (:107), which
+    throws before its upload starts.
+    """
+    if not binaries.head(1):
+        return 0
+    if binaries.filter(~_id_present()).head(1):
+        raise MissingResourceIdError("Binary resources must all carry an id")
+    stamped = binaries.withColumn("fhir_tenant_id", F.lit(tenant_id))
+    (
+        stamped.write.mode("append")
+        .partitionBy("fhir_tenant_id")
+        .format(session.format)
+        .save(session.table_path(BINARY_TABLE))
+    )
+    return stamped.count()
+
+
+def publish_raw_data(
+    session: DatalakeSession, tenant_id: str, data: str, url: str
+) -> str:
+    """Single-record raw-response sink; returns the object's full URL
+    (``DatalakePublishService.kt:169-196``).
+
+    Wraps ``(url, now-as-ISO-string, body)`` exactly like
+    ``RawDataWrapper`` (:198) — the timestamp is stored as an ISO-8601
+    *string* for reference fidelity — under a fresh transaction UUID
+    (:174).
+    """
+    txn_id = str(uuid.uuid4())
+    now_iso = datetime.now(timezone.utc).replace(tzinfo=None).isoformat()
+    row_df = session.spark.createDataFrame(
+        [(tenant_id, txn_id, url, now_iso, data)],
+        "tenant_id STRING, transaction_id STRING, url STRING, time STRING, body STRING",
+    )
+    (
+        row_df.write.mode("append")
+        .partitionBy("tenant_id")
+        .format(session.format)
+        .save(session.table_path(RAW_TABLE))
+    )
+    path = row_df.select(
+        raw_data_file_path(F.col("tenant_id"), F.col("transaction_id")).alias("p")
+    ).first()["p"]
+    full_url = row_df.select(
+        datalake_full_url(F.lit(path)).alias("u")
+    ).first()["u"]
+    return full_url
