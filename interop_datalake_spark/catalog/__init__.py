@@ -5,9 +5,9 @@ appears here once, as a (queries, oracle_sql) pair consumed by
 
 from __future__ import annotations
 
-from interop_datalake_spark.catalog import lake_ops, relational
+from interop_datalake_spark.catalog import lake_ops, relational, scalar, setops, windows
 
-_MODULES = [relational, lake_ops]
+_MODULES = [relational, lake_ops, windows, setops, scalar]
 
 
 def all_queries():

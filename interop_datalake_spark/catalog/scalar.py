@@ -1,0 +1,250 @@
+"""Scalar-function catalog — string / date / math / conditional /
+JSON / array surfaces (SURVEY §2.B "Scalar fns").
+
+These are the building blocks the lake layer's own ops are made of
+(R14 URI parse = regexp_extract, R15 MSH-9 = locate/substring/split,
+R1 `_date` = date_format) — exercised here over the big tables so the
+driver hash-checks each function family against DuckDB. All JVM-side
+column expressions: the whole projection runs in one codegen stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.sources.tables import load_table
+
+
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.substring("p_name", 1, 5).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.locate("a", F.col("p_name")).alias("first_a"),
+            F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+            F.element_at(F.split(F.col("p_type"), " "), -1).alias("type_tail"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.trim(F.lit("  x  ")).alias("trimmed"),
+            F.lpad(F.col("p_brand"), 12, "0").alias("brand_padded"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+SCALAR_STRING_ORACLE = """
+SELECT p_partkey,
+       upper(p_brand)                       AS brand_upper,
+       lower(p_type)                        AS type_lower,
+       substring(p_name, 1, 5)              AS name_prefix,
+       length(p_name)                       AS name_len,
+       strpos(p_name, 'a')                  AS first_a,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       string_split(p_type, ' ')[-1]        AS type_tail,
+       concat_ws('|', p_brand, p_type)      AS brand_type,
+       trim('  x  ')                        AS trimmed,
+       lpad(p_brand, 12, '0')               AS brand_padded,
+       replace(p_name, ' ', '_')            AS name_snake
+FROM part ORDER BY p_partkey
+"""
+
+
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+            F.datediff(
+                F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days_to_eoy"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SCALAR_DATE_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate)                                  AS yr,
+       month(o_orderdate)                                 AS mo,
+       day(o_orderdate)                                   AS dom,
+       strftime(o_orderdate, '%Y-%m-%d')                  AS iso_date,
+       date_trunc('month', o_orderdate)::DATE             AS month_start,
+       (o_orderdate::DATE + INTERVAL 30 DAY)::DATE        AS due_date,
+       datediff('day', o_orderdate::DATE, DATE '1998-12-31') AS days_to_eoy,
+       quarter(o_orderdate)                               AS qtr,
+       dayofweek(o_orderdate) + 1                         AS dow
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 0.1, 3).alias("tenth"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.floor(F.col("l_extendedprice") / 100).alias("price_h"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+            F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+            F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+            (F.col("l_orderkey") % 7).alias("key_mod"),
+            F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+SCALAR_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * 0.1, 3)   AS tenth,
+       ceil(l_quantity)                  AS qty_ceil,
+       floor(l_extendedprice / 100)      AS price_h,
+       round(abs(l_discount - 0.05), 4)  AS disc_dev,
+       round(sqrt(l_quantity), 6)        AS qty_sqrt,
+       round(pow(l_tax + 1, 2), 6)       AS tax_sq,
+       round(ln(l_extendedprice + 1), 6) AS price_ln,
+       l_orderkey % 7                    AS key_mod,
+       sign(l_discount - 0.05)           AS disc_sign
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "overdrawn")
+            .when(F.col("c_acctbal") < 5000, "standard")
+            .otherwise("premium")
+            .alias("tier"),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+                "segment_masked"
+            ),
+            F.greatest(F.round("c_acctbal", 2), F.lit(0.0)).alias("bal_floor0"),
+            F.least(F.round("c_acctbal", 2), F.lit(1000.0)).alias("bal_cap1k"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SCALAR_CONDITIONAL_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END                                   AS tier,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER')      AS segment_masked,
+       greatest(round(c_acctbal, 2), 0.0)                        AS bal_floor0,
+       least(round(c_acctbal, 2), 1000.0)                        AS bal_cap1k
+FROM customer ORDER BY c_custkey
+"""
+
+
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props JSON access — the engine's FHIR-document field
+    access pattern (SURVEY §1.4: query nested fields of the bronze
+    resource_json with get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+            F.get_json_object("props", "$.missing").alias("missing_field"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SCALAR_JSON_ORACLE = """
+SELECT event_id,
+       json_extract(props, '$.k')::INT        AS k_value,
+       json_extract(props, '$.k')::INT % 10   AS k_bucket,
+       json_extract_string(props, '$.missing') AS missing_field
+FROM events ORDER BY event_id
+"""
+
+
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array algebra over embeddings (size/element_at/slice/transform/
+    aggregate) — the primitives under the similarity operators."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.size(vec).alias("dim"),
+            F.round(F.element_at(vec, 1).cast("double"), 6).alias("first_val"),
+            F.round(
+                F.aggregate(
+                    vec, F.lit(0.0), lambda acc, v: acc + v.cast("double")
+                ),
+                4,
+            ).alias("vec_sum"),
+            F.round(
+                F.aggregate(
+                    F.slice(vec, 1, 8),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"),
+                ),
+                4,
+            ).alias("head8_sumsq"),
+            F.round(
+                F.aggregate(
+                    F.transform(vec, lambda v: F.abs(v.cast("double"))),
+                    F.lit(0.0),
+                    lambda acc, v: F.greatest(acc, v),
+                ),
+                6,
+            ).alias("linf_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SCALAR_ARRAY_ORACLE = """
+SELECT vec_id,
+       len(embedding)                                   AS dim,
+       round(embedding[1]::DOUBLE, 6)                   AS first_val,
+       round(list_sum(list_transform(embedding, v -> v::DOUBLE)), 4) AS vec_sum,
+       round(list_sum(list_transform(embedding[1:8], v -> v::DOUBLE * v::DOUBLE)), 4) AS head8_sumsq,
+       round(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 6) AS linf_norm
+FROM embeddings ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "scalar_string": scalar_string,
+    "scalar_date": scalar_date,
+    "scalar_math": scalar_math,
+    "scalar_conditional": scalar_conditional,
+    "scalar_json": scalar_json,
+    "scalar_array": scalar_array,
+}
+
+ORACLES = {
+    "scalar_string": SCALAR_STRING_ORACLE,
+    "scalar_date": SCALAR_DATE_ORACLE,
+    "scalar_math": SCALAR_MATH_ORACLE,
+    "scalar_conditional": SCALAR_CONDITIONAL_ORACLE,
+    "scalar_json": SCALAR_JSON_ORACLE,
+    "scalar_array": SCALAR_ARRAY_ORACLE,
+}

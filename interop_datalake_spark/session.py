@@ -43,6 +43,10 @@ DEFAULT_CONF = {
     # semantics) — operators use try_* functions where nulls are wanted.
     "spark.sql.ansi.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # testdata events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+    # rejects; read as long and convert in sources.tables.load_table
+    # (DuckDB's TIMESTAMP is µs, so ns→µs truncation keeps oracle parity).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -11,6 +11,7 @@ partition pruning on ``fhir_tenant_id`` / ``_date``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: the driver-provided star schema + docs/embeddings (TESTDATA.md)
 TABLES = (
@@ -29,8 +30,17 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Column pruning/pushdown stay enabled
-    because this returns the raw scan, never a cached/collected copy."""
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    because this returns the raw scan, never a cached/collected copy.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as BIGINT nanos
+    and is converted here to a µs timestamp (floor division — the same
+    truncation DuckDB applies), so oracles agree to the microsecond.
+    """
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
