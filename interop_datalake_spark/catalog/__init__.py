@@ -5,9 +5,17 @@ appears here once, as a (queries, oracle_sql) pair consumed by
 
 from __future__ import annotations
 
-from interop_datalake_spark.catalog import lake_ops, relational, scalar, setops, windows
+from interop_datalake_spark.catalog import (
+    lake_ops,
+    llm_ops,
+    relational,
+    scalar,
+    setops,
+    text_ops,
+    windows,
+)
 
-_MODULES = [relational, lake_ops, windows, setops, scalar]
+_MODULES = [relational, lake_ops, windows, setops, scalar, llm_ops, text_ops]
 
 
 def all_queries():

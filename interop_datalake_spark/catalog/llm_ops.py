@@ -1,0 +1,253 @@
+"""LLM-pipeline catalog: dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard) and embedding similarity search (brute-force + LSH).
+
+Hash functions are md5-derived specifically so the DuckDB oracle can
+replay every pipeline stage bit-for-bit (llm/dedup.py docstring); the
+oracles below are full SQL replications, not golden constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.llm.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    shingles,
+    simhash,
+)
+from interop_datalake_spark.llm.similarity import brute_force_topk, lsh_topk
+from interop_datalake_spark.sources.tables import load_table
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted duplicates (the corpus
+    unioned with an id-shifted copy of itself — deterministic)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.union(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return (
+        exact_dedup(doubled, ["text"], "doc_id")
+        .select("content_hash", "keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+) GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 hashes) + LSH(4 bands × 4 rows) + exact-Jaccard
+    verification at 0.8 over 5-word shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4, threshold=0.8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_MINHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM tok
+), seeded AS (
+  SELECT doc_id, unnest(generate_series(0, 15)) AS seed, shingle FROM sh
+), hashed AS (
+  SELECT doc_id, seed,
+         ('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 8))::BIGINT AS h
+  FROM seeded
+), sig AS (
+  SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth n-gram Jaccard pairs (no LSH prune) — the recall
+    yardstick for dedup_minhash_lsh."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, "text", "doc_id", k=5)
+    return (
+        jaccard_pairs(sh, "doc_id", threshold=0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_JACCARD_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM tok
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash(docs, "text", "doc_id", bits=16)
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), filt AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM filt
+), bits AS (
+  SELECT doc_id, unnest(generate_series(0, 15)) AS b, h FROM hashed
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h // (2 ** b)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN votes >= 0 THEN (2 ** b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for a 10-vector query set
+    (brute-force baseline; queries broadcast, corpus scanned once)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "embedding", "vec_id", k=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rn", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id", "rn")
+
+
+ANN_TOPK_ORACLE = """
+SELECT query_id, neighbor_id, rn, cos FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(
+                      list_transform(a.embedding, x -> x::DOUBLE),
+                      list_transform(b.embedding, x -> x::DOUBLE)) DESC,
+                    b.vec_id) AS rn,
+         round(list_cosine_similarity(
+                 list_transform(a.embedding, x -> x::DOUBLE),
+                 list_transform(b.embedding, x -> x::DOUBLE)), 4) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10
+) WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbor within sign-LSH buckets (8 bits):
+    for each vector, its best bucket-mate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, "embedding", "vec_id", k=1, n_bits=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id")
+
+
+def _bucket_sql(tbl: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {tbl}.embedding[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+ANN_LSH_ORACLE = f"""
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(
+                      list_transform(a.embedding, x -> x::DOUBLE),
+                      list_transform(b.embedding, x -> x::DOUBLE)) DESC,
+                    b.vec_id) AS rn,
+         round(list_cosine_similarity(
+                 list_transform(a.embedding, x -> x::DOUBLE),
+                 list_transform(b.embedding, x -> x::DOUBLE)), 4) AS cos
+  FROM embeddings a
+  JOIN embeddings b
+    ON {_bucket_sql('a')} = {_bucket_sql('b')} AND a.vec_id <> b.vec_id
+) WHERE rn <= 1 ORDER BY query_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_jaccard_ngram": dedup_jaccard_ngram,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_ORACLE,
+    "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
+    "dedup_simhash": DEDUP_SIMHASH_ORACLE,
+    "ann_cosine_topk": ANN_TOPK_ORACLE,
+    "ann_lsh_bucketed": ANN_LSH_ORACLE,
+}

@@ -1,0 +1,148 @@
+"""Text-analysis catalog: quality scoring, token counting, language
+heuristic, fingerprinting over the documents table (functions/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.functions import text as T
+from interop_datalake_spark.sources.tables import load_table
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars_actual"),
+            T.token_count_ws("text").alias("n_words"),
+            T.token_count_bpe_ish("text").alias("n_tokens"),
+            F.round(F.coalesce(T.punct_ratio("text"), F.lit(0.0)), 6).alias(
+                "punct_ratio"
+            ),
+            F.round(T.avg_word_length("text").cast("double"), 6).alias("avg_word_len"),
+            F.round(
+                F.coalesce(T.stopword_ratio("text", "en"), F.lit(0.0)), 6
+            ).alias("en_stopword_ratio"),
+            T.quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WORDS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+_EN_SW = "['the','a','of','and','to','in','is','on','for','with']"
+
+TEXT_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS} AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         length(text)                                            AS n_chars_actual,
+         len(ws)                                                 AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+         round(coalesce(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               / nullif(length(text), 0), 0.0), 6)               AS punct_ratio,
+         round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+               / nullif(len(ws), 0), 6)                          AS avg_word_len,
+         round(coalesce(len(list_filter(list_transform(ws, w -> lower(w)),
+                                        w -> list_contains({_EN_SW}, w)))::DOUBLE
+               / nullif(len(ws), 0), 0.0), 6)                    AS en_stopword_ratio,
+         length(text) AS L,
+         coalesce(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                  / nullif(length(text), 0), 0.0)                AS praw,
+         coalesce(len(list_filter(list_transform(ws, w -> lower(w)),
+                                  w -> list_contains({_EN_SW}, w)))::DOUBLE
+                  / nullif(len(ws), 0), 0.0)                     AS sraw
+  FROM base
+)
+SELECT doc_id, n_chars_actual, n_words, n_tokens, punct_ratio, avg_word_len,
+       en_stopword_ratio,
+       round((CASE WHEN L >= 100 AND L <= 20000 THEN 1.0 ELSE 0.4 END)::DOUBLE * 0.4
+           + (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.5 END)::DOUBLE * 0.3
+           + (CASE WHEN sraw >= 0.02 THEN 1.0 ELSE 0.6 END)::DOUBLE * 0.3, 4) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            T.stopword_hits("text", "en").alias("en_hits"),
+            T.stopword_hits("text", "es").alias("es_hits"),
+            T.stopword_hits("text", "fr").alias("fr_hits"),
+            T.stopword_hits("text", "de").alias("de_hits"),
+            T.language_guess("text").alias("lang_guess"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _hits_sql(sw_list: str) -> str:
+    return (
+        f"len(list_filter(list_transform({_WORDS}, w -> lower(w)),"
+        f" w -> list_contains({sw_list}, w)))"
+    )
+
+
+_SW = {
+    "en": _EN_SW,
+    "es": "['el','la','de','y','en','es','un','una','por','con']",
+    "fr": "['le','la','de','et','en','est','un','une','pour','avec']",
+    "de": "['der','die','das','und','zu','in','ist','ein','eine','mit']",
+}
+
+TEXT_LANG_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_hits_sql(_SW['en'])} AS en_hits,
+         {_hits_sql(_SW['es'])} AS es_hits,
+         {_hits_sql(_SW['fr'])} AS fr_hits,
+         {_hits_sql(_SW['de'])} AS de_hits
+  FROM documents
+)
+SELECT doc_id, lang, en_hits, es_hits, fr_hits, de_hits,
+       CASE WHEN en_hits > 0 AND en_hits > es_hits AND en_hits > fr_hits AND en_hits > de_hits THEN 'en'
+            WHEN es_hits > 0 AND es_hits > en_hits AND es_hits > fr_hits AND es_hits > de_hits THEN 'es'
+            WHEN fr_hits > 0 AND fr_hits > en_hits AND fr_hits > es_hits AND fr_hits > de_hits THEN 'fr'
+            WHEN de_hits > 0 AND de_hits > en_hits AND de_hits > es_hits AND de_hits > fr_hits THEN 'de'
+            ELSE 'und' END AS lang_guess
+FROM h ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            T.fingerprint("text").alias("fp"),
+            T.fingerprint64("text").alias("fp64"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_FP_ORACLE = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))   AS fp,
+       ('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 8))::BIGINT AS fp64
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_quality": TEXT_QUALITY_ORACLE,
+    "text_lang_id": TEXT_LANG_ORACLE,
+    "text_fingerprint": TEXT_FP_ORACLE,
+}

@@ -1,0 +1,111 @@
+"""Text-analysis column functions for training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All JVM-side column algebra (split/regexp/aggregate) — these run inside
+the scan's codegen stage, so a 100 TB quality-scoring pass is
+scan-bound, not CPU-bound on Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword inventories for the n-gram/stopword
+#: language heuristic (deterministic, oracle-replayable)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "en", "es", "un", "una", "por", "con"],
+    "fr": ["le", "la", "de", "et", "en", "est", "un", "une", "pour", "avec"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "mit"],
+}
+
+#: BPE-ish tokenizer: runs of letters, runs of digits, or single
+#: non-alphanumeric glyphs — a deterministic stand-in for a subword
+#: tokenizer's pre-tokenization pass
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(_col(text), r"\s+"), lambda w: w != "")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_ISH_RE), 0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Non-alphanumeric-non-space chars / total chars (NULL on empty)."""
+    t = _col(text)
+    return F.try_divide(
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")), F.length(t)
+    )
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words(F.lower(_col(text))), lambda w: w.isin(sw)))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return F.try_divide(stopword_hits(text, lang), token_count_ws(text))
+
+
+def avg_word_length(text: Column | str) -> Column:
+    ws = words(text)
+    return F.try_divide(
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)), F.size(ws)
+    )
+
+
+def language_guess(text: Column | str) -> Column:
+    """Stopword-vote language heuristic: the language with the most
+    stopword hits wins; ties and zero hits → 'und' (undetermined).
+    Deterministic tie-break: a language wins only with a strict
+    majority over every other candidate."""
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    expr = F.lit("und")
+    # build CASE from last to first so earlier langs win exact ties only
+    # via the strict > comparison (no ordering dependence)
+    for lang, h in hits.items():
+        others = [o for o in hits.values() if o is not h]
+        strictly_best = (h > 0)
+        for o in others:
+            strictly_best = strictly_best & (h > o)
+        expr = F.when(strictly_best, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column | str) -> Column:
+    """[0,1] composite: length sweet-spot, low punctuation, healthy
+    stopword density — the classic cheap pre-filter for LLM corpora."""
+    t = _col(text)
+    len_ok = F.when((F.length(t) >= 100) & (F.length(t) <= 20000), 1.0).otherwise(0.4)
+    punct_ok = F.when(F.coalesce(punct_ratio(t), F.lit(0.0)) <= 0.2, 1.0).otherwise(0.5)
+    sw_ok = F.when(F.coalesce(stopword_ratio(t), F.lit(0.0)) >= 0.02, 1.0).otherwise(0.6)
+    return F.round(len_ok * 0.4 + punct_ok * 0.3 + sw_ok * 0.3, 4)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Whitespace-collapse + lowercase + trim — canonical form for
+    exact-dup hashing."""
+    return F.lower(F.trim(F.regexp_replace(_col(text), r"\s+", " ")))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """128-bit content fingerprint (md5 hex of normalized text)."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """64-bit-ish numeric fingerprint (first 8 md5 hex chars)."""
+    return F.conv(F.substring(fingerprint(text), 1, 8), 16, 10).cast("bigint")

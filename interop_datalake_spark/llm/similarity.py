@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two strategies:
+
+- **brute_force_topk** — exact: query set × corpus with the cosine as
+  JVM column algebra (functions.vectors), per-query top-k via window.
+  The cross join is the scale limiter: cost |Q|·|C|. Correct usage at
+  100 TB is a bounded query set against a partitioned corpus — Spark
+  broadcasts the small query side, so the corpus is scanned once with
+  no shuffle, and the top-k window shuffles only |Q|·|C_match| score
+  rows (narrow: ids + score). This is the oracle/baseline path.
+- **sign_lsh_buckets** — approximate: random-hyperplane LSH. With
+  axis-aligned hyperplanes (sign of the first ``n_bits`` dimensions —
+  deterministic, engine-portable) each vector maps to a 2^n_bits
+  bucket; candidates are bucket-mates, so the search is an equi-join
+  on bucket id. Recall improves with multiple tables / multiprobe;
+  structure is identical. For production, replace the axis-aligned
+  projections with seeded random Gaussian hyperplanes (same bucketing
+  algebra, via a literal matrix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.functions.vectors import cosine_similarity
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, neighbor_id, rn, cos).
+    Self-matches (same id) are excluded. Queries are broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_similarity("_qv", "_cv"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "rn", "cos")
+    )
+
+
+def sign_lsh_buckets(
+    df: DataFrame, vec_col: str, id_col: str, n_bits: int = 8
+) -> DataFrame:
+    """(id, bucket): sign-bit bucket over the first n_bits dims."""
+    vec = F.col(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for i in range(1, n_bits + 1):
+        bucket = bucket + F.when(
+            F.element_at(vec, i) >= 0, F.lit(1 << (i - 1))
+        ).otherwise(F.lit(0))
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 1,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate per-vector top-k within its sign-LSH bucket:
+    (query_id, neighbor_id, rn, cos). Vectors alone in their bucket
+    produce no rows (recall/latency tradeoff, see module docstring)."""
+    b = sign_lsh_buckets(df, vec_col, id_col).withColumnRenamed(id_col, "query_id")
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    left = b.join(
+        vecs.withColumnRenamed(id_col, "query_id").withColumnRenamed(
+            vec_col, "_qv"
+        ),
+        "query_id",
+    )
+    right = sign_lsh_buckets(df, vec_col, id_col).join(vecs, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("bucket"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = (
+        left.join(right, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_similarity("_qv", "_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "rn", "cos")
+    )

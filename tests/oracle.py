@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 from datetime import date, datetime
+from decimal import Decimal
 
 import duckdb
 
@@ -27,6 +28,8 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _norm(v):
     if v is None:
         return None
+    if isinstance(v, Decimal):
+        return float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
