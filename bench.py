@@ -35,7 +35,9 @@ HEADLINE = [
     "join_anti",
     "window_rank",
     "topk_per_group",
-    "events_sessionize",
+    "join_asof",
+    "stream_session_window",
+    "stream_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",

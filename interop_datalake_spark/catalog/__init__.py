@@ -11,11 +11,21 @@ from interop_datalake_spark.catalog import (
     relational,
     scalar,
     setops,
+    streaming_ops,
     text_ops,
     windows,
 )
 
-_MODULES = [relational, lake_ops, windows, setops, scalar, llm_ops, text_ops]
+_MODULES = [
+    relational,
+    lake_ops,
+    windows,
+    setops,
+    scalar,
+    llm_ops,
+    text_ops,
+    streaming_ops,
+]
 
 
 def all_queries():

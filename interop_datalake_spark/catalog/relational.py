@@ -43,9 +43,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # avgs as round(sum,2)/count with NO outer round: the rounded
+            # sum is decimal-exact in both engines so the division is
+            # bit-identical IEEE; an outer round would diverge on
+            # quotients whose decimal form ends in ...5 (Spark rounds
+            # the decimal string, DuckDB the binary double)
+            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -58,9 +63,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2)                                      AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
-       round(avg(l_quantity), 4)                                           AS avg_qty,
-       round(avg(l_extendedprice), 4)                                      AS avg_price,
-       round(avg(l_discount), 6)                                           AS avg_disc,
+       round(sum(l_quantity), 2) / count(*)                                AS avg_qty,
+       round(sum(l_extendedprice), 2) / count(*)                           AS avg_price,
+       round(sum(l_discount), 2) / count(*)                                AS avg_disc,
        count(*)                                                            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -310,7 +315,7 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.countDistinct("l_partkey").alias("distinct_parts"),
@@ -323,7 +328,7 @@ AGG_BASIC_ORACLE = """
 SELECT l_returnflag,
        count(*)                        AS cnt,
        round(sum(l_extendedprice), 2)  AS sum_price,
-       round(avg(l_quantity), 4)       AS avg_qty,
+       round(sum(l_quantity), 2) / count(*) AS avg_qty,
        round(min(l_extendedprice), 2)  AS min_price,
        round(max(l_extendedprice), 2)  AS max_price,
        count(DISTINCT l_partkey)       AS distinct_parts

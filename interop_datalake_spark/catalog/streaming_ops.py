@@ -1,0 +1,186 @@
+"""Streaming catalog — batch twins of the streaming operators, all
+DuckDB-oracle-checked. The identical functions run under readStream in
+tests/test_streaming.py; here they run in batch so the driver can
+hash-compare against SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.sources.tables import load_table
+from interop_datalake_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    stream_static_join,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select(
+        "window_start", "event_type", "n_events", "total_value"
+    ).orderBy("window_start", "event_type")
+
+
+STREAM_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        "30 minutes",
+        [],
+        [
+            F.count("*").alias("n_events"),
+            # avg as round(sum,2)/count with NO outer round: the rounded
+            # sum is decimal-exact in both engines, so the division is
+            # bit-identical IEEE — an outer round(x,4) would diverge when
+            # the quotient's decimal form ends in ...5 (Spark rounds the
+            # decimal string HALF_UP, DuckDB rounds the binary double)
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+        ],
+    )
+    return out.select("window_start", "n_events", "avg_value").orderBy(
+        "window_start"
+    )
+
+
+# each event belongs to exactly two 1h/30m windows: the one starting at
+# its 30-min grid floor and the one 30 minutes earlier
+STREAM_SLIDING_ORACLE = """
+WITH grid AS (
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP         AS window_start, value FROM events
+  UNION ALL
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)::TIMESTAMP, value FROM events
+)
+SELECT window_start, count(*) AS n_events,
+       round(sum(value), 2) / count(*) AS avg_value
+FROM grid GROUP BY 1 ORDER BY window_start
+"""
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user."""
+    ev = load_table(spark, sf_dir, "events")
+    out = session_window_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        ],
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events", "session_value"
+    ).orderBy("user_id", "session_start")
+
+
+# gaps-and-islands twin: session breaks where the gap from the previous
+# event exceeds 30 min; session_end = last event + 30 min
+STREAM_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+)
+SELECT user_id,
+       min(ts)                        AS session_start,
+       max(ts) + INTERVAL 30 MINUTE   AS session_end,
+       count(*)                       AS n_events,
+       round(sum(value), 2)           AS session_value
+FROM numbered GROUP BY user_id, sess
+ORDER BY user_id, session_start
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup twin: first event (min event_id) per
+    (user_id, event_type). streaming_dedup() keeps an arbitrary row;
+    the catalog query pins min-event_id so the oracle is well-defined,
+    then verifies the dedup via the row count contract."""
+    ev = load_table(spark, sf_dir, "events")
+    deduped = streaming_dedup(ev, ["user_id", "event_type"])
+    # dropDuplicates keeps an arbitrary row -> project to the keys (the
+    # deterministic part) and prove cardinality matches the oracle's
+    return deduped.groupBy("user_id").agg(
+        F.count("*").alias("n_distinct_types")
+    ).orderBy("user_id")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT user_id, count(DISTINCT event_type) AS n_distinct_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events joined to the customer dim
+    (user_id ≡ custkey domain in the testdata)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = stream_static_join(ev, cust, "user_id")
+    return (
+        out.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+STREAM_ENRICH_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "stream_tumbling_window": stream_tumbling_window,
+    "stream_sliding_window": stream_sliding_window,
+    "stream_session_window": stream_session_window,
+    "stream_dedup": stream_dedup,
+    "stream_enrich_join": stream_enrich_join,
+}
+
+ORACLES = {
+    "stream_tumbling_window": STREAM_TUMBLING_ORACLE,
+    "stream_sliding_window": STREAM_SLIDING_ORACLE,
+    "stream_session_window": STREAM_SESSION_ORACLE,
+    "stream_dedup": STREAM_DEDUP_ORACLE,
+    "stream_enrich_join": STREAM_ENRICH_ORACLE,
+}
