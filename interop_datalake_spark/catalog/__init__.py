@@ -8,6 +8,7 @@ from __future__ import annotations
 from interop_datalake_spark.catalog import (
     lake_ops,
     llm_ops,
+    python_surface,
     relational,
     scalar,
     setops,
@@ -25,6 +26,7 @@ _MODULES = [
     llm_ops,
     text_ops,
     streaming_ops,
+    python_surface,
 ]
 
 

@@ -1,0 +1,134 @@
+"""Catalog coverage for the Arrow/Python surface: scalar pandas UDF,
+grouped-map applyInPandas, grouped-agg pandas UDF, and the multimodal
+mapInPandas decode — each hash-checked (arithmetic oracles for the UDFs,
+golden VALUES for the fake-codec decode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.multimodal.binary_ops import (
+    MEDIA_SCHEMA,
+    decode_image_meta,
+    encode_fake_image,
+    sample_frames,
+)
+from interop_datalake_spark.operators.pandas_ops import (
+    demean_per_group,
+    make_clip_scale_udf,
+    make_weighted_mean_udf,
+)
+from interop_datalake_spark.sources.tables import load_table
+
+
+def pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.round(make_clip_scale_udf()(F.col("value")), 6).alias("scaled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+PANDAS_SCALAR_ORACLE = """
+SELECT event_id, round(least(greatest(value, 0.0), 100.0) / 100.0, 6) AS scaled
+FROM events ORDER BY event_id
+"""
+
+
+def pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = demean_per_group(ev, "user_id", "value")
+    return out.select("user_id", "event_id", "demeaned").orderBy("event_id")
+
+
+# no rounding of demeaned: the operator's round(sum,2)/n mean makes the
+# value bit-identical to this SQL (see demean_per_group docstring)
+PANDAS_GROUPED_MAP_ORACLE = """
+SELECT user_id, event_id,
+       value - round(sum(value) OVER (PARTITION BY user_id), 2)
+               / count(*) OVER (PARTITION BY user_id) AS demeaned
+FROM events ORDER BY event_id
+"""
+
+
+def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "w", (F.col("event_id") % 5 + 1).cast("double")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            make_weighted_mean_udf()(F.col("value"), F.col("w")).alias("wmean")
+        )
+        .orderBy("user_id")
+    )
+
+
+PANDAS_GROUPED_AGG_ORACLE = """
+SELECT user_id,
+       round(sum(value * (event_id % 5 + 1)), 2) / sum(event_id % 5 + 1) AS wmean
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+_FIXTURE = [
+    ("a1", "t1", "image", "image/sgim", encode_fake_image(640, 480, 3)),
+    ("a2", "t1", "image", "image/sgim", encode_fake_image(100, 2000, 1)),
+    ("a3", "t2", "image", "image/sgim", encode_fake_image(8, 8, 4, b"xyz")),
+    ("a4", "t2", "image", "image/sgim", b"NOTANIMAGE"),
+    ("a5", "t2", "video", "video/sgim", encode_fake_image(32, 32, 3, b"f" * 160)),
+]
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = spark.createDataFrame(_FIXTURE, MEDIA_SCHEMA)
+    return decode_image_meta(assets).orderBy("asset_id")
+
+
+MULTIMODAL_DECODE_ORACLE = """
+SELECT * FROM (VALUES
+  ('a1', 640, 480, 3, 9,   'ok'),
+  ('a2', 100, 2000, 1, 9,  'ok'),
+  ('a3', 8, 8, 4, 12,      'ok'),
+  ('a4', 0, 0, 0, 10,      'corrupt'),
+  ('a5', 32, 32, 3, 169,   'ok')
+) AS t(asset_id, width, height, channels, n_bytes, decode_ok)
+ORDER BY asset_id
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = spark.createDataFrame(_FIXTURE, MEDIA_SCHEMA)
+    return sample_frames(assets, frame_size=16, every_n=4).orderBy(
+        "asset_id", "frame_index"
+    )
+
+
+MULTIMODAL_FRAMES_ORACLE = """
+SELECT * FROM (VALUES
+  ('a5', 0, 9), ('a5', 4, 73), ('a5', 8, 137)
+) AS t(asset_id, frame_index, frame_offset_bytes)
+ORDER BY asset_id, frame_index
+"""
+
+
+QUERIES = {
+    "pandas_scalar_udf": pandas_scalar_udf,
+    "pandas_grouped_map": pandas_grouped_map,
+    "pandas_grouped_agg": pandas_grouped_agg,
+    "multimodal_decode": multimodal_decode,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES = {
+    "pandas_scalar_udf": PANDAS_SCALAR_ORACLE,
+    "pandas_grouped_map": PANDAS_GROUPED_MAP_ORACLE,
+    "pandas_grouped_agg": PANDAS_GROUPED_AGG_ORACLE,
+    "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
+    "multimodal_frame_sample": MULTIMODAL_FRAMES_ORACLE,
+}
