@@ -6,6 +6,7 @@ appears here once, as a (queries, oracle_sql) pair consumed by
 from __future__ import annotations
 
 from interop_datalake_spark.catalog import (
+    advanced,
     lake_ops,
     llm_ops,
     python_surface,
@@ -27,6 +28,7 @@ _MODULES = [
     text_ops,
     streaming_ops,
     python_surface,
+    advanced,
 ]
 
 

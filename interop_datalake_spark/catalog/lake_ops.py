@@ -116,14 +116,62 @@ ORDER BY resource_type, resource_id
 """
 
 
+def lake_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end lake layer through the driver: publish a mixed batch
+    (R1) into a temp lake root, read it back partition-pruned (R10),
+    aggregate per (type, tenant). Exercises the real partitioned
+    write→Hive-discovery→pruned-scan path, not a mock."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.publish import publish_fhir_r4
+    from interop_datalake_spark.lake.retrieve import retrieve_fhir
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    session = DatalakeSession(
+        lake_root=tempfile.mkdtemp(prefix="lake_rt_"), spark=spark
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    resources = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "DocumentReference")
+        .otherwise("Binary")
+        .alias("resource_type"),
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("resource_id"),
+        F.to_json(F.struct("doc_id", "lang", "source")).alias("resource_json"),
+    )
+    publish_fhir_r4(session, "tenantA", resources)
+    out_a = retrieve_fhir(session, "tenantA", "DocumentReference")
+    out_b = retrieve_fhir(session, "tenantA", "Binary")
+    missing = retrieve_fhir(session, "tenantB", "DocumentReference")
+    return (
+        out_a.unionByName(out_b)
+        .unionByName(missing)
+        .groupBy("resource_type", "fhir_tenant_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy("resource_type")
+    )
+
+
+LAKE_ROUNDTRIP_ORACLE = """
+SELECT * FROM (VALUES
+  ('binary', 'tenantA', 5),
+  ('documentreference', 'tenantA', 5)
+) AS t(resource_type, fhir_tenant_id, n) ORDER BY resource_type
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
     "lake_path_templates": lake_path_templates,
+    "lake_publish_roundtrip": lake_publish_roundtrip,
 }
 
 ORACLES = {
     "hl7_msh9": HL7_ORACLE,
     "object_url_parse": URL_ORACLE,
     "lake_path_templates": PATHS_ORACLE,
+    "lake_publish_roundtrip": LAKE_ROUNDTRIP_ORACLE,
 }
