@@ -58,7 +58,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-DEDUP_MINHASH_ORACLE = """
+# oracle mirrors llm/dedup.py exactly: one md5 base hash per shingle,
+# universal-hash family hᵢ = (aᵢ·h₀+bᵢ) mod 2147483647, wide min-agg,
+# per-band md5 keys — generated programmatically from the same coeffs
+def _minhash_oracle_fragments(num_hashes: int = 16, rows_per_band: int = 4):
+    from interop_datalake_spark.llm.dedup import _MERSENNE_P, _seed_coeffs
+
+    mins = []
+    for i in range(num_hashes):
+        a, b = _seed_coeffs(i)
+        mins.append(f"min(({a} * h0 + {b}) % {_MERSENNE_P}) AS m{i}")
+    bands = []
+    for band in range(num_hashes // rows_per_band):
+        cols = ", ".join(
+            f"m{band * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        bands.append(
+            f"SELECT doc_id, {band} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    return ",\n         ".join(mins), "\n  UNION ALL\n  ".join(bands)
+
+
+_MINS_SQL, _BANDS_SQL = _minhash_oracle_fragments()
+
+DEDUP_MINHASH_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh AS (
@@ -66,18 +89,14 @@ WITH tok AS (
          unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
                                i -> array_to_string(w[i:i+4], ' '))) AS shingle
   FROM tok
-), seeded AS (
-  SELECT doc_id, unnest(generate_series(0, 15)) AS seed, shingle FROM sh
 ), hashed AS (
-  SELECT doc_id, seed,
-         ('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 8))::BIGINT AS h
-  FROM seeded
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0 FROM sh
 ), sig AS (
-  SELECT doc_id, seed, min(h) AS minhash FROM hashed GROUP BY doc_id, seed
+  SELECT doc_id,
+         {_MINS_SQL}
+  FROM hashed GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, seed // 4 AS band,
-         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS band_key
-  FROM sig GROUP BY doc_id, seed // 4
+  {_BANDS_SQL}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
