@@ -231,8 +231,53 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def array_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest surface: corpus word frequencies, top 20."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+ARRAY_EXPLODE_ORACLE = """
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+  FROM documents
+) GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
+def json_object_keys_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON document introspection: object keys + typed field access
+    (schema_of_json-style discovery over the events props column)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.array_join(F.json_object_keys("props"), ",").alias("prop_keys"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+JSON_KEYS_ORACLE = """
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS prop_keys,
+       json_extract(props, '$.k')::INT        AS k
+FROM events ORDER BY event_id
+"""
+
+
 QUERIES = {
     "scalar_string": scalar_string,
+    "array_explode_wordcount": array_explode_wordcount,
+    "json_object_keys": json_object_keys_query,
     "scalar_date": scalar_date,
     "scalar_math": scalar_math,
     "scalar_conditional": scalar_conditional,
@@ -242,6 +287,8 @@ QUERIES = {
 
 ORACLES = {
     "scalar_string": SCALAR_STRING_ORACLE,
+    "array_explode_wordcount": ARRAY_EXPLODE_ORACLE,
+    "json_object_keys": JSON_KEYS_ORACLE,
     "scalar_date": SCALAR_DATE_ORACLE,
     "scalar_math": SCALAR_MATH_ORACLE,
     "scalar_conditional": SCALAR_CONDITIONAL_ORACLE,

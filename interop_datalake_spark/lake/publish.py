@@ -114,6 +114,39 @@ def publish_binary(
     return stamped.count()
 
 
+def overwrite_tenant_partition(
+    session: DatalakeSession,
+    table: str,
+    tenant_id: str,
+    replacement: DataFrame,
+    partition_cols: tuple[str, ...] = ("fhir_tenant_id",),
+) -> int:
+    """Replace exactly one tenant's partitions, leaving every other
+    tenant untouched (Delta ``replaceWhere`` / Hive dynamic-partition
+    overwrite semantics). The reference has no rewrite operation at all
+    — objects are only ever PUT by full key — so this is engine-layer
+    surface (SURVEY §2.B "Sinks: overwrite-partition").
+
+    Scale note: dynamic mode only rewrites partitions present in
+    ``replacement``; a 1-tenant fix-up over a 100 TB lake touches one
+    partition subtree, not the table.
+    """
+    spark = session.spark
+    stamped = replacement.withColumn("fhir_tenant_id", F.lit(tenant_id))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            stamped.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(session.format)
+            .save(session.table_path(table))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return stamped.count()
+
+
 def publish_raw_data(
     session: DatalakeSession, tenant_id: str, data: str, url: str
 ) -> str:
