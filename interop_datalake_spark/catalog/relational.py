@@ -424,8 +424,66 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
 """
 
 
+# ---------------------------------------------------------------------------
+# full outer join — reconcile two entity sets keeping unmatched rows of
+# both sides (customers with orders ∪ event users): the lake's
+# cross-system reconciliation shape.
+# ---------------------------------------------------------------------------
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders")
+    )
+    events = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        orders.join(events, orders.o_custkey == events.user_id, "full_outer")
+        .select(
+            F.coalesce(F.col("o_custkey"), F.col("user_id")).alias("entity_id"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+JOIN_FULL_OUTER_ORACLE = """
+SELECT coalesce(o.o_custkey, e.user_id) AS entity_id,
+       coalesce(o.n_orders, 0)          AS n_orders,
+       coalesce(e.n_events, 0)          AS n_events
+FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+FULL OUTER JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1) e
+  ON o.o_custkey = e.user_id
+ORDER BY entity_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# explicit cross join — only ever legitimate between tiny frames (here
+# 5×25 dim rows); the engine keeps it out of every other plan
+# (tests/test_plans.py asserts no accidental cartesian products).
+# ---------------------------------------------------------------------------
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .select("r_name", "n_name", (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+JOIN_CROSS_ORACLE = """
+SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "join_full_outer": join_full_outer,
+    "join_cross_dims": join_cross_dims,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "scan_filter_project": scan_filter_project,
@@ -442,6 +500,8 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_ORACLE,
+    "join_full_outer": JOIN_FULL_OUTER_ORACLE,
+    "join_cross_dims": JOIN_CROSS_ORACLE,
     "q3_shipping_priority": Q3_ORACLE,
     "q5_local_supplier_volume": Q5_ORACLE,
     "scan_filter_project": SCAN_ORACLE,

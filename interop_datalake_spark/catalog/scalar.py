@@ -231,6 +231,77 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def scalar_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String predicate + transform depth: contains/starts/ends, LIKE,
+    regex match, initcap/reverse/repeat/translate/left/right."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_type").contains("BRASS").alias("has_brass"),
+            F.col("p_type").startswith("STANDARD").alias("is_standard"),
+            F.col("p_type").endswith("TIN").alias("is_tin"),
+            F.col("p_name").like("%green%").alias("is_green"),
+            F.col("p_type").rlike("^[A-Z]+ [A-Z]+").alias("two_words_caps"),
+            F.initcap("p_type").alias("type_title"),
+            F.reverse(F.col("p_brand")).alias("brand_rev"),
+            F.repeat(F.lit("ab"), 3).alias("repeated"),
+            F.translate(F.col("p_brand"), "#", "-").alias("brand_dash"),
+            F.substring(F.col("p_name"), 1, 3).alias("name_left3"),
+            F.col("p_name").substr(F.length("p_name") - 2, F.lit(3)).alias("name_right3"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+SCALAR_STRING_PRED_ORACLE = """
+SELECT p_partkey,
+       contains(p_type, 'BRASS')          AS has_brass,
+       starts_with(p_type, 'STANDARD')    AS is_standard,
+       suffix(p_type, 'TIN')              AS is_tin,
+       p_name LIKE '%green%'              AS is_green,
+       regexp_matches(p_type, '^[A-Z]+ [A-Z]+') AS two_words_caps,
+       list_aggregate(list_transform(string_split(lower(p_type), ' '),
+         w -> upper(w[1]) || w[2:]), 'string_agg', ' ') AS type_title,
+       reverse(p_brand)                   AS brand_rev,
+       repeat('ab', 3)                    AS repeated,
+       replace(p_brand, '#', '-')         AS brand_dash,
+       p_name[1:3]                        AS name_left3,
+       p_name[-3:]                        AS name_right3
+FROM part ORDER BY p_partkey
+"""
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL algebra on a pinned fixture: coalesce/nullif/nvl2,
+    null-safe equality (<=>), IS [NOT] DISTINCT FROM, null ordering."""
+    df = spark.createDataFrame(
+        [(1, 10, 10), (2, None, 10), (3, 10, None), (4, None, None)],
+        "row_id INT, a INT, b INT",
+    )
+    return df.select(
+        "row_id",
+        F.col("a").eqNullSafe(F.col("b")).alias("null_safe_eq"),
+        F.coalesce("a", "b", F.lit(-1)).alias("first_non_null"),
+        F.isnull("a").alias("a_is_null"),
+        F.nvl2(F.col("a"), F.lit("has_a"), F.lit("no_a")).alias("nvl2_tag"),
+        (F.col("a") + F.col("b")).alias("null_prop_sum"),
+    ).orderBy("row_id")
+
+
+NULL_SEMANTICS_ORACLE = """
+SELECT row_id,
+       a IS NOT DISTINCT FROM b          AS null_safe_eq,
+       coalesce(a, b, -1)                AS first_non_null,
+       a IS NULL                         AS a_is_null,
+       CASE WHEN a IS NOT NULL THEN 'has_a' ELSE 'no_a' END AS nvl2_tag,
+       a + b                             AS null_prop_sum
+FROM (VALUES (1, 10, 10), (2, NULL, 10), (3, 10, NULL), (4, NULL, NULL))
+     AS t(row_id, a, b)
+ORDER BY row_id
+"""
+
+
 def array_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode/unnest surface: corpus word frequencies, top 20."""
     docs = load_table(spark, sf_dir, "documents")
@@ -278,6 +349,8 @@ QUERIES = {
     "scalar_string": scalar_string,
     "array_explode_wordcount": array_explode_wordcount,
     "json_object_keys": json_object_keys_query,
+    "scalar_string_predicates": scalar_string_predicates,
+    "null_semantics": null_semantics,
     "scalar_date": scalar_date,
     "scalar_math": scalar_math,
     "scalar_conditional": scalar_conditional,
@@ -289,6 +362,8 @@ ORACLES = {
     "scalar_string": SCALAR_STRING_ORACLE,
     "array_explode_wordcount": ARRAY_EXPLODE_ORACLE,
     "json_object_keys": JSON_KEYS_ORACLE,
+    "scalar_string_predicates": SCALAR_STRING_PRED_ORACLE,
+    "null_semantics": NULL_SEMANTICS_ORACLE,
     "scalar_date": SCALAR_DATE_ORACLE,
     "scalar_math": SCALAR_MATH_ORACLE,
     "scalar_conditional": SCALAR_CONDITIONAL_ORACLE,
