@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_cosine_topk_arrow",
     "text_quality",
 ]
 

@@ -216,6 +216,19 @@ SELECT query_id, neighbor_id, rn, cos FROM (
 """
 
 
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as ann_cosine_topk via the Arrow/numpy scorer — the
+    production path; checked against the same DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "embedding", "vec_id", k=3,
+        use_arrow=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rn", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id", "rn")
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbor within sign-LSH buckets (8 bits):
     for each vector, its best bucket-mate."""
@@ -259,6 +272,7 @@ QUERIES = {
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
     "ann_lsh_bucketed": ann_lsh_bucketed,
 }
 
@@ -268,5 +282,6 @@ ORACLES = {
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
+    "ann_cosine_topk_arrow": ANN_TOPK_ORACLE,
     "ann_lsh_bucketed": ANN_LSH_ORACLE,
 }
