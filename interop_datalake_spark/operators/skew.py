@@ -46,6 +46,43 @@ def salted_join(
     return out.drop("_salt")
 
 
+def salted_agg(
+    df: DataFrame,
+    group_col: str,
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial-aggregate by
+    (key, salt), then final-aggregate by key. Spark already does map-side
+    partial aggregation, but a single hot key still funnels ALL its
+    partial rows to one reducer; salting bounds any reducer's input to
+    ~1/n_salts of the hot key.
+
+    ``aggs`` maps output names to re-aggregatable partial expressions —
+    supported: sum, count, min, max (avg = sum/count at the caller).
+    """
+    import re
+
+    salted = df.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), n_salts))
+    partial = salted.groupBy(group_col, "_salt").agg(
+        *[c.alias(f"_p_{name}") for name, c in aggs.items()]
+    )
+    finals = []
+    for name, col in aggs.items():
+        expr = col._jc.toString() if hasattr(col, "_jc") else ""
+        # counts re-aggregate as SUM of partial counts; everything else
+        # re-applies its own combiner (sum/min/max are associative)
+        if re.match(r"^count", expr, re.IGNORECASE):
+            finals.append(F.sum(f"_p_{name}").alias(name))
+        elif expr.lower().startswith("min"):
+            finals.append(F.min(f"_p_{name}").alias(name))
+        elif expr.lower().startswith("max"):
+            finals.append(F.max(f"_p_{name}").alias(name))
+        else:
+            finals.append(F.sum(f"_p_{name}").alias(name))
+    return partial.groupBy(group_col).agg(*finals)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
