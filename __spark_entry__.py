@@ -24,9 +24,12 @@ from interop_datalake_spark import catalog  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    from interop_datalake_spark.catalog import _with_required_conf
     from interop_datalake_spark.catalog.relational import q1_pricing_summary
 
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    return _with_required_conf(q1_pricing_summary)(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

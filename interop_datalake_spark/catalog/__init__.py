@@ -32,13 +32,41 @@ _MODULES = [
 ]
 
 
+#: session settings every catalog query depends on, applied defensively
+#: at call time because the driver invokes queries() with ITS OWN
+#: SparkSession (no DatalakeSession defaults):
+#: - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+#:   reader otherwise rejects (sources/tables.py converts ns→µs)
+#: - UTC: window/date_trunc alignment must match the DuckDB oracle
+#: All three are runtime-settable confs.
+REQUIRED_RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def _with_required_conf(fn):
+    def inner(spark, sf_dir):
+        for k, v in REQUIRED_RUNTIME_CONF.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # non-settable in some harness: proceed, query may still work
+        return fn(spark, sf_dir)
+
+    inner.__name__ = getattr(fn, "__name__", "query")
+    inner.__doc__ = fn.__doc__
+    return inner
+
+
 def all_queries():
     out = {}
     for m in _MODULES:
         overlap = out.keys() & m.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(m.QUERIES)
+        out.update({name: _with_required_conf(fn) for name, fn in m.QUERIES.items()})
     return out
 
 
