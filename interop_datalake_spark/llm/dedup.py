@@ -56,10 +56,15 @@ def exact_dedup(
 
 
 def shingles(
-    df: DataFrame, text_col: str, id_col: str, k: int = 5
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word-k-gram shingles: (id, shingle). Explodes ~|words|
-    rows per doc; all downstream joins operate on this narrow frame."""
+    """Word-k-gram shingles: (id, shingle). Explodes ~|words| rows per
+    doc; all downstream joins operate on this narrow frame.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is multiset-insensitive (MinHash: min over duplicates is
+    the min over the set), which lets the LSH pipeline defer dedup
+    until after candidate pruning (see minhash_lsh_dedup)."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words) - (k - 1)
     arr = F.when(
@@ -69,10 +74,8 @@ def shingles(
             lambda i: F.array_join(F.slice(words, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(arr).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col), F.explode(arr).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 #: universal-hash family over the base md5 hash: hᵢ(x) = (aᵢ·h₀ + bᵢ) mod P
@@ -150,9 +153,10 @@ def jaccard_pairs(
     """
     sh_a = shingles_df.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles_df.select(F.col(id_col).alias("id_b"), "shingle")
-    sizes = shingles_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     if candidates is not None:
+        # prune to candidate docs before any heavy work; the input must
+        # be distinct (shingles(distinct=True) — set semantics)
         pair_ids = candidates.select("id_a", "id_b")
         sh_a = sh_a.join(
             pair_ids.select("id_a").distinct(), "id_a", "left_semi"
@@ -165,7 +169,13 @@ def jaccard_pairs(
             .union(pair_ids.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sizes = sizes.join(cand_ids, id_col, "left_semi")
+        sizes = (
+            shingles_df.join(cand_ids, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_sh"))
+        )
+    else:
+        sizes = shingles_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     inter = (
         sh_a.join(sh_b, "shingle")
@@ -206,7 +216,10 @@ def minhash_lsh_dedup(
     # At 100 TB persist(StorageLevel.DISK_ONLY) of the (id, shingle)
     # projection becomes worthwhile once the text scan dominates; flip it
     # there, not in the small-corpus regime.
-    sh = shingles(df, text_col, id_col, k)
+    # distinct upfront measured faster than deferring dedup to the
+    # jaccard stage on this corpus (one medium shuffle beats three small
+    # ones + wider signature input); jaccard_pairs tolerates either.
+    sh = shingles(df, text_col, id_col, k, distinct=True)
     sig = minhash_signatures(sh, id_col, num_hashes)
     bands = lsh_bands(sig, id_col, rows_per_band)
     cand = lsh_candidate_pairs(bands, id_col)

@@ -12,7 +12,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(master="local[8]", app_name="tests", shuffle_partitions=8)
+    master = os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]")
+    parts = int(os.environ.get("SPARK_GRAFT_TEST_PARTITIONS", "8"))
+    s = get_spark(master=master, app_name="tests", shuffle_partitions=parts)
     yield s
     s.stop()
 
