@@ -345,8 +345,138 @@ FROM events ORDER BY event_id
 """
 
 
+def scalar_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.add_months(d, 3).alias("plus3mo"),
+            F.last_day(d).alias("month_end"),
+            F.weekofyear(d).alias("iso_week"),
+            F.dayofyear(d).alias("doy"),
+            F.date_sub(d, 7).alias("week_before"),
+            F.trunc(d, "year").alias("year_start"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SCALAR_DATE_EXT_ORACLE = """
+SELECT o_orderkey,
+       (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE AS plus3mo,
+       last_day(o_orderdate::DATE)                  AS month_end,
+       weekofyear(o_orderdate::DATE)                AS iso_week,
+       dayofyear(o_orderdate::DATE)                 AS doy,
+       o_orderdate::DATE - 7                        AS week_before,
+       date_trunc('year', o_orderdate::DATE)::DATE  AS year_start
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array algebra on word arrays: sort/distinct/contains/position/
+    min/max/size — the list manipulation surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.array_join(F.slice(F.array_sort(F.array_distinct(words)), 1, 5), ",").alias(
+                "first5_sorted_uniq"
+            ),
+            F.array_contains(words, "spark").alias("has_spark"),
+            F.array_position(words, "data").alias("data_pos"),
+            F.array_min(words).alias("min_word"),
+            F.array_max(words).alias("max_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SCALAR_ARRAY_OPS_ORACLE = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       len(ws)                                                    AS n_words,
+       array_to_string(list_sort(list_distinct(ws))[1:5], ',')    AS first5_sorted_uniq,
+       list_contains(ws, 'spark')                                 AS has_spark,
+       list_position(ws, 'data')                                  AS data_pos,
+       list_min(ws)                                               AS min_word,
+       list_max(ws)                                               AS max_word
+FROM base ORDER BY doc_id
+"""
+
+
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.col("l_orderkey")
+    b = F.col("l_partkey")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            a.bitwiseAND(b).alias("band"),
+            a.bitwiseOR(b).alias("bor"),
+            a.bitwiseXOR(b).alias("bxor"),
+            F.shiftleft(F.col("l_linenumber"), 3).alias("shl"),
+            F.shiftright(a, 2).alias("shr"),
+            F.bit_count(a).alias("popcount"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+SCALAR_BITWISE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & l_partkey    AS band,
+       l_orderkey | l_partkey    AS bor,
+       xor(l_orderkey, l_partkey) AS bxor,
+       l_linenumber << 3         AS shl,
+       l_orderkey >> 2           AS shr,
+       bit_count(l_orderkey)     AS popcount
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe variants: try_divide / try_cast /
+    try_element_at — NULL instead of runtime error (the engine runs
+    with ANSI on; these are the sanctioned escape hatches)."""
+    df = spark.createDataFrame(
+        [(1, 10.0, 2.0, "42"), (2, 5.0, 0.0, "abc"), (3, None, 1.0, None)],
+        "row_id INT, num DOUBLE, den DOUBLE, txt STRING",
+    )
+    return df.select(
+        "row_id",
+        F.try_divide(F.col("num"), F.col("den")).alias("safe_div"),
+        F.col("txt").try_cast("int").alias("safe_int"),
+        F.try_element_at(F.split(F.coalesce(F.col("txt"), F.lit("")), ","), F.lit(5)).alias(
+            "safe_elem"
+        ),
+    ).orderBy("row_id")
+
+
+TRY_FUNCTIONS_ORACLE = """
+SELECT row_id,
+       CASE WHEN den = 0 THEN NULL ELSE num / den END AS safe_div,
+       TRY_CAST(txt AS INT)                           AS safe_int,
+       string_split(coalesce(txt, ''), ',')[5]        AS safe_elem
+FROM (VALUES (1, 10.0, 2.0, '42'), (2, 5.0, 0.0, 'abc'),
+             (3, NULL, 1.0, NULL)) AS t(row_id, num, den, txt)
+ORDER BY row_id
+"""
+
+
 QUERIES = {
     "scalar_string": scalar_string,
+    "scalar_date_extended": scalar_date_extended,
+    "scalar_array_ops": scalar_array_ops,
+    "scalar_bitwise": scalar_bitwise,
+    "try_functions": try_functions,
     "array_explode_wordcount": array_explode_wordcount,
     "json_object_keys": json_object_keys_query,
     "scalar_string_predicates": scalar_string_predicates,
@@ -360,6 +490,10 @@ QUERIES = {
 
 ORACLES = {
     "scalar_string": SCALAR_STRING_ORACLE,
+    "scalar_date_extended": SCALAR_DATE_EXT_ORACLE,
+    "scalar_array_ops": SCALAR_ARRAY_OPS_ORACLE,
+    "scalar_bitwise": SCALAR_BITWISE_ORACLE,
+    "try_functions": TRY_FUNCTIONS_ORACLE,
     "array_explode_wordcount": ARRAY_EXPLODE_ORACLE,
     "json_object_keys": JSON_KEYS_ORACLE,
     "scalar_string_predicates": SCALAR_STRING_PRED_ORACLE,

@@ -217,8 +217,35 @@ ORDER BY user_id, purchase_id, error_id
 """
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist over
+    account balance within each market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+WINDOW_DISTRIBUTION_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6)    AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
 QUERIES = {
     "window_rank": window_rank,
+    "window_distribution": window_distribution,
     "window_analytic": window_analytic,
     "window_running": window_running,
     "topk_per_group": topk_per_group,
@@ -228,6 +255,7 @@ QUERIES = {
 
 ORACLES = {
     "window_rank": WINDOW_RANK_ORACLE,
+    "window_distribution": WINDOW_DISTRIBUTION_ORACLE,
     "window_analytic": WINDOW_ANALYTIC_ORACLE,
     "window_running": WINDOW_RUNNING_ORACLE,
     "topk_per_group": TOPK_PER_GROUP_ORACLE,
