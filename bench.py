@@ -29,6 +29,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q18_large_orders",
     "agg_basic",
     "agg_rollup",
     "sort_limit_topk",

@@ -15,6 +15,7 @@ from interop_datalake_spark.catalog import (
     setops,
     streaming_ops,
     text_ops,
+    tpch_extra,
     windows,
 )
 
@@ -29,6 +30,7 @@ _MODULES = [
     streaming_ops,
     python_surface,
     advanced,
+    tpch_extra,
 ]
 
 

@@ -1,0 +1,231 @@
+"""Additional TPC-H-adapted queries over the synthetic star schema —
+the multi-join / conditional-aggregation / having-clause workload
+(Q7/Q10/Q14/Q18/Q19 analogs, adapted to the driver testdata columns).
+
+Scale commentary: every plan here is dims-broadcast + one fact shuffle
+(or fact⋈fact on the shared orderkey); conditional aggregation (q14)
+is a single scan; the having-clause query (q18) is agg→filter→semi
+join back to the facts — no plan materializes an intermediate wider
+than its final projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.sources.tables import load_table
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between customer-nation and supplier-nation pairs
+    per year (Q7 analog)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+        .filter(F.col("volume") > 500000)
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       year(l_shipdate) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 500000
+ORDER BY cust_nation, supp_nation, ship_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns (Q10 analog)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from PROMO parts per month (Q14 analog —
+    conditional aggregation in one scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 2).alias(
+                "promo_revenue"
+            ),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            (
+                F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 2)
+                / F.round(F.sum(rev), 2)
+            ).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+Q14_ORACLE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS total_revenue,
+       round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) END), 2)
+         / round(sum(l_extendedprice * (1 - l_discount)), 2)           AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY strftime(l_shipdate, '%Y-%m')
+ORDER BY ship_month
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with any order whose total quantity exceeds 210
+    (Q18 analog: agg → HAVING → join back)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 210)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 210
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-AND predicate brackets across the join (Q19 analog):
+    Catalyst pushes the common l/p predicates below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket1 = (
+        (F.col("p_type") == "SMALL")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    bracket2 = (
+        (F.col("p_type") == "LARGE")
+        & (F.col("p_size").between(10, 40))
+        & (F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(bracket1 | bracket2).agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+Q19_ORACLE = """
+SELECT count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_type = 'LARGE' AND p_size BETWEEN 10 AND 40
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+QUERIES = {
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_share": q14_promo_share,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracket_predicates": q19_bracket_predicates,
+}
+
+ORACLES = {
+    "q7_nation_volume": Q7_ORACLE,
+    "q10_returned_items": Q10_ORACLE,
+    "q14_promo_share": Q14_ORACLE,
+    "q18_large_orders": Q18_ORACLE,
+    "q19_bracket_predicates": Q19_ORACLE,
+}
