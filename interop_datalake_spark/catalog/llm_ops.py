@@ -18,7 +18,12 @@ from interop_datalake_spark.llm.dedup import (
     shingles,
     simhash,
 )
-from interop_datalake_spark.llm.similarity import brute_force_topk, lsh_topk
+from interop_datalake_spark.llm.similarity import (
+    brute_force_topk,
+    cosine_pairs_above,
+    ivf_topk,
+    lsh_topk,
+)
 from interop_datalake_spark.sources.tables import load_table
 
 
@@ -266,8 +271,74 @@ SELECT query_id, neighbor_id, cos FROM (
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe IVF ANN: top-3 within the query's cell (16 cells,
+    deterministic centroids = first 16 vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, "embedding", "vec_id", k=3, n_cells=16,
+        query_filter=F.col("vec_id") < 10,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rn", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id", "rn")
+
+
+_COS = (
+    "list_cosine_similarity(list_transform({a}.embedding, x -> x::DOUBLE),"
+    " list_transform({b}.embedding, x -> x::DOUBLE))"
+)
+
+ANN_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 16
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v', b='c')} DESC, c.cent_id) AS rn
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, rn, cos FROM (
+  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY qa.vec_id
+           ORDER BY {_COS.format(a='qa', b='cb')} DESC, cb.vec_id) AS rn,
+         round({_COS.format(a='qa', b='cb')}, 4) AS cos
+  FROM embeddings qa
+  JOIN assign aa ON qa.vec_id = aa.vec_id
+  JOIN assign ab ON aa.cell = ab.cell AND ab.vec_id <> qa.vec_id
+  JOIN embeddings cb ON cb.vec_id = ab.vec_id
+  WHERE qa.vec_id < 10
+) WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (cosine >= 0.45 — threshold set
+    to the corpus's top-similarity band so the check is non-trivial)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_pairs_above(emb, "embedding", "vec_id", threshold=0.45)
+    return out.select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COS.format(a='a', b='b')}, 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a='a', b='b')} >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "ann_ivf_topk": ann_ivf_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_simhash": dedup_simhash,
@@ -278,6 +349,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_ORACLE,
+    "ann_ivf_topk": ANN_IVF_ORACLE,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,

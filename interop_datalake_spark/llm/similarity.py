@@ -106,6 +106,85 @@ def sign_lsh_buckets(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def ivf_assign(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16
+) -> DataFrame:
+    """IVF coarse quantization: (id, cell). Centroids are the first
+    ``n_cells`` vectors by id — deterministic and engine-portable (a
+    production build would train k-means centroids offline and broadcast
+    them; the assignment algebra is identical). One broadcast join of
+    N×n_cells cosine evaluations, argmax per vector."""
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cent_id"), F.col(vec_col).alias("_cent_vec")
+    )
+    scored = df.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(cents)
+    ).withColumn("_sim", cosine_similarity(vec_col, "_cent_vec"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("_cent_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+    n_cells: int = 16,
+    query_filter=None,
+) -> DataFrame:
+    """Approximate top-k within the query's IVF cell (single-probe).
+    Search cost drops from |corpus| to ~|corpus|/n_cells per query;
+    recall recovers with multi-probe (join on the top-p cells instead
+    of one — same algebra, p× candidates)."""
+    assign = ivf_assign(df, vec_col, id_col, n_cells)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    queries = assign.join(vecs, id_col)
+    if query_filter is not None:
+        queries = queries.filter(query_filter)
+    queries = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col("cell"),
+        F.col(vec_col).alias("_qv"),
+    )
+    corpus = assign.join(vecs, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = (
+        queries.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_similarity("_qv", "_cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "rn", "cos")
+    )
+
+
+def cosine_pairs_above(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Embedding near-dup: all (id_a < id_b) pairs with cosine >=
+    threshold. Brute-force half-matrix — correct baseline; the scale
+    path prunes with ivf_assign/sign_lsh_buckets first (join on cell,
+    then verify), identical verification algebra."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity("_va", "_vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     vec_col: str,
