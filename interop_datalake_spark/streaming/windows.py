@@ -105,6 +105,38 @@ def streaming_dedup(
     return df.dropDuplicates(key_cols)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay_seconds: int,
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval:
+    matches right rows with ``left_ts <= right_ts <= left_ts + delay``.
+
+    The watermarks + the two-sided time bound are what make the state
+    prunable: each side buffers only rows younger than
+    watermark + delay, so state is O(rate × window), independent of
+    stream history. Works identically on batch frames (the interval
+    predicate alone), which is how the oracle checks it.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts])
+        & (
+            rw[right_ts]
+            <= lw[left_ts] + F.expr(f"INTERVAL {max_delay_seconds} SECONDS")
+        )
+    )
+    return lw.join(rw, cond, how).drop(rw[on])
+
+
 def stream_static_join(
     stream: DataFrame, static_dim: DataFrame, on, how: str = "inner"
 ) -> DataFrame:

@@ -79,6 +79,41 @@ def test_streaming_session_matches_batch(spark, event_stream_dir):
     assert _rows(got, cols) == _rows(q(batch_src), cols)
 
 
+def test_stream_stream_interval_join_matches_batch(spark, event_stream_dir):
+    batch_src = spark.read.parquet(event_stream_dir)
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(event_stream_dir)
+    from interop_datalake_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    def q(src):
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+        )
+        errors = src.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("eid"),
+            F.col("ts").alias("ets"),
+        )
+        return stream_stream_interval_join(
+            purchases, errors, "user_id", "pts", "ets", 7200, watermark="4 hours"
+        ).select("user_id", "pid", "eid")
+
+    got = (
+        q(stream_src)
+        .writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    got.awaitTermination(180)
+    result = spark.table("t_ssjoin")
+    want = q(batch_src)
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, want.collect()))
+    assert result.count() > 0
+
+
 def test_streaming_dedup_bounded_state(spark, event_stream_dir):
     batch_src = spark.read.parquet(event_stream_dir)
     stream_src = spark.readStream.schema(batch_src.schema).parquet(event_stream_dir)
