@@ -11,6 +11,7 @@ from interop_datalake_spark.catalog import (
     llm_ops,
     python_surface,
     relational,
+    reshape,
     scalar,
     setops,
     streaming_ops,
@@ -31,6 +32,7 @@ _MODULES = [
     python_surface,
     advanced,
     tpch_extra,
+    reshape,
 ]
 
 
