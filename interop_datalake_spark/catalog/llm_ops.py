@@ -15,6 +15,7 @@ from interop_datalake_spark.llm.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_dedup,
+    minhash_lsh_dedup_ml,
     shingles,
     simhash,
 )
@@ -158,6 +159,17 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.8
 ORDER BY id_a, id_b
 """
+
+
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-ML MinHashLSH candidates + exact-Jaccard verification;
+    shares the ground-truth oracle (candidate recall ≈1 at J≥0.8 with
+    8 seeded hash tables, so the verified set equals ground truth)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_ml(docs, "text", "doc_id", k=5, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,6 +353,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
+    "dedup_minhash_ml": dedup_minhash_ml,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
@@ -353,6 +366,7 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
+    "dedup_minhash_ml": DEDUP_JACCARD_ORACLE,  # verified set ≡ ground truth
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_cosine_topk_arrow": ANN_TOPK_ORACLE,
