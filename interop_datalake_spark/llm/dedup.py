@@ -93,15 +93,22 @@ def _seed_coeffs(i: int) -> tuple[int, int]:
 def minhash_signatures(
     shingles_df: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """Wide signature frame: (id, m0..m{num_hashes-1})."""
-    h0 = _hash64(F.col("shingle"))
+    """Wide signature frame: (id, m0..m{num_hashes-1}).
+
+    The md5 base hash is projected ONCE before the groupBy — aggregate
+    expressions are evaluated independently (no CSE across them), so
+    inlining ``_hash64`` into each min() would run md5 num_hashes× per
+    shingle."""
+    hashed = shingles_df.select(
+        F.col(id_col), _hash64(F.col("shingle")).alias("_h0")
+    )
     mins = []
     for i in range(num_hashes):
         a, b = _seed_coeffs(i)
         mins.append(
-            F.min((F.lit(a) * h0 + F.lit(b)) % _MERSENNE_P).alias(f"m{i}")
+            F.min((F.lit(a) * F.col("_h0") + F.lit(b)) % _MERSENNE_P).alias(f"m{i}")
         )
-    return shingles_df.groupBy(id_col).agg(*mins)
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def lsh_bands(
