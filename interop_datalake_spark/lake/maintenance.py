@@ -26,6 +26,52 @@ from pyspark.sql import functions as F
 from interop_datalake_spark.session import DatalakeSession
 
 
+def merge_by_key(
+    session: DatalakeSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> int:
+    """Upsert (MERGE) without a transactional table format: rows in
+    ``updates`` replace same-key rows; new keys append. Implemented as
+    existing ANTI-JOIN updates → union → dynamic-partition overwrite of
+    ONLY the partitions present in the union.
+
+    Scale notes: the anti join shuffles just the affected partitions'
+    data (callers should pre-filter ``updates``'s partition values, and
+    the read side prunes on them); with Delta/Iceberg available this
+    becomes a real ``MERGE INTO`` — same call signature, ACID instead
+    of last-writer-wins. Returns rows written.
+    """
+    spark = session.spark
+    existing = session.read_table(table)
+    # restrict the rewrite to partitions the updates touch
+    parts = updates.select(*partition_cols).distinct()
+    affected = existing.join(F.broadcast(parts), partition_cols, "left_semi")
+    kept = affected.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = kept.select(*updates.columns).unionByName(updates)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # localCheckpoint (eager) MATERIALIZES the merge result and cuts
+        # lineage to the source files before we overwrite that same path
+        # — a cached frame could still be evicted and recomputed from
+        # the clobbered source
+        out = merged.localCheckpoint(eager=True)
+        n = out.count()
+        (
+            out.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(session.format)
+            .save(session.table_path(table))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
+
+
 def compact_table(
     session: DatalakeSession,
     table: str,

@@ -64,6 +64,52 @@ def retrieve_binary_batch(
     )
 
 
+def retrieve_binary_by_urls(
+    session: DatalakeSession, urls: Iterable[str]
+) -> DataFrame:
+    """URL-keyed batch lookup — the reference's actual R8 signature
+    (``retrieveBinaryData(urls: List<URI>)``): parse each object URL to
+    its (tenant, id) key via the R14 template, drop malformed URLs
+    (``OCIClientTest.kt:244-254`` → None, no read), drop missing keys
+    (``DatalakeRetrieveServiceTest.kt:125-151``). Returns matched rows
+    with their originating ``url`` column."""
+    from interop_datalake_spark.functions.uris import parse_object_url
+
+    url_list = [u for u in urls if u]
+    df = _read(session, BINARY_TABLE)
+    if df is None or not url_list:
+        schema = (
+            "url STRING, fhir_tenant_id STRING, resource_id STRING,"
+            " content_type STRING, resource_json STRING"
+        )
+        return session.spark.createDataFrame([], schema)
+    keys = (
+        session.spark.createDataFrame([(u,) for u in url_list], "url STRING")
+        .withColumn("_parsed", parse_object_url("url"))
+        .filter(F.col("_parsed").isNotNull())  # malformed URL → dropped
+        .withColumn(
+            "fhir_tenant_id",
+            F.regexp_extract(
+                F.col("_parsed")["path"],
+                r"ehr/Binary/fhir_tenant_id=([^/]+)/(.+)\.json",
+                1,
+            ),
+        )
+        .withColumn(
+            "resource_id",
+            F.regexp_extract(
+                F.col("_parsed")["path"],
+                r"ehr/Binary/fhir_tenant_id=([^/]+)/(.+)\.json",
+                2,
+            ),
+        )
+        .filter(F.col("resource_id") != "")  # non-Binary path shape → dropped
+        .select("url", "fhir_tenant_id", "resource_id")
+    )
+    # key set is small (an API batch): broadcast it against the pruned scan
+    return df.join(F.broadcast(keys), ["fhir_tenant_id", "resource_id"])
+
+
 def binary_exists(session: DatalakeSession, tenant_id: str, resource_id: str) -> bool:
     """Existence check ≡ HEAD status==200 (``OCIClient.kt:231-247``)."""
     df = _read(session, BINARY_TABLE)
