@@ -471,8 +471,43 @@ ORDER BY row_id
 """
 
 
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP column surface: construct, access, keys/values, cardinality
+    (the engine's typed twin of the events.props JSON map)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.element_at(m, "status").alias("status_val"),
+            F.element_at(m, "priority").alias("priority_val"),
+            F.size(m).alias("map_size"),
+            F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SCALAR_MAP_ORACLE = """
+SELECT o_orderkey,
+       m['status'][1]                                AS status_val,
+       m['priority'][1]                              AS priority_val,
+       cardinality(m)                                AS map_size,
+       array_to_string(list_sort(map_keys(m)), ',')  AS keys_sorted
+FROM (
+  SELECT o_orderkey,
+         map(['status','priority'], [o_orderstatus, o_orderpriority]) AS m
+  FROM orders
+) ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "scalar_string": scalar_string,
+    "scalar_map_ops": scalar_map_ops,
     "scalar_date_extended": scalar_date_extended,
     "scalar_array_ops": scalar_array_ops,
     "scalar_bitwise": scalar_bitwise,
@@ -490,6 +525,7 @@ QUERIES = {
 
 ORACLES = {
     "scalar_string": SCALAR_STRING_ORACLE,
+    "scalar_map_ops": SCALAR_MAP_ORACLE,
     "scalar_date_extended": SCALAR_DATE_EXT_ORACLE,
     "scalar_array_ops": SCALAR_ARRAY_OPS_ORACLE,
     "scalar_bitwise": SCALAR_BITWISE_ORACLE,
