@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_cosine_topk_arrow",
+    "ann_cosine_topk_blocked",
     "text_quality",
 ]
 

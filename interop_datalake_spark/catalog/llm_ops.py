@@ -20,6 +20,7 @@ from interop_datalake_spark.llm.dedup import (
     simhash,
 )
 from interop_datalake_spark.llm.similarity import (
+    blocked_topk,
     brute_force_topk,
     cosine_pairs_above,
     ivf_topk,
@@ -246,6 +247,18 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-matrix exact top-k (BLAS per Arrow batch, local top-k,
+    global window merge) — same oracle as the join formulations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = blocked_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "embedding", "vec_id", k=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rn", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id", "rn")
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbor within sign-LSH buckets (8 bits):
     for each vector, its best bucket-mate."""
@@ -357,6 +370,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
+    "ann_cosine_topk_blocked": ann_cosine_topk_blocked,
     "ann_lsh_bucketed": ann_lsh_bucketed,
 }
 
@@ -370,5 +384,6 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_cosine_topk_arrow": ANN_TOPK_ORACLE,
+    "ann_cosine_topk_blocked": ANN_TOPK_ORACLE,
     "ann_lsh_bucketed": ANN_LSH_ORACLE,
 }

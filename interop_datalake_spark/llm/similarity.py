@@ -106,6 +106,66 @@ def sign_lsh_buckets(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def blocked_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Blocked-matrix exact top-k — the 100 TB brute-force pattern.
+
+    Instead of materializing a row per (query, corpus) pair (the join
+    formulations), the query set is collected to a small dense matrix
+    (bounded: |Q|×dim floats — this is the one deliberate driver-side
+    collect, at the API edge for a bounded query batch), broadcast in
+    the task closure, and each Arrow batch of the corpus computes
+    ``batch @ Q.T`` with one BLAS call, emitting only its LOCAL top-k
+    per query. A final window keeps the global top-k: shuffle volume is
+    (#batches × |Q| × k) score rows — independent of corpus size per
+    batch, vs |Q|×|C| for the join formulations.
+    """
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    Q = np.vstack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+
+    out_schema = (
+        "query_id LONG, neighbor_id LONG, cos DOUBLE"
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            C = np.vstack(pdf[vec_col].values).astype("float64")
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+            sims = Cn @ Qn.T  # |batch| × |Q|
+            rows = []
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(k, len(cand_idx))
+                top = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+                for ci in top:
+                    rows.append((int(q_ids[qi]), int(ids[ci]), float(col[ci])))
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "cos"]
+            )
+
+    local = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _score, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "rn", "cos")
+    )
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16
 ) -> DataFrame:
