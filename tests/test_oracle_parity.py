@@ -31,3 +31,16 @@ def test_rows_only(name, spark, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_catalog_contract():
+    """Structural invariants the driver relies on: every oracle has a
+    query, names are non-empty, and callables accept (spark, sf_dir)."""
+    import inspect
+
+    assert set(_ORACLES) <= set(_QUERIES)
+    for name, fn in _QUERIES.items():
+        assert name and callable(fn)
+        assert len(inspect.signature(fn).parameters) == 2, name
+    for name, sql in _ORACLES.items():
+        assert "SELECT" in sql.upper(), name
