@@ -255,7 +255,14 @@ def minhash_lsh_dedup_ml(
     tf = HashingTF(
         inputCol="_sh", outputCol="_features", numFeatures=1 << 18, binary=True
     )
-    feat = tf.transform(sets).filter(F.size("_sh") > 0)
+    # drop the raw shingle list before the similarity join:
+    # approxSimilarityJoin carries whole rows inside datasetA/B structs,
+    # so every surviving column rides the candidate shuffle
+    feat = (
+        tf.transform(sets)
+        .filter(F.size("_sh") > 0)
+        .select(id_col, "_features")
+    )
     lsh = MinHashLSH(
         inputCol="_features",
         outputCol="_hashes",
