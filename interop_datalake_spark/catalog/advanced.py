@@ -222,8 +222,68 @@ FROM (
 """
 
 
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax): which order holds the extreme
+    price per status. Prices tie at 2 decimals, so the ordering key is
+    made unique by appending the zero-padded orderkey — fixed-width
+    formatting gives identical lexicographic=numeric order in both
+    engines (plain min_by over a tied key is nondeterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.format_string("%018.2f|%012d", F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", key).alias("cheapest_order"),
+            F.max_by("o_orderkey", key).alias("priciest_order"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_MIN_MAX_BY_ORACLE = """
+SELECT o_orderstatus,
+       arg_min(o_orderkey, printf('%018.2f|%012d', o_totalprice, o_orderkey)) AS cheapest_order,
+       arg_max(o_orderkey, printf('%018.2f|%012d', o_totalprice, o_orderkey)) AS priciest_order,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): distinct customer segments
+    per nation, sorted — collect_set + array_sort keeps the result
+    deterministic regardless of shuffle order."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
+        )
+        .orderBy("n_name")
+    )
+
+
+AGG_STRING_CONCAT_ORACLE = """
+SELECT n_name,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       count(DISTINCT c_mktsegment)                                 AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 QUERIES = {
     "agg_percentiles": agg_percentiles,
+    "agg_min_max_by": agg_min_max_by,
+    "agg_string_concat": agg_string_concat,
     "agg_median": agg_median,
     "agg_variance_manual": agg_variance_manual,
     "agg_approx_distinct": agg_approx_distinct,
@@ -235,6 +295,8 @@ QUERIES = {
 
 ORACLES = {
     "agg_percentiles": AGG_PERCENTILES_ORACLE,
+    "agg_min_max_by": AGG_MIN_MAX_BY_ORACLE,
+    "agg_string_concat": AGG_STRING_CONCAT_ORACLE,
     "agg_median": AGG_MEDIAN_ORACLE,
     "agg_variance_manual": AGG_VARIANCE_ORACLE,
     # agg_approx_distinct: intentionally no oracle (sketch-dependent)
