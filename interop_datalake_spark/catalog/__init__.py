@@ -12,6 +12,7 @@ from interop_datalake_spark.catalog import (
     python_surface,
     relational,
     reshape,
+    sampling,
     scalar,
     setops,
     streaming_ops,
@@ -33,6 +34,7 @@ _MODULES = [
     advanced,
     tpch_extra,
     reshape,
+    sampling,
 ]
 
 

@@ -1,0 +1,113 @@
+"""Corpus sampling / splitting catalog — the reproducibility-critical
+ops of a training-data pipeline.
+
+The flagship is the content-hash split: at 100 TB, train/val membership
+must be a pure function of the record (never of partitioning, run
+order, or RNG state) so re-runs, backfills, and incremental appends
+never leak validation data into training. ``sample``/``sampleBy`` are
+included as the engine surface for quick subsampling, checked
+rows-only (their RNG streams are engine- and partitioning-specific by
+design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.sources.tables import load_table
+
+
+def corpus_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split keyed on the content hash: stable
+    under re-runs, appends, and engine changes (md5 is the portable
+    choice here; xxhash64 in production for speed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_ORACLE = """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 4))::BIGINT % 100 AS bucket
+  FROM documents
+) ORDER BY doc_id
+"""
+
+
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (rows-only: RNG streams are
+    engine-specific; determinism per seed+partitioning is pinned in
+    tests/test_sampling.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sample(fraction=0.2, seed=42).select("doc_id", "lang").orderBy(
+        "doc_id"
+    )
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling (sampleBy) — balancing a multilingual
+    corpus; rows-only for the same RNG reason."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.1, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 0.5}
+    return (
+        docs.sampleBy("lang", fractions, seed=7)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates: exists / forall / filter+size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return (
+        docs.select(
+            "doc_id",
+            F.exists(words, lambda w: w == "spark").alias("mentions_spark"),
+            F.forall(words, lambda w: F.length(w) <= 10).alias("all_short"),
+            F.size(F.filter(words, lambda w: F.length(w) >= 6)).alias("n_long_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ARRAY_HOF_ORACLE = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(ws, w -> w = 'spark')) > 0        AS mentions_spark,
+       len(list_filter(ws, w -> length(w) > 10)) = 0     AS all_short,
+       len(list_filter(ws, w -> length(w) >= 6))         AS n_long_words
+FROM base ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "corpus_split_train_val": corpus_split_train_val,
+    "corpus_sample": corpus_sample,
+    "corpus_sample_stratified": corpus_sample_stratified,
+    "array_higher_order": array_higher_order,
+}
+
+ORACLES = {
+    "corpus_split_train_val": SPLIT_ORACLE,
+    # corpus_sample / corpus_sample_stratified: rows-only by design
+    "array_higher_order": ARRAY_HOF_ORACLE,
+}
