@@ -135,14 +135,85 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style rolling selection):
+    hash every word-4-gram (the rolling hash), slide a window of 4
+    consecutive shingle hashes, keep each window's minimum — the
+    guaranteed-overlap fingerprint subset used for plagiarism/near-dup
+    detection. Output: per doc, the count + min/max of its distinct
+    fingerprints (stable summary of the selected set)."""
+    from interop_datalake_spark.llm.dedup import _hash64
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words) - 3
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, 4), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).withColumn("h", _hash64(F.col("gram")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    fps = (
+        exploded.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") >= 3)  # only full windows
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_WINNOW_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, g.i - 1 AS pos,
+         array_to_string(w[g.i:g.i+3], ' ') AS gram
+  FROM tok, unnest(generate_series(1, greatest(len(w) - 3, 0))) AS g(i)
+), hashed AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+  FROM grams
+), winmin AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM hashed
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE pos >= 3
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
+    "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
 }
 
 ORACLES = {
     "text_quality": TEXT_QUALITY_ORACLE,
+    "text_winnowing_fingerprints": TEXT_WINNOW_ORACLE,
     "text_lang_id": TEXT_LANG_ORACLE,
     "text_fingerprint": TEXT_FP_ORACLE,
 }
