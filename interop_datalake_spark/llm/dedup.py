@@ -162,37 +162,55 @@ def jaccard_pairs(
     sh_b = shingles_df.select(F.col(id_col).alias("id_b"), "shingle")
 
     if candidates is not None:
-        # prune to candidate docs before any heavy work; the input must
-        # be distinct (shingles(distinct=True) — set semantics)
+        # candidate-verification path: build each candidate doc's
+        # shingle SET as an array (pruned to candidate ids — a tiny
+        # fraction of the corpus), broadcast those arrays onto the pair
+        # list, and score with array_intersect. This removes the
+        # shingle-equi-join + regroup entirely: one pruned groupBy and
+        # two broadcast joins, cost ∝ candidate count.
         pair_ids = candidates.select("id_a", "id_b")
-        sh_a = sh_a.join(
-            pair_ids.select("id_a").distinct(), "id_a", "left_semi"
-        )
-        sh_b = sh_b.join(
-            pair_ids.select("id_b").distinct(), "id_b", "left_semi"
-        )
         cand_ids = (
             pair_ids.select(F.col("id_a").alias(id_col))
             .union(pair_ids.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sizes = (
-            shingles_df.join(cand_ids, id_col, "left_semi")
+        sets = (
+            shingles_df.join(F.broadcast(cand_ids), id_col, "left_semi")
             .groupBy(id_col)
-            .agg(F.count("*").alias("n_sh"))
+            .agg(F.collect_set("shingle").alias("_set"))
         )
-    else:
-        sizes = shingles_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        sa = sets.select(
+            F.col(id_col).alias("id_a"), F.col("_set").alias("_set_a")
+        )
+        sb = sets.select(
+            F.col(id_col).alias("id_b"), F.col("_set").alias("_set_b")
+        )
+        # no broadcast hint on the array sides: candidate shingle-set
+        # arrays can be large at scale; AQE picks broadcast when they
+        # fit and falls back to shuffle join when they don't
+        scored = (
+            pair_ids.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "inter", F.size(F.array_intersect("_set_a", "_set_b"))
+            )
+            .withColumn(
+                "jaccard",
+                F.col("inter")
+                / (F.size("_set_a") + F.size("_set_b") - F.col("inter")),
+            )
+        )
+        return scored.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
 
+    sizes = shingles_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     inter = (
         sh_a.join(sh_b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
