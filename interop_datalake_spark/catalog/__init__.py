@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from interop_datalake_spark.catalog import (
     advanced,
+    events_analytics,
     lake_ops,
     llm_ops,
     python_surface,
@@ -35,6 +36,7 @@ _MODULES = [
     tpch_extra,
     reshape,
     sampling,
+    events_analytics,
 ]
 
 

@@ -1,0 +1,137 @@
+"""Event-analytics catalog: ordered funnels and cohort retention — the
+classic product-analytics operators over the events stream, expressed
+as pure aggregation cascades (no per-user iteration anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.sources.tables import load_table
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel signup → click → purchase: each step
+    counts users whose step event happened AFTER their previous step's
+    first occurrence. Three aggregation stages, each shuffling only
+    (user_id, ts) pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        spark.createDataFrame(
+            [(1, "signup"), (2, "click_after_signup"), (3, "purchase_after_click")],
+            "step INT, step_name STRING",
+        )
+        .join(
+            s.agg(F.count("*").alias("n")).withColumn("step", F.lit(1))
+            .unionByName(
+                c.agg(F.count("*").alias("n")).withColumn("step", F.lit(2))
+            )
+            .unionByName(
+                p.agg(F.count("*").alias("n")).withColumn("step", F.lit(3))
+            ),
+            "step",
+        )
+        .select("step", "step_name", "n")
+        .orderBy("step")
+    )
+
+
+FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t_signup
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'signup' AS step_name, (SELECT count(*) FROM s) AS n
+  UNION ALL
+  SELECT 2, 'click_after_signup', (SELECT count(*) FROM c)
+  UNION ALL
+  SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)
+) ORDER BY step
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted in each subsequent activity week (the (cohort, offset)
+    matrix). Two shuffles: first-seen per user, then the matrix agg."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .withColumn("cohort_week", F.col("cohort_week").cast("date"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT cohort_week::DATE AS cohort_week,
+       (datediff('day', cohort_week::DATE, active_week::DATE) / 7)::INT AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_cohort_retention": events_cohort_retention,
+}
+
+ORACLES = {
+    "events_funnel": FUNNEL_ORACLE,
+    "events_cohort_retention": COHORT_ORACLE,
+}
