@@ -126,12 +126,102 @@ GROUP BY 1, 2 ORDER BY cohort_week, week_offset
 """
 
 
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (hypertable continuous-aggregate
+    analog): one pass produces hourly, daily, and monthly aggregates
+    via GROUPING SETS over date_trunc exprs — the engine computes the
+    finest level and reuses it map-side rather than re-scanning per
+    granularity."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_ht_events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
+                    WHEN day  IS NOT NULL THEN 'day'
+                    ELSE 'month' END                      AS granularity,
+               coalesce(hour, day, month)                 AS bucket,
+               count(*)                                   AS n_events,
+               round(sum(value), 2)                       AS total_value
+        FROM (
+          SELECT date_trunc('hour',  ts) AS hour,
+                 date_trunc('day',   ts) AS day,
+                 date_trunc('month', ts) AS month,
+                 value
+          FROM _ht_events
+        )
+        GROUP BY GROUPING SETS ((hour), (day), (month))
+        ORDER BY granularity, bucket
+        """
+    )
+
+
+HYPERTABLE_ORACLE = """
+SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
+            WHEN day  IS NOT NULL THEN 'day'
+            ELSE 'month' END                      AS granularity,
+       coalesce(hour, day, month)                 AS bucket,
+       count(*)                                   AS n_events,
+       round(sum(value), 2)                       AS total_value
+FROM (
+  SELECT date_trunc('hour',  ts) AS hour,
+         date_trunc('day',   ts) AS day,
+         date_trunc('month', ts) AS month,
+         value
+  FROM events
+)
+GROUP BY GROUPING SETS ((hour), (day), (month))
+ORDER BY granularity, bucket
+"""
+
+
+def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's share of
+    global revenue — an unpartitioned window, applied AFTER aggregation
+    so it spans 25 rows, never the fact table."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return (
+        per_nation.withColumn(
+            "share", F.col("revenue") / F.sum("revenue").over(w)
+        )
+        .select("n_name", "revenue", F.round("share", 6).alias("share"))
+        .orderBy("n_name")
+    )
+
+
+REVENUE_SHARE_ORACLE = """
+WITH per_nation AS (
+  SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM per_nation ORDER BY n_name
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_hypertable_rollup": events_hypertable_rollup,
+    "revenue_share_window": revenue_share_window,
     "events_cohort_retention": events_cohort_retention,
 }
 
 ORACLES = {
     "events_funnel": FUNNEL_ORACLE,
+    "events_hypertable_rollup": HYPERTABLE_ORACLE,
+    "revenue_share_window": REVENUE_SHARE_ORACLE,
     "events_cohort_retention": COHORT_ORACLE,
 }
