@@ -115,6 +115,83 @@ FROM h ORDER BY doc_id
 """
 
 
+#: characteristic character-bigrams per language (tiny, deterministic
+#: inventory for the n-gram language heuristic)
+_LANG_BIGRAMS = {
+    "en": ["th", "he", "in"],
+    "es": ["os", "ue", "ci"],
+    "fr": ["le", "ou", "es"],
+    "de": ["ch", "ei", "en"],
+}
+
+
+def _count_sub(col: str, sub: str):
+    """Occurrences of ``sub`` via length difference — portable to any
+    SQL engine (no regex escaping concerns)."""
+    return (
+        F.length(col) - F.length(F.replace(F.col(col), F.lit(sub), F.lit("")))
+    ) / len(sub)
+
+
+def text_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language heuristic: score = summed frequency of each
+    language's characteristic bigrams; strict-majority argmax, else
+    'und'. Complements the stopword-based text_lang_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: sum(
+            (_count_sub("text", bg) for bg in bigrams), F.lit(0).cast("double")
+        ).cast("int")
+        for lang, bigrams in _LANG_BIGRAMS.items()
+    }
+    guess = F.lit("und")
+    for lang, sc in scores.items():
+        others = [o for lo, o in scores.items() if lo != lang]
+        best = sc > 0
+        for o in others:
+            best = best & (sc > o)
+        guess = F.when(best, F.lit(lang)).otherwise(guess)
+    return (
+        docs.select(
+            "doc_id",
+            *[sc.alias(f"{lang}_score") for lang, sc in scores.items()],
+            guess.alias("lang_ngram_guess"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigram_score_sql(bigrams: list[str]) -> str:
+    terms = " + ".join(
+        f"(length(text) - length(replace(text, '{bg}', ''))) / 2"
+        for bg in bigrams
+    )
+    return f"({terms})::INT"
+
+
+_SCORES_SQL = {
+    lang: _bigram_score_sql(bgs) for lang, bgs in _LANG_BIGRAMS.items()
+}
+
+TEXT_LANG_NGRAM_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {_SCORES_SQL['en']} AS en_score,
+         {_SCORES_SQL['es']} AS es_score,
+         {_SCORES_SQL['fr']} AS fr_score,
+         {_SCORES_SQL['de']} AS de_score
+  FROM documents
+)
+SELECT doc_id, en_score, es_score, fr_score, de_score,
+       CASE WHEN en_score > 0 AND en_score > es_score AND en_score > fr_score AND en_score > de_score THEN 'en'
+            WHEN es_score > 0 AND es_score > en_score AND es_score > fr_score AND es_score > de_score THEN 'es'
+            WHEN fr_score > 0 AND fr_score > en_score AND fr_score > es_score AND fr_score > de_score THEN 'fr'
+            WHEN de_score > 0 AND de_score > en_score AND de_score > es_score AND de_score > fr_score THEN 'de'
+            ELSE 'und' END AS lang_ngram_guess
+FROM scored ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -207,6 +284,7 @@ FROM fps GROUP BY doc_id ORDER BY doc_id
 QUERIES = {
     "text_quality": text_quality,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
+    "text_lang_ngram": text_lang_ngram,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
 }
@@ -214,6 +292,7 @@ QUERIES = {
 ORACLES = {
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_winnowing_fingerprints": TEXT_WINNOW_ORACLE,
+    "text_lang_ngram": TEXT_LANG_NGRAM_ORACLE,
     "text_lang_id": TEXT_LANG_ORACLE,
     "text_fingerprint": TEXT_FP_ORACLE,
 }
