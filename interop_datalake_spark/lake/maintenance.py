@@ -92,7 +92,6 @@ def compact_table(
     if n == 0:
         return 0
 
-    staging = f"{path}__compacting"
     writer = df
     if partition_cols:
         salt = (F.abs(F.hash(*[F.col(c) for c in partition_cols])) %
@@ -102,12 +101,33 @@ def compact_table(
         ).drop("_bucket")
     else:
         writer = df.coalesce(target_files_per_partition)
-    w = writer.write.mode("overwrite").format(session.format)
-    if partition_cols:
-        w = w.partitionBy(*partition_cols)
-    w.save(staging)
 
-    # swap: only safe on a filesystem; object stores use table-format commits
+    if partition_cols:
+        # dynamic partition overwrite rewrites ONLY the partitions
+        # present in the (possibly filtered) frame — untouched tenants'
+        # partitions survive. localCheckpoint materializes the rows
+        # before their source files are replaced.
+        spark = session.spark
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out = writer.localCheckpoint(eager=True)
+            (
+                out.write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .format(session.format)
+                .save(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return n
+
+    # unpartitioned table: full rewrite via staging swap (filesystem
+    # only; object stores use table-format commits)
+    staging = f"{path}__compacting"
+    writer.write.mode("overwrite").format(session.format).save(staging)
     real, stage = Path(path), Path(staging)
     backup = Path(f"{path}__pre_compact")
     real.rename(backup)

@@ -168,6 +168,26 @@ def test_parse_object_url_malformed_is_null(spark):
     assert rows[1]["p"] is None and rows[2]["p"] is None and rows[3]["p"] is None
 
 
+def test_compaction_partition_filter(session, spark):
+    # compact only one tenant's partitions; the other tenant's data and
+    # partition structure must survive untouched
+    for tenant in ("tA", "tB"):
+        df = spark.createDataFrame(
+            [("Location", f"{tenant}-{i}", "{}") for i in range(20)], FHIR_SCHEMA
+        )
+        publish_fhir_r4(session, tenant, df)
+    n = compact_table(
+        session,
+        "ehr",
+        ["resource_type", "fhir_tenant_id", "_date"],
+        1,
+        partition_filter="fhir_tenant_id = 'tA'",
+    )
+    assert n == 20  # only tA rows rewritten
+    assert retrieve_fhir(session, "tA", "Location").count() == 20
+    assert retrieve_fhir(session, "tB", "Location").count() == 20
+
+
 def test_compaction_preserves_rows(session, spark):
     df = spark.createDataFrame(
         [("Location", f"id{i}", "{}") for i in range(50)], FHIR_SCHEMA
