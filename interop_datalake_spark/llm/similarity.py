@@ -126,6 +126,10 @@ def blocked_topk(
     batch, vs |Q|×|C| for the join formulations.
     """
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id LONG, neighbor_id LONG, rn INT, cos DOUBLE"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     Q = np.vstack([np.asarray(r[1], dtype="float64") for r in q_rows])
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
