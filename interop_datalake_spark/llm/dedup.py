@@ -24,8 +24,9 @@ oracle replays the identical pipeline bit-for-bit. Swap in
 
 Skew note: a pathological shingle appearing in every document (e.g.
 boilerplate) would hot-spot the shingle join; production pipelines drop
-top-frequency shingles first (a groupBy-count + filter — one extra
-cheap pass) — exposed here via ``max_shingle_freq``.
+top-frequency shingles first (a groupBy-count + semi-join — one extra
+cheap pass) — exposed via :func:`drop_hot_shingles` and the
+``max_shingle_freq`` parameter of :func:`minhash_lsh_dedup`.
 """
 
 from __future__ import annotations
@@ -76,6 +77,22 @@ def shingles(
     ).otherwise(F.array().cast("array<string>"))
     out = df.select(F.col(id_col), F.explode(arr).alias("shingle"))
     return out.distinct() if distinct else out
+
+
+def drop_hot_shingles(
+    shingles_df: DataFrame, id_col: str, max_freq: int
+) -> DataFrame:
+    """Remove shingles appearing in more than ``max_freq`` documents —
+    boilerplate killers. One cheap count pass + anti join; removes both
+    the shingle-join hot spot AND the false-similarity signal that
+    boilerplate creates (standard practice in corpus dedup)."""
+    hot = (
+        shingles_df.groupBy("shingle")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_freq)
+        .select("shingle")
+    )
+    return shingles_df.join(hot, "shingle", "left_anti")
 
 
 #: universal-hash family over the base md5 hash: hᵢ(x) = (aᵢ·h₀ + bᵢ) mod P
@@ -233,6 +250,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle → sign → band →
     candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
@@ -245,6 +263,8 @@ def minhash_lsh_dedup(
     # jaccard stage on this corpus (one medium shuffle beats three small
     # ones + wider signature input); jaccard_pairs tolerates either.
     sh = shingles(df, text_col, id_col, k, distinct=True)
+    if max_shingle_freq is not None:
+        sh = drop_hot_shingles(sh, id_col, max_shingle_freq)
     sig = minhash_signatures(sh, id_col, num_hashes)
     bands = lsh_bands(sig, id_col, rows_per_band)
     cand = lsh_candidate_pairs(bands, id_col)

@@ -1,5 +1,6 @@
 from interop_datalake_spark.multimodal.binary_ops import (
     MEDIA_SCHEMA,
+    decode_audio_meta,
     decode_image_meta,
     extract_features,
     resize_images,
@@ -8,6 +9,7 @@ from interop_datalake_spark.multimodal.binary_ops import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "decode_audio_meta",
     "decode_image_meta",
     "extract_features",
     "resize_images",

@@ -181,6 +181,48 @@ def resize_images(df: DataFrame, max_side: int) -> DataFrame:
     return df.mapInPandas(_it, schema=schema)
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+def decode_audio_meta(df: DataFrame, bytes_per_sample: int = 2) -> DataFrame:
+    """Audio metadata projection under the fake codec: the SGIM header's
+    (width, height) fields carry (sample_rate/100, n_channels) for audio
+    assets; payload length / (channels × bytes_per_sample) = samples.
+    A real decoder (soundfile/ffprobe — stubbed, see module notice)
+    slots into ``_decode_header`` identically."""
+
+    def _it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["asset_id"], pdf["content"]):
+                w, h, c, ok = _decode_header(data)
+                if not ok or w == 0 or c == 0:
+                    rows.append((aid, 0, 0, 0, 0, "corrupt"))
+                    continue
+                sample_rate = w * 100
+                n_channels = c
+                payload = len(data) - 9
+                n_samples = payload // (n_channels * bytes_per_sample)
+                duration_ms = int(n_samples * 1000 / sample_rate)
+                rows.append(
+                    (aid, sample_rate, n_channels, n_samples, duration_ms, "ok")
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(_it, schema=AUDIO_META_SCHEMA)
+
+
 FRAMES_SCHEMA = StructType(
     [
         StructField("asset_id", StringType(), False),

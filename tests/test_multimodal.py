@@ -71,3 +71,34 @@ def test_arrow_batch_shape(spark):
     out = batch_augment(df)
     sizes = [r["_batch_rows"] for r in out.select("_batch_rows").distinct().collect()]
     assert max(sizes) > 1  # vectorized batches
+
+
+def test_decode_audio_meta(spark):
+    from interop_datalake_spark.multimodal.binary_ops import decode_audio_meta
+
+    rows = [
+        # 441 -> 44100 Hz, 2 channels, 400 payload bytes -> 100 samples
+        ("au1", "t1", "audio", "audio/sgim", encode_fake_image(441, 0, 2, b"\x00" * 400)),
+        ("au2", "t1", "audio", "audio/sgim", b"JUNK"),
+    ]
+    assets = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["asset_id"]: r for r in decode_audio_meta(assets).collect()}
+    a = got["au1"]
+    assert (a["sample_rate"], a["n_channels"], a["n_samples"]) == (44100, 2, 100)
+    assert a["duration_ms"] == int(100 * 1000 / 44100)
+    assert got["au2"]["decode_ok"] == "corrupt"
+
+
+def test_hot_shingle_filter(spark):
+    from interop_datalake_spark.llm.dedup import drop_hot_shingles, shingles
+
+    docs = spark.createDataFrame(
+        [(i, "common boiler plate text here unique" + f" word{i} a b c d" ) for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    sh = shingles(docs, "text", "doc_id", k=5)
+    filtered = drop_hot_shingles(sh, "doc_id", max_freq=5)
+    # the shared prefix shingle appears in all 10 docs -> dropped
+    remaining = {r["shingle"] for r in filtered.collect()}
+    assert "common boiler plate text here" not in remaining
+    assert any("word3" in s for s in remaining)  # doc-unique shingles survive
