@@ -18,8 +18,8 @@ def main() -> None:
     for mod in catalog._MODULES:
         mod_name = mod.__name__.rsplit(".", 1)[-1]
         for name, fn in mod.QUERIES.items():
-            doc = (fn.__doc__ or "").strip().splitlines()
-            desc = doc[0].rstrip(".") if doc else ""
+            doc = " ".join((fn.__doc__ or "").strip().split())
+            desc = doc.split(". ")[0].split(" — ")[0].rstrip(".")[:90]
             checked = "oracle" if name in oracles else "rows-only"
             rows.append((name, mod_name, checked, desc))
     lines = [
