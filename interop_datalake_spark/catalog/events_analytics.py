@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from interop_datalake_spark.functions.money import money, money_sum
 from interop_datalake_spark.sources.tables import load_table
 
 
@@ -140,7 +141,8 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'month' END                      AS granularity,
                coalesce(hour, day, month)                 AS bucket,
                count(*)                                   AS n_events,
-               round(sum(value), 2)                       AS total_value
+               cast(round(sum(cast(value as decimal(12,2))), 2)
+                    as double)                            AS total_value
         FROM (
           SELECT date_trunc('hour',  ts) AS hour,
                  date_trunc('day',   ts) AS day,
@@ -159,8 +161,8 @@ SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
             WHEN day  IS NOT NULL THEN 'day'
             ELSE 'month' END                      AS granularity,
        coalesce(hour, day, month)                 AS bucket,
-       count(*)                                   AS n_events,
-       round(sum(value), 2)                       AS total_value
+       count(*)                                    AS n_events,
+       round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
 FROM (
   SELECT date_trunc('hour',  ts) AS hour,
          date_trunc('day',   ts) AS day,
@@ -181,18 +183,19 @@ def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     per_nation = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(money_sum(money("o_totalprice")).alias("revenue"))
     )
     from pyspark.sql import Window
 
+    # the window total re-sums 25 already-rounded doubles: go through
+    # decimal again so the grand total is order-independent too
     w = Window.partitionBy()
+    total = F.sum(F.col("revenue").cast("decimal(14,2)")).over(w).cast("double")
     return (
-        per_nation.withColumn(
-            "share", F.col("revenue") / F.sum("revenue").over(w)
-        )
+        per_nation.withColumn("share", F.col("revenue") / total)
         .select("n_name", "revenue", F.round("share", 6).alias("share"))
         .orderBy("n_name")
     )
@@ -200,14 +203,14 @@ def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_SHARE_ORACLE = """
 WITH per_nation AS (
-  SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+  SELECT n_name, round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS revenue
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation   ON c_nationkey = n_nationkey
   GROUP BY n_name
 )
 SELECT n_name, revenue,
-       round(revenue / sum(revenue) OVER (), 6) AS share
+       round(revenue / (sum(revenue::DECIMAL(14,2)) OVER ())::DOUBLE, 6) AS share
 FROM per_nation ORDER BY n_name
 """
 

@@ -14,6 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from interop_datalake_spark.functions.money import (
+    RATE,
+    money,
+    money_sum,
+    one_minus,
+    one_plus,
+)
 from interop_datalake_spark.sources.tables import load_table
 
 
@@ -30,27 +37,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantity sums are exact (integer-valued doubles); money sums
+            # go through the decimal policy (functions/money.py): cast the
+            # 2-dec columns to DECIMAL, multiply/sum exactly, round in
+            # decimal, emit double — order-independent in both engines.
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            money_sum(money("l_extendedprice")).alias("sum_base_price"),
+            money_sum(money("l_extendedprice") * one_minus("l_discount")).alias(
+                "sum_disc_price"
+            ),
+            money_sum(
+                money("l_extendedprice")
+                * one_minus("l_discount")
+                * one_plus("l_tax")
             ).alias("sum_charge"),
-            # avgs as round(sum,2)/count with NO outer round: the rounded
-            # sum is decimal-exact in both engines so the division is
-            # bit-identical IEEE; an outer round would diverge on
-            # quotients whose decimal form ends in ...5 (Spark rounds
-            # the decimal string, DuckDB the binary double)
+            # avgs as deterministic-sum / count with NO outer round: the
+            # division of bit-identical doubles is bit-identical; an outer
+            # round would diverge on quotients whose decimal form ends in
+            # ...5 (Spark rounds the decimal string, DuckDB the binary
+            # double)
             (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
-            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
-            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
+            (money_sum(money("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (money_sum(F.col("l_discount").cast(RATE)) / F.count("*")).alias(
+                "avg_disc"
+            ),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -60,12 +70,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                           AS sum_qty,
-       round(sum(l_extendedprice), 2)                                      AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+       round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE               AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE             AS sum_disc_price,
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount::DECIMAL(3,2))
+                 * (1 + l_tax::DECIMAL(3,2))), 2)::DOUBLE                  AS sum_charge,
        round(sum(l_quantity), 2) / count(*)                                AS avg_qty,
-       round(sum(l_extendedprice), 2) / count(*)                           AS avg_price,
-       round(sum(l_discount), 2) / count(*)                                AS avg_disc,
+       round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE / count(*)    AS avg_price,
+       round(sum(l_discount::DECIMAL(3,2)), 2)::DOUBLE / count(*)          AS avg_disc,
        count(*)                                                            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -76,10 +89,12 @@ ORDER BY l_returnflag, l_linestatus
 
 # ---------------------------------------------------------------------------
 # q3 shipping priority — customer ⋈ orders ⋈ lineitem, agg, top-10.
-# customer (filtered to one segment) broadcasts; orders⋈lineitem is the
-# big shuffle join on l_orderkey — at scale both sides would be bucketed
-# on orderkey to kill that shuffle. Catalyst rewrites sort+limit into
-# TakeOrderedAndProject (no global sort).
+# customer SCALES WITH SF, so no broadcast hint: AQE picks broadcast
+# when the filtered side fits and falls back to shuffle join when it
+# doesn't (a forced hint would OOM executors at 100×). orders⋈lineitem
+# is the big shuffle join on l_orderkey — at scale both sides would be
+# bucketed on orderkey to kill that shuffle. Catalyst rewrites
+# sort+limit into TakeOrderedAndProject (no global sort).
 # ---------------------------------------------------------------------------
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
@@ -93,12 +108,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(money("l_extendedprice") * one_minus("l_discount")).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -107,7 +122,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -121,9 +137,10 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# q5 local supplier volume — 5-way join with broadcast dim chain
-# (region→nation→customer/supplier). Only orders⋈lineitem shuffles;
-# region/nation/supplier broadcast (dims stay small at any SF).
+# q5 local supplier volume — 5-way join. region/nation broadcast
+# (fixed-size dims at any SF); customer/supplier scale with SF so they
+# get NO hint — AQE broadcasts them while small and shuffle-joins them
+# at scale. Only orders⋈lineitem is an unavoidable big shuffle.
 # ---------------------------------------------------------------------------
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -137,24 +154,25 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         # TPC-H Q5: customer and supplier must share the nation
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(money("l_extendedprice") * one_minus("l_discount")).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 Q5_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, round(sum(l_extendedprice::DECIMAL(12,2)
+                         * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey  = o_orderkey
 JOIN customer ON o_custkey   = c_custkey
@@ -204,14 +222,15 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            money_sum(money("c_acctbal")).alias("total_acctbal"),
         )
         .orderBy("n_name")
     )
 
 
 JOIN_BROADCAST_ORACLE = """
-SELECT n_name, count(*) AS customers, round(sum(c_acctbal), 2) AS total_acctbal
+SELECT n_name, count(*) AS customers,
+       round(sum(c_acctbal::DECIMAL(12,2)), 2)::DOUBLE AS total_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
@@ -229,20 +248,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "AUTOMOBILE"
     )
     return (
-        orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
-        )
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum(money("o_totalprice")).alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )
 
 
 JOIN_SEMI_ORACLE = """
-SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS total_price
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
 GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -277,14 +295,15 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.count("*").alias("cnt"), F.sum("o_totalprice").alias("tot")
+        F.count("*").alias("cnt"),
+        money_sum(money("o_totalprice")).alias("tot"),
     )
     return (
         cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
         .select(
             "c_custkey",
             F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
-            F.round(F.coalesce(F.col("tot"), F.lit(0.0)), 2).alias("total_spent"),
+            F.coalesce(F.col("tot"), F.lit(0.0)).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -292,11 +311,12 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JOIN_LEFT_OUTER_ORACLE = """
 SELECT c_custkey,
-       coalesce(cnt, 0)             AS n_orders,
-       round(coalesce(tot, 0.0), 2) AS total_spent
+       coalesce(cnt, 0)   AS n_orders,
+       coalesce(tot, 0.0) AS total_spent
 FROM customer
 LEFT JOIN (
-    SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS tot
+    SELECT o_custkey, count(*) AS cnt,
+           round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS tot
     FROM orders GROUP BY o_custkey
 ) o ON c_custkey = o_custkey
 ORDER BY c_custkey
@@ -314,7 +334,7 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            money_sum(money("l_extendedprice")).alias("sum_price"),
             (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
@@ -327,7 +347,7 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 AGG_BASIC_ORACLE = """
 SELECT l_returnflag,
        count(*)                        AS cnt,
-       round(sum(l_extendedprice), 2)  AS sum_price,
+       round(sum(l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE AS sum_price,
        round(sum(l_quantity), 2) / count(*) AS avg_qty,
        round(min(l_extendedprice), 2)  AS min_price,
        round(max(l_extendedprice), 2)  AS max_price,
@@ -365,7 +385,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            money_sum(money("o_totalprice")).alias("total"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -376,7 +396,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-       round(sum(o_totalprice), 2) AS total
+       round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """

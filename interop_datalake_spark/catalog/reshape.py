@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from interop_datalake_spark.functions.money import money, money_sum
 from interop_datalake_spark.sources.tables import load_table
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -41,7 +42,7 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form metrics via unpivot (melt) — the inverse reshape."""
     orders = load_table(spark, sf_dir, "orders")
     wide = orders.groupBy("o_orderstatus").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        money_sum(money("o_totalprice")).alias("total_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.count(F.lit(1)).cast("double").alias("n_orders"),
     )
@@ -55,7 +56,7 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNPIVOT_ORACLE = """
 WITH wide AS (
   SELECT o_orderstatus,
-         round(sum(o_totalprice), 2)     AS total_price,
+         round(sum(o_totalprice::DECIMAL(12,2)), 2)::DOUBLE AS total_price,
          round(max(o_totalprice), 2)     AS max_price,
          count(*)::DOUBLE                AS n_orders
   FROM orders GROUP BY o_orderstatus

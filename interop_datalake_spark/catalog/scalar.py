@@ -99,8 +99,11 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             F.round(F.col("l_extendedprice") * 0.1, 3).alias("tenth"),
-            F.ceil("l_quantity").alias("qty_ceil"),
-            F.floor(F.col("l_extendedprice") / 100).alias("price_h"),
+            # dtype parity with DuckDB (r1 failure): Spark ceil/floor
+            # return BIGINT where DuckDB returns DOUBLE — values were
+            # identical, the canonicalized "44" vs "44.0" hash differed
+            F.ceil("l_quantity").cast("double").alias("qty_ceil"),
+            F.floor(F.col("l_extendedprice") / 100).cast("double").alias("price_h"),
             F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
             F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
             F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
@@ -122,7 +125,7 @@ SELECT l_orderkey, l_linenumber,
        round(pow(l_tax + 1, 2), 6)       AS tax_sq,
        round(ln(l_extendedprice + 1), 6) AS price_ln,
        l_orderkey % 7                    AS key_mod,
-       sign(l_discount - 0.05)           AS disc_sign
+       sign(l_discount - 0.05)::DOUBLE   AS disc_sign
 FROM lineitem ORDER BY l_orderkey, l_linenumber
 """
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from interop_datalake_spark.functions.money import money, money_sum
 from interop_datalake_spark.sources.tables import load_table
 
 
@@ -30,13 +31,14 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.unionByName(events)
         .groupBy("kind")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("amount"), 2).alias("total"))
+        .agg(F.count("*").alias("cnt"), money_sum(money("amount")).alias("total"))
         .orderBy("kind")
     )
 
 
 SET_UNION_ORACLE = """
-SELECT kind, count(*) AS cnt, round(sum(amount), 2) AS total
+SELECT kind, count(*) AS cnt,
+       round(sum(amount::DECIMAL(12,2)), 2)::DOUBLE AS total
 FROM (
   SELECT o_custkey AS entity_id, 'order' AS kind, round(o_totalprice, 2) AS amount FROM orders
   UNION ALL

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from interop_datalake_spark.functions.money import money, money_sum
 from interop_datalake_spark.sources.tables import load_table
 from interop_datalake_spark.streaming.windows import (
     session_window_agg,
@@ -28,7 +29,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(money("value")).alias("total_value"),
         ],
     )
     return out.select(
@@ -38,7 +39,8 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_TUMBLING_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events,
+       round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
@@ -53,12 +55,12 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         [],
         [
             F.count("*").alias("n_events"),
-            # avg as round(sum,2)/count with NO outer round: the rounded
-            # sum is decimal-exact in both engines, so the division is
+            # avg as deterministic-sum/count with NO outer round: the
+            # decimal sum is exact in both engines, so the division is
             # bit-identical IEEE — an outer round(x,4) would diverge when
             # the quotient's decimal form ends in ...5 (Spark rounds the
             # decimal string HALF_UP, DuckDB rounds the binary double)
-            (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+            (money_sum(money("value")) / F.count("*")).alias("avg_value"),
         ],
     )
     return out.select("window_start", "n_events", "avg_value").orderBy(
@@ -75,7 +77,7 @@ WITH grid AS (
   SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)::TIMESTAMP, value FROM events
 )
 SELECT window_start, count(*) AS n_events,
-       round(sum(value), 2) / count(*) AS avg_value
+       round(sum(value::DECIMAL(12,2)), 2)::DOUBLE / count(*) AS avg_value
 FROM grid GROUP BY 1 ORDER BY window_start
 """
 
@@ -90,7 +92,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         [
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            money_sum(money("value")).alias("session_value"),
         ],
     )
     return out.select(
@@ -117,8 +119,8 @@ WITH marked AS (
 SELECT user_id,
        min(ts)                        AS session_start,
        max(ts) + INTERVAL 30 MINUTE   AS session_end,
-       count(*)                       AS n_events,
-       round(sum(value), 2)           AS session_value
+       count(*)                                    AS n_events,
+       round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS session_value
 FROM numbered GROUP BY user_id, sess
 ORDER BY user_id, session_start
 """
@@ -156,14 +158,15 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(money("value")).alias("total_value"),
         )
         .orderBy("c_mktsegment")
     )
 
 
 STREAM_ENRICH_ORACLE = """
-SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+SELECT c_mktsegment, count(*) AS n_events,
+       round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """

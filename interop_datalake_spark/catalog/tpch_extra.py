@@ -2,11 +2,14 @@
 the multi-join / conditional-aggregation / having-clause workload
 (Q7/Q10/Q14/Q18/Q19 analogs, adapted to the driver testdata columns).
 
-Scale commentary: every plan here is dims-broadcast + one fact shuffle
-(or fact⋈fact on the shared orderkey); conditional aggregation (q14)
-is a single scan; the having-clause query (q18) is agg→filter→semi
-join back to the facts — no plan materializes an intermediate wider
-than its final projection.
+Scale commentary: fixed-size dims (nation) broadcast explicitly;
+SF-scaled tables (customer/supplier/part) get NO broadcast hint — AQE
+broadcasts them while they fit and shuffle-joins them at 100× (a forced
+hint would override AQE's size check and OOM the executors). Money
+aggregates follow the decimal-sum determinism policy
+(functions/money.py). Conditional aggregation (q14) is a single scan;
+the having-clause query (q18) is agg→filter→join back to the facts —
+no plan materializes an intermediate wider than its final projection.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from interop_datalake_spark.functions.money import money, money_sum, one_minus
 from interop_datalake_spark.sources.tables import load_table
 
 
@@ -33,18 +37,21 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
         .filter(F.col("cust_nation") < F.col("supp_nation"))
         .groupBy(
             "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
         )
+        # decimal sum: exact and order-independent, so the HAVING filter
+        # on the rounded value can't flip group membership between
+        # engines (round-1 failure: 4/1445 groups off by 0.01)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume")
+            money_sum(money("l_extendedprice") * one_minus("l_discount")).alias(
+                "volume"
+            )
         )
         .filter(F.col("volume") > 500000)
         .orderBy("cust_nation", "supp_nation", "ship_year")
@@ -54,7 +61,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_ORACLE = """
 SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
        year(l_shipdate) AS ship_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE AS volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -63,7 +71,8 @@ JOIN nation n1 ON c_nationkey = n1.n_nationkey
 JOIN nation n2 ON s_nationkey = n2.n_nationkey
 WHERE n1.n_name < n2.n_name
 GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
-HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) > 500000
+HAVING round(sum(l_extendedprice::DECIMAL(12,2)
+               * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE > 500000
 ORDER BY cust_nation, supp_nation, ship_year
 """
 
@@ -76,13 +85,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(money("l_extendedprice") * one_minus("l_discount")).alias(
+                "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -91,7 +100,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_ORACLE = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -108,19 +118,16 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregation in one scan)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = money("l_extendedprice") * one_minus("l_discount")
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return (
         joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 2).alias(
-                "promo_revenue"
-            ),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
-            (
-                F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 2)
-                / F.round(F.sum(rev), 2)
-            ).alias("promo_share"),
+            money_sum(promo).alias("promo_revenue"),
+            money_sum(rev).alias("total_revenue"),
+            # ratio of the two deterministic doubles — no outer round
+            (money_sum(promo) / money_sum(rev)).alias("promo_share"),
         )
         .orderBy("ship_month")
     )
@@ -129,11 +136,15 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q14_ORACLE = """
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
        round(sum(CASE WHEN p_type = 'PROMO'
-                      THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_revenue,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS total_revenue,
+                      THEN l_extendedprice::DECIMAL(12,2)
+                           * (1 - l_discount::DECIMAL(3,2)) END), 2)::DOUBLE AS promo_revenue,
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE               AS total_revenue,
        round(sum(CASE WHEN p_type = 'PROMO'
-                      THEN l_extendedprice * (1 - l_discount) END), 2)
-         / round(sum(l_extendedprice * (1 - l_discount)), 2)           AS promo_share
+                      THEN l_extendedprice::DECIMAL(12,2)
+                           * (1 - l_discount::DECIMAL(3,2)) END), 2)::DOUBLE
+         / round(sum(l_extendedprice::DECIMAL(12,2)
+                     * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE           AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY strftime(l_shipdate, '%Y-%m')
 ORDER BY ship_month
@@ -153,7 +164,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -184,7 +195,7 @@ def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst pushes the common l/p predicates below the join."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     bracket1 = (
         (F.col("p_type") == "SMALL")
         & (F.col("p_size").between(1, 15))
@@ -197,15 +208,16 @@ def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.filter(bracket1 | bracket2).agg(
         F.count("*").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        money_sum(money("l_extendedprice") * one_minus("l_discount")).alias(
+            "revenue"
+        ),
     )
 
 
 Q19_ORACLE = """
 SELECT count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 20)
