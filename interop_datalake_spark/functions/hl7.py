@@ -34,20 +34,26 @@ def _quote(col: Column) -> Column:
 def get_msh9(message: Column | str) -> Column:
     """ARRAY<STRING> of [messageType, messageEvent]; [] when malformed.
 
-    Mirrors ``HL7Utils.kt``: locate 'MSH' (:19), field separator at
-    offset +3 and component separator at +4 (:24-25), split the MSH
-    line on the field separator with limit 10 (:30), take field index 8
-    = MSH-9 (:35), require exactly 7 chars with the component separator
-    at index 3 (:36), split into [type, event] (:37).
+    Bit-parity with ``HL7Utils.kt:11-40``, including its quirks:
+
+    - separators are taken at ``indexOf("MSH") + 3/+4`` (:24-25), but
+      the split runs over the ENTIRE message from position 0 — not the
+      MSH line, not the tail from 'MSH' (:30). Content before 'MSH'
+      containing the field separator therefore shifts field indices
+      (usually producing []), and newlines are NOT split points.
+    - field index 8 of that whole-message split is MSH-9 (:35).
+    - MSH-9 must be exactly 7 chars with the component separator's
+      FIRST occurrence at index 3 (``indexOf(separator2) == 3``, :36)
+      — a separator at index 1 AND 3 is malformed.
+    - the final split has NO limit and keeps trailing empties (Kotlin
+      ``split(Char)`` semantics, :37), so ``MDM^T^2`` yields
+      ['MDM','T','2'], not ['MDM','T^2'].
     """
     msg = F.col(message) if isinstance(message, str) else message
     pos = F.locate("MSH", msg)  # 1-based; 0 = absent
-    # MSH segment = from 'MSH' to end of line
-    tail = F.substring(msg, pos, F.length(msg))
-    line = F.element_at(F.split(tail, "\\r\\n|\\r|\\n", 2), 1)
-    sep1 = F.substring(line, 4, 1)  # field separator      (offset +3)
-    sep2 = F.substring(line, 5, 1)  # component separator  (offset +4)
-    fields = F.split(line, _quote(sep1), 10)
+    sep1 = F.substring(msg, pos + 3, 1)  # field separator      (offset +3)
+    sep2 = F.substring(msg, pos + 4, 1)  # component separator  (offset +4)
+    fields = F.split(msg, _quote(sep1), 10)  # whole message, limit 10
     # try_element_at: ANSI mode is on (session.py) and element_at throws
     # on out-of-bounds — malformed messages must yield [] instead.
     msh9 = F.try_element_at(fields, F.lit(9))  # zero-based field 8 = MSH-9
@@ -57,9 +63,12 @@ def get_msh9(message: Column | str) -> Column:
         & (F.length(sep2) == 1)
         & (F.size(fields) >= 10)
         & (F.length(msh9) == 7)
+        # first occurrence of sep2 at zero-based index 3: char 4 IS sep2
+        # and sep2 does not occur in chars 1-3
         & (F.substring(msh9, 4, 1) == sep2)
+        & ~F.contains(F.substring(msh9, 1, 3), sep2)
     )
-    parts = F.split(msh9, _quote(sep2), 2)
+    parts = F.split(msh9, _quote(sep2), -1)
     return F.when(well_formed, parts).otherwise(
         F.array().cast("array<string>")
     )

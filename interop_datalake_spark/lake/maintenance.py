@@ -21,6 +21,7 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from interop_datalake_spark.session import DatalakeSession
@@ -34,17 +35,30 @@ def merge_by_key(
     partition_cols: list[str],
 ) -> int:
     """Upsert (MERGE) without a transactional table format: rows in
-    ``updates`` replace same-key rows; new keys append. Implemented as
-    existing ANTI-JOIN updates → union → dynamic-partition overwrite of
-    ONLY the partitions present in the union.
+    ``updates`` replace same-key rows; new keys append.
+
+    Crash-safety contract (tests/test_lake_extended.py):
+
+    - phase 1 stages the merged result under ``<table>__merging`` —
+      the live table is read, never written, so a crash anywhere in
+      the (expensive, distributed) compute+write leaves it untouched;
+    - phase 2 swaps each staged partition directory into place with a
+      backup-rename / stage-rename pair (two atomic POSIX renames).
+      Single-partition upserts — the common tenant/day case — are
+      therefore fully atomic; a crash mid-swap of a multi-partition
+      batch leaves earlier partitions new, later ones old, with the
+      interrupted partition recoverable from its ``__pre_merge``
+      backup. Cross-partition atomicity needs a manifest commit —
+      with Delta/Iceberg available this whole function becomes a real
+      ``MERGE INTO`` (same signature); the environment is re-probed
+      each round and currently lacks both.
 
     Scale notes: the anti join shuffles just the affected partitions'
     data (callers should pre-filter ``updates``'s partition values, and
-    the read side prunes on them); with Delta/Iceberg available this
-    becomes a real ``MERGE INTO`` — same call signature, ACID instead
-    of last-writer-wins. Returns rows written.
+    the read side prunes on them). Returns rows written.
     """
     spark = session.spark
+    path = session.table_path(table)
     existing = session.read_table(table)
     # restrict the rewrite to partitions the updates touch
     parts = updates.select(*partition_cols).distinct()
@@ -52,23 +66,35 @@ def merge_by_key(
     kept = affected.join(updates.select(*key_cols), key_cols, "left_anti")
     merged = kept.select(*updates.columns).unionByName(updates)
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # localCheckpoint (eager) MATERIALIZES the merge result and cuts
-        # lineage to the source files before we overwrite that same path
-        # — a cached frame could still be evicted and recomputed from
-        # the clobbered source
-        out = merged.localCheckpoint(eager=True)
-        n = out.count()
-        (
-            out.write.mode("overwrite")
-            .partitionBy(*partition_cols)
-            .format(session.format)
-            .save(session.table_path(table))
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # phase 1 — stage (live table untouched; stale staging from a
+    # previous crash is discarded first)
+    staging = f"{path}__merging"
+    if Path(staging).exists():
+        shutil.rmtree(staging)
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .format(session.format)
+        .save(staging)
+    )
+    n = spark.read.format(session.format).load(staging).count()
+
+    # phase 2 — swap staged partition dirs into place
+    stage_root, real_root = Path(staging), Path(path)
+    pattern = "/".join(["*=*"] * len(partition_cols))
+    for staged in sorted(stage_root.glob(pattern)):
+        rel = staged.relative_to(stage_root)
+        real = real_root / rel
+        backup = real.with_name(real.name + "__pre_merge")
+        real.parent.mkdir(parents=True, exist_ok=True)
+        if backup.exists():
+            shutil.rmtree(backup)
+        if real.exists():
+            real.rename(backup)
+        staged.rename(real)
+        if backup.exists():
+            shutil.rmtree(backup)
+    shutil.rmtree(staging, ignore_errors=True)
     return n
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -43,20 +44,31 @@ def asof_join(
     Ties on timestamp: the right row sorts before the left row with the
     same ts (``is_left`` ascending False→True), so an exactly-equal
     right timestamp IS visible to the left row (<=, not <).
+
+    The right-side payload travels as ONE struct column (non-null for
+    every right row, null for left placeholder rows), carried forward
+    with a single ``last(ignorenulls=True)``. Per-column lasts would
+    skip genuinely-NULL right values and stitch different output
+    columns from different right rows; NULL fields inside the struct
+    are preserved, and every output column comes from the same (most
+    recent) right row.
     """
     keys = [on] if isinstance(on, str) else list(on)
-
-    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
-        "_is_left", F.lit(1)
+    rv_type = StructType(
+        [StructField(v, right.schema[v].dataType, True) for v in right_values]
     )
-    for v in right_values:
-        l_tag = l_tag.withColumn(f"_rv_{v}", F.lit(None).cast(right.schema[v].dataType))
+
+    l_tag = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_is_left", F.lit(1))
+        .withColumn("_rv", F.lit(None).cast(rv_type))
+    )
 
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+        F.struct(*[F.col(v) for v in right_values]).alias("_rv"),
     )
     # align columns: right side lacks the left payload
     for c in l_tag.columns:
@@ -69,15 +81,17 @@ def asof_join(
         .orderBy(F.col("_ts"), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
+    carried = unioned.withColumn(
+        "_rv_last", F.last("_rv", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_is_left") == 1).select(
         "*",
         *[
-            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            F.col(f"_rv_last.{v}").alias(f"{v}{suffix}")
             for v in right_values
         ],
     )
-    drop = ["_ts", "_is_left"] + [f"_rv_{v}" for v in right_values]
-    return carried.filter(F.col("_is_left") == 1).drop(*drop)
+    return out.drop("_ts", "_is_left", "_rv", "_rv_last")
 
 
 def range_join(

@@ -18,24 +18,24 @@ from interop_datalake_spark.operators.joins import asof_join
 
 
 def _msh9_model(message: str) -> list[str]:
-    import re
-
+    """Literal transcription of HL7Utils.kt:11-40: separators at
+    indexOf('MSH')+3/+4, but the limit-10 split runs over the WHOLE
+    message from position 0; MSH-9 needs len 7 with sep2's FIRST
+    occurrence at index 3; final split has no limit (Kotlin split(Char)
+    keeps trailing empties, like Python str.split)."""
     idx = message.find("MSH")
     if idx < 0:
         return []
-    # CR/LF only — str.splitlines() would also split on \x1c/\x1e/\x85
-    # etc., which neither the reference's lines() nor the Spark impl do
-    line = re.split(r"\r\n|\r|\n", message[idx:])[0]
-    if len(line) < 5:
+    if idx + 4 >= len(message):  # elementAtOrNull → null
         return []
-    sep1, sep2 = line[3], line[4]
-    fields = line.split(sep1, 9)
+    sep1, sep2 = message[idx + 3], message[idx + 4]
+    fields = message.split(sep1, 9)  # Kotlin limit=10 ≡ Python maxsplit=9
     if len(fields) < 10:
         return []
     msh9 = fields[8]
-    if len(msh9) != 7 or msh9[3] != sep2:
-        return []
-    return msh9.split(sep2, 1)
+    if len(msh9) == 7 and msh9.find(sep2) == 3:
+        return msh9.split(sep2)
+    return []
 
 
 _hl7_text = st.text(
@@ -63,12 +63,20 @@ def hl7_messages(draw):
             st.just("MDM" + sep2 + "T02"),
             st.just("MDMD" + sep2 + "T02"),
             st.just("MDMDT02"),
+            st.just("MDM" + sep2 + "T" + sep2 + "2"),  # double component sep
+            st.just("M" + sep2 + "M" + sep2 + "T02"),  # early first occurrence
             st.just(""),
         )
     )
     if n_fields > 8:
         fields[8] = msh9
-    return "MSH" + sep1 + sep2 + sep1.join(fields[1:])
+    # content before 'MSH' (may contain the separator → shifts the
+    # reference's whole-message field indices) and extra segments after
+    prefix = draw(
+        st.sampled_from(["", "junk ", "A" + sep1 + "B\n", "x\r\n", "pre" + sep2])
+    )
+    suffix = draw(st.sampled_from(["", "\r\nPID" + sep1 + "1" + sep1 + "x"]))
+    return prefix + "MSH" + sep1 + sep2 + sep1.join(fields[1:]) + suffix
 
 
 @settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
@@ -92,34 +100,40 @@ def test_msh9_matches_model(spark, messages):
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.integers(min_value=0, max_value=2**31 - 1))
 def test_asof_join_matches_bruteforce(spark, seed):
+    """Two right payload columns, one of which is frequently NULL:
+    pins (a) genuinely-NULL right values are NOT replaced by stale
+    older rows, and (b) all output columns come from the SAME (most
+    recent) right row — the struct-carry contract."""
     rng = random.Random(seed)
     keys = [1, 2, 3]
     left = [
         (rng.choice(keys), rng.randint(0, 1000), i) for i in range(rng.randint(1, 25))
     ]
     right = [
-        (rng.choice(keys), rng.randint(0, 1000), rng.randint(0, 99))
+        (
+            rng.choice(keys),
+            rng.randint(0, 1000),
+            rng.choice([None, rng.randint(0, 99)]),  # nullable payload
+            rng.randint(0, 99),
+        )
         for _ in range(rng.randint(0, 25))
     ]
     ldf = spark.createDataFrame(left, "k INT, lts LONG, lid INT")
-    rdf = spark.createDataFrame(right, "k INT, rts LONG, rv INT")
+    rdf = spark.createDataFrame(right, "k INT, rts LONG, rv INT, rw INT")
     out = asof_join(
-        ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_values=["rv"]
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_values=["rv", "rw"]
     )
-    got = {r["lid"]: r["rv_asof"] for r in out.collect()}
+    got = {r["lid"]: (r["rv_asof"], r["rw_asof"]) for r in out.collect()}
 
     for k, lts, lid in left:
-        cands = [(rts, rv) for (rk, rts, rv) in right if rk == k and rts <= lts]
+        cands = [
+            (rts, rv, rw) for (rk, rts, rv, rw) in right if rk == k and rts <= lts
+        ]
         if not cands:
-            expected = None
-        else:
-            # operator contract: latest ts wins; among equal ts the value
-            # carried is the last in window order (implementation detail) —
-            # assert only the timestamp-correctness part when ties exist
-            best_ts = max(c[0] for c in cands)
-            tied = [rv for (rts, rv) in cands if rts == best_ts]
-            if len(tied) > 1:
-                assert got[lid] in tied, f"lid={lid}"
-                continue
-            expected = tied[0]
-        assert got[lid] == expected, f"lid={lid} k={k} lts={lts}"
+            assert got[lid] == (None, None), f"lid={lid}"
+            continue
+        # operator contract: latest ts wins; among equal ts any tied ROW
+        # may be carried, but both columns must come from that one row
+        best_ts = max(c[0] for c in cands)
+        tied_pairs = [(rv, rw) for (rts, rv, rw) in cands if rts == best_ts]
+        assert got[lid] in tied_pairs, f"lid={lid} k={k} lts={lts} got={got[lid]}"
