@@ -235,14 +235,184 @@ def ivf_topk(
 def cosine_pairs_above(
     df: DataFrame, vec_col: str, id_col: str, threshold: float
 ) -> DataFrame:
-    """Embedding near-dup: all (id_a < id_b) pairs with cosine >=
-    threshold. Brute-force half-matrix — correct baseline; the scale
-    path prunes with ivf_assign/sign_lsh_buckets first (join on cell,
-    then verify), identical verification algebra."""
+    """Embedding near-dup ground truth: all (id_a < id_b) pairs with
+    cosine >= threshold, as a row-per-pair theta join.
+
+    YARDSTICK ONLY (the mirror of ``dedup_jaccard_ngram``'s role): the
+    pair materialization is O(N²) rows. The production paths are
+
+    - :func:`blocked_cosine_pairs_above` — same exact answer, executed
+      as a blocked matrix product (bounded memory, BLAS, emits only
+      hits), and
+    - :func:`sign_lsh_pair_candidates` + verify — sub-quadratic
+      approximate, when recall < 1 is acceptable.
+    """
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_similarity("_va", "_vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def blocked_cosine_pairs_above(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding near-dup at scale: identical answer to
+    :func:`cosine_pairs_above`, executed as a blocked half-matrix
+    product instead of a row-per-pair join.
+
+    Why this shape survives 100 TB where the theta join dies: exact
+    all-pairs cosine is inherently O(N²) FLOPs, but it does NOT require
+    O(N²) rows. Vectors are hashed into ``n_blocks`` blocks; each block
+    pair (i <= j) becomes ONE applyInPandas group that computes the
+    cross-block similarity matrix with a single BLAS call and emits
+    ONLY the >= threshold hits. Memory per task is bounded by two
+    blocks (2·N/n_blocks·dim floats — pick n_blocks so a block fits an
+    executor), shuffle volume is each vector replicated ~n_blocks/2
+    times (the classic blocked-GEMM replication tradeoff), and the
+    output is just the hit set. At 14 true pairs per 500 vectors here,
+    the theta join materializes 125k rows; this emits 14.
+
+    Thresholds near the random-similarity band (like the 0.45 the
+    catalog demos) leave NO sound sub-quadratic prune — measured on
+    this corpus: best sign-LSH banding with 100% recall at sf0.01
+    keeps 65% of pairs as candidates, and every selective scheme
+    (8-bit bands: 3% candidates) drops to <25% recall. Exact-blocked
+    is therefore the honest scale path for exact semantics; the LSH
+    route below is the approximate one.
+    """
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    # side A covers block pairs (i=_blk, j >= _blk); side B covers
+    # (i <= _blk, j=_blk) — every unordered block pair exactly once
+    a_side = src.withColumn(
+        "_j", F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1)))
+    ).select(
+        F.col("_blk").alias("_i"), "_j", F.lit("a").alias("_side"), "_id", "_vec"
+    )
+    b_side = src.withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.col("_blk")))
+    ).select(
+        "_i", F.col("_blk").alias("_j"), F.lit("b").alias("_side"), "_id", "_vec"
+    )
+    tagged = a_side.unionByName(b_side)
+
+    thr = float(threshold)
+
+    def _emit(key, pdf):
+        i, j = key
+        A = pdf[pdf["_side"] == "a"]
+        B = pdf[pdf["_side"] == "b"]
+        if len(A) == 0 or len(B) == 0:
+            return pd.DataFrame(columns=["id_a", "id_b", "cos"])
+        ida = A["_id"].to_numpy(dtype="int64")
+        idb = B["_id"].to_numpy(dtype="int64")
+        MA = np.vstack(A["_vec"].values).astype("float64")
+        MB = np.vstack(B["_vec"].values).astype("float64")
+        MA /= np.maximum(np.linalg.norm(MA, axis=1, keepdims=True), 1e-30)
+        MB /= np.maximum(np.linalg.norm(MB, axis=1, keepdims=True), 1e-30)
+        sims = MA @ MB.T
+        # same block appears on both sides when i == j: keep the half
+        # matrix; across blocks keep everything, order ids on emit
+        ra, cb = np.nonzero(sims >= thr)
+        lo = np.minimum(ida[ra], idb[cb])
+        hi = np.maximum(ida[ra], idb[cb])
+        keep = lo < hi  # drops self pairs and i==j diagonal
+        out = pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cos": sims[ra, cb][keep]}
+        )
+        if i == j:  # half-matrix dedup: each pair counted twice
+            out = out.drop_duplicates(subset=["id_a", "id_b"])
+        return out
+
+    return (
+        tagged.groupBy("_i", "_j")
+        .applyInPandas(_emit, schema="id_a LONG, id_b LONG, cos DOUBLE")
+    )
+
+
+def sign_lsh_pair_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_bands: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Banded sign-LSH candidate pairs: (id_a < id_b) sharing at least
+    one band of sign bits. Band b covers dims [b·bits+1 .. (b+1)·bits];
+    two vectors are candidates iff ANY band matches exactly — the
+    equi-join shape (band_idx, band_val) that MinHash banding uses.
+
+    Recall is a tuned property, not a guarantee (measured here at
+    cos>=0.45: 16×4-bit bands = 100% recall/65% candidates at sf0.01;
+    8×8-bit = 3% candidates but 14% recall). At real near-dup
+    thresholds the same bands sharpen fast: P(band match) per band is
+    (1-θ/π)^bits ≈ 0.54 at cos 0.9 vs 0.0625 for random pairs."""
+    vec = F.col(vec_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                sum(
+                    (
+                        F.when(
+                            F.element_at(vec, b * band_bits + k + 1) >= 0,
+                            F.lit(1 << k),
+                        ).otherwise(F.lit(0))
+                        for k in range(band_bits)
+                    ),
+                    F.lit(0),
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.explode(bands).alias("_b")
+    ).select("_id", F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_val").alias("band_val"))
+    a = banded.select(
+        F.col("_id").alias("id_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_cosine_pairs_above(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_bands: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Approximate near-dup: sign-LSH candidates → exact cosine verify.
+    Sub-quadratic candidate generation (equi-join on band buckets), and
+    the verify pass touches candidates only — the candidate→verify
+    pattern shared with dedup_minhash_lsh/ann_lsh_bucketed."""
+    cands = sign_lsh_pair_candidates(df, vec_col, id_col, n_bands, band_bits)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", cosine_similarity("_va", "_vb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
