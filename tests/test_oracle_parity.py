@@ -33,6 +33,18 @@ def test_rows_only(name, spark, sf_dir):
     assert df.count() >= 0
 
 
+def test_witness_priority_ordering():
+    """The driver records only the first 50 queries() entries: they
+    must be exactly WITNESS_PRIORITY (one representative per distinct
+    operator class), every one of them oracle-backed so all 50 recorded
+    rows are hash-checked, and the catalog must contain them all."""
+    names = list(_QUERIES)
+    assert len(catalog.WITNESS_PRIORITY) == 50
+    assert names[:50] == catalog.WITNESS_PRIORITY
+    unbacked = [n for n in catalog.WITNESS_PRIORITY if n not in _ORACLES]
+    assert not unbacked, f"priority queries without oracles: {unbacked}"
+
+
 def test_catalog_contract():
     """Structural invariants the driver relies on: every oracle has a
     query, names are non-empty, and callables accept (spark, sf_dir)."""
