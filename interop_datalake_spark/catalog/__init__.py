@@ -81,9 +81,9 @@ WITNESS_PRIORITY = [
     "join_broadcast", "agg_basic", "agg_rollup", "sort_limit_topk",
     # TPC-H-extra multi-join workload (q7 = round-1 fix)
     "q7_nation_volume", "q18_large_orders",
-    # reference lake surface
+    # reference lake surface + ACID table format
     "hl7_msh9", "object_url_parse", "lake_path_templates",
-    "lake_publish_roundtrip",
+    "lake_publish_roundtrip", "lake_txn_acid",
     # windows + custom joins
     "window_rank", "topk_per_group", "join_asof", "join_range",
     # set ops
@@ -106,7 +106,7 @@ WITNESS_PRIORITY = [
     # reshape + variant
     "pivot_event_types", "events_gapfill_hourly", "variant_json_access",
     # corpus sampling
-    "corpus_split_train_val", "array_higher_order",
+    "corpus_split_train_val",
     # event analytics
     "events_funnel", "events_cohort_retention", "events_hypertable_rollup",
 ]

@@ -162,11 +162,69 @@ SELECT * FROM (VALUES
 """
 
 
+def lake_txn_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID table-format surface (lake/txn.py, the Delta/Iceberg
+    pattern on manifest commits): append → multi-file MERGE → DELETE,
+    then time-travel every version and summarize it. The pinned
+    numbers prove commits are atomic snapshots (each version's row set
+    is exact) and that history stays readable after later commits."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    session = DatalakeSession(
+        lake_root=tempfile.mkdtemp(prefix="lake_txn_"), spark=spark
+    )
+    t = TxnTable(session, "docs_txn")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", "lang")
+    )
+    t.append(docs)  # v1: 10 rows
+    upd = docs.filter(F.col("doc_id") < 5).select(
+        "doc_id", F.lit("xx").alias("lang")
+    )
+    ins = spark.createDataFrame(
+        [(100, "xx"), (101, "yy"), (102, "yy")], "doc_id LONG, lang STRING"
+    )
+    t.merge(upd.unionByName(ins), key_cols=["doc_id"])  # v2: 13 rows, 6 xx
+    t.delete_where(F.col("doc_id") == 9)  # v3: 12 rows
+
+    per_version = [
+        t.read(version=v)
+        .agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("lang") == "xx", 1)).alias("n_xx"),
+        )
+        for v in (1, 2, 3)
+    ]
+    out = per_version[0]
+    for p in per_version[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
+
+
+LAKE_TXN_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 10, 0),
+  (2, 13, 6),
+  (3, 12, 6)
+) AS t(version, n, n_xx) ORDER BY version
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
     "lake_path_templates": lake_path_templates,
     "lake_publish_roundtrip": lake_publish_roundtrip,
+    "lake_txn_acid": lake_txn_acid,
 }
 
 ORACLES = {
@@ -174,4 +232,5 @@ ORACLES = {
     "object_url_parse": URL_ORACLE,
     "lake_path_templates": PATHS_ORACLE,
     "lake_publish_roundtrip": LAKE_ROUNDTRIP_ORACLE,
+    "lake_txn_acid": LAKE_TXN_ORACLE,
 }

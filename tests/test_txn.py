@@ -1,0 +1,117 @@
+"""Transactional table layer (lake/txn.py): ACID commits, snapshot
+isolation, time travel, conflict detection, crash atomicity, vacuum."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.txn import CommitConflictError, TxnTable
+from interop_datalake_spark.session import DatalakeSession
+
+
+@pytest.fixture()
+def session(spark, tmp_path):
+    return DatalakeSession(lake_root=str(tmp_path / "lake"), spark=spark)
+
+
+@pytest.fixture()
+def table(session):
+    return TxnTable(session, "txn_demo")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT, v STRING")
+
+
+def _snapshot(table):
+    return {(r["k"], r["v"]) for r in table.read().collect()}
+
+
+def test_append_and_read_roundtrip(table, spark):
+    assert table.current_version() == 0
+    v1 = table.append(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = table.append(_df(spark, [(3, "c")]))
+    assert (v1, v2) == (1, 2)
+    assert _snapshot(table) == {(1, "a"), (2, "b"), (3, "c")}
+    assert table.manifest()["rows"] == 3
+
+
+def test_merge_is_atomic_upsert_across_files(table, spark):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    table.append(_df(spark, [(3, "c")]))  # second file set
+    table.merge(_df(spark, [(2, "B"), (4, "d")]), key_cols=["k"])
+    assert _snapshot(table) == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_delete_where(table, spark):
+    table.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    table.delete_where(F.col("k") == 2)
+    assert _snapshot(table) == {(1, "a"), (3, "c")}
+
+
+def test_time_travel_and_snapshot_isolation(table, spark):
+    table.append(_df(spark, [(1, "a")]))
+    old = table.read(version=1)  # resolve files at v1
+    table.overwrite(_df(spark, [(9, "z")]))
+    # the already-resolved frame still reads v1's immutable files
+    assert {(r["k"], r["v"]) for r in old.collect()} == {(1, "a")}
+    # and explicit time travel sees each version
+    assert {(r["k"], r["v"]) for r in table.read(version=1).collect()} == {(1, "a")}
+    assert _snapshot(table) == {(9, "z")}
+
+
+def test_crash_before_pointer_swap_is_invisible(table, spark, monkeypatch):
+    table.append(_df(spark, [(1, "a")]))
+
+    import os as _os
+    real_replace = _os.replace
+
+    def exploding_replace(src, dst):
+        raise RuntimeError("injected crash at the commit point")
+
+    monkeypatch.setattr("interop_datalake_spark.lake.txn.os.replace", exploding_replace)
+    with pytest.raises(RuntimeError, match="injected"):
+        table.overwrite(_df(spark, [(9, "z")]))
+    monkeypatch.setattr("interop_datalake_spark.lake.txn.os.replace", real_replace)
+
+    # data + manifest for v2 may exist on disk, but the snapshot is v1
+    assert table.current_version() == 1
+    assert _snapshot(table) == {(1, "a")}
+    # and the table is not wedged: the next commit succeeds
+    table.append(_df(spark, [(2, "b")]))
+    assert _snapshot(table) == {(1, "a"), (2, "b")}
+
+
+def test_commit_conflict_detection(table, spark):
+    table.append(_df(spark, [(1, "a")]))
+    base = table.current_version()
+    new_files, new_rows = table._write_data(_df(spark, [(2, "b")]))
+    # another writer lands first
+    table.append(_df(spark, [(3, "c")]))
+    with pytest.raises(CommitConflictError):
+        table._commit(base, new_files, new_rows)
+    # retry against the fresh snapshot succeeds
+    prev = table.manifest()
+    table._commit(table.current_version(), prev["files"] + new_files,
+                  prev["rows"] + new_rows)
+    assert _snapshot(table) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_compact_preserves_rows_and_is_versioned(table, spark):
+    for i in range(4):
+        table.append(_df(spark, [(i, str(i))]))
+    before = _snapshot(table)
+    v = table.compact(target_files=1)
+    assert _snapshot(table) == before
+    assert v == 5
+    assert len(table.files()) < 4 * len(table.files(version=1))
+
+
+def test_vacuum_drops_unreferenced_keeps_live(table, spark):
+    table.append(_df(spark, [(1, "a")]))
+    table.overwrite(_df(spark, [(2, "b")]))
+    table.overwrite(_df(spark, [(3, "c")]))
+    removed = table.vacuum(keep_versions=1)
+    assert removed == 2  # v1 + v2 data subdirs gone
+    assert _snapshot(table) == {(3, "c")}
+    with pytest.raises(FileNotFoundError):
+        table.manifest(version=1)
