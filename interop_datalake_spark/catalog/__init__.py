@@ -88,14 +88,14 @@ WITNESS_PRIORITY = [
     "window_rank", "topk_per_group", "join_asof", "join_range",
     # set ops
     "set_union_all", "set_intersect",
-    # scalar surface (scalar_math = round-1 fix)
-    "scalar_math", "scalar_date", "scalar_array", "scalar_json",
-    "try_functions",
+    # scalar surface (scalar_math = round-1 fix; JSON access is
+    # witnessed via variant_json_access)
+    "scalar_math", "scalar_date", "scalar_array", "try_functions",
     # LLM dedup + ANN (blocked/lsh = round-2 scale paths)
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_blocked",
     "dedup_embedding_lsh", "ann_cosine_topk_blocked", "ann_lsh_bucketed",
-    # text analysis
-    "text_quality", "text_lang_id",
+    # text analysis + decontamination
+    "text_quality", "text_lang_id", "corpus_decontaminate",
     # streaming twins
     "stream_tumbling_window", "stream_session_window", "stream_dedup",
     # pandas UDF + multimodal surface

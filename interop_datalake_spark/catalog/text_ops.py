@@ -281,12 +281,109 @@ FROM fps GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram containment of a held-out set
+    against the training corpus (llm/dedup.py:ngram_containment). The
+    held-out set derives deterministically from documents < 20: even
+    ids keep their text verbatim (contaminated, containment 1.0), odd
+    ids reverse their word order (clean, containment ~0). flagged =
+    containment >= 0.8 — the rows a training run would drop."""
+    from interop_datalake_spark.llm.dedup import ngram_containment
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("eval_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.col("text")
+        ).otherwise(
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+        ).alias("text"),
+    )
+    out = ngram_containment(
+        docs, eval_df, "text", "eval_id", k=5, train_id_col="doc_id"
+    )
+    return out.select(
+        "eval_id",
+        "n_shingles",
+        "n_hit",
+        F.round("containment", 6).alias("containment"),
+        (F.col("containment") >= 0.8).alias("flagged"),
+    ).orderBy("eval_id")
+
+
+CORPUS_DECONTAMINATE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), train_sh AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM tok
+), eval_docs AS (
+  SELECT doc_id AS eval_id,
+         CASE WHEN doc_id % 2 = 0 THEN string_split(text, ' ')
+              ELSE list_reverse(string_split(text, ' ')) END AS w
+  FROM documents WHERE doc_id < 20
+), eval_sh AS (
+  SELECT DISTINCT eval_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM eval_docs
+)
+SELECT eval_id,
+       count(*)                                    AS n_shingles,
+       count(t.shingle)                            AS n_hit,
+       round(count(t.shingle) / count(*), 6)       AS containment,
+       count(t.shingle) / count(*) >= 0.8          AS flagged
+FROM eval_sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
+GROUP BY eval_id ORDER BY eval_id
+"""
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (functions/text.py:chunk_words): 64-word
+    windows at stride 48 (16-word overlap) — the sliding-window split
+    a long-document training pipeline packs into fixed-length
+    sequences. Chunk text is emitted as md5 so the checked frame stays
+    narrow; n_chunk_words pins the tail-window semantics."""
+    from interop_datalake_spark.functions.text import chunk_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_words(docs, "text", "doc_id", size=64, stride=48)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_hash"),
+        "n_chunk_words",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+DOC_CHUNK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), starts AS (
+  SELECT doc_id, w,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 63, 1), 48),
+           s -> s)) AS start
+  FROM tok
+)
+SELECT doc_id,
+       ((start - 1) // 48)::INT                 AS chunk_idx,
+       md5(array_to_string(w[start:start+63], ' ')) AS chunk_hash,
+       len(w[start:start+63])::INT              AS n_chunk_words
+FROM starts ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_lang_ngram": text_lang_ngram,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "corpus_decontaminate": corpus_decontaminate,
+    "doc_chunk_windows": doc_chunk_windows,
 }
 
 ORACLES = {
@@ -295,4 +392,6 @@ ORACLES = {
     "text_lang_ngram": TEXT_LANG_NGRAM_ORACLE,
     "text_lang_id": TEXT_LANG_ORACLE,
     "text_fingerprint": TEXT_FP_ORACLE,
+    "corpus_decontaminate": CORPUS_DECONTAMINATE_ORACLE,
+    "doc_chunk_windows": DOC_CHUNK_ORACLE,
 }

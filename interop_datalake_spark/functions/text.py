@@ -8,7 +8,7 @@ scan-bound, not CPU-bound on Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword inventories for the n-gram/stopword
@@ -93,6 +93,41 @@ def quality_score(text: Column | str) -> Column:
     punct_ok = F.when(F.coalesce(punct_ratio(t), F.lit(0.0)) <= 0.2, 1.0).otherwise(0.5)
     sw_ok = F.when(F.coalesce(stopword_ratio(t), F.lit(0.0)) >= 0.02, 1.0).otherwise(0.6)
     return F.round(len_ok * 0.4 + punct_ok * 0.3 + sw_ok * 0.3, 4)
+
+
+def chunk_starts(text: Column | str, size: int, stride: int) -> Column:
+    """1-based word offsets of context-window chunks: 1, 1+stride, …
+    up to the last offset that still yields a full-or-tail window
+    (``greatest(n_words - size + 1, 1)``). Pure column algebra —
+    chunking a 100 TB corpus is a projection, no shuffle."""
+    w = F.split(_col(text), " ")
+    last = F.greatest(F.size(w) - F.lit(size - 1), F.lit(1))
+    return F.sequence(F.lit(1), last, F.lit(stride))
+
+
+def chunk_words(
+    df: DataFrame, text_col: str, id_col: str, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping word-window chunks for context-length packing:
+    (id, chunk_idx, chunk_text, n_chunk_words). ``stride < size``
+    gives ``size - stride`` words of overlap between neighbors —
+    the standard sliding-window split for long-document training.
+    posexplode keeps the chunk index without a window function."""
+    w = F.split(F.col(text_col), " ")
+    exploded = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.posexplode(chunk_starts(F.col(text_col), size, stride)).alias(
+            "chunk_idx", "_start"
+        ),
+    )
+    chunk = F.slice(F.col("_w"), F.col("_start"), size)
+    return exploded.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_words"),
+    )
 
 
 def normalize_text(text: Column | str) -> Column:

@@ -79,6 +79,45 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+def ngram_containment(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    train_id_col: str | None = None,
+) -> DataFrame:
+    """Decontamination: per eval document, the fraction of its word
+    k-gram shingles that occur ANYWHERE in the training corpus —
+    n-gram containment, the standard benchmark-leakage check run
+    before training. Returns (id, n_shingles, n_hit, containment);
+    documents shorter than k words produce no shingles and no row.
+
+    Scale shape: the train side reduces to a DISTINCT shingle set
+    (narrow single column — the corpus vocabulary of k-grams, far
+    smaller than the corpus), the eval side is the usual exploded
+    shingle frame, and the whole check is one equi-join on the shingle
+    plus a per-document count aggregation. At 100 TB, pre-hash
+    shingles to 64-bit ints on both sides so the shuffle moves 8-byte
+    keys (identical join algebra), and broadcast the eval shingle set
+    when the held-out benchmark is small — then the training corpus is
+    scanned once with no shuffle at all. The containment ratio is a
+    division of identical BIGINT counts — bit-identical cross-engine,
+    no rounding needed."""
+    tr = (
+        shingles(train, text_col, train_id_col or id_col, k, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    ev = shingles(eval_df, text_col, id_col, k)
+    joined = ev.join(tr.withColumn("_hit", F.lit(1)), "shingle", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_hit"),
+        (F.count("_hit") / F.count("*")).alias("containment"),
+    )
+
+
 def drop_hot_shingles(
     shingles_df: DataFrame, id_col: str, max_freq: int
 ) -> DataFrame:
