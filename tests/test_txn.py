@@ -84,11 +84,11 @@ def test_crash_before_pointer_swap_is_invisible(table, spark, monkeypatch):
 def test_commit_conflict_detection(table, spark):
     table.append(_df(spark, [(1, "a")]))
     base = table.current_version()
-    new_files, new_rows = table._write_data(_df(spark, [(2, "b")]))
+    new_files, new_rows, new_stats = table._write_data(_df(spark, [(2, "b")]))
     # another writer lands first
     table.append(_df(spark, [(3, "c")]))
     with pytest.raises(CommitConflictError):
-        table._commit(base, new_files, new_rows)
+        table._commit(base, new_files, new_rows, new_stats)
     # retry against the fresh snapshot succeeds
     prev = table.manifest()
     table._commit(table.current_version(), prev["files"] + new_files,
@@ -104,6 +104,38 @@ def test_compact_preserves_rows_and_is_versioned(table, spark):
     assert _snapshot(table) == before
     assert v == 5
     assert len(table.files()) < 4 * len(table.files(version=1))
+
+
+def test_merge_file_pruning_carries_untouched_files(session, spark):
+    t = TxnTable(session, "txn_pruned", stats_cols=["k"])
+    # three appends with disjoint key ranges → three file sets with
+    # disjoint recorded [min,max] stats
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(10, "c"), (11, "d")]).coalesce(1))
+    t.append(_df(spark, [(20, "e"), (21, "f")]).coalesce(1))
+    before = t.manifest()
+    assert all(f in before["stats"] for f in before["files"])
+
+    t.merge(_df(spark, [(10, "C"), (12, "g")]).coalesce(1), key_cols=["k"])
+    after = t.manifest()
+    carried = set(before["files"]) & set(after["files"])
+    # the [1,2] and [20,21] files must be carried by reference (same
+    # path strings), the [10,11] file replaced
+    assert len(carried) == 2
+    mins = sorted(before["stats"][f]["k"][0] for f in carried)
+    assert mins == [1, 20]
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, "a"), (2, "b"), (10, "C"), (11, "d"), (12, "g"),
+        (20, "e"), (21, "f"),
+    }
+    assert after["rows"] == 7
+
+    # empty updates: every file carried, still a clean new version
+    t.merge(spark.createDataFrame([], "k INT, v STRING"), key_cols=["k"])
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, "a"), (2, "b"), (10, "C"), (11, "d"), (12, "g"),
+        (20, "e"), (21, "f"),
+    }
 
 
 def test_vacuum_drops_unreferenced_keeps_live(table, spark):
