@@ -43,11 +43,20 @@ HEADLINE = [
     "stream_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_blocked",
     "ann_cosine_topk",
     "ann_cosine_topk_arrow",
     "ann_cosine_topk_blocked",
     "text_quality",
+    "corpus_decontaminate",
+    "doc_chunk_windows",
 ]
+# not in HEADLINE by design: lake_txn_acid is a 6-commit ACID
+# integration scenario (write-job bound, not query throughput);
+# dedup_embedding_lsh's demo threshold (0.45, the corpus's random-
+# similarity band) makes LSH candidates deliberately unselective — its
+# cost is the documented recall/selectivity tradeoff, not a query-
+# engine property (the exact blocked variant is the scale benchmark).
 
 
 def main() -> None:
