@@ -138,6 +138,72 @@ def test_merge_file_pruning_carries_untouched_files(session, spark):
     }
 
 
+def test_read_key_range_prunes_files(session, spark):
+    t = TxnTable(session, "txn_skip", stats_cols=["k"])
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(10, "c"), (11, "d")]).coalesce(1))
+    t.append(_df(spark, [(20, "e"), (21, "f")]).coalesce(1))
+
+    full = t.read()
+    pruned = t.read(key_range=("k", 10, 12))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert {(r["k"], r["v"]) for r in pruned.collect()} == {(10, "c"), (11, "d")}
+    # residual row filter applies inside kept files
+    point = t.read(key_range=("k", 11, 11))
+    assert {(r["k"], r["v"]) for r in point.collect()} == {(11, "d")}
+    # fully out-of-range: empty frame, correct schema
+    none = t.read(key_range=("k", 500, 600))
+    assert none.count() == 0 and none.columns == full.columns
+
+
+def test_append_epoch_is_exactly_once(session, spark):
+    t = TxnTable(session, "txn_epochs")
+    assert t.append_epoch(_df(spark, [(1, "a")]), epoch_id=0) is True
+    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=1) is True
+    # crash-replay of epoch 1: must be a no-op
+    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=1) is False
+    assert t.append_epoch(_df(spark, [(3, "c")]), epoch_id=2) is True
+    assert _snapshot_of(t) == {(1, "a"), (2, "b"), (3, "c")}
+    # non-epoch commits don't reset the high-water mark
+    t.compact(target_files=1)
+    assert t.append_epoch(_df(spark, [(9, "x")]), epoch_id=2) is False
+
+
+def _snapshot_of(t):
+    return {(r["k"], r["v"]) for r in t.read().collect()}
+
+
+def test_streaming_foreach_batch_sink(session, spark, tmp_path):
+    """True readStream → transactional sink: every source row lands
+    exactly once, commits are manifest versions."""
+    src = tmp_path / "stream_src"
+    _df(spark, [(1, "a"), (2, "b")]).coalesce(1).write.parquet(str(src))
+    t = TxnTable(session, "txn_stream")
+    stream = (
+        spark.readStream.schema("k INT, v STRING").parquet(str(src))
+        .writeStream.foreachBatch(t.foreach_batch_writer())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    assert _snapshot_of(t) == {(1, "a"), (2, "b")}
+    assert t.manifest()["epoch"] == 0
+
+    # second micro-batch (new file) under the same checkpoint
+    _df(spark, [(3, "c")]).coalesce(1).write.mode("append").parquet(str(src))
+    stream2 = (
+        spark.readStream.schema("k INT, v STRING").parquet(str(src))
+        .writeStream.foreachBatch(t.foreach_batch_writer())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream2.awaitTermination(120)
+    assert _snapshot_of(t) == {(1, "a"), (2, "b"), (3, "c")}
+    assert t.manifest()["epoch"] == 1
+
+
 def test_vacuum_drops_unreferenced_keeps_live(table, spark):
     table.append(_df(spark, [(1, "a")]))
     table.overwrite(_df(spark, [(2, "b")]))
