@@ -376,6 +376,68 @@ FROM starts ORDER BY doc_id, chunk_idx
 """
 
 
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (GPT-style concat-and-chunk): documents in
+    corpus order are laid head-to-tail on a token tape; training
+    sequence i covers tape positions [i·B, (i+1)·B). Each document is
+    assigned to the sequence where it STARTS (exclusive running token
+    count div B) — the deterministic batch layout a pretraining
+    dataloader materializes. Output: per sequence, how many documents
+    start there, their token mass, and the doc-id span.
+
+    Scale note: the demo uses ONE global ordering window (a single-
+    partition sort) for oracle determinism; the production layout is
+    identical algebra per shard — partitionBy(shard) in the window —
+    which packs each output shard independently with no global
+    shuffle."""
+    from pyspark.sql import Window
+
+    from interop_datalake_spark.functions.text import token_count_ws
+
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+        ).cast("int"),
+    )
+    return (
+        placed.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+CORPUS_PACK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, n_tokens,
+         (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // 2048)::INT AS seq_id
+  FROM toks
+)
+SELECT seq_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM placed GROUP BY seq_id ORDER BY seq_id
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
@@ -384,6 +446,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "corpus_decontaminate": corpus_decontaminate,
     "doc_chunk_windows": doc_chunk_windows,
+    "corpus_pack_sequences": corpus_pack_sequences,
 }
 
 ORACLES = {
@@ -394,4 +457,5 @@ ORACLES = {
     "text_fingerprint": TEXT_FP_ORACLE,
     "corpus_decontaminate": CORPUS_DECONTAMINATE_ORACLE,
     "doc_chunk_windows": DOC_CHUNK_ORACLE,
+    "corpus_pack_sequences": CORPUS_PACK_ORACLE,
 }
