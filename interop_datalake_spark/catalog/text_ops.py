@@ -438,6 +438,131 @@ FROM placed GROUP BY seq_id ORDER BY seq_id
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: the fraction of
+    tokens that are repeats of an earlier token (``dup_word_frac``) and
+    the share of bigram slots taken by the single most frequent bigram
+    (``top_bigram_frac``). Boilerplate / template / spam documents
+    score high on both; pretraining filters (Gopher §A.2, C4) drop
+    them before tokenization.
+
+    Scale notes: everything is per-document algebra — the only shuffle
+    is the (doc_id, bigram) partial-aggregated groupBy, whose key
+    cardinality is bounded by corpus token count; no window, no
+    collect. Ratios are single IEEE divisions of exact integers, so
+    they hash identically cross-engine without rounding (see
+    functions/money.py for the determinism policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        T.words("text").alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+    )
+    bigrams = base.where(F.col("n_words") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.col("n_words") - 1),
+                F.slice("ws", 2, F.col("n_words") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    top_bigram = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"))
+    )
+    return (
+        base.drop("ws")
+        .join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(
+                F.lit(1.0) - F.try_divide("n_distinct", "n_words"), F.lit(0.0)
+            ).alias("dup_word_frac"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            F.coalesce(
+                F.try_divide("top_bigram_count", F.col("n_words") - 1),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS ws FROM documents
+), base AS (
+  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct, ws
+  FROM w
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM base WHERE len(ws) >= 2
+), tb AS (
+  SELECT doc_id, max(c) AS top_bigram_count
+  FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+       coalesce(1.0 - b.n_distinct::DOUBLE / nullif(b.n_words, 0), 0.0)
+         AS dup_word_frac,
+       coalesce(tb.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+       coalesce(tb.top_bigram_count::DOUBLE / nullif(b.n_words - 1, 0), 0.0)
+         AS top_bigram_frac
+FROM base b LEFT JOIN tb ON b.doc_id = tb.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: corpus-wide word frequencies, a
+    min-count threshold (>= 5), and dense ids assigned by
+    (frequency DESC, word ASC) — the table a tokenizer trainer or
+    embedding layer consumes.
+
+    Scale notes: the explode + groupBy is one map-side-combined
+    shuffle on the word key; the min-count filter happens BEFORE the
+    ranking, so the single-partition ``row_number`` window only ever
+    sees the surviving vocabulary (~10⁵-10⁶ rows at any corpus size —
+    vocabulary growth is sublinear in corpus size by Heaps' law), not
+    the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= 5)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return freq.select(
+        "word", "freq", F.row_number().over(w).alias("vocab_id")
+    ).orderBy("vocab_id")
+
+
+CORPUS_VOCAB_ORACLE = f"""
+WITH w AS (
+  SELECT unnest({_WORDS}) AS word FROM documents
+), f AS (
+  SELECT word, count(*) AS freq FROM w GROUP BY word HAVING count(*) >= 5
+)
+SELECT word, freq,
+       row_number() OVER (ORDER BY freq DESC, word)::INT AS vocab_id
+FROM f ORDER BY vocab_id
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
@@ -447,6 +572,8 @@ QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "doc_chunk_windows": doc_chunk_windows,
     "corpus_pack_sequences": corpus_pack_sequences,
+    "text_repetition": text_repetition,
+    "corpus_vocab": corpus_vocab,
 }
 
 ORACLES = {
@@ -458,4 +585,6 @@ ORACLES = {
     "corpus_decontaminate": CORPUS_DECONTAMINATE_ORACLE,
     "doc_chunk_windows": DOC_CHUNK_ORACLE,
     "corpus_pack_sequences": CORPUS_PACK_ORACLE,
+    "text_repetition": TEXT_REPETITION_ORACLE,
+    "corpus_vocab": CORPUS_VOCAB_ORACLE,
 }
