@@ -1,4 +1,4 @@
-"""Transactional parquet tables via manifest commits — the ACID layer
+"""Transactional parquet tables via a manifest log — the ACID layer
 the plain Hive-layout lake lacks (Delta/Iceberg are not installed in
 this environment; ``session.py`` re-probes each round).
 
@@ -7,38 +7,56 @@ to its essentials, Spark-first:
 
 - **data files are written by normal distributed Spark jobs** into
   per-commit unique subdirectories — never modified, never deleted by
-  a commit (immutability gives snapshot isolation for free);
-- **a commit is one tiny driver-side atomic operation**: write
-  manifest ``v{N}.json`` (the complete file list of the new snapshot),
-  then atomically replace the ``_latest`` pointer (``os.replace`` on a
-  POSIX fs; a conditional PUT / If-None-Match on an object store).
-  Readers resolve the pointer once and read an immutable file set, so
-  a crash at ANY point before the pointer swap leaves the previous
-  snapshot intact and fully readable — including multi-partition
-  upserts, which the Hive-layout ``merge_by_key`` can only make
-  per-partition atomic.
-- **optimistic concurrency**: each manifest records its parent
-  version; commit fails (``CommitConflictError``) if ``_latest`` moved
-  since the snapshot was resolved — the caller retries on the new
-  snapshot. Single-writer per table is the expected deployment (the
-  reference's publish pipeline), multi-writer degrades safely.
+  a commit (immutability gives snapshot isolation for free). Tables
+  may be Hive-partitioned: data files live under ``key=value`` dirs
+  and the manifest records each file's partition values, so reads
+  prune by partition BEFORE Spark plans the scan.
+- **a commit is one atomic compare-and-swap**: the commit record is
+  written to a temp file and *hard-linked* into place as
+  ``_manifests/v{N}.json``. ``os.link`` fails with ``FileExistsError``
+  if another writer already committed version N — the unique version
+  file name IS the CAS token (an object store uses conditional PUT /
+  If-None-Match the same way; Delta's commit protocol is exactly
+  this on its ``_delta_log``). The linked file is complete before it
+  becomes visible, so a crash at ANY point leaves either no v{N}
+  (commit never happened) or a whole one (commit happened) — there is
+  no torn state and no lost update: of two racing writers exactly one
+  wins, the other gets :class:`CommitConflictError` and retries on
+  the new snapshot.
+- **the log is incremental**: each commit records only files
+  added/removed vs its parent; a full-state **checkpoint**
+  (``ckpt-v{N}.json``) is written every ``checkpoint_interval``
+  commits so reconstructing a snapshot replays a bounded suffix of
+  the log, not its whole history — the Delta checkpoint-parquet /
+  Iceberg manifest-list idea. Checkpoints are derivable state, never
+  the commit point: losing one costs a longer replay, not data.
 
-Scale notes: the manifest holds one entry per data file, not per row —
-at 100 TB with 256 MB files that is ~400k entries, a few tens of MB of
-JSON read once per query by the driver; Delta/Iceberg shard this with
-checkpoint/manifest-list files, and the same sharding drops in here
-without changing the commit protocol. File-level min/max stats for
-data skipping are recorded per file at append time (currently row
-counts; column stats are an additive extension).
+Scale notes: a commit record holds one entry per file it touches, not
+per row; at 100 TB with 256 MB files the active state is ~400k
+entries, reconstructed from the latest checkpoint plus at most
+``checkpoint_interval`` deltas, read once per query by the driver.
+Per-file min/max stats (``stats_cols``) + partition values give
+data-skipping reads and file-pruned MERGE/DELETE: a single-tenant
+operation rewrites the files whose stats ranges can match, the rest
+carry into the new snapshot by reference — zero read, zero write.
+
+Reference parity: this layer sits under the publish/retrieve surface
+(``DatalakePublishService.kt:50-90`` batch publish atomicity — its
+partial-write caveat at :79-88 is exactly what the manifest commit
+removes; ``DatalakeRetrieveServiceTest.kt:37-53`` keyed reads).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
+from datetime import date, datetime
+from decimal import Decimal
 from pathlib import Path
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame
 
@@ -50,66 +68,228 @@ class CommitConflictError(RuntimeError):
     commit — retry against the new snapshot."""
 
 
+def _stats_encode(v):
+    """Canonical JSON encoding for per-file stats values. Dates,
+    timestamps and decimals are not JSON-serializable; encode them as
+    tagged ISO/decimal strings so commits never fail on a typed stats
+    column and pruning compares the original values after decode."""
+    if isinstance(v, datetime):
+        return {"_t": "ts", "v": v.isoformat()}
+    if isinstance(v, date):
+        return {"_t": "date", "v": v.isoformat()}
+    if isinstance(v, Decimal):
+        return {"_t": "dec", "v": str(v)}
+    return v
+
+
+def _stats_decode(v):
+    if isinstance(v, dict) and "_t" in v:
+        t, s = v["_t"], v["v"]
+        if t == "ts":
+            return datetime.fromisoformat(s)
+        if t == "date":
+            return date.fromisoformat(s)
+        if t == "dec":
+            return Decimal(s)
+    return v
+
+
+def _decode_range(rng):
+    return None if rng is None else [_stats_decode(rng[0]), _stats_decode(rng[1])]
+
+
 class TxnTable:
     """A manifest-committed parquet table rooted at
-    ``session.table_path(name)``."""
+    ``session.table_path(name)``.
+
+    ``stats_cols``: columns whose per-file min/max get recorded in the
+    manifest at write time — the data-skipping metadata that lets
+    :meth:`read`/:meth:`merge`/:meth:`delete_where` touch only
+    intersecting files. Pick the merge/lookup key columns.
+
+    ``partition_cols``: Hive partition columns; data files are written
+    under ``key=value`` directories and each file's partition values
+    are recorded in the manifest, so :meth:`read` with
+    ``partition_filter`` prunes by directory semantics (the reference's
+    tenant/date layout, ``DatalakePublishService.kt:68-73``). A handle
+    opened without ``partition_cols`` discovers them from the log.
+    """
 
     def __init__(
         self,
         session: DatalakeSession,
         name: str,
         stats_cols: list[str] | None = None,
+        partition_cols: list[str] | None = None,
+        checkpoint_interval: int = 10,
     ):
-        """``stats_cols``: columns whose per-file min/max get recorded
-        in the manifest at write time — the data-skipping metadata that
-        lets :meth:`merge` rewrite only intersecting files. Pick the
-        merge key (and natural clustering) columns."""
         self.session = session
         self.spark = session.spark
         self.name = name
         self.stats_cols = list(stats_cols or [])
+        self.partition_cols = list(partition_cols or [])
+        self.checkpoint_interval = max(1, checkpoint_interval)
         self.root = Path(session.table_path(name))
         self._manifest_dir = self.root / "_manifests"
-        self._pointer = self.root / "_latest"
+        self._state_cache: dict[int, dict] = {}
 
-    # -- snapshot resolution ------------------------------------------------
+    # -- log resolution -----------------------------------------------------
 
     def current_version(self) -> int:
-        """Latest committed version; 0 = empty table (no commits)."""
-        try:
-            return int(self._pointer.read_text().strip())
-        except (FileNotFoundError, ValueError):
+        """Latest committed version = max version present in the log
+        (commit records + checkpoints); 0 = empty table. This is the
+        Delta resolution rule (list ``_delta_log``, take max N) — there
+        is no separate pointer file to race on."""
+        if not self._manifest_dir.exists():
             return 0
+        versions = [
+            int(p.stem[1:]) for p in self._manifest_dir.glob("v*.json")
+        ]
+        versions += [
+            int(p.stem.split("-v")[1])
+            for p in self._manifest_dir.glob("ckpt-v*.json")
+        ]
+        return max(versions, default=0)
 
     def _manifest_path(self, version: int) -> Path:
         return self._manifest_dir / f"v{version}.json"
 
+    def _checkpoint_path(self, version: int) -> Path:
+        return self._manifest_dir / f"ckpt-v{version}.json"
+
+    def commit_record(self, version: int) -> dict:
+        """The raw (incremental) commit record for one version."""
+        return json.loads(self._manifest_path(version).read_text())
+
+    def _empty_state(self) -> dict:
+        return {
+            "version": 0,
+            "parent": None,
+            "files": [],
+            "rows": 0,
+            "stats": {},
+            "partitions": {},
+            "partition_cols": list(self.partition_cols),
+            "partition_types": {},
+            "epoch": None,
+        }
+
+    def _state(self, version: int) -> dict:
+        """Reconstruct the full snapshot state at ``version``: start
+        from the newest checkpoint ≤ version, replay the delta records
+        after it. Bounded by ``checkpoint_interval`` replays."""
+        if version == 0:
+            return self._empty_state()
+        cached = self._state_cache.get(version)
+        if cached is not None:
+            return cached
+        ckpt_versions = sorted(
+            int(p.stem.split("-v")[1])
+            for p in self._manifest_dir.glob("ckpt-v*.json")
+            if int(p.stem.split("-v")[1]) <= version
+        )
+        if ckpt_versions:
+            start = ckpt_versions[-1]
+            state = json.loads(self._checkpoint_path(start).read_text())
+        else:
+            start = 0
+            state = self._empty_state()
+        for v in range(start + 1, version + 1):
+            rec = self.commit_record(v)  # FileNotFoundError if vacuumed
+            removed = set(rec.get("removed", []))
+            files = [f for f in state["files"] if f not in removed]
+            files += rec.get("added", [])
+            stats = {
+                f: s for f, s in state["stats"].items() if f not in removed
+            }
+            stats.update(rec.get("stats", {}))
+            parts = {
+                f: p
+                for f, p in state["partitions"].items()
+                if f not in removed
+            }
+            parts.update(rec.get("partitions", {}))
+            state = {
+                "version": v,
+                "parent": rec.get("parent"),
+                "files": files,
+                "rows": rec.get("rows_total", state["rows"]),
+                "stats": stats,
+                "partitions": parts,
+                "partition_cols": rec.get(
+                    "partition_cols", state.get("partition_cols", [])
+                ),
+                "partition_types": rec.get(
+                    "partition_types", state.get("partition_types", {})
+                )
+                or state.get("partition_types", {}),
+                "epoch": rec["epoch"] if "epoch" in rec else state["epoch"],
+            }
+        self._state_cache[version] = state
+        return state
+
     def manifest(self, version: int | None = None) -> dict:
+        """Full snapshot state (files/rows/stats/partitions/epoch) at a
+        version (default: latest)."""
         v = self.current_version() if version is None else version
-        if v == 0:
-            return {"version": 0, "parent": None, "files": [], "rows": 0}
-        return json.loads(self._manifest_path(v).read_text())
+        return self._state(v)
 
     def files(self, version: int | None = None) -> list[str]:
         """Absolute data-file paths of a snapshot."""
         return [str(self.root / f) for f in self.manifest(version)["files"]]
 
+    # -- read path ----------------------------------------------------------
+
+    def _load_files(self, rel_files: list[str], state: dict) -> DataFrame:
+        """Load an explicit file subset of a snapshot. For partitioned
+        tables the partition columns are injected from the ``key=value``
+        path segments using the TYPES recorded in the log — the Delta
+        approach (its FileIndex serves partition values from the log),
+        not Spark's directory inference, which cannot span the
+        per-commit data subdirs. Path inference is disabled
+        (``recursiveFileLookup``); manifest-level pruning has already
+        narrowed the file list before Spark ever plans the scan."""
+        from pyspark.sql import functions as F
+
+        pcols = state.get("partition_cols") or []
+        ptypes = state.get("partition_types") or {}
+        reader = self.spark.read.format(self.session.format)
+        if pcols:
+            reader = reader.option("recursiveFileLookup", "true")
+        df = reader.load([str(self.root / f) for f in rel_files])
+        for c in pcols:
+            raw = F.regexp_extract(
+                F.input_file_name(), rf"/{re.escape(c)}=([^/]+)/", 1
+            )
+            dec = F.url_decode(raw)
+            val = (
+                F.when(raw == "", F.lit(None))
+                .when(dec == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
+                .otherwise(dec)
+            )
+            df = df.withColumn(c, val.cast(ptypes.get(c, "string")))
+        return df
+
     def read(
         self,
         version: int | None = None,
         key_range: tuple[str, object, object] | None = None,
+        partition_filter: dict[str, object] | None = None,
     ) -> DataFrame:
         """The snapshot as a DataFrame (time travel via ``version``).
         The resolved file list is immutable: later commits and even
         logical deletes don't disturb this frame (snapshot isolation).
 
-        ``key_range=(col, lo, hi)`` performs manifest-level data
-        skipping: files whose recorded [min,max] for ``col`` don't
-        intersect [lo, hi] are dropped from the scan BEFORE Spark sees
-        them — on a 100 TB table clustered by ``col``, a point read
-        opens one file instead of planning over 400k. The residual
-        filter still applies (stats prune files, not rows). Stats-less
-        files are conservatively kept."""
+        ``partition_filter={col: value_or_list}`` prunes by recorded
+        partition values — directory-semantics pruning, the first and
+        cheapest cut on a tenant/date-partitioned 100 TB table.
+
+        ``key_range=(col, lo, hi)`` prunes by per-file min/max stats:
+        files whose recorded range doesn't intersect [lo, hi] are
+        dropped BEFORE Spark sees them — a point read on a clustered
+        table opens one file instead of planning over 400k. Residual
+        row filters still apply (pruning drops files, not rows);
+        stats-less files are conservatively kept."""
         from pyspark.sql import functions as F
 
         m = self.manifest(version)
@@ -119,56 +299,144 @@ class TxnTable:
                 f"table {self.name} has no committed data at "
                 f"version {version if version is not None else self.current_version()}"
             )
+        if partition_filter:
+            parts = m.get("partitions", {})
+            for col, want in partition_filter.items():
+                wants = {
+                    str(w)
+                    for w in (
+                        want
+                        if isinstance(want, (list, tuple, set))
+                        else [want]
+                    )
+                }
+                fs = [
+                    f
+                    for f in fs
+                    if parts.get(f, {}).get(col) is None
+                    or parts[f][col] in wants
+                ]
         if key_range is not None:
             col, lo, hi = key_range
             stats = m.get("stats", {})
             fs = [
                 f
                 for f in fs
-                if (rng := stats.get(f, {}).get(col)) is None
+                if (rng := _decode_range(stats.get(f, {}).get(col))) is None
+                or rng[0] is None
                 or (rng[0] <= hi and lo <= rng[1])
             ]
-            if not fs:
-                return (
-                    self.spark.read.format(self.session.format)
-                    .load([str(self.root / f) for f in m["files"][:1]])
-                    .filter(F.lit(False))
-                )
-        df = self.spark.read.format(self.session.format).load(
-            [str(self.root / f) for f in fs]
-        )
+        if not fs:
+            # everything pruned: empty frame with the table's schema
+            return self._load_files(m["files"][:1], m).filter(F.lit(False))
+        df = self._load_files(fs, m)
+        if partition_filter:
+            for col, want in partition_filter.items():
+                vals = [
+                    str(w)
+                    for w in (
+                        want
+                        if isinstance(want, (list, tuple, set))
+                        else [want]
+                    )
+                ]
+                df = df.filter(F.col(col).cast("string").isin(vals))
         if key_range is not None:
             col, lo, hi = key_range
             df = df.filter(F.col(col).between(lo, hi))
         return df
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed: rows ADDED by commits in ``(from_version,
+        to_version]``, tagged with ``_commit_version`` — the Delta
+        CDF / Iceberg incremental-read analog for an append-mostly
+        lake. Rewriting commits (merge/compact/overwrite) re-emit the
+        rows of their rewritten files; removals are not emitted
+        (append-only feed — callers needing delete deltas diff
+        snapshots). Feeds :func:`streaming.txn_source` for readStream
+        consumption."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        to = self.current_version() if to_version is None else to_version
+        frames = []
+        for v in range(from_version + 1, to + 1):
+            rec = self.commit_record(v)
+            added = rec.get("added", [])
+            if added:
+                frames.append(
+                    self._load_files(added, rec).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
+        if not frames:
+            m = self.manifest(to)
+            if not m["files"]:
+                raise FileNotFoundError(
+                    f"table {self.name} has no committed data to diff"
+                )
+            return (
+                self._load_files(m["files"][:1], m)
+                .withColumn("_commit_version", F.lit(0))
+                .filter(F.lit(False))
+            )
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
     # -- write path ---------------------------------------------------------
+
+    def _effective_partition_cols(self) -> list[str]:
+        if self.partition_cols:
+            return self.partition_cols
+        return self._state(self.current_version()).get("partition_cols", [])
 
     def _write_data(
         self, df: DataFrame
-    ) -> tuple[list[str], int, dict[str, dict]]:
+    ) -> tuple[list[str], int, dict[str, dict], dict[str, dict], dict[str, str]]:
         """Distributed write into a fresh per-commit subdir; returns
-        (root-relative file paths, row count, per-file stats). The
-        subdir is invisible to readers until a manifest references it.
+        (root-relative file paths, row count, per-file stats, per-file
+        partition values, partition column types). The subdir is
+        invisible to readers until a commit record references it.
 
         Stats are one extra aggregation over the just-written files
         (grouped by ``input_file_name`` — min/max of each stats col +
-        row count), the same pass Delta's stats collection makes."""
+        row count), the same pass Delta's stats collection makes.
+        Partition values are parsed from the Hive ``key=value`` path
+        segments — no extra scan."""
         from pyspark.sql import functions as F
 
+        pcols = self._effective_partition_cols()
+        ptypes = {
+            c: t for c, t in df.dtypes if c in pcols
+        }  # recorded in the log so reads re-type the path-encoded values
         commit_dir = f"data/{uuid.uuid4().hex}"
         out = self.root / commit_dir
-        df.write.mode("overwrite").format(self.session.format).save(str(out))
+        writer = df.write.mode("overwrite").format(self.session.format)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.save(str(out))
         rel_files = sorted(
             str(p.relative_to(self.root))
             for p in out.rglob("*")
             if p.is_file() and not p.name.startswith(("_", "."))
         )
         if not rel_files:
-            return [], 0, {}
+            return [], 0, {}, {}, ptypes
+        partitions: dict[str, dict] = {}
+        if pcols:
+            for rel in rel_files:
+                vals = {}
+                for seg in Path(rel).parts[2:-1]:
+                    if "=" in seg:
+                        k, _, raw = seg.partition("=")
+                        vals[k] = unquote(raw)
+                partitions[rel] = vals
         back = self.spark.read.format(self.session.format).load(str(out))
+        stat_cols = [c for c in self.stats_cols if c in back.columns]
         aggs = [F.count(F.lit(1)).alias("_rows")]
-        for c in self.stats_cols:
+        for c in stat_cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
         per_file = (
             back.withColumn("_file", F.input_file_name())
@@ -179,30 +447,53 @@ class TxnTable:
         stats: dict[str, dict] = {}
         rows = 0
         for r in per_file:
-            rel = next(
-                (f for f in rel_files if r["_file"].endswith(f)), None
-            )
+            rel = next((f for f in rel_files if r["_file"].endswith(f)), None)
             rows += r["_rows"]
             if rel is not None:
                 stats[rel] = {
                     "rows": r["_rows"],
                     **{
-                        c: [r[f"_min_{c}"], r[f"_max_{c}"]]
-                        for c in self.stats_cols
+                        c: [
+                            _stats_encode(r[f"_min_{c}"]),
+                            _stats_encode(r[f"_max_{c}"]),
+                        ]
+                        for c in stat_cols
                     },
                 }
-        return rel_files, rows, stats
+        return rel_files, rows, stats, partitions, ptypes
+
+    def _rows_of(self, state: dict, rel_files: list[str]) -> int:
+        """Row count of a file subset from recorded stats, falling back
+        to one count job for stats-less files."""
+        known = [f for f in rel_files if "rows" in state["stats"].get(f, {})]
+        total = sum(state["stats"][f]["rows"] for f in known)
+        missing = [f for f in rel_files if f not in known]
+        if missing:
+            total += self._load_files(missing, state).count()
+        return total
 
     def _commit(
         self,
         base_version: int,
-        files: list[str],
-        rows: int,
+        *,
+        op: str,
+        added: list[str],
+        removed: list[str],
+        rows_total: int,
         stats: dict[str, dict] | None = None,
+        partitions: dict[str, dict] | None = None,
+        partition_types: dict[str, str] | None = None,
         epoch: int | None = None,
     ) -> int:
-        """Atomically publish a new snapshot. Raises CommitConflictError
-        if the table advanced past ``base_version``."""
+        """Atomically publish version ``base_version + 1``.
+
+        The commit point is ``os.link(tmp, v{N}.json)``: the record is
+        fully written before it becomes visible, and the link fails
+        with ``FileExistsError`` if any other writer committed N first
+        — a true compare-and-swap, no check-then-write window. Raises
+        :class:`CommitConflictError` on conflict (caller retries on
+        the new snapshot); exactly one of two racing commits survives,
+        never a lost update (tests/test_txn.py two-writer race)."""
         if self.current_version() != base_version:
             raise CommitConflictError(
                 f"table {self.name}: expected v{base_version}, "
@@ -210,60 +501,101 @@ class TxnTable:
             )
         new_version = base_version + 1
         self._manifest_dir.mkdir(parents=True, exist_ok=True)
-        manifest = {
+        record = {
             "version": new_version,
             "parent": base_version,
-            "files": files,
-            "rows": rows,
+            "op": op,
+            "added": added,
+            "removed": removed,
+            "rows_total": rows_total,
             "stats": stats or {},
-            "epoch": epoch if epoch is not None else self.manifest(base_version).get("epoch"),
+            "partitions": partitions or {},
+            "partition_cols": self._effective_partition_cols(),
+            "partition_types": partition_types
+            or self._state(base_version).get("partition_types", {}),
         }
-        self._manifest_path(new_version).write_text(json.dumps(manifest))
-        # the commit point: atomic pointer replace
-        tmp = self._pointer.with_suffix(f".tmp-{uuid.uuid4().hex}")
-        tmp.write_text(str(new_version))
-        os.replace(tmp, self._pointer)
+        if epoch is not None:
+            record["epoch"] = epoch
+        tmp = self._manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps(record))
+        target = self._manifest_path(new_version)
+        try:
+            os.link(tmp, target)  # the commit point: atomic CAS
+        except FileExistsError:
+            raise CommitConflictError(
+                f"table {self.name}: concurrent writer committed "
+                f"v{new_version} first"
+            ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+        if new_version % self.checkpoint_interval == 0:
+            # checkpoints are derived state — best-effort, never the
+            # commit point; a crash here only lengthens the next replay
+            self._write_checkpoint(new_version)
         return new_version
+
+    def _write_checkpoint(self, version: int) -> None:
+        path = self._checkpoint_path(version)
+        if path.exists():
+            return
+        state = self._state(version)
+        tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps(state))
+        os.replace(tmp, path)
 
     def append(self, df: DataFrame) -> int:
         """ACID append; returns the new version."""
         base = self.current_version()
-        new_files, new_rows, new_stats = self._write_data(df)
-        prev = self.manifest(base)
+        files, rows, stats, parts, ptypes = self._write_data(df)
+        prev = self._state(base)
         return self._commit(
             base,
-            prev["files"] + new_files,
-            prev["rows"] + new_rows,
-            {**prev.get("stats", {}), **new_stats},
+            op="append",
+            added=files,
+            removed=[],
+            rows_total=prev["rows"] + rows,
+            stats=stats,
+            partitions=parts,
+            partition_types=ptypes,
         )
 
     def overwrite(self, df: DataFrame) -> int:
         """ACID full replace; returns the new version. Old files stay
         on disk for time travel until :meth:`vacuum`."""
         base = self.current_version()
-        new_files, new_rows, new_stats = self._write_data(df)
-        return self._commit(base, new_files, new_rows, new_stats)
+        files, rows, stats, parts, ptypes = self._write_data(df)
+        prev = self._state(base)
+        return self._commit(
+            base,
+            op="overwrite",
+            added=files,
+            removed=list(prev["files"]),
+            rows_total=rows,
+            stats=stats,
+            partitions=parts,
+            partition_types=ptypes,
+        )
 
     def merge(
         self, updates: DataFrame, key_cols: list[str], prune: bool = True
     ) -> int:
         """ACID upsert: update rows matching ``key_cols``, insert the
-        rest — atomic across every file in ONE pointer swap (the
-        property the Hive-layout merge cannot give).
+        rest — atomic across every file in ONE commit (the property
+        the Hive-layout merge cannot give).
 
         File pruning: when the first merge key is a stats column, only
         files whose recorded [min,max] range intersects the updates'
         key range are rewritten; every other file is carried into the
-        new manifest BY REFERENCE — zero read, zero write. On a 100 TB
+        new snapshot BY REFERENCE — zero read, zero write. On a 100 TB
         table clustered by the merge key, a single-tenant upsert
         rewrites one file's worth of data and the commit is still one
-        pointer swap. Files without recorded stats are conservatively
+        atomic record. Files without recorded stats are conservatively
         rewritten; ``prune=False`` forces the full rewrite."""
         base = self.current_version()
         if base == 0:
             return self.append(updates)
-        prev = self.manifest(base)
-        stats = prev.get("stats", {})
+        prev = self._state(base)
+        stats = prev["stats"]
         k = key_cols[0]
         touched, carried = list(prev["files"]), []
         if prune and self.stats_cols and k in self.stats_cols:
@@ -275,38 +607,145 @@ class TxnTable:
             umin, umax = row["lo"], row["hi"]
             touched, carried = [], []
             for f in prev["files"]:
-                rng = stats.get(f, {}).get(k)
+                rng = _decode_range(stats.get(f, {}).get(k))
                 if umin is None:  # empty updates: nothing intersects
                     carried.append(f)
-                elif rng is None or (rng[0] <= umax and umin <= rng[1]):
+                elif rng is None or rng[0] is None or (
+                    rng[0] <= umax and umin <= rng[1]
+                ):
                     touched.append(f)
                 else:
                     carried.append(f)
         if not touched:
-            new_files, new_rows, new_stats = self._write_data(updates)
-        else:
-            existing = self.spark.read.format(self.session.format).load(
-                [str(self.root / f) for f in touched]
+            new_files, new_rows, new_stats, new_parts, ptypes = (
+                self._write_data(updates)
             )
+        else:
+            existing = self._load_files(touched, prev)
             kept = existing.join(
                 updates.select(*key_cols).distinct(), key_cols, "left_anti"
             )
             merged = kept.select(*updates.columns).unionByName(updates)
-            new_files, new_rows, new_stats = self._write_data(merged)
-        carried_rows = sum(stats.get(f, {}).get("rows", 0) for f in carried)
-        if carried and any(f not in stats for f in carried):
-            # stats-less carried files: fall back to a count for an
-            # accurate manifest row total
-            carried_rows = (
-                self.spark.read.format(self.session.format)
-                .load([str(self.root / f) for f in carried])
-                .count()
+            new_files, new_rows, new_stats, new_parts, ptypes = (
+                self._write_data(merged)
             )
+        carried_rows = self._rows_of(prev, carried)
         return self._commit(
             base,
-            carried + new_files,
-            carried_rows + new_rows,
-            {**{f: stats[f] for f in carried if f in stats}, **new_stats},
+            op="merge",
+            added=new_files,
+            removed=touched,
+            rows_total=carried_rows + new_rows,
+            stats=new_stats,
+            partitions=new_parts,
+            partition_types=ptypes,
+        )
+
+    def delete_where(self, condition) -> int:
+        """ACID delete, file-pruned the way Delta's DeleteCommand is:
+        one column-pruned scan finds the files that actually CONTAIN
+        matching rows; only those are rewritten (without the matches),
+        every untouched file carries into the new snapshot by
+        identical path reference. A single-tenant delete on a 100 TB
+        table rewrites that tenant's files, not the table — the scan
+        that finds them reads only the predicate's columns, and
+        time travel keeps the pre-delete snapshot readable."""
+        from pyspark.sql import functions as F
+
+        base = self.current_version()
+        prev = self._state(base)
+        scan = self._load_files(prev["files"], prev)
+        hit_files = [
+            r["_f"]
+            for r in scan.withColumn("_f", F.input_file_name())
+            .filter(condition)
+            .select("_f")
+            .distinct()
+            .collect()  # one row per file containing matches — bounded
+        ]
+        touched = [
+            f for f in prev["files"] if any(h.endswith(f) for h in hit_files)
+        ]
+        carried = [f for f in prev["files"] if f not in set(touched)]
+        if not touched:  # no matching rows anywhere: clean no-op commit
+            return self._commit(
+                base,
+                op="delete",
+                added=[],
+                removed=[],
+                rows_total=prev["rows"],
+            )
+        remaining = self._load_files(touched, prev).filter(~condition)
+        new_files, new_rows, new_stats, new_parts, ptypes = self._write_data(
+            remaining
+        )
+        return self._commit(
+            base,
+            op="delete",
+            added=new_files,
+            removed=touched,
+            rows_total=self._rows_of(prev, carried) + new_rows,
+            stats=new_stats,
+            partitions=new_parts,
+            partition_types=ptypes,
+        )
+
+    def overwrite_partitions(self, replacement: DataFrame) -> int:
+        """Dynamic-partition overwrite (Delta ``replaceWhere`` /
+        ``partitionOverwriteMode=dynamic``), transactional: partitions
+        present in ``replacement`` are replaced, every other partition
+        carries by reference — and unlike the Hive version, the swap
+        of ALL affected partitions is one atomic commit."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        pcols = self._effective_partition_cols()
+        if not pcols:
+            raise ValueError(
+                f"table {self.name} has no partition columns; use overwrite()"
+            )
+        base = self.current_version()
+        prev = self._state(base)
+        combos = {
+            tuple(str(r[c]) for c in pcols)
+            for r in replacement.select(*pcols).distinct().collect()
+        }  # distinct partition tuples — small by definition
+        parts = prev["partitions"]
+        removed = [
+            f
+            for f in prev["files"]
+            if tuple(parts.get(f, {}).get(c) for c in pcols) in combos
+        ]
+        carried = [f for f in prev["files"] if f not in set(removed)]
+        new_files, new_rows, new_stats, new_parts, ptypes = self._write_data(
+            replacement
+        )
+        return self._commit(
+            base,
+            op="overwrite_partitions",
+            added=new_files,
+            removed=removed,
+            rows_total=self._rows_of(prev, carried) + new_rows,
+            stats=new_stats,
+            partitions=new_parts,
+            partition_types=ptypes,
+        )
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the snapshot into ``target_files`` files — the
+        OPTIMIZE analog, transactional like every other commit."""
+        base = self.current_version()
+        df = self.read(base).coalesce(target_files)
+        files, rows, stats, parts, ptypes = self._write_data(df)
+        prev = self._state(base)
+        return self._commit(
+            base,
+            op="compact",
+            added=files,
+            removed=list(prev["files"]),
+            rows_total=rows,
+            stats=stats,
+            partitions=parts,
+            partition_types=ptypes,
         )
 
     # -- streaming sink -----------------------------------------------------
@@ -315,19 +754,23 @@ class TxnTable:
         """Idempotent epoch append — the exactly-once foreachBatch
         contract: Structured Streaming re-delivers the last epoch after
         a crash between sink write and checkpoint commit; recording the
-        applied epoch IN the same atomic manifest commit makes the
-        replay a no-op. Returns True if the batch was applied."""
+        applied epoch IN the same atomic commit makes the replay a
+        no-op. Returns True if the batch was applied."""
         base = self.current_version()
-        last = self.manifest(base).get("epoch")
+        prev = self._state(base)
+        last = prev["epoch"]
         if last is not None and epoch_id <= last:
             return False
-        new_files, new_rows, new_stats = self._write_data(batch_df)
-        prev = self.manifest(base)
+        files, rows, stats, parts, ptypes = self._write_data(batch_df)
         self._commit(
             base,
-            prev["files"] + new_files,
-            prev["rows"] + new_rows,
-            {**prev.get("stats", {}), **new_stats},
+            op="append",
+            added=files,
+            removed=[],
+            rows_total=prev["rows"] + rows,
+            stats=stats,
+            partitions=parts,
+            partition_types=ptypes,
             epoch=epoch_id,
         )
         return True
@@ -341,34 +784,21 @@ class TxnTable:
 
         return _write
 
-    def delete_where(self, condition) -> int:
-        """ACID delete: rewrite the snapshot without matching rows."""
-        base = self.current_version()
-        remaining = self.read(base).filter(~condition)
-        new_files, new_rows, new_stats = self._write_data(remaining)
-        return self._commit(base, new_files, new_rows, new_stats)
-
-    def compact(self, target_files: int = 1) -> int:
-        """Rewrite the snapshot into ``target_files`` files — the
-        OPTIMIZE analog, transactional like every other commit."""
-        base = self.current_version()
-        df = self.read(base).coalesce(target_files)
-        new_files, new_rows, new_stats = self._write_data(df)
-        return self._commit(base, new_files, new_rows, new_stats)
-
     # -- maintenance --------------------------------------------------------
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data subdirs unreferenced by the newest
-        ``keep_versions`` manifests (and drop older manifests).
-        Returns the number of removed subdirs. Readers of retained
-        versions are unaffected — that is the time-travel grace
-        window."""
+        ``keep_versions`` snapshots, and truncate the log before them
+        (a checkpoint at the oldest retained version is written first,
+        so every retained snapshot stays reconstructible). Returns the
+        number of removed data subdirs. Readers of retained versions
+        are unaffected — that is the time-travel grace window."""
         latest = self.current_version()
-        keep = range(max(1, latest - keep_versions + 1), latest + 1)
+        oldest = max(1, latest - keep_versions + 1)
+        self._write_checkpoint(oldest)
         referenced: set[str] = set()
-        for v in keep:
-            for f in self.manifest(v)["files"]:
+        for v in range(oldest, latest + 1):
+            for f in self._state(v)["files"]:
                 # data/<commit-uuid>/...
                 referenced.add("/".join(Path(f).parts[:2]))
         removed = 0
@@ -379,6 +809,10 @@ class TxnTable:
                     shutil.rmtree(sub)
                     removed += 1
         for mf in self._manifest_dir.glob("v*.json"):
-            if int(mf.stem[1:]) not in keep:
+            if int(mf.stem[1:]) < oldest:
                 mf.unlink()
+        for cf in self._manifest_dir.glob("ckpt-v*.json"):
+            if int(cf.stem.split("-v")[1]) < oldest:
+                cf.unlink()
+        self._state_cache.clear()
         return removed

@@ -1,5 +1,9 @@
 """Transactional table layer (lake/txn.py): ACID commits, snapshot
-isolation, time travel, conflict detection, crash atomicity, vacuum."""
+isolation, time travel, CAS conflict detection, crash atomicity,
+partition pruning, checkpoints, change feed, vacuum."""
+
+from datetime import date
+from decimal import Decimal
 
 import pytest
 from pyspark.sql import functions as F
@@ -48,6 +52,24 @@ def test_delete_where(table, spark):
     assert _snapshot(table) == {(1, "a"), (3, "c")}
 
 
+def test_delete_carries_untouched_files_by_reference(table, spark):
+    # two appends → two file sets; delete hits only the second
+    table.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    table.append(_df(spark, [(10, "x"), (11, "y")]).coalesce(1))
+    before = table.manifest()
+    table.delete_where(F.col("k") == 10)
+    after = table.manifest()
+    # the [1,2] file must survive by identical path reference
+    carried = set(before["files"]) & set(after["files"])
+    assert len(carried) == 1
+    assert _snapshot(table) == {(1, "a"), (2, "b"), (11, "y")}
+    assert after["rows"] == 3
+    # no-match delete: clean no-op commit, same file set
+    v = table.delete_where(F.col("k") == 999)
+    assert v == after["version"] + 1
+    assert set(table.manifest()["files"]) == set(after["files"])
+
+
 def test_time_travel_and_snapshot_isolation(table, spark):
     table.append(_df(spark, [(1, "a")]))
     old = table.read(version=1)  # resolve files at v1
@@ -59,21 +81,18 @@ def test_time_travel_and_snapshot_isolation(table, spark):
     assert _snapshot(table) == {(9, "z")}
 
 
-def test_crash_before_pointer_swap_is_invisible(table, spark, monkeypatch):
+def test_crash_before_commit_link_is_invisible(table, spark, monkeypatch):
     table.append(_df(spark, [(1, "a")]))
 
-    import os as _os
-    real_replace = _os.replace
-
-    def exploding_replace(src, dst):
+    def exploding_link(src, dst):
         raise RuntimeError("injected crash at the commit point")
 
-    monkeypatch.setattr("interop_datalake_spark.lake.txn.os.replace", exploding_replace)
+    monkeypatch.setattr("interop_datalake_spark.lake.txn.os.link", exploding_link)
     with pytest.raises(RuntimeError, match="injected"):
         table.overwrite(_df(spark, [(9, "z")]))
-    monkeypatch.setattr("interop_datalake_spark.lake.txn.os.replace", real_replace)
+    monkeypatch.undo()
 
-    # data + manifest for v2 may exist on disk, but the snapshot is v1
+    # data for v2 may exist on disk, but no commit record → snapshot is v1
     assert table.current_version() == 1
     assert _snapshot(table) == {(1, "a")}
     # and the table is not wedged: the next commit succeeds
@@ -84,16 +103,60 @@ def test_crash_before_pointer_swap_is_invisible(table, spark, monkeypatch):
 def test_commit_conflict_detection(table, spark):
     table.append(_df(spark, [(1, "a")]))
     base = table.current_version()
-    new_files, new_rows, new_stats = table._write_data(_df(spark, [(2, "b")]))
+    new_files, new_rows, new_stats, new_parts, _ = table._write_data(
+        _df(spark, [(2, "b")])
+    )
     # another writer lands first
     table.append(_df(spark, [(3, "c")]))
     with pytest.raises(CommitConflictError):
-        table._commit(base, new_files, new_rows, new_stats)
+        table._commit(
+            base,
+            op="append",
+            added=new_files,
+            removed=[],
+            rows_total=new_rows,
+            stats=new_stats,
+        )
     # retry against the fresh snapshot succeeds
     prev = table.manifest()
-    table._commit(table.current_version(), prev["files"] + new_files,
-                  prev["rows"] + new_rows)
+    table._commit(
+        table.current_version(),
+        op="append",
+        added=new_files,
+        removed=[],
+        rows_total=prev["rows"] + new_rows,
+        stats=new_stats,
+    )
     assert _snapshot(table) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_two_writer_race_exactly_one_commit_survives(session, spark, monkeypatch):
+    """The TOCTOU case: both writers pass the version check; the CAS
+    (exclusive link of v{N}.json) must let exactly one through and the
+    winner's record must never be overwritten."""
+    t = TxnTable(session, "txn_race")
+    t.append(_df(spark, [(1, "a")]))
+    base = t.current_version()
+
+    files_a, rows_a, stats_a, _, _ = t._write_data(_df(spark, [(2, "A")]))
+    files_b, rows_b, stats_b, _, _ = t._write_data(_df(spark, [(3, "B")]))
+
+    # writer A commits v2 first
+    t._commit(base, op="append", added=files_a, removed=[],
+              rows_total=1 + rows_a, stats=stats_a)
+    winner = t.commit_record(base + 1)
+
+    # writer B still believes the table is at `base` (stale check
+    # simulated by monkeypatching current_version) and races the CAS
+    monkeypatch.setattr(TxnTable, "current_version", lambda self: base)
+    with pytest.raises(CommitConflictError):
+        t._commit(base, op="append", added=files_b, removed=[],
+                  rows_total=1 + rows_b, stats=stats_b)
+    monkeypatch.undo()
+
+    # the winner's commit record is intact — no lost update
+    assert t.commit_record(base + 1) == winner
+    assert _snapshot(t) == {(1, "a"), (2, "A")}
 
 
 def test_compact_preserves_rows_and_is_versioned(table, spark):
@@ -154,6 +217,128 @@ def test_read_key_range_prunes_files(session, spark):
     # fully out-of-range: empty frame, correct schema
     none = t.read(key_range=("k", 500, 600))
     assert none.count() == 0 and none.columns == full.columns
+
+
+def test_typed_stats_columns_survive_commit_and_prune(session, spark):
+    """Date/decimal stats must serialize canonically (ADVICE: bare
+    json.dumps raised TypeError) and still prune after round-trip."""
+    t = TxnTable(session, "txn_typed", stats_cols=["d", "amt"])
+    df1 = spark.createDataFrame(
+        [(date(2024, 1, 1), Decimal("10.50"), "a"),
+         (date(2024, 1, 31), Decimal("20.00"), "b")],
+        "d DATE, amt DECIMAL(10,2), v STRING",
+    )
+    df2 = spark.createDataFrame(
+        [(date(2024, 6, 1), Decimal("99.99"), "c")],
+        "d DATE, amt DECIMAL(10,2), v STRING",
+    )
+    t.append(df1.coalesce(1))
+    t.append(df2.coalesce(1))  # second commit re-serializes carried stats
+    pruned = t.read(key_range=("d", date(2024, 5, 1), date(2024, 12, 31)))
+    assert len(pruned.inputFiles()) == 1
+    assert [r["v"] for r in pruned.collect()] == ["c"]
+    by_amt = t.read(key_range=("amt", Decimal("50"), Decimal("100")))
+    assert [r["v"] for r in by_amt.collect()] == ["c"]
+
+
+def test_partitioned_table_roundtrip_and_pruning(session, spark):
+    t = TxnTable(session, "txn_part", partition_cols=["tenant"],
+                 stats_cols=["k"])
+    df = spark.createDataFrame(
+        [("tA", 1, "a"), ("tA", 2, "b"), ("tB", 3, "c"), ("tB", 4, "d")],
+        "tenant STRING, k INT, v STRING",
+    )
+    t.append(df)
+    # partition columns come back on read (basePath restore)
+    out = t.read()
+    assert set(out.columns) == {"tenant", "k", "v"}
+    assert {(r["tenant"], r["k"]) for r in out.collect()} == {
+        ("tA", 1), ("tA", 2), ("tB", 3), ("tB", 4)
+    }
+    # manifest records per-file partition values
+    m = t.manifest()
+    assert all("tenant" in m["partitions"][f] for f in m["files"])
+    # partition_filter prunes the file list before Spark plans the scan
+    full = t.read()
+    one = t.read(partition_filter={"tenant": "tA"})
+    assert len(one.inputFiles()) < len(full.inputFiles())
+    assert {r["k"] for r in one.collect()} == {1, 2}
+    # combined partition + stats pruning
+    point = t.read(partition_filter={"tenant": "tB"}, key_range=("k", 4, 4))
+    assert [r["v"] for r in point.collect()] == ["d"]
+    # all partitions pruned: empty frame, full schema
+    none = t.read(partition_filter={"tenant": "tZ"})
+    assert none.count() == 0 and set(none.columns) == {"tenant", "k", "v"}
+    # a bare handle (no constructor args) discovers the layout
+    bare = TxnTable(session, "txn_part")
+    assert set(bare.read(partition_filter={"tenant": "tA"}).columns) == {
+        "tenant", "k", "v"
+    }
+
+
+def test_overwrite_partitions_is_atomic_and_selective(session, spark):
+    t = TxnTable(session, "txn_dynpart", partition_cols=["tenant"])
+    t.append(spark.createDataFrame(
+        [("tA", 1, "a"), ("tB", 3, "c")], "tenant STRING, k INT, v STRING"
+    ))
+    before = t.manifest()
+    t.overwrite_partitions(spark.createDataFrame(
+        [("tA", 9, "fixed")], "tenant STRING, k INT, v STRING"
+    ))
+    after = t.manifest()
+    # tB's file carried by reference; tA's replaced
+    carried = set(before["files"]) & set(after["files"])
+    assert all(after["partitions"][f]["tenant"] == "tB" for f in carried)
+    got = {(r["tenant"], r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {("tA", 9, "fixed"), ("tB", 3, "c")}
+    # pre-overwrite snapshot still readable (time travel)
+    old = {(r["tenant"], r["k"]) for r in t.read(version=1).collect()}
+    assert old == {("tA", 1), ("tB", 3)}
+
+
+def test_checkpoint_bounds_log_replay(session, spark):
+    t = TxnTable(session, "txn_ckpt", checkpoint_interval=4)
+    for i in range(9):
+        t.append(_df(spark, [(i, str(i))]).coalesce(1))
+    # checkpoints exist at v4 and v8
+    assert t._checkpoint_path(4).exists() and t._checkpoint_path(8).exists()
+    # state at any version is exact
+    assert t.manifest(version=9)["rows"] == 9
+    assert t.manifest(version=5)["rows"] == 5
+    # reconstruct from checkpoint alone: delete pre-checkpoint deltas
+    # and use a FRESH handle (no in-instance state cache)
+    for v in range(1, 9):
+        t._manifest_path(v).unlink()
+    t2 = TxnTable(session, "txn_ckpt", checkpoint_interval=4)
+    assert t2.current_version() == 9
+    assert t2.manifest()["rows"] == 9
+    assert len(_snapshot(t2)) == 9
+    # versions before the kept checkpoint are gone
+    with pytest.raises(FileNotFoundError):
+        t2.manifest(version=3)
+
+
+def test_read_changes_feed(session, spark):
+    t = TxnTable(session, "txn_cdf", stats_cols=["k"])
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))          # v1
+    t.append(_df(spark, [(10, "c")]).coalesce(1))                   # v2
+    t.merge(_df(spark, [(1, "A"), (3, "n")]).coalesce(1), ["k"])    # v3
+    all_changes = t.read_changes(from_version=0)
+    assert "_commit_version" in all_changes.columns
+    by_version = {
+        (r["k"], r["_commit_version"]) for r in all_changes.collect()
+    }
+    # v3 re-emits the rewritten file's kept row (2) plus the upserts
+    assert by_version == {
+        (1, 1), (2, 1), (10, 2), (1, 3), (2, 3), (3, 3)
+    }
+    # incremental consumption from a later offset
+    tail = t.read_changes(from_version=2)
+    assert {r["k"] for r in tail.collect()} == {1, 2, 3}
+    assert {r["_commit_version"] for r in tail.collect()} == {3}
+    # empty diff: no rows, schema intact
+    empty = t.read_changes(from_version=t.current_version())
+    assert empty.count() == 0 and "_commit_version" in empty.columns
 
 
 def test_append_epoch_is_exactly_once(session, spark):
