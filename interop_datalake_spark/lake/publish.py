@@ -13,13 +13,20 @@ Reference parity:
 
 Semantics deliberately improved (documented, SURVEY §7): the reference
 performs N independent PUTs and raises afterwards, leaving partial
-batches on failure. Here one Spark write commits through the
-FileOutputCommitter (or Delta, when available) — the batch is atomic.
-The *validation* behavior is kept identical: publishing resources that
-lack ids raises AFTER the valid subset is durably written.
+batches on failure (``DatalakePublishService.kt:79-88``). Here a batch
+commits through the lake's ACID table format (``lake/txn.py``): the
+distributed write lands in an invisible per-commit subdir and ONE
+atomic manifest commit publishes it — a crash anywhere leaves the
+previous snapshot intact, and readers never see a partial batch. The
+*validation* behavior is kept identical: publishing resources that
+lack ids raises AFTER the valid subset is durably committed.
+``session.acid=False`` falls back to plain Hive-layout writes (the
+FileOutputCommitter path) for non-transactional deployments.
 
-Scale design: writes are ``partitionBy(resource_type, fhir_tenant_id,
-_date)`` so downstream reads get Hive partition pruning; the id filter
+Scale design: tables are partitioned ``(resource_type, fhir_tenant_id,
+_date)`` (Binary: tenant) with per-file ``resource_id`` min/max stats
+recorded in the manifest, so downstream point reads prune first by
+partition directory semantics and then by file stats; the id filter
 and date stamp ride the write job itself via ``Observation`` metrics —
 a single pass over the input, no extra count job.
 """
@@ -33,11 +40,41 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from interop_datalake_spark.functions.uris import datalake_full_url, raw_data_file_path
+from interop_datalake_spark.lake.txn import TxnTable
 from interop_datalake_spark.session import DatalakeSession
 
 FHIR_TABLE = "ehr"
 BINARY_TABLE = "ehr_binary"
 RAW_TABLE = "raw_data_response"
+
+#: manifest-table layouts for the reference's three publish surfaces —
+#: partition columns mirror the reference's object-key templates
+#: (``DatalakePublishService.kt:68-73`` fhir, ``:148-153`` binary,
+#: ``:169-196`` raw); resource_id stats give point-lookup file skipping
+TXN_LAYOUT = {
+    FHIR_TABLE: {
+        "partition_cols": ["resource_type", "fhir_tenant_id", "_date"],
+        "stats_cols": ["resource_id"],
+    },
+    BINARY_TABLE: {
+        "partition_cols": ["fhir_tenant_id"],
+        "stats_cols": ["resource_id"],
+    },
+    RAW_TABLE: {"partition_cols": ["tenant_id"], "stats_cols": []},
+}
+
+
+def txn_table(session: DatalakeSession, table: str) -> TxnTable:
+    """The manifest-committed handle for a lake table, with the
+    publish surface's partition/stats layout when it has one."""
+    layout = TXN_LAYOUT.get(table, {})
+    return TxnTable(
+        session,
+        table,
+        stats_cols=layout.get("stats_cols"),
+        partition_cols=layout.get("partition_cols"),
+    )
+
 
 def _id_present():
     # built lazily: Column construction needs an active SparkContext
@@ -75,12 +112,16 @@ def publish_fhir_r4(
         )
     )
     valid = stamped.filter(_id_present())
-    (
-        valid.write.mode("append")
-        .partitionBy("resource_type", "fhir_tenant_id", "_date")
-        .format(session.format)
-        .save(session.table_path(FHIR_TABLE))
-    )
+    if session.acid:
+        # ACID publish: distributed write + one atomic manifest commit
+        txn_table(session, FHIR_TABLE).append(valid)
+    else:
+        (
+            valid.write.mode("append")
+            .partitionBy("resource_type", "fhir_tenant_id", "_date")
+            .format(session.format)
+            .save(session.table_path(FHIR_TABLE))
+        )
     metrics = obs.get
     dropped = metrics["total"] - metrics["valid"]
     if dropped:
@@ -105,12 +146,15 @@ def publish_binary(
     if binaries.filter(~_id_present()).head(1):
         raise MissingResourceIdError("Binary resources must all carry an id")
     stamped = binaries.withColumn("fhir_tenant_id", F.lit(tenant_id))
-    (
-        stamped.write.mode("append")
-        .partitionBy("fhir_tenant_id")
-        .format(session.format)
-        .save(session.table_path(BINARY_TABLE))
-    )
+    if session.acid:
+        txn_table(session, BINARY_TABLE).append(stamped)
+    else:
+        (
+            stamped.write.mode("append")
+            .partitionBy("fhir_tenant_id")
+            .format(session.format)
+            .save(session.table_path(BINARY_TABLE))
+        )
     return stamped.count()
 
 
@@ -129,10 +173,16 @@ def overwrite_tenant_partition(
 
     Scale note: dynamic mode only rewrites partitions present in
     ``replacement``; a 1-tenant fix-up over a 100 TB lake touches one
-    partition subtree, not the table.
+    partition subtree, not the table. On an ACID session the swap of
+    all affected partitions is additionally ONE atomic manifest commit
+    (``TxnTable.overwrite_partitions``).
     """
-    spark = session.spark
     stamped = replacement.withColumn("fhir_tenant_id", F.lit(tenant_id))
+    if session.acid and TxnTable(session, table).current_version() > 0:
+        t = txn_table(session, table)
+        t.overwrite_partitions(stamped)
+        return stamped.count()
+    spark = session.spark
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -164,12 +214,15 @@ def publish_raw_data(
         [(tenant_id, txn_id, url, now_iso, data)],
         "tenant_id STRING, transaction_id STRING, url STRING, time STRING, body STRING",
     )
-    (
-        row_df.write.mode("append")
-        .partitionBy("tenant_id")
-        .format(session.format)
-        .save(session.table_path(RAW_TABLE))
-    )
+    if session.acid:
+        txn_table(session, RAW_TABLE).append(row_df)
+    else:
+        (
+            row_df.write.mode("append")
+            .partitionBy("tenant_id")
+            .format(session.format)
+            .save(session.table_path(RAW_TABLE))
+        )
     path = row_df.select(
         raw_data_file_path(F.col("tenant_id"), F.col("transaction_id")).alias("p")
     ).first()["p"]

@@ -64,6 +64,11 @@ class DatalakeSession:
     lake_root: str
     spark: SparkSession
     format: str = "parquet"
+    #: route the publish surface through manifest-committed TxnTables
+    #: (the lake's ACID table format). ``False`` falls back to plain
+    #: Hive-layout writes — kept for the non-transactional maintenance
+    #: ops (merge_by_key/compact_table) and external Hive tables.
+    acid: bool = True
     _tables: dict = field(default_factory=dict)
 
     @classmethod

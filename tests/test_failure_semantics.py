@@ -68,7 +68,11 @@ def test_publish_abort_leaves_no_partial_rows(session, spark):
     assert after == before, "aborted publish leaked partial rows"
 
 
-def test_merge_abort_during_staging_leaves_table_intact(session, spark):
+def test_merge_abort_during_staging_leaves_table_intact(spark, tmp_path):
+    # merge_by_key stages against the Hive layout (non-ACID path)
+    session = DatalakeSession(
+        lake_root=str(tmp_path / "hive_lake"), spark=spark, acid=False
+    )
     before = _seed(session, spark)
     cols = retrieve_fhir(session, "t1", "Location").columns
 

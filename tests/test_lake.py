@@ -34,6 +34,15 @@ def session(spark, tmp_path):
     return DatalakeSession(lake_root=str(tmp_path / "lake"), spark=spark)
 
 
+@pytest.fixture()
+def hive_session(spark, tmp_path):
+    """Non-ACID session: plain Hive-layout writes, for the
+    non-transactional maintenance ops (compact_table/merge_by_key)."""
+    return DatalakeSession(
+        lake_root=str(tmp_path / "hive_lake"), spark=spark, acid=False
+    )
+
+
 def test_publish_mixed_types_and_retrieve(session, spark):
     # 2 Locations + 1 Practitioner in one batch (DatalakePublishServiceTest.kt:91)
     df = spark.createDataFrame(
@@ -122,13 +131,52 @@ def test_binary_exists(session, spark):
     assert binary_exists(session, "u", "x") is False
 
 
+def test_publish_path_is_manifest_committed_and_pruned(session, spark):
+    """The flagship publish surface runs on TxnTable: commits are
+    manifest versions and retrieval prunes the FILE LIST (partition +
+    resource_id stats) before Spark plans the scan."""
+    from interop_datalake_spark.lake.publish import txn_table
+
+    for tenant in ("tA", "tB"):
+        publish_fhir_r4(
+            session, tenant,
+            spark.createDataFrame(
+                [("Location", f"{tenant}-{i}", "{}") for i in range(3)],
+                FHIR_SCHEMA,
+            ),
+        )
+    t = txn_table(session, "ehr")
+    assert t.current_version() == 2  # one manifest commit per publish
+    m = t.manifest()
+    assert all("fhir_tenant_id" in m["partitions"][f] for f in m["files"])
+    full = t.read()
+    one_tenant = retrieve_fhir(session, "tA", "Location")
+    assert len(one_tenant.inputFiles()) < len(full.inputFiles())
+    assert one_tenant.count() == 3
+    point = retrieve_fhir(session, "tA", "Location", "tA-1")
+    assert point.count() == 1
+    # binary point lookup prunes by tenant partition too
+    publish_binary(
+        session, "tA",
+        spark.createDataFrame([("b1", "pdf", "{}")], BIN_SCHEMA),
+    )
+    publish_binary(
+        session, "tB",
+        spark.createDataFrame([("b2", "pdf", "{}")], BIN_SCHEMA),
+    )
+    row = retrieve_binary(session, "tA", "b1")
+    assert row is not None and row["content_type"] == "pdf"
+
+
 def test_publish_raw_returns_url(session, spark):
+    from interop_datalake_spark.lake.retrieve import read_lake_table
+
     url = publish_raw_data(session, "mockTenant", "json data", "http://Epic.com")
     assert url.startswith(
         "https://objectstorage.us-phoenix-1.oraclecloud.com/n/namespace/b/datalake/o/"
     )
     assert "raw_data_response/tenant_id=mockTenant/transaction_id/" in url
-    raw = session.read_table("raw_data_response")
+    raw = read_lake_table(session, "raw_data_response")
     row = raw.first()
     assert row["url"] == "http://Epic.com" and row["body"] == "json data"
     assert isinstance(row["time"], str)  # stored as ISO string (RawDataWrapper)
@@ -168,9 +216,10 @@ def test_parse_object_url_malformed_is_null(spark):
     assert rows[1]["p"] is None and rows[2]["p"] is None and rows[3]["p"] is None
 
 
-def test_compaction_partition_filter(session, spark):
+def test_compaction_partition_filter(hive_session, spark):
     # compact only one tenant's partitions; the other tenant's data and
-    # partition structure must survive untouched
+    # partition structure must survive untouched (Hive-layout op)
+    session = hive_session
     for tenant in ("tA", "tB"):
         df = spark.createDataFrame(
             [("Location", f"{tenant}-{i}", "{}") for i in range(20)], FHIR_SCHEMA
@@ -188,7 +237,8 @@ def test_compaction_partition_filter(session, spark):
     assert retrieve_fhir(session, "tB", "Location").count() == 20
 
 
-def test_compaction_preserves_rows(session, spark):
+def test_compaction_preserves_rows(hive_session, spark):
+    session = hive_session
     df = spark.createDataFrame(
         [("Location", f"id{i}", "{}") for i in range(50)], FHIR_SCHEMA
     )

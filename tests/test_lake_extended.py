@@ -69,7 +69,12 @@ def test_concept_map_roundtrip_and_enrich(session, spark):
     assert got == {1: "engagement", 2: "fault", 3: None}  # gap visible, not dropped
 
 
-def test_merge_by_key_upsert(session, spark):
+def test_merge_by_key_upsert(spark, tmp_path):
+    # merge_by_key is the Hive-layout (non-ACID) upsert — TxnTable.merge
+    # is the transactional twin (tests/test_txn.py)
+    session = DatalakeSession(
+        lake_root=str(tmp_path / "hive_lake"), spark=spark, acid=False
+    )
     base = spark.createDataFrame(
         [("Location", "a", '{"v":1}'), ("Location", "b", '{"v":1}'),
          ("Practitioner", "p", '{"v":1}')],
