@@ -118,9 +118,11 @@ ORDER BY resource_type, resource_id
 
 def lake_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end lake layer through the driver: publish a mixed batch
-    (R1) into a temp lake root, read it back partition-pruned (R10),
-    aggregate per (type, tenant). Exercises the real partitioned
-    write→Hive-discovery→pruned-scan path, not a mock."""
+    (R1) into a temp lake root as ACID manifest commits, read it back
+    partition-pruned (R10), aggregate per (type, tenant). Exercises
+    the real TxnTable write→manifest-prune→scan path, not a mock. The
+    scratch lake is deleted after the aggregates are collected."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -130,27 +132,38 @@ def lake_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from interop_datalake_spark.session import DatalakeSession
     from interop_datalake_spark.sources.tables import load_table
 
-    session = DatalakeSession(
-        lake_root=tempfile.mkdtemp(prefix="lake_rt_"), spark=spark
-    )
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
-    resources = docs.select(
-        F.when(F.col("doc_id") % 2 == 0, "DocumentReference")
-        .otherwise("Binary")
-        .alias("resource_type"),
-        F.concat(F.lit("doc-"), F.col("doc_id")).alias("resource_id"),
-        F.to_json(F.struct("doc_id", "lang", "source")).alias("resource_json"),
-    )
-    publish_fhir_r4(session, "tenantA", resources)
-    out_a = retrieve_fhir(session, "tenantA", "DocumentReference")
-    out_b = retrieve_fhir(session, "tenantA", "Binary")
-    missing = retrieve_fhir(session, "tenantB", "DocumentReference")
-    return (
-        out_a.unionByName(out_b)
-        .unionByName(missing)
-        .groupBy("resource_type", "fhir_tenant_id")
-        .agg(F.count("*").alias("n"))
-        .orderBy("resource_type")
+    root = tempfile.mkdtemp(prefix="lake_rt_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 10
+        )
+        resources = docs.select(
+            F.when(F.col("doc_id") % 2 == 0, "DocumentReference")
+            .otherwise("Binary")
+            .alias("resource_type"),
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("resource_id"),
+            F.to_json(
+                F.struct("doc_id", "lang", "source")
+            ).alias("resource_json"),
+        )
+        publish_fhir_r4(session, "tenantA", resources)
+        out_a = retrieve_fhir(session, "tenantA", "DocumentReference")
+        out_b = retrieve_fhir(session, "tenantA", "Binary")
+        missing = retrieve_fhir(session, "tenantB", "DocumentReference")
+        rows = (
+            out_a.unionByName(out_b)
+            .unionByName(missing)
+            .groupBy("resource_type", "fhir_tenant_id")
+            .agg(F.count("*").alias("n"))
+            .orderBy("resource_type")
+            .collect()  # tiny aggregate — detaches result from scratch files
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["resource_type"], r["fhir_tenant_id"], r["n"]) for r in rows],
+        "resource_type STRING, fhir_tenant_id STRING, n BIGINT",
     )
 
 
@@ -167,7 +180,10 @@ def lake_txn_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern on manifest commits): append → multi-file MERGE → DELETE,
     then time-travel every version and summarize it. The pinned
     numbers prove commits are atomic snapshots (each version's row set
-    is exact) and that history stays readable after later commits."""
+    is exact) and that history stays readable after later commits.
+    The scratch table is deleted after the per-version aggregates are
+    collected."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -176,38 +192,40 @@ def lake_txn_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from interop_datalake_spark.session import DatalakeSession
     from interop_datalake_spark.sources.tables import load_table
 
-    session = DatalakeSession(
-        lake_root=tempfile.mkdtemp(prefix="lake_txn_"), spark=spark
-    )
-    t = TxnTable(session, "docs_txn")
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 10)
-        .select("doc_id", "lang")
-    )
-    t.append(docs)  # v1: 10 rows
-    upd = docs.filter(F.col("doc_id") < 5).select(
-        "doc_id", F.lit("xx").alias("lang")
-    )
-    ins = spark.createDataFrame(
-        [(100, "xx"), (101, "yy"), (102, "yy")], "doc_id LONG, lang STRING"
-    )
-    t.merge(upd.unionByName(ins), key_cols=["doc_id"])  # v2: 13 rows, 6 xx
-    t.delete_where(F.col("doc_id") == 9)  # v3: 12 rows
-
-    per_version = [
-        t.read(version=v)
-        .agg(
-            F.lit(v).alias("version"),
-            F.count("*").alias("n"),
-            F.count(F.when(F.col("lang") == "xx", 1)).alias("n_xx"),
+    root = tempfile.mkdtemp(prefix="lake_txn_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "docs_txn")
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 10)
+            .select("doc_id", "lang")
         )
-        for v in (1, 2, 3)
-    ]
-    out = per_version[0]
-    for p in per_version[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("version")
+        t.append(docs)  # v1: 10 rows
+        upd = docs.filter(F.col("doc_id") < 5).select(
+            "doc_id", F.lit("xx").alias("lang")
+        )
+        ins = spark.createDataFrame(
+            [(100, "xx"), (101, "yy"), (102, "yy")], "doc_id LONG, lang STRING"
+        )
+        t.merge(upd.unionByName(ins), key_cols=["doc_id"])  # v2: 13 rows, 6 xx
+        t.delete_where(F.col("doc_id") == 9)  # v3: 12 rows
+
+        collected = [
+            t.read(version=v)
+            .agg(
+                F.count("*").alias("n"),
+                F.count(F.when(F.col("lang") == "xx", 1)).alias("n_xx"),
+            )
+            .collect()[0]
+            for v in (1, 2, 3)
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(v, r["n"], r["n_xx"]) for v, r in zip((1, 2, 3), collected)],
+        "version INT, n BIGINT, n_xx BIGINT",
+    ).orderBy("version")
 
 
 LAKE_TXN_ORACLE = """
@@ -219,12 +237,74 @@ SELECT * FROM (VALUES
 """
 
 
+def lake_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed surface (TxnTable.read_changes — the Delta CDF /
+    Iceberg incremental-read analog): three commits (append, append,
+    file-pruned merge), then consume the feed from version 0 and
+    summarize the rows each commit ADDED. The pinned numbers prove the
+    feed is per-commit exact: v3 (a merge touching only the first
+    file, file layout pinned by coalesce(1) + disjoint stats ranges)
+    re-emits exactly that file's rewritten rows — the carried second
+    file's rows do NOT reappear."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="lake_cdf_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "docs_cdf", stats_cols=["doc_id"])
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        t.append(docs.filter(F.col("doc_id") < 5).coalesce(1))  # v1
+        t.append(
+            docs.filter(F.col("doc_id").between(10, 12)).coalesce(1)
+        )  # v2: disjoint stats range
+        upd = spark.createDataFrame(
+            [(0, "zz"), (1, "zz")], "doc_id LONG, lang STRING"
+        )
+        t.merge(upd, key_cols=["doc_id"])  # v3: touches only v1's file
+        rows = (
+            t.read_changes(from_version=0)
+            .groupBy("_commit_version")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["_commit_version"], r["n"], r["min_doc"], r["max_doc"])
+            for r in rows
+        ],
+        "commit_version INT, n BIGINT, min_doc BIGINT, max_doc BIGINT",
+    ).orderBy("commit_version")
+
+
+LAKE_CHANGES_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 5, 0, 4),
+  (2, 3, 10, 12),
+  (3, 5, 0, 4)
+) AS t(commit_version, n, min_doc, max_doc) ORDER BY commit_version
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
     "lake_path_templates": lake_path_templates,
     "lake_publish_roundtrip": lake_publish_roundtrip,
     "lake_txn_acid": lake_txn_acid,
+    "lake_txn_changes": lake_txn_changes,
 }
 
 ORACLES = {
@@ -233,4 +313,5 @@ ORACLES = {
     "lake_path_templates": PATHS_ORACLE,
     "lake_publish_roundtrip": LAKE_ROUNDTRIP_ORACLE,
     "lake_txn_acid": LAKE_TXN_ORACLE,
+    "lake_txn_changes": LAKE_CHANGES_ORACLE,
 }

@@ -27,6 +27,29 @@ from pyspark.sql import functions as F
 from interop_datalake_spark.session import DatalakeSession
 
 
+def _recover_interrupted_merge(path: str) -> int:
+    """Phase 0 of :func:`merge_by_key`: heal a crash that happened
+    mid-swap in a previous run. A ``<dir>__pre_merge`` backup whose
+    live directory is MISSING marks a swap interrupted between
+    backup-rename and stage-rename — restore it (atomic rename back).
+    A backup whose live directory exists is post-swap residue — drop
+    it. Returns the number of restored partitions."""
+    root = Path(path)
+    if not root.exists():
+        return 0
+    restored = 0
+    for backup in sorted(root.rglob("*__pre_merge")):
+        if not backup.is_dir():
+            continue
+        real = backup.with_name(backup.name[: -len("__pre_merge")])
+        if real.exists():
+            shutil.rmtree(backup)  # swap completed; stale residue
+        else:
+            backup.rename(real)  # swap interrupted; restore pre-merge rows
+            restored += 1
+    return restored
+
+
 def merge_by_key(
     session: DatalakeSession,
     table: str,
@@ -48,10 +71,14 @@ def merge_by_key(
       therefore fully atomic; a crash mid-swap of a multi-partition
       batch leaves earlier partitions new, later ones old, with the
       interrupted partition recoverable from its ``__pre_merge``
-      backup. Cross-partition atomicity needs a manifest commit —
-      with Delta/Iceberg available this whole function becomes a real
-      ``MERGE INTO`` (same signature); the environment is re-probed
-      each round and currently lacks both.
+      backup — and phase 0 of the NEXT merge performs that recovery
+      (renames the backup into place when the live dir is missing)
+      BEFORE reading the table, so an interrupted partition's
+      pre-merge rows are never silently dropped from the recompute.
+      Cross-partition atomicity needs a manifest commit — that is
+      ``TxnTable.merge`` (lake/txn.py), the transactional twin of
+      this function; with Delta/Iceberg available this becomes a real
+      ``MERGE INTO`` (same signature).
 
     Scale notes: the anti join shuffles just the affected partitions'
     data (callers should pre-filter ``updates``'s partition values, and
@@ -59,6 +86,7 @@ def merge_by_key(
     """
     spark = session.spark
     path = session.table_path(table)
+    _recover_interrupted_merge(path)
     existing = session.read_table(table)
     # restrict the rewrite to partitions the updates touch
     parts = updates.select(*partition_cols).distinct()

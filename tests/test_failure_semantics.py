@@ -113,3 +113,47 @@ def test_merge_abort_during_staging_leaves_table_intact(spark, tmp_path):
         for r in retrieve_fhir(session, "t1", "Location").collect()
     }
     assert final == {"a": '{"v":2}', "b": '{"v":1}', "c": '{"v":1}'}
+
+
+def test_merge_recovers_interrupted_swap_backup(spark, tmp_path):
+    """Crash between backup-rename and stage-rename leaves the live
+    partition dir missing and only the __pre_merge backup on disk.
+    The NEXT merge must restore the backup BEFORE computing the merged
+    result — not silently recompute without those rows and destroy
+    the backup (the old lazy-delete behavior lost them permanently)."""
+    from pathlib import Path
+
+    session = DatalakeSession(
+        lake_root=str(tmp_path / "hive_lake"), spark=spark, acid=False
+    )
+    before = _seed(session, spark)  # Location a, b for t1
+    cols = retrieve_fhir(session, "t1", "Location").columns
+
+    # simulate the interrupted swap: live partition dir → __pre_merge
+    part_dirs = [
+        p
+        for p in Path(session.table_path("ehr")).rglob("_date=*")
+        if p.is_dir()
+    ]
+    assert part_dirs, "expected a published partition dir"
+    live = part_dirs[0]
+    live.rename(live.with_name(live.name + "__pre_merge"))
+
+    updates = (
+        spark.createDataFrame([("location", "c", '{"v":1}')], FHIR_SCHEMA)
+        .withColumn("fhir_tenant_id", F.lit("t1"))
+        .withColumn("_date", F.current_date())
+        .select(*cols)
+    )
+    merge_by_key(
+        session, "ehr", updates,
+        key_cols=["resource_type", "fhir_tenant_id", "resource_id"],
+        partition_cols=["resource_type", "fhir_tenant_id", "_date"],
+    )
+    after = {
+        r["resource_id"]: r["resource_json"]
+        for r in retrieve_fhir(session, "t1", "Location").collect()
+    }
+    assert after == {**before, "c": '{"v":1}'}, (
+        "pre-merge rows from the interrupted partition were lost"
+    )
