@@ -1,3 +1,8 @@
+from interop_datalake_spark.streaming.txn_source import (
+    TxnTableDataSource,
+    read_txn_stream,
+    register_txn_source,
+)
 from interop_datalake_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -7,6 +12,9 @@ from interop_datalake_spark.streaming.windows import (
 )
 
 __all__ = [
+    "TxnTableDataSource",
+    "read_txn_stream",
+    "register_txn_source",
     "tumbling_window_agg",
     "sliding_window_agg",
     "session_window_agg",

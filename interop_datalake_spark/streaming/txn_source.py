@@ -1,0 +1,270 @@
+"""``readStream`` source over a TxnTable change feed — the Delta CDF
+``readStream.format("delta")`` analog, built on Spark 4's Python
+DataSource API (``pyspark.sql.datasource``).
+
+Offsets are manifest versions: each micro-batch covers the commits in
+``(start.version, end.version]`` and its input partitions are the data
+FILES those commits added — one :class:`InputPartition` per file, read
+on EXECUTORS with pyarrow (Arrow-batched, distributed; this is the
+partitioned ``DataSourceStreamReader``, not the driver-side "simple"
+reader). Replays are deterministic because a committed version's file
+list is immutable — ``partitions(start, end)`` is a pure function of
+the log, which is exactly what exactly-once recovery needs.
+
+Together with :meth:`TxnTable.foreach_batch_writer` (the exactly-once
+sink, ``lake/txn.py``) this closes the streaming loop: a pipeline can
+tail one transactional table and commit into another, with both sides'
+progress recorded in manifest commits.
+
+Scale notes: a micro-batch's partition count = files added in the
+covered commits, so parallelism tracks the upstream write pattern; the
+driver only lists manifests (tiny JSON), never data. Removals are not
+emitted (append-oriented feed — rewriting commits re-add their files'
+rows; see ``TxnTable.read_changes``).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import date, datetime
+from decimal import Decimal
+from pathlib import Path
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+FORMAT_NAME = "txntable"
+
+_ARROW_TO_DDL = {
+    "bool": "boolean",
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "binary": "binary",
+    "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _arrow_ddl(arrow_type) -> str:
+    s = str(arrow_type)
+    if s in _ARROW_TO_DDL:
+        return _ARROW_TO_DDL[s]
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("decimal128(") or s.startswith("decimal("):
+        return "decimal" + s[s.index("(") :]
+    if s.startswith("list<") or s.startswith("large_list<"):
+        import pyarrow as pa  # local import: executors pickle this module
+
+        assert isinstance(arrow_type, (pa.ListType, pa.LargeListType))
+        return f"array<{_arrow_ddl(arrow_type.value_type)}>"
+    raise ValueError(f"unsupported parquet type for txntable source: {s}")
+
+
+def _latest_version(manifest_dir: Path) -> int:
+    if not manifest_dir.exists():
+        return 0
+    versions = [int(p.stem[1:]) for p in manifest_dir.glob("v*.json")]
+    versions += [
+        int(p.stem.split("-v")[1]) for p in manifest_dir.glob("ckpt-v*.json")
+    ]
+    return max(versions, default=0)
+
+
+def _typed_partition_value(raw: str | None, ddl: str):
+    """Convert a Hive path-encoded partition value to the Python value
+    matching its recorded Spark DDL type."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    v = unquote(raw)
+    if ddl in ("int", "bigint", "smallint", "tinyint"):
+        return int(v)
+    if ddl in ("float", "double"):
+        return float(v)
+    if ddl == "date":
+        return date.fromisoformat(v)
+    if ddl == "timestamp":
+        return datetime.fromisoformat(v)
+    if ddl.startswith("decimal"):
+        return Decimal(v)
+    return v
+
+
+class _FileSlice(InputPartition):
+    """One added data file of one commit — the unit of read
+    parallelism. Carries everything an executor needs: absolute path,
+    the partition-column values/types to inject, and the commit
+    version tag."""
+
+    def __init__(self, path, version, part_values, data_cols, pcols, ptypes):
+        self.path = path
+        self.version = version
+        self.part_values = part_values
+        self.data_cols = data_cols
+        self.pcols = pcols
+        self.ptypes = ptypes
+
+
+class TxnTableStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, starting_version: int, field_names: list[str]):
+        self.root = Path(root)
+        self.manifest_dir = self.root / "_manifests"
+        self.starting_version = starting_version
+        self.field_names = field_names
+
+    # -- offsets ------------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self.manifest_dir)}
+
+    def commit(self, end: dict) -> None:
+        # progress is tracked by Spark's streaming checkpoint; manifests
+        # are immutable, nothing to release on our side
+        pass
+
+    # -- planning (driver): manifests only, never data ----------------------
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        slices: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            rec = json.loads((self.manifest_dir / f"v{v}.json").read_text())
+            pcols = rec.get("partition_cols", [])
+            ptypes = rec.get("partition_types", {})
+            for rel in rec.get("added", []):
+                part_values = rec.get("partitions", {}).get(rel, {})
+                slices.append(
+                    _FileSlice(
+                        str(self.root / rel),
+                        v,
+                        part_values,
+                        None,
+                        pcols,
+                        ptypes,
+                    )
+                )
+        return slices
+
+    # -- execution (executors): one pyarrow read per file slice -------------
+
+    def read(self, partition: _FileSlice):
+        import pyarrow.parquet as pq
+
+        # resolve data columns BY NAME in output-schema order, so files
+        # written with different column orders still line up
+        data_cols = [
+            n
+            for n in self.field_names
+            if n not in partition.pcols and n != "_commit_version"
+        ]
+        table = pq.read_table(partition.path, columns=data_cols)
+        pvals = tuple(
+            _typed_partition_value(
+                partition.part_values.get(c),
+                partition.ptypes.get(c, "string"),
+            )
+            for c in partition.pcols
+        )
+        cols = [table.column(n).to_pylist() for n in data_cols]
+        for row in zip(*cols) if cols else []:
+            yield (*row, *pvals, partition.version)
+
+
+class TxnTableDataSource(DataSource):
+    """``spark.readStream.format("txntable").option("path", root)`` —
+    register with :func:`register_txn_source`. Schema = the table's
+    data columns (from one data file's parquet footer) + its partition
+    columns (typed from the log) + ``_commit_version int``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _root(self) -> Path:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txntable source requires .option('path', <table root>)")
+        return Path(path)
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        root = self._root()
+        manifest_dir = root / "_manifests"
+        latest = _latest_version(manifest_dir)
+        if latest == 0:
+            raise FileNotFoundError(f"no committed manifests under {root}")
+        # walk back to the newest commit that added files
+        first_file, pcols, ptypes = None, [], {}
+        for v in range(latest, 0, -1):
+            mp = manifest_dir / f"v{v}.json"
+            if not mp.exists():
+                break
+            rec = json.loads(mp.read_text())
+            pcols = rec.get("partition_cols", [])
+            ptypes = rec.get("partition_types", {})
+            if rec.get("added"):
+                first_file = root / rec["added"][0]
+                break
+        if first_file is None:
+            # no adding commit in the retained log suffix: take the
+            # newest checkpoint's full state
+            cks = sorted(
+                int(p.stem.split("-v")[1])
+                for p in manifest_dir.glob("ckpt-v*.json")
+            )
+            if not cks:
+                raise FileNotFoundError(
+                    f"txntable source: no data files recorded under {root}"
+                )
+            state = json.loads(
+                (manifest_dir / f"ckpt-v{cks[-1]}.json").read_text()
+            )
+            first_file = root / state["files"][0]
+            pcols = state.get("partition_cols", [])
+            ptypes = state.get("partition_types", {})
+        schema = pq.read_schema(first_file)
+        parts = [
+            f"{f.name} {_arrow_ddl(f.type)}"
+            for f in schema
+            if f.name not in pcols
+        ]
+        parts += [f"{c} {ptypes.get(c, 'string')}" for c in pcols]
+        parts.append("_commit_version int")
+        return ", ".join(parts)
+
+    def streamReader(self, schema) -> TxnTableStreamReader:
+        return TxnTableStreamReader(
+            str(self._root()),
+            int(self.options.get("starting_version", 0)),
+            [f.name for f in schema.fields],
+        )
+
+
+def register_txn_source(spark) -> None:
+    """Idempotently register the ``txntable`` streaming format."""
+    spark.dataSource.register(TxnTableDataSource)
+
+
+def read_txn_stream(session, table: str, starting_version: int = 0):
+    """Convenience: a streaming DataFrame tailing ``table``'s change
+    feed from ``starting_version`` (exclusive)."""
+    register_txn_source(session.spark)
+    return (
+        session.spark.readStream.format(FORMAT_NAME)
+        .option("path", session.table_path(table))
+        .option("starting_version", starting_version)
+        .load()
+    )
