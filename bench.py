@@ -50,6 +50,7 @@ HEADLINE = [
     "text_quality",
     "corpus_decontaminate",
     "doc_chunk_windows",
+    "corpus_pack_sequences_sharded",
 ]
 # not in HEADLINE by design: lake_txn_acid is a 6-commit ACID
 # integration scenario (write-job bound, not query throughput);
@@ -83,6 +84,13 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # machine-load fields: a contended run (BENCH_r02 was ~1.9x inflated
+    # by CPU contention) is self-identifying — load1 >> cpus means the
+    # numbers measure the machine, not the code
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
     print(
         json.dumps(
             {
@@ -91,6 +99,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": os.cpu_count(),
+                "loadavg_1m": round(load1, 2),
+                "loadavg_5m": round(load5, 2),
             }
         )
     )

@@ -81,16 +81,17 @@ WITNESS_PRIORITY = [
     "join_broadcast", "agg_basic", "agg_rollup", "sort_limit_topk",
     # TPC-H-extra multi-join workload (q7 = round-1 fix)
     "q7_nation_volume", "q18_large_orders",
-    # reference lake surface + ACID table format
+    # reference lake surface + ACID table format + change feed
     "hl7_msh9", "object_url_parse", "lake_path_templates",
-    "lake_publish_roundtrip", "lake_txn_acid",
+    "lake_publish_roundtrip", "lake_txn_acid", "lake_txn_changes",
     # windows + custom joins
     "window_rank", "topk_per_group", "join_asof", "join_range",
     # set ops
     "set_union_all", "set_intersect",
     # scalar surface (scalar_math = round-1 fix; JSON access is
-    # witnessed via variant_json_access)
-    "scalar_math", "scalar_date", "scalar_array", "try_functions",
+    # witnessed via variant_json_access; scalar_array moved past the
+    # witness cut to make room for the change-feed class)
+    "scalar_math", "scalar_date", "try_functions",
     # LLM dedup + ANN (blocked/lsh = round-2 scale paths)
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_blocked",
     "dedup_embedding_lsh", "ann_cosine_topk_blocked", "ann_lsh_bucketed",

@@ -345,7 +345,10 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows at stride 48 (16-word overlap) — the sliding-window split
     a long-document training pipeline packs into fixed-length
     sequences. Chunk text is emitted as md5 so the checked frame stays
-    narrow; n_chunk_words pins the tail-window semantics."""
+    narrow; n_chunk_words pins the tail-window semantics. Drop-tail
+    convention (functions/text.py:chunk_starts): long docs emit full
+    windows only — a ragged tail shorter than a stride is dropped, not
+    re-emitted as a partial chunk; the oracle mirrors it."""
     from interop_datalake_spark.functions.text import chunk_words
 
     docs = load_table(spark, sf_dir, "documents")
@@ -435,6 +438,68 @@ WITH toks AS (
 SELECT seq_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM placed GROUP BY seq_id ORDER BY seq_id
+"""
+
+
+def corpus_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of sequence packing: each shard packs its
+    documents independently — ``Window.partitionBy(shard)`` instead of
+    the global-window demo above, so the running token count is a
+    per-partition prefix sum and NO single-partition global sort
+    exists. At 100 TB each shard's packing runs where its data lives
+    (one shuffle by shard key, then per-shard window), which is how a
+    pretraining dataloader actually materializes batches; shard =
+    doc_id % 8 here so the oracle is deterministic, a real pipeline
+    uses its file/bucket layout as the shard key."""
+    from pyspark.sql import Window
+
+    from interop_datalake_spark.functions.text import token_count_ws
+
+    budget, n_shards = 2048, 8
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+        ).cast("int"),
+    )
+    return (
+        placed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+CORPUS_PACK_SHARDED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         (doc_id % 8)::INT AS shard
+  FROM documents
+), placed AS (
+  SELECT doc_id, n_tokens, shard,
+         (coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // 2048)::INT AS seq_id
+  FROM toks
+)
+SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM placed GROUP BY shard, seq_id ORDER BY shard, seq_id
 """
 
 
@@ -572,6 +637,7 @@ QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "doc_chunk_windows": doc_chunk_windows,
     "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_pack_sequences_sharded": corpus_pack_sequences_sharded,
     "text_repetition": text_repetition,
     "corpus_vocab": corpus_vocab,
 }
@@ -585,6 +651,7 @@ ORACLES = {
     "corpus_decontaminate": CORPUS_DECONTAMINATE_ORACLE,
     "doc_chunk_windows": DOC_CHUNK_ORACLE,
     "corpus_pack_sequences": CORPUS_PACK_ORACLE,
+    "corpus_pack_sequences_sharded": CORPUS_PACK_SHARDED_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
     "corpus_vocab": CORPUS_VOCAB_ORACLE,
 }

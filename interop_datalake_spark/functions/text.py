@@ -99,7 +99,16 @@ def chunk_starts(text: Column | str, size: int, stride: int) -> Column:
     """1-based word offsets of context-window chunks: 1, 1+stride, …
     up to the last offset that still yields a full-or-tail window
     (``greatest(n_words - size + 1, 1)``). Pure column algebra —
-    chunking a 100 TB corpus is a projection, no shuffle."""
+    chunking a 100 TB corpus is a projection, no shuffle.
+
+    DROP-TAIL SEMANTICS (deliberate): for documents LONGER than
+    ``size``, offsets stop at the last FULL window, so up to
+    ``stride - 1`` trailing words past it are not covered by any chunk
+    (e.g. words 113-120 of a 120-word doc at size 64 / stride 48). A
+    document shorter than ``size`` yields exactly one (short) chunk.
+    This is the fixed-length-training convention — every emitted chunk
+    from a long doc is a full window; emit-the-ragged-tail variants
+    add one final start when ``(n_words - size) % stride != 0``."""
     w = F.split(_col(text), " ")
     last = F.greatest(F.size(w) - F.lit(size - 1), F.lit(1))
     return F.sequence(F.lit(1), last, F.lit(stride))
@@ -112,7 +121,10 @@ def chunk_words(
     (id, chunk_idx, chunk_text, n_chunk_words). ``stride < size``
     gives ``size - stride`` words of overlap between neighbors —
     the standard sliding-window split for long-document training.
-    posexplode keeps the chunk index without a window function."""
+    posexplode keeps the chunk index without a window function.
+    Inherits :func:`chunk_starts`'s drop-tail semantics: long docs
+    emit full windows only; a ragged tail shorter than a stride is
+    not re-emitted as a partial chunk."""
     w = F.split(F.col(text_col), " ")
     exploded = df.select(
         F.col(id_col),
