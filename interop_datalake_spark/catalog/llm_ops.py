@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from interop_datalake_spark.llm.dedup import (
+    duplicate_clusters,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_dedup,
@@ -126,6 +127,94 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.8
 ORDER BY id_a, id_b
+"""
+
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup DECISION pipeline: MinHash-LSH pairs → connected
+    components (``llm/dedup.py:duplicate_clusters``, iterative
+    min-label propagation) → one row per cluster with its canonical
+    keeper (``cluster_id`` = min doc id) and full sorted membership.
+    This is the step between "pairs found" and "rows dropped" that
+    pair-emitting dedup leaves open: transitivity (A~B, B~C) must
+    collapse {A,B,C} into one keep decision even when A~C was never a
+    candidate pair. Singleton docs appear as their own cluster, so
+    ``n_docs - 1`` summed over rows IS the corpus drop count."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4, threshold=0.8
+    )
+    labels = duplicate_clusters(
+        pairs, all_ids=docs.select("doc_id"), id_col="doc_id"
+    )
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# same pipeline CTEs as DEDUP_MINHASH_ORACLE through the verified pairs,
+# then a recursive transitive closure; cluster = min over self+reachable
+DEDUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM tok
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0 FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_MINS_SQL}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, peer) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+), labels AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.peer), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT cluster_id, count(*) AS n_docs,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+FROM labels GROUP BY cluster_id ORDER BY cluster_id
 """
 
 
@@ -426,6 +515,7 @@ QUERIES = {
     "dedup_embedding_blocked": dedup_embedding_blocked,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cluster": dedup_cluster,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_minhash_ml": dedup_minhash_ml,
     "dedup_simhash": dedup_simhash,
@@ -442,6 +532,7 @@ ORACLES = {
     "dedup_embedding_blocked": DEDUP_EMBEDDING_ORACLE,  # exact ≡ ground truth
     "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_cluster": DEDUP_CLUSTER_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_minhash_ml": DEDUP_JACCARD_ORACLE,  # verified set ≡ ground truth
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,

@@ -392,3 +392,90 @@ def simhash(
         .groupBy(id_col)
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, cluster_id)``
+    with ``cluster_id = min(id in component)`` — the step a real dedup
+    pipeline needs BETWEEN pair generation and document dropping:
+    MinHash/SimHash emit pairs, but "keep one copy per duplicate set"
+    requires the transitive closure (A~B, B~C ⇒ drop two of {A,B,C},
+    even though A~C was never emitted as a pair).
+
+    Algorithm: Pregel-style iterative min-label propagation. Each round
+    every node takes ``min(own label, neighbours' labels)`` — one
+    equi-join on the edge list + one groupBy per round, converging in
+    O(component diameter) rounds. Near-dup components are short chains
+    through shared templates (diameter ≲ 5 in practice), so the driver
+    loop runs a handful of tiny-result rounds; this is how GraphX /
+    GraphFrames run connected components on Spark, minus the
+    large-star/small-star rewiring that only pays off on web-scale
+    graphs with long paths. Scale notes:
+
+    - labels only ever DECREASE, so ``sum(label)`` is a monotone
+      convergence witness: one scalar agg per round (bounded driver
+      action, not a data collect).
+    - ``localCheckpoint`` truncates the growing lineage each round —
+      without it round N replans rounds 1..N-1.
+    - the edge list is the pair output (tiny vs the corpus: near-dup
+      pairs, not all pairs), so every round's shuffle moves only
+      duplicate-involved ids.
+
+    ``all_ids`` (optional): full id universe; ids in no pair become
+    singleton clusters (``cluster_id = id``) by a cheap left anti join
+    — they never enter the iteration.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .withColumn("cluster_id", F.col(id_col))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col(id_col).alias("dst"), F.col("cluster_id").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_nmin"))
+        )
+        labels = (
+            labels.join(
+                neigh_min.select(F.col("src").alias(id_col), "_nmin"),
+                id_col,
+                "left",
+            )
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    if all_ids is not None:
+        singletons = (
+            all_ids.select(id_col)
+            .join(labels.select(id_col), id_col, "left_anti")
+            .withColumn("cluster_id", F.col(id_col))
+        )
+        labels = labels.unionByName(singletons)
+    return labels
