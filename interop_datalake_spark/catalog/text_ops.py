@@ -503,6 +503,157 @@ FROM placed GROUP BY shard, seq_id ORDER BY shard, seq_id
 """
 
 
+def corpus_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1),
+    composed from pure column algebra — at 100 TB this keep/drop pass
+    is a scan-bound projection, zero shuffles, zero Python. Five rules,
+    each surfaced as its own boolean so downstream can audit WHY a doc
+    dropped (the standard corpus-curation report), plus the composite
+    ``keep``:
+
+    - word count in [25, 100000]
+    - mean word length in [3, 10]
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 distinct English stopwords (templated/keyword soup gate)
+    - duplicate-word fraction ≤ 0.6 (Gopher's repetition gate)
+
+    Thresholds sit inside this corpus's signal distributions (quartiles
+    measured: n_words p25=32, dup_frac p75=0.64, distinct_sw p25=1) so
+    every rule fires both ways — the filter demonstrably discriminates
+    rather than rubber-stamping."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = T.token_count_ws("text")
+    mwl = T.avg_word_length("text").cast("double")
+    alpha = T.alpha_word_frac("text")
+    dsw = T.distinct_stopword_count("text", "en")
+    dupf = T.dup_word_frac("text")
+    rules = {
+        "r_word_count": (n_words >= 25) & (n_words <= 100000),
+        "r_mean_word_len": (mwl >= 3.0) & (mwl <= 10.0),
+        "r_alpha_words": F.coalesce(alpha, F.lit(0.0)) >= 0.8,
+        "r_stopwords": dsw >= 2,
+        "r_repetition": F.coalesce(dupf, F.lit(0.0)) <= 0.6,
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(F.coalesce(alpha, F.lit(0.0)), 6).alias("alpha_word_frac"),
+        dsw.alias("distinct_stopwords"),
+        F.round(F.coalesce(dupf, F.lit(0.0)), 6).alias("dup_word_frac"),
+        *[c.alias(n) for n, c in rules.items()],
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+CORPUS_FILTER_GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS} AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+           / nullif(len(ws), 0) AS mwl,
+         coalesce(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+           / nullif(len(ws), 0), 0.0) AS alpha,
+         len(list_distinct(list_filter(list_transform(ws, w -> lower(w)),
+             w -> list_contains({_EN_SW}, w)))) AS dsw,
+         coalesce(1.0 - len(list_distinct(ws))::DOUBLE / nullif(len(ws), 0), 0.0)
+           AS dupf
+  FROM base
+)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+       round(alpha, 6) AS alpha_word_frac, dsw AS distinct_stopwords,
+       round(dupf, 6) AS dup_word_frac,
+       (n_words >= 25 AND n_words <= 100000) AS r_word_count,
+       (mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
+       (alpha >= 0.8) AS r_alpha_words,
+       (dsw >= 2) AS r_stopwords,
+       (dupf <= 0.6) AS r_repetition,
+       (n_words >= 25 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND alpha >= 0.8 AND dsw >= 2 AND dupf <= 0.6) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (functions/text.py:redact_pii): typed
+    placeholders for emails / phone numbers / SSNs plus per-kind audit
+    counts. The synthetic corpus carries no PII, so the query PLANTS
+    deterministic instances first (same planted-input pattern as
+    ``dedup_exact``): an email on doc_id%7==0, a phone on %5==0, an SSN
+    on %11==0 — docs hit several buckets, docs in none prove the
+    no-op path. Redacted text is emitted as md5 to keep the checked
+    frame narrow; ``clean`` pins that redacted text never re-matches
+    any PII pattern (the idempotence property a scrubber must have)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" contact john.doe@example.com")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567 now")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = T.pii_counts(F.col("text"))
+    redacted = T.redact_pii(F.col("text"))
+    re_counts = T.pii_counts(redacted)
+    clean = F.lit(True)
+    for c in re_counts.values():
+        clean = clean & (c == 0)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ssn"].alias("n_ssns"),
+        F.md5(redacted).alias("redacted_md5"),
+        clean.alias("clean"),
+    ).orderBy("doc_id")
+
+
+_PII_PLANT = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact john.doe@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567 now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+  FROM documents
+"""
+
+_PII_SSN = '\\b\\d{3}-\\d{2}-\\d{4}\\b'
+_PII_PHONE = '\\b\\d{3}-\\d{3}-\\d{4}\\b'
+_PII_EMAIL = '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+
+CORPUS_REDACT_PII_ORACLE = f"""
+WITH planted AS ({_PII_PLANT}), red AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_SSN}', '[SSN]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_EMAIL}', '[EMAIL]', 'g') AS redacted
+  FROM planted
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text, '{_PII_SSN}')) AS n_ssns,
+       md5(redacted) AS redacted_md5,
+       (len(regexp_extract_all(redacted, '{_PII_EMAIL}')) = 0
+        AND len(regexp_extract_all(redacted, '{_PII_PHONE}')) = 0
+        AND len(regexp_extract_all(redacted, '{_PII_SSN}')) = 0) AS clean
+FROM red ORDER BY doc_id
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition signals: the fraction of
     tokens that are repeats of an earlier token (``dup_word_frac``) and
@@ -638,6 +789,8 @@ QUERIES = {
     "doc_chunk_windows": doc_chunk_windows,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_pack_sequences_sharded": corpus_pack_sequences_sharded,
+    "corpus_filter_gopher": corpus_filter_gopher,
+    "corpus_redact_pii": corpus_redact_pii,
     "text_repetition": text_repetition,
     "corpus_vocab": corpus_vocab,
 }
@@ -652,6 +805,8 @@ ORACLES = {
     "doc_chunk_windows": DOC_CHUNK_ORACLE,
     "corpus_pack_sequences": CORPUS_PACK_ORACLE,
     "corpus_pack_sequences_sharded": CORPUS_PACK_SHARDED_ORACLE,
+    "corpus_filter_gopher": CORPUS_FILTER_GOPHER_ORACLE,
+    "corpus_redact_pii": CORPUS_REDACT_PII_ORACLE,
     "text_repetition": TEXT_REPETITION_ORACLE,
     "corpus_vocab": CORPUS_VOCAB_ORACLE,
 }

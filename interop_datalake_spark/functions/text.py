@@ -95,6 +95,67 @@ def quality_score(text: Column | str) -> Column:
     return F.round(len_ok * 0.4 + punct_ok * 0.3 + sw_ok * 0.3, 4)
 
 
+def dup_word_frac(text: Column | str) -> Column:
+    """Fraction of word occurrences that repeat an earlier word:
+    ``1 - distinct/total`` (NULL on empty). Gopher's strongest cheap
+    repetition signal — pure array algebra, no shuffle."""
+    ws = words(text)
+    return F.lit(1.0) - F.try_divide(F.size(F.array_distinct(ws)), F.size(ws))
+
+
+def distinct_stopword_count(text: Column | str, lang: str = "en") -> Column:
+    """How many DISTINCT stopwords of ``lang`` appear — Gopher's
+    "contains at least 2 of a tiny stopword list" gate uses distinct
+    presence, not hit volume."""
+    sw = STOPWORDS[lang]
+    return F.size(
+        F.array_distinct(
+            F.filter(words(F.lower(_col(text))), lambda w: w.isin(sw))
+        )
+    )
+
+
+def alpha_word_frac(text: Column | str) -> Column:
+    """Fraction of words containing at least one A-Za-z character
+    (NULL on empty) — Gopher drops docs where < 80% of words have an
+    alphabetic character (tables, hex dumps, markup)."""
+    ws = words(text)
+    return F.try_divide(
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))), F.size(ws)
+    )
+
+
+#: PII patterns, ordered most-specific-first so replacements never
+#: partially consume a longer match (SSN 3-2-4 before phone 3-3-4).
+#: Conservative syntax shared by Java regex (Spark) and RE2 (DuckDB):
+#: character classes, bounded repeats, \b anchors — no lookaround.
+PII_PATTERNS = [
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+]
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (before redaction) — the audit metric
+    a scrubbing pass reports. Counted most-specific-first on the
+    ORIGINAL text; kinds are mutually exclusive by pattern shape."""
+    t = _col(text)
+    return {
+        kind: F.regexp_count(t, F.lit(pat)) for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder. A chained
+    ``regexp_replace`` — JVM codegen, so scrubbing 100 TB is a
+    scan-bound projection like every other signal here."""
+    out = _col(text)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def chunk_starts(text: Column | str, size: int, stride: int) -> Column:
     """1-based word offsets of context-window chunks: 1, 1+stride, …
     up to the last offset that still yields a full-or-tail window
