@@ -68,6 +68,13 @@ class CommitConflictError(RuntimeError):
     commit — retry against the new snapshot."""
 
 
+class SchemaEvolutionError(ValueError):
+    """An incoming write changes an existing column's type. Adding
+    columns is evolution (allowed); changing a type silently corrupts
+    every existing file's read, so it must be an explicit migration
+    (overwrite with the new schema), never an append side effect."""
+
+
 def _stats_encode(v):
     """Canonical JSON encoding for per-file stats values. Dates,
     timestamps and decimals are not JSON-serializable; encode them as
@@ -171,6 +178,7 @@ class TxnTable:
             "partitions": {},
             "partition_cols": list(self.partition_cols),
             "partition_types": {},
+            "schema": None,
             "epoch": None,
         }
 
@@ -223,6 +231,7 @@ class TxnTable:
                     "partition_types", state.get("partition_types", {})
                 )
                 or state.get("partition_types", {}),
+                "schema": rec.get("schema", state.get("schema")),
                 "epoch": rec["epoch"] if "epoch" in rec else state["epoch"],
             }
         self._state_cache[version] = state
@@ -237,6 +246,48 @@ class TxnTable:
     def files(self, version: int | None = None) -> list[str]:
         """Absolute data-file paths of a snapshot."""
         return [str(self.root / f) for f in self.manifest(version)["files"]]
+
+    # -- schema evolution ---------------------------------------------------
+
+    def _merge_schema(self, base_state: dict, df: DataFrame) -> str:
+        """Merge an incoming write's schema into the table schema
+        (Delta's mergeSchema-on by default): new columns append at the
+        end; existing columns must keep their exact type (nullability
+        aside) or :class:`SchemaEvolutionError` raises. Returns the
+        merged schema as Spark schema JSON — the log's authoritative
+        schema, which the read path applies so files written BEFORE a
+        column existed read it as NULL (no file rewrite on evolution:
+        adding a column to a 100 TB table is a metadata-only commit)."""
+        from pyspark.sql.types import StructType
+
+        old_json = base_state.get("schema")
+        if old_json is None:
+            return df.schema.json()
+        old_st = StructType.fromJson(json.loads(old_json))
+        old_by_name = {f.name: f for f in old_st.fields}
+        for f in df.schema.fields:
+            prev = old_by_name.get(f.name)
+            if prev is not None and (
+                prev.dataType.simpleString() != f.dataType.simpleString()
+            ):
+                raise SchemaEvolutionError(
+                    f"table {self.name}: column {f.name!r} is "
+                    f"{prev.dataType.simpleString()}, incoming write has "
+                    f"{f.dataType.simpleString()} — type changes require an "
+                    f"explicit overwrite migration"
+                )
+        merged = list(old_st.fields) + [
+            f for f in df.schema.fields if f.name not in old_by_name
+        ]
+        return StructType(merged).json()
+
+    def table_schema(self, version: int | None = None):
+        """The log-recorded authoritative schema at a version (None for
+        pre-evolution tables, which infer from data files)."""
+        from pyspark.sql.types import StructType
+
+        sj = self.manifest(version).get("schema")
+        return None if sj is None else StructType.fromJson(json.loads(sj))
 
     # -- read path ----------------------------------------------------------
 
@@ -256,6 +307,16 @@ class TxnTable:
         reader = self.spark.read.format(self.session.format)
         if pcols:
             reader = reader.option("recursiveFileLookup", "true")
+        schema_json = state.get("schema")
+        if schema_json is not None:
+            # the log's schema is authoritative (Delta FileIndex model):
+            # files predating an added column yield NULL for it, and no
+            # per-file schema inference/merge pass runs at plan time
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(json.loads(schema_json))
+            data_fields = [f for f in st.fields if f.name not in pcols]
+            reader = reader.schema(StructType(data_fields))
         df = reader.load([str(self.root / f) for f in rel_files])
         for c in pcols:
             raw = F.regexp_extract(
@@ -293,12 +354,46 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         m = self.manifest(version)
-        fs = m["files"]
-        if not fs:
+        if not m["files"]:
             raise FileNotFoundError(
                 f"table {self.name} has no committed data at "
                 f"version {version if version is not None else self.current_version()}"
             )
+        fs = self.resolve_files(
+            version=version, key_range=key_range, partition_filter=partition_filter
+        )
+        if not fs:
+            # everything pruned: empty frame with the table's schema
+            return self._load_files(m["files"][:1], m).filter(F.lit(False))
+        df = self._load_files(fs, m)
+        if partition_filter:
+            for col, want in partition_filter.items():
+                vals = [
+                    str(w)
+                    for w in (
+                        want
+                        if isinstance(want, (list, tuple, set))
+                        else [want]
+                    )
+                ]
+                df = df.filter(F.col(col).cast("string").isin(vals))
+        if key_range is not None:
+            col, lo, hi = key_range
+            df = df.filter(F.col(col).between(lo, hi))
+        return df
+
+    def resolve_files(
+        self,
+        version: int | None = None,
+        key_range: tuple[str, object, object] | None = None,
+        partition_filter: dict[str, object] | None = None,
+    ) -> list[str]:
+        """The root-relative files a read with these predicates opens —
+        manifest-level pruning made observable (partition values first,
+        then per-file min/max stats), so tests and operators can assert
+        skipping instead of trusting it."""
+        m = self.manifest(version)
+        fs = m["files"]
         if partition_filter:
             parts = m.get("partitions", {})
             for col, want in partition_filter.items():
@@ -326,25 +421,7 @@ class TxnTable:
                 or rng[0] is None
                 or (rng[0] <= hi and lo <= rng[1])
             ]
-        if not fs:
-            # everything pruned: empty frame with the table's schema
-            return self._load_files(m["files"][:1], m).filter(F.lit(False))
-        df = self._load_files(fs, m)
-        if partition_filter:
-            for col, want in partition_filter.items():
-                vals = [
-                    str(w)
-                    for w in (
-                        want
-                        if isinstance(want, (list, tuple, set))
-                        else [want]
-                    )
-                ]
-                df = df.filter(F.col(col).cast("string").isin(vals))
-        if key_range is not None:
-            col, lo, hi = key_range
-            df = df.filter(F.col(col).between(lo, hi))
-        return df
+        return fs
 
     def read_changes(
         self, from_version: int, to_version: int | None = None
@@ -383,7 +460,11 @@ class TxnTable:
                 .withColumn("_commit_version", F.lit(0))
                 .filter(F.lit(False))
             )
-        return reduce(lambda a, b: a.unionByName(b), frames)
+        # allowMissingColumns: the feed may span a schema-evolution
+        # commit; pre-evolution versions null-fill the added columns
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
 
     # -- write path ---------------------------------------------------------
 
@@ -483,6 +564,7 @@ class TxnTable:
         stats: dict[str, dict] | None = None,
         partitions: dict[str, dict] | None = None,
         partition_types: dict[str, str] | None = None,
+        schema: str | None = None,
         epoch: int | None = None,
     ) -> int:
         """Atomically publish version ``base_version + 1``.
@@ -514,6 +596,8 @@ class TxnTable:
             "partition_types": partition_types
             or self._state(base_version).get("partition_types", {}),
         }
+        if schema is not None:
+            record["schema"] = schema
         if epoch is not None:
             record["epoch"] = epoch
         tmp = self._manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
@@ -544,10 +628,15 @@ class TxnTable:
         os.replace(tmp, path)
 
     def append(self, df: DataFrame) -> int:
-        """ACID append; returns the new version."""
+        """ACID append; returns the new version. Schema evolution:
+        new columns merge into the table schema (metadata-only — no
+        existing file is rewritten; old files read the column as NULL),
+        type changes raise :class:`SchemaEvolutionError` BEFORE any
+        data is written."""
         base = self.current_version()
-        files, rows, stats, parts, ptypes = self._write_data(df)
         prev = self._state(base)
+        schema = self._merge_schema(prev, df)  # validates before writing
+        files, rows, stats, parts, ptypes = self._write_data(df)
         return self._commit(
             base,
             op="append",
@@ -557,11 +646,14 @@ class TxnTable:
             stats=stats,
             partitions=parts,
             partition_types=ptypes,
+            schema=schema,
         )
 
     def overwrite(self, df: DataFrame) -> int:
         """ACID full replace; returns the new version. Old files stay
-        on disk for time travel until :meth:`vacuum`."""
+        on disk for time travel until :meth:`vacuum`. The table schema
+        is REPLACED by the incoming frame's — overwrite is the explicit
+        migration path for type changes that :meth:`append` rejects."""
         base = self.current_version()
         files, rows, stats, parts, ptypes = self._write_data(df)
         prev = self._state(base)
@@ -574,6 +666,7 @@ class TxnTable:
             stats=stats,
             partitions=parts,
             partition_types=ptypes,
+            schema=df.schema.json(),
         )
 
     def merge(
@@ -595,6 +688,7 @@ class TxnTable:
         if base == 0:
             return self.append(updates)
         prev = self._state(base)
+        schema = self._merge_schema(prev, updates)
         stats = prev["stats"]
         k = key_cols[0]
         touched, carried = list(prev["files"]), []
@@ -625,7 +719,13 @@ class TxnTable:
             kept = existing.join(
                 updates.select(*key_cols).distinct(), key_cols, "left_anti"
             )
-            merged = kept.select(*updates.columns).unionByName(updates)
+            # allowMissingColumns: an updates frame carrying a NEW
+            # column (schema evolution, validated above) null-fills it
+            # on the kept side; a column the updates lack null-fills on
+            # the updates side
+            merged = kept.select(
+                *[c for c in updates.columns if c in kept.columns]
+            ).unionByName(updates, allowMissingColumns=True)
             new_files, new_rows, new_stats, new_parts, ptypes = (
                 self._write_data(merged)
             )
@@ -639,6 +739,7 @@ class TxnTable:
             stats=new_stats,
             partitions=new_parts,
             partition_types=ptypes,
+            schema=schema,
         )
 
     def delete_where(self, condition) -> int:
@@ -705,6 +806,7 @@ class TxnTable:
             )
         base = self.current_version()
         prev = self._state(base)
+        schema = self._merge_schema(prev, replacement)
         combos = {
             tuple(str(r[c]) for c in pcols)
             for r in replacement.select(*pcols).distinct().collect()
@@ -728,13 +830,28 @@ class TxnTable:
             stats=new_stats,
             partitions=new_parts,
             partition_types=ptypes,
+            schema=schema,
         )
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(self, target_files: int = 1, sort_by: str | None = None) -> int:
         """Rewrite the snapshot into ``target_files`` files — the
-        OPTIMIZE analog, transactional like every other commit."""
+        OPTIMIZE analog, transactional like every other commit.
+
+        ``sort_by``: cluster the rewrite by a key (OPTIMIZE ... ZORDER's
+        single-key form): ``repartitionByRange`` gives each output file
+        a DISJOINT key range, so the recorded min/max stats become
+        non-overlapping and a :meth:`read` ``key_range`` point lookup
+        prunes to ~one file. Ingestion order usually interleaves keys —
+        every file's range spans everything and stats prune nothing;
+        clustered compaction is what turns the stats layer into real
+        data skipping (tests pin the before/after pruned-file counts)."""
         base = self.current_version()
-        df = self.read(base).coalesce(target_files)
+        df = self.read(base)
+        if sort_by is not None:
+            df = df.repartitionByRange(target_files, sort_by)
+            df = df.sortWithinPartitions(sort_by)
+        else:
+            df = df.coalesce(target_files)
         files, rows, stats, parts, ptypes = self._write_data(df)
         prev = self._state(base)
         return self._commit(
@@ -761,6 +878,7 @@ class TxnTable:
         last = prev["epoch"]
         if last is not None and epoch_id <= last:
             return False
+        schema = self._merge_schema(prev, batch_df)
         files, rows, stats, parts, ptypes = self._write_data(batch_df)
         self._commit(
             base,
@@ -771,6 +889,7 @@ class TxnTable:
             stats=stats,
             partitions=parts,
             partition_types=ptypes,
+            schema=schema,
             epoch=epoch_id,
         )
         return True

@@ -398,3 +398,97 @@ def test_vacuum_drops_unreferenced_keeps_live(table, spark):
     assert _snapshot(table) == {(3, "c")}
     with pytest.raises(FileNotFoundError):
         table.manifest(version=1)
+
+
+# -- schema evolution --------------------------------------------------------
+
+
+def test_append_new_column_evolves_schema_metadata_only(table, spark):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    files_before = set(table.manifest()["files"])
+    table.append(
+        spark.createDataFrame([(3, "c", 0.5)], "k INT, v STRING, score DOUBLE")
+    )
+    # evolution rewrote nothing: v1's files carry into v2 untouched
+    assert files_before < set(table.manifest()["files"])
+    got = {(r["k"], r["v"], r["score"]) for r in table.read().collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 0.5)}
+    st = table.table_schema()
+    assert [f.name for f in st.fields] == ["k", "v", "score"]
+
+
+def test_append_missing_column_null_fills(table, spark):
+    table.append(
+        spark.createDataFrame([(1, "a", 0.5)], "k INT, v STRING, score DOUBLE")
+    )
+    table.append(_df(spark, [(2, "b")]))  # writes files without score
+    got = {(r["k"], r["score"]) for r in table.read().collect()}
+    assert got == {(1, 0.5), (2, None)}
+
+
+def test_append_type_change_rejected_before_write(table, spark):
+    from interop_datalake_spark.lake.txn import SchemaEvolutionError
+
+    table.append(_df(spark, [(1, "a")]))
+    v = table.current_version()
+    with pytest.raises(SchemaEvolutionError, match="type changes"):
+        table.append(spark.createDataFrame([(2, 7)], "k INT, v INT"))
+    # rejected BEFORE writing: no version advanced, no data dirs leaked
+    assert table.current_version() == v
+    assert _snapshot(table) == {(1, "a")}
+
+
+def test_overwrite_is_the_type_migration_path(table, spark):
+    table.append(_df(spark, [(1, "a")]))
+    table.overwrite(spark.createDataFrame([(1, 10)], "k INT, v INT"))
+    assert {(r["k"], r["v"]) for r in table.read().collect()} == {(1, 10)}
+    assert table.table_schema()["v"].dataType.simpleString() == "int"
+    # time travel still reads v1 with the OLD schema
+    assert {(r["k"], r["v"]) for r in table.read(version=1).collect()} == {
+        (1, "a")
+    }
+
+
+def test_merge_with_new_column_null_fills_kept_rows(table, spark):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    table.merge(
+        spark.createDataFrame(
+            [(2, "B", 9)], "k INT, v STRING, rank INT"
+        ),
+        key_cols=["k"],
+    )
+    got = {(r["k"], r["v"], r["rank"]) for r in table.read().collect()}
+    assert got == {(1, "a", None), (2, "B", 9)}
+
+
+def test_change_feed_spans_schema_evolution(table, spark):
+    table.append(_df(spark, [(1, "a")]))
+    table.append(
+        spark.createDataFrame([(2, "b", 1.5)], "k INT, v STRING, score DOUBLE")
+    )
+    rows = {
+        (r["k"], r["score"], r["_commit_version"])
+        for r in table.read_changes(0).collect()
+    }
+    assert rows == {(1, None, 1), (2, 1.5, 2)}
+
+
+def test_clustered_compact_enables_data_skipping(session, spark):
+    t = TxnTable(session, "clustered", stats_cols=["k"])
+    # three appends with INTERLEAVED keys: every file's [min,max] spans
+    # nearly the whole domain, so stats-based pruning cannot drop any
+    for off in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(i, "x") for i in range(off, 300, 3)], "k INT, v STRING"
+            ).coalesce(1)
+        )
+    assert len(t.resolve_files(key_range=("k", 10, 15))) == 3
+    t.compact(target_files=3, sort_by="k")
+    # range-clustered rewrite: disjoint per-file ranges, point range
+    # resolves to a single file, same rows come back
+    after = t.resolve_files(key_range=("k", 10, 15))
+    assert len(t.manifest()["files"]) == 3
+    assert len(after) == 1
+    assert t.read(key_range=("k", 10, 15)).count() == 6
+    assert t.read().count() == 300
