@@ -474,7 +474,7 @@ class TxnTable:
         return self._state(self.current_version()).get("partition_cols", [])
 
     def _write_data(
-        self, df: DataFrame
+        self, df: DataFrame, layout_partition_by: list[str] | None = None
     ) -> tuple[list[str], int, dict[str, dict], dict[str, dict], dict[str, str]]:
         """Distributed write into a fresh per-commit subdir; returns
         (root-relative file paths, row count, per-file stats, per-file
@@ -495,8 +495,15 @@ class TxnTable:
         commit_dir = f"data/{uuid.uuid4().hex}"
         out = self.root / commit_dir
         writer = df.write.mode("overwrite").format(self.session.format)
-        if pcols:
-            writer = writer.partitionBy(*pcols)
+        layout = list(pcols) + [
+            c for c in (layout_partition_by or []) if c not in pcols
+        ]
+        if layout:
+            # layout_partition_by groups rows into per-value files
+            # EXACTLY (the writer splits by value — no range-sampling
+            # approximation) without becoming a table partition column;
+            # the clustered-compact path uses it for chunk-exact files
+            writer = writer.partitionBy(*layout)
         writer.save(str(out))
         rel_files = sorted(
             str(p.relative_to(self.root))
@@ -512,7 +519,8 @@ class TxnTable:
                 for seg in Path(rel).parts[2:-1]:
                     if "=" in seg:
                         k, _, raw = seg.partition("=")
-                        vals[k] = unquote(raw)
+                        if k in pcols:  # layout-only dirs are not table partitions
+                            vals[k] = unquote(raw)
                 partitions[rel] = vals
         back = self.spark.read.format(self.session.format).load(str(out))
         stat_cols = [c for c in self.stats_cols if c in back.columns]
@@ -670,7 +678,11 @@ class TxnTable:
         )
 
     def merge(
-        self, updates: DataFrame, key_cols: list[str], prune: bool = True
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        prune: bool = True,
+        _epoch: int | None = None,
     ) -> int:
         """ACID upsert: update rows matching ``key_cols``, insert the
         rest — atomic across every file in ONE commit (the property
@@ -685,10 +697,22 @@ class TxnTable:
         atomic record. Files without recorded stats are conservatively
         rewritten; ``prune=False`` forces the full rewrite."""
         base = self.current_version()
-        if base == 0:
-            return self.append(updates)
         prev = self._state(base)
         schema = self._merge_schema(prev, updates)
+        if base == 0:
+            files, rows, nstats, parts, ptypes = self._write_data(updates)
+            return self._commit(
+                base,
+                op="merge",
+                added=files,
+                removed=[],
+                rows_total=rows,
+                stats=nstats,
+                partitions=parts,
+                partition_types=ptypes,
+                schema=schema,
+                epoch=_epoch,
+            )
         stats = prev["stats"]
         k = key_cols[0]
         touched, carried = list(prev["files"]), []
@@ -740,6 +764,7 @@ class TxnTable:
             partitions=new_parts,
             partition_types=ptypes,
             schema=schema,
+            epoch=_epoch,
         )
 
     def delete_where(self, condition) -> int:
@@ -833,7 +858,12 @@ class TxnTable:
             schema=schema,
         )
 
-    def compact(self, target_files: int = 1, sort_by: str | None = None) -> int:
+    def compact(
+        self,
+        target_files: int = 1,
+        sort_by: str | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the snapshot into ``target_files`` files — the
         OPTIMIZE analog, transactional like every other commit.
 
@@ -844,15 +874,82 @@ class TxnTable:
         prunes to ~one file. Ingestion order usually interleaves keys —
         every file's range spans everything and stats prune nothing;
         clustered compaction is what turns the stats layer into real
-        data skipping (tests pin the before/after pruned-file counts)."""
+        data skipping (tests pin the before/after pruned-file counts).
+
+        ``zorder_by``: multi-column clustering on the Z-order
+        (Morton) curve — single-key sort makes ONE column's stats
+        tight and leaves the others spanning everything; bit-
+        interleaving each column's ``width_bucket`` rank spreads
+        locality across ALL listed columns, so range reads on any of
+        them prune (Delta's OPTIMIZE ZORDER BY). Cost at scale: one
+        min/max agg (a single collected row) + the same range shuffle
+        a plain sort needs. Numeric columns only."""
+        from pyspark.sql import functions as F
+
         base = self.current_version()
         df = self.read(base)
-        if sort_by is not None:
+        layout_by = None
+        if zorder_by is not None:
+            bits = 12  # 4096 buckets/column: plenty vs realistic file counts
+            mm = df.agg(
+                *[
+                    a
+                    for c in zorder_by
+                    for a in (
+                        F.min(c).alias(f"_lo_{c}"),
+                        F.max(c).alias(f"_hi_{c}"),
+                    )
+                ]
+            ).collect()[0]  # one row — bounded driver action
+            morton = F.lit(0).cast("long")
+            k = len(zorder_by)
+            for ci, c in enumerate(zorder_by):
+                lo = float(mm[f"_lo_{c}"])
+                hi = float(mm[f"_hi_{c}"])
+                bucket = (
+                    F.width_bucket(
+                        F.col(c).cast("double"),
+                        F.lit(lo),
+                        F.lit(hi + 1e-9),
+                        F.lit(1 << bits),
+                    )
+                    - 1
+                ).cast("long")
+                for b in range(bits):
+                    # bit b of column ci lands at interleaved position
+                    # b*k + ci — the Morton spread
+                    morton = morton + F.shiftleft(
+                        F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                        b * k + ci,
+                    )
+            # chunk the curve by VALUE, not by sampled count quantiles:
+            # RangePartitioner's sampled boundaries sit near but not ON
+            # z-chunk edges (with exactly-equal chunk counts its bound
+            # selection even merges adjacent values), and a few leaked
+            # rows blow a neighbor file's min/max wide open. So the
+            # chunk id becomes a WRITER layout partition: the writer
+            # splits files by value — exact, no sampling — and each
+            # chunk is one hash-shuffle task, one file. Tradeoff: a
+            # skewed chunk makes one big file, not two leaky ones —
+            # right for data skipping.
+            zspace = 1 << (bits * k)
+            chunk = F.floor(morton * target_files / F.lit(zspace)).cast("int")
+            df = (
+                df.withColumn("_z", morton)
+                .withColumn("_zc", chunk)
+                .repartition(target_files, "_zc")
+                .sortWithinPartitions("_zc", "_z")
+                .drop("_z")
+            )
+            layout_by = ["_zc"]
+        elif sort_by is not None:
             df = df.repartitionByRange(target_files, sort_by)
             df = df.sortWithinPartitions(sort_by)
         else:
             df = df.coalesce(target_files)
-        files, rows, stats, parts, ptypes = self._write_data(df)
+        files, rows, stats, parts, ptypes = self._write_data(
+            df, layout_partition_by=layout_by
+        )
         prev = self._state(base)
         return self._commit(
             base,
@@ -903,7 +1000,62 @@ class TxnTable:
 
         return _write
 
+    def merge_epoch(
+        self, batch_df: DataFrame, epoch_id: int, key_cols: list[str]
+    ) -> bool:
+        """Idempotent epoch UPSERT — streaming MERGE with the same
+        exactly-once contract as :meth:`append_epoch`: the applied
+        epoch rides the same atomic commit as the merge itself, so a
+        foreachBatch replay after a crash is a no-op instead of a
+        double-apply (which for an upsert would silently re-win
+        old values over concurrent later merges). This is the Delta
+        ``foreachBatch + MERGE`` streaming-CDC idiom; file pruning
+        applies as in :meth:`merge`, so a keyed micro-batch rewrites
+        only intersecting files. Returns True if applied."""
+        base = self.current_version()
+        last = self._state(base)["epoch"]
+        if last is not None and epoch_id <= last:
+            return False
+        self.merge(batch_df, key_cols, _epoch=epoch_id)
+        return True
+
+    def foreach_batch_merge_writer(self, key_cols: list[str]):
+        """``writeStream.foreachBatch(t.foreach_batch_merge_writer(
+        ["k"]))`` — a transactional, exactly-once streaming UPSERT
+        sink (latest state per key, not an append log)."""
+
+        def _write(batch_df: DataFrame, epoch_id: int) -> None:
+            self.merge_epoch(batch_df, epoch_id, key_cols)
+
+        return _write
+
     # -- maintenance --------------------------------------------------------
+
+    def history(self) -> list[dict]:
+        """Commit history oldest→newest from the retained log — the
+        DESCRIBE HISTORY analog: one dict per commit record still on
+        disk (vacuum-truncated versions are gone by design) with
+        version, op, files added/removed, resulting row count, and the
+        epoch if the commit came from a streaming sink. Reads only the
+        log — never data files."""
+        out = []
+        if not self._manifest_dir.exists():
+            return out
+        for v in sorted(
+            int(p.stem[1:]) for p in self._manifest_dir.glob("v*.json")
+        ):
+            rec = self.commit_record(v)
+            out.append(
+                {
+                    "version": v,
+                    "op": rec.get("op"),
+                    "n_added": len(rec.get("added", [])),
+                    "n_removed": len(rec.get("removed", [])),
+                    "rows_total": rec.get("rows_total"),
+                    "epoch": rec.get("epoch"),
+                }
+            )
+        return out
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data subdirs unreferenced by the newest

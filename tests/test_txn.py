@@ -492,3 +492,60 @@ def test_clustered_compact_enables_data_skipping(session, spark):
     assert len(after) == 1
     assert t.read(key_range=("k", 10, 15)).count() == 6
     assert t.read().count() == 300
+
+
+def test_merge_epoch_exactly_once_upsert(session, spark):
+    t = TxnTable(session, "stream_upsert")
+    w = t.foreach_batch_merge_writer(["k"])
+    w(_df(spark, [(1, "a"), (2, "b")]), 0)  # epoch 0: initial insert
+    w(_df(spark, [(2, "B"), (3, "c")]), 1)  # epoch 1: upsert
+    # crash-replay of epoch 1 with (deliberately) different content:
+    # must be a no-op, not a double-apply
+    w(_df(spark, [(2, "OLD")]), 1)
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    }
+    assert t.manifest()["epoch"] == 1
+    # a NEW epoch applies on top
+    w(_df(spark, [(3, "C")]), 2)
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "C"),
+    }
+
+
+def test_history_records_every_op(table, spark):
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    table.merge(_df(spark, [(2, "B"), (3, "c")]), key_cols=["k"])
+    table.delete_where(F.col("k") == 1)
+    table.compact()
+    h = table.history()
+    assert [x["op"] for x in h] == ["append", "merge", "delete", "compact"]
+    assert [x["version"] for x in h] == [1, 2, 3, 4]
+    assert h[-1]["rows_total"] == 2
+    assert all(x["epoch"] is None for x in h)
+
+
+def test_zorder_compact_prunes_on_both_dims(session, spark):
+    t = TxnTable(session, "zorder", stats_cols=["x", "y"])
+    # ingestion clustered by x only: 4 files = x quartiles, each
+    # spanning the full y domain
+    for q in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(x, y) for x in range(q * 16, q * 16 + 16) for y in range(64)],
+                "x INT, y INT",
+            ).coalesce(1)
+        )
+    assert len(t.resolve_files(key_range=("x", 0, 15))) == 1
+    assert len(t.resolve_files(key_range=("y", 0, 15))) == 4  # no y locality
+    t.compact(target_files=4, zorder_by=["x", "y"])
+    # z-curve quadrants: BOTH dims now prune (≤ half the files each)
+    assert len(t.manifest()["files"]) == 4
+    assert len(t.resolve_files(key_range=("x", 0, 15))) <= 2
+    assert len(t.resolve_files(key_range=("y", 0, 15))) <= 2
+    assert t.read(key_range=("y", 0, 15)).count() == 64 * 16
+    assert t.read().count() == 64 * 64
