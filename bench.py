@@ -51,6 +51,9 @@ HEADLINE = [
     "corpus_decontaminate",
     "doc_chunk_windows",
     "corpus_pack_sequences_sharded",
+    "corpus_filter_gopher",
+    "dedup_incremental",
+    "corpus_curate_pipeline",
 ]
 # not in HEADLINE by design: lake_txn_acid is a 6-commit ACID
 # integration scenario (write-job bound, not query throughput);

@@ -508,6 +508,295 @@ ORDER BY id_a, id_b
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the storage
+    path for a 100 TB embedding lake (4× smaller than float32, and the
+    shape ANN rerankers consume). Per-vector max-abs scale;
+    ``floor(x*127/scale + 0.5)`` instead of ``round`` because
+    half-rounding semantics differ across engines and this pins one.
+    Emits the quantized summary + the max absolute reconstruction
+    error, which is bounded by scale/254 per component — the test the
+    storage path must pass before it replaces the float column. Pure
+    array algebra over doubles: a projection, no shuffle, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs))
+    q = F.transform(x, lambda v: F.floor(v * 127 / scale + 0.5).cast("long"))
+    recon = F.zip_with(
+        x, q, lambda v, qq: F.abs(v - qq * scale / 127)
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.round(F.array_max(recon), 9).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_QUANTIZE_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> v::DOUBLE) AS x,
+         list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS scale
+  FROM embeddings
+), qq AS (
+  SELECT vec_id, x, scale,
+         list_transform(x, v -> floor(v * 127 / scale + 0.5)::BIGINT) AS qv
+  FROM q
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       list_sum(qv)::BIGINT AS q_sum,
+       list_min(qv) AS q_min, list_max(qv) AS q_max,
+       round(list_max(list_transform(list_zip(x, qv),
+             p -> abs(p[1] - p[2] * scale / 127))), 9) AS max_abs_err
+FROM qq ORDER BY vec_id
+"""
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: the daily-ingest shape of MinHash-LSH.
+    The corpus (doc_id < 450) already has banded signatures in a
+    signature store; only the NEW batch (doc_id >= 450) is shingled
+    and signed, its bands equi-join the stored bands, and verification
+    touches candidate pairs only. corpus x corpus pairs are never
+    recomputed — the work per day is O(new batch), not O(corpus).
+    Both new-vs-corpus and new-vs-new pairs emerge (a pair is kept iff
+    at least one side is new). Here the store is materialized inline
+    from the same pipeline stages (`lsh_bands` over the corpus split)
+    so the oracle can replay it; in production it is a TxnTable the
+    previous run appended to."""
+    from interop_datalake_spark.llm.dedup import (
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = 450
+    sh_all = shingles(docs, "text", "doc_id", k=5)
+    bands_all = lsh_bands(
+        minhash_signatures(sh_all, "doc_id", 16), "doc_id", 4
+    )
+    bands_new = bands_all.filter(F.col("doc_id") >= cutoff)
+    cand = (
+        bands_all.select(
+            "band", "band_key", F.col("doc_id").alias("_ida")
+        )
+        .join(
+            bands_new.select(
+                "band", "band_key", F.col("doc_id").alias("_idb")
+            ),
+            ["band", "band_key"],
+        )
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .distinct()
+    )
+    pairs = jaccard_pairs(
+        shingles(docs, "text", "doc_id", k=5, distinct=True),
+        "doc_id",
+        threshold=0.8,
+        candidates=cand,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+# the full-pipeline oracle with corpus×corpus candidates excluded
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM tok
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0 FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_MINS_SQL}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id <> b.doc_id AND b.doc_id >= 450
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: the composition a real pretraining corpus
+    goes through, staged so every document's fate is auditable —
+    ``stage`` ∈ {drop_quality, drop_exact, drop_neardup, keep}:
+
+    1. Gopher quality gate (word count / stopwords / repetition — the
+       discriminating subset of ``corpus_filter_gopher``),
+    2. exact dedup by content hash on the survivors (min doc_id kept;
+       exact copies are planted on doc_id%10==0 as in ``dedup_exact``
+       so the stage provably fires),
+    3. MinHash-LSH near-dup pairs over the remaining docs → connected
+       components → only each cluster's min id survives.
+
+    Stages run on each other's SURVIVORS (quality-dropped docs never
+    pay shingling cost; exact dups never reach the LSH joins) — the
+    ordering that minimizes work at 100 TB, since each stage is
+    strictly cheaper upstream: projection → hash-groupBy → LSH.
+    The DuckDB oracle replays all three stages including the
+    transitive closure."""
+    from interop_datalake_spark.functions import text as T
+    from interop_datalake_spark.llm.dedup import duplicate_clusters
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.union(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    n_words = T.token_count_ws("text")
+    dsw = T.distinct_stopword_count("text", "en")
+    dupf = F.coalesce(T.dup_word_frac("text"), F.lit(0.0))
+    q_keep = (n_words >= 25) & (dsw >= 2) & (dupf <= 0.6)
+    staged = docs.withColumn("q_keep", q_keep)
+
+    quality = staged.filter("q_keep")
+    w = Window.partitionBy(F.md5("text"))
+    exact = quality.withColumn("keeper", F.min("doc_id").over(w))
+    surv = exact.filter(F.col("doc_id") == F.col("keeper")).select(
+        "doc_id", "text"
+    )
+
+    pairs = minhash_lsh_dedup(
+        surv, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4, threshold=0.8
+    )
+    labels = duplicate_clusters(
+        pairs, all_ids=surv.select("doc_id"), id_col="doc_id"
+    )
+
+    out = (
+        staged.join(
+            exact.select("doc_id", "keeper"), "doc_id", "left"
+        )
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("q_keep"), F.lit("drop_quality"))
+            .when(F.col("doc_id") != F.col("keeper"), F.lit("drop_exact"))
+            .when(
+                F.col("doc_id") != F.col("cluster_id"), F.lit("drop_neardup")
+            )
+            .otherwise(F.lit("keep"))
+            .alias("stage"),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+CORPUS_CURATE_ORACLE = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+), m AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+  FROM docs
+), staged AS (
+  SELECT doc_id, text,
+         (len(ws) >= 25
+          AND len(list_distinct(list_filter(list_transform(ws, w -> lower(w)),
+              w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w)))) >= 2
+          AND coalesce(1.0 - len(list_distinct(ws))::DOUBLE / nullif(len(ws), 0), 0.0) <= 0.6
+         ) AS q_keep
+  FROM m
+), exact AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM staged WHERE q_keep
+), surv AS (
+  SELECT doc_id, text FROM exact WHERE doc_id = keeper
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM surv
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM tok
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0 FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_MINS_SQL}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, peer) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+), labels AS (
+  SELECT s.doc_id,
+         least(s.doc_id, coalesce(min(r.peer), s.doc_id)) AS cluster_id
+  FROM surv s LEFT JOIN reach r ON r.src = s.doc_id
+  GROUP BY s.doc_id
+)
+SELECT st.doc_id,
+       CASE WHEN NOT st.q_keep THEN 'drop_quality'
+            WHEN st.doc_id <> e.keeper THEN 'drop_exact'
+            WHEN st.doc_id <> l.cluster_id THEN 'drop_neardup'
+            ELSE 'keep' END AS stage
+FROM staged st
+LEFT JOIN exact e ON e.doc_id = st.doc_id
+LEFT JOIN labels l ON l.doc_id = st.doc_id
+ORDER BY st.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ann_ivf_topk": ann_ivf_topk,
@@ -515,7 +804,10 @@ QUERIES = {
     "dedup_embedding_blocked": dedup_embedding_blocked,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_cluster": dedup_cluster,
+    "corpus_curate_pipeline": corpus_curate_pipeline,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_minhash_ml": dedup_minhash_ml,
     "dedup_simhash": dedup_simhash,
@@ -532,7 +824,10 @@ ORACLES = {
     "dedup_embedding_blocked": DEDUP_EMBEDDING_ORACLE,  # exact ≡ ground truth
     "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "dedup_cluster": DEDUP_CLUSTER_ORACLE,
+    "corpus_curate_pipeline": CORPUS_CURATE_ORACLE,
+    "embedding_quantize_int8": EMBEDDING_QUANTIZE_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_minhash_ml": DEDUP_JACCARD_ORACLE,  # verified set ≡ ground truth
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,

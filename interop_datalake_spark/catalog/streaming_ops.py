@@ -172,12 +172,53 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, batch twin: every
+    purchase, with the count of same-user errors in the following two
+    hours — zero for purchases with no such error (the rows an inner
+    join drops; under readStream they emit once the watermark passes
+    the join window, state stays O(rate × window)). The true-stream
+    run of the same operator is pinned in tests/test_streaming.py."""
+    from interop_datalake_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("eid"),
+        F.col("ts").alias("ets"),
+    )
+    j = stream_stream_interval_join(
+        purchases, errors, "user_id", "pts", "ets", 7200, how="left_outer"
+    )
+    return (
+        j.groupBy("user_id", "pid")
+        .agg(F.count("eid").alias("n_err"))
+        .orderBy("user_id", "pid")
+    )
+
+
+STREAM_JOIN_OUTER_ORACLE = """
+SELECT p.user_id, p.event_id AS pid, count(e.event_id) AS n_err
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 7200 SECOND
+GROUP BY 1, 2 ORDER BY p.user_id, pid
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup,
     "stream_enrich_join": stream_enrich_join,
+    "stream_join_outer": stream_join_outer,
 }
 
 ORACLES = {
@@ -186,4 +227,5 @@ ORACLES = {
     "stream_session_window": STREAM_SESSION_ORACLE,
     "stream_dedup": STREAM_DEDUP_ORACLE,
     "stream_enrich_join": STREAM_ENRICH_ORACLE,
+    "stream_join_outer": STREAM_JOIN_OUTER_ORACLE,
 }

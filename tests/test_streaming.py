@@ -133,3 +133,48 @@ def test_streaming_dedup_bounded_state(spark, event_stream_dir):
     assert got.count() == expected
     # each key appears exactly once
     assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, event_stream_dir):
+    """Left-outer interval join under a real stream: inner matches are
+    all present and identical to batch; unmatched-left rows emit with
+    NULL right ids once the watermark passes their join window (the
+    final micro-batch's watermark cannot clear the tail of the data,
+    so the streamed outer set sits between the batch inner and batch
+    outer sets — both bounds asserted)."""
+    from interop_datalake_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    batch_src = spark.read.parquet(event_stream_dir)
+    stream_src = spark.readStream.schema(batch_src.schema).parquet(event_stream_dir)
+
+    def q(src, how):
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+        )
+        errors = src.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("eid"),
+            F.col("ts").alias("ets"),
+        )
+        return stream_stream_interval_join(
+            purchases, errors, "user_id", "pts", "ets", 7200,
+            watermark="4 hours", how=how,
+        ).select("user_id", "pid", "eid")
+
+    h = (
+        q(stream_src, "left_outer")
+        .writeStream.format("memory")
+        .queryName("t_ssoj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    h.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("t_ssoj").collect()}
+    inner = {tuple(r) for r in q(batch_src, "inner").collect()}
+    outer = {tuple(r) for r in q(batch_src, "left_outer").collect()}
+    assert inner <= got <= outer
+    unmatched = {t for t in got if t[2] is None}
+    assert unmatched, "no outer rows emitted — watermark never released state"
