@@ -682,13 +682,23 @@ def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsw = T.distinct_stopword_count("text", "en")
     dupf = F.coalesce(T.dup_word_frac("text"), F.lit(0.0))
     q_keep = (n_words >= 25) & (dsw >= 2) & (dupf <= 0.6)
-    staged = docs.withColumn("q_keep", q_keep)
+    # materialize each stage's survivor set ONCE: staged feeds the
+    # exact-dedup window AND the final audit join; surv feeds both
+    # shingling passes (signatures + verification), the cluster id
+    # universe and the audit join. Without the checkpoints every one
+    # of those branches re-evaluates the expression-heavy quality
+    # gate from the parquet scan — at 100 TB this is the difference
+    # between one corpus pass per stage and five (production would
+    # stage survivors to a TxnTable; the lineage cut is the same)
+    staged = docs.withColumn("q_keep", q_keep).localCheckpoint()
 
     quality = staged.filter("q_keep")
     w = Window.partitionBy(F.md5("text"))
     exact = quality.withColumn("keeper", F.min("doc_id").over(w))
-    surv = exact.filter(F.col("doc_id") == F.col("keeper")).select(
-        "doc_id", "text"
+    surv = (
+        exact.filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+        .localCheckpoint()
     )
 
     pairs = minhash_lsh_dedup(

@@ -434,9 +434,17 @@ def duplicate_clusters(
     singleton clusters (``cluster_id = id``) by a cheap left anti join
     — they never enter the iteration.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        # materialize ONCE: the edge list is the output of the whole
+        # upstream pair pipeline (LSH joins, verification); without
+        # this every iteration's join re-executes that pipeline from
+        # the source — O(rounds × pipeline) instead of O(pipeline)
+        .localCheckpoint()
+    )
 
     labels = (
         edges.select(F.col("src").alias(id_col))
