@@ -32,14 +32,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Column pruning/pushdown stay enabled
     because this returns the raw scan, never a cached/collected copy.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as BIGINT nanos
-    and is converted here to a µs timestamp (floor division — the same
-    truncation DuckDB applies), so oracles agree to the microsecond.
+    ``events.ts`` normalization: depending on how the driver wrote the
+    parquet it scans as BIGINT nanos (TIMESTAMP(NANOS) under
+    ``spark.sql.legacy.parquet.nanosAsLong``) or as TIMESTAMP_NTZ
+    (TIMESTAMP(MICROS), isAdjustedToUTC=false). Both normalize to a µs
+    TIMESTAMP_LTZ here — the session timezone is pinned UTC, so the NTZ
+    cast is value-preserving and every downstream operator (including
+    LTZ-only functions like ``unix_micros``) sees one stable type.
+    DuckDB's naive µs TIMESTAMP agrees with either, so oracles match to
+    the microsecond.
     """
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
