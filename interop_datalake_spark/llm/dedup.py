@@ -491,3 +491,119 @@ def duplicate_clusters(
         )
         labels = labels.unionByName(singletons)
     return labels
+
+
+# ---- span-level (substring) deduplication --------------------------------
+
+
+def span_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Positional word-k-grams: (id, pos, gram_hash) — one row per gram
+    OCCURRENCE (positions matter, unlike :func:`shingles`). ``pos`` is
+    the 1-based word index where the gram starts; the gram covers words
+    [pos, pos+k-1]. Hash is the portable md5-32bit (one md5 per gram);
+    at production scale swap xxhash64 — identical algebra."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words) - (k - 1)
+    arr = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(arr).alias("_p", "_g")
+    ).select(
+        F.col(id_col),
+        (F.col("_p") + 1).alias("pos"),
+        _hash64(F.col("_g")).alias("gram_hash"),
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Span-level dedup (the substring analog of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better"
+    suffix-array pass, re-expressed as shuffle-friendly algebra): find
+    word-k-grams occurring in ≥2 distinct documents, then measure how
+    much of each document those cross-document spans cover.
+
+    Returns one row per doc: (id, n_words, n_dup_grams, dup_tokens,
+    dup_fraction) where dup_tokens is the size of the UNION of the
+    duplicated [pos, pos+k-1] intervals — overlapping spans are merged
+    with a gaps-and-islands pass (running-max window per doc, island =
+    run of intervals whose starts don't clear the running max end).
+
+    Scale shape: the gram frame is ~|tokens| narrow rows; the dup-gram
+    filter is one groupBy on a 8-byte hash (map-side partial
+    countDistinct≤2 via a bounded HLL at production scale); the island
+    window partitions per document — no global sort anywhere. The
+    suffix-array formulation needs a global lexicographic sort of every
+    suffix; this needs two hash shuffles and a per-doc window."""
+    grams = span_positions(df, text_col, id_col, k)
+    dup_grams = (
+        grams.groupBy("gram_hash")
+        .agg(F.countDistinct(id_col).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= 2)
+        .select("gram_hash")
+    )
+    dup_pos = grams.join(dup_grams, "gram_hash").select(
+        id_col, "pos", (F.col("pos") + (k - 1)).alias("end")
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        dup_pos.withColumn("_prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev_end").isNull()
+                | (F.col("pos") > F.col("_prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w_run))
+    )
+    per_doc = (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("_s"),
+            F.max("end").alias("_e"),
+            F.count("*").alias("_n"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens"),
+            F.sum("_n").alias("n_dup_grams"),
+        )
+    )
+    # unfiltered split to stay consistent with the position space above
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_words")
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_words").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1,0 +1,94 @@
+"""Lexical retrieval over the corpus: BM25 scoring as pure DataFrame
+algebra (inverted-index shape, no UDFs).
+
+The pipeline is the textbook distributed inverted index:
+
+- **postings**: explode words → groupBy (doc, term) count = tf. The
+  only wide shuffle, keyed on (doc, term) — at 100 TB this is the
+  index-build pass every search engine pays once.
+- **document frequencies**: postings → groupBy term → countDistinct
+  doc. Output is vocabulary-sized (Heaps-law bounded — tiny next to
+  the corpus), so the df/idf table broadcasts.
+- **scoring**: the query is a literal handful of terms; semi-joining
+  postings against it broadcasts the query side, so scoring scans the
+  postings of the query terms only (partition-pruned if the index is
+  bucketed by term) and never the full corpus.
+
+Corpus-level scalars (N, avgdl) ride along as a broadcast single-row
+aggregate — never a driver-side collect.
+
+Scoring is Lucene-flavored BM25:
+``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+``tfn = tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))``, score = Σ idf·tfn.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) postings input: lowercased whitespace words."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    return df.select(
+        F.col(id_col), F.explode(words).alias("term")
+    ).withColumn("term", F.lower(F.col("term")))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document containing ≥1 query term.
+
+    Returns (id, n_hit_terms, score) — callers order/limit. All math
+    in DOUBLE so the DuckDB oracle replays it exactly.
+    """
+    postings = tokenize_words(docs, text_col, id_col)
+    tf = postings.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doclen = postings.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    # corpus scalars as a broadcast 1-row frame (no driver collect)
+    scalars = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+
+    q = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(t.lower(),) for t in query_terms], ["term"]
+        )
+    )
+    hits = (
+        tf.join(q, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf").cast("double") * (k1 + 1)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    return (
+        hits.withColumn("term_score", idf * tfn)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.sum("term_score").alias("score"),
+        )
+    )
