@@ -21,8 +21,12 @@ to its essentials, Spark-first:
   becomes visible, so a crash at ANY point leaves either no v{N}
   (commit never happened) or a whole one (commit happened) — there is
   no torn state and no lost update: of two racing writers exactly one
-  wins, the other gets :class:`CommitConflictError` and retries on
-  the new snapshot.
+  wins a given version number. The loser does NOT necessarily fail:
+  logically compatible commits (two blind appends; rewrites touching
+  disjoint partition sets) are **rebased** onto the new snapshot and
+  re-CAS the same data files — the Delta/Iceberg conflict-resolution
+  rule, so concurrent per-tenant publishes all succeed. Genuinely
+  overlapping rewrites still raise :class:`CommitConflictError`.
 - **the log is incremental**: each commit records only files
   added/removed vs its parent; a full-state **checkpoint**
   (``ckpt-v{N}.json``) is written every ``checkpoint_interval``
@@ -249,7 +253,7 @@ class TxnTable:
 
     # -- schema evolution ---------------------------------------------------
 
-    def _merge_schema(self, base_state: dict, df: DataFrame) -> str:
+    def _merge_schema(self, base_state: dict, df) -> str:
         """Merge an incoming write's schema into the table schema
         (Delta's mergeSchema-on by default): new columns append at the
         end; existing columns must keep their exact type (nullability
@@ -257,15 +261,20 @@ class TxnTable:
         merged schema as Spark schema JSON — the log's authoritative
         schema, which the read path applies so files written BEFORE a
         column existed read it as NULL (no file rewrite on evolution:
-        adding a column to a 100 TB table is a metadata-only commit)."""
+        adding a column to a 100 TB table is a metadata-only commit).
+
+        ``df`` may be a DataFrame or a bare StructType (the rebase path
+        revalidates against a moved snapshot without the original
+        frame)."""
         from pyspark.sql.types import StructType
 
+        incoming = df if isinstance(df, StructType) else df.schema
         old_json = base_state.get("schema")
         if old_json is None:
-            return df.schema.json()
+            return incoming.json()
         old_st = StructType.fromJson(json.loads(old_json))
         old_by_name = {f.name: f for f in old_st.fields}
-        for f in df.schema.fields:
+        for f in incoming.fields:
             prev = old_by_name.get(f.name)
             if prev is not None and (
                 prev.dataType.simpleString() != f.dataType.simpleString()
@@ -277,7 +286,7 @@ class TxnTable:
                     f"explicit overwrite migration"
                 )
         merged = list(old_st.fields) + [
-            f for f in df.schema.fields if f.name not in old_by_name
+            f for f in incoming.fields if f.name not in old_by_name
         ]
         return StructType(merged).json()
 
@@ -626,6 +635,140 @@ class TxnTable:
             self._write_checkpoint(new_version)
         return new_version
 
+    # -- rebase-on-conflict -------------------------------------------------
+
+    def _partition_tuples(
+        self, rel_files: list[str], partitions: dict[str, dict], pcols: list[str]
+    ) -> set[tuple]:
+        return {
+            tuple(partitions.get(f, {}).get(c) for c in pcols)
+            for f in rel_files
+        }
+
+    def _rebase_ok(
+        self,
+        op: str,
+        removed: list[str],
+        partitions_added: dict[str, dict],
+        base_version: int,
+        new_base: int,
+    ) -> bool:
+        """True iff a commit staged against ``base_version`` is
+        logically compatible with every commit in (base_version,
+        new_base] and may re-CAS onto the new snapshot WITHOUT
+        recomputing its data files (Delta/Iceberg conflict resolution):
+
+        - a blind **append** (no removed files) is compatible with any
+          intervening append/merge/delete/compact — it references no
+          existing file, so the new snapshot plus our files is exactly
+          the state both writers intended;
+        - a rewriting op (**merge/delete/overwrite_partitions**) is
+          compatible iff the table is partitioned and the partition
+          sets the two sides touched are disjoint (the reference's
+          layout — one publish batch per tenant,
+          ``DatalakePublishService.kt:68-73`` — makes concurrent
+          tenant publishes exactly this case), and every file we
+          planned to remove is still live in the new snapshot;
+        - a full **overwrite** on either side is never rebased: it
+          replaces the table (schema included), so any concurrent
+          intent is semantically void.
+        """
+        pcols = self._effective_partition_cols()
+        our_parts: set[tuple] | None = None
+        if removed or op in ("merge", "delete", "overwrite_partitions"):
+            if not pcols:
+                return False  # no partition metadata → cannot prove disjoint
+            base_parts = self._state(base_version)["partitions"]
+            our_parts = self._partition_tuples(
+                removed, base_parts, pcols
+            ) | self._partition_tuples(
+                list(partitions_added), partitions_added, pcols
+            )
+        for v in range(base_version + 1, new_base + 1):
+            rec = self.commit_record(v)
+            their_op = rec.get("op")
+            if their_op == "overwrite":
+                return False
+            if our_parts is None:
+                continue  # blind append: compatible with the rest
+            if their_op in ("compact",):
+                return False  # compaction rewrites every partition
+            their_parts = self._partition_tuples(
+                list(rec.get("partitions", {})), rec.get("partitions", {}), pcols
+            ) | self._partition_tuples(
+                rec.get("removed", []),
+                self._state(v - 1)["partitions"],
+                pcols,
+            )
+            if our_parts & their_parts:
+                return False
+        if removed:
+            live = set(self._state(new_base)["files"])
+            if not set(removed) <= live:
+                return False
+        return True
+
+    def _commit_retry(
+        self,
+        base_version: int,
+        *,
+        op: str,
+        added: list[str],
+        removed: list[str],
+        new_rows: int,
+        removed_rows: int,
+        stats: dict[str, dict] | None = None,
+        partitions: dict[str, dict] | None = None,
+        partition_types: dict[str, str] | None = None,
+        incoming_schema=None,
+        epoch: int | None = None,
+        max_attempts: int = 10,
+    ) -> int | None:
+        """CAS with rebase-on-logical-non-conflict: on
+        :class:`CommitConflictError`, re-read the moved snapshot, check
+        compatibility (:meth:`_rebase_ok`) and re-CAS the SAME data
+        files against the new base — the data job never reruns. Commits
+        that genuinely overlap still raise, exactly as before.
+
+        ``new_rows``/``removed_rows`` are the commit's row delta
+        (row-count bookkeeping is re-derived per attempt from the
+        current snapshot). Returns the committed version, or None when
+        an epoch commit finds its epoch already applied on the moved
+        snapshot (streaming replay: a no-op, not an error)."""
+        attempt_base = base_version
+        for _ in range(max_attempts):
+            prev = self._state(attempt_base)
+            if epoch is not None and prev["epoch"] is not None and epoch <= prev["epoch"]:
+                return None  # replayed epoch landed concurrently: no-op
+            schema = (
+                self._merge_schema(prev, incoming_schema)
+                if incoming_schema is not None
+                else None
+            )
+            try:
+                return self._commit(
+                    attempt_base,
+                    op=op,
+                    added=added,
+                    removed=removed,
+                    rows_total=prev["rows"] + new_rows - removed_rows,
+                    stats=stats,
+                    partitions=partitions,
+                    partition_types=partition_types,
+                    schema=schema,
+                    epoch=epoch,
+                )
+            except CommitConflictError:
+                new_base = self.current_version()
+                if not self._rebase_ok(
+                    op, removed, partitions or {}, attempt_base, new_base
+                ):
+                    raise
+                attempt_base = new_base
+        raise CommitConflictError(
+            f"table {self.name}: gave up after {max_attempts} rebase attempts"
+        )
+
     def _write_checkpoint(self, version: int) -> None:
         path = self._checkpoint_path(version)
         if path.exists():
@@ -642,19 +785,19 @@ class TxnTable:
         type changes raise :class:`SchemaEvolutionError` BEFORE any
         data is written."""
         base = self.current_version()
-        prev = self._state(base)
-        schema = self._merge_schema(prev, df)  # validates before writing
+        self._merge_schema(self._state(base), df)  # validate before writing
         files, rows, stats, parts, ptypes = self._write_data(df)
-        return self._commit(
+        return self._commit_retry(
             base,
             op="append",
             added=files,
             removed=[],
-            rows_total=prev["rows"] + rows,
+            new_rows=rows,
+            removed_rows=0,
             stats=stats,
             partitions=parts,
             partition_types=ptypes,
-            schema=schema,
+            incoming_schema=df.schema,
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -683,10 +826,12 @@ class TxnTable:
         key_cols: list[str],
         prune: bool = True,
         _epoch: int | None = None,
-    ) -> int:
+    ) -> int | None:
         """ACID upsert: update rows matching ``key_cols``, insert the
         rest — atomic across every file in ONE commit (the property
-        the Hive-layout merge cannot give).
+        the Hive-layout merge cannot give). Returns the new version
+        (None only for internal epoch merges whose epoch landed
+        concurrently — a streaming-replay no-op).
 
         File pruning: when the first merge key is a stats column, only
         files whose recorded [min,max] range intersects the updates'
@@ -698,21 +843,23 @@ class TxnTable:
         rewritten; ``prune=False`` forces the full rewrite."""
         base = self.current_version()
         prev = self._state(base)
-        schema = self._merge_schema(prev, updates)
+        self._merge_schema(prev, updates)  # validate before writing
         if base == 0:
             files, rows, nstats, parts, ptypes = self._write_data(updates)
-            return self._commit(
+            version = self._commit_retry(
                 base,
                 op="merge",
                 added=files,
                 removed=[],
-                rows_total=rows,
+                new_rows=rows,
+                removed_rows=0,
                 stats=nstats,
                 partitions=parts,
                 partition_types=ptypes,
-                schema=schema,
+                incoming_schema=updates.schema,
                 epoch=_epoch,
             )
+            return version
         stats = prev["stats"]
         k = key_cols[0]
         touched, carried = list(prev["files"]), []
@@ -753,19 +900,20 @@ class TxnTable:
             new_files, new_rows, new_stats, new_parts, ptypes = (
                 self._write_data(merged)
             )
-        carried_rows = self._rows_of(prev, carried)
-        return self._commit(
+        version = self._commit_retry(
             base,
             op="merge",
             added=new_files,
             removed=touched,
-            rows_total=carried_rows + new_rows,
+            new_rows=new_rows,
+            removed_rows=self._rows_of(prev, touched),
             stats=new_stats,
             partitions=new_parts,
             partition_types=ptypes,
-            schema=schema,
+            incoming_schema=updates.schema,
             epoch=_epoch,
         )
+        return version
 
     def delete_where(self, condition) -> int:
         """ACID delete, file-pruned the way Delta's DeleteCommand is:
@@ -792,7 +940,6 @@ class TxnTable:
         touched = [
             f for f in prev["files"] if any(h.endswith(f) for h in hit_files)
         ]
-        carried = [f for f in prev["files"] if f not in set(touched)]
         if not touched:  # no matching rows anywhere: clean no-op commit
             return self._commit(
                 base,
@@ -805,12 +952,13 @@ class TxnTable:
         new_files, new_rows, new_stats, new_parts, ptypes = self._write_data(
             remaining
         )
-        return self._commit(
+        return self._commit_retry(
             base,
             op="delete",
             added=new_files,
             removed=touched,
-            rows_total=self._rows_of(prev, carried) + new_rows,
+            new_rows=new_rows,
+            removed_rows=self._rows_of(prev, touched),
             stats=new_stats,
             partitions=new_parts,
             partition_types=ptypes,
@@ -831,7 +979,7 @@ class TxnTable:
             )
         base = self.current_version()
         prev = self._state(base)
-        schema = self._merge_schema(prev, replacement)
+        self._merge_schema(prev, replacement)  # validate before writing
         combos = {
             tuple(str(r[c]) for c in pcols)
             for r in replacement.select(*pcols).distinct().collect()
@@ -842,20 +990,20 @@ class TxnTable:
             for f in prev["files"]
             if tuple(parts.get(f, {}).get(c) for c in pcols) in combos
         ]
-        carried = [f for f in prev["files"] if f not in set(removed)]
         new_files, new_rows, new_stats, new_parts, ptypes = self._write_data(
             replacement
         )
-        return self._commit(
+        return self._commit_retry(
             base,
             op="overwrite_partitions",
             added=new_files,
             removed=removed,
-            rows_total=self._rows_of(prev, carried) + new_rows,
+            new_rows=new_rows,
+            removed_rows=self._rows_of(prev, removed),
             stats=new_stats,
             partitions=new_parts,
             partition_types=ptypes,
-            schema=schema,
+            incoming_schema=replacement.schema,
         )
 
     def compact(
@@ -975,21 +1123,22 @@ class TxnTable:
         last = prev["epoch"]
         if last is not None and epoch_id <= last:
             return False
-        schema = self._merge_schema(prev, batch_df)
+        self._merge_schema(prev, batch_df)  # validate before writing
         files, rows, stats, parts, ptypes = self._write_data(batch_df)
-        self._commit(
+        version = self._commit_retry(
             base,
             op="append",
             added=files,
             removed=[],
-            rows_total=prev["rows"] + rows,
+            new_rows=rows,
+            removed_rows=0,
             stats=stats,
             partitions=parts,
             partition_types=ptypes,
-            schema=schema,
+            incoming_schema=batch_df.schema,
             epoch=epoch_id,
         )
-        return True
+        return version is not None
 
     def foreach_batch_writer(self):
         """``writeStream.foreachBatch(table.foreach_batch_writer())`` —
@@ -1016,8 +1165,7 @@ class TxnTable:
         last = self._state(base)["epoch"]
         if last is not None and epoch_id <= last:
             return False
-        self.merge(batch_df, key_cols, _epoch=epoch_id)
-        return True
+        return self.merge(batch_df, key_cols, _epoch=epoch_id) is not None
 
     def foreach_batch_merge_writer(self, key_cols: list[str]):
         """``writeStream.foreachBatch(t.foreach_batch_merge_writer(

@@ -1,0 +1,188 @@
+"""Rebase-on-conflict (lake/txn.py:_commit_retry): logically
+compatible concurrent commits both succeed without recomputing data
+files; genuinely overlapping rewrites still raise.
+
+The TOCTOU staleness is simulated deterministically: the writer under
+test resolves its base snapshot via a monkeypatched current_version()
+that reports the OLD version exactly once, after a concurrent commit
+has already landed — the same window the threaded race hits
+nondeterministically.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.txn import CommitConflictError, TxnTable
+from interop_datalake_spark.session import DatalakeSession
+
+
+@pytest.fixture()
+def session(spark, tmp_path):
+    return DatalakeSession(lake_root=str(tmp_path / "lake"), spark=spark)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT, v STRING")
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(rows, "k INT, v STRING, tenant STRING")
+
+
+def _snapshot(table):
+    cols = [c for c in ("k", "v", "tenant") if c in table.read().columns]
+    return {tuple(r[c] for c in cols) for r in table.read().collect()}
+
+
+def _stale_once(monkeypatch, table_cls, stale_version):
+    """First current_version() call reports the stale base; later calls
+    (the CAS check inside _commit) see reality."""
+    orig = table_cls.current_version
+    state = {"first": True}
+
+    def fake(self):
+        if state["first"]:
+            state["first"] = False
+            return stale_version
+        return orig(self)
+
+    monkeypatch.setattr(table_cls, "current_version", fake)
+
+
+def test_concurrent_appends_both_succeed(session, spark, monkeypatch):
+    """Two blind appends racing on the same version: the loser rebases
+    onto the winner's snapshot and commits the SAME staged files as the
+    next version — no lost update, no recompute, both row sets live."""
+    t = TxnTable(session, "reb_append")
+    t.append(_df(spark, [(1, "a")]))
+    base = t.current_version()
+
+    # writer B stages its files against `base`
+    files_b, rows_b, stats_b, parts_b, ptypes_b = t._write_data(
+        _df(spark, [(3, "B")])
+    )
+    # writer A lands first
+    t.append(_df(spark, [(2, "A")]))
+
+    v = t._commit_retry(
+        base,
+        op="append",
+        added=files_b,
+        removed=[],
+        new_rows=rows_b,
+        removed_rows=0,
+        stats=stats_b,
+        partitions=parts_b,
+        partition_types=ptypes_b,
+        incoming_schema=_df(spark, [(3, "B")]).schema,
+    )
+    assert v == base + 2  # rebased past A's commit
+    assert _snapshot(t) == {(1, "a"), (2, "A"), (3, "B")}
+    assert t.manifest()["rows"] == 3
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["append", "append", "append"]
+
+
+def test_public_append_rebases_through_stale_base(session, spark, monkeypatch):
+    """The public append() path end-to-end: base resolved stale, CAS
+    loses, rebase re-CAS wins — caller never sees the conflict."""
+    t = TxnTable(session, "reb_public")
+    t.append(_df(spark, [(1, "a")]))
+    base = t.current_version()
+    t.append(_df(spark, [(2, "A")]))  # concurrent writer already landed
+
+    _stale_once(monkeypatch, TxnTable, base)
+    v = t.append(_df(spark, [(3, "B")]))
+    assert v == base + 2
+    assert _snapshot(t) == {(1, "a"), (2, "A"), (3, "B")}
+
+
+def test_disjoint_partition_merges_both_succeed(session, spark, monkeypatch):
+    """Two concurrent MERGEs touching different tenant partitions (the
+    reference's one-batch-per-tenant publish layout): the stale writer
+    rebases because the touched partition sets are disjoint."""
+    t = TxnTable(
+        session, "reb_merge", stats_cols=["k"], partition_cols=["tenant"]
+    )
+    t.append(
+        _tdf(spark, [(0, "a0", "A"), (1, "a1", "A"), (100, "b0", "B"), (101, "b1", "B")])
+    )
+    base = t.current_version()
+
+    # tenant-B writer lands its merge first
+    t.merge(_tdf(spark, [(100, "B-upd", "B")]), key_cols=["k"])
+
+    # tenant-A writer resolved its snapshot before that commit
+    _stale_once(monkeypatch, TxnTable, base)
+    v = t.merge(_tdf(spark, [(0, "A-upd", "A"), (2, "A-new", "A")]), key_cols=["k"])
+    assert v == base + 2
+    assert _snapshot(t) == {
+        (0, "A-upd", "A"),
+        (1, "a1", "A"),
+        (2, "A-new", "A"),
+        (100, "B-upd", "B"),
+        (101, "b1", "B"),
+    }
+    assert t.manifest()["rows"] == 5
+
+
+def test_overlapping_merges_still_conflict(session, spark, monkeypatch):
+    """Concurrent merges into the SAME partition overlap logically —
+    the stale writer must still get CommitConflictError (rebasing would
+    silently drop the first merge's effect on the rewritten files)."""
+    t = TxnTable(
+        session, "reb_overlap", stats_cols=["k"], partition_cols=["tenant"]
+    )
+    t.append(_tdf(spark, [(0, "a0", "A"), (1, "a1", "A")]))
+    base = t.current_version()
+
+    t.merge(_tdf(spark, [(0, "first", "A")]), key_cols=["k"])
+
+    _stale_once(monkeypatch, TxnTable, base)
+    with pytest.raises(CommitConflictError):
+        t.merge(_tdf(spark, [(1, "second", "A")]), key_cols=["k"])
+    # the winner's merge is intact
+    assert (0, "first", "A") in _snapshot(t)
+
+
+def test_unpartitioned_rewrite_never_rebases(session, spark, monkeypatch):
+    """Without partition metadata a rewrite cannot prove disjointness —
+    conservative conflict, exactly the pre-rebase behavior."""
+    t = TxnTable(session, "reb_unpart", stats_cols=["k"])
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    base = t.current_version()
+    t.merge(_df(spark, [(1, "first")]), key_cols=["k"])
+
+    _stale_once(monkeypatch, TxnTable, base)
+    with pytest.raises(CommitConflictError):
+        t.delete_where(F.col("k") == 2)
+
+
+def test_append_never_rebases_over_overwrite(session, spark, monkeypatch):
+    """An intervening full overwrite replaces the table (schema
+    included): any concurrent intent is void, even a blind append."""
+    t = TxnTable(session, "reb_ovw")
+    t.append(_df(spark, [(1, "a")]))
+    base = t.current_version()
+    t.overwrite(_df(spark, [(9, "z")]))
+
+    _stale_once(monkeypatch, TxnTable, base)
+    with pytest.raises(CommitConflictError):
+        t.append(_df(spark, [(2, "b")]))
+
+
+def test_epoch_append_rebases_and_replay_stays_noop(session, spark, monkeypatch):
+    """Streaming epoch appends keep exactly-once through a rebase: the
+    epoch commit rebases over a concurrent plain append, and replaying
+    the same epoch afterwards is still a no-op."""
+    t = TxnTable(session, "reb_epoch")
+    assert t.append_epoch(_df(spark, [(1, "a")]), epoch_id=1) is True
+    base = t.current_version()
+    t.append(_df(spark, [(50, "x")]))  # concurrent non-epoch writer
+
+    _stale_once(monkeypatch, TxnTable, base)
+    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=2) is True
+    assert _snapshot(t) == {(1, "a"), (50, "x"), (2, "b")}
+    # replay of epoch 2 after the rebase: no-op
+    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=2) is False
+    assert t.manifest()["rows"] == 3
