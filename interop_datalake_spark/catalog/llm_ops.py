@@ -556,54 +556,56 @@ FROM qq ORDER BY vec_id
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL near-dup: the daily-ingest shape of MinHash-LSH.
-    The corpus (doc_id < 450) already has banded signatures in a
-    signature store; only the NEW batch (doc_id >= 450) is shingled
-    and signed, its bands equi-join the stored bands, and verification
-    touches candidate pairs only. corpus x corpus pairs are never
-    recomputed — the work per day is O(new batch), not O(corpus).
-    Both new-vs-corpus and new-vs-new pairs emerge (a pair is kept iff
-    at least one side is new). Here the store is materialized inline
-    from the same pipeline stages (`lsh_bands` over the corpus split)
-    so the oracle can replay it; in production it is a TxnTable the
-    previous run appended to."""
+    """INCREMENTAL near-dup: the daily-ingest shape of MinHash-LSH,
+    run against a PERSISTED signature store (TxnTable). The corpus
+    pass (doc_id < 450) appends its banded signatures to the store
+    ONCE; the incremental run signs only the NEW batch (doc_id >= 450,
+    filter pushed to the scan), reads the corpus side FROM THE STORE
+    (banded signatures — no corpus document is re-shingled), appends
+    the new bands for the next run, and verifies candidate pairs only
+    (doc text semi-joined to the candidate id set before shingling).
+    Work per day is O(new batch + candidates), not O(corpus) — the
+    composition of the ACID table layer with the LSH pipeline
+    (tests/test_incremental_store.py pins the store-as-scan-source
+    property on the physical plan). Both new-vs-corpus and new-vs-new
+    pairs emerge (a pair is kept iff at least one side is new); the
+    DuckDB oracle replays the identical pipeline from raw text, so
+    parity also proves store-read signatures ≡ recomputed signatures."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.txn import TxnTable
     from interop_datalake_spark.llm.dedup import (
-        lsh_bands,
-        minhash_signatures,
+        incremental_lsh_dedup,
+        lsh_sign_bands,
     )
+    from interop_datalake_spark.session import DatalakeSession
 
     docs = load_table(spark, sf_dir, "documents")
     cutoff = 450
-    sh_all = shingles(docs, "text", "doc_id", k=5)
-    bands_all = lsh_bands(
-        minhash_signatures(sh_all, "doc_id", 16), "doc_id", 4
-    )
-    bands_new = bands_all.filter(F.col("doc_id") >= cutoff)
-    cand = (
-        bands_all.select(
-            "band", "band_key", F.col("doc_id").alias("_ida")
+    root = tempfile.mkdtemp(prefix="lsh_store_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        store = TxnTable(session, "lsh_signatures", stats_cols=["doc_id"])
+        # corpus pass: sign once, persist (prior "day"'s run)
+        store.append(
+            lsh_sign_bands(docs.filter(F.col("doc_id") < cutoff), "text", "doc_id")
         )
-        .join(
-            bands_new.select(
-                "band", "band_key", F.col("doc_id").alias("_idb")
-            ),
-            ["band", "band_key"],
+        pairs = incremental_lsh_dedup(
+            store, docs, "text", "doc_id", F.col("doc_id") >= cutoff, threshold=0.8
         )
-        .filter(F.col("_ida") != F.col("_idb"))
-        .select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
+        rows = (
+            pairs.select(
+                "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+            )
+            .orderBy("id_a", "id_b")
+            .collect()  # tiny pair set — detaches result from scratch store
         )
-        .distinct()
-    )
-    pairs = jaccard_pairs(
-        shingles(docs, "text", "doc_id", k=5, distinct=True),
-        "doc_id",
-        threshold=0.8,
-        candidates=cand,
-    )
-    return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows],
+        "id_a LONG, id_b LONG, jaccard DOUBLE",
     ).orderBy("id_a", "id_b")
 
 

@@ -314,6 +314,113 @@ def minhash_lsh_dedup(
     return jaccard_pairs(sh, id_col, threshold, candidates=cand)
 
 
+def lsh_sign_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Shingle → sign → band in one call: ``(id, band, band_key)`` —
+    the unit of the persisted signature store. Signing a batch is the
+    expensive part of LSH dedup (one md5 per shingle + the min-agg
+    shuffle); materializing its output is what makes incremental runs
+    O(new batch)."""
+    sh = shingles(df, text_col, id_col, k, distinct=False)
+    return lsh_bands(minhash_signatures(sh, id_col, num_hashes), id_col, rows_per_band)
+
+
+def incremental_lsh_dedup(
+    store,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    new_filter,
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Daily-ingest MinHash-LSH against a PERSISTED signature store
+    (a :class:`~interop_datalake_spark.lake.txn.TxnTable` of
+    ``(id, band, band_key)`` rows appended by prior runs) — the
+    composition of the ACID table layer with the LSH pipeline that
+    makes per-batch cost O(new batch), not O(corpus):
+
+    1. sign ONLY the new batch (``docs.filter(new_filter)``) and
+       append its bands to the store in one ACID commit — the single
+       scan of raw text (filter pushed to the reader) and the single
+       signing job; the NEXT run's corpus side includes this batch
+       (the reference's append-only publish ingest,
+       ``DatalakePublishService.kt:50-90``, is exactly this trigger
+       shape);
+    2. read BOTH candidate sides back from the store: the full
+       snapshot (corpus ∪ new) and, via the change feed
+       (:meth:`TxnTable.read_changes`), exactly the rows the append
+       added — so the candidate join scans banded signatures only and
+       never touches document text, and the signing pipeline is not
+       replayed for the join's second use of the new bands;
+    3. candidates = (store snapshot) ⋈ (new bands) on
+       (band, band_key) — a pair survives iff at least one side is
+       new (corpus×corpus pairs were emitted by earlier runs and are
+       never recomputed);
+    4. exact-Jaccard verify over candidate documents only: the doc
+       table is semi-joined to the (broadcast, tiny) candidate id set
+       BEFORE shingling, so verification text cost is O(candidates).
+
+    Returns verified ``(id_a, id_b, jaccard)`` pairs.
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    new_docs = docs.filter(new_filter)
+    bands_new = lsh_sign_bands(
+        new_docs, text_col, id_col, k, num_hashes, rows_per_band
+    )
+    corpus_version = store.current_version()
+    new_version = store.append(bands_new)  # the one signing job
+    bands_all = store.read(version=new_version).select(
+        id_col, "band", "band_key"
+    )
+    stored_new = store.read_changes(corpus_version, new_version).select(
+        id_col, "band", "band_key"
+    )
+    cand = incremental_candidates(bands_all, stored_new, id_col)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh_cand = shingles(cand_docs, text_col, id_col, k, distinct=True)
+    return jaccard_pairs(sh_cand, id_col, threshold, candidates=cand)
+
+
+def incremental_candidates(
+    bands_all: DataFrame, bands_new: DataFrame, id_col: str
+) -> DataFrame:
+    """Distinct candidate pairs where at least one side is new:
+    (corpus ∪ new) ⋈ new on (band, band_key). Both sides come from the
+    signature store — tests assert the plan scans no document text."""
+    return (
+        bands_all.select(
+            "band", "band_key", F.col(id_col).alias("_ida")
+        )
+        .join(
+            bands_new.select(
+                "band", "band_key", F.col(id_col).alias("_idb")
+            ),
+            ["band", "band_key"],
+        )
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_dedup_ml(
     df: DataFrame,
     text_col: str,
