@@ -651,6 +651,87 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level dedup (the substring analog of document dedup —
+    Lee et al.'s suffix-array pass re-expressed as shuffle-friendly
+    algebra, ``llm/dedup.py:duplicate_span_coverage``): word-8-grams
+    occurring in ≥2 distinct documents, merged per document into
+    maximal duplicated intervals (gaps-and-islands window), reported
+    as per-doc coverage. Partial copies are planted deterministically
+    (every doc_id % 25 == 0 contributes a new doc holding its first
+    60 words) so cross-document spans provably exist and the planted
+    docs' coverage is PARTIAL — islands, not whole-doc equality."""
+    from interop_datalake_spark.llm.dedup import duplicate_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 60), " "
+        ).alias("text"),
+    )
+    out = duplicate_span_coverage(
+        docs.union(planted), "text", "doc_id", k=8
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_dup_grams",
+        "dup_tokens",
+        F.round("dup_fraction", 6).alias("dup_fraction"),
+    ).orderBy("doc_id")
+
+
+DEDUP_SPAN_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         array_to_string((string_split(text, ' '))[1:60], ' ')
+  FROM documents WHERE doc_id % 25 = 0
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs
+), grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT
+           AS gram_hash
+  FROM tok, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+), dup_grams AS (
+  SELECT gram_hash FROM grams
+  GROUP BY gram_hash HAVING count(DISTINCT doc_id) >= 2
+), dup_pos AS (
+  SELECT g.doc_id, g.pos, g.pos + 7 AS pos_end
+  FROM grams g JOIN dup_grams d USING (gram_hash)
+), isl AS (
+  SELECT doc_id, pos, pos_end,
+         max(pos_end) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dup_pos
+), runs AS (
+  SELECT doc_id, pos, pos_end,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), per_island AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos_end) AS e, count(*) AS n
+  FROM runs GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, sum(e - s + 1) AS dup_tokens, sum(n) AS n_dup_grams
+  FROM per_island GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(string_split(d.text, ' ')) AS n_words,
+       coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(p.dup_tokens, 0)::DOUBLE
+             / len(string_split(d.text, ' ')), 6) AS dup_fraction
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation: the composition a real pretraining corpus
     goes through, staged so every document's fate is auditable —
@@ -818,6 +899,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental": dedup_incremental,
     "dedup_cluster": dedup_cluster,
+    "dedup_span_coverage": dedup_span_coverage,
     "corpus_curate_pipeline": corpus_curate_pipeline,
     "embedding_quantize_int8": embedding_quantize_int8,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
@@ -838,6 +920,7 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "dedup_cluster": DEDUP_CLUSTER_ORACLE,
+    "dedup_span_coverage": DEDUP_SPAN_ORACLE,
     "corpus_curate_pipeline": CORPUS_CURATE_ORACLE,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,

@@ -36,8 +36,21 @@ from pyspark.sql import functions as F
 
 
 def _hash64(col) -> "F.Column":
-    """Deterministic 32-bit hash from md5 hex (engine-portable)."""
+    """Deterministic 32-bit hash from md5 hex (engine-portable).
+    Fine for MinHash (collisions only perturb the similarity estimate,
+    never correctness); NOT for identity-style uses — see
+    :func:`_hash60`."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _hash60(col) -> "F.Column":
+    """Deterministic 60-bit hash (15 md5 hex chars — the widest that
+    fits a signed BIGINT without sign games, portable to DuckDB's
+    ``('0x' || …)::BIGINT``). Used where hash equality stands in for
+    gram IDENTITY (span dedup): 32 bits collide at ~2^16 distinct
+    grams (birthday), silently inflating dup counts; 60 bits push
+    that past 2^30 — negligible at any test or demo scale."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def exact_dedup(
@@ -609,8 +622,10 @@ def span_positions(
     """Positional word-k-grams: (id, pos, gram_hash) — one row per gram
     OCCURRENCE (positions matter, unlike :func:`shingles`). ``pos`` is
     the 1-based word index where the gram starts; the gram covers words
-    [pos, pos+k-1]. Hash is the portable md5-32bit (one md5 per gram);
-    at production scale swap xxhash64 — identical algebra."""
+    [pos, pos+k-1]. Hash is the portable 60-bit md5 (:func:`_hash60` —
+    hash equality stands in for gram identity here, so 32 bits would
+    inflate dup counts via birthday collisions); at production scale
+    swap xxhash64 — identical algebra."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words) - (k - 1)
     arr = F.when(
@@ -625,7 +640,7 @@ def span_positions(
     ).select(
         F.col(id_col),
         (F.col("_p") + 1).alias("pos"),
-        _hash64(F.col("_g")).alias("gram_hash"),
+        _hash60(F.col("_g")).alias("gram_hash"),
     )
 
 
