@@ -890,6 +890,113 @@ ORDER BY st.doc_id
 """
 
 
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus
+    (llm/clustering.py): long-form vectors, broadcast centroid table,
+    two shuffles per iteration, no RNG anywhere — the full 2-iteration
+    trajectory replays in the DuckDB oracle CTE-for-CTE (seed = the 8
+    lowest-id vectors, ties on the lower centroid id, empty clusters
+    carry their previous centroid)."""
+    from interop_datalake_spark.llm.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=2)
+    return out.select(
+        "vec_id", "cluster_id", F.round("dist2", 6).alias("dist2")
+    ).orderBy("vec_id")
+
+
+def _kmeans_iter_sql(cents: str, n: int) -> str:
+    """One Lloyd round as CTE fragments: assign under ``cents``, mean
+    per (cluster, dim), carry empty clusters forward."""
+    return f"""d{n} AS (
+  SELECT v.vec_id, c.cluster_id, sum((v.x - c.cx) * (v.x - c.cx)) AS dist2
+  FROM v JOIN {cents} c ON v.dim = c.dim
+  GROUP BY v.vec_id, c.cluster_id
+), a{n} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+    FROM d{n}
+  ) WHERE rn = 1
+), m{n} AS (
+  SELECT a.cluster_id, v.dim, avg(v.x) AS cx
+  FROM v JOIN a{n} a ON v.vec_id = a.vec_id
+  GROUP BY a.cluster_id, v.dim
+), c{n} AS (
+  SELECT cluster_id, dim, cx FROM m{n}
+  UNION ALL
+  SELECT c.cluster_id, c.dim, c.cx FROM {cents} c
+  WHERE c.cluster_id NOT IN (SELECT DISTINCT cluster_id FROM m{n})
+)"""
+
+
+CLUSTER_KMEANS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), c0 AS (
+  SELECT vec_id::INT AS cluster_id, dim, x AS cx FROM v WHERE vec_id < 8
+), {_kmeans_iter_sql('c0', 1)}, {_kmeans_iter_sql('c1', 2)},
+dfin AS (
+  SELECT v.vec_id, c.cluster_id, sum((v.x - c.cx) * (v.x - c.cx)) AS dist2
+  FROM v JOIN c2 c ON v.dim = c.dim
+  GROUP BY v.vec_id, c.cluster_id
+)
+SELECT vec_id, cluster_id, round(dist2, 6) AS dist2 FROM (
+  SELECT vec_id, cluster_id, dist2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+  FROM dfin
+) WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-flavored BM25 lexical retrieval (llm/search.py) as pure
+    inverted-index DataFrame algebra: postings → tf/dl/df → broadcast
+    query semi-join → per-doc score. Query terms chosen from the
+    corpus vocabulary so every pipeline branch (idf, length norm,
+    multi-term sum) provably fires."""
+    from interop_datalake_spark.llm.search import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_scores(docs, "text", "doc_id", ["table", "scan", "join"])
+    return out.select(
+        "doc_id", "n_hit_terms", F.round("score", 6).alias("score")
+    ).orderBy("doc_id")
+
+
+SEARCH_BM25_ORACLE = """
+WITH postings AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM postings GROUP BY doc_id
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scalars AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl
+), q AS (
+  SELECT unnest(['join', 'scan', 'table']) AS term
+)
+SELECT t.doc_id, count(*) AS n_hit_terms,
+       round(sum(
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         * (t.tf::DOUBLE * 2.2)
+         / (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / s.avgdl))
+       ), 6) AS score
+FROM tf t
+JOIN q USING (term)
+JOIN dfreq f USING (term)
+JOIN dl d USING (doc_id)
+CROSS JOIN scalars s
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ann_ivf_topk": ann_ivf_topk,
@@ -902,6 +1009,8 @@ QUERIES = {
     "dedup_span_coverage": dedup_span_coverage,
     "corpus_curate_pipeline": corpus_curate_pipeline,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "cluster_kmeans": cluster_kmeans,
+    "search_bm25": search_bm25,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_minhash_ml": dedup_minhash_ml,
     "dedup_simhash": dedup_simhash,
@@ -923,6 +1032,8 @@ ORACLES = {
     "dedup_span_coverage": DEDUP_SPAN_ORACLE,
     "corpus_curate_pipeline": CORPUS_CURATE_ORACLE,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_ORACLE,
+    "cluster_kmeans": CLUSTER_KMEANS_ORACLE,
+    "search_bm25": SEARCH_BM25_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_minhash_ml": DEDUP_JACCARD_ORACLE,  # verified set ≡ ground truth
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,

@@ -70,14 +70,26 @@ def kmeans_assign(
 def seed_centroids(
     df: DataFrame, vec_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """Deterministic init: the k lowest-id vectors, relabeled 0..k-1.
-    (Production would use k-means‖ sampling; init determinism is the
-    point here.) Requires ids 0..k-1 present — true for the testdata —
-    so cluster_id ≡ id without a rank pass."""
-    return vectors_long(
-        df.filter(F.col(id_col) < k), vec_col, id_col
+    """Deterministic init: the k lowest-id vectors, relabeled 0..k-1
+    by id rank. (Production would use k-means‖ sampling; init
+    determinism is the point here.) Works for SPARSE or non-contiguous
+    ids: a sort+limit picks the k lowest ids (a TakeOrdered over the
+    tiny (id) projection, not a global sort of vectors), then the rank
+    relabel makes cluster ids dense 0..k-1 regardless of id layout."""
+    low = (
+        df.select(F.col(id_col))
+        .orderBy(id_col)
+        .limit(k)
+        .withColumn(
+            "cluster_id",
+            F.row_number().over(Window.orderBy(id_col)) - 1,
+        )
+    )
+    seeded = df.join(F.broadcast(low), id_col)
+    return vectors_long(seeded, vec_col, id_col).join(
+        F.broadcast(low), id_col
     ).select(
-        F.col(id_col).cast("int").alias("cluster_id"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
         "dim",
         F.col("x").alias("cx"),
     )

@@ -48,7 +48,19 @@ def bm25_scores(
 
     Returns (id, n_hit_terms, score) — callers order/limit. All math
     in DOUBLE so the DuckDB oracle replays it exactly.
+
+    Query terms are DEDUPLICATED (case-insensitively) before scoring —
+    BM25 is defined over the term set, and a repeated term would
+    double-count its contribution. An empty (or all-duplicate-empty)
+    query short-circuits to an empty result with the right schema
+    instead of failing schema inference on an empty literal frame.
     """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        id_type = dict(docs.dtypes)[id_col]
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, n_hit_terms BIGINT, score DOUBLE"
+        )
     postings = tokenize_words(docs, text_col, id_col)
     tf = postings.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     doclen = postings.groupBy(id_col).agg(F.count("*").alias("dl"))
@@ -61,9 +73,7 @@ def bm25_scores(
     )
 
     q = F.broadcast(
-        docs.sparkSession.createDataFrame(
-            [(t.lower(),) for t in query_terms], ["term"]
-        )
+        docs.sparkSession.createDataFrame([(t,) for t in terms], "term STRING")
     )
     hits = (
         tf.join(q, "term")
