@@ -43,6 +43,7 @@ HEADLINE = [
     "stream_tumbling_window",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "dedup_embedding_blocked",
     "ann_cosine_topk",
     "ann_cosine_topk_arrow",

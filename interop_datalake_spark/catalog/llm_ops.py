@@ -130,6 +130,25 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hash path of dedup_minhash_lsh: identical
+    pipeline with hash_name='xxhash64' — codegen'd 64-bit signing hash
+    (one JVM hash per shingle instead of an interpreted md5) and a
+    BIGINT band key (narrower candidate shuffle than 32-char md5 hex).
+    Rows-only at the driver gate (DuckDB has no xxhash64); correctness
+    is pinned Spark-vs-Spark instead: tests/test_dedup_fast_hash.py
+    asserts the verified pair output equals the md5 path's
+    oracle-checked pairs on the test corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4,
+        threshold=0.8, hash_name="xxhash64",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup DECISION pipeline: MinHash-LSH pairs → connected
     components (``llm/dedup.py:duplicate_clusters``, iterative
@@ -1004,6 +1023,7 @@ QUERIES = {
     "dedup_embedding_blocked": dedup_embedding_blocked,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast,
     "dedup_incremental": dedup_incremental,
     "dedup_cluster": dedup_cluster,
     "dedup_span_coverage": dedup_span_coverage,

@@ -17,10 +17,13 @@ driver-side collects:
 - **exact Jaccard** (ground truth / verifier): shingle self-join.
   Used standalone only at small scale or post-LSH.
 
-Hash functions are md5-derived (``conv(substr(md5(seed||':'||x),1,8),16,10)``)
-rather than xxhash64 so results are engine-independent — the DuckDB
-oracle replays the identical pipeline bit-for-bit. Swap in
-``F.xxhash64`` for production speed; the structure is unchanged.
+Hash functions default to md5-derived
+(``conv(substr(md5(x),1,8),16,10)``) so results are engine-independent
+— the DuckDB oracle replays the identical pipeline bit-for-bit. The
+production path is real code, not prose: ``hash_name="xxhash64"``
+switches signing and banding to Spark's codegen'd hash (same algebra;
+benched as ``dedup_minhash_lsh_fast``, verified Spark-vs-Spark against
+the md5 path's oracle-checked pairs).
 
 Skew note: a pathological shingle appearing in every document (e.g.
 boilerplate) would hot-spot the shingle join; production pipelines drop
@@ -159,17 +162,39 @@ def _seed_coeffs(i: int) -> tuple[int, int]:
     return (2 * i + 1, (i * 98765431) % _MERSENNE_P)
 
 
+def _base_hash(col, hash_name: str) -> "F.Column":
+    """The per-shingle base hash feeding the universal family:
+
+    - ``md5``: 32-bit md5 prefix — engine-portable, the DuckDB oracle
+      replays it bit-for-bit. The interpreted md5 is the dominant cost
+      of the signing pass.
+    - ``xxhash64``: Spark's codegen'd 64-bit hash, folded mod the
+      Mersenne prime so the universal family's ``a·h0 + b`` stays in
+      BIGINT under ANSI overflow checking. The PRODUCTION path — same
+      algebra, no oracle (DuckDB lacks xxhash64), so it is verified
+      Spark-vs-Spark against the md5 path's verified pair output.
+    """
+    if hash_name == "md5":
+        return _hash64(col)
+    if hash_name == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(_MERSENNE_P))
+    raise ValueError(f"unknown hash {hash_name!r} (md5 | xxhash64)")
+
+
 def minhash_signatures(
-    shingles_df: DataFrame, id_col: str, num_hashes: int = 16
+    shingles_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    hash_name: str = "md5",
 ) -> DataFrame:
     """Wide signature frame: (id, m0..m{num_hashes-1}).
 
-    The md5 base hash is projected ONCE before the groupBy — aggregate
+    The base hash is projected ONCE before the groupBy — aggregate
     expressions are evaluated independently (no CSE across them), so
-    inlining ``_hash64`` into each min() would run md5 num_hashes× per
+    inlining it into each min() would run it num_hashes× per
     shingle."""
     hashed = shingles_df.select(
-        F.col(id_col), _hash64(F.col("shingle")).alias("_h0")
+        F.col(id_col), _base_hash(F.col("shingle"), hash_name).alias("_h0")
     )
     mins = []
     for i in range(num_hashes):
@@ -181,19 +206,26 @@ def minhash_signatures(
 
 
 def lsh_bands(
-    signatures: DataFrame, id_col: str, rows_per_band: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    rows_per_band: int = 4,
+    hash_name: str = "md5",
 ) -> DataFrame:
-    """(id, band, band_key): md5 over the band's ordered minhashes.
-    Docs agreeing on ALL rows of any band share a band_key."""
+    """(id, band, band_key): hash over the band's ordered minhashes.
+    Docs agreeing on ALL rows of any band share a band_key. The band
+    key only needs equality semantics, so the fast path uses
+    codegen'd xxhash64 (BIGINT key — narrower shuffle than the 32-char
+    md5 hex, too)."""
     num_hashes = sum(1 for c in signatures.columns if c.startswith("m"))
     n_bands = num_hashes // rows_per_band
+    key_fn = "md5" if hash_name == "md5" else "xxhash64"
     stack_args = []
     for band in range(n_bands):
         cols = [
             f"cast(m{band * rows_per_band + r} as string)"
             for r in range(rows_per_band)
         ]
-        stack_args.append(f"{band}, md5(concat_ws(',', {', '.join(cols)}))")
+        stack_args.append(f"{band}, {key_fn}(concat_ws(',', {', '.join(cols)}))")
     expr = f"stack({n_bands}, {', '.join(stack_args)}) as (band, band_key)"
     return signatures.select(F.col(id_col), F.expr(expr))
 
@@ -303,9 +335,17 @@ def minhash_lsh_dedup(
     rows_per_band: int = 4,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    hash_name: str = "md5",
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: shingle → sign → band →
-    candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    candidates → exact-Jaccard verify. Returns (id_a, id_b, jaccard).
+
+    ``hash_name="xxhash64"`` switches the signing/banding hashes to
+    the codegen'd production path (see :func:`_base_hash`); the
+    exact-Jaccard verification is hash-independent, so the verified
+    output differs from the md5 path only if the two LSH draws differ
+    in candidate recall (measured identical on the test corpus —
+    tests/test_dedup_fast_hash.py)."""
     # NOTE: deliberately not persisted — measured slower here: caching
     # blocks stage pipelining and the recompute is a cheap narrow explode.
     # At 100 TB persist(StorageLevel.DISK_ONLY) of the (id, shingle)
@@ -321,8 +361,8 @@ def minhash_lsh_dedup(
     sh = shingles(df, text_col, id_col, k, distinct=False)
     if max_shingle_freq is not None:
         sh = drop_hot_shingles(sh, id_col, max_shingle_freq)
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    bands = lsh_bands(sig, id_col, rows_per_band)
+    sig = minhash_signatures(sh, id_col, num_hashes, hash_name)
+    bands = lsh_bands(sig, id_col, rows_per_band, hash_name)
     cand = lsh_candidate_pairs(bands, id_col)
     return jaccard_pairs(sh, id_col, threshold, candidates=cand)
 
