@@ -139,24 +139,28 @@ def blocked_topk(
     )
 
     def _score(batches):
+        n_q = len(q_ids)
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype="int64")
+            if len(ids) == 0:
+                continue
             C = np.vstack(pdf[vec_col].values).astype("float64")
             Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
             sims = Cn @ Qn.T  # |batch| × |Q|
-            rows = []
-            for qi in range(len(q_ids)):
-                col = sims[:, qi]
-                mask = ids != q_ids[qi]
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) == 0:
-                    continue
-                take = min(k, len(cand_idx))
-                top = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
-                for ci in top:
-                    rows.append((int(q_ids[qi]), int(ids[ci]), float(col[ci])))
+            # one 2-D argpartition over the whole sims matrix (no
+            # per-query Python loop): self matches are -inf'd so they
+            # never place, then filtered by finiteness
+            sims = np.where(ids[:, None] == q_ids[None, :], -np.inf, sims)
+            take = min(k, sims.shape[0])
+            top = np.argpartition(-sims, take - 1, axis=0)[:take]  # take × |Q|
+            vals = np.take_along_axis(sims, top, axis=0)
+            keep = np.isfinite(vals)
             yield pd.DataFrame(
-                rows, columns=["query_id", "neighbor_id", "cos"]
+                {
+                    "query_id": np.broadcast_to(q_ids, (take, n_q))[keep],
+                    "neighbor_id": ids[top][keep],
+                    "cos": vals[keep],
+                }
             )
 
     local = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
