@@ -419,6 +419,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+def ann_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED coarse quantizer (seeded pyspark.ml KMeans
+    codebook, broadcast as a literal frame) + 2-cell multiprobe —
+    the production upgrade of ann_ivf_topk's first-n-vectors
+    placeholder. Rows-only at the driver gate (KMeans training is not
+    SQL-expressible); recall vs the exact oracle is measured and
+    pinned in tests/test_ivf_trained.py at matched candidate budgets,
+    and the result is seed-deterministic (pinned there too)."""
+    from interop_datalake_spark.llm.similarity import ivf_topk_trained
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk_trained(
+        emb, "embedding", "vec_id", k=3, n_cells=16, n_probe=2, seed=42,
+        query_filter=F.col("vec_id") < 10,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rn", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id", "rn")
+
+
 _COS = (
     "list_cosine_similarity(list_transform({a}.embedding, x -> x::DOUBLE),"
     " list_transform({b}.embedding, x -> x::DOUBLE))"
@@ -1019,6 +1039,7 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_topk_trained": ann_ivf_topk_trained,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_blocked": dedup_embedding_blocked,
     "dedup_embedding_lsh": dedup_embedding_lsh,
