@@ -524,6 +524,60 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def dedup_embedding_lsh_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_lsh with SEEDED GAUSSIAN hyperplanes instead of
+    axis-aligned signs (VERDICT r3 item 6): bit k of band b is
+    sign(dot(v, H[4b+k])) for a literal 64×64 projection matrix from
+    numpy seed 42 (coefficients rounded to 6 decimals so the identical
+    literals embed in the oracle SQL and parse to the same doubles).
+    Measured at sf0.01: recall 1.000 with 79,530 candidates vs the
+    axis-aligned 1.000 / 80,549 — equal recall, strictly fewer
+    candidates (tests/test_gaussian_lsh.py). The oracle replays the
+    same left-associative dot-product fold, so parity checks the
+    projection algebra bit-for-bit, not a lucky draw."""
+    from interop_datalake_spark.llm.similarity import gaussian_hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_cosine_pairs_above(
+        emb, "embedding", "vec_id", threshold=0.45, n_bands=16, band_bits=4,
+        hyperplanes=gaussian_hyperplanes(64, 64, seed=42),
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos")
+    ).orderBy("id_a", "id_b")
+
+
+def _gauss_oracle_sql() -> str:
+    from interop_datalake_spark.llm.similarity import gaussian_hyperplanes
+
+    H = gaussian_hyperplanes(64, 64, seed=42)
+
+    def dot_sql(plane):
+        # 0.0-seeded left-associative sum == Spark's F.aggregate fold
+        return "0.0 + " + " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {plane[i]!r}" for i in range(64)
+        )
+
+    band_vals = []
+    for b in range(16):
+        bits = " + ".join(
+            f"CASE WHEN {dot_sql(H[b * 4 + k])} >= 0 THEN {1 << k} ELSE 0 END"
+            for k in range(4)
+        )
+        band_vals.append(f"({bits}) AS g{b}")
+    any_match = " OR ".join(f"a.g{b} = b.g{b}" for b in range(16))
+    cos = _COS.format(a="a", b="b")
+    return f"""
+WITH bv AS (
+  SELECT vec_id, embedding, {", ".join(band_vals)} FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 4) AS cos
+FROM bv a JOIN bv b ON a.vec_id < b.vec_id
+WHERE ({any_match}) AND {cos} >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
 def _band_sql(alias: str, b: int, bits: int = 4) -> str:
     terms = " + ".join(
         f"CASE WHEN {alias}.embedding[{b * bits + k + 1}] >= 0"
@@ -1043,6 +1097,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_blocked": dedup_embedding_blocked,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_lsh_gaussian": dedup_embedding_lsh_gaussian,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast,
     "dedup_incremental": dedup_incremental,
@@ -1067,6 +1122,7 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_ORACLE,
     "dedup_embedding_blocked": DEDUP_EMBEDDING_ORACLE,  # exact ≡ ground truth
     "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
+    "dedup_embedding_lsh_gaussian": _gauss_oracle_sql(),
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "dedup_cluster": DEDUP_CLUSTER_ORACLE,

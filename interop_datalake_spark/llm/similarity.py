@@ -444,34 +444,78 @@ def blocked_cosine_pairs_above(
     )
 
 
+def gaussian_hyperplanes(
+    n_planes: int, dim: int, seed: int = 42, precision: int = 6
+) -> list[list[float]]:
+    """Seeded Gaussian projection matrix for sign-LSH, as a literal
+    list-of-lists — broadcast in the plan, never a data-dependent
+    state. Coefficients are rounded to ``precision`` decimals so the
+    SAME literals embed in oracle SQL and parse to identical doubles
+    in any engine (a decimal string with ≤17 significant digits maps
+    to one nearest double everywhere)."""
+    rs = np.random.RandomState(seed)
+    return [
+        [round(float(x), precision) for x in row]
+        for row in rs.randn(n_planes, dim)
+    ]
+
+
+def _dot_literal(vec, plane: list[float]):
+    """JVM-side dot(vec, literal plane): sequential left fold, so the
+    summation order is pinned — an oracle writing the same left-assoc
+    sum reproduces it bit-for-bit."""
+    lit = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def sign_lsh_pair_candidates(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     n_bands: int = 16,
     band_bits: int = 4,
+    hyperplanes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Banded sign-LSH candidate pairs: (id_a < id_b) sharing at least
-    one band of sign bits. Band b covers dims [b·bits+1 .. (b+1)·bits];
-    two vectors are candidates iff ANY band matches exactly — the
-    equi-join shape (band_idx, band_val) that MinHash banding uses.
+    one band of sign bits; two vectors are candidates iff ANY band
+    matches exactly — the equi-join shape (band_idx, band_val) that
+    MinHash banding uses.
 
-    Recall is a tuned property, not a guarantee (measured here at
+    Without ``hyperplanes``, band b covers the signs of dims
+    [b·bits+1 .. (b+1)·bits] (axis-aligned — the standard basis IS a
+    valid projection set, and on isotropic data statistically
+    equivalent to random directions). With ``hyperplanes`` (a literal
+    (n_bands·band_bits)×dim matrix, see :func:`gaussian_hyperplanes`),
+    bit k of band b is sign(dot(vec, H[b·bits+k])) — true
+    random-hyperplane LSH, independent of the embedding basis and of
+    dim (axis-aligned can only draw n_bands·band_bits ≤ dim planes;
+    Gaussian draws any number). Recall/selectivity at cos≥0.45 on the
+    test corpus: measured in tests/test_gaussian_lsh.py and recorded
+    in ROUND_NOTES.
+
+    Recall is a tuned property, not a guarantee (measured at
     cos>=0.45: 16×4-bit bands = 100% recall/65% candidates at sf0.01;
     8×8-bit = 3% candidates but 14% recall). At real near-dup
     thresholds the same bands sharpen fast: P(band match) per band is
     (1-θ/π)^bits ≈ 0.54 at cos 0.9 vs 0.0625 for random pairs."""
     vec = F.col(vec_col)
+
+    def _bit(b: int, k: int):
+        if hyperplanes is None:
+            return F.element_at(vec, b * band_bits + k + 1) >= 0
+        return _dot_literal(vec, hyperplanes[b * band_bits + k]) >= 0
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 sum(
                     (
-                        F.when(
-                            F.element_at(vec, b * band_bits + k + 1) >= 0,
-                            F.lit(1 << k),
-                        ).otherwise(F.lit(0))
+                        F.when(_bit(b, k), F.lit(1 << k)).otherwise(F.lit(0))
                         for k in range(band_bits)
                     ),
                     F.lit(0),
@@ -504,6 +548,7 @@ def lsh_cosine_pairs_above(
     threshold: float,
     n_bands: int = 16,
     band_bits: int = 4,
+    hyperplanes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate near-dup: sign-LSH candidates → exact cosine verify.
     Sub-quadratic candidate generation (equi-join on band buckets), and
@@ -511,8 +556,12 @@ def lsh_cosine_pairs_above(
     pattern shared with dedup_minhash_lsh/ann_lsh_bucketed. The verify
     scorer is the Arrow/numpy cosine (einsum over the whole batch) —
     measured ~2× the per-pair JVM fold, value-identical to float64
-    rounding (same contract as ann_cosine_topk_arrow)."""
-    cands = sign_lsh_pair_candidates(df, vec_col, id_col, n_bands, band_bits)
+    rounding (same contract as ann_cosine_topk_arrow).
+    ``hyperplanes``: seeded Gaussian projections instead of the
+    axis-aligned signs (see :func:`sign_lsh_pair_candidates`)."""
+    cands = sign_lsh_pair_candidates(
+        df, vec_col, id_col, n_bands, band_bits, hyperplanes
+    )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
