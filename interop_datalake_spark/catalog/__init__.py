@@ -72,36 +72,49 @@ def _with_required_conf(fn):
 #: (round 1 witnessed exactly the first 50, cut mid-module). This list
 #: front-loads one representative of every distinct operator class from
 #: SURVEY.md §2 — every module, every join/window/agg/dedup/ANN family,
-#: the reference surface, and both round-1 fixes — so the driver's
-#: correctness file covers the whole surface. Variants and yardstick
-#: baselines follow after slot 50 (the judge replays those manually).
+#: the reference surface — so the driver's correctness file covers the
+#: whole surface. ROTATED each round (VERDICT r3 item 7) so operators
+#: added since the last window get a driver-green row: round-3/4
+#: additions (cluster/incremental/span dedup, gopher/redact/pack,
+#: curation pipeline, int8 quantize, k-means, BM25, Gaussian LSH) are
+#: in-window; same-class variants they displaced (q3, agg_basic,
+#: set_intersect, scalar_date, join_range, ann_lsh_bucketed,
+#: text_lang_id, stream_session_window, pandas_grouped_map/agg,
+#: events_cohort_retention) moved past the cut — each class keeps at
+#: least one in-window representative (pandas grouped surfaces stay
+#: witnessed via the applyInPandas/mapInPandas dedup/ANN entries).
 WITNESS_PRIORITY = [
     # relational core
-    "q1_pricing_summary", "q3_shipping_priority", "scan_filter_project",
-    "join_broadcast", "agg_basic", "agg_rollup", "sort_limit_topk",
+    "q1_pricing_summary", "scan_filter_project", "join_broadcast",
+    "agg_rollup", "sort_limit_topk",
     # TPC-H-extra multi-join workload (q7 = round-1 fix)
     "q7_nation_volume", "q18_large_orders",
     # reference lake surface + ACID table format + change feed
     "hl7_msh9", "object_url_parse", "lake_path_templates",
     "lake_publish_roundtrip", "lake_txn_acid", "lake_txn_changes",
     # windows + custom joins
-    "window_rank", "topk_per_group", "join_asof", "join_range",
+    "window_rank", "topk_per_group", "join_asof",
     # set ops
-    "set_union_all", "set_intersect",
+    "set_union_all",
     # scalar surface (scalar_math = round-1 fix; JSON access is
-    # witnessed via variant_json_access; scalar_array moved past the
-    # witness cut to make room for the change-feed class)
-    "scalar_math", "scalar_date", "try_functions",
-    # LLM dedup + ANN (blocked/lsh = round-2 scale paths)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_blocked",
-    "dedup_embedding_lsh", "ann_cosine_topk_blocked", "ann_lsh_bucketed",
-    # text analysis + decontamination
-    "text_quality", "text_lang_id", "corpus_decontaminate",
+    # witnessed via variant_json_access)
+    "scalar_math", "try_functions",
+    # LLM dedup: exact / LSH / incremental-store / clusters / spans
+    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_cluster", "dedup_span_coverage",
+    # embedding similarity: blocked exact, axis + Gaussian LSH, ANN,
+    # quantization, clustering, retrieval
+    "dedup_embedding_blocked", "dedup_embedding_lsh",
+    "dedup_embedding_lsh_gaussian", "ann_cosine_topk_blocked",
+    "embedding_quantize_int8", "cluster_kmeans", "search_bm25",
+    # text analysis + corpus curation
+    "text_quality", "corpus_decontaminate", "corpus_filter_gopher",
+    "corpus_redact_pii", "corpus_pack_sequences_sharded",
+    "corpus_curate_pipeline",
     # streaming twins
-    "stream_tumbling_window", "stream_session_window", "stream_dedup",
+    "stream_tumbling_window", "stream_dedup",
     # pandas UDF + multimodal surface
-    "pandas_scalar_udf", "pandas_grouped_map", "pandas_grouped_agg",
-    "multimodal_decode",
+    "pandas_scalar_udf", "multimodal_decode",
     # advanced aggs + subqueries + schema evolution
     "agg_percentiles", "subquery_exists", "union_by_name_missing",
     # reshape + variant
@@ -109,7 +122,7 @@ WITNESS_PRIORITY = [
     # corpus sampling
     "corpus_split_train_val",
     # event analytics
-    "events_funnel", "events_cohort_retention", "events_hypertable_rollup",
+    "events_funnel", "events_hypertable_rollup",
 ]
 
 
