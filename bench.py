@@ -54,14 +54,19 @@ HEADLINE = [
     "corpus_pack_sequences_sharded",
     "corpus_filter_gopher",
     "dedup_incremental",
+    "dedup_span_coverage",
     "corpus_curate_pipeline",
 ]
 # not in HEADLINE by design: lake_txn_acid is a 6-commit ACID
 # integration scenario (write-job bound, not query throughput);
-# dedup_embedding_lsh's demo threshold (0.45, the corpus's random-
-# similarity band) makes LSH candidates deliberately unselective — its
-# cost is the documented recall/selectivity tradeoff, not a query-
-# engine property (the exact blocked variant is the scale benchmark).
+# dedup_embedding_lsh[_gaussian]'s demo threshold (0.45, the corpus's
+# random-similarity band) makes LSH candidates deliberately
+# unselective — their cost is the documented recall/selectivity
+# tradeoff, not a query-engine property (the exact blocked variant is
+# the scale benchmark; the gaussian variant additionally pays the
+# oracle-exact JVM projection fold, whose production form is one BLAS
+# matmul per Arrow batch); cluster_kmeans / ann_ivf_topk_trained are
+# iterative-training scenarios (KMeans fit dominates, not the query).
 
 
 def main() -> None:

@@ -679,7 +679,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="lsh_store_")
     try:
         session = DatalakeSession(lake_root=root, spark=spark)
-        store = TxnTable(session, "lsh_signatures", stats_cols=["doc_id"])
+        # no stats_cols: the incremental path always reads the FULL
+        # band snapshot (candidates come from an equi-join, never a
+        # key_range point read), so per-file min/max stats would buy
+        # zero pruning while costing one extra min/max pass per append
+        # — measured 8.4s → 3.0s per corpus append at sf0.1
+        store = TxnTable(session, "lsh_signatures")
         # corpus pass: sign once, persist (prior "day"'s run)
         store.append(
             lsh_sign_bands(docs.filter(F.col("doc_id") < cutoff), "text", "doc_id")
