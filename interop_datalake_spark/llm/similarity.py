@@ -472,6 +472,50 @@ def _dot_literal(vec, plane: list[float]):
     )
 
 
+def gaussian_band_rows_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    hyperplanes: list[list[float]],
+    n_bands: int,
+    band_bits: int,
+) -> DataFrame:
+    """PRODUCTION banding for Gaussian sign-LSH: all n_bands·band_bits
+    projections of an Arrow batch in ONE BLAS matmul (V @ Hᵀ), then a
+    vectorized bits→band-value reduction — emits the same
+    (id, band_idx, band_val) rows as the JVM literal fold at a fraction
+    of the cost (the fold evaluates 4096 interpreted lambda steps per
+    row; measured ~10× slower at sf0.1). The fold remains the
+    oracle-exact path; this one is verified against it Spark-vs-Spark
+    (tests/test_gaussian_lsh.py — numpy's pairwise summation could in
+    principle flip a sign only when |dot| ≲ 1e-13, never observed)."""
+    H = np.asarray(hyperplanes, dtype="float64").T  # dim × planes
+    weights = (1 << np.arange(band_bits)).astype("int64")
+    n_planes = n_bands * band_bits
+
+    def _band(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].values).astype("float64")
+            bits = (V @ H) >= 0  # |batch| × n_planes
+            vals = bits.reshape(-1, n_bands, band_bits) @ weights  # |batch| × n_bands
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_bands),
+                    "band_idx": np.tile(np.arange(n_bands), len(ids)),
+                    "band_val": vals.reshape(-1),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    assert n_planes == len(hyperplanes)
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _band, schema=f"{id_col} {id_type}, band_idx INT, band_val LONG"
+    )
+
+
 def sign_lsh_pair_candidates(
     df: DataFrame,
     vec_col: str,
@@ -479,6 +523,7 @@ def sign_lsh_pair_candidates(
     n_bands: int = 16,
     band_bits: int = 4,
     hyperplanes: list[list[float]] | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Banded sign-LSH candidate pairs: (id_a < id_b) sharing at least
     one band of sign bits; two vectors are candidates iff ANY band
@@ -501,32 +546,42 @@ def sign_lsh_pair_candidates(
     cos>=0.45: 16×4-bit bands = 100% recall/65% candidates at sf0.01;
     8×8-bit = 3% candidates but 14% recall). At real near-dup
     thresholds the same bands sharpen fast: P(band match) per band is
-    (1-θ/π)^bits ≈ 0.54 at cos 0.9 vs 0.0625 for random pairs."""
-    vec = F.col(vec_col)
+    (1-θ/π)^bits ≈ 0.54 at cos 0.9 vs 0.0625 for random pairs.
 
-    def _bit(b: int, k: int):
-        if hyperplanes is None:
-            return F.element_at(vec, b * band_bits + k + 1) >= 0
-        return _dot_literal(vec, hyperplanes[b * band_bits + k]) >= 0
+    ``use_arrow`` (hyperplanes only): compute the banding with one
+    BLAS matmul per Arrow batch (:func:`gaussian_band_rows_arrow`) —
+    the production path; the default JVM literal fold is the
+    oracle-exact path."""
+    if hyperplanes is not None and use_arrow:
+        banded = gaussian_band_rows_arrow(
+            df, vec_col, id_col, hyperplanes, n_bands, band_bits
+        ).withColumnRenamed(id_col, "_id")
+    else:
+        vec = F.col(vec_col)
 
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                sum(
-                    (
-                        F.when(_bit(b, k), F.lit(1 << k)).otherwise(F.lit(0))
-                        for k in range(band_bits)
-                    ),
-                    F.lit(0),
-                ).alias("band_val"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = df.select(
-        F.col(id_col).alias("_id"), F.explode(bands).alias("_b")
-    ).select("_id", F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_val").alias("band_val"))
+        def _bit(b: int, k: int):
+            if hyperplanes is None:
+                return F.element_at(vec, b * band_bits + k + 1) >= 0
+            return _dot_literal(vec, hyperplanes[b * band_bits + k]) >= 0
+
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    sum(
+                        (
+                            F.when(_bit(b, k), F.lit(1 << k)).otherwise(F.lit(0))
+                            for k in range(band_bits)
+                        ),
+                        F.lit(0),
+                    ).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        banded = df.select(
+            F.col(id_col).alias("_id"), F.explode(bands).alias("_b")
+        ).select("_id", F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_val").alias("band_val"))
     a = banded.select(
         F.col("_id").alias("id_a"), "band_idx", "band_val"
     )
@@ -549,6 +604,7 @@ def lsh_cosine_pairs_above(
     n_bands: int = 16,
     band_bits: int = 4,
     hyperplanes: list[list[float]] | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Approximate near-dup: sign-LSH candidates → exact cosine verify.
     Sub-quadratic candidate generation (equi-join on band buckets), and
@@ -558,9 +614,10 @@ def lsh_cosine_pairs_above(
     measured ~2× the per-pair JVM fold, value-identical to float64
     rounding (same contract as ann_cosine_topk_arrow).
     ``hyperplanes``: seeded Gaussian projections instead of the
-    axis-aligned signs (see :func:`sign_lsh_pair_candidates`)."""
+    axis-aligned signs; ``use_arrow``: BLAS banding (see
+    :func:`sign_lsh_pair_candidates`)."""
     cands = sign_lsh_pair_candidates(
-        df, vec_col, id_col, n_bands, band_bits, hyperplanes
+        df, vec_col, id_col, n_bands, band_bits, hyperplanes, use_arrow
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))

@@ -54,6 +54,27 @@ def test_hyperplanes_are_deterministic_and_rounded(spark):
     assert all(float(repr(x)) == x for row in a for x in row)
 
 
+def test_arrow_banding_matches_jvm_fold(spark, sf_dir):
+    """The production BLAS banding (one matmul per Arrow batch) must
+    produce the same candidate pairs as the oracle-exact JVM literal
+    fold — Spark-vs-Spark, same contract as the xxhash64 dedup path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    H = gaussian_hyperplanes(64, 64, seed=SEED)
+    fold = {
+        (r["id_a"], r["id_b"])
+        for r in sign_lsh_pair_candidates(
+            emb, "embedding", "vec_id", 16, 4, hyperplanes=H
+        ).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"])
+        for r in sign_lsh_pair_candidates(
+            emb, "embedding", "vec_id", 16, 4, hyperplanes=H, use_arrow=True
+        ).collect()
+    }
+    assert fold == blas and len(blas) > 0
+
+
 def test_gaussian_dims_exceeding_axis_limit(spark, sf_dir):
     """Axis-aligned banding can draw at most dim sign bits; Gaussian
     draws any number — 32 bands x 4 bits = 128 planes over 64 dims."""
