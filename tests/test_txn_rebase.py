@@ -171,6 +171,43 @@ def test_append_never_rebases_over_overwrite(session, spark, monkeypatch):
         t.append(_df(spark, [(2, "b")]))
 
 
+def test_threaded_concurrent_appends_all_succeed(session, spark):
+    """Four real writer threads appending simultaneously through the
+    public API: whatever the interleaving, every append must succeed
+    (blind appends always rebase), versions must be distinct and
+    consecutive, and no rows may be lost."""
+    import threading
+
+    t0 = TxnTable(session, "reb_threads")
+    t0.append(_df(spark, [(0, "seed")]))
+    errors, versions = [], []
+    lock = threading.Lock()
+
+    def writer(i):
+        try:
+            v = TxnTable(session, "reb_threads").append(
+                _df(spark, [(i, f"w{i}")])
+            )
+            with lock:
+                versions.append(v)
+        except Exception as e:  # noqa: BLE001 — the assertion is "none"
+            with lock:
+                errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, 5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert not errors, f"concurrent appends must all succeed: {errors}"
+    assert sorted(versions) == [2, 3, 4, 5]
+    assert _snapshot(t0) == {
+        (0, "seed"), (1, "w1"), (2, "w2"), (3, "w3"), (4, "w4")
+    }
+    assert t0.manifest()["rows"] == 5
+
+
 def test_epoch_append_rebases_and_replay_stays_noop(session, spark, monkeypatch):
     """Streaming epoch appends keep exactly-once through a rebase: the
     epoch commit rebases over a concurrent plain append, and replaying
