@@ -830,6 +830,56 @@ ORDER BY d.doc_id
 """
 
 
+def dedup_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dedup, driven end-to-end (llm/incremental
+    .py): documents land in an ACID docs table in two ingest batches;
+    each epoch signs ONLY its batch, appends bands to the signature
+    store, and emits verified pairs (≥1 side new) to a pairs table —
+    every leg an epoch-keyed exactly-once commit. The pairs table's
+    final content must equal the MONOLITHIC minhash_lsh_dedup over the
+    whole corpus (each pair lands in the epoch where its second side
+    arrived, none twice, none missed), so this query shares
+    DEDUP_MINHASH_ORACLE verbatim — the strongest cross-check in the
+    catalog: a two-epoch transactional streaming pipeline hashing
+    equal to a single DuckDB SQL statement. Epochs run via direct
+    foreachBatch invocations (the deterministic harness form; the true
+    readStream path over the change-feed source is exercised in
+    tests/test_stream_dedup_pipeline.py)."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.llm.incremental import dedup_pipeline_writer
+    from interop_datalake_spark.session import DatalakeSession
+
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        docs_t = TxnTable(session, "docs")
+        store = TxnTable(session, "lsh_store")
+        pairs_t = TxnTable(session, "pairs")
+        writer = dedup_pipeline_writer(docs_t, store, pairs_t)
+
+        docs_t.append(all_docs.filter(F.col("doc_id") < 450))
+        writer(docs_t.read_changes(0).select("doc_id", "text"), 0)
+        docs_t.append(all_docs.filter(F.col("doc_id") >= 450))
+        writer(docs_t.read_changes(1).select("doc_id", "text"), 1)
+
+        rows = (
+            pairs_t.read()
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b")
+            .collect()  # tiny pair set — detaches result from scratch tables
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows],
+        "id_a LONG, id_b LONG, jaccard DOUBLE",
+    ).orderBy("id_a", "id_b")
+
+
 def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation: the composition a real pretraining corpus
     goes through, staged so every document's fate is auditable —
@@ -1106,6 +1156,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast,
     "dedup_incremental": dedup_incremental,
+    "dedup_stream_pipeline": dedup_stream_pipeline,
     "dedup_cluster": dedup_cluster,
     "dedup_span_coverage": dedup_span_coverage,
     "corpus_curate_pipeline": corpus_curate_pipeline,
@@ -1130,6 +1181,7 @@ ORACLES = {
     "dedup_embedding_lsh_gaussian": _gauss_oracle_sql(),
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
+    "dedup_stream_pipeline": DEDUP_MINHASH_ORACLE,  # streamed ≡ monolithic
     "dedup_cluster": DEDUP_CLUSTER_ORACLE,
     "dedup_span_coverage": DEDUP_SPAN_ORACLE,
     "corpus_curate_pipeline": CORPUS_CURATE_ORACLE,
