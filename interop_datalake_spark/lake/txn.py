@@ -652,28 +652,51 @@ class TxnTable:
         partitions_added: dict[str, dict],
         base_version: int,
         new_base: int,
+        partition_scoped: bool = True,
     ) -> bool:
         """True iff a commit staged against ``base_version`` is
         logically compatible with every commit in (base_version,
         new_base] and may re-CAS onto the new snapshot WITHOUT
-        recomputing its data files (Delta/Iceberg conflict resolution):
+        recomputing its data files (Delta/Iceberg conflict resolution).
+        The test is serializability by reordering: rebase only when the
+        final state equals SOME serial order of the two commits.
 
         - a blind **append** (no removed files) is compatible with any
           intervening append/merge/delete/compact — it references no
           existing file, so the new snapshot plus our files is exactly
           the state both writers intended;
         - a rewriting op (**merge/delete/overwrite_partitions**) is
-          compatible iff the table is partitioned and the partition
-          sets the two sides touched are disjoint (the reference's
-          layout — one publish batch per tenant,
+          compatible iff the table is partitioned, the partition sets
+          the two sides touched are disjoint (the reference's layout —
+          one publish batch per tenant,
           ``DatalakePublishService.kt:68-73`` — makes concurrent
-          tenant publishes exactly this case), and every file we
-          planned to remove is still live in the new snapshot;
+          tenant publishes exactly this case), every file we planned
+          to remove is still live in the new snapshot, AND our
+          operation's READ scope was confined to its own partitions
+          (``partition_scoped``). The read-scope condition is what
+          makes the reorder sound: a MERGE whose key does NOT include
+          the partition columns logically reads every partition (a
+          matching key may live anywhere), so two such merges
+          inserting the same key into different partitions would both
+          commit and break key uniqueness — no serial order produces
+          that state. :meth:`merge` passes ``partition_scoped`` =
+          (partition cols ⊆ merge key); delete/overwrite_partitions
+          by construction touch only rows in the partitions they
+          rewrite.
         - a full **overwrite** on either side is never rebased: it
           replaces the table (schema included), so any concurrent
           intent is semantically void.
+
+        Residual assumption (documented, not checked): intervening
+        rewrites follow the same partition-scoped discipline — true
+        for every writer in this repo; a manifest flag would make it
+        checkable cross-writer.
         """
         pcols = self._effective_partition_cols()
+        if not partition_scoped and op in (
+            "merge", "delete", "overwrite_partitions"
+        ):
+            return False  # read scope spans partitions: cannot reorder
         our_parts: set[tuple] | None = None
         if removed or op in ("merge", "delete", "overwrite_partitions"):
             if not pcols:
@@ -722,6 +745,7 @@ class TxnTable:
         partition_types: dict[str, str] | None = None,
         incoming_schema=None,
         epoch: int | None = None,
+        partition_scoped: bool = True,
         max_attempts: int = 10,
     ) -> int | None:
         """CAS with rebase-on-logical-non-conflict: on
@@ -761,7 +785,12 @@ class TxnTable:
             except CommitConflictError:
                 new_base = self.current_version()
                 if not self._rebase_ok(
-                    op, removed, partitions or {}, attempt_base, new_base
+                    op,
+                    removed,
+                    partitions or {},
+                    attempt_base,
+                    new_base,
+                    partition_scoped,
                 ):
                     raise
                 attempt_base = new_base
@@ -844,6 +873,11 @@ class TxnTable:
         base = self.current_version()
         prev = self._state(base)
         self._merge_schema(prev, updates)  # validate before writing
+        # a merge's READ scope is partition-confined only when the
+        # partition columns are part of the merge key (a key then
+        # cannot match rows outside its own partition) — the condition
+        # for rebase-on-conflict to stay serializable
+        scoped = set(self._effective_partition_cols()) <= set(key_cols)
         if base == 0:
             files, rows, nstats, parts, ptypes = self._write_data(updates)
             version = self._commit_retry(
@@ -858,6 +892,7 @@ class TxnTable:
                 partition_types=ptypes,
                 incoming_schema=updates.schema,
                 epoch=_epoch,
+                partition_scoped=scoped,
             )
             return version
         stats = prev["stats"]
@@ -912,6 +947,7 @@ class TxnTable:
             partition_types=ptypes,
             incoming_schema=updates.schema,
             epoch=_epoch,
+            partition_scoped=scoped,
         )
         return version
 

@@ -85,10 +85,11 @@ def seed_centroids(
             F.row_number().over(Window.orderBy(id_col)) - 1,
         )
     )
-    seeded = df.join(F.broadcast(low), id_col)
-    return vectors_long(seeded, vec_col, id_col).join(
-        F.broadcast(low), id_col
-    ).select(
+    return vectors_long(
+        df.join(F.broadcast(low.select(id_col)), id_col, "left_semi"),
+        vec_col,
+        id_col,
+    ).join(F.broadcast(low), id_col).select(
         F.col("cluster_id").cast("int").alias("cluster_id"),
         "dim",
         F.col("x").alias("cx"),

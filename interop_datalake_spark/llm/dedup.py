@@ -216,9 +216,11 @@ def lsh_bands(
     key only needs equality semantics, so the fast path uses
     codegen'd xxhash64 (BIGINT key — narrower shuffle than the 32-char
     md5 hex, too)."""
+    if hash_name not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash {hash_name!r} (md5 | xxhash64)")
     num_hashes = sum(1 for c in signatures.columns if c.startswith("m"))
     n_bands = num_hashes // rows_per_band
-    key_fn = "md5" if hash_name == "md5" else "xxhash64"
+    key_fn = hash_name
     stack_args = []
     for band in range(n_bands):
         cols = [
@@ -430,12 +432,17 @@ def incremental_lsh_dedup(
     bands_new = lsh_sign_bands(
         new_docs, text_col, id_col, k, num_hashes, rows_per_band
     )
-    corpus_version = store.current_version()
     new_version = store.append(bands_new)  # the one signing job
     bands_all = store.read(version=new_version).select(
         id_col, "band", "band_key"
     )
-    stored_new = store.read_changes(corpus_version, new_version).select(
+    # the new side is exactly OUR commit's rows: (new_version-1,
+    # new_version], never a wider window — a concurrent batch landing
+    # between snapshot resolution and our (rebased) append must not be
+    # re-emitted as this run's news (its own run emits its pairs; our
+    # bands_all snapshot includes it, so cross-batch pairs land exactly
+    # once, in whichever run committed second)
+    stored_new = store.read_changes(new_version - 1, new_version).select(
         id_col, "band", "band_key"
     )
     cand = incremental_candidates(bands_all, stored_new, id_col)

@@ -74,12 +74,13 @@ def dedup_pipeline_writer(
         bands_new = lsh_sign_bands(
             batch, text_col, id_col, k, num_hashes, rows_per_band
         )
-        applied = sig_store.append_epoch(bands_new, epoch_id)
-        v_epoch = (
-            sig_store.current_version()
-            if applied
-            else _epoch_version(sig_store, epoch_id)
-        )
+        sig_store.append_epoch(bands_new, epoch_id)
+        # resolve the epoch's version FROM THE LOG, never from
+        # current_version(): a concurrent store writer committing
+        # between our append and the lookup would otherwise shift the
+        # change window onto ITS rows (silently dropping this batch's
+        # pairs and emitting someone else's under our epoch)
+        v_epoch = _epoch_version(sig_store, epoch_id)
         # both candidate sides from the store: full snapshot at the
         # epoch's version + exactly the rows that epoch added
         bands_all = sig_store.read(version=v_epoch).select(

@@ -86,6 +86,54 @@ def test_incremental_pairs_match_full_recompute(spark, sf_dir, store):
     assert [h["op"] for h in store.history()] == ["append", "append"]
 
 
+def test_concurrent_batch_during_signing_is_not_reemitted(
+    spark, sf_dir, store, monkeypatch
+):
+    """A concurrent daily batch landing in the store between our
+    snapshot resolution and our append must NOT be treated as this
+    run's news: its corpus pairs belong to its own run. Our run still
+    emits pairs against it (it is in our bands_all snapshot), so
+    cross-batch pairs land exactly once — in the run that committed
+    second. (Code-review regression: the change window must be
+    (new_version-1, new_version], never (pre-append, new_version].)"""
+    docs = _docs(spark, sf_dir)
+    store.append(lsh_sign_bands(docs.filter(F.col("doc_id") < CUTOFF), "text", "doc_id"))
+    other_bands = lsh_sign_bands(
+        docs.filter((F.col("doc_id") >= 450) & (F.col("doc_id") < 460)),
+        "text",
+        "doc_id",
+    )
+
+    orig = TxnTable.append
+    state = {"injected": False}
+
+    def racing_append(self, df):
+        if not state["injected"]:
+            state["injected"] = True
+            orig(self, other_bands)  # the concurrent batch lands first
+        return orig(self, df)
+
+    monkeypatch.setattr(TxnTable, "append", racing_append)
+    inc = incremental_lsh_dedup(
+        store, docs, "text", "doc_id", F.col("doc_id") >= 460
+    )
+    monkeypatch.undo()
+
+    got = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+    full = minhash_lsh_dedup(docs, "text", "doc_id")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] >= 460 or r["id_b"] >= 460
+    }
+    # exactly the pairs with ≥1 side in OUR batch: includes the
+    # ours-vs-concurrent pair (458,462), excludes the concurrent
+    # batch's own corpus pairs (26,455), (92,450), (326,457)
+    assert got == want
+    assert (458, 462) in got
+    assert not {(26, 455), (92, 450), (326, 457)} & got
+
+
 def test_successive_batches_compose_through_the_store(spark, sf_dir, store):
     """Day 1 ingests [450, 475), day 2 ingests [475, ∞): day 2's
     corpus side (the store) must already contain day 1's signatures,

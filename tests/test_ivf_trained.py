@@ -80,7 +80,7 @@ def test_trained_multiprobe_beats_placeholder_at_matched_budgets(spark, sf_dir):
             exact,
         )
         print(
-            f"budget ~{N_QUERIES and ''}{probes}N/{cells}: "
+            f"budget ~{probes}N/{cells}: "
             f"trained({cells}c,{probes}p)={r_trained:.3f} "
             f"placeholder({ph_cells}c,1p)={r_placeholder:.3f}"
         )

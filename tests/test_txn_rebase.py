@@ -100,7 +100,9 @@ def test_public_append_rebases_through_stale_base(session, spark, monkeypatch):
 def test_disjoint_partition_merges_both_succeed(session, spark, monkeypatch):
     """Two concurrent MERGEs touching different tenant partitions (the
     reference's one-batch-per-tenant publish layout): the stale writer
-    rebases because the touched partition sets are disjoint."""
+    rebases because the touched partition sets are disjoint AND the
+    merge key includes the partition column (so its key-match read was
+    confined to its own partition — the serializability condition)."""
     t = TxnTable(
         session, "reb_merge", stats_cols=["k"], partition_cols=["tenant"]
     )
@@ -110,11 +112,14 @@ def test_disjoint_partition_merges_both_succeed(session, spark, monkeypatch):
     base = t.current_version()
 
     # tenant-B writer lands its merge first
-    t.merge(_tdf(spark, [(100, "B-upd", "B")]), key_cols=["k"])
+    t.merge(_tdf(spark, [(100, "B-upd", "B")]), key_cols=["k", "tenant"])
 
     # tenant-A writer resolved its snapshot before that commit
     _stale_once(monkeypatch, TxnTable, base)
-    v = t.merge(_tdf(spark, [(0, "A-upd", "A"), (2, "A-new", "A")]), key_cols=["k"])
+    v = t.merge(
+        _tdf(spark, [(0, "A-upd", "A"), (2, "A-new", "A")]),
+        key_cols=["k", "tenant"],
+    )
     assert v == base + 2
     assert _snapshot(t) == {
         (0, "A-upd", "A"),
@@ -136,13 +141,37 @@ def test_overlapping_merges_still_conflict(session, spark, monkeypatch):
     t.append(_tdf(spark, [(0, "a0", "A"), (1, "a1", "A")]))
     base = t.current_version()
 
-    t.merge(_tdf(spark, [(0, "first", "A")]), key_cols=["k"])
+    t.merge(_tdf(spark, [(0, "first", "A")]), key_cols=["k", "tenant"])
 
     _stale_once(monkeypatch, TxnTable, base)
     with pytest.raises(CommitConflictError):
-        t.merge(_tdf(spark, [(1, "second", "A")]), key_cols=["k"])
+        t.merge(_tdf(spark, [(1, "second", "A")]), key_cols=["k", "tenant"])
     # the winner's merge is intact
     assert (0, "first", "A") in _snapshot(t)
+
+
+def test_cross_partition_key_merge_never_rebases(session, spark, monkeypatch):
+    """A merge whose key does NOT include the partition columns reads
+    every partition (a matching key may live anywhere), so it must NOT
+    rebase even when the touched partitions are disjoint: two such
+    merges inserting the same key into different partitions would both
+    commit and break key uniqueness — a state no serial order
+    produces."""
+    t = TxnTable(
+        session, "reb_xpart", stats_cols=["k"], partition_cols=["tenant"]
+    )
+    t.append(_tdf(spark, [(0, "a0", "A"), (100, "b0", "B")]))
+    base = t.current_version()
+
+    # writer1 inserts k=5 into tenant B (key k only: cross-partition read)
+    t.merge(_tdf(spark, [(5, "w1", "B")]), key_cols=["k"])
+
+    # writer2, staged against the stale base, inserts k=5 into tenant A
+    _stale_once(monkeypatch, TxnTable, base)
+    with pytest.raises(CommitConflictError):
+        t.merge(_tdf(spark, [(5, "w2", "A")]), key_cols=["k"])
+    # exactly one k=5 row survives
+    assert sum(1 for r in _snapshot(t) if r[0] == 5) == 1
 
 
 def test_unpartitioned_rewrite_never_rebases(session, spark, monkeypatch):
