@@ -419,6 +419,46 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors over INT8-QUANTIZED vectors — the search
+    side of the embedding_quantize_int8 storage path (cosine is
+    scale-invariant, so the raw int codes need no dequantization).
+    Every dot/norm term is an exact-in-double integer sum, so the
+    DuckDB oracle needs no float-order argument at all; ranking
+    agreement with the float path is measured in
+    tests/test_int8_topk.py."""
+    from interop_datalake_spark.llm.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = int8_topk(
+        emb.filter(F.col("vec_id") < 10), emb, "embedding", "vec_id", k=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rn", F.round("cos", 4).alias("cos")
+    ).orderBy("query_id", "rn")
+
+
+ANN_INT8_ORACLE = """
+WITH s AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x,
+         list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS scale
+  FROM embeddings
+), qv AS (
+  SELECT vec_id, list_transform(x, v -> floor(v * 127 / scale + 0.5)) AS q
+  FROM s
+)
+SELECT query_id, neighbor_id, rn, cos FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.q, b.q) DESC, b.vec_id) AS rn,
+         round(list_cosine_similarity(a.q, b.q), 4) AS cos
+  FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10
+) WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
 def ann_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with TRAINED coarse quantizer (seeded pyspark.ml KMeans
     codebook, broadcast as a literal frame) + 2-cell multiprobe —
@@ -1169,6 +1209,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
     "ann_cosine_topk_blocked": ann_cosine_topk_blocked,
+    "ann_topk_int8": ann_topk_int8,
     "ann_lsh_bucketed": ann_lsh_bucketed,
 }
 
@@ -1194,5 +1235,6 @@ ORACLES = {
     "ann_cosine_topk": ANN_TOPK_ORACLE,
     "ann_cosine_topk_arrow": ANN_TOPK_ORACLE,
     "ann_cosine_topk_blocked": ANN_TOPK_ORACLE,
+    "ann_topk_int8": ANN_INT8_ORACLE,
     "ann_lsh_bucketed": ANN_LSH_ORACLE,
 }

@@ -445,7 +445,27 @@ def incremental_lsh_dedup(
     stored_new = store.read_changes(new_version - 1, new_version).select(
         id_col, "band", "band_key"
     )
-    cand = incremental_candidates(bands_all, stored_new, id_col)
+    return verified_pairs_from_bands(
+        bands_all, stored_new, docs, text_col, id_col, k, threshold
+    )
+
+
+def verified_pairs_from_bands(
+    bands_all: DataFrame,
+    bands_new: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidates (≥1 side new) + exact-Jaccard verification over
+    candidate documents only — the shared tail of the batch
+    (:func:`incremental_lsh_dedup`) and streaming
+    (``llm/incremental.py``) incremental dedup paths. The doc table is
+    semi-joined to the (broadcast, tiny) candidate id set BEFORE
+    shingling, so verification text cost is O(candidates)."""
+    cand = incremental_candidates(bands_all, bands_new, id_col)
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))

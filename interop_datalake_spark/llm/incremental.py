@@ -30,13 +30,10 @@ transactional dedup pipeline.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from interop_datalake_spark.llm.dedup import (
-    incremental_candidates,
-    jaccard_pairs,
     lsh_sign_bands,
-    shingles,
+    verified_pairs_from_bands,
 )
 
 
@@ -89,16 +86,10 @@ def dedup_pipeline_writer(
         stored_new = sig_store.read_changes(v_epoch - 1, v_epoch).select(
             id_col, "band", "band_key"
         )
-        cand = incremental_candidates(bands_all, stored_new, id_col)
-        cand_ids = (
-            cand.select(F.col("id_a").alias(id_col))
-            .union(cand.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
         docs = docs_table.read().select(id_col, text_col)
-        cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
-        sh_cand = shingles(cand_docs, text_col, id_col, k, distinct=True)
-        pairs = jaccard_pairs(sh_cand, id_col, threshold, candidates=cand)
+        pairs = verified_pairs_from_bands(
+            bands_all, stored_new, docs, text_col, id_col, k, threshold
+        )
         pairs_table.append_epoch(
             pairs.select("id_a", "id_b", "jaccard"), epoch_id
         )
