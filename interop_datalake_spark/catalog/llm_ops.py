@@ -1084,7 +1084,10 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shuffles per iteration, no RNG anywhere — the full 2-iteration
     trajectory replays in the DuckDB oracle CTE-for-CTE (seed = the 8
     lowest-id vectors, ties on the lower centroid id, empty clusters
-    carry their previous centroid)."""
+    carry their previous centroid). This is the ORACLE-EXACT half of
+    the clustering duality; the production half is the seeded
+    ``pyspark.ml`` KMeans codebook in
+    ``llm/similarity.py:train_ivf_centroids``."""
     from interop_datalake_spark.llm.clustering import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")
