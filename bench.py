@@ -48,6 +48,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_topk_arrow",
     "ann_cosine_topk_blocked",
+    "ann_topk_int8",
     "text_quality",
     "corpus_decontaminate",
     "doc_chunk_windows",
@@ -57,8 +58,9 @@ HEADLINE = [
     "dedup_span_coverage",
     "corpus_curate_pipeline",
 ]
-# not in HEADLINE by design: lake_txn_acid is a 6-commit ACID
-# integration scenario (write-job bound, not query throughput);
+# not in HEADLINE by design: lake_txn_acid and dedup_stream_pipeline
+# are multi-commit ACID integration scenarios (write-job bound, not
+# query throughput);
 # dedup_embedding_lsh[_gaussian]'s demo threshold (0.45, the corpus's
 # random-similarity band) makes LSH candidates deliberately
 # unselective — their cost is the documented recall/selectivity
