@@ -583,6 +583,7 @@ class TxnTable:
         partition_types: dict[str, str] | None = None,
         schema: str | None = None,
         epoch: int | None = None,
+        partition_scoped: bool | None = None,
     ) -> int:
         """Atomically publish version ``base_version + 1``.
 
@@ -617,6 +618,10 @@ class TxnTable:
             record["schema"] = schema
         if epoch is not None:
             record["epoch"] = epoch
+        if partition_scoped is not None:
+            # recorded so LATER writers' rebase checks can verify this
+            # commit's read discipline instead of assuming it
+            record["partition_scoped"] = partition_scoped
         tmp = self._manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(record))
         target = self._manifest_path(new_version)
@@ -687,10 +692,13 @@ class TxnTable:
           replaces the table (schema included), so any concurrent
           intent is semantically void.
 
-        Residual assumption (documented, not checked): intervening
-        rewrites follow the same partition-scoped discipline — true
-        for every writer in this repo; a manifest flag would make it
-        checkable cross-writer.
+        The symmetric condition on INTERVENING commits is checked, not
+        assumed: every merge records its ``partition_scoped`` flag in
+        its commit record, and a rewrite refuses to rebase over an
+        intervening merge whose flag is absent or false (delete only
+        removes rows from the files it touched and
+        overwrite_partitions reads only its own partitions, so those
+        ops are reorderable by construction).
         """
         pcols = self._effective_partition_cols()
         if not partition_scoped and op in (
@@ -716,6 +724,14 @@ class TxnTable:
                 continue  # blind append: compatible with the rest
             if their_op in ("compact",):
                 return False  # compaction rewrites every partition
+            if their_op == "merge" and not rec.get("partition_scoped", False):
+                # their merge's key-match READ spanned partitions (or
+                # predates the recorded flag): ordering our rewrite
+                # first could have changed their insert-vs-update
+                # decision — no provable serial order, so no rebase.
+                # The flag rides the commit record, so this check
+                # holds across writers, not just within this process.
+                return False
             their_parts = self._partition_tuples(
                 list(rec.get("partitions", {})), rec.get("partitions", {}), pcols
             ) | self._partition_tuples(
@@ -781,6 +797,9 @@ class TxnTable:
                     partition_types=partition_types,
                     schema=schema,
                     epoch=epoch,
+                    partition_scoped=(
+                        partition_scoped if op == "merge" else None
+                    ),
                 )
             except CommitConflictError:
                 new_base = self.current_version()

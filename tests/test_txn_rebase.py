@@ -200,6 +200,43 @@ def test_append_never_rebases_over_overwrite(session, spark, monkeypatch):
         t.append(_df(spark, [(2, "b")]))
 
 
+def test_rebase_refuses_over_unscoped_intervening_merge(
+    session, spark, monkeypatch
+):
+    """The cross-writer half of the serializability check: the
+    partition_scoped flag rides each merge's COMMIT RECORD, so a
+    rewrite staged against a stale base refuses to rebase over an
+    intervening merge whose key did not cover the partition columns —
+    even though the touched partitions are disjoint (that merge's
+    key-match read spanned partitions, so no serial order is
+    provable)."""
+    t = TxnTable(
+        session, "reb_flag", stats_cols=["k"], partition_cols=["tenant"]
+    )
+    t.append(_tdf(spark, [(0, "a0", "A"), (100, "b0", "B")]))
+    base = t.current_version()
+
+    # intervening merge with key k only → recorded partition_scoped=False
+    t.merge(_tdf(spark, [(100, "B-upd", "B")]), key_cols=["k"])
+    assert t.commit_record(base + 1).get("partition_scoped") is False
+
+    _stale_once(monkeypatch, TxnTable, base)
+    with pytest.raises(CommitConflictError):
+        t.merge(_tdf(spark, [(0, "A-upd", "A")]), key_cols=["k", "tenant"])
+
+    # whereas a SCOPED intervening merge records True and rebase works
+    t2 = TxnTable(
+        session, "reb_flag2", stats_cols=["k"], partition_cols=["tenant"]
+    )
+    t2.append(_tdf(spark, [(0, "a0", "A"), (100, "b0", "B")]))
+    base2 = t2.current_version()
+    t2.merge(_tdf(spark, [(100, "B-upd", "B")]), key_cols=["k", "tenant"])
+    assert t2.commit_record(base2 + 1).get("partition_scoped") is True
+    _stale_once(monkeypatch, TxnTable, base2)
+    v = t2.merge(_tdf(spark, [(0, "A-upd", "A")]), key_cols=["k", "tenant"])
+    assert v == base2 + 2
+
+
 def test_threaded_concurrent_appends_all_succeed(session, spark):
     """Four real writer threads appending simultaneously through the
     public API: whatever the interleaving, every append must succeed
