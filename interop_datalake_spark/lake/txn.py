@@ -716,7 +716,13 @@ class TxnTable:
                 list(partitions_added), partitions_added, pcols
             )
         for v in range(base_version + 1, new_base + 1):
-            rec = self.commit_record(v)
+            try:
+                rec = self.commit_record(v)
+            except FileNotFoundError:
+                # a concurrent vacuum truncated the log past our base:
+                # the intervening ops are unknowable — degrade to a
+                # plain conflict (caller recomputes), never a crash
+                return False
             their_op = rec.get("op")
             if their_op == "overwrite":
                 return False
