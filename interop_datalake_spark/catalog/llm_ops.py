@@ -90,6 +90,10 @@ def _minhash_oracle_fragments(num_hashes: int = 16, rows_per_band: int = 4):
 
 
 _MINS_SQL, _BANDS_SQL = _minhash_oracle_fragments()
+#: 64-hash variant for the skew-safe query (boundary dilution shrinks
+#: the LSH gap; 16 bands restore complete recall — see
+#: dedup_minhash_lsh_skewsafe)
+_MINS64_SQL, _BANDS64_SQL = _minhash_oracle_fragments(64, 4)
 
 DEDUP_MINHASH_ORACLE = f"""
 WITH tok AS (
@@ -128,6 +132,92 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.8
 ORDER BY id_a, id_b
 """
+
+
+#: boilerplate footer comparable in length to the documents themselves
+#: (median doc ≈ 56 words) — minhash is a uniform sample of the shingle
+#: set, so SHORT boilerplate cannot skew it; the pathology needs shared
+#: text to be a large FRACTION of each document (template pages,
+#: license headers on short files)
+_FOOTER = " ".join(f"zq{i}" for i in range(60))
+
+
+def dedup_minhash_lsh_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW story of LSH dedup, driver-checked: every document
+    gets the same 60-word boilerplate footer appended (~half of each
+    doc's shingles become corpus-wide duplicates — the template-page
+    pathology). The shared shingles dominate the min-hash signatures
+    and collapse bands: measured at sf0.01 the candidate join explodes
+    25 → 12,347 pairs (~N²/10). ``max_shingle_freq=50`` drops shingles
+    appearing in more than 50 documents BEFORE signing (one cheap
+    count pass + anti join), restoring the candidate count (23-25) and
+    the similarity signal. Two honest footnotes, both pinned in
+    tests/test_skew_lsh.py: (1) the filter cannot remove the k-1
+    BOUNDARY shingles each doc gains where its own text meets the
+    footer, which dilute Jaccard by ~(k-1)/|S| — the verify threshold
+    moves to 0.6 (planted pairs sit ≥0.7 in the diluted space,
+    background ≤0.2), and one clean-corpus pair of very SHORT docs
+    (26,455: J 0.875 → 0.438 diluted) legitimately leaves the
+    filtered-space ground truth; (2) the dilution shrinks the
+    LSH gap, so this query signs with 64 hashes (16 bands) instead of
+    16 — recall vs the filtered-space exact ground truth is then
+    complete. The oracle replays footer injection, hot filter, and
+    the 64-hash pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws(" ", F.col("text"), F.lit(_FOOTER)).alias("text")
+    )
+    pairs = minhash_lsh_dedup(
+        docs, "text", "doc_id", k=5, num_hashes=64, rows_per_band=4,
+        threshold=0.6, max_shingle_freq=50,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_SKEWSAFE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text || ' {_FOOTER}', ' ') AS w FROM documents
+), sh_all AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM tok
+), hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle
+  HAVING count(DISTINCT doc_id) > 50
+), sh AS (
+  SELECT doc_id, shingle FROM sh_all
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0 FROM sh
+), sig AS (
+  SELECT doc_id,
+         {{mins}}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {{bands}}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.6
+ORDER BY id_a, id_b
+""".format(mins=_MINS64_SQL, bands=_BANDS64_SQL)
 
 
 def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,6 +1287,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_lsh_gaussian": dedup_embedding_lsh_gaussian,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_skewsafe": dedup_minhash_lsh_skewsafe,
     "dedup_minhash_lsh_fast": dedup_minhash_lsh_fast,
     "dedup_incremental": dedup_incremental,
     "dedup_stream_pipeline": dedup_stream_pipeline,
@@ -1224,6 +1315,7 @@ ORACLES = {
     "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_ORACLE,
     "dedup_embedding_lsh_gaussian": _gauss_oracle_sql(),
     "dedup_minhash_lsh": DEDUP_MINHASH_ORACLE,
+    "dedup_minhash_lsh_skewsafe": DEDUP_SKEWSAFE_ORACLE,
     "dedup_incremental": DEDUP_INCREMENTAL_ORACLE,
     "dedup_stream_pipeline": DEDUP_MINHASH_ORACLE,  # streamed ≡ monolithic
     "dedup_cluster": DEDUP_CLUSTER_ORACLE,
