@@ -534,7 +534,9 @@ WITH s AS (
          list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS scale
   FROM embeddings
 ), qv AS (
-  SELECT vec_id, list_transform(x, v -> floor(v * 127 / scale + 0.5)) AS q
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(x, v -> 0.0)
+              ELSE list_transform(x, v -> floor(v * 127 / scale + 0.5)) END AS q
   FROM s
 )
 SELECT query_id, neighbor_id, rn, cos FROM (

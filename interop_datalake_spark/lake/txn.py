@@ -699,7 +699,28 @@ class TxnTable:
         removes rows from the files it touched and
         overwrite_partitions reads only its own partitions, so those
         ops are reorderable by construction).
+
+        A concurrent vacuum may truncate any of the log reads this
+        check performs (commit records AND state replays) — all of it
+        degrades to a plain conflict, never a crash.
         """
+        try:
+            return self._rebase_ok_inner(
+                op, removed, partitions_added, base_version, new_base,
+                partition_scoped,
+            )
+        except FileNotFoundError:
+            return False  # vacuum truncated the log mid-check
+
+    def _rebase_ok_inner(
+        self,
+        op: str,
+        removed: list[str],
+        partitions_added: dict[str, dict],
+        base_version: int,
+        new_base: int,
+        partition_scoped: bool = True,
+    ) -> bool:
         pcols = self._effective_partition_cols()
         if not partition_scoped and op in (
             "merge", "delete", "overwrite_partitions"
@@ -716,13 +737,7 @@ class TxnTable:
                 list(partitions_added), partitions_added, pcols
             )
         for v in range(base_version + 1, new_base + 1):
-            try:
-                rec = self.commit_record(v)
-            except FileNotFoundError:
-                # a concurrent vacuum truncated the log past our base:
-                # the intervening ops are unknowable — degrade to a
-                # plain conflict (caller recomputes), never a crash
-                return False
+            rec = self.commit_record(v)  # FileNotFoundError → caller degrades
             their_op = rec.get("op")
             if their_op == "overwrite":
                 return False
@@ -1173,20 +1188,24 @@ class TxnTable:
 
     # -- streaming sink -----------------------------------------------------
 
-    def append_epoch(self, batch_df: DataFrame, epoch_id: int) -> bool:
+    def append_epoch(self, batch_df: DataFrame, epoch_id: int) -> int | None:
         """Idempotent epoch append — the exactly-once foreachBatch
         contract: Structured Streaming re-delivers the last epoch after
         a crash between sink write and checkpoint commit; recording the
         applied epoch IN the same atomic commit makes the replay a
-        no-op. Returns True if the batch was applied."""
+        no-op. Returns the committed VERSION when applied (race-free —
+        the value comes from the CAS itself, so consumers tailing this
+        epoch's change window need no log scan and no
+        current_version() TOCTOU), or None when the epoch was already
+        applied (replay no-op)."""
         base = self.current_version()
         prev = self._state(base)
         last = prev["epoch"]
         if last is not None and epoch_id <= last:
-            return False
+            return None
         self._merge_schema(prev, batch_df)  # validate before writing
         files, rows, stats, parts, ptypes = self._write_data(batch_df)
-        version = self._commit_retry(
+        return self._commit_retry(
             base,
             op="append",
             added=files,
@@ -1199,7 +1218,6 @@ class TxnTable:
             incoming_schema=batch_df.schema,
             epoch=epoch_id,
         )
-        return version is not None
 
     def foreach_batch_writer(self):
         """``writeStream.foreachBatch(table.foreach_batch_writer())`` —

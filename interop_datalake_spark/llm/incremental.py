@@ -71,13 +71,14 @@ def dedup_pipeline_writer(
         bands_new = lsh_sign_bands(
             batch, text_col, id_col, k, num_hashes, rows_per_band
         )
-        sig_store.append_epoch(bands_new, epoch_id)
-        # resolve the epoch's version FROM THE LOG, never from
-        # current_version(): a concurrent store writer committing
-        # between our append and the lookup would otherwise shift the
-        # change window onto ITS rows (silently dropping this batch's
-        # pairs and emitting someone else's under our epoch)
-        v_epoch = _epoch_version(sig_store, epoch_id)
+        # append_epoch returns the committed version FROM THE CAS —
+        # race-free (a current_version() read after the commit could
+        # see a concurrent writer's version and shift the change
+        # window onto its rows). The log scan runs only on the replay
+        # path (epoch already applied by a crashed prior run).
+        v_epoch = sig_store.append_epoch(bands_new, epoch_id)
+        if v_epoch is None:
+            v_epoch = _epoch_version(sig_store, epoch_id)
         # both candidate sides from the store: full snapshot at the
         # epoch's version + exactly the rows that epoch added
         bands_all = sig_store.read(version=v_epoch).select(

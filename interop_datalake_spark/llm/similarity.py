@@ -345,7 +345,11 @@ def quantize_vectors_int8(
     codes equals similarity over the dequantized floats."""
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scale = F.array_max(F.transform(x, F.abs))
-    q = F.transform(x, lambda v: F.floor(v * 127 / scale + 0.5))
+    # zero-vector guard: scale 0 would divide to NULL codes on Spark
+    # but inf/nan under IEEE engines — pin zero codes instead
+    q = F.when(
+        scale == 0, F.transform(x, lambda v: F.lit(0).cast("bigint"))
+    ).otherwise(F.transform(x, lambda v: F.floor(v * 127 / scale + 0.5)))
     return df.select(F.col(id_col), q.alias("q"))
 
 
@@ -368,24 +372,12 @@ def int8_topk(
     arithmetic is EXACT regardless of summation order — the one
     similarity score in this module whose oracle needs no
     rounding-order argument at all."""
-    q = quantize_vectors_int8(queries, vec_col, id_col).select(
-        F.col(id_col).alias("query_id"), F.col("q").alias("_qv")
-    )
-    c = quantize_vectors_int8(corpus, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("q").alias("_cv")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_similarity("_qv", "_cv"))
-        .select("query_id", "neighbor_id", "cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "rn", "cos")
+    return brute_force_topk(
+        quantize_vectors_int8(queries, vec_col, id_col),
+        quantize_vectors_int8(corpus, vec_col, id_col),
+        "q",
+        id_col,
+        k=k,
     )
 
 

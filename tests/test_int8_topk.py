@@ -57,6 +57,22 @@ def test_quantized_codes_are_int8_range(spark, sf_dir):
     )
 
 
+def test_zero_vector_quantizes_to_zero_codes(spark):
+    """scale = 0 must yield zero codes, not NULLs (Spark) or inf/nan
+    (IEEE engines) — the one input where the engines would otherwise
+    diverge."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    q = {
+        r["vec_id"]: list(r["q"])
+        for r in quantize_vectors_int8(df, "embedding", "vec_id").collect()
+    }
+    assert q[0] == [0, 0, 0]
+    assert q[1] == [64, -127, 32]
+
+
 def test_quantized_cosine_is_scale_invariant(spark):
     # v and 1000·v quantize to the same codes → identical neighbor sets
     rows = [

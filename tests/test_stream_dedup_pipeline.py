@@ -73,7 +73,7 @@ def test_crash_replay_between_commits_converges(spark, sf_dir, tmp_path):
 
     # simulated crash: the store commit of epoch 1 landed, pairs did not
     bands1 = lsh_sign_bands(batch1, "text", "doc_id")
-    assert store.append_epoch(bands1, 1) is True
+    assert store.append_epoch(bands1, 1) is not None
     store_v = store.current_version()
 
     writer(batch1, 1)  # the replay

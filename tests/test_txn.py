@@ -343,15 +343,15 @@ def test_read_changes_feed(session, spark):
 
 def test_append_epoch_is_exactly_once(session, spark):
     t = TxnTable(session, "txn_epochs")
-    assert t.append_epoch(_df(spark, [(1, "a")]), epoch_id=0) is True
-    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=1) is True
+    assert t.append_epoch(_df(spark, [(1, "a")]), epoch_id=0) == 1
+    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=1) == 2
     # crash-replay of epoch 1: must be a no-op
-    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=1) is False
-    assert t.append_epoch(_df(spark, [(3, "c")]), epoch_id=2) is True
+    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=1) is None
+    assert t.append_epoch(_df(spark, [(3, "c")]), epoch_id=2) == 3
     assert _snapshot_of(t) == {(1, "a"), (2, "b"), (3, "c")}
     # non-epoch commits don't reset the high-water mark
     t.compact(target_files=1)
-    assert t.append_epoch(_df(spark, [(9, "x")]), epoch_id=2) is False
+    assert t.append_epoch(_df(spark, [(9, "x")]), epoch_id=2) is None
 
 
 def _snapshot_of(t):

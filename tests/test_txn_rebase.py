@@ -279,13 +279,13 @@ def test_epoch_append_rebases_and_replay_stays_noop(session, spark, monkeypatch)
     epoch commit rebases over a concurrent plain append, and replaying
     the same epoch afterwards is still a no-op."""
     t = TxnTable(session, "reb_epoch")
-    assert t.append_epoch(_df(spark, [(1, "a")]), epoch_id=1) is True
+    assert t.append_epoch(_df(spark, [(1, "a")]), epoch_id=1) == 1
     base = t.current_version()
     t.append(_df(spark, [(50, "x")]))  # concurrent non-epoch writer
 
     _stale_once(monkeypatch, TxnTable, base)
-    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=2) is True
+    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=2) == base + 2
     assert _snapshot(t) == {(1, "a"), (50, "x"), (2, "b")}
     # replay of epoch 2 after the rebase: no-op
-    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=2) is False
+    assert t.append_epoch(_df(spark, [(2, "b")]), epoch_id=2) is None
     assert t.manifest()["rows"] == 3
