@@ -8,6 +8,7 @@ from __future__ import annotations
 from interop_datalake_spark.catalog import (
     advanced,
     events_analytics,
+    graph_ops,
     lake_ops,
     llm_ops,
     python_surface,
@@ -37,6 +38,7 @@ _MODULES = [
     reshape,
     sampling,
     events_analytics,
+    graph_ops,
 ]
 
 

@@ -215,11 +215,79 @@ FROM per_nation ORDER BY n_name
 """
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch twin of
+    stream_session_window's 30-min session): classic gaps-and-islands
+    — a lag window marks session starts (gap > 30 min), a running sum
+    numbers sessions per user, one groupBy rolls them up. Exactly one
+    shuffle on user_id serves BOTH window passes and the final agg
+    (same partitioning reused across stages); no global sort anywhere.
+    Gap math runs in integer microseconds (``unix_micros``) so the
+    engines agree exactly on TIMESTAMP(NANOS)-sourced events; session
+    value totals go through the decimal money path."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_flag = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros("ts") - prev_us) > F.lit(1_800_000_000)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("_new", new_flag).withColumn(
+        "session_no",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("duration_us"),
+            money_sum(money(F.col("value"))).alias("total_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(newf) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS session_no
+  FROM o
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total_value
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_hypertable_rollup": events_hypertable_rollup,
     "revenue_share_window": revenue_share_window,
     "events_cohort_retention": events_cohort_retention,
+    "events_sessionize": events_sessionize,
 }
 
 ORACLES = {
@@ -227,4 +295,5 @@ ORACLES = {
     "events_hypertable_rollup": HYPERTABLE_ORACLE,
     "revenue_share_window": REVENUE_SHARE_ORACLE,
     "events_cohort_retention": COHORT_ORACLE,
+    "events_sessionize": SESSIONIZE_ORACLE,
 }

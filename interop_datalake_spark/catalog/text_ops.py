@@ -779,6 +779,132 @@ FROM f ORDER BY vocab_id
 """
 
 
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing weights (the multilingual-/
+    multi-domain sampling rule from GPT-3 / XLM-R style pipelines):
+    per-source token counts, then ``p_i ∝ sqrt(tokens_i)`` (α = 0.5)
+    normalized over the corpus. Up-weights tail domains, down-weights
+    the head — the table a sampler consumes to draw a token-budgeted
+    training mix. One tiny agg (|sources| rows) + a broadcast of the
+    single-row normalizer; nothing here grows with corpus size except
+    the first groupBy, which partial-aggregates map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count_ws("text")).alias("n_tokens"),
+    )
+    z = per.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("_z")
+    )
+    return (
+        per.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.sqrt(F.col("n_tokens").cast("double")) / F.col("_z"), 6
+            ).alias("p_sample"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_MIX_ORACLE = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({_WORDS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), z AS (SELECT sum(sqrt(n_tokens::DOUBLE)) AS _z FROM per)
+SELECT source, n_docs, n_tokens,
+       round(sqrt(n_tokens::DOUBLE) / _z, 6) AS p_sample
+FROM per, z ORDER BY source
+"""
+
+
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality score (CCNet-style perplexity filter):
+    a bigram LM with add-½ smoothing is fit on the corpus itself, and
+    each document is scored by its cross-entropy under that LM —
+    boilerplate scores low, token soup scores high; a curation
+    pipeline thresholds the tail. p(w₂|w₁) = (c₁₂+½)/(c₁+½V).
+
+    Shape: posexplode → one lag window keyed by doc (the same shuffle
+    the final per-doc agg reuses) → two count tables (vocab² bounded,
+    NOT corpus bounded) joined back by word — every join key is a
+    token string, so at 100 TB the count tables are dictionary-sized
+    and broadcastable while the instance table streams.
+
+    Float discipline: each ln is rounded to 9 dp and summed as exact
+    DECIMAL, so the per-doc sum is order-independent; the single final
+    division happens on bit-identical doubles in both engines
+    (memory: spark-duckdb-float-determinism)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(T.words("text")).alias("pos", "w")
+    ).select("doc_id", "pos", F.lower("w").alias("w"))
+    from pyspark.sql import Window
+
+    lagw = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w1", F.lag("w").over(lagw))
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", "w1", "w")
+    )
+    c12 = big.groupBy("w1", "w").agg(F.count("*").alias("c12"))
+    c1 = toks.groupBy("w").agg(F.count("*").alias("c1")).withColumnRenamed(
+        "w", "w1"
+    )
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    lp = F.round(
+        F.log(
+            (F.col("c12") + F.lit(0.5))
+            / (F.col("c1") + F.lit(0.5) * F.col("v"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        big.join(c12, ["w1", "w"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_lp", lp)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -(F.sum("_lp").cast("double")) / F.count("*"), 6
+            ).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PERPLEXITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, lower(ws[i]) AS w
+  FROM (SELECT doc_id, {_WORDS} AS ws FROM documents),
+       unnest(generate_series(1, len(ws))) AS t(i)
+), big AS (
+  SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w
+  FROM toks QUALIFY w1 IS NOT NULL
+), c12 AS (
+  SELECT w1, w, count(*) AS c12 FROM big GROUP BY w1, w
+), c1 AS (
+  SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w
+), vocab AS (SELECT count(DISTINCT w) AS v FROM toks)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(-(sum(
+         round(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * vocab.v)), 9)
+           ::DECIMAL(18,9)
+       )::DOUBLE) / count(*), 6) AS cross_entropy
+FROM big b
+JOIN c12 USING (w1, w)
+JOIN c1 USING (w1)
+CROSS JOIN vocab
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
@@ -793,9 +919,13 @@ QUERIES = {
     "corpus_redact_pii": corpus_redact_pii,
     "text_repetition": text_repetition,
     "corpus_vocab": corpus_vocab,
+    "corpus_domain_mix": corpus_domain_mix,
+    "text_perplexity": text_perplexity,
 }
 
 ORACLES = {
+    "corpus_domain_mix": DOMAIN_MIX_ORACLE,
+    "text_perplexity": TEXT_PERPLEXITY_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_winnowing_fingerprints": TEXT_WINNOW_ORACLE,
     "text_lang_ngram": TEXT_LANG_NGRAM_ORACLE,

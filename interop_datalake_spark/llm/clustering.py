@@ -125,3 +125,66 @@ def kmeans_lloyd(
             )
         ).localCheckpoint(eager=False)
     return _assign(emb, cents, id_col)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    look for near-duplicates ONLY within a cluster — the cluster
+    assignment is the blocking structure that removes the O(N²)
+    all-pairs scan. Returns one row per duplicate
+    ``(dup_id, kept_id, cos)`` where ``kept_id`` is the LOWEST id
+    whose within-cluster cosine with ``dup_id`` clears ``threshold``
+    (deterministic keeper rule, same convention as
+    llm/dedup.py:duplicate_clusters).
+
+    Scale shape: the pair join is an equi-join on ``cluster_id`` —
+    candidate count is Σ_c |c|² instead of N², and k is the lever
+    that bounds |c| as the corpus grows (at 100 TB you raise k so
+    clusters stay ~10⁴-10⁵ vectors and each cluster's pair block
+    fits an executor). Cosine runs JVM-side; no vector ever crosses
+    the shuffle more than twice (once for assignment, once for the
+    cluster-keyed pair join).
+
+    Determinism: clustering is the RNG-free Lloyd trajectory of
+    :func:`kmeans_lloyd`, so the DuckDB oracle replays assignment AND
+    pair generation exactly.
+    """
+    from interop_datalake_spark.functions.vectors import cosine_similarity
+
+    assign = kmeans_lloyd(df, vec_col, id_col, k=k, iters=iters).select(
+        id_col, "cluster_id"
+    )
+    vecs = assign.join(df.select(id_col, vec_col), id_col)
+    a = vecs.select(
+        F.col(id_col).alias("a_id"),
+        "cluster_id",
+        F.col(vec_col).alias("_va"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("b_id"),
+        "cluster_id",
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine_similarity("_va", "_vb"))
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("b_id").orderBy("a_id")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("b_id").alias("dup_id"),
+            F.col("a_id").alias("kept_id"),
+            "cos",
+        )
+    )
