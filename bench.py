@@ -57,6 +57,10 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_span_coverage",
     "corpus_curate_pipeline",
+    "events_sessionize",
+    "text_perplexity",
+    "dedup_semantic",
+    "graph_pagerank",
 ]
 # not in HEADLINE by design: lake_txn_acid and dedup_stream_pipeline
 # are multi-commit ACID integration scenarios (write-job bound, not

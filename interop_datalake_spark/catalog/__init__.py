@@ -85,6 +85,11 @@ def _with_required_conf(fn):
 #: events_cohort_retention) moved past the cut — each class keeps at
 #: least one in-window representative (pandas grouped surfaces stay
 #: witnessed via the applyInPandas/mapInPandas dedup/ANN entries).
+#: Late-round-4 additions (dedup_semantic, text_perplexity,
+#: events_sessionize, graph_pagerank) rotate in over try_functions,
+#: agg_percentiles, pivot_event_types, events_funnel — all four
+#: displaced queries were driver-green in r03 and keep a same-class
+#: in-window sibling.
 WITNESS_PRIORITY = [
     # relational core
     "q1_pricing_summary", "scan_filter_project", "join_broadcast",
@@ -99,32 +104,38 @@ WITNESS_PRIORITY = [
     # set ops
     "set_union_all",
     # scalar surface (scalar_math = round-1 fix; JSON access is
-    # witnessed via variant_json_access)
-    "scalar_math", "try_functions",
-    # LLM dedup: exact / LSH / incremental-store / clusters / spans
+    # witnessed via variant_json_access; try_* stays oracle-backed
+    # past the cut)
+    "scalar_math",
+    # LLM dedup: exact / LSH / incremental-store / clusters / spans /
+    # semantic (cluster-blocked SemDeDup)
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
-    "dedup_cluster", "dedup_span_coverage",
+    "dedup_cluster", "dedup_span_coverage", "dedup_semantic",
     # embedding similarity: blocked exact, axis + Gaussian LSH, ANN,
     # quantization, clustering, retrieval
     "dedup_embedding_blocked", "dedup_embedding_lsh",
     "dedup_embedding_lsh_gaussian", "ann_cosine_topk_blocked",
     "embedding_quantize_int8", "cluster_kmeans", "search_bm25",
-    # text analysis + corpus curation
+    # text analysis + corpus curation (+ bigram-LM quality score)
     "text_quality", "corpus_decontaminate", "corpus_filter_gopher",
     "corpus_redact_pii", "corpus_pack_sequences_sharded",
-    "corpus_curate_pipeline",
+    "corpus_curate_pipeline", "text_perplexity",
     # streaming twins
     "stream_tumbling_window", "stream_dedup",
     # pandas UDF + multimodal surface
     "pandas_scalar_udf", "multimodal_decode",
-    # advanced aggs + subqueries + schema evolution
-    "agg_percentiles", "subquery_exists", "union_by_name_missing",
-    # reshape + variant
-    "pivot_event_types", "events_gapfill_hourly", "variant_json_access",
+    # advanced aggs + subqueries + schema evolution (percentile class
+    # stays witnessed via agg_rollup/median family past the cut)
+    "subquery_exists", "union_by_name_missing",
+    # reshape + variant (pivot class keeps gapfill + variant reps)
+    "events_gapfill_hourly", "variant_json_access",
     # corpus sampling
     "corpus_split_train_val",
-    # event analytics
-    "events_funnel", "events_hypertable_rollup",
+    # event analytics: rollup + batch sessionization (funnel/cohort
+    # stay oracle-backed past the cut)
+    "events_hypertable_rollup", "events_sessionize",
+    # graph analytics: iterative PageRank (new class, round 4)
+    "graph_pagerank",
 ]
 
 

@@ -215,26 +215,23 @@ FROM per_nation ORDER BY n_name
 """
 
 
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (the batch twin of
-    stream_session_window's 30-min session): classic gaps-and-islands
-    — a lag window marks session starts (gap > 30 min), a running sum
-    numbers sessions per user, one groupBy rolls them up. Exactly one
-    shuffle on user_id serves BOTH window passes and the final agg
-    (same partitioning reused across stages); no global sort anywhere.
-    Gap math runs in integer microseconds (``unix_micros``) so the
-    engines agree exactly on TIMESTAMP(NANOS)-sourced events; session
-    value totals go through the decimal money path."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
-    )
+def sessionize(ev: DataFrame, gap_us: int = 1_800_000_000) -> DataFrame:
+    """Gap-based sessionization core over (user_id, ts, event_id,
+    value) rows: a lag window marks session starts (gap > ``gap_us``
+    microseconds), a running sum numbers sessions per user, one
+    groupBy rolls them up. Exactly one shuffle on user_id serves BOTH
+    window passes and the final agg (same partitioning reused across
+    stages); no global sort anywhere. Gap math runs in integer
+    microseconds (``unix_micros``) so engines agree exactly on
+    TIMESTAMP(NANOS)-sourced events; session value totals go through
+    the decimal money path."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_us = F.lag(F.unix_micros("ts")).over(w)
     new_flag = F.when(
         prev_us.isNull()
-        | ((F.unix_micros("ts") - prev_us) > F.lit(1_800_000_000)),
+        | ((F.unix_micros("ts") - prev_us) > F.lit(gap_us)),
         F.lit(1),
     ).otherwise(F.lit(0))
     sess = ev.withColumn("_new", new_flag).withColumn(
@@ -254,6 +251,16 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch twin of
+    stream_session_window's 30-min session): classic gaps-and-islands
+    via :func:`sessionize` with a 30-minute gap."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return sessionize(ev)
 
 
 SESSIONIZE_ORACLE = """

@@ -838,44 +838,12 @@ def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline: each ln is rounded to 9 dp and summed as exact
     DECIMAL, so the per-doc sum is order-independent; the single final
     division happens on bit-identical doubles in both engines
-    (memory: spark-duckdb-float-determinism)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(T.words("text")).alias("pos", "w")
-    ).select("doc_id", "pos", F.lower("w").alias("w"))
-    from pyspark.sql import Window
+    (memory: spark-duckdb-float-determinism). Core in llm/lm.py."""
+    from interop_datalake_spark.llm.lm import bigram_cross_entropy
 
-    lagw = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        toks.withColumn("w1", F.lag("w").over(lagw))
-        .filter(F.col("w1").isNotNull())
-        .select("doc_id", "w1", "w")
-    )
-    c12 = big.groupBy("w1", "w").agg(F.count("*").alias("c12"))
-    c1 = toks.groupBy("w").agg(F.count("*").alias("c1")).withColumnRenamed(
-        "w", "w1"
-    )
-    vocab = toks.agg(F.countDistinct("w").alias("v"))
-    lp = F.round(
-        F.log(
-            (F.col("c12") + F.lit(0.5))
-            / (F.col("c1") + F.lit(0.5) * F.col("v"))
-        ),
-        9,
-    ).cast("decimal(18,9)")
-    return (
-        big.join(c12, ["w1", "w"])
-        .join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .withColumn("_lp", lp)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(
-                -(F.sum("_lp").cast("double")) / F.count("*"), 6
-            ).alias("cross_entropy"),
-        )
-        .orderBy("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_cross_entropy(docs, "text", "doc_id", k=0.5).orderBy(
+        "doc_id"
     )
 
 
