@@ -57,6 +57,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_span_coverage",
     "corpus_curate_pipeline",
+    "corpus_to_training_set",
     "events_sessionize",
     "text_perplexity",
     "dedup_semantic",

@@ -89,7 +89,8 @@ def _with_required_conf(fn):
 #: events_sessionize, graph_pagerank) rotate in over try_functions,
 #: agg_percentiles, pivot_event_types, events_funnel — all four
 #: displaced queries were driver-green in r03 and keep a same-class
-#: in-window sibling.
+#: in-window sibling. corpus_to_training_set (the 6-stage capstone)
+#: replaces corpus_curate_pipeline, whose stages it subsumes.
 WITNESS_PRIORITY = [
     # relational core
     "q1_pricing_summary", "scan_filter_project", "join_broadcast",
@@ -119,7 +120,7 @@ WITNESS_PRIORITY = [
     # text analysis + corpus curation (+ bigram-LM quality score)
     "text_quality", "corpus_decontaminate", "corpus_filter_gopher",
     "corpus_redact_pii", "corpus_pack_sequences_sharded",
-    "corpus_curate_pipeline", "text_perplexity",
+    "corpus_to_training_set", "text_perplexity",
     # streaming twins
     "stream_tumbling_window", "stream_dedup",
     # pandas UDF + multimodal surface

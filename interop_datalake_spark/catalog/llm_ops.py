@@ -1090,7 +1090,11 @@ def corpus_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
-CORPUS_CURATE_ORACLE = f"""
+#: the curation CTE chain (planted-dup corpus → quality gate → exact
+#: keeper → LSH candidates → verified pairs → transitive closure),
+#: shared by CORPUS_CURATE_ORACLE (audit labels) and
+#: TRAINING_SET_ORACLE (which keeps composing stages after it).
+_CURATE_CHAIN_SQL = f"""
 WITH RECURSIVE docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -1157,7 +1161,9 @@ WITH RECURSIVE docs AS (
          least(s.doc_id, coalesce(min(r.peer), s.doc_id)) AS cluster_id
   FROM surv s LEFT JOIN reach r ON r.src = s.doc_id
   GROUP BY s.doc_id
-)
+)"""
+
+CORPUS_CURATE_ORACLE = f"""{_CURATE_CHAIN_SQL}
 SELECT st.doc_id,
        CASE WHEN NOT st.q_keep THEN 'drop_quality'
             WHEN st.doc_id <> e.keeper THEN 'drop_exact'
@@ -1167,6 +1173,170 @@ FROM staged st
 LEFT JOIN exact e ON e.doc_id = st.doc_id
 LEFT JOIN labels l ON l.doc_id = st.doc_id
 ORDER BY st.doc_id
+"""
+
+
+def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition — documents in, training-set manifest out,
+    every stage a catalog-verified operator:
+
+    1. Gopher quality gate → exact dedup → MinHash-LSH near-dup + CC
+       keeper (the ``corpus_curate_pipeline`` stages, survivors only),
+    2. bigram-LM perplexity filter on the survivors (llm/lm.py; LM is
+       fit on the survivor corpus itself, docs with cross-entropy
+       > 3.40 drop — the CCNet-style tail cut; the threshold compares
+       6-dp-rounded values that are bit-identical across engines),
+    3. deterministic content-hash 90/5/5 split (train/val/test —
+       membership is a pure function of the text, so appends and
+       re-runs never leak validation data),
+    4. per-(split, shard) sequence packing (512-token budget,
+       prefix-sum windows per shard — no global sort).
+
+    Output: one row per (split, shard) with sequence/doc/token counts
+    — the manifest a dataloader consumes. The DuckDB oracle replays
+    ALL SIX stages (including the recursive transitive closure and
+    the LM fit) as one SQL statement.
+
+    Stage discipline at scale: every stage consumes the previous
+    stage's checkpointed survivors (strictly cheaper upstream:
+    projection → hash-groupBy → LSH joins → LM joins → pack), and the
+    per-stage shuffles are keyed the way the 100 TB run needs
+    (doc-keyed windows, vocab-bounded count tables, shard-local
+    packing). Production stages the survivor sets to TxnTables; the
+    lineage cuts here are the same boundaries."""
+    from interop_datalake_spark.functions import text as T
+    from interop_datalake_spark.llm.dedup import duplicate_clusters
+    from interop_datalake_spark.llm.lm import bigram_cross_entropy
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.union(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    n_words = T.token_count_ws("text")
+    dsw = T.distinct_stopword_count("text", "en")
+    dupf = F.coalesce(T.dup_word_frac("text"), F.lit(0.0))
+    q_keep = (n_words >= 25) & (dsw >= 2) & (dupf <= 0.6)
+    staged = docs.withColumn("q_keep", q_keep).localCheckpoint()
+
+    quality = staged.filter("q_keep")
+    w = Window.partitionBy(F.md5("text"))
+    exact = quality.withColumn("keeper", F.min("doc_id").over(w))
+    surv = (
+        exact.filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    pairs = minhash_lsh_dedup(
+        surv, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4,
+        threshold=0.8,
+    )
+    labels = duplicate_clusters(
+        pairs, all_ids=surv.select("doc_id"), id_col="doc_id"
+    )
+    kept = (
+        surv.join(labels, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+
+    ce = bigram_cross_entropy(kept, "text", "doc_id")
+    surv2 = (
+        kept.join(ce, "doc_id")
+        .filter(F.col("cross_entropy") <= 3.40)
+        .select("doc_id", "text")
+    )
+
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    sp = surv2.select(
+        "doc_id",
+        T.token_count_ws("text").cast("bigint").alias("n_tokens"),
+        split.alias("split"),
+        (F.col("doc_id") % 4).cast("int").alias("shard"),
+    )
+    packw = (
+        Window.partitionBy("split", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sp.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(packw), F.lit(0)) / 512
+        ).cast("int"),
+    )
+    return (
+        placed.groupBy("split", "shard")
+        .agg(
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
+TRAINING_SET_ORACLE = f"""{_CURATE_CHAIN_SQL}
+, kept AS (
+  SELECT s.doc_id, s.text FROM surv s
+  JOIN labels l ON l.doc_id = s.doc_id
+  WHERE s.doc_id = l.cluster_id
+), ptoks AS (
+  SELECT doc_id, i AS pos, lower(ws[i]) AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws
+        FROM kept),
+       unnest(generate_series(1, len(ws))) AS t(i)
+), pbig AS (
+  SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w
+  FROM ptoks QUALIFY w1 IS NOT NULL
+), pc12 AS (
+  SELECT w1, w, count(*) AS c12 FROM pbig GROUP BY w1, w
+), pc1 AS (
+  SELECT w AS w1, count(*) AS c1 FROM ptoks GROUP BY w
+), pv AS (SELECT count(DISTINCT w) AS v FROM ptoks),
+ce AS (
+  SELECT b.doc_id,
+         round(-(sum(
+           round(ln((pc12.c12 + 0.5) / (pc1.c1 + 0.5 * pv.v)), 9)
+             ::DECIMAL(18,9)
+         )::DOUBLE) / count(*), 6) AS cross_entropy
+  FROM pbig b JOIN pc12 USING (w1, w) JOIN pc1 USING (w1) CROSS JOIN pv
+  GROUP BY b.doc_id
+), surv2 AS (
+  SELECT k.doc_id, k.text FROM kept k
+  JOIN ce ON ce.doc_id = k.doc_id
+  WHERE ce.cross_entropy <= 3.40
+), sp AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))::BIGINT
+           AS n_tokens,
+         CASE WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 100 < 90
+              THEN 'train'
+              WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 100 < 95
+              THEN 'val'
+              ELSE 'test' END AS split,
+         (doc_id % 4)::INT AS shard
+  FROM surv2
+), placed AS (
+  SELECT split, shard, doc_id, n_tokens,
+         (coalesce(sum(n_tokens) OVER (
+            PARTITION BY split, shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // 512)::INT AS seq_id
+  FROM sp
+)
+SELECT split, shard, count(DISTINCT seq_id)::BIGINT AS n_seqs,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+FROM placed GROUP BY split, shard ORDER BY split, shard
 """
 
 
@@ -1352,6 +1522,7 @@ QUERIES = {
     "dedup_cluster": dedup_cluster,
     "dedup_span_coverage": dedup_span_coverage,
     "corpus_curate_pipeline": corpus_curate_pipeline,
+    "corpus_to_training_set": corpus_to_training_set,
     "embedding_quantize_int8": embedding_quantize_int8,
     "cluster_kmeans": cluster_kmeans,
     "dedup_semantic": dedup_semantic,
@@ -1380,6 +1551,7 @@ ORACLES = {
     "dedup_cluster": DEDUP_CLUSTER_ORACLE,
     "dedup_span_coverage": DEDUP_SPAN_ORACLE,
     "corpus_curate_pipeline": CORPUS_CURATE_ORACLE,
+    "corpus_to_training_set": TRAINING_SET_ORACLE,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_ORACLE,
     "cluster_kmeans": CLUSTER_KMEANS_ORACLE,
     "dedup_semantic": DEDUP_SEMANTIC_ORACLE,
