@@ -97,9 +97,12 @@ WITNESS_PRIORITY = [
     "agg_rollup", "sort_limit_topk",
     # TPC-H-extra multi-join workload (q7 = round-1 fix)
     "q7_nation_volume", "q18_large_orders",
-    # reference lake surface + ACID table format + change feed
-    "hl7_msh9", "object_url_parse", "lake_path_templates",
+    # reference lake surface + ACID table format + change feed + SCD2
+    # (path templating stays oracle-backed past the cut; its class is
+    # witnessed via object_url_parse)
+    "hl7_msh9", "object_url_parse",
     "lake_publish_roundtrip", "lake_txn_acid", "lake_txn_changes",
+    "lake_scd2",
     # windows + custom joins
     "window_rank", "topk_per_group", "join_asof",
     # set ops

@@ -298,6 +298,81 @@ SELECT * FROM (VALUES
 """
 
 
+def lake_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history on TxnTable (lake/scd.py): three
+    daily batches — initial load; one change + one no-op + one new
+    key; one change-back + one value→NULL change — then an idempotent
+    REPLAY of day 3 that provably commits nothing. Each batch is one
+    atomic merge keyed on (key, valid_from): a key can never be
+    observed with zero or two current versions. The pinned history
+    (including the NULL-attribute version and the closed-interval
+    chain for key 2) is the whole semantics, verifiable by eye."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.scd import scd2_apply
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+
+    root = tempfile.mkdtemp(prefix="lake_scd2_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "dim_scd2")
+
+        def batch(rows, day):
+            return spark.createDataFrame(
+                rows, "key BIGINT, attr STRING"
+            ).withColumn(
+                "effective_ts",
+                F.lit(f"2024-01-0{day} 00:00:00").cast("timestamp"),
+            )
+
+        v1 = scd2_apply(t, batch([(1, "A"), (2, "B"), (3, "C")], 1),
+                        ["key"], ["attr"])
+        v2 = scd2_apply(t, batch([(1, "A"), (2, "B2"), (4, "D")], 2),
+                        ["key"], ["attr"])
+        v3 = scd2_apply(t, batch([(2, "B"), (3, None)], 3),
+                        ["key"], ["attr"])
+        v4 = scd2_apply(t, batch([(2, "B"), (3, None)], 4),
+                        ["key"], ["attr"])  # idempotent replay: no commit
+        assert v1 == 1 and v2 == 2 and v3 == 3 and v4 is None
+        assert t.current_version() == 3
+
+        hist = (
+            t.read()
+            .select(
+                "key",
+                "attr",
+                F.dayofmonth("valid_from").alias("from_day"),
+                F.dayofmonth("valid_to").alias("to_day"),
+                "is_current",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.key, r.attr, r.from_day, r.to_day, r.is_current) for r in hist],
+        "key BIGINT, attr STRING, from_day INT, to_day INT, is_current BOOLEAN",
+    ).orderBy("key", "from_day")
+
+
+LAKE_SCD2_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'A',  1, NULL, true),
+  (2, 'B',  1, 2,    false),
+  (2, 'B2', 2, 3,    false),
+  (2, 'B',  3, NULL, true),
+  (3, 'C',  1, 3,    false),
+  (3, NULL, 3, NULL, true),
+  (4, 'D',  2, NULL, true)
+) AS t(key, attr, from_day, to_day, is_current)
+ORDER BY key, from_day
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -305,6 +380,7 @@ QUERIES = {
     "lake_publish_roundtrip": lake_publish_roundtrip,
     "lake_txn_acid": lake_txn_acid,
     "lake_txn_changes": lake_txn_changes,
+    "lake_scd2": lake_scd2,
 }
 
 ORACLES = {
@@ -314,4 +390,5 @@ ORACLES = {
     "lake_publish_roundtrip": LAKE_ROUNDTRIP_ORACLE,
     "lake_txn_acid": LAKE_TXN_ORACLE,
     "lake_txn_changes": LAKE_CHANGES_ORACLE,
+    "lake_scd2": LAKE_SCD2_ORACLE,
 }
