@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_span_coverage",
     "corpus_curate_pipeline",
     "corpus_to_training_set",
+    "text_bpe_train",
     "events_sessionize",
     "text_perplexity",
     "dedup_semantic",

@@ -124,8 +124,11 @@ WITNESS_PRIORITY = [
     "text_quality", "corpus_decontaminate", "corpus_filter_gopher",
     "corpus_redact_pii", "corpus_pack_sequences_sharded",
     "corpus_to_training_set", "text_perplexity",
-    # streaming twins
-    "stream_tumbling_window", "stream_dedup",
+    # streaming twins (tumbling window displaced by BPE below;
+    # the class keeps stream_dedup here + true-readStream pytest runs)
+    "stream_dedup",
+    # BPE tokenizer training (iterative vocab learning, round 4)
+    "text_bpe_train",
     # pandas UDF + multimodal surface
     "pandas_scalar_udf", "multimodal_decode",
     # advanced aggs + subqueries + schema evolution (percentile class

@@ -873,6 +873,85 @@ GROUP BY b.doc_id ORDER BY b.doc_id
 """
 
 
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) as DataFrame
+    algebra (llm/bpe.py): 3 learned merges over the corpus vocabulary.
+    Pair counting includes overlaps, merging is leftmost-first
+    non-overlapping (a parity rule over islands of consecutive match
+    positions), ties break (count desc, left, right) — so the merge
+    trajectory is deterministic and the oracle replays every round
+    CTE-for-CTE. Ranks 2-3 depend on rank 1's merge being applied
+    correctly, so the 3-row output witnesses counting, argmax AND
+    application. The corpus is scanned once (word counts); every
+    iteration is vocabulary-sized."""
+    from interop_datalake_spark.llm.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", n_merges=3)
+    return merges.orderBy("rank")
+
+
+def _bpe_iter_sql(prev: str, n: int) -> str:
+    """One BPE merge round as CTE fragments: pair stats over ``prev``,
+    argmax pick, island-parity merge, renumber."""
+    return f"""pc{n} AS (
+  SELECT sym AS lft, nxt AS rgt, sum(wcount) AS pair_count FROM (
+    SELECT word, wcount, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM {prev}
+  ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
+), b{n} AS (
+  SELECT * FROM pc{n} ORDER BY pair_count DESC, lft, rgt LIMIT 1
+), m{n} AS (
+  SELECT s.word, s.wcount, s.pos, s.sym,
+         lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+         coalesce(
+           s.sym = b.lft
+           AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.rgt,
+           false) AS is_match
+  FROM {prev} s CROSS JOIN b{n} b
+), i{n} AS (
+  SELECT *, CASE WHEN is_match
+    THEN pos - row_number() OVER (PARTITION BY word, is_match ORDER BY pos)
+    END AS island
+  FROM m{n}
+), d{n} AS (
+  SELECT *, is_match AND
+    ((pos - min(pos) OVER (PARTITION BY word, island)) % 2 = 0) AS do_merge
+  FROM i{n}
+), f{n} AS (
+  SELECT word, wcount, pos,
+         CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT *, coalesce(
+      lag(do_merge) OVER (PARTITION BY word ORDER BY pos), false
+    ) AS prev_merged
+    FROM d{n}
+  ) WHERE NOT prev_merged
+), s{n} AS (
+  SELECT word, wcount,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+  FROM f{n}
+)"""
+
+
+TEXT_BPE_ORACLE = f"""
+WITH w0 AS (
+  SELECT lower(tok) AS word, count(*) AS wcount
+  FROM (SELECT unnest({_WORDS}) AS tok FROM documents)
+  GROUP BY 1
+), s0 AS (
+  SELECT word, wcount, i AS pos, substr(word, i, 1) AS sym
+  FROM w0, unnest(generate_series(1, length(word))) AS t(i)
+), {_bpe_iter_sql('s0', 1)}, {_bpe_iter_sql('s1', 2)}, {_bpe_iter_sql('s2', 3)}
+SELECT rank, lft AS "left", rgt AS "right", pair_count FROM (
+  SELECT 1 AS rank, lft, rgt, pair_count FROM b1
+  UNION ALL SELECT 2, lft, rgt, pair_count FROM b2
+  UNION ALL SELECT 3, lft, rgt, pair_count FROM b3
+) ORDER BY rank
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
@@ -889,11 +968,13 @@ QUERIES = {
     "corpus_vocab": corpus_vocab,
     "corpus_domain_mix": corpus_domain_mix,
     "text_perplexity": text_perplexity,
+    "text_bpe_train": text_bpe_train,
 }
 
 ORACLES = {
     "corpus_domain_mix": DOMAIN_MIX_ORACLE,
     "text_perplexity": TEXT_PERPLEXITY_ORACLE,
+    "text_bpe_train": TEXT_BPE_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "text_winnowing_fingerprints": TEXT_WINNOW_ORACLE,
     "text_lang_ngram": TEXT_LANG_NGRAM_ORACLE,

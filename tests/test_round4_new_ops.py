@@ -122,3 +122,34 @@ def test_domain_mix_is_a_distribution(spark, sf_dir):
     assert len(rows) > 1
     assert sum(r.p_sample for r in rows) == pytest.approx(1.0, abs=1e-4)
     assert all(r.p_sample > 0 for r in rows)
+
+
+def test_bpe_overlap_count_and_greedy_merge(spark):
+    """'aaaa aaaa aab': (a,a) counts overlaps (3·2 + 1 = 7); merging is
+    leftmost-first non-overlapping ('aaaa' → [aa,aa], not [a,aa,a]);
+    round 2 then merges (aa,aa) — which only exists if round 1 applied
+    correctly."""
+    from interop_datalake_spark.llm.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aab")], "doc_id BIGINT, text STRING"
+    )
+    merges, syms = bpe_train(docs, "text", n_merges=2)
+    got = [(r["rank"], r["left"], r["right"], r.pair_count)
+           for r in merges.orderBy("rank").collect()]
+    assert got == [(1, "a", "a", 7), (2, "aa", "aa", 2)]
+    state = {
+        (r.word, r.pos): r.sym for r in syms.collect()
+    }
+    assert state == {("aaaa", 1): "aaaa", ("aab", 1): "aa", ("aab", 2): "b"}
+
+
+def test_bpe_tiebreak_lexicographic(spark):
+    from interop_datalake_spark.llm.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "cd ab")], "doc_id BIGINT, text STRING"
+    )
+    merges, _ = bpe_train(docs, "text", n_merges=1)
+    r = merges.collect()[0]
+    assert (r["left"], r["right"], r.pair_count) == ("a", "b", 1)
