@@ -102,7 +102,7 @@ WITNESS_PRIORITY = [
     # witnessed via object_url_parse)
     "hl7_msh9", "object_url_parse",
     "lake_publish_roundtrip", "lake_txn_acid", "lake_txn_changes",
-    "lake_scd2",
+    "lake_scd2", "lake_expectations",
     # windows + custom joins
     "window_rank", "topk_per_group", "join_asof",
     # set ops
@@ -115,9 +115,11 @@ WITNESS_PRIORITY = [
     # semantic (cluster-blocked SemDeDup)
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
     "dedup_cluster", "dedup_span_coverage", "dedup_semantic",
-    # embedding similarity: blocked exact, axis + Gaussian LSH, ANN,
-    # quantization, clustering, retrieval
-    "dedup_embedding_blocked", "dedup_embedding_lsh",
+    # embedding similarity: blocked exact, Gaussian LSH, ANN,
+    # quantization, clustering, retrieval (the axis-aligned LSH
+    # variant moved past the cut for lake_expectations; its class
+    # keeps the Gaussian + blocked reps here)
+    "dedup_embedding_blocked",
     "dedup_embedding_lsh_gaussian", "ann_cosine_topk_blocked",
     "embedding_quantize_int8", "cluster_kmeans", "search_bm25",
     # text analysis + corpus curation (+ bigram-LM quality score)

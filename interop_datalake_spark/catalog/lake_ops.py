@@ -373,6 +373,112 @@ ORDER BY key, from_day
 """
 
 
+def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (lake/expectations.py): one batch with a
+    warn-action and a drop-action expectation — 2 rows quarantined
+    (one failing BOTH rules, tagged with both names), 4 published,
+    audit rows persisted to an audit TxnTable — then a batch violating
+    a fail-action expectation, which aborts BEFORE any write (all
+    three table versions provably unchanged). Output = the audit
+    table + pinned quarantine/main summaries."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.expectations import (
+        Expectation,
+        ExpectationFailed,
+        append_with_expectations,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+
+    root = tempfile.mkdtemp(prefix="lake_exp_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        main = TxnTable(session, "docs_main")
+        quar = TxnTable(session, "docs_quarantine")
+        audit = TxnTable(session, "docs_audit")
+        exps = [
+            Expectation("text_nonempty", F.length("text") > 0, "drop"),
+            Expectation("lang_known", F.col("lang").isin("en", "es"), "drop"),
+            Expectation("id_small", F.col("doc_id") < 100, "warn"),
+        ]
+        b1 = spark.createDataFrame(
+            [
+                (1, "hello", "en"),
+                (2, "", "en"),        # fails text_nonempty
+                (3, "hola", "es"),
+                (4, "", "xx"),        # fails BOTH drop rules
+                (5, "bonjour", "en"),
+                (200, "big", "en"),   # fails the warn rule: published
+            ],
+            "doc_id BIGINT, text STRING, lang STRING",
+        )
+        rep = append_with_expectations(main, b1, exps, quar, audit)
+        assert rep["rows_published"] == 4 and rep["rows_quarantined"] == 2
+
+        b2 = spark.createDataFrame(
+            [(-1, "neg", "en")], "doc_id BIGINT, text STRING, lang STRING"
+        )
+        exps_fail = exps + [
+            Expectation("id_positive", F.col("doc_id") >= 0, "fail")
+        ]
+        vmain, vq, va = (
+            main.current_version(),
+            quar.current_version(),
+            audit.current_version(),
+        )
+        try:
+            append_with_expectations(main, b2, exps_fail, quar, audit)
+            raise AssertionError("fail-action violation must raise")
+        except ExpectationFailed:
+            pass
+        # abort-before-write: no table moved
+        assert (vmain, vq, va) == (
+            main.current_version(),
+            quar.current_version(),
+            audit.current_version(),
+        )
+
+        audit_rows = [
+            ("audit", r.expectation, r.action, r.violations, r.rows_published)
+            for r in audit.read().collect()
+        ]
+        quar_rows = [
+            (
+                "quarantine",
+                str(r.doc_id),
+                ",".join(sorted(r["_violations"])),
+                None,
+                None,
+            )
+            for r in quar.read().collect()
+        ]
+        main_n = main.read().count()
+        summary = [("main", "rows", None, None, main_n)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        audit_rows + quar_rows + summary,
+        "kind STRING, item STRING, detail STRING, violations BIGINT, n BIGINT",
+    ).orderBy("kind", "item", "detail")
+
+
+LAKE_EXPECTATIONS_ORACLE = """
+SELECT * FROM (VALUES
+  ('audit', 'text_nonempty', 'drop', 2, 4),
+  ('audit', 'lang_known',    'drop', 1, 4),
+  ('audit', 'id_small',      'warn', 1, 4),
+  ('quarantine', '2', 'text_nonempty', NULL, NULL),
+  ('quarantine', '4', 'lang_known,text_nonempty', NULL, NULL),
+  ('main', 'rows', NULL, NULL, 4)
+) AS t(kind, item, detail, violations, n)
+ORDER BY kind, item, detail
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -381,6 +487,7 @@ QUERIES = {
     "lake_txn_acid": lake_txn_acid,
     "lake_txn_changes": lake_txn_changes,
     "lake_scd2": lake_scd2,
+    "lake_expectations": lake_expectations,
 }
 
 ORACLES = {
@@ -391,4 +498,5 @@ ORACLES = {
     "lake_txn_acid": LAKE_TXN_ORACLE,
     "lake_txn_changes": LAKE_CHANGES_ORACLE,
     "lake_scd2": LAKE_SCD2_ORACLE,
+    "lake_expectations": LAKE_EXPECTATIONS_ORACLE,
 }

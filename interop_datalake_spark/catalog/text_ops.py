@@ -952,6 +952,58 @@ SELECT rank, lft AS "left", rgt AS "right", pair_count FROM (
 """
 
 
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the LEARNED tokenizer — the budget a
+    dataloader actually pays, vs the whitespace proxy elsewhere:
+    trains the same 3 BPE merges as text_bpe_train, then counts each
+    document's subword tokens. Tokenization is word-level, so the
+    apply step is a JOIN against the vocabulary's final symbol counts
+    — no per-document work, no driver state: docs → words →
+    (word, n_subwords) lookup → per-doc sum. At 100 TB the trained
+    vocabulary table is dictionary-sized and broadcastable. Output
+    also carries the whitespace word count, so the compression the
+    merges bought is visible per document."""
+    from interop_datalake_spark.llm.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, syms = bpe_train(docs, "text", n_merges=3)
+    per_word = syms.groupBy("word").agg(F.count("*").alias("n_subwords"))
+    toks = docs.select(
+        "doc_id", F.explode(T.words("text")).alias("w")
+    ).select("doc_id", F.lower("w").alias("word"))
+    return (
+        toks.join(F.broadcast(per_word), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_subwords").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BPE_TOKENIZE_ORACLE = f"""
+WITH w0 AS (
+  SELECT lower(tok) AS word, count(*) AS wcount
+  FROM (SELECT unnest({_WORDS}) AS tok FROM documents)
+  GROUP BY 1
+), s0 AS (
+  SELECT word, wcount, i AS pos, substr(word, i, 1) AS sym
+  FROM w0, unnest(generate_series(1, length(word))) AS t(i)
+), {_bpe_iter_sql('s0', 1)}, {_bpe_iter_sql('s1', 2)}, {_bpe_iter_sql('s2', 3)},
+per_word AS (
+  SELECT word, count(*) AS n_subwords FROM s3 GROUP BY word
+), toks AS (
+  SELECT doc_id, lower(tok) AS word
+  FROM (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents)
+)
+SELECT t.doc_id, count(*) AS n_words,
+       sum(p.n_subwords)::BIGINT AS n_bpe_tokens
+FROM toks t JOIN per_word p USING (word)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
@@ -969,9 +1021,11 @@ QUERIES = {
     "corpus_domain_mix": corpus_domain_mix,
     "text_perplexity": text_perplexity,
     "text_bpe_train": text_bpe_train,
+    "text_bpe_tokenize": text_bpe_tokenize,
 }
 
 ORACLES = {
+    "text_bpe_tokenize": TEXT_BPE_TOKENIZE_ORACLE,
     "corpus_domain_mix": DOMAIN_MIX_ORACLE,
     "text_perplexity": TEXT_PERPLEXITY_ORACLE,
     "text_bpe_train": TEXT_BPE_ORACLE,
