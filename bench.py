@@ -64,8 +64,9 @@ HEADLINE = [
     "dedup_semantic",
     "graph_pagerank",
 ]
-# not in HEADLINE by design: lake_txn_acid and dedup_stream_pipeline
-# are multi-commit ACID integration scenarios (write-job bound, not
+# not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
+# lake_scd2, lake_expectations and ann_index_incremental are
+# multi-commit ACID integration scenarios (write-job bound, not
 # query throughput);
 # dedup_embedding_lsh[_gaussian]'s demo threshold (0.45, the corpus's
 # random-similarity band) makes LSH candidates deliberately

@@ -92,8 +92,9 @@ def _with_required_conf(fn):
 #: in-window sibling. corpus_to_training_set (the 6-stage capstone)
 #: replaces corpus_curate_pipeline, whose stages it subsumes.
 WITNESS_PRIORITY = [
-    # relational core
-    "q1_pricing_summary", "scan_filter_project", "join_broadcast",
+    # relational core (elementary join_broadcast moved past the cut;
+    # BroadcastHashJoin stays witnessed via the q5/q7/q18 chains)
+    "q1_pricing_summary", "scan_filter_project",
     "agg_rollup", "sort_limit_topk",
     # TPC-H-extra multi-join workload (q7 = round-1 fix)
     "q7_nation_volume", "q18_large_orders",
@@ -121,6 +122,7 @@ WITNESS_PRIORITY = [
     # keeps the Gaussian + blocked reps here)
     "dedup_embedding_blocked",
     "dedup_embedding_lsh_gaussian", "ann_cosine_topk_blocked",
+    "ann_index_incremental",
     "embedding_quantize_int8", "cluster_kmeans", "search_bm25",
     # text analysis + corpus curation (+ bigram-LM quality score)
     "text_quality", "corpus_decontaminate", "corpus_filter_gopher",

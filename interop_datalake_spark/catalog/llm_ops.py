@@ -1460,6 +1460,85 @@ ORDER BY dup_vec_id
 """
 
 
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED incremental IVF index (llm/ann_index.py) — the ANN
+    counterpart of dedup_incremental's signature store, composing the
+    same two flagship subsystems (TxnTable + the oracle-exact Lloyd
+    quantizer): build on the first 300 vectors, absorb the rest in TWO
+    O(batch) ACID appends that assign against the STORED centroids
+    (indexed vectors never rescanned), then serve top-3 queries
+    reading ONLY the store tables. Because the quantizer is the
+    RNG-free Lloyd trajectory, the DuckDB oracle replays the ENTIRE
+    index lifecycle — train, build, both appends, query — in one
+    statement."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.llm.ann_index import IvfIndex
+    from interop_datalake_spark.session import DatalakeSession
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ann_index_")
+    try:
+        idx = IvfIndex(DatalakeSession(lake_root=root, spark=spark), "ivf")
+        idx.build(
+            emb.filter(F.col("vec_id") < 300), "embedding", "vec_id",
+            k=8, iters=2,
+        )
+        idx.append(
+            emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+            "embedding", "vec_id",
+        )
+        idx.append(
+            emb.filter(F.col("vec_id") >= 400), "embedding", "vec_id"
+        )
+        out = idx.query(
+            emb.filter(F.col("vec_id") < 5), "embedding", "vec_id", k=3
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.query_id, r.neighbor_id, r.rn, round(r.cos, 6)) for r in out],
+        "query_id BIGINT, neighbor_id BIGINT, rn INT, cos DOUBLE",
+    ).orderBy("query_id", "rn")
+
+
+ANN_INDEX_ORACLE = f"""
+WITH vall AS (
+  SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), v AS (
+  SELECT * FROM vall WHERE vec_id < 300
+), c0 AS (
+  SELECT vec_id::INT AS cluster_id, dim, x AS cx FROM v WHERE vec_id < 8
+), {_kmeans_iter_sql('c0', 1)}, {_kmeans_iter_sql('c1', 2)},
+dall AS (
+  SELECT va.vec_id, c.cluster_id, sum((va.x - c.cx) * (va.x - c.cx)) AS dist2
+  FROM vall va JOIN c2 c ON va.dim = c.dim
+  GROUP BY va.vec_id, c.cluster_id
+), aall AS (
+  SELECT vec_id, cluster_id AS cell FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster_id) AS rn
+    FROM dall
+  ) WHERE rn = 1
+), res AS (
+  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         {_COS.format(a='qe', b='ce')} AS cos
+  FROM aall qa
+  JOIN aall ca ON qa.cell = ca.cell AND qa.vec_id <> ca.vec_id
+  JOIN embeddings qe ON qe.vec_id = qa.vec_id
+  JOIN embeddings ce ON ce.vec_id = ca.vec_id
+  WHERE qa.vec_id < 5
+)
+SELECT query_id, neighbor_id, rn, round(cos, 6) AS cos FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM res
+) WHERE rn <= 3 ORDER BY query_id, rn
+"""
+
+
 def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene-flavored BM25 lexical retrieval (llm/search.py) as pure
     inverted-index DataFrame algebra: postings → tf/dl/df → broadcast
@@ -1526,6 +1605,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "cluster_kmeans": cluster_kmeans,
     "dedup_semantic": dedup_semantic,
+    "ann_index_incremental": ann_index_incremental,
     "search_bm25": search_bm25,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_minhash_ml": dedup_minhash_ml,
@@ -1555,6 +1635,7 @@ ORACLES = {
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_ORACLE,
     "cluster_kmeans": CLUSTER_KMEANS_ORACLE,
     "dedup_semantic": DEDUP_SEMANTIC_ORACLE,
+    "ann_index_incremental": ANN_INDEX_ORACLE,
     "search_bm25": SEARCH_BM25_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_minhash_ml": DEDUP_JACCARD_ORACLE,  # verified set ≡ ground truth

@@ -96,15 +96,11 @@ def seed_centroids(
     )
 
 
-def kmeans_lloyd(
-    df: DataFrame,
-    vec_col: str,
-    id_col: str,
-    k: int = 8,
-    iters: int = 3,
-) -> DataFrame:
-    """``iters`` Lloyd rounds from the deterministic seed; returns the
-    final assignment (id, cluster_id, dist2). Empty clusters keep
+def _kmeans_core(
+    df: DataFrame, vec_col: str, id_col: str, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """(checkpointed long vectors, final centroids) after ``iters``
+    Lloyd rounds from the deterministic seed. Empty clusters keep
     their previous centroid (no reseeding — deterministic)."""
     emb = vectors_long(df, vec_col, id_col)
     emb = emb.localCheckpoint(eager=False)
@@ -124,6 +120,33 @@ def kmeans_lloyd(
                 "left_anti",
             )
         ).localCheckpoint(eager=False)
+    return emb, cents
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Final CENTROID table (cluster_id, dim, cx) — the reusable model
+    artifact: persist it, assign future batches against it without
+    re-touching the training vectors (llm/ann_index.py does exactly
+    that)."""
+    return _kmeans_core(df, vec_col, id_col, k, iters)[1]
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """``iters`` Lloyd rounds from the deterministic seed; returns the
+    final assignment (id, cluster_id, dist2)."""
+    emb, cents = _kmeans_core(df, vec_col, id_col, k, iters)
     return _assign(emb, cents, id_col)
 
 
