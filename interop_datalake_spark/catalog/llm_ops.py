@@ -1585,6 +1585,70 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    weights, target = English documents. Two bucket-bounded (1024-row)
+    multinomial count tables — target and raw — broadcast against the
+    streaming token-instance table; per-doc log weight = Σ log-ratio of
+    the token's bucket; the top 100 weights are marked ``selected``
+    (zero-temperature resampling, ties by doc_id).
+
+    At 100 TB: the count tables stay 1024 rows no matter the corpus,
+    the instance join is an int-key broadcast, and the only shuffles
+    are the doc-keyed sum and the final (16-byte-row) rank — the
+    approx-quantile threshold swap for that rank is documented in
+    llm/dsir.py. Per-bucket log-ratios are rounded to 9 dp and summed
+    as DECIMAL so scores replay bit-for-bit in DuckDB."""
+    from interop_datalake_spark.llm.dsir import (
+        importance_weights,
+        select_top_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = importance_weights(
+        docs, F.col("lang") == "en", "text", "doc_id", n_buckets=1024
+    )
+    return select_top_k(w, 100).orderBy("doc_id")
+
+
+_DSIR_WORDS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
+)
+
+CORPUS_IMPORTANCE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % 1024 AS bucket
+  FROM (SELECT doc_id, {_DSIR_WORDS} AS ws FROM documents),
+       unnest(generate_series(1, len(ws))) AS t(i)
+), tgt_ids AS (
+  SELECT doc_id FROM documents WHERE lang = 'en'
+), raw AS (
+  SELECT bucket, count(*) AS c_raw FROM toks GROUP BY bucket
+), tgt AS (
+  SELECT bucket, count(*) AS c_tgt FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY bucket
+), tot AS (
+  SELECT (SELECT sum(c_raw) FROM raw) AS t_raw,
+         (SELECT sum(c_tgt) FROM tgt) AS t_tgt
+), ratio AS (
+  SELECT raw.bucket,
+         round(ln((coalesce(c_tgt, 0) + 1.0) / (t_tgt + 1.0 * 1024))
+             - ln((c_raw + 1.0) / (t_raw + 1.0 * 1024)),
+               9)::DECIMAL(18,9) AS log_ratio
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+), weights AS (
+  SELECT doc_id, count(*) AS n_toks,
+         round(sum(log_ratio)::DOUBLE, 6) AS log_weight
+  FROM toks JOIN ratio USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_toks, log_weight,
+       (row_number() OVER (ORDER BY log_weight DESC, doc_id) <= 100)
+         AS selected
+FROM weights ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1615,6 +1679,7 @@ QUERIES = {
     "ann_cosine_topk_blocked": ann_cosine_topk_blocked,
     "ann_topk_int8": ann_topk_int8,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "corpus_importance_sample": corpus_importance_sample,
 }
 
 ORACLES = {
@@ -1645,4 +1710,5 @@ ORACLES = {
     "ann_cosine_topk_blocked": ANN_TOPK_ORACLE,
     "ann_topk_int8": ANN_INT8_ORACLE,
     "ann_lsh_bucketed": ANN_LSH_ORACLE,
+    "corpus_importance_sample": CORPUS_IMPORTANCE_ORACLE,
 }
