@@ -1004,6 +1004,85 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill an expensive label into a cheap linear scorer: 3
+    full-batch gradient-descent steps of logistic regression predicting
+    ``lang = 'en'`` from 6-dp surface features (mean word length / 10,
+    stopword ratio, ln-length/10). Output is the weight TRAJECTORY — one row per
+    iteration with the start-of-iteration mean log-loss, so iter 1's
+    0.693147 (ln 2 at w = 0) and the strictly-decreasing loss column
+    witness that descent descends; each later row depends on the
+    previous update being applied exactly.
+
+    Execution shape (llm/classifier.py): per iteration, ONE scan +
+    one map-side-combinable scalar agg; the 1-row weight state
+    broadcasts back. σ rounded to 9 dp, per-row gradient/loss terms
+    rounded to 9 dp and summed as DECIMAL, weights carried as 9-dp
+    DECIMAL — the DuckDB oracle replays all 3 iterations CTE-for-CTE."""
+    from interop_datalake_spark.llm.classifier import (
+        doc_features,
+        logreg_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = doc_features(docs, F.col("lang") == "en")
+    return logreg_train(feats, iters=3, lr=1.0).orderBy("iter")
+
+
+_LR_FEATS = f"""
+  SELECT doc_id,
+         round(coalesce(list_sum(list_transform({_WORDS}, w -> length(w)))::DOUBLE
+               / nullif(len({_WORDS}), 0), 0.0) / 10.0, 6) AS x_awl,
+         round(coalesce(len(list_filter(list_transform({_WORDS}, w -> lower(w)),
+                                        w -> list_contains({_EN_SW}, w)))::DOUBLE
+               / nullif(len({_WORDS}), 0), 0.0), 6) AS x_stop,
+         round(ln(length(text) + 1.0) / 10.0, 6) AS x_loglen,
+         (lang = 'en')::INT AS y
+  FROM documents
+"""
+
+
+def _lr_iter_sql(k: int) -> str:
+    """One GD iteration as CTE fragments reading weights from w{k-1}."""
+    z = (
+        "wb::DOUBLE + wp::DOUBLE * x_awl + ws_::DOUBLE * x_stop"
+        " + wl::DOUBLE * x_loglen"
+    )
+    return f"""it{k} AS (
+  SELECT count(*) AS n,
+         sum(round(s - y, 9)::DECIMAL(20,9)) AS g_b,
+         sum(round((s - y) * x_awl, 9)::DECIMAL(20,9)) AS g_p,
+         sum(round((s - y) * x_stop, 9)::DECIMAL(20,9)) AS g_s,
+         sum(round((s - y) * x_loglen, 9)::DECIMAL(20,9)) AS g_l,
+         sum(round(-(y * ln(s) + (1 - y) * ln(1.0 - s)), 9)
+             ::DECIMAL(20,9)) AS loss_sum
+  FROM (SELECT f.*,
+               round(1.0 / (1.0 + exp(-({z}))), 9) AS s
+        FROM feats f CROSS JOIN w{k - 1})
+), w{k} AS (
+  SELECT round(wb::DOUBLE - g_b::DOUBLE / n, 9)::DECIMAL(20,9) AS wb,
+         round(wp::DOUBLE - g_p::DOUBLE / n, 9)::DECIMAL(20,9) AS wp,
+         round(ws_::DOUBLE - g_s::DOUBLE / n, 9)::DECIMAL(20,9) AS ws_,
+         round(wl::DOUBLE - g_l::DOUBLE / n, 9)::DECIMAL(20,9) AS wl,
+         round(loss_sum::DOUBLE / n, 6) AS train_loss
+  FROM it{k} CROSS JOIN w{k - 1}
+)"""
+
+
+TEXT_CLASSIFIER_ORACLE = f"""
+WITH feats AS ({_LR_FEATS}
+), w0 AS (
+  SELECT 0.0::DECIMAL(20,9) AS wb, 0.0::DECIMAL(20,9) AS wp,
+         0.0::DECIMAL(20,9) AS ws_, 0.0::DECIMAL(20,9) AS wl
+), {_lr_iter_sql(1)}, {_lr_iter_sql(2)}, {_lr_iter_sql(3)}
+SELECT 1 AS iter, wb AS w_bias, wp AS w_awl, ws_ AS w_stop,
+       wl AS w_loglen, train_loss FROM w1
+UNION ALL SELECT 2, wb, wp, ws_, wl, train_loss FROM w2
+UNION ALL SELECT 3, wb, wp, ws_, wl, train_loss FROM w3
+ORDER BY iter
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
@@ -1022,9 +1101,11 @@ QUERIES = {
     "text_perplexity": text_perplexity,
     "text_bpe_train": text_bpe_train,
     "text_bpe_tokenize": text_bpe_tokenize,
+    "text_quality_classifier": text_quality_classifier,
 }
 
 ORACLES = {
+    "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,
     "text_bpe_tokenize": TEXT_BPE_TOKENIZE_ORACLE,
     "corpus_domain_mix": DOMAIN_MIX_ORACLE,
     "text_perplexity": TEXT_PERPLEXITY_ORACLE,

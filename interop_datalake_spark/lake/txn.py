@@ -739,7 +739,9 @@ class TxnTable:
         for v in range(base_version + 1, new_base + 1):
             rec = self.commit_record(v)  # FileNotFoundError → caller degrades
             their_op = rec.get("op")
-            if their_op == "overwrite":
+            if their_op in ("overwrite", "restore"):
+                # both replace table state wholesale (restore may also
+                # change the schema back): no commit reorders across them
                 return False
             if our_parts is None:
                 continue  # blind append: compatible with the rest
@@ -887,6 +889,57 @@ class TxnTable:
             partitions=parts,
             partition_types=ptypes,
             schema=df.schema.json(),
+        )
+
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE TABLE ... TO VERSION: make the current
+        state equal the snapshot at ``version`` via ONE metadata-only
+        commit — no data file is copied or rewritten, history is
+        preserved (the restore itself is a new version; restoring
+        forward again works). Restoring to the current version is a
+        no-op and commits nothing (idempotent, the SCD2 convention).
+
+        Raises ``FileNotFoundError`` if :meth:`vacuum` has already
+        deleted a data file the target snapshot needs (the same
+        honesty rule Delta enforces), and ``CommitConflictError`` on a
+        concurrent writer — restore REPLACES state, so it never
+        rebases (same class as overwrite)."""
+        base = self.current_version()
+        if version < 0 or version > base:
+            raise ValueError(
+                f"table {self.name}: cannot restore to v{version} "
+                f"(current v{base})"
+            )
+        if version == base:
+            return base
+        tgt = self._state(version)
+        missing = [
+            f for f in tgt["files"] if not (self.root / f).exists()
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"table {self.name}: restore to v{version} needs "
+                f"{len(missing)} file(s) removed by vacuum, e.g. "
+                f"{missing[0]}"
+            )
+        cur = self._state(base)
+        cur_files = set(cur["files"])
+        tgt_files = set(tgt["files"])
+        added = [f for f in tgt["files"] if f not in cur_files]
+        return self._commit(
+            base,
+            op="restore",
+            added=added,
+            removed=[f for f in cur["files"] if f not in tgt_files],
+            rows_total=tgt["rows"],
+            stats={f: tgt["stats"][f] for f in added if f in tgt["stats"]},
+            partitions={
+                f: tgt["partitions"][f]
+                for f in added
+                if f in tgt["partitions"]
+            },
+            partition_types=tgt.get("partition_types") or None,
+            schema=tgt.get("schema"),
         )
 
     def merge(
