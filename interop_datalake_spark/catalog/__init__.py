@@ -91,19 +91,25 @@ def _with_required_conf(fn):
 #: displaced queries were driver-green in r03 and keep a same-class
 #: in-window sibling. corpus_to_training_set (the 6-stage capstone)
 #: replaces corpus_curate_pipeline, whose stages it subsumes.
+#: Continuation-session additions (corpus_importance_sample = DSIR
+#: data selection, text_quality_classifier = in-frame logistic
+#: regression, lake_restore = RESTORE-to-version) rotate in over
+#: q18_large_orders, sort_limit_topk, hl7_msh9 — r03-green with
+#: in-window same-class siblings (q7/q1, topk_per_group,
+#: object_url_parse respectively).
 WITNESS_PRIORITY = [
     # relational core (elementary join_broadcast moved past the cut;
     # BroadcastHashJoin stays witnessed via the q5/q7/q18 chains)
     "q1_pricing_summary", "scan_filter_project",
-    "agg_rollup", "sort_limit_topk",
+    "agg_rollup",
     # TPC-H-extra multi-join workload (q7 = round-1 fix)
-    "q7_nation_volume", "q18_large_orders",
+    "q7_nation_volume",
     # reference lake surface + ACID table format + change feed + SCD2
     # (path templating stays oracle-backed past the cut; its class is
     # witnessed via object_url_parse)
-    "hl7_msh9", "object_url_parse",
+    "object_url_parse",
     "lake_publish_roundtrip", "lake_txn_acid", "lake_txn_changes",
-    "lake_scd2", "lake_expectations",
+    "lake_scd2", "lake_expectations", "lake_restore",
     # windows + custom joins
     "window_rank", "topk_per_group", "join_asof",
     # set ops
@@ -128,6 +134,9 @@ WITNESS_PRIORITY = [
     "text_quality", "corpus_decontaminate", "corpus_filter_gopher",
     "corpus_redact_pii", "corpus_pack_sequences_sharded",
     "corpus_to_training_set", "text_perplexity",
+    # data selection (DSIR) + in-frame classifier training (new
+    # classes, round-4 continuation)
+    "corpus_importance_sample", "text_quality_classifier",
     # streaming twins (tumbling window displaced by BPE below;
     # the class keeps stream_dedup here + true-readStream pytest runs)
     "stream_dedup",

@@ -373,6 +373,67 @@ ORDER BY key, from_day
 """
 
 
+def lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE-to-version (lake/txn.py:TxnTable.restore): build a
+    5-version history — append, append, delete, restore-back,
+    restore-FORWARD — then emit one row per version with its op,
+    manifest row count, and the time-travelled snapshot's key sum.
+    v4 proves restore reinstates deleted data metadata-only; v5 proves
+    a restore target can itself be a later state than the current one;
+    the trailing no-op restore (to the current version) is asserted to
+    commit nothing. Every number is pinned in the VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+
+    root = tempfile.mkdtemp(prefix="lake_restore_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "restore_demo")
+
+        def df(rows):
+            return spark.createDataFrame(rows, "k INT, v STRING")
+
+        t.append(df([(1, "a"), (2, "b")]))          # v1
+        t.append(df([(3, "c")]))                    # v2
+        t.delete_where(F.col("k") == 2)             # v3
+        t.restore(2)                                # v4: back past the delete
+        t.restore(3)                                # v5: forward to post-delete
+        assert t.restore(5) == 5 and t.current_version() == 5  # no-op
+
+        rows = []
+        for v in range(1, 6):
+            ksum = (
+                t.read(version=v)
+                .agg(F.sum("k").alias("s"))
+                .collect()[0]["s"]
+            )
+            rows.append(
+                (v, t.commit_record(v)["op"], t.manifest(v)["rows"], int(ksum))
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version INT, op STRING, rows_total BIGINT, k_sum INT"
+    ).orderBy("version")
+
+
+LAKE_RESTORE_ORACLE = """
+SELECT * FROM (VALUES
+  (1, 'append',  2, 3),
+  (2, 'append',  3, 6),
+  (3, 'delete',  2, 4),
+  (4, 'restore', 3, 6),
+  (5, 'restore', 2, 4)
+) AS t(version, op, rows_total, k_sum)
+ORDER BY version
+"""
+
+
 def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish (lake/expectations.py): one batch with a
     warn-action and a drop-action expectation — 2 rows quarantined
@@ -487,6 +548,7 @@ QUERIES = {
     "lake_txn_acid": lake_txn_acid,
     "lake_txn_changes": lake_txn_changes,
     "lake_scd2": lake_scd2,
+    "lake_restore": lake_restore,
     "lake_expectations": lake_expectations,
 }
 
@@ -498,5 +560,6 @@ ORACLES = {
     "lake_txn_acid": LAKE_TXN_ORACLE,
     "lake_txn_changes": LAKE_CHANGES_ORACLE,
     "lake_scd2": LAKE_SCD2_ORACLE,
+    "lake_restore": LAKE_RESTORE_ORACLE,
     "lake_expectations": LAKE_EXPECTATIONS_ORACLE,
 }
