@@ -63,6 +63,9 @@ HEADLINE = [
     "text_perplexity",
     "dedup_semantic",
     "graph_pagerank",
+    "corpus_importance_sample",
+    "text_quality_classifier",
+    "events_distinct_rollup",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are

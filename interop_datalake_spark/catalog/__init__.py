@@ -151,9 +151,11 @@ WITNESS_PRIORITY = [
     "events_gapfill_hourly", "variant_json_access",
     # corpus sampling
     "corpus_split_train_val",
-    # event analytics: rollup + batch sessionization (funnel/cohort
-    # stay oracle-backed past the cut)
-    "events_hypertable_rollup", "events_sessionize",
+    # event analytics: mergeable-HLL distinct rollup (new class —
+    # displaces events_hypertable_rollup, r03-green with the
+    # sessionize/gapfill siblings in-window) + batch sessionization
+    # (funnel/cohort stay oracle-backed past the cut)
+    "events_distinct_rollup", "events_sessionize",
     # graph analytics: iterative PageRank (new class, round 4)
     "graph_pagerank",
 ]
