@@ -120,7 +120,7 @@ WITNESS_PRIORITY = [
     "scalar_math",
     # LLM dedup: exact / LSH / incremental-store / clusters / spans /
     # semantic (cluster-blocked SemDeDup)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_incremental",
     "dedup_cluster", "dedup_span_coverage", "dedup_semantic",
     # embedding similarity: blocked exact, Gaussian LSH, ANN,
     # quantization, clustering, retrieval (the axis-aligned LSH
@@ -142,8 +142,9 @@ WITNESS_PRIORITY = [
     "stream_dedup",
     # BPE tokenizer training (iterative vocab learning, round 4)
     "text_bpe_train",
-    # pandas UDF + multimodal surface
-    "pandas_scalar_udf", "multimodal_decode",
+    # pandas UDF + multimodal surface (+ pHash image dedup, new class;
+    # dedup_exact displaced — r03-green with 5 dedup siblings in-window)
+    "pandas_scalar_udf", "multimodal_decode", "multimodal_phash_dedup",
     # advanced aggs + subqueries + schema evolution (percentile class
     # stays witnessed via agg_rollup/median family past the cut)
     "subquery_exists", "union_by_name_missing",

@@ -117,12 +117,84 @@ ORDER BY asset_id, frame_index
 """
 
 
+def _phash_fixture():
+    """12 deterministic SGIM assets: 8 unrelated seeds, one 1-byte
+    perturbation of img-2, one 8-byte perturbation of img-3, one exact
+    copy of img-5, one corrupt blob. sha256-chain payloads — stable
+    across sessions, so the pHash pairs are pinnable VALUES."""
+    import hashlib
+
+    def payload(seed, n=600):
+        out, h = b"", str(seed).encode()
+        while len(out) < n:
+            h = hashlib.sha256(h).digest()
+            out += h
+        return out[:n]
+
+    rows = [
+        (f"img-{i}", "t", "image", "image/sgim",
+         encode_fake_image(64, 48, 3, payload(i)))
+        for i in range(8)
+    ]
+    p = bytearray(payload(2))
+    p[100] ^= 0x01
+    rows.append(
+        ("img-2near", "t", "image", "image/sgim",
+         encode_fake_image(64, 48, 3, bytes(p)))
+    )
+    p = bytearray(payload(3))
+    for j in range(0, 64, 8):
+        p[j] ^= 0xFF
+    rows.append(
+        ("img-3mod", "t", "image", "image/sgim",
+         encode_fake_image(64, 48, 3, bytes(p)))
+    )
+    rows.append(
+        ("img-5dup", "t", "image", "image/sgim",
+         encode_fake_image(64, 48, 3, payload(5)))
+    )
+    rows.append(("img-bad", "t", "image", "image/sgim", b"XXXX123"))
+    return rows
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (multimodal/phash.py): DCT pHash in
+    one Arrow pass, then 4×16-bit-band pigeonhole blocking — recall is
+    EXACT for Hamming radius ≤ 3, so the banded equi-join provably
+    finds the same pairs as the O(N²) scan (pinned against brute force
+    in tests/test_phash.py). The planted perturbations land at
+    measured distances 0 (1-byte flip: low-frequency signs unmoved),
+    2 (8-byte flip), and 0 (exact copy); the corrupt asset hashes to
+    NULL and never reaches the join. Unrelated seeds sit at distance
+    ~31 (tests pin > 10) — the hash separates, not just matches."""
+    from interop_datalake_spark.multimodal.phash import (
+        phash_images,
+        phash_near_dups,
+    )
+
+    assets = spark.createDataFrame(_phash_fixture(), MEDIA_SCHEMA)
+    return phash_near_dups(phash_images(assets), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+MULTIMODAL_PHASH_ORACLE = """
+SELECT * FROM (VALUES
+  ('img-2', 'img-2near', 0),
+  ('img-3', 'img-3mod',  2),
+  ('img-5', 'img-5dup',  0)
+) AS t(id_a, id_b, hamming)
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "pandas_scalar_udf": pandas_scalar_udf,
     "pandas_grouped_map": pandas_grouped_map,
     "pandas_grouped_agg": pandas_grouped_agg,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
 }
 
 ORACLES = {
@@ -131,4 +203,5 @@ ORACLES = {
     "pandas_grouped_agg": PANDAS_GROUPED_AGG_ORACLE,
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_ORACLE,
+    "multimodal_phash_dedup": MULTIMODAL_PHASH_ORACLE,
 }
