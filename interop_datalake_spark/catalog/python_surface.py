@@ -117,6 +117,54 @@ ORDER BY asset_id, frame_index
 """
 
 
+def text_trigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): a one-row→many-rows table
+    function applied per document via SQL LATERAL — the fourth leg of
+    the Python API coverage (scalar pandas UDF, grouped map/agg,
+    mapInPandas, UDTF). Emits positional word trigrams for the first
+    20 docs; DuckDB replays with unnest + list slicing. UDTFs run
+    row-at-a-time in Python — the catalog's shingle/ngram OPERATORS
+    stay pure column algebra (llm/dedup.py) and this entry exists to
+    witness the API, not to recommend it for the hot path (that
+    trade-off is the module's standing no-row-UDF rule,
+    operators/pandas_ops.py:9)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, ngram STRING")
+    class Trigrams:
+        def eval(self, text: str):
+            ws = [w for w in re.split(r"\s+", (text or "").lower()) if w]
+            for i in range(len(ws) - 2):
+                yield i, " ".join(ws[i : i + 3])
+
+    spark.udtf.register("trigrams_tvf", Trigrams)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.ngram
+        FROM _udtf_docs d, LATERAL trigrams_tvf(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
+TEXT_TRIGRAMS_UDTF_ORACLE = """
+SELECT doc_id, i - 1 AS pos,
+       ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS ngram
+FROM (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents WHERE doc_id < 20
+), unnest(generate_series(1, len(ws) - 2)) AS t(i)
+ORDER BY doc_id, pos
+"""
+
+
 def _phash_fixture():
     """12 deterministic SGIM assets: 8 unrelated seeds, one 1-byte
     perturbation of img-2, one 8-byte perturbation of img-3, one exact
@@ -195,6 +243,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_phash_dedup": multimodal_phash_dedup,
+    "text_trigrams_udtf": text_trigrams_udtf,
 }
 
 ORACLES = {
@@ -204,4 +253,5 @@ ORACLES = {
     "multimodal_decode": MULTIMODAL_DECODE_ORACLE,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_ORACLE,
     "multimodal_phash_dedup": MULTIMODAL_PHASH_ORACLE,
+    "text_trigrams_udtf": TEXT_TRIGRAMS_UDTF_ORACLE,
 }
