@@ -110,8 +110,10 @@ WITNESS_PRIORITY = [
     "object_url_parse",
     "lake_publish_roundtrip", "lake_txn_acid", "lake_txn_changes",
     "lake_scd2", "lake_expectations", "lake_restore",
-    # windows + custom joins
-    "window_rank", "topk_per_group", "join_asof",
+    # windows + custom joins (window_rank displaced for
+    # entity_resolution below — r03-green, topk_per_group keeps the
+    # window-function class in-window)
+    "topk_per_group", "join_asof",
     # set ops
     "set_union_all",
     # scalar surface (scalar_math = round-1 fix; JSON access is
@@ -137,6 +139,8 @@ WITNESS_PRIORITY = [
     # data selection (DSIR) + in-frame classifier training (new
     # classes, round-4 continuation)
     "corpus_importance_sample", "text_quality_classifier",
+    # record linkage (new class, round-4 continuation)
+    "entity_resolution",
     # streaming twins (tumbling window displaced by BPE below;
     # the class keeps stream_dedup here + true-readStream pytest runs)
     "stream_dedup",

@@ -280,8 +280,88 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+#: entity-resolution fixture: clean records + planted dirty variants.
+#: Deterministic literals so the DuckDB oracle replays the ENTIRE
+#: pipeline (normalize → block → bigram-Jaccard → threshold) from the
+#: same VALUES, not from pinned outputs.
+_ER_FIXTURE = [
+    (101, "John Smith", "r1"),
+    (102, "Maria  Garcia", "r1"),
+    (103, "Wei Chen", "r2"),
+    (104, "Olu Adebayo", "r2"),
+    (105, "Jane Doe", "r1"),
+    (106, "James Smythe", "r1"),
+    (201, "Jon Smith", "r1"),        # typo variant of 101, same block
+    (202, "MARIA GARCIA", "r1"),     # case/space variant of 102
+    (203, "Wei Chen jr", "r2"),      # suffix variant of 103
+    (204, "Olu Adebayo", "r3"),      # exact name, WRONG block: must miss
+    (205, "X", "r1"),                # degenerate 1-char name: no bigrams
+]
+
+
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py): normalize → block on
+    (region, first letter) → character-bigram Jaccard ≥ 0.6. The
+    planted variants witness each rule: typo and case/space variants
+    match; a suffix variant matches at a lower score; an exact name in
+    the WRONG block is (correctly, instructively) missed — blocking
+    trades that recall for the Σ|b|² candidate bound; unrelated names
+    sharing a block score below threshold; a 1-char name has no
+    bigrams and cannot join. Candidate pairs are Σ per-block, the only
+    shuffle is the blocking equi-join, and every score replays in the
+    oracle from the same VALUES."""
+    from interop_datalake_spark.operators.linkage import resolve_entities
+
+    df = spark.createDataFrame(
+        _ER_FIXTURE, "rec_id INT, name STRING, region STRING"
+    )
+    return resolve_entities(
+        df, "rec_id", "name", ["region"], threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
+def _er_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, '{n}', '{r}')" for i, n, r in _ER_FIXTURE
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(rec_id, name, region)"
+
+
+ENTITY_RESOLUTION_ORACLE = f"""
+WITH recs AS ({_er_values_sql()}),
+norm AS (
+  SELECT rec_id, region,
+         trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS nm
+  FROM recs
+), feat AS (
+  SELECT rec_id, region, nm, substr(nm, 1, 1) AS blk,
+         CASE WHEN length(nm) < 2 THEN []::VARCHAR[]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, length(nm) - 1),
+                     i -> substr(nm, i, 2)))
+         END AS bg
+  FROM norm
+)
+SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+       round(
+         len(list_filter(a.bg, x -> list_contains(b.bg, x)))::DOUBLE
+         / nullif(len(a.bg) + len(b.bg)
+                  - len(list_filter(a.bg, x -> list_contains(b.bg, x))), 0),
+         6) AS jaccard
+FROM feat a JOIN feat b
+  ON a.blk = b.blk AND a.region = b.region AND a.rec_id < b.rec_id
+WHERE round(
+        len(list_filter(a.bg, x -> list_contains(b.bg, x)))::DOUBLE
+        / nullif(len(a.bg) + len(b.bg)
+                 - len(list_filter(a.bg, x -> list_contains(b.bg, x))), 0),
+        6) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "agg_percentiles": agg_percentiles,
+    "entity_resolution": entity_resolution,
     "agg_min_max_by": agg_min_max_by,
     "agg_string_concat": agg_string_concat,
     "agg_median": agg_median,
@@ -294,6 +374,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "entity_resolution": ENTITY_RESOLUTION_ORACLE,
     "agg_percentiles": AGG_PERCENTILES_ORACLE,
     "agg_min_max_by": AGG_MIN_MAX_BY_ORACLE,
     "agg_string_concat": AGG_STRING_CONCAT_ORACLE,

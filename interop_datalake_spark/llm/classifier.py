@@ -84,6 +84,12 @@ def logreg_train(
     descends)."""
     from decimal import Decimal
 
+    # every iteration re-reads the feature frame; features are a few
+    # doubles per document (vs the raw text they came from), so
+    # persisting them is the right call at any scale — 3 iterations
+    # then scan ~32 B/doc, not the corpus, three times
+    feats = feats.persist()
+
     spark = feats.sparkSession
     zero = Decimal(0)
     w = spark.createDataFrame(
@@ -147,6 +153,9 @@ def logreg_train(
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
+    # trajectory rows are already localCheckpoint-materialized, so the
+    # feature cache has served its purpose
+    feats.unpersist()
     return out
 
 
