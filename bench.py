@@ -66,6 +66,7 @@ HEADLINE = [
     "corpus_importance_sample",
     "text_quality_classifier",
     "events_distinct_rollup",
+    "events_ewma",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are

@@ -152,8 +152,11 @@ WITNESS_PRIORITY = [
     # advanced aggs + subqueries + schema evolution (percentile class
     # stays witnessed via agg_rollup/median family past the cut)
     "subquery_exists", "union_by_name_missing",
-    # reshape + variant (pivot class keeps gapfill + variant reps)
-    "events_gapfill_hourly", "variant_json_access",
+    # reshape + variant (gapfill displaced for events_ewma below —
+    # r03-green; variant_json_access keeps the reshape class in-window)
+    "variant_json_access",
+    # time-series smoothing via per-key ordered fold (new class)
+    "events_ewma",
     # corpus sampling
     "corpus_split_train_val",
     # event analytics: mergeable-HLL distinct rollup (new class —

@@ -388,9 +388,87 @@ ORDER BY day
 """
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average over the DAILY
+    value series (α = 0.3, seeded at the first observation) — the
+    classic smoothing recursion ewma_i = α·x_i + (1−α)·ewma_{i−1},
+    computed WITHOUT a UDF: each user's ordered series becomes one
+    array (sort_array ∘ collect_list), and ``F.aggregate`` folds it
+    left-to-right emitting every intermediate smoothed value, which
+    posexplode turns back into rows. Per-step 6-dp rounding makes the
+    recursion engine-exact, so the DuckDB oracle replays it as a
+    recursive CTE.
+
+    Scale shape: one shuffle (the per-user daily agg doubles as the
+    collect grouping); the fold is JVM codegen over an array bounded
+    by the series length (30 here, 365 for a year of days) — far below
+    array limits; for unbounded/high-frequency series, segment the
+    fold per month and chain segment seeds, same algebra."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+          .cast("double").alias("x"))
+    arr = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    ewmas = arr.select(
+        "user_id",
+        "s",
+        F.aggregate(
+            F.slice("s", 2, F.greatest(F.size("s") - 1, F.lit(0))),
+            F.array(F.element_at(F.col("s"), 1)["x"]),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.round(
+                        0.3 * e["x"] + 0.7 * F.element_at(acc, -1), 6
+                    )
+                ),
+            ),
+        ).alias("e"),
+    )
+    return (
+        ewmas.select(
+            "user_id", F.posexplode(F.arrays_zip("s", "e")).alias("i", "z")
+        )
+        .select(
+            "user_id",
+            F.col("z.s.day").cast("date").alias("day"),
+            F.col("z.s.x").alias("x"),
+            F.col("z.e").alias("ewma"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+EWMA_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT user_id, day, x,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS i
+  FROM daily
+), rec AS (
+  SELECT user_id, day, x, i, x AS ewma FROM idx WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.day, s.x, s.i,
+         round(0.3 * s.x + 0.7 * r.ewma, 6) AS ewma
+  FROM idx s JOIN rec r ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT user_id, day::DATE AS day, x, ewma
+FROM rec ORDER BY user_id, day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_distinct_rollup": events_distinct_rollup,
+    "events_ewma": events_ewma,
     "events_hypertable_rollup": events_hypertable_rollup,
     "revenue_share_window": revenue_share_window,
     "events_cohort_retention": events_cohort_retention,
@@ -400,6 +478,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": FUNNEL_ORACLE,
     "events_distinct_rollup": DISTINCT_ROLLUP_ORACLE,
+    "events_ewma": EWMA_ORACLE,
     "events_hypertable_rollup": HYPERTABLE_ORACLE,
     "revenue_share_window": REVENUE_SHARE_ORACLE,
     "events_cohort_retention": COHORT_ORACLE,
