@@ -465,8 +465,102 @@ FROM rec ORDER BY user_id, day
 """
 
 
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (d=4 rows × w=4096
+    counters) — the frequency-sketch sibling of the HLL distinct
+    rollup: fixed-size mergeable state no matter how large the event
+    stream.
+
+    The sketch build is a plain groupBy over (row, cell): every
+    executor's map-side partial aggregation IS the per-partition local
+    sketch, and the shuffle moves at most d·w rows *per partition* —
+    cell-wise addition is exactly CMS mergeability, so Spark's partial
+    agg machinery implements the distributed sketch for free. Point
+    estimates take the min over the d cells a key hashes to
+    (md5-derived row-salted hashes, portable to the oracle), which can
+    only OVER-count (collisions add, never subtract) — the
+    ``no_undercount`` invariant column the oracle pins true.
+
+    At 100 TB the counters table is still d·w = 16,384 rows; the estimate side
+    here scans distinct keys only to *witness* the error bound — a
+    production heavy-hitter query broadcasts the counters and filters
+    candidate keys map-side with zero extra shuffles."""
+    D, W = 4, 4096
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % W
+    )
+    cells = ev.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(j) for j in range(D)])).alias("j"),
+    ).withColumn("c", cell)
+    counters = cells.groupBy("j", "c").agg(F.count("*").alias("n"))
+    keys = (
+        ev.distinct()
+        .select(
+            "user_id",
+            F.explode(F.array(*[F.lit(j) for j in range(D)])).alias("j"),
+        )
+        .withColumn("c", cell)
+    )
+    est = (
+        keys.join(F.broadcast(counters), ["j", "c"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("est_n"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    return (
+        est.join(exact, "user_id")
+        .filter(F.col("est_n") >= 80)
+        .select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") >= F.col("exact_n")).alias("no_undercount"),
+        )
+        .orderBy(F.desc("est_n"), "user_id")
+    )
+
+
+HEAVY_HITTERS_ORACLE = """
+WITH ev AS (SELECT user_id FROM events),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT j,
+         ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 8))
+           ::BIGINT % 4096 AS c
+  FROM ev CROSS JOIN js
+), counters AS (
+  SELECT j, c, count(*) AS n FROM cells GROUP BY j, c
+), keys AS (
+  SELECT user_id, j,
+         ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR), 1, 8))
+           ::BIGINT % 4096 AS c
+  FROM (SELECT DISTINCT user_id FROM ev) CROSS JOIN js
+), est AS (
+  SELECT k.user_id, min(t.n) AS est_n
+  FROM keys k JOIN counters t ON t.j = k.j AND t.c = k.c
+  GROUP BY k.user_id
+), exact AS (
+  SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id
+)
+SELECT e.user_id, x.exact_n, e.est_n, e.est_n >= x.exact_n AS no_undercount
+FROM est e JOIN exact x ON x.user_id = e.user_id
+WHERE e.est_n >= 80
+ORDER BY e.est_n DESC, e.user_id
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_heavy_hitters": events_heavy_hitters,
     "events_distinct_rollup": events_distinct_rollup,
     "events_ewma": events_ewma,
     "events_hypertable_rollup": events_hypertable_rollup,
@@ -478,6 +572,7 @@ QUERIES = {
 ORACLES = {
     "events_funnel": FUNNEL_ORACLE,
     "events_distinct_rollup": DISTINCT_ROLLUP_ORACLE,
+    "events_heavy_hitters": HEAVY_HITTERS_ORACLE,
     "events_ewma": EWMA_ORACLE,
     "events_hypertable_rollup": HYPERTABLE_ORACLE,
     "revenue_share_window": REVENUE_SHARE_ORACLE,

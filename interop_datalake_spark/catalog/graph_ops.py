@@ -143,10 +143,148 @@ ORDER BY node
 """
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over a canonical
+    (u < v, distinct) undirected edge list — the reusable core of
+    :func:`graph_triangles` (degree orientation + two equi-joins; see
+    that docstring for the wedge-bound argument). Returns
+    (user_id, n_triangles), nodes in ≥1 triangle only."""
+    edges = edges.localCheckpoint()
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient: a → b iff (deg(a), a) < (deg(b), b); struct comparison
+    # gives the lexicographic tuple order in both engines.
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                F.struct(F.col("du"), F.col("u"))
+                < F.struct(F.col("dv"), F.col("v")),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b"))
+            )
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint()
+    )
+    e2 = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = oriented.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        oriented.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    return corners.groupBy("user_id").agg(
+        F.count("*").alias("n_triangles")
+    )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle counts over the event co-occurrence graph —
+    the second representative of the graph-analytics class: a
+    *non-iterative* multi-way self-join whose naive form explodes on
+    hubs, fixed by the classic **degree orientation**.
+
+    Graph: users are adjacent when they emitted the same event_type in
+    the same minute (distinct (type, minute, user) first, so event
+    volume inside a minute doesn't multiply pairs). Edges are
+    canonical (u < v), distinct.
+
+    Triangle enumeration orients every undirected edge from the
+    (degree, node)-smaller endpoint to the larger one — a DAG in which
+    each triangle survives exactly once and, crucially, every node's
+    OUT-degree is O(√E), so the wedge join (e1(a,b) ⋈ e2(b,c))
+    generates Σ outdeg² = O(E^1.5) rows instead of Σ deg² (which a hub
+    of degree d inflates by d²). This is the standard
+    Suri–Vassilvitskii MR triangle count, expressed as two equi-joins
+    Catalyst can shuffle on (b) and (a,c) — no Python anywhere.
+
+    Scale shape: degrees are |V| rows → broadcast; the edge list is
+    shuffled only by the joins' own keys. Skewed hubs are exactly what
+    the orientation neutralizes. Returns (user_id, n_triangles) for
+    every user in ≥1 triangle."""
+    ev = load_table(spark, sf_dir, "events")
+    occ = (
+        ev.select(
+            "event_type",
+            F.date_trunc("minute", "ts").alias("m"),
+            "user_id",
+        )
+        .distinct()
+    )
+    o2 = occ.select(
+        F.col("event_type").alias("t2"),
+        F.col("m").alias("m2"),
+        F.col("user_id").alias("v"),
+    )
+    edges = (
+        occ.join(
+            o2,
+            (occ.event_type == o2.t2)
+            & (occ.m == o2.m2)
+            & (occ.user_id < o2.v),
+        )
+        .select(F.col("user_id").alias("u"), "v")
+        .distinct()
+    )
+    return triangle_counts(edges).orderBy("user_id")
+
+
+TRIANGLES_ORACLE = """
+WITH occ AS (
+  SELECT DISTINCT event_type, date_trunc('minute', ts) AS m, user_id
+  FROM events
+), edges AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM occ a JOIN occ b
+    ON a.event_type = b.event_type AND a.m = b.m AND a.user_id < b.user_id
+), deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+  ) GROUP BY n
+), oriented AS (
+  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS a,
+         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS b
+  FROM edges e
+  JOIN deg du ON du.n = e.u
+  JOIN deg dv ON dv.n = e.v
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e2.a = e1.b
+  JOIN oriented e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT user_id, count(*) AS n_triangles
+FROM (
+  SELECT a AS user_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "graph_pagerank": graph_pagerank,
+    "graph_triangles": graph_triangles,
 }
 
 ORACLES = {
     "graph_pagerank": PAGERANK_ORACLE,
+    "graph_triangles": TRIANGLES_ORACLE,
 }

@@ -1585,6 +1585,41 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index
+    (llm/search.py::phrase_search): postings matching phrase slot i
+    project to anchor pos−i, so ONE groupBy — not m−1 position joins —
+    finds every occurrence of the m-term phrase. The phrase is chosen
+    so multi-occurrence docs exist (n_occurrences > 1 fires)."""
+    from interop_datalake_spark.llm.search import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = phrase_search(docs, "text", "doc_id", ["slow", "hash", "batch"])
+    return out.orderBy("doc_id")
+
+
+SEARCH_PHRASE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS term
+  FROM tok, unnest(generate_series(1, len(ws))) AS t(i)
+), slots AS (
+  SELECT * FROM (VALUES (0, 'slow'), (1, 'hash'), (2, 'batch'))
+    AS s(i, term)
+), occ AS (
+  SELECT p.doc_id, p.pos - s.i AS anchor, count(DISTINCT s.i) AS n_slots
+  FROM pos p JOIN slots s USING (term)
+  GROUP BY p.doc_id, p.pos - s.i
+  HAVING count(DISTINCT s.i) = 3
+)
+SELECT doc_id, count(*) AS n_occurrences, min(anchor)::INT AS first_pos
+FROM occ GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): hashed-unigram importance
     weights, target = English documents. Two bucket-bounded (1024-row)
@@ -1671,6 +1706,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "ann_index_incremental": ann_index_incremental,
     "search_bm25": search_bm25,
+    "search_phrase": search_phrase,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_minhash_ml": dedup_minhash_ml,
     "dedup_simhash": dedup_simhash,
@@ -1702,6 +1738,7 @@ ORACLES = {
     "dedup_semantic": DEDUP_SEMANTIC_ORACLE,
     "ann_index_incremental": ANN_INDEX_ORACLE,
     "search_bm25": SEARCH_BM25_ORACLE,
+    "search_phrase": SEARCH_PHRASE_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_minhash_ml": DEDUP_JACCARD_ORACLE,  # verified set ≡ ground truth
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,

@@ -99,8 +99,52 @@ FROM base ORDER BY doc_id
 """
 
 
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=50, weight ∝ n_chars —
+    Efraimidis–Spirakis A-ES made fully deterministic: each doc draws
+    a content-hashed uniform u ∈ (0,1] (md5 high bits, the same
+    portable-hash trick as the train/val split) and races with
+    exponential key −ln(u)/w; the k smallest keys win. This is THE
+    distributed weighted-sample: one pass to key, one top-k — no
+    sequential reservoir, no RNG state, and (like the split) membership
+    is a pure function of content, so re-runs, backfills, and
+    partitioning changes reproduce the identical sample. At 100 TB the
+    top-k is per-partition TakeOrdered + a k-row driver merge — no
+    global sort.
+
+    Keys are rounded to 12 dp before ranking (ties broken by doc_id)
+    so Spark's and DuckDB's libm-ulp differences can't flip a
+    comparison — the oracle replays key derivation bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 12)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("race_key"))
+        .orderBy("race_key", "doc_id")
+        .limit(50)
+    )
+
+
+SAMPLE_WEIGHTED_ORACLE = """
+SELECT doc_id, n_chars, race_key FROM (
+  SELECT doc_id, n_chars,
+         round(
+           -ln((('0x' || substr(md5(text), 1, 8))::BIGINT + 1)
+               / 4294967296.0)
+           / n_chars::DOUBLE, 12) AS race_key
+  FROM documents
+)
+ORDER BY race_key, doc_id
+LIMIT 50
+"""
+
+
 QUERIES = {
     "corpus_split_train_val": corpus_split_train_val,
+    "corpus_sample_weighted": corpus_sample_weighted,
     "corpus_sample": corpus_sample,
     "corpus_sample_stratified": corpus_sample_stratified,
     "array_higher_order": array_higher_order,
@@ -108,6 +152,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_split_train_val": SPLIT_ORACLE,
+    "corpus_sample_weighted": SAMPLE_WEIGHTED_ORACLE,
     # corpus_sample / corpus_sample_stratified: rows-only by design
     "array_higher_order": ARRAY_HOF_ORACLE,
 }

@@ -102,3 +102,62 @@ def bm25_scores(
             F.sum("term_score").alias("score"),
         )
     )
+
+
+def positional_postings(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, term) positional index input: 0-based positions over
+    lowercased whitespace words — the index layout phrase and
+    proximity queries need (tf-only postings can't order terms)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    return df.select(
+        F.col(id_col), F.posexplode(words).alias("pos", "term")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: list[str],
+) -> DataFrame:
+    """Exact phrase matching over a positional inverted index.
+
+    Instead of chaining m−1 self-joins (one per adjacent term pair —
+    m shuffles), every posting that matches phrase term i is projected
+    to its **anchor** ``pos − i``: a phrase occurrence starting at p
+    puts all m of its postings on the same (doc, anchor=p) key, so ONE
+    groupBy counting distinct term slots == m finds every occurrence.
+    Repeated phrase terms are handled naturally — a posting of a
+    repeated word joins once per slot it could fill.
+
+    Scale shape: the phrase frame is a broadcast literal; the postings
+    scan is pruned to the phrase's terms BEFORE the shuffle, so the
+    groupBy moves only candidate postings (at 100 TB: the posting
+    lists of m terms, not the corpus). Returns
+    (id, n_occurrences, first_pos)."""
+    m = len(phrase)
+    if m == 0:
+        id_type = dict(docs.dtypes)[id_col]
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, n_occurrences BIGINT, first_pos INT"
+        )
+    slots = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(i, t.lower()) for i, t in enumerate(phrase)], "i INT, term STRING"
+        )
+    )
+    postings = positional_postings(docs, text_col, id_col)
+    anchored = postings.join(slots, "term").select(
+        id_col, (F.col("pos") - F.col("i")).alias("anchor"), "i"
+    )
+    occ = (
+        anchored.groupBy(id_col, "anchor")
+        .agg(F.count_distinct("i").alias("n_slots"))
+        .filter(F.col("n_slots") == m)
+    )
+    return occ.groupBy(id_col).agg(
+        F.count("*").alias("n_occurrences"),
+        F.min("anchor").cast("int").alias("first_pos"),
+    )
