@@ -97,6 +97,16 @@ def _with_required_conf(fn):
 #: q18_large_orders, sort_limit_topk, hl7_msh9 — r03-green with
 #: in-window same-class siblings (q7/q1, topk_per_group,
 #: object_url_parse respectively).
+#: Continuation-2 additions (graph_triangles = degree-oriented
+#: triangle counting, events_heavy_hitters = count-min sketch,
+#: search_phrase = positional phrase index, corpus_sample_weighted =
+#: deterministic A-ES) rotate in over four r03-GREEN entries only —
+#: never over this round's not-yet-witnessed operators — each with a
+#: same-class in-window sibling: dedup_embedding_blocked (Gaussian-LSH
+#: + blocked-topk reps remain), text_quality (gopher/perplexity
+#: remain), union_by_name_missing (set_union_all remains),
+#: corpus_split_train_val (corpus_sample_weighted is itself the
+#: sampling rep; the split stays oracle-backed past the cut).
 WITNESS_PRIORITY = [
     # relational core (elementary join_broadcast moved past the cut;
     # BroadcastHashJoin stays witnessed via the q5/q7/q18 chains)
@@ -128,12 +138,12 @@ WITNESS_PRIORITY = [
     # quantization, clustering, retrieval (the axis-aligned LSH
     # variant moved past the cut for lake_expectations; its class
     # keeps the Gaussian + blocked reps here)
-    "dedup_embedding_blocked",
     "dedup_embedding_lsh_gaussian", "ann_cosine_topk_blocked",
     "ann_index_incremental",
     "embedding_quantize_int8", "cluster_kmeans", "search_bm25",
+    "search_phrase",
     # text analysis + corpus curation (+ bigram-LM quality score)
-    "text_quality", "corpus_decontaminate", "corpus_filter_gopher",
+    "corpus_decontaminate", "corpus_filter_gopher",
     "corpus_redact_pii", "corpus_pack_sequences_sharded",
     "corpus_to_training_set", "text_perplexity",
     # data selection (DSIR) + in-frame classifier training (new
@@ -151,21 +161,23 @@ WITNESS_PRIORITY = [
     "pandas_scalar_udf", "multimodal_decode", "multimodal_phash_dedup",
     # advanced aggs + subqueries + schema evolution (percentile class
     # stays witnessed via agg_rollup/median family past the cut)
-    "subquery_exists", "union_by_name_missing",
+    "subquery_exists",
     # reshape + variant (gapfill displaced for events_ewma below —
     # r03-green; variant_json_access keeps the reshape class in-window)
     "variant_json_access",
     # time-series smoothing via per-key ordered fold (new class)
     "events_ewma",
-    # corpus sampling
-    "corpus_split_train_val",
+    # corpus sampling: deterministic weighted A-ES (new subclass)
+    "corpus_sample_weighted",
     # event analytics: mergeable-HLL distinct rollup (new class —
     # displaces events_hypertable_rollup, r03-green with the
     # sessionize/gapfill siblings in-window) + batch sessionization
     # (funnel/cohort stay oracle-backed past the cut)
-    "events_distinct_rollup", "events_sessionize",
-    # graph analytics: iterative PageRank (new class, round 4)
-    "graph_pagerank",
+    "events_distinct_rollup", "events_heavy_hitters",
+    "events_sessionize",
+    # graph analytics: iterative PageRank (round 4) + degree-oriented
+    # triangle counting (non-iterative multi-way self-join subclass)
+    "graph_pagerank", "graph_triangles",
 ]
 
 
