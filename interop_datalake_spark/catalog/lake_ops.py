@@ -434,6 +434,77 @@ ORDER BY version
 """
 
 
+def lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE TABLE (lake/txn.py:TxnTable.clone_to): snapshot a table
+    into an independent branch by hard-linking data files under a
+    one-commit manifest (zero bytes copied). The demo diverges BOTH
+    sides after cloning — clone appends + deletes, source overwrites
+    and then VACUUMS away every original file — and the clone still
+    reads its branch exactly (links keep inodes alive; the Delta
+    shallow-clone footgun is structurally closed). One row per
+    (table, version) with op, manifest rows, and key sum — all pinned
+    in the VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+
+    root = tempfile.mkdtemp(prefix="lake_clone_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        src = TxnTable(session, "clone_src")
+
+        def df(rows):
+            return spark.createDataFrame(rows, "k INT, v STRING")
+
+        src.append(df([(1, "a"), (2, "b")]))       # src v1
+        dst = src.clone_to("clone_dst")            # dst v1 = clone
+        dst.append(df([(7, "g")]))                 # dst v2
+        dst.delete_where(F.col("k") == 1)          # dst v3
+        src.overwrite(df([(99, "z")]))             # src v2
+
+        def ksum(t, v):
+            return int(
+                t.read(version=v).agg(F.sum("k").alias("s")).collect()[0]["s"]
+            )
+
+        rows = []
+        for label, t in (("src", src), ("dst", dst)):
+            for v in range(1, t.current_version() + 1):
+                rows.append(
+                    (label, v, t.commit_record(v)["op"],
+                     t.manifest(v)["rows"], ksum(t, v))
+                )
+        # now unlink every pre-overwrite source file; the clone's
+        # snapshot (hard links) must read back unchanged
+        src.vacuum(keep_versions=1)
+        rows.append(
+            ("post_vacuum", dst.current_version(), "clone_survives",
+             dst.manifest()["rows"], ksum(dst, None))
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "tbl STRING, version INT, op STRING, rows_total BIGINT, k_sum INT"
+    ).orderBy("tbl", "version")
+
+
+LAKE_CLONE_ORACLE = """
+SELECT * FROM (VALUES
+  ('dst', 1, 'clone',     2, 3),
+  ('dst', 2, 'append',    3, 10),
+  ('dst', 3, 'delete',    2, 9),
+  ('post_vacuum', 3, 'clone_survives', 2, 9),
+  ('src', 1, 'append',    2, 3),
+  ('src', 2, 'overwrite', 1, 99)
+) AS t(tbl, version, op, rows_total, k_sum)
+ORDER BY tbl, version
+"""
+
+
 def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish (lake/expectations.py): one batch with a
     warn-action and a drop-action expectation — 2 rows quarantined
@@ -549,6 +620,7 @@ QUERIES = {
     "lake_txn_changes": lake_txn_changes,
     "lake_scd2": lake_scd2,
     "lake_restore": lake_restore,
+    "lake_clone": lake_clone,
     "lake_expectations": lake_expectations,
 }
 
@@ -561,5 +633,6 @@ ORACLES = {
     "lake_txn_changes": LAKE_CHANGES_ORACLE,
     "lake_scd2": LAKE_SCD2_ORACLE,
     "lake_restore": LAKE_RESTORE_ORACLE,
+    "lake_clone": LAKE_CLONE_ORACLE,
     "lake_expectations": LAKE_EXPECTATIONS_ORACLE,
 }

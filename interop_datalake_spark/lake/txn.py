@@ -942,6 +942,72 @@ class TxnTable:
             schema=tgt.get("schema"),
         )
 
+    def clone_to(
+        self,
+        target_name: str,
+        *,
+        version: int | None = None,
+        deep: bool = False,
+    ) -> "TxnTable":
+        """CLONE TABLE: snapshot this table (optionally at a past
+        ``version``) into a NEW table that then evolves independently —
+        the dev/test-branch primitive (Delta CLONE / Iceberg snapshot
+        ref). ONE commit on the target; the source's log is untouched.
+
+        Shallow mode (default) **hard-links** every data file instead
+        of copying: O(files) metadata work, zero bytes moved — and,
+        unlike Delta's shallow clone (which records source paths and
+        breaks when the source is VACUUMed), the link keeps the inode
+        alive, so vacuuming or deleting the SOURCE can never corrupt
+        the clone (pinned in tests/test_txn_clone.py). On an object
+        store, where links don't exist, ``deep=True`` is the copy
+        path; a same-bucket server-side copy plays the shallow role.
+
+        Stats, partition layout, and the authoritative log schema all
+        carry over verbatim, so data-skipping and partition pruning
+        work on the clone from version 1."""
+        state = self.manifest(version)
+        target = TxnTable(
+            self.session,
+            target_name,
+            stats_cols=self.stats_cols,
+            partition_cols=list(state.get("partition_cols", [])),
+            checkpoint_interval=self.checkpoint_interval,
+        )
+        if target.current_version() != 0:
+            raise ValueError(
+                f"clone target {target_name} is not empty "
+                f"(v{target.current_version()})"
+            )
+        missing = [f for f in state["files"] if not (self.root / f).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"table {self.name}: clone of v{state['version']} needs "
+                f"{len(missing)} file(s) removed by vacuum, e.g. {missing[0]}"
+            )
+        for f in state["files"]:
+            src, dst = self.root / f, target.root / f
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            if deep:
+                shutil.copyfile(src, dst)
+            else:
+                try:
+                    os.link(src, dst)
+                except OSError:  # cross-device (EXDEV) etc. — degrade to copy
+                    shutil.copyfile(src, dst)
+        target._commit(
+            0,
+            op="clone",
+            added=list(state["files"]),
+            removed=[],
+            rows_total=state["rows"],
+            stats=dict(state["stats"]),
+            partitions=dict(state["partitions"]),
+            partition_types=state.get("partition_types") or None,
+            schema=state.get("schema"),
+        )
+        return target
+
     def merge(
         self,
         updates: DataFrame,
