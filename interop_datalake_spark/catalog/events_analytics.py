@@ -558,9 +558,87 @@ ORDER BY e.est_n DESC, e.user_id
 """
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the per-type daily revenue series:
+    median + MAD (median absolute deviation) instead of mean + stddev,
+    so the detector's own baseline is not dragged by the outliers it
+    hunts (one large day shifts a mean; it cannot shift a median).
+    Flags days where |x − med| > 2.0·1.4826·MAD (1.4826 = the
+    normal-consistency constant making MAD comparable to σ).
+
+    Shape: two grouped exact-median aggregations over the (type, day)
+    rollup — the rollup is the only fact-table shuffle; the per-type
+    stats frame is |types| rows and broadcasts back. Daily totals are
+    summed as DECIMAL then 2-dp rounded, med/MAD 6-dp rounded, so the
+    DuckDB oracle replays every comparison on identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.round(F.median("total"), 6).alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.median(F.abs(F.col("total") - F.col("med"))), 6)
+            .alias("mad")
+        )
+    )
+    z = F.when(
+        F.col("mad") != 0.0,
+        F.round(
+            0.6745 * (F.col("total") - F.col("med")) / F.col("mad"), 6
+        ),
+    )
+    return (
+        daily.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            F.col("day").cast("date").alias("day"),
+            "total",
+            "med",
+            "mad",
+            z.alias("robust_z"),
+            (
+                F.abs(F.col("total") - F.col("med"))
+                > 2.0 * 1.4826 * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ANOMALY_MAD_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total
+  FROM events GROUP BY 1, 2
+), meds AS (
+  SELECT event_type, round(median(total), 6) AS med FROM daily GROUP BY 1
+), mads AS (
+  SELECT d.event_type, round(median(abs(d.total - s.med)), 6) AS mad
+  FROM daily d JOIN meds s USING (event_type) GROUP BY 1
+)
+SELECT d.event_type, d.day::DATE AS day, d.total, s.med, m.mad,
+       CASE WHEN m.mad <> 0.0
+            THEN round(0.6745 * (d.total - s.med) / m.mad, 6) END AS robust_z,
+       abs(d.total - s.med) > 2.0 * 1.4826 * m.mad AS is_anomaly
+FROM daily d JOIN meds s USING (event_type) JOIN mads m USING (event_type)
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_heavy_hitters": events_heavy_hitters,
+    "events_anomaly_mad": events_anomaly_mad,
     "events_distinct_rollup": events_distinct_rollup,
     "events_ewma": events_ewma,
     "events_hypertable_rollup": events_hypertable_rollup,
@@ -573,6 +651,7 @@ ORACLES = {
     "events_funnel": FUNNEL_ORACLE,
     "events_distinct_rollup": DISTINCT_ROLLUP_ORACLE,
     "events_heavy_hitters": HEAVY_HITTERS_ORACLE,
+    "events_anomaly_mad": ANOMALY_MAD_ORACLE,
     "events_ewma": EWMA_ORACLE,
     "events_hypertable_rollup": HYPERTABLE_ORACLE,
     "revenue_share_window": REVENUE_SHARE_ORACLE,

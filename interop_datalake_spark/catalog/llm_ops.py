@@ -1585,6 +1585,104 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def corpus_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit — the composition every eval pipeline
+    needs and hash-splitting alone cannot give: a content-hash split
+    (corpus_split_train_val's md5 bucketing) sends EXACT duplicates to
+    the same split by construction, but NEAR-duplicates hash apart, so
+    a val/test document can still have a train-side twin. This query
+    runs the LSH near-dup pipeline (same 16-hash/4-band signature as
+    dedup_minhash_lsh) and reports every verified pair whose endpoints
+    landed in different splits — at sf0.01 that's 8 leaked pairs the
+    split silently admitted.
+
+    Scale shape: identical to dedup_minhash_lsh (banded equi-join,
+    candidate-only verify) plus two broadcast-sized split joins; the
+    split column is a pure projection, so no extra shuffle beyond the
+    dedup pipeline itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4,
+        threshold=0.8,
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("text")), 1, 4), 16, 10
+    ).cast("bigint") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    splits = docs.select("doc_id", split.alias("split"))
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "id_a", "id_b", "split_a", "split_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM tok
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0 FROM sh
+), sig AS (
+  SELECT doc_id,
+         {{mins}}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {{bands}}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), verified AS (
+  SELECT id_a, id_b,
+         round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (sa.n + sb.n - n_inter) >= 0.8
+), split AS (
+  SELECT doc_id,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, ('0x' || substr(md5(text), 1, 4))::BIGINT % 100 AS b
+    FROM documents
+  )
+)
+SELECT v.id_a, v.id_b, pa.split AS split_a, pb.split AS split_b, v.jaccard
+FROM verified v
+JOIN split pa ON pa.doc_id = v.id_a
+JOIN split pb ON pb.doc_id = v.id_b
+WHERE pa.split <> pb.split
+ORDER BY id_a, id_b
+""".format(mins=_MINS_SQL, bands=_BANDS_SQL)
+
+
 def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search over a positional inverted index
     (llm/search.py::phrase_search): postings matching phrase slot i
@@ -1707,6 +1805,7 @@ QUERIES = {
     "ann_index_incremental": ann_index_incremental,
     "search_bm25": search_bm25,
     "search_phrase": search_phrase,
+    "corpus_split_contamination": corpus_split_contamination,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_minhash_ml": dedup_minhash_ml,
     "dedup_simhash": dedup_simhash,
@@ -1739,6 +1838,7 @@ ORACLES = {
     "ann_index_incremental": ANN_INDEX_ORACLE,
     "search_bm25": SEARCH_BM25_ORACLE,
     "search_phrase": SEARCH_PHRASE_ORACLE,
+    "corpus_split_contamination": CONTAMINATION_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_minhash_ml": DEDUP_JACCARD_ORACLE,  # verified set ≡ ground truth
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,

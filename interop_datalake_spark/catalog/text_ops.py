@@ -1083,8 +1083,123 @@ ORDER BY iter
 """
 
 
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (ANALYZE/describe-extended analog) in long form:
+    one wide single-scan aggregate unpivoted to (column, metric) rows,
+    plus a per-categorical-column top-value pass with a DETERMINISTIC
+    tie-break (count desc, value asc — never engine-arbitrary ``mode``).
+    Numeric results ride in ``value_num`` and categorical exemplars in
+    ``value_str``, so no float→string formatting has to match across
+    engines.
+
+    Scale shape: the wide aggregate is one scan with partial
+    aggregation (countDistinct on bounded-cardinality columns; swap in
+    approx_count_distinct for unbounded ones); each top-value pass
+    groups on a low-cardinality column. Nothing touches the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.agg(
+        F.count("*").alias("row_count"),
+        F.count_distinct("lang").alias("lang_nd"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("lang_nn"),
+        F.count_distinct("source").alias("source_nd"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0)).alias(
+            "source_nn"
+        ),
+        F.min("n_chars").cast("double").alias("nc_min"),
+        F.max("n_chars").cast("double").alias("nc_max"),
+        F.round(F.avg("n_chars"), 2).alias("nc_avg"),
+        F.round(
+            F.avg(F.size(F.filter(F.split("text", " "), lambda w: w != ""))),
+            2,
+        ).alias("text_avg_words"),
+    )
+    long = wide.selectExpr(
+        """stack(9,
+          '_table', 'row_count', row_count * 1.0D,
+          'lang', 'n_distinct', lang_nd * 1.0D,
+          'lang', 'null_count', lang_nn * 1.0D,
+          'source', 'n_distinct', source_nd * 1.0D,
+          'source', 'null_count', source_nn * 1.0D,
+          'n_chars', 'min', nc_min,
+          'n_chars', 'max', nc_max,
+          'n_chars', 'avg', nc_avg,
+          'text', 'avg_words', text_avg_words
+        ) AS (column, metric, value_num)"""
+    ).withColumn("value_str", F.lit(None).cast("string"))
+
+    def top_of(col):
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("n"), F.col(col))
+        return (
+            docs.groupBy(col)
+            .agg(F.count("*").alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.lit(col).alias("column"),
+                F.lit("top_value").alias("metric"),
+                F.col("n").cast("double").alias("value_num"),
+                F.col(col).cast("string").alias("value_str"),
+            )
+        )
+
+    return (
+        long.unionByName(top_of("lang"))
+        .unionByName(top_of("source"))
+        .orderBy("column", "metric")
+    )
+
+
+CORPUS_PROFILE_ORACLE = """
+WITH wide AS (
+  SELECT count(*)::DOUBLE AS row_count,
+         count(DISTINCT lang)::DOUBLE AS lang_nd,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::DOUBLE AS lang_nn,
+         count(DISTINCT source)::DOUBLE AS source_nd,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::DOUBLE AS source_nn,
+         min(n_chars)::DOUBLE AS nc_min,
+         max(n_chars)::DOUBLE AS nc_max,
+         round(avg(n_chars), 2) AS nc_avg,
+         round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))), 2)
+           AS text_avg_words
+  FROM documents
+), long AS (
+  SELECT '_table' AS "column", 'row_count' AS metric, row_count AS value_num FROM wide
+  UNION ALL SELECT 'lang', 'n_distinct', lang_nd FROM wide
+  UNION ALL SELECT 'lang', 'null_count', lang_nn FROM wide
+  UNION ALL SELECT 'source', 'n_distinct', source_nd FROM wide
+  UNION ALL SELECT 'source', 'null_count', source_nn FROM wide
+  UNION ALL SELECT 'n_chars', 'min', nc_min FROM wide
+  UNION ALL SELECT 'n_chars', 'max', nc_max FROM wide
+  UNION ALL SELECT 'n_chars', 'avg', nc_avg FROM wide
+  UNION ALL SELECT 'text', 'avg_words', text_avg_words FROM wide
+), tops AS (
+  SELECT col AS "column", 'top_value' AS metric, n::DOUBLE AS value_num,
+         val AS value_str
+  FROM (
+    SELECT 'lang' AS col, lang AS val, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, lang) AS rn
+    FROM documents GROUP BY lang
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT 'source', 'top_value', n::DOUBLE, val
+  FROM (
+    SELECT source AS val, count(*) AS n,
+           row_number() OVER (ORDER BY count(*) DESC, source) AS rn
+    FROM documents GROUP BY source
+  ) WHERE rn = 1
+)
+SELECT "column", metric, value_num, NULL::VARCHAR AS value_str FROM long
+UNION ALL
+SELECT * FROM tops
+ORDER BY "column", metric
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
+    "corpus_profile": corpus_profile,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_lang_ngram": text_lang_ngram,
     "text_lang_id": text_lang_id,
@@ -1105,6 +1220,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_profile": CORPUS_PROFILE_ORACLE,
     "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,
     "text_bpe_tokenize": TEXT_BPE_TOKENIZE_ORACLE,
     "corpus_domain_mix": DOMAIN_MIX_ORACLE,
