@@ -107,6 +107,11 @@ def _with_required_conf(fn):
 #: remain), union_by_name_missing (set_union_all remains),
 #: corpus_split_train_val (corpus_sample_weighted is itself the
 #: sampling rep; the split stays oracle-backed past the cut).
+#: Continuation-3: lake_clone (CLONE TABLE branching) displaces
+#: lake_txn_changes (r03-green; ACID class keeps lake_txn_acid and the
+#: change feed stays pinned by tests/test_txn_stream.py), and
+#: corpus_split_contamination (hash-split × LSH leakage audit)
+#: displaces corpus_decontaminate (r03-green, same class).
 WITNESS_PRIORITY = [
     # relational core (elementary join_broadcast moved past the cut;
     # BroadcastHashJoin stays witnessed via the q5/q7/q18 chains)
@@ -118,8 +123,8 @@ WITNESS_PRIORITY = [
     # (path templating stays oracle-backed past the cut; its class is
     # witnessed via object_url_parse)
     "object_url_parse",
-    "lake_publish_roundtrip", "lake_txn_acid", "lake_txn_changes",
-    "lake_scd2", "lake_expectations", "lake_restore",
+    "lake_publish_roundtrip", "lake_txn_acid",
+    "lake_scd2", "lake_expectations", "lake_restore", "lake_clone",
     # windows + custom joins (window_rank displaced for
     # entity_resolution below — r03-green, topk_per_group keeps the
     # window-function class in-window)
@@ -142,8 +147,10 @@ WITNESS_PRIORITY = [
     "ann_index_incremental",
     "embedding_quantize_int8", "cluster_kmeans", "search_bm25",
     "search_phrase",
-    # text analysis + corpus curation (+ bigram-LM quality score)
-    "corpus_decontaminate", "corpus_filter_gopher",
+    # text analysis + corpus curation (+ bigram-LM quality score);
+    # the contamination audit composes hash-split + LSH dedup and
+    # displaces corpus_decontaminate (r03-green, same class)
+    "corpus_split_contamination", "corpus_filter_gopher",
     "corpus_redact_pii", "corpus_pack_sequences_sharded",
     "corpus_to_training_set", "text_perplexity",
     # data selection (DSIR) + in-frame classifier training (new
