@@ -67,6 +67,12 @@ HEADLINE = [
     "text_quality_classifier",
     "events_distinct_rollup",
     "events_ewma",
+    "events_heavy_hitters",
+    "events_anomaly_mad",
+    "graph_triangles",
+    "search_phrase",
+    "corpus_split_contamination",
+    "corpus_profile",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are
