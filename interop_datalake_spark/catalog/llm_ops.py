@@ -1585,6 +1585,57 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle-containment dedup
+    (llm/dedup.py::containment_pairs): C = |∩| / min(|A|,|B|) over
+    5-word shingles, hot-shingle-capped shared-shingle join as the
+    blocking. The measure that catches quotes/excerpts (short doc
+    inside long doc) where Jaccard — and therefore MinHash-LSH —
+    structurally fails; the planted-quote case is pinned in
+    tests/test_round4c_ops.py."""
+    from interop_datalake_spark.llm.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = containment_pairs(
+        docs, "text", "doc_id", k=5, threshold=0.8, max_shingle_freq=50
+    )
+    return out.select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b",
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_CONTAINMENT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 4, 0)),
+                               i -> array_to_string(w[i:i+4], ' '))) AS shingle
+  FROM tok
+), freq AS (
+  SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY shingle
+), kept AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s JOIN freq f USING (shingle) WHERE f.df <= 50
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+)
+SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+       round(n_inter::DOUBLE / least(sa.n, sb.n), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter::DOUBLE / least(sa.n, sb.n) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 def corpus_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split leakage audit — the composition every eval pipeline
     needs and hash-splitting alone cannot give: a content-hash split
@@ -1806,6 +1857,7 @@ QUERIES = {
     "search_bm25": search_bm25,
     "search_phrase": search_phrase,
     "corpus_split_contamination": corpus_split_contamination,
+    "dedup_containment": dedup_containment,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_minhash_ml": dedup_minhash_ml,
     "dedup_simhash": dedup_simhash,
@@ -1839,6 +1891,7 @@ ORACLES = {
     "search_bm25": SEARCH_BM25_ORACLE,
     "search_phrase": SEARCH_PHRASE_ORACLE,
     "corpus_split_contamination": CONTAMINATION_ORACLE,
+    "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_minhash_ml": DEDUP_JACCARD_ORACLE,  # verified set ≡ ground truth
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,

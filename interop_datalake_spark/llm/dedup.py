@@ -134,6 +134,60 @@ def ngram_containment(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 50,
+) -> DataFrame:
+    """Pairwise shingle CONTAINMENT dedup: C(A,B) = |S_A ∩ S_B| /
+    min(|S_A|, |S_B|) — the measure that catches a short document
+    embedded verbatim inside a long one (a quote, an excerpt, a
+    re-post with commentary), where Jaccard stays low because the long
+    doc's extra shingles swamp the union. MinHash-LSH blocking
+    approximates JACCARD, so it structurally misses these pairs; the
+    right blocking for containment is the shared-shingle join itself.
+
+    Scale shape: the join is on the exploded shingle frame, so its
+    cost is Σ df² over shingle document-frequencies — unbounded under
+    boilerplate skew, which is why ``drop_hot_shingles`` caps df at
+    ``max_shingle_freq`` BEFORE the join (the same cap, same argument
+    as the skew-safe LSH path: a high-containment pair shares many
+    shingles, so losing the ubiquitous ones cannot push it under
+    threshold unless the pair was mostly boilerplate to begin with).
+    Sizes are computed from the UNfiltered shingle sets so the
+    containment denominator is honest. Returns
+    (id_a, id_b, n_inter, n_a, n_b, containment ≥ threshold).
+
+    Ref parity note: complements ngram_containment (corpus-level
+    decontamination) with pairwise semantics."""
+    sh = shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    kept = drop_hot_shingles(sh, id_col, max_shingle_freq)
+    a = kept.select(F.col(id_col).alias("id_a"), "shingle")
+    b = kept.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "containment")
+    )
+
+
 def drop_hot_shingles(
     shingles_df: DataFrame, id_col: str, max_freq: int
 ) -> DataFrame:

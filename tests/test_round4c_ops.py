@@ -112,6 +112,56 @@ class TestWeightedSample:
         assert ids1 == ids2
 
 
+class TestContainmentPairs:
+    def test_planted_quote_caught_by_containment_not_jaccard(self, spark):
+        from interop_datalake_spark.llm.dedup import (
+            containment_pairs,
+            minhash_lsh_dedup,
+        )
+
+        long_words = [f"w{i}" for i in range(100)]
+        quote = long_words[40:60]  # 20-word verbatim excerpt
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(long_words)),
+                (2, " ".join(quote)),
+                (3, " ".join(f"z{i}" for i in range(50))),
+            ],
+            "doc_id BIGINT, text STRING",
+        )
+        cp = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(
+                docs, "text", "doc_id", k=5, threshold=0.8
+            ).collect()
+        }
+        # the excerpt's 16 shingles all occur in doc 1: containment 1.0
+        assert cp == {(1, 2): 1.0}
+        # Jaccard for the same pair is 16/96 ≈ 0.17 — the LSH pipeline
+        # (correctly, per its own semantics) reports nothing
+        jp = minhash_lsh_dedup(
+            docs, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4,
+            threshold=0.8,
+        ).collect()
+        assert jp == []
+
+    def test_boilerplate_capped_before_join(self, spark):
+        from interop_datalake_spark.llm.dedup import containment_pairs
+
+        # 12 docs sharing ONLY a 6-word footer: with max_shingle_freq
+        # below 12 the shared shingles are dropped pre-join and no
+        # boilerplate-only pair can reach the threshold
+        footer = "common footer text shared by all"
+        docs = spark.createDataFrame(
+            [(i, f"unique{i} body{i} words{i} here{i} {footer}") for i in range(12)],
+            "doc_id BIGINT, text STRING",
+        )
+        out = containment_pairs(
+            docs, "text", "doc_id", k=5, threshold=0.8, max_shingle_freq=10
+        ).collect()
+        assert out == []
+
+
 class TestHeavyHitters:
     def test_cms_never_undercounts(self, spark, sf_dir):
         from interop_datalake_spark.catalog.events_analytics import (
