@@ -73,6 +73,9 @@ HEADLINE = [
     "search_phrase",
     "corpus_split_contamination",
     "corpus_profile",
+    "dedup_containment",
+    "dedup_containment_fast",
+    "events_quantile_rollup",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are

@@ -635,10 +635,149 @@ ORDER BY event_type, day
 """
 
 
+def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantiles — the third sketch family next to
+    the HLL distinct rollup and the CMS heavy hitters: a fixed
+    128-bin × width-5 equi-width histogram of ``value`` per day (last
+    bin clamps overflow), whose bin counts ADD — per-partition partial
+    aggregation is the distributed sketch merge, and the all-time
+    histogram is literally the sum of the daily ones (the 'all' scope
+    row here, built by re-aggregating daily bins, never re-scanning
+    events). p50/p95 come from linear interpolation inside the
+    covering bin; the ``err_ok`` invariant pins |est − exact| ≤ one
+    bin width against the engine's exact percentile.
+
+    At 100 TB the state per scope is ≤128 integers regardless of event
+    volume — the classic trade: one bounded-error merge-safe pass vs
+    an exact percentile's full sort/shuffle."""
+    from pyspark.sql import Window
+
+    W, NB = 5.0, 128
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("scope"),
+        F.least(
+            F.floor(F.col("value") / W).cast("int"), F.lit(NB - 1)
+        ).alias("bin"),
+        "value",
+    )
+    daily = binned.groupBy("scope", "bin").agg(F.count("*").alias("cnt"))
+    # the merge: all-time histogram = sum of daily bin counts
+    allb = daily.groupBy("bin").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("all").alias("scope"), "bin", "cnt"
+    )
+    bins = daily.unionByName(allb)
+    w = Window.partitionBy("scope").orderBy("bin")
+    cum = bins.select(
+        "scope", "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_prev"),
+        F.sum("cnt").over(Window.partitionBy("scope")).alias("n"),
+    )
+
+    def est(q):
+        target = F.lit(q) * F.col("n")
+        hit = cum.filter(F.col("cum") >= target)
+        first = hit.groupBy("scope").agg(F.min("bin").alias("bin"))
+        return (
+            first.join(cum, ["scope", "bin"])
+            .select(
+                "scope",
+                F.round(
+                    F.col("bin") * W
+                    + W
+                    * (F.lit(q) * F.col("n") - F.col("cum_prev"))
+                    / F.col("cnt"),
+                    6,
+                ).alias(f"p{int(q * 100)}_est"),
+            )
+        )
+
+    exact_day = binned.groupBy("scope").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50_exact"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95_exact"),
+    )
+    exact_all = binned.groupBy().agg(
+        F.count("*").alias("n_events"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50_exact"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95_exact"),
+    ).select(F.lit("all").alias("scope"), "n_events", "p50_exact", "p95_exact")
+    exact = exact_day.unionByName(exact_all)
+    return (
+        exact.join(est(0.5), "scope")
+        .join(est(0.95), "scope")
+        .select(
+            "scope", "n_events", "p50_est", "p50_exact",
+            "p95_est", "p95_exact",
+            (
+                (F.abs(F.col("p50_est") - F.col("p50_exact")) <= W)
+                & (F.abs(F.col("p95_est") - F.col("p95_exact")) <= W)
+            ).alias("err_ok"),
+        )
+        .orderBy("scope")
+    )
+
+
+QUANTILE_ROLLUP_ORACLE = """
+WITH binned AS (
+  SELECT date_trunc('day', ts)::DATE::VARCHAR AS scope,
+         least(floor(value / 5.0)::INT, 127) AS bin, value
+  FROM events
+), daily AS (
+  SELECT scope, bin, count(*) AS cnt FROM binned GROUP BY scope, bin
+), bins AS (
+  SELECT scope, bin, cnt FROM daily
+  UNION ALL
+  SELECT 'all', bin, sum(cnt) FROM daily GROUP BY bin
+), cum AS (
+  SELECT scope, bin, cnt,
+         sum(cnt) OVER (PARTITION BY scope ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY scope ORDER BY bin) - cnt AS cum_prev,
+         sum(cnt) OVER (PARTITION BY scope) AS n
+  FROM bins
+), e50 AS (
+  SELECT c.scope,
+         round(c.bin * 5.0 + 5.0 * (0.5 * c.n - c.cum_prev) / c.cnt, 6)
+           AS p50_est
+  FROM cum c
+  JOIN (SELECT scope, min(bin) AS bin FROM cum
+        WHERE cum >= 0.5 * n GROUP BY scope) f
+    ON f.scope = c.scope AND f.bin = c.bin
+), e95 AS (
+  SELECT c.scope,
+         round(c.bin * 5.0 + 5.0 * (0.95 * c.n - c.cum_prev) / c.cnt, 6)
+           AS p95_est
+  FROM cum c
+  JOIN (SELECT scope, min(bin) AS bin FROM cum
+        WHERE cum >= 0.95 * n GROUP BY scope) f
+    ON f.scope = c.scope AND f.bin = c.bin
+), exact AS (
+  SELECT scope, count(*) AS n_events,
+         round(quantile_cont(value, 0.5), 6) AS p50_exact,
+         round(quantile_cont(value, 0.95), 6) AS p95_exact
+  FROM binned GROUP BY scope
+  UNION ALL
+  SELECT 'all', count(*),
+         round(quantile_cont(value, 0.5), 6),
+         round(quantile_cont(value, 0.95), 6)
+  FROM binned
+)
+SELECT x.scope, x.n_events, a.p50_est, x.p50_exact, b.p95_est, x.p95_exact,
+       abs(a.p50_est - x.p50_exact) <= 5.0
+         AND abs(b.p95_est - x.p95_exact) <= 5.0 AS err_ok
+FROM exact x
+JOIN e50 a ON a.scope = x.scope
+JOIN e95 b ON b.scope = x.scope
+ORDER BY x.scope
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_heavy_hitters": events_heavy_hitters,
     "events_anomaly_mad": events_anomaly_mad,
+    "events_quantile_rollup": events_quantile_rollup,
     "events_distinct_rollup": events_distinct_rollup,
     "events_ewma": events_ewma,
     "events_hypertable_rollup": events_hypertable_rollup,
@@ -652,6 +791,7 @@ ORACLES = {
     "events_distinct_rollup": DISTINCT_ROLLUP_ORACLE,
     "events_heavy_hitters": HEAVY_HITTERS_ORACLE,
     "events_anomaly_mad": ANOMALY_MAD_ORACLE,
+    "events_quantile_rollup": QUANTILE_ROLLUP_ORACLE,
     "events_ewma": EWMA_ORACLE,
     "events_hypertable_rollup": HYPERTABLE_ORACLE,
     "revenue_share_window": REVENUE_SHARE_ORACLE,

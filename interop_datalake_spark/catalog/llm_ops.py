@@ -1636,6 +1636,26 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_containment_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash containment dedup: identical algebra to
+    dedup_containment but with 64-bit xxhash64 shingle keys (narrow
+    shuffles, no md5). ROWS-ONLY by design — DuckDB has no xxhash64 —
+    with pair-set equality vs the portable path pinned Spark-vs-Spark
+    in tests/test_round4c_ops.py (same contract as
+    dedup_minhash_lsh_fast)."""
+    from interop_datalake_spark.llm.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = containment_pairs(
+        docs, "text", "doc_id", k=5, threshold=0.8, max_shingle_freq=50,
+        hash_name="xxhash64",
+    )
+    return out.select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b",
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("id_a", "id_b")
+
+
 def corpus_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split leakage audit — the composition every eval pipeline
     needs and hash-splitting alone cannot give: a content-hash split
@@ -1858,6 +1878,7 @@ QUERIES = {
     "search_phrase": search_phrase,
     "corpus_split_contamination": corpus_split_contamination,
     "dedup_containment": dedup_containment,
+    "dedup_containment_fast": dedup_containment_fast,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_minhash_ml": dedup_minhash_ml,
     "dedup_simhash": dedup_simhash,

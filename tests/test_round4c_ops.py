@@ -145,6 +145,21 @@ class TestContainmentPairs:
         ).collect()
         assert jp == []
 
+    def test_xxhash64_path_identical_pairs(self, spark, sf_dir):
+        from interop_datalake_spark.llm.dedup import containment_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def pairs(hash_name):
+            return sorted(
+                (r["id_a"], r["id_b"], r["n_inter"])
+                for r in containment_pairs(
+                    docs, "text", "doc_id", hash_name=hash_name
+                ).collect()
+            )
+
+        assert pairs(None) == pairs("xxhash64")
+
     def test_boilerplate_capped_before_join(self, spark):
         from interop_datalake_spark.llm.dedup import containment_pairs
 
