@@ -505,6 +505,57 @@ ORDER BY tbl, version
 """
 
 
+def lake_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom index (lake/txn.py: bloom_cols): 4 commits → 4
+    files with disjoint high-cardinality ``tag`` vocabularies — the
+    regime where min/max stats prune NOTHING (each file's string range
+    brackets the others) but the k=2 xxhash64 bloom prunes a point
+    lookup 4 → 1 files, and an absent key 4 → 0 (no scan at all).
+    xxhash64 is deterministic, so the scanned-file counts are pinned
+    constants, not flaky hash luck. One row per probe with
+    (files_total, files_scanned, rows_found) — VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+
+    root = tempfile.mkdtemp(prefix="lake_bloom_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "bloom_demo", bloom_cols=["tag"])
+        for g in range(4):
+            t.append(
+                spark.createDataFrame(
+                    [(i, f"g{g}_x{i}") for i in range(25)],
+                    "k INT, tag STRING",
+                ).coalesce(1)
+            )
+        rows = []
+        for probe in ["g0_x3", "g2_x7", "missing_tag"]:
+            kept = t.resolve_files(bloom_eq={"tag": probe})
+            n = t.read(bloom_eq={"tag": probe}).count()
+            rows.append(
+                (probe, len(t.manifest()["files"]), len(kept), int(n))
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "probe STRING, files_total INT, files_scanned INT, rows_found INT",
+    ).orderBy("probe")
+
+
+LAKE_BLOOM_ORACLE = """
+SELECT * FROM (VALUES
+  ('g0_x3',       4, 1, 1),
+  ('g2_x7',       4, 1, 1),
+  ('missing_tag', 4, 0, 0)
+) AS t(probe, files_total, files_scanned, rows_found)
+ORDER BY probe
+"""
+
+
 def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish (lake/expectations.py): one batch with a
     warn-action and a drop-action expectation — 2 rows quarantined
@@ -621,6 +672,7 @@ QUERIES = {
     "lake_scd2": lake_scd2,
     "lake_restore": lake_restore,
     "lake_clone": lake_clone,
+    "lake_bloom_index": lake_bloom_index,
     "lake_expectations": lake_expectations,
 }
 
@@ -634,5 +686,6 @@ ORACLES = {
     "lake_scd2": LAKE_SCD2_ORACLE,
     "lake_restore": LAKE_RESTORE_ORACLE,
     "lake_clone": LAKE_CLONE_ORACLE,
+    "lake_bloom_index": LAKE_BLOOM_ORACLE,
     "lake_expectations": LAKE_EXPECTATIONS_ORACLE,
 }

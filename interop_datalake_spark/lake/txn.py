@@ -133,6 +133,8 @@ class TxnTable:
         stats_cols: list[str] | None = None,
         partition_cols: list[str] | None = None,
         checkpoint_interval: int = 10,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 4096,
     ):
         self.session = session
         self.spark = session.spark
@@ -140,6 +142,17 @@ class TxnTable:
         self.stats_cols = list(stats_cols or [])
         self.partition_cols = list(partition_cols or [])
         self.checkpoint_interval = max(1, checkpoint_interval)
+        #: per-file Bloom indexes (Delta bloom-filter-index analog) for
+        #: point lookups on HIGH-CARDINALITY, UNCLUSTERED columns where
+        #: min/max stats are useless (every file's range spans the
+        #: domain). k=2 xxhash64 probes into ``bloom_bits`` positions;
+        #: the per-file set of occupied positions rides in the commit
+        #: record next to the min/max stats (sparse int list, capped —
+        #: an over-full bloom degrades to 'always scan', never to a
+        #: false negative) and flows through restore/clone/rebase for
+        #: free because it IS stats.
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = int(bloom_bits)
         self.root = Path(session.table_path(name))
         self._manifest_dir = self.root / "_manifests"
         self._state_cache: dict[int, dict] = {}
@@ -345,6 +358,7 @@ class TxnTable:
         version: int | None = None,
         key_range: tuple[str, object, object] | None = None,
         partition_filter: dict[str, object] | None = None,
+        bloom_eq: dict[str, object] | None = None,
     ) -> DataFrame:
         """The snapshot as a DataFrame (time travel via ``version``).
         The resolved file list is immutable: later commits and even
@@ -359,7 +373,14 @@ class TxnTable:
         dropped BEFORE Spark sees them — a point read on a clustered
         table opens one file instead of planning over 400k. Residual
         row filters still apply (pruning drops files, not rows);
-        stats-less files are conservatively kept."""
+        stats-less files are conservatively kept.
+
+        ``bloom_eq={col: value}`` prunes by the per-file Bloom index
+        (``bloom_cols``) — the point-lookup path for high-cardinality
+        UNCLUSTERED columns where every file's min/max spans the whole
+        domain and key_range prunes nothing. False positives only ever
+        cost an extra file scan; a missing or over-full filter keeps
+        the file."""
         from pyspark.sql import functions as F
 
         m = self.manifest(version)
@@ -369,7 +390,10 @@ class TxnTable:
                 f"version {version if version is not None else self.current_version()}"
             )
         fs = self.resolve_files(
-            version=version, key_range=key_range, partition_filter=partition_filter
+            version=version,
+            key_range=key_range,
+            partition_filter=partition_filter,
+            bloom_eq=bloom_eq,
         )
         if not fs:
             # everything pruned: empty frame with the table's schema
@@ -389,6 +413,10 @@ class TxnTable:
         if key_range is not None:
             col, lo, hi = key_range
             df = df.filter(F.col(col).between(lo, hi))
+        if bloom_eq:
+            # pruning drops files; the residual equality drops rows
+            for col, value in bloom_eq.items():
+                df = df.filter(F.col(col) == F.lit(value))
         return df
 
     def resolve_files(
@@ -396,6 +424,7 @@ class TxnTable:
         version: int | None = None,
         key_range: tuple[str, object, object] | None = None,
         partition_filter: dict[str, object] | None = None,
+        bloom_eq: dict[str, object] | None = None,
     ) -> list[str]:
         """The root-relative files a read with these predicates opens —
         manifest-level pruning made observable (partition values first,
@@ -430,6 +459,18 @@ class TxnTable:
                 or rng[0] is None
                 or (rng[0] <= hi and lo <= rng[1])
             ]
+        if bloom_eq:
+            stats = m.get("stats", {})
+            for col, value in bloom_eq.items():
+                want = self._bloom_positions_of(value)
+                kept = []
+                for f in fs:
+                    bloom = stats.get(f, {}).get(f"bloom:{col}")
+                    if bloom is None or bloom == "FULL":
+                        kept.append(f)  # no filter recorded: must scan
+                    elif all(p in bloom for p in want):
+                        kept.append(f)
+                fs = kept
         return fs
 
     def read_changes(
@@ -533,9 +574,19 @@ class TxnTable:
                 partitions[rel] = vals
         back = self.spark.read.format(self.session.format).load(str(out))
         stat_cols = [c for c in self.stats_cols if c in back.columns]
+        bloom_cols = [c for c in self.bloom_cols if c in back.columns]
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in stat_cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        for c in bloom_cols:
+            # the two k-probe position sets aggregate as collect_set —
+            # map-side-combined, bounded by bloom_bits per file
+            aggs += [
+                F.collect_set(self._bloom_pos(F.col(c), probe)).alias(
+                    f"_bloom{probe}_{c}"
+                )
+                for probe in (0, 1)
+            ]
         per_file = (
             back.withColumn("_file", F.input_file_name())
             .groupBy("_file")
@@ -544,6 +595,10 @@ class TxnTable:
         )
         stats: dict[str, dict] = {}
         rows = 0
+        # past half occupancy a k=2 bloom's false-positive rate is ≥25%
+        # and climbing — record the degenerate marker instead of a list
+        # that mostly fails to prune (also bounds manifest growth)
+        cap = self.bloom_bits // 2
         for r in per_file:
             rel = next((f for f in rel_files if r["_file"].endswith(f)), None)
             rows += r["_rows"]
@@ -558,7 +613,40 @@ class TxnTable:
                         for c in stat_cols
                     },
                 }
+                for c in bloom_cols:
+                    pos = sorted(
+                        set(r[f"_bloom0_{c}"]) | set(r[f"_bloom1_{c}"])
+                    )
+                    # an over-occupied filter prunes nothing — record
+                    # the degenerate marker instead of a huge list
+                    stats[rel][f"bloom:{c}"] = (
+                        "FULL" if len(pos) > cap else pos
+                    )
         return rel_files, rows, stats, partitions, ptypes
+
+    def _bloom_pos(self, col, probe: int):
+        """Probe ``probe``'s bit position for a value: xxhash64 of the
+        value (salted by the probe index as an extra hashed column)
+        mod bloom_bits. JVM-side, vectorized, deterministic."""
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(col, F.lit(probe)), F.lit(self.bloom_bits))
+
+    def _bloom_positions_of(self, value) -> list[int]:
+        """The two bit positions a literal value probes — computed
+        through the SAME JVM hash as the write path (one bounded
+        1-row job, never a reimplementation that could drift)."""
+        from pyspark.sql import functions as F
+
+        row = (
+            self.spark.range(1)
+            .select(
+                self._bloom_pos(F.lit(value), 0).alias("p0"),
+                self._bloom_pos(F.lit(value), 1).alias("p1"),
+            )
+            .collect()[0]
+        )
+        return [row["p0"], row["p1"]]
 
     def _rows_of(self, state: dict, rel_files: list[str]) -> int:
         """Row count of a file subset from recorded stats, falling back
