@@ -226,7 +226,97 @@ WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 analog (order-priority checking): per (quarter, priority),
+    count orders with ≥1 late line (l_shipdate > o_orderdate + 7 days
+    — the testdata's analog of commitdate-vs-receiptdate lateness).
+    The EXISTS becomes a LEFT SEMI join: the lineitem side reduces to
+    the distinct late order keys BEFORE the join, so the shuffle
+    carries one row per late order, not one per late line."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")
+        )
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy(
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr"),
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("qtr", "o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 7 DAY
+)
+SELECT date_trunc('quarter', o_orderdate)::DATE AS qtr,
+       o_orderpriority, count(*) AS order_count
+FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM late)
+GROUP BY 1, 2 ORDER BY qtr, o_orderpriority
+"""
+
+
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 analog (shipping-mode priority check, re-keyed on ship
+    delay because the testdata has no l_shipmode): lines bucketed by
+    o_orderdate→l_shipdate delay (≤30d 'fast', else 'slow'), counting
+    high- vs low-priority orders per bucket — the classic conditional
+    aggregation over a fact-dim join, one scan, no CASE explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30,
+                "fast",
+            )
+            .otherwise("slow")
+            .alias("delay_bucket"),
+            is_high.cast("int").alias("high"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("high").alias("high_priority_lines"),
+            F.sum(1 - F.col("high")).alias("low_priority_lines"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+Q12_ORACLE = """
+SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+            THEN 'fast' ELSE 'slow' END AS delay_bucket,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_lines,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_priority_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY delay_bucket
+"""
+
+
 QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q12_ship_delay": q12_ship_delay,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
     "q14_promo_share": q14_promo_share,
@@ -235,6 +325,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q4_order_priority": Q4_ORACLE,
+    "q12_ship_delay": Q12_ORACLE,
     "q7_nation_volume": Q7_ORACLE,
     "q10_returned_items": Q10_ORACLE,
     "q14_promo_share": Q14_ORACLE,

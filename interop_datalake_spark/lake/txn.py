@@ -326,32 +326,71 @@ class TxnTable:
 
         pcols = state.get("partition_cols") or []
         ptypes = state.get("partition_types") or {}
-        reader = self.spark.read.format(self.session.format)
-        if pcols:
-            reader = reader.option("recursiveFileLookup", "true")
         schema_json = state.get("schema")
+        st = None
         if schema_json is not None:
-            # the log's schema is authoritative (Delta FileIndex model):
-            # files predating an added column yield NULL for it, and no
-            # per-file schema inference/merge pass runs at plan time
             from pyspark.sql.types import StructType
 
             st = StructType.fromJson(json.loads(schema_json))
-            data_fields = [f for f in st.fields if f.name not in pcols]
-            reader = reader.schema(StructType(data_fields))
-        df = reader.load([str(self.root / f) for f in rel_files])
-        for c in pcols:
-            raw = F.regexp_extract(
-                F.input_file_name(), rf"/{re.escape(c)}=([^/]+)/", 1
-            )
-            dec = F.url_decode(raw)
-            val = (
-                F.when(raw == "", F.lit(None))
-                .when(dec == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
-                .otherwise(dec)
-            )
-            df = df.withColumn(c, val.cast(ptypes.get(c, "string")))
-        return df
+
+        # PARTITION EVOLUTION (Iceberg spec-evolution semantics): a
+        # snapshot may mix files written under the current key=value
+        # layout with files from before the table was partitioned (or
+        # under an older spec). The manifest's per-file partition
+        # values are the discriminator: files with values recorded for
+        # every current pcol store those columns in the PATH; the rest
+        # store them as ordinary DATA columns. Each group gets the
+        # matching read schema and the two frames union by name — old
+        # files are never silently NULLed.
+        parts = state.get("partitions", {})
+        path_files = [
+            f
+            for f in rel_files
+            if pcols and all(c in parts.get(f, {}) for c in pcols)
+        ]
+        data_files = [f for f in rel_files if f not in set(path_files)]
+
+        def _read(files: list[str], inject_pcols: bool) -> DataFrame:
+            reader = self.spark.read.format(self.session.format)
+            if inject_pcols:
+                reader = reader.option("recursiveFileLookup", "true")
+            if st is not None:
+                # the log's schema is authoritative (Delta FileIndex
+                # model): files predating an added column yield NULL
+                # for it, no per-file inference/merge at plan time
+                from pyspark.sql.types import StructType
+
+                fields = (
+                    [f for f in st.fields if f.name not in pcols]
+                    if inject_pcols
+                    else list(st.fields)
+                )
+                reader = reader.schema(StructType(fields))
+            df = reader.load([str(self.root / f) for f in files])
+            if inject_pcols:
+                for c in pcols:
+                    raw = F.regexp_extract(
+                        F.input_file_name(), rf"/{re.escape(c)}=([^/]+)/", 1
+                    )
+                    dec = F.url_decode(raw)
+                    val = (
+                        F.when(raw == "", F.lit(None))
+                        .when(
+                            dec == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+                        )
+                        .otherwise(dec)
+                    )
+                    df = df.withColumn(c, val.cast(ptypes.get(c, "string")))
+            return df
+
+        if not path_files:
+            return _read(data_files, inject_pcols=False)
+        if not data_files:
+            return _read(path_files, inject_pcols=True)
+        return _read(path_files, inject_pcols=True).unionByName(
+            _read(data_files, inject_pcols=False),
+            allowMissingColumns=True,
+        )
 
     def read(
         self,

@@ -1,0 +1,69 @@
+"""Partition-spec evolution (Iceberg semantics): a snapshot may mix
+files written before the table was partitioned (partition column stored
+IN the data) with files written under the key=value layout (column
+stored in the PATH). The manifest's per-file partition values pick the
+right read schema per group — old files must never come back NULLed.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from interop_datalake_spark.lake.txn import TxnTable
+from interop_datalake_spark.session import DatalakeSession
+
+
+@pytest.fixture()
+def lake(spark):
+    root = tempfile.mkdtemp(prefix="txn_pevo_")
+    yield DatalakeSession(lake_root=root, spark=spark)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT, v STRING")
+
+
+class TestPartitionEvolution:
+    def test_mixed_layout_reads_old_values_from_data(self, spark, lake):
+        plain = TxnTable(lake, "t")
+        plain.append(_df(spark, [(1, "a"), (2, "b")]))        # v IN data
+        part = TxnTable(lake, "t", partition_cols=["v"])
+        part.append(_df(spark, [(3, "a"), (4, "c")]))         # v in PATH
+        got = {
+            r["k"]: r["v"] for r in part.read().collect()
+        }
+        assert got == {1: "a", 2: "b", 3: "a", 4: "c"}
+
+    def test_partition_filter_correct_across_layouts(self, spark, lake):
+        plain = TxnTable(lake, "t2")
+        plain.append(_df(spark, [(1, "a"), (2, "b")]))
+        part = TxnTable(lake, "t2", partition_cols=["v"])
+        part.append(_df(spark, [(3, "a"), (4, "c")]))
+        rows = part.read(partition_filter={"v": "a"}).collect()
+        assert sorted(r["k"] for r in rows) == [1, 3]
+        # pruning: the old (value-less) file is conservatively kept,
+        # the new v=c file is pruned away
+        kept = part.resolve_files(partition_filter={"v": "a"})
+        assert len(kept) < len(part.manifest()["files"])
+
+    def test_time_travel_to_pre_evolution_version(self, spark, lake):
+        plain = TxnTable(lake, "t3")
+        plain.append(_df(spark, [(1, "a")]))
+        part = TxnTable(lake, "t3", partition_cols=["v"])
+        part.append(_df(spark, [(2, "b")]))
+        v1 = {r["k"]: r["v"] for r in part.read(version=1).collect()}
+        assert v1 == {1: "a"}
+
+    def test_pure_layouts_unchanged(self, spark, lake):
+        # regression guard: single-layout tables take the single-read
+        # path and behave exactly as before
+        p = TxnTable(lake, "t4", partition_cols=["v"])
+        p.append(_df(spark, [(1, "a"), (2, "b")]))
+        assert {r["k"]: r["v"] for r in p.read().collect()} == {1: "a", 2: "b"}
+        u = TxnTable(lake, "t5")
+        u.append(_df(spark, [(9, "z")]))
+        assert u.read().count() == 1
