@@ -556,6 +556,65 @@ ORDER BY probe
 """
 
 
+def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (lake/txn.py:_load_files): an
+    unpartitioned table gains partition_cols mid-history — old files
+    keep the column IN the data, new files carry it in the PATH, and
+    one snapshot reads both correctly (the manifest's per-file
+    partition values are the discriminator; Iceberg spec-evolution
+    semantics). Output: every row of the mixed snapshot plus a
+    partition-filtered read and the pre-evolution time travel —
+    pinned VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+
+    root = tempfile.mkdtemp(prefix="lake_pevo_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        TxnTable(session, "t").append(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+        )
+        part = TxnTable(session, "t", partition_cols=["v"])
+        part.append(
+            spark.createDataFrame([(3, "a"), (4, "c")], "k INT, v STRING")
+        )
+        rows = [
+            ("snapshot", r["k"], r["v"])
+            for r in part.read().collect()
+        ]
+        rows += [
+            ("filter_a", r["k"], r["v"])
+            for r in part.read(partition_filter={"v": "a"}).collect()
+        ]
+        rows += [
+            ("v1", r["k"], r["v"])
+            for r in part.read(version=1).collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe STRING, k INT, v STRING"
+    ).orderBy("probe", "k")
+
+
+LAKE_PEVO_ORACLE = """
+SELECT * FROM (VALUES
+  ('filter_a', 1, 'a'),
+  ('filter_a', 3, 'a'),
+  ('snapshot', 1, 'a'),
+  ('snapshot', 2, 'b'),
+  ('snapshot', 3, 'a'),
+  ('snapshot', 4, 'c'),
+  ('v1',       1, 'a'),
+  ('v1',       2, 'b')
+) AS t(probe, k, v)
+ORDER BY probe, k
+"""
+
+
 def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish (lake/expectations.py): one batch with a
     warn-action and a drop-action expectation — 2 rows quarantined
@@ -673,6 +732,7 @@ QUERIES = {
     "lake_restore": lake_restore,
     "lake_clone": lake_clone,
     "lake_bloom_index": lake_bloom_index,
+    "lake_partition_evolution": lake_partition_evolution,
     "lake_expectations": lake_expectations,
 }
 
@@ -687,5 +747,6 @@ ORACLES = {
     "lake_restore": LAKE_RESTORE_ORACLE,
     "lake_clone": LAKE_CLONE_ORACLE,
     "lake_bloom_index": LAKE_BLOOM_ORACLE,
+    "lake_partition_evolution": LAKE_PEVO_ORACLE,
     "lake_expectations": LAKE_EXPECTATIONS_ORACLE,
 }
