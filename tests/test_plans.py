@@ -94,3 +94,49 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         assert codegen_stage_count(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_triangle_counting_broadcasts_degrees_no_cartesian(spark, sf_dir):
+    from interop_datalake_spark.catalog.graph_ops import graph_triangles
+
+    df = graph_triangles(spark, sf_dir)
+    # the wedge/closure joins are equi-joins — a cartesian anywhere
+    # means the orientation broke. (The degree broadcast sits above
+    # the localCheckpoint boundary, so it's not in this final plan;
+    # the explode-not-union corner expansion keeps the join subtree
+    # single — asserted structurally below.)
+    assert not has_cartesian_product(df)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Generate" in plan  # explode present
+    # count tree entries only ("<op> <join-type> (<id>)"); the formatted
+    # detail section repeats each node name once more
+    n_joins = plan.count("SortMergeJoin Inner (") + plan.count(
+        "BroadcastHashJoin Inner ("
+    )
+    assert n_joins <= 2, (
+        "corner expansion must not replicate the triangle join: "
+        f"{n_joins} joins in tree"
+    )
+
+
+def test_heavy_hitters_counters_broadcast(spark, sf_dir):
+    from interop_datalake_spark.catalog.events_analytics import (
+        events_heavy_hitters,
+    )
+
+    df = events_heavy_hitters(spark, sf_dir)
+    # the d×w counters table joins broadcast-side: the estimate pass
+    # must never shuffle the key set against a 16k-row sketch
+    assert has_broadcast_hash_join(df)
+
+
+def test_phrase_search_prunes_postings_before_shuffle(spark, sf_dir):
+    from interop_datalake_spark.catalog.llm_ops import search_phrase
+
+    df = search_phrase(spark, sf_dir)
+    # the phrase-slots literal joins as a broadcast, so only matching
+    # postings reach the anchor groupBy's exchange
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian_product(df)
