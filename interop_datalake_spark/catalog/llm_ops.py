@@ -1250,12 +1250,12 @@ def corpus_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
 
-    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast(
-        "bigint"
-    ) % 100
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    from interop_datalake_spark.catalog.sampling import (
+        split_bucket,
+        split_label,
     )
+
+    split = split_label(split_bucket("text"))
     sp = surv2.select(
         "doc_id",
         T.token_count_ws("text").cast("bigint").alias("n_tokens"),
@@ -1676,13 +1676,14 @@ def corpus_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4,
         threshold=0.8,
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("text")), 1, 4), 16, 10
-    ).cast("bigint") % 100
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    from interop_datalake_spark.catalog.sampling import (
+        split_bucket,
+        split_label,
     )
-    splits = docs.select("doc_id", split.alias("split"))
+
+    splits = docs.select(
+        "doc_id", split_label(split_bucket("text")).alias("split")
+    )
     sa = splits.select(
         F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
     )

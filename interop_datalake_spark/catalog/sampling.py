@@ -18,19 +18,37 @@ from pyspark.sql import functions as F
 from interop_datalake_spark.sources.tables import load_table
 
 
+def split_bucket(text_col: str = "text"):
+    """Content-hash split bucket 0-99 — THE canonical split rule.
+    Every query that splits or audits the split (train_val, the
+    capstone, corpus_split_contamination) must use this helper, so a
+    future change to the rule cannot leave an audit checking a split
+    nobody uses."""
+    return (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 4), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+
+
+def split_label(bucket):
+    """90/5/5 train/val/test from a :func:`split_bucket` value."""
+    return (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+
+
 def corpus_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 split keyed on the content hash: stable
     under re-runs, appends, and engine changes (md5 is the portable
     choice here; xxhash64 in production for speed)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast(
-        "bigint"
-    ) % 100
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    )
+    bucket = split_bucket("text")
     return (
-        docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+        docs.select(
+            "doc_id", bucket.alias("bucket"), split_label(bucket).alias("split")
+        )
         .orderBy("doc_id")
     )
 
@@ -114,13 +132,18 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Keys are rounded to 12 dp before ranking (ties broken by doc_id)
     so Spark's and DuckDB's libm-ulp differences can't flip a
-    comparison — the oracle replays key derivation bit-for-bit."""
+    comparison — the oracle replays key derivation bit-for-bit.
+    Weights are floored at 1 (greatest∘coalesce, identical in both
+    engines) so a zero/NULL n_chars yields a finite key instead of a
+    NULL that would sort NULLS-FIRST into the sample on the Spark
+    side only."""
     docs = load_table(spark, sf_dir, "documents")
     u = (
         F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
         + 1
     ) / F.lit(4294967296.0)
-    key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 12)
+    w = F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))
+    key = F.round(-F.log(u) / w.cast("double"), 12)
     return (
         docs.select("doc_id", "n_chars", key.alias("race_key"))
         .orderBy("race_key", "doc_id")
@@ -134,7 +157,7 @@ SELECT doc_id, n_chars, race_key FROM (
          round(
            -ln((('0x' || substr(md5(text), 1, 8))::BIGINT + 1)
                / 4294967296.0)
-           / n_chars::DOUBLE, 12) AS race_key
+           / greatest(coalesce(n_chars, 0), 1)::DOUBLE, 12) AS race_key
   FROM documents
 )
 ORDER BY race_key, doc_id

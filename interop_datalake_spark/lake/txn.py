@@ -334,25 +334,27 @@ class TxnTable:
             st = StructType.fromJson(json.loads(schema_json))
 
         # PARTITION EVOLUTION (Iceberg spec-evolution semantics): a
-        # snapshot may mix files written under the current key=value
-        # layout with files from before the table was partitioned (or
-        # under an older spec). The manifest's per-file partition
-        # values are the discriminator: files with values recorded for
-        # every current pcol store those columns in the PATH; the rest
-        # store them as ordinary DATA columns. Each group gets the
-        # matching read schema and the two frames union by name — old
-        # files are never silently NULLed.
+        # snapshot may mix files written under different partition
+        # specs — before the table was partitioned (pcols live IN the
+        # data), under the current spec (pcols in the PATH), or under
+        # an older PARTIAL spec (some pcols in the path, later-added
+        # ones in the data or legitimately absent). The manifest's
+        # per-file partition values are the per-COLUMN discriminator:
+        # a column recorded for a file was path-encoded at its write;
+        # anything else reads as an ordinary data column. Files group
+        # by their path-encoded column set (one group per historical
+        # spec — a handful, never per-file), each group gets the
+        # matching read schema + injections, and the frames union by
+        # name — no spec's files are ever silently NULLed.
         parts = state.get("partitions", {})
-        path_files = [
-            f
-            for f in rel_files
-            if pcols and all(c in parts.get(f, {}) for c in pcols)
-        ]
-        data_files = [f for f in rel_files if f not in set(path_files)]
+        groups: dict[tuple, list[str]] = {}
+        for f in rel_files:
+            key = tuple(c for c in pcols if c in parts.get(f, {}))
+            groups.setdefault(key, []).append(f)
 
-        def _read(files: list[str], inject_pcols: bool) -> DataFrame:
+        def _read(files: list[str], path_cols: tuple) -> DataFrame:
             reader = self.spark.read.format(self.session.format)
-            if inject_pcols:
+            if path_cols:
                 reader = reader.option("recursiveFileLookup", "true")
             if st is not None:
                 # the log's schema is authoritative (Delta FileIndex
@@ -360,37 +362,27 @@ class TxnTable:
                 # for it, no per-file inference/merge at plan time
                 from pyspark.sql.types import StructType
 
-                fields = (
-                    [f for f in st.fields if f.name not in pcols]
-                    if inject_pcols
-                    else list(st.fields)
-                )
+                fields = [f for f in st.fields if f.name not in path_cols]
                 reader = reader.schema(StructType(fields))
             df = reader.load([str(self.root / f) for f in files])
-            if inject_pcols:
-                for c in pcols:
-                    raw = F.regexp_extract(
-                        F.input_file_name(), rf"/{re.escape(c)}=([^/]+)/", 1
-                    )
-                    dec = F.url_decode(raw)
-                    val = (
-                        F.when(raw == "", F.lit(None))
-                        .when(
-                            dec == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
-                        )
-                        .otherwise(dec)
-                    )
-                    df = df.withColumn(c, val.cast(ptypes.get(c, "string")))
+            for c in path_cols:
+                raw = F.regexp_extract(
+                    F.input_file_name(), rf"/{re.escape(c)}=([^/]+)/", 1
+                )
+                dec = F.url_decode(raw)
+                val = (
+                    F.when(raw == "", F.lit(None))
+                    .when(dec == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
+                    .otherwise(dec)
+                )
+                df = df.withColumn(c, val.cast(ptypes.get(c, "string")))
             return df
 
-        if not path_files:
-            return _read(data_files, inject_pcols=False)
-        if not data_files:
-            return _read(path_files, inject_pcols=True)
-        return _read(path_files, inject_pcols=True).unionByName(
-            _read(data_files, inject_pcols=False),
-            allowMissingColumns=True,
-        )
+        frames = [_read(files, key) for key, files in groups.items()]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr, allowMissingColumns=True)
+        return out
 
     def read(
         self,
@@ -501,15 +493,27 @@ class TxnTable:
         if bloom_eq:
             stats = m.get("stats", {})
             for col, value in bloom_eq.items():
-                want = self._bloom_positions_of(value)
-                kept = []
-                for f in fs:
-                    bloom = stats.get(f, {}).get(f"bloom:{col}")
-                    if bloom is None or bloom == "FULL":
-                        kept.append(f)  # no filter recorded: must scan
-                    elif all(p in bloom for p in want):
-                        kept.append(f)
-                fs = kept
+                blooms = {
+                    f: b
+                    for f in fs
+                    if isinstance(
+                        b := stats.get(f, {}).get(f"bloom:{col}"), dict
+                    )
+                }
+                if not blooms:
+                    continue  # nothing indexed: no probe job, keep all
+                want = self._bloom_positions_of(
+                    col, value, {b["bits"] for b in blooms.values()}, m
+                )
+                fs = [
+                    f
+                    for f in fs
+                    if f not in blooms  # unindexed or FULL: must scan
+                    or all(
+                        p in blooms[f]["pos"]
+                        for p in want[blooms[f]["bits"]]
+                    )
+                ]
         return fs
 
     def read_changes(
@@ -657,35 +661,61 @@ class TxnTable:
                         set(r[f"_bloom0_{c}"]) | set(r[f"_bloom1_{c}"])
                     )
                     # an over-occupied filter prunes nothing — record
-                    # the degenerate marker instead of a huge list
+                    # the degenerate marker instead of a huge list.
+                    # The filter is SELF-DESCRIBING: bits ride with the
+                    # positions, so a handle opened with different
+                    # bloom_bits (or a clone) still probes mod the bits
+                    # each file was WRITTEN with — never a drifted mod.
                     stats[rel][f"bloom:{c}"] = (
-                        "FULL" if len(pos) > cap else pos
+                        "FULL"
+                        if len(pos) > cap
+                        else {"bits": self.bloom_bits, "pos": pos}
                     )
         return rel_files, rows, stats, partitions, ptypes
 
-    def _bloom_pos(self, col, probe: int):
+    def _bloom_pos(self, col, probe: int, bits: int | None = None):
         """Probe ``probe``'s bit position for a value: xxhash64 of the
         value (salted by the probe index as an extra hashed column)
-        mod bloom_bits. JVM-side, vectorized, deterministic."""
+        mod ``bits``. JVM-side, vectorized, deterministic."""
         from pyspark.sql import functions as F
 
-        return F.pmod(F.xxhash64(col, F.lit(probe)), F.lit(self.bloom_bits))
-
-    def _bloom_positions_of(self, value) -> list[int]:
-        """The two bit positions a literal value probes — computed
-        through the SAME JVM hash as the write path (one bounded
-        1-row job, never a reimplementation that could drift)."""
-        from pyspark.sql import functions as F
-
-        row = (
-            self.spark.range(1)
-            .select(
-                self._bloom_pos(F.lit(value), 0).alias("p0"),
-                self._bloom_pos(F.lit(value), 1).alias("p1"),
-            )
-            .collect()[0]
+        return F.pmod(
+            F.xxhash64(col, F.lit(probe)), F.lit(bits or self.bloom_bits)
         )
-        return [row["p0"], row["p1"]]
+
+    def _bloom_positions_of(
+        self, col_name: str, value, bits_set: set[int], state: dict
+    ) -> dict[int, list[int]]:
+        """The probe positions of a literal value, per bits-width in
+        use across the snapshot's files — computed through the SAME
+        JVM hash as the write path (one bounded 1-row job, never a
+        reimplementation that could drift). The literal is CAST to the
+        column's log-schema type first: xxhash64(INT 5) and
+        xxhash64(BIGINT 5) differ, so an uncast Python literal would
+        probe the wrong cells and silently prune live files."""
+        from pyspark.sql import functions as F
+
+        lit = F.lit(value)
+        schema_json = state.get("schema")
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(json.loads(schema_json))
+            for fld in st.fields:
+                if fld.name == col_name:
+                    lit = lit.cast(fld.dataType)
+                    break
+        sel = []
+        for bits in sorted(bits_set):
+            sel += [
+                self._bloom_pos(lit, 0, bits).alias(f"p0_{bits}"),
+                self._bloom_pos(lit, 1, bits).alias(f"p1_{bits}"),
+            ]
+        row = self.spark.range(1).select(*sel).collect()[0]
+        return {
+            bits: [row[f"p0_{bits}"], row[f"p1_{bits}"]]
+            for bits in bits_set
+        }
 
     def _rows_of(self, state: dict, rel_files: list[str]) -> int:
         """Row count of a file subset from recorded stats, falling back
@@ -1100,6 +1130,8 @@ class TxnTable:
             stats_cols=self.stats_cols,
             partition_cols=list(state.get("partition_cols", [])),
             checkpoint_interval=self.checkpoint_interval,
+            bloom_cols=self.bloom_cols,
+            bloom_bits=self.bloom_bits,
         )
         if target.current_version() != 0:
             raise ValueError(

@@ -86,6 +86,44 @@ class TestBloomPruning:
         assert old_file in kept
         assert t.read(bloom_eq={"tag": "old2"}).count() == 1
 
+    def test_non_string_column_probe_casts_to_log_type(self, spark, lake):
+        # xxhash64(INT 5) != xxhash64(BIGINT 5): the probe literal must
+        # be cast to the column's log-schema type or every lookup on a
+        # BIGINT column false-negatives (review finding, verified live)
+        t = TxnTable(lake, "bi", bloom_cols=["uid"])
+        for g in range(3):
+            t.append(
+                spark.createDataFrame(
+                    [(g * 100 + i,) for i in range(20)], "uid BIGINT"
+                ).coalesce(1)
+            )
+        assert t.read(bloom_eq={"uid": 205}).count() == 1
+        assert len(t.resolve_files(bloom_eq={"uid": 205})) < 3
+
+    def test_mixed_bloom_bits_handles_probe_per_file(self, spark, lake):
+        # files written under bloom_bits=1024 and =4096 coexist in one
+        # snapshot; the self-describing {bits, pos} format probes each
+        # file mod ITS OWN bits — a reopened handle can't drift
+        a = TxnTable(lake, "mx", bloom_cols=["tag"], bloom_bits=1024)
+        a.append(_batch(spark, [f"a{i}" for i in range(10)]))
+        b = TxnTable(lake, "mx", bloom_cols=["tag"], bloom_bits=4096)
+        b.append(_batch(spark, [f"b{i}" for i in range(10)]))
+        for probe in ["a3", "b7"]:
+            assert b.read(bloom_eq={"tag": probe}).count() == 1
+        assert len(b.resolve_files(bloom_eq={"tag": "a3"})) == 1
+
+    def test_clone_with_nondefault_bits_still_prunes(self, spark, lake):
+        src = TxnTable(lake, "nb", bloom_cols=["tag"], bloom_bits=1024)
+        for g in range(3):
+            src.append(_batch(spark, [f"g{g}_{i}" for i in range(10)]))
+        c = src.clone_to("nbc")
+        assert c.bloom_bits == 1024  # handle config propagated
+        assert len(c.resolve_files(bloom_eq={"tag": "g1_5"})) == 1
+        assert c.read(bloom_eq={"tag": "g1_5"}).count() == 1
+        # and new writes to the clone keep indexing
+        c.append(_batch(spark, ["fresh_tag"]))
+        assert c.read(bloom_eq={"tag": "fresh_tag"}).count() == 1
+
     def test_bloom_survives_clone(self, spark, lake):
         t = TxnTable(lake, "b6", bloom_cols=["tag"])
         for g in range(3):

@@ -58,6 +58,28 @@ class TestPartitionEvolution:
         v1 = {r["k"]: r["v"] for r in part.read(version=1).collect()}
         assert v1 == {1: "a"}
 
+    def test_partial_spec_old_path_columns_survive(self, spark, lake):
+        # spec ['a'] → spec ['a','b']: old files carry a in the PATH
+        # (absent from their parquet data) and predate b entirely. The
+        # per-COLUMN discriminator must still path-inject a for them
+        # (review finding: an all-or-nothing split silently NULLed it).
+        p1 = TxnTable(lake, "ps", partition_cols=["a"])
+        p1.append(
+            spark.createDataFrame([(1, "x"), (2, "y")], "k INT, a STRING")
+        )
+        p2 = TxnTable(lake, "ps", partition_cols=["a", "b"])
+        p2.append(
+            spark.createDataFrame(
+                [(3, "x", "m")], "k INT, a STRING, b STRING"
+            )
+        )
+        got = {
+            r["k"]: (r["a"], r["b"]) for r in p2.read().collect()
+        }
+        assert got == {1: ("x", None), 2: ("y", None), 3: ("x", "m")}
+        rows = p2.read(partition_filter={"a": "x"}).collect()
+        assert sorted(r["k"] for r in rows) == [1, 3]
+
     def test_pure_layouts_unchanged(self, spark, lake):
         # regression guard: single-layout tables take the single-read
         # path and behave exactly as before
