@@ -57,7 +57,7 @@ import os
 import re
 import shutil
 import uuid
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal
 from pathlib import Path
 from urllib.parse import unquote
@@ -390,8 +390,11 @@ class TxnTable:
         key_range: tuple[str, object, object] | None = None,
         partition_filter: dict[str, object] | None = None,
         bloom_eq: dict[str, object] | None = None,
+        as_of_ts=None,
     ) -> DataFrame:
-        """The snapshot as a DataFrame (time travel via ``version``).
+        """The snapshot as a DataFrame (time travel via ``version``,
+        or ``as_of_ts`` — an ISO string/datetime resolved through
+        :meth:`version_at_timestamp`; passing both is an error).
         The resolved file list is immutable: later commits and even
         logical deletes don't disturb this frame (snapshot isolation).
 
@@ -414,6 +417,10 @@ class TxnTable:
         the file."""
         from pyspark.sql import functions as F
 
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of_ts, not both")
+            version = self.version_at_timestamp(as_of_ts)
         m = self.manifest(version)
         if not m["files"]:
             raise FileNotFoundError(
@@ -761,6 +768,7 @@ class TxnTable:
         record = {
             "version": new_version,
             "parent": base_version,
+            "ts_utc": datetime.now(timezone.utc).isoformat(),
             "op": op,
             "added": added,
             "removed": removed,
@@ -1047,6 +1055,45 @@ class TxnTable:
             partition_types=ptypes,
             schema=df.schema.json(),
         )
+
+    def version_at_timestamp(self, ts) -> int:
+        """AS-OF time travel resolution (Delta ``TIMESTAMP AS OF``):
+        the latest version whose commit time is ≤ ``ts`` (ISO string
+        or datetime; naive datetimes are taken as UTC). Scans only the
+        retained log; raises ``ValueError`` if ``ts`` predates the
+        earliest retained commit (vacuum truncates history — same
+        honesty rule as restore-to-vacuumed-version)."""
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        best = None
+        earliest = None
+        if self._manifest_dir.exists():
+            for p in sorted(
+                self._manifest_dir.glob("v*.json"),
+                key=lambda p: int(p.stem[1:]),
+            ):
+                v = int(p.stem[1:])
+                raw = json.loads(p.read_text()).get("ts_utc")
+                # pre-feature records carry no timestamp: treat as
+                # older than any queried instant (eligible floor)
+                cts = (
+                    datetime.fromisoformat(raw)
+                    if raw
+                    else datetime.min.replace(tzinfo=timezone.utc)
+                )
+                if earliest is None:
+                    earliest = cts
+                if cts <= ts:
+                    best = v
+        if best is None:
+            raise ValueError(
+                f"table {self.name}: no retained commit at or before "
+                f"{ts.isoformat()} (earliest retained: "
+                f"{earliest.isoformat() if earliest else 'none'})"
+            )
+        return best
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE TABLE ... TO VERSION: make the current
@@ -1553,6 +1600,7 @@ class TxnTable:
             out.append(
                 {
                     "version": v,
+                    "ts_utc": rec.get("ts_utc"),
                     "op": rec.get("op"),
                     "n_added": len(rec.get("added", [])),
                     "n_removed": len(rec.get("removed", [])),

@@ -1,0 +1,74 @@
+"""AS-OF-timestamp time travel: commits record ts_utc; reads resolve
+an instant to the latest version committed at or before it.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from interop_datalake_spark.lake.txn import TxnTable
+from interop_datalake_spark.session import DatalakeSession
+
+
+@pytest.fixture()
+def lake(spark):
+    root = tempfile.mkdtemp(prefix="txn_ts_")
+    yield DatalakeSession(lake_root=root, spark=spark)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k INT")
+
+
+class TestTimestampTravel:
+    def test_resolution_and_read(self, spark, lake):
+        t = TxnTable(lake, "t")
+        t.append(_df(spark, [(1,)]))
+        between = datetime.now(timezone.utc)
+        t.append(_df(spark, [(2,)]))
+        assert t.version_at_timestamp(between) == 1
+        assert t.version_at_timestamp(datetime.now(timezone.utc)) == 2
+        assert sorted(
+            r["k"] for r in t.read(as_of_ts=between).collect()
+        ) == [1]
+        # ISO-string form and naive-UTC form both resolve
+        assert t.version_at_timestamp(between.isoformat()) == 1
+        assert (
+            t.version_at_timestamp(between.replace(tzinfo=None)) == 1
+        )
+
+    def test_before_history_raises(self, spark, lake):
+        t = TxnTable(lake, "t2")
+        t.append(_df(spark, [(1,)]))
+        ancient = datetime.now(timezone.utc) - timedelta(days=1)
+        with pytest.raises(ValueError, match="no retained commit"):
+            t.version_at_timestamp(ancient)
+
+    def test_both_version_and_ts_rejected(self, spark, lake):
+        t = TxnTable(lake, "t3")
+        t.append(_df(spark, [(1,)]))
+        with pytest.raises(ValueError, match="not both"):
+            t.read(version=1, as_of_ts=datetime.now(timezone.utc))
+
+    def test_history_carries_timestamps_monotone(self, spark, lake):
+        t = TxnTable(lake, "t4")
+        t.append(_df(spark, [(1,)]))
+        t.append(_df(spark, [(2,)]))
+        hs = t.history()
+        stamps = [h["ts_utc"] for h in hs]
+        assert all(stamps)
+        assert stamps == sorted(stamps)
+
+    def test_vacuum_truncates_resolvable_range(self, spark, lake):
+        t = TxnTable(lake, "t5")
+        t.append(_df(spark, [(1,)]))
+        pre = datetime.now(timezone.utc)
+        t.overwrite(_df(spark, [(9,)]))
+        t.vacuum(keep_versions=1)
+        with pytest.raises(ValueError, match="no retained commit"):
+            t.version_at_timestamp(pre)
