@@ -887,6 +887,11 @@ class TxnTable:
         partition_scoped: bool = True,
     ) -> bool:
         pcols = self._effective_partition_cols()
+        if op == "merge_sync":
+            # its delete-unmatched decision reads an arbitrary scope
+            # predicate — never provably partition-confined, so a
+            # conflicted sync always re-runs on the fresh snapshot
+            return False
         if not partition_scoped and op in (
             "merge", "delete", "overwrite_partitions"
         ):
@@ -912,6 +917,11 @@ class TxnTable:
                 continue  # blind append: compatible with the rest
             if their_op in ("compact",):
                 return False  # compaction rewrites every partition
+            if their_op == "merge_sync":
+                # their scope read may have spanned partitions —
+                # reordering our rewrite before it could change which
+                # rows their sync deleted
+                return False
             if their_op == "merge" and not rec.get("partition_scoped", False):
                 # their merge's key-match READ spanned partitions (or
                 # predates the recorded flag): ordering our rewrite
@@ -1315,6 +1325,117 @@ class TxnTable:
             partition_scoped=scoped,
         )
         return version
+
+    def merge_sync(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        scope=None,
+    ) -> int:
+        """MERGE with ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` —
+        the CDC full-state sync: after the commit, the rows matching
+        ``scope`` equal ``source`` exactly (matched keys replaced,
+        unmatched-in-scope rows DELETED), while rows outside the scope
+        are untouched. The canonical use is the reference's
+        one-batch-per-tenant publish shape: "this frame is tenant X's
+        complete current state". ``scope=None`` syncs the whole table
+        (≡ overwrite, but with merge bookkeeping and file pruning of
+        the untouched remainder when a scope is given).
+
+        Files to rewrite = files containing scope rows ∪ files whose
+        key-range intersects the source keys; everything else carries
+        by reference. Kept rows from rewritten files are exactly those
+        OUTSIDE the scope with keys not in the source (inside-scope
+        rows are all either replaced or deleted by definition)."""
+        from pyspark.sql import functions as F
+
+        base = self.current_version()
+        prev = self._state(base)
+        if not prev["files"]:
+            new_files, new_rows, new_stats, new_parts, ptypes = (
+                self._write_data(source)
+            )
+            return self._commit_retry(
+                base,
+                op="merge_sync",
+                added=new_files,
+                removed=[],
+                new_rows=new_rows,
+                removed_rows=0,
+                stats=new_stats,
+                partitions=new_parts,
+                partition_types=ptypes,
+                incoming_schema=source.schema,
+            )
+        if scope is None:
+            touched = list(prev["files"])
+        else:
+            scan = self._load_files(prev["files"], prev)
+            scope_hits = {
+                r["_f"]
+                for r in scan.withColumn("_f", F.input_file_name())
+                .filter(scope)
+                .select("_f")
+                .distinct()
+                .collect()  # one row per file containing scope rows
+            }
+            k = key_cols[0]
+            stats = prev["stats"]
+            key_rng = None
+            if self.stats_cols and k in self.stats_cols:
+                row = source.agg(
+                    F.min(k).alias("lo"), F.max(k).alias("hi")
+                ).collect()[0]
+                key_rng = (row["lo"], row["hi"])
+            touched = []
+            for f in prev["files"]:
+                if any(h.endswith(f) for h in scope_hits):
+                    touched.append(f)
+                    continue
+                if key_rng is None or key_rng[0] is None:
+                    # no stats to prune by (or empty source): a file
+                    # could still hold matched keys — conservatively
+                    # rewrite unless stats prove disjoint
+                    if key_rng is not None and key_rng[0] is None:
+                        continue  # empty source: only scope files touch
+                    touched.append(f)
+                    continue
+                rng = _decode_range(stats.get(f, {}).get(k))
+                if rng is None or rng[0] is None or (
+                    rng[0] <= key_rng[1] and key_rng[0] <= rng[1]
+                ):
+                    touched.append(f)
+        if not touched:
+            new_files, new_rows, new_stats, new_parts, ptypes = (
+                self._write_data(source)
+            )
+        else:
+            existing = self._load_files(touched, prev)
+            unmatched = existing.join(
+                source.select(*key_cols).distinct(), key_cols, "left_anti"
+            )
+            kept = (
+                unmatched.filter(~scope) if scope is not None
+                else unmatched.filter(F.lit(False))
+            )
+            merged = kept.select(
+                *[c for c in source.columns if c in kept.columns]
+            ).unionByName(source, allowMissingColumns=True)
+            new_files, new_rows, new_stats, new_parts, ptypes = (
+                self._write_data(merged)
+            )
+        return self._commit_retry(
+            base,
+            op="merge_sync",
+            added=new_files,
+            removed=touched,
+            new_rows=new_rows,
+            removed_rows=self._rows_of(prev, touched),
+            stats=new_stats,
+            partitions=new_parts,
+            partition_types=ptypes,
+            incoming_schema=source.schema,
+        )
 
     def delete_where(self, condition) -> int:
         """ACID delete, file-pruned the way Delta's DeleteCommand is:
