@@ -615,6 +615,68 @@ ORDER BY probe, k
 """
 
 
+def lake_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped full-state MERGE sync (lake/txn.py:merge_sync — the
+    WHEN NOT MATCHED BY SOURCE THEN DELETE clause): tenant A's batch
+    is its COMPLETE current state, so within scope tenant=A a matched
+    key updates, an unmatched key deletes, a new key inserts — while
+    tenant B is untouched, and a cross-scope matched key is still
+    replaced (standard matched-clause semantics). Output = the table
+    before and after, pinned VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+
+    root = tempfile.mkdtemp(prefix="lake_sync_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "sync_demo", stats_cols=["id"])
+
+        def df(rows):
+            return spark.createDataFrame(
+                rows, "id INT, tenant STRING, v STRING"
+            )
+
+        t.append(
+            df([(1, "A", "old"), (2, "A", "stale"), (3, "B", "keep")])
+        )
+        rows = [
+            ("before", r["id"], r["tenant"], r["v"])
+            for r in t.read().collect()
+        ]
+        t.merge_sync(
+            df([(1, "A", "new"), (4, "A", "born")]),
+            ["id"],
+            scope=F.col("tenant") == "A",
+        )
+        rows += [
+            ("after", r["id"], r["tenant"], r["v"])
+            for r in t.read().collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase STRING, id INT, tenant STRING, v STRING"
+    ).orderBy("phase", "id")
+
+
+LAKE_MERGE_SYNC_ORACLE = """
+SELECT * FROM (VALUES
+  ('after',  1, 'A', 'new'),
+  ('after',  3, 'B', 'keep'),
+  ('after',  4, 'A', 'born'),
+  ('before', 1, 'A', 'old'),
+  ('before', 2, 'A', 'stale'),
+  ('before', 3, 'B', 'keep')
+) AS t(phase, id, tenant, v)
+ORDER BY phase, id
+"""
+
+
 def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish (lake/expectations.py): one batch with a
     warn-action and a drop-action expectation — 2 rows quarantined
@@ -733,6 +795,7 @@ QUERIES = {
     "lake_clone": lake_clone,
     "lake_bloom_index": lake_bloom_index,
     "lake_partition_evolution": lake_partition_evolution,
+    "lake_merge_sync": lake_merge_sync,
     "lake_expectations": lake_expectations,
 }
 
@@ -748,5 +811,6 @@ ORACLES = {
     "lake_clone": LAKE_CLONE_ORACLE,
     "lake_bloom_index": LAKE_BLOOM_ORACLE,
     "lake_partition_evolution": LAKE_PEVO_ORACLE,
+    "lake_merge_sync": LAKE_MERGE_SYNC_ORACLE,
     "lake_expectations": LAKE_EXPECTATIONS_ORACLE,
 }
