@@ -116,19 +116,52 @@ class _FileSlice(InputPartition):
 
 
 class TxnTableStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, starting_version: int, field_names: list[str]):
+    def __init__(
+        self,
+        root: str,
+        starting_version: int,
+        field_names: list[str],
+        max_versions_per_trigger: int | None = None,
+    ):
         self.root = Path(root)
         self.manifest_dir = self.root / "_manifests"
         self.starting_version = starting_version
         self.field_names = field_names
+        #: rate limit: after the first batch of a run, each
+        #: micro-batch covers at most this many commits — steady-state
+        #: pacing (Delta's maxFilesPerTrigger analog; per-commit
+        #: granularity because offsets ARE versions). The Python
+        #: DataSource API exposes no ReadLimit and calls latestOffset
+        #: BEFORE anything reveals the run's start offset (measured),
+        #: so the FIRST batch of any run — fresh or restarted — is
+        #: unthrottled; the base is then tracked in-process via
+        #: partitions(). Honest limitation until a
+        #: latestOffset(start, limit) form reaches the Python surface.
+        self.max_versions_per_trigger = max_versions_per_trigger
+        self._base: int | None = None
 
     # -- offsets ------------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        self._base = self.starting_version
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_version(self.manifest_dir)}
+        latest = _latest_version(self.manifest_dir)
+        n = self.max_versions_per_trigger
+        if n is None or self._base is None:
+            # first call of a query run: the engine asks for the latest
+            # offset BEFORE initialOffset/partitions reveal where the
+            # run actually starts (measured call order), so the first
+            # batch cannot be throttled safely — capping it against a
+            # guessed base could move offsets backwards after a restart
+            # and double-deliver. Return the truth; throttle from the
+            # second batch on.
+            self._base = latest
+            return {"version": latest}
+        end = min(latest, self._base + n)
+        self._base = max(self._base, end)
+        return {"version": end}
 
     def commit(self, end: dict) -> None:
         # progress is tracked by Spark's streaming checkpoint; manifests
@@ -138,6 +171,9 @@ class TxnTableStreamReader(DataSourceStreamReader):
     # -- planning (driver): manifests only, never data ----------------------
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # authoritative progress (works across restarts, where the
+        # checkpointed start is otherwise invisible to this process)
+        self._base = max(self._base or 0, end["version"])
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             rec = json.loads((self.manifest_dir / f"v{v}.json").read_text())
@@ -246,10 +282,12 @@ class TxnTableDataSource(DataSource):
         return ", ".join(parts)
 
     def streamReader(self, schema) -> TxnTableStreamReader:
+        mvpt = self.options.get("max_versions_per_trigger")
         return TxnTableStreamReader(
             str(self._root()),
             int(self.options.get("starting_version", 0)),
             [f.name for f in schema.fields],
+            int(mvpt) if mvpt is not None else None,
         )
 
 
@@ -258,13 +296,25 @@ def register_txn_source(spark) -> None:
     spark.dataSource.register(TxnTableDataSource)
 
 
-def read_txn_stream(session, table: str, starting_version: int = 0):
+def read_txn_stream(
+    session,
+    table: str,
+    starting_version: int = 0,
+    max_versions_per_trigger: int | None = None,
+):
     """Convenience: a streaming DataFrame tailing ``table``'s change
-    feed from ``starting_version`` (exclusive)."""
+    feed from ``starting_version`` (exclusive).
+    ``max_versions_per_trigger`` bounds each micro-batch to that many
+    commits — bounded catch-up after downtime instead of one giant
+    batch (see TxnTableStreamReader for the restart caveat)."""
     register_txn_source(session.spark)
-    return (
+    reader = (
         session.spark.readStream.format(FORMAT_NAME)
         .option("path", session.table_path(table))
         .option("starting_version", starting_version)
-        .load()
     )
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "max_versions_per_trigger", max_versions_per_trigger
+        )
+    return reader.load()

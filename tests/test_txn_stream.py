@@ -117,3 +117,56 @@ def test_source_rejects_empty_table(session):
     with pytest.raises(Exception):
         df = read_txn_stream(session, "nope")
         df.schema  # schema resolution must fail loudly, not hang
+
+
+def test_max_versions_per_trigger_paces_steady_state(
+    session, spark, tmp_path
+):
+    """Rate limiting: the FIRST batch of a run is unthrottled (the
+    Python DataSource API reveals no start offset before latestOffset
+    — measured, documented in txn_source.py), but every later
+    micro-batch spans at most max_versions_per_trigger commits. Pinned
+    by gating the sink: batch 1 blocks while 6 commits pile up, then
+    the backlog must drain in ≤2-commit hops."""
+    import threading
+
+    t = TxnTable(session, "cdc_rl")
+    t.append(spark.createDataFrame([(0,)], "k INT"))  # v1
+
+    gate = threading.Event()
+    batches: list[set] = []
+
+    def sink(bdf, eid):
+        vs = {r["_commit_version"] for r in bdf.collect()}
+        if vs:
+            batches.append(vs)
+            if len(batches) == 1:
+                gate.wait(60)  # hold batch 1 open while backlog builds
+
+    q = (
+        read_txn_stream(session, "cdc_rl", max_versions_per_trigger=2)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_rl"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        for k in range(1, 7):  # v2..v7 while batch 1 is gated
+            t.append(spark.createDataFrame([(k,)], "k INT"))
+        gate.set()
+        import time
+
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if set().union(*batches) == {1, 2, 3, 4, 5, 6, 7}:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert set().union(*batches) == {1, 2, 3, 4, 5, 6, 7}, batches
+    # batch 1 = the unthrottled opener; every later batch ≤ 2 commits
+    assert all(len(b) <= 2 for b in batches[1:]), batches
+    assert any(len(b) == 2 for b in batches[1:]), (
+        "backlog should drain in 2-commit hops",
+        batches,
+    )
