@@ -32,6 +32,8 @@ HEADLINE = [
     "q7_nation_volume",
     "q10_returned_items",
     "q18_large_orders",
+    "q4_order_priority",
+    "q12_ship_delay",
     "agg_basic",
     "agg_rollup",
     "sort_limit_topk",
