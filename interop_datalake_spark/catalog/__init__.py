@@ -112,6 +112,15 @@ def _with_required_conf(fn):
 #: change feed stays pinned by tests/test_txn_stream.py), and
 #: corpus_split_contamination (hash-split × LSH leakage audit)
 #: displaces corpus_decontaminate (r03-green, same class).
+#: Continuation-4 (all displaced entries r03-green, classes keep
+#: in-window siblings): dedup_containment over dedup_minhash_lsh (the
+#: LSH pipeline runs verbatim inside corpus_split_contamination);
+#: events_anomaly_mad over dedup_incremental (dedup keeps 5 reps);
+#: events_quantile_rollup over multimodal_decode (multimodal keeps
+#: phash); lake_bloom_index over lake_txn_acid (ACID keeps
+#: scd2/expectations/restore/clone). lake_merge_sync,
+#: lake_partition_evolution, corpus_profile, q4/q12, search_phrase
+#: variants stay oracle-backed past the cut via the pytest gate.
 WITNESS_PRIORITY = [
     # relational core (elementary join_broadcast moved past the cut;
     # BroadcastHashJoin stays witnessed via the q5/q7/q18 chains)
@@ -123,8 +132,9 @@ WITNESS_PRIORITY = [
     # (path templating stays oracle-backed past the cut; its class is
     # witnessed via object_url_parse)
     "object_url_parse",
-    "lake_publish_roundtrip", "lake_txn_acid",
+    "lake_publish_roundtrip",
     "lake_scd2", "lake_expectations", "lake_restore", "lake_clone",
+    "lake_bloom_index",
     # windows + custom joins (window_rank displaced for
     # entity_resolution below — r03-green, topk_per_group keeps the
     # window-function class in-window)
@@ -135,9 +145,10 @@ WITNESS_PRIORITY = [
     # witnessed via variant_json_access; try_* stays oracle-backed
     # past the cut)
     "scalar_math",
-    # LLM dedup: exact / LSH / incremental-store / clusters / spans /
-    # semantic (cluster-blocked SemDeDup)
-    "dedup_minhash_lsh", "dedup_incremental",
+    # LLM dedup: containment (quote/excerpt semantics Jaccard misses)
+    # / clusters / spans / semantic; the MinHash-LSH pipeline class
+    # stays witnessed verbatim via corpus_split_contamination below
+    "dedup_containment",
     "dedup_cluster", "dedup_span_coverage", "dedup_semantic",
     # embedding similarity: blocked exact, Gaussian LSH, ANN,
     # quantization, clustering, retrieval (the axis-aligned LSH
@@ -165,7 +176,7 @@ WITNESS_PRIORITY = [
     "text_bpe_train",
     # pandas UDF + multimodal surface (+ pHash image dedup, new class;
     # dedup_exact displaced — r03-green with 5 dedup siblings in-window)
-    "pandas_scalar_udf", "multimodal_decode", "multimodal_phash_dedup",
+    "pandas_scalar_udf", "multimodal_phash_dedup",
     # advanced aggs + subqueries + schema evolution (percentile class
     # stays witnessed via agg_rollup/median family past the cut)
     "subquery_exists",
@@ -181,6 +192,7 @@ WITNESS_PRIORITY = [
     # sessionize/gapfill siblings in-window) + batch sessionization
     # (funnel/cohort stay oracle-backed past the cut)
     "events_distinct_rollup", "events_heavy_hitters",
+    "events_quantile_rollup", "events_anomaly_mad",
     "events_sessionize",
     # graph analytics: iterative PageRank (round 4) + degree-oriented
     # triangle counting (non-iterative multi-way self-join subclass)
