@@ -773,11 +773,66 @@ ORDER BY x.scope
 """
 
 
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ROBUST baseline: 7-day trailing median of each type's
+    daily revenue (exact percentile as a WINDOW aggregate — a moving
+    median a mean-based rolling average can't give), plus a spike flag
+    for days ≥ 1.5× their trailing baseline. The window is
+    ROWS-framed over the daily rollup (≤ |types|·|days| rows), never
+    the raw events — the fact table is touched once by the rollup."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    med = F.round(F.percentile("total", 0.5).over(w), 6)
+    return (
+        daily.select(
+            "event_type",
+            F.col("day").cast("date").alias("day"),
+            "total",
+            med.alias("rolling_med"),
+            (F.col("total") >= 1.5 * med).alias("is_spike"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(sum(value::DECIMAL(12,2)), 2)::DOUBLE AS total
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, total,
+         round(median(total) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+         ), 6) AS rolling_med
+  FROM daily
+)
+SELECT event_type, day::DATE AS day, total, rolling_med,
+       total >= 1.5 * rolling_med AS is_spike
+FROM r ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_heavy_hitters": events_heavy_hitters,
     "events_anomaly_mad": events_anomaly_mad,
     "events_quantile_rollup": events_quantile_rollup,
+    "events_rolling_median": events_rolling_median,
     "events_distinct_rollup": events_distinct_rollup,
     "events_ewma": events_ewma,
     "events_hypertable_rollup": events_hypertable_rollup,
@@ -792,6 +847,7 @@ ORACLES = {
     "events_heavy_hitters": HEAVY_HITTERS_ORACLE,
     "events_anomaly_mad": ANOMALY_MAD_ORACLE,
     "events_quantile_rollup": QUANTILE_ROLLUP_ORACLE,
+    "events_rolling_median": ROLLING_MEDIAN_ORACLE,
     "events_ewma": EWMA_ORACLE,
     "events_hypertable_rollup": HYPERTABLE_ORACLE,
     "revenue_share_window": REVENUE_SHARE_ORACLE,
