@@ -774,12 +774,15 @@ ORDER BY x.scope
 
 
 def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling ROBUST baseline: 7-day trailing median of each type's
-    daily revenue (exact percentile as a WINDOW aggregate — a moving
-    median a mean-based rolling average can't give), plus a spike flag
-    for days ≥ 1.5× their trailing baseline. The window is
-    ROWS-framed over the daily rollup (≤ |types|·|days| rows), never
-    the raw events — the fact table is touched once by the rollup."""
+    """Rolling ROBUST baseline: trailing-7-CALENDAR-DAY median of each
+    type's daily revenue (exact percentile as a WINDOW aggregate — a
+    moving median a mean-based rolling average can't give), plus a
+    spike flag for days ≥ 1.5× their trailing baseline. The frame is
+    RANGE over day ordinals, not ROWS over observations: a type that
+    goes quiet for a month does NOT get a baseline stitched from
+    months-old rows (the ROWS-frame footgun). The window runs over the
+    daily rollup (≤ |types|·|days| rows), never the raw events — the
+    fact table is touched once by the rollup."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -790,10 +793,11 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total")
     )
+    day_ord = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
     w = (
         Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-6, 0)
+        .orderBy(day_ord)
+        .rangeBetween(-6, 0)
     )
     med = F.round(F.percentile("total", 0.5).over(w), 6)
     return (
@@ -816,8 +820,9 @@ WITH daily AS (
 ), r AS (
   SELECT event_type, day, total,
          round(median(total) OVER (
-           PARTITION BY event_type ORDER BY day
-           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           PARTITION BY event_type
+           ORDER BY datediff('day', DATE '2024-01-01', day)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
          ), 6) AS rolling_med
   FROM daily
 )

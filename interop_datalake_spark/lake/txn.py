@@ -1270,27 +1270,10 @@ class TxnTable:
                 partition_scoped=scoped,
             )
             return version
-        stats = prev["stats"]
         k = key_cols[0]
-        touched, carried = list(prev["files"]), []
+        touched = list(prev["files"])
         if prune and self.stats_cols and k in self.stats_cols:
-            from pyspark.sql import functions as F
-
-            row = updates.agg(
-                F.min(k).alias("lo"), F.max(k).alias("hi")
-            ).collect()[0]
-            umin, umax = row["lo"], row["hi"]
-            touched, carried = [], []
-            for f in prev["files"]:
-                rng = _decode_range(stats.get(f, {}).get(k))
-                if umin is None:  # empty updates: nothing intersects
-                    carried.append(f)
-                elif rng is None or rng[0] is None or (
-                    rng[0] <= umax and umin <= rng[1]
-                ):
-                    touched.append(f)
-                else:
-                    carried.append(f)
+            touched, _ = self._key_intersecting_split(prev, updates, k)
         if not touched:
             new_files, new_rows, new_stats, new_parts, ptypes = (
                 self._write_data(updates)
@@ -1300,13 +1283,14 @@ class TxnTable:
             kept = existing.join(
                 updates.select(*key_cols).distinct(), key_cols, "left_anti"
             )
-            # allowMissingColumns: an updates frame carrying a NEW
-            # column (schema evolution, validated above) null-fills it
-            # on the kept side; a column the updates lack null-fills on
-            # the updates side
-            merged = kept.select(
-                *[c for c in updates.columns if c in kept.columns]
-            ).unionByName(updates, allowMissingColumns=True)
+            # allowMissingColumns BOTH ways: an updates frame carrying
+            # a NEW column (schema evolution, validated above)
+            # null-fills it on the kept side; a table column the
+            # updates LACK null-fills on the updates side — kept rows
+            # always retain every column they had (projecting kept to
+            # the updates' columns here was a data-loss bug: it
+            # silently dropped evolved columns from untouched rows)
+            merged = kept.unionByName(updates, allowMissingColumns=True)
             new_files, new_rows, new_stats, new_parts, ptypes = (
                 self._write_data(merged)
             )
@@ -1325,6 +1309,33 @@ class TxnTable:
             partition_scoped=scoped,
         )
         return version
+
+    def _key_intersecting_split(
+        self, prev: dict, frame: DataFrame, k: str
+    ) -> tuple[list[str], list[str]]:
+        """(touched, carried): files whose recorded [min,max] range of
+        ``k`` intersects ``frame``'s key range vs files provably
+        disjoint. Stats-less files are conservatively touched; an
+        empty frame touches nothing. Shared by merge/merge_sync so the
+        NULL-stats and empty-frame subtleties live in ONE place."""
+        from pyspark.sql import functions as F
+
+        row = frame.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[
+            0
+        ]
+        umin, umax = row["lo"], row["hi"]
+        touched, carried = [], []
+        for f in prev["files"]:
+            rng = _decode_range(prev["stats"].get(f, {}).get(k))
+            if umin is None:  # empty frame: nothing intersects
+                carried.append(f)
+            elif rng is None or rng[0] is None or (
+                rng[0] <= umax and umin <= rng[1]
+            ):
+                touched.append(f)
+            else:
+                carried.append(f)
+        return touched, carried
 
     def merge_sync(
         self,
@@ -1346,11 +1357,15 @@ class TxnTable:
         key-range intersects the source keys; everything else carries
         by reference. Kept rows from rewritten files are exactly those
         OUTSIDE the scope with keys not in the source (inside-scope
-        rows are all either replaced or deleted by definition)."""
+        rows are all either replaced or deleted by definition). A row
+        where ``scope`` evaluates to NULL is NOT in scope (SQL MERGE's
+        AND-condition semantics: delete only when the condition is
+        TRUE) — it is kept, never deleted."""
         from pyspark.sql import functions as F
 
         base = self.current_version()
         prev = self._state(base)
+        self._merge_schema(prev, source)  # validate BEFORE any data write
         if not prev["files"]:
             new_files, new_rows, new_stats, new_parts, ptypes = (
                 self._write_data(source)
@@ -1380,31 +1395,20 @@ class TxnTable:
                 .collect()  # one row per file containing scope rows
             }
             k = key_cols[0]
-            stats = prev["stats"]
-            key_rng = None
             if self.stats_cols and k in self.stats_cols:
-                row = source.agg(
-                    F.min(k).alias("lo"), F.max(k).alias("hi")
-                ).collect()[0]
-                key_rng = (row["lo"], row["hi"])
-            touched = []
-            for f in prev["files"]:
-                if any(h.endswith(f) for h in scope_hits):
-                    touched.append(f)
-                    continue
-                if key_rng is None or key_rng[0] is None:
-                    # no stats to prune by (or empty source): a file
-                    # could still hold matched keys — conservatively
-                    # rewrite unless stats prove disjoint
-                    if key_rng is not None and key_rng[0] is None:
-                        continue  # empty source: only scope files touch
-                    touched.append(f)
-                    continue
-                rng = _decode_range(stats.get(f, {}).get(k))
-                if rng is None or rng[0] is None or (
-                    rng[0] <= key_rng[1] and key_rng[0] <= rng[1]
-                ):
-                    touched.append(f)
+                key_touched, _ = self._key_intersecting_split(
+                    prev, source, k
+                )
+            else:
+                # no stats to prune by: any file could hold matched
+                # keys — conservatively rewrite everything
+                key_touched = list(prev["files"])
+            key_set = set(key_touched)
+            touched = [
+                f
+                for f in prev["files"]
+                if f in key_set or any(h.endswith(f) for h in scope_hits)
+            ]
         if not touched:
             new_files, new_rows, new_stats, new_parts, ptypes = (
                 self._write_data(source)
@@ -1414,13 +1418,16 @@ class TxnTable:
             unmatched = existing.join(
                 source.select(*key_cols).distinct(), key_cols, "left_anti"
             )
+            # NULL scope → not in scope → KEEP (coalesce guards the
+            # three-valued ~NULL trap that silently deleted such rows)
             kept = (
-                unmatched.filter(~scope) if scope is not None
+                unmatched.filter(~F.coalesce(scope, F.lit(False)))
+                if scope is not None
                 else unmatched.filter(F.lit(False))
             )
-            merged = kept.select(
-                *[c for c in source.columns if c in kept.columns]
-            ).unionByName(source, allowMissingColumns=True)
+            # kept rows retain every table column; source-missing
+            # columns null-fill on the SOURCE side only (see merge)
+            merged = kept.unionByName(source, allowMissingColumns=True)
             new_files, new_rows, new_stats, new_parts, ptypes = (
                 self._write_data(merged)
             )

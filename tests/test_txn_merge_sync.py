@@ -91,6 +91,89 @@ class TestMergeSync:
         assert before & after, "disjoint file should carry by reference"
         assert _content(t) == [(1, "A", "a2"), (100, "B", "b")]
 
+    def test_null_scope_rows_are_kept_not_deleted(self, spark, lake):
+        # scope = (tenant == 'A') is NULL for a NULL-tenant row living
+        # in a touched file: SQL MERGE deletes only when the condition
+        # is TRUE, so the row must survive (review finding: ~NULL=NULL
+        # silently dropped it)
+        t = TxnTable(lake, "tn")
+        t.append(
+            spark.createDataFrame(
+                [(1, "A", "x"), (2, None, "y")],
+                "id INT, tenant STRING, v STRING",
+            ).coalesce(1)  # one file: the NULL row shares the touched file
+        )
+        t.merge_sync(
+            _df(spark, [(1, "A", "x2")]),
+            ["id"],
+            scope=F.col("tenant") == "A",
+        )
+        assert _content(t) == [(1, "A", "x2"), (2, None, "y")]
+
+    def test_kept_rows_retain_columns_source_lacks(self, spark, lake):
+        # schema-evolved table has a column the sync source doesn't
+        # carry; an out-of-scope row in a touched file must keep its
+        # value (review finding: projecting kept to source columns
+        # nulled it via the log-schema read path)
+        t = TxnTable(lake, "tv")
+        t.append(
+            spark.createDataFrame(
+                [(1, "A", "x", "keep-me"), (3, "B", "y", "important")],
+                "id INT, tenant STRING, v STRING, note STRING",
+            ).coalesce(1)
+        )
+        t.merge_sync(
+            _df(spark, [(1, "A", "x2")]),  # no 'note' column
+            ["id"],
+            scope=F.col("tenant") == "A",
+        )
+        got = {
+            r["id"]: (r["tenant"], r["v"], r["note"])
+            for r in t.read().collect()
+        }
+        assert got[3] == ("B", "y", "important")  # untouched, value intact
+        assert got[1] == ("A", "x2", None)  # replaced; source had no note
+
+    def test_merge_kept_rows_retain_columns_updates_lack(self, spark, lake):
+        # same latent bug in plain merge(): kept (non-matching) rows of
+        # a rewritten file must not lose columns the updates frame lacks
+        t = TxnTable(lake, "tm")
+        t.append(
+            spark.createDataFrame(
+                [(1, "a", "n1"), (2, "b", "n2")],
+                "id INT, v STRING, note STRING",
+            ).coalesce(1)
+        )
+        t.merge(
+            spark.createDataFrame([(1, "a2")], "id INT, v STRING"),
+            ["id"],
+        )
+        got = {
+            r["id"]: (r["v"], r["note"]) for r in t.read().collect()
+        }
+        assert got[2] == ("b", "n2")  # kept row, note intact
+        assert got[1] == ("a2", None)
+
+    def test_incompatible_schema_fails_before_writing(self, spark, lake):
+        from interop_datalake_spark.lake.txn import SchemaEvolutionError
+
+        t = TxnTable(lake, "ts")
+        t.append(_df(spark, [(1, "A", "x")]))
+        files_before = sorted(
+            p for p in (t.root / "data").rglob("*") if p.is_file()
+        )
+        with pytest.raises(SchemaEvolutionError):
+            t.merge_sync(
+                spark.createDataFrame(
+                    [(1, "A", 5)], "id INT, tenant STRING, v INT"
+                ),
+                ["id"],
+            )
+        files_after = sorted(
+            p for p in (t.root / "data").rglob("*") if p.is_file()
+        )
+        assert files_before == files_after  # no orphaned data written
+
     def test_conflicted_sync_raises_not_rebases(self, spark, lake):
         t = TxnTable(lake, "t6")
         t.append(_df(spark, [(1, "A", "a")]))

@@ -151,10 +151,18 @@ def test_max_versions_per_trigger_paces_steady_state(
         .start()
     )
     try:
+        import time
+
+        # wait until batch 1 (just v1) is IN the gated sink before
+        # building the backlog — otherwise a slow first trigger could
+        # absorb the appends into the unthrottled opener (race)
+        deadline = time.time() + 60
+        while time.time() < deadline and not batches:
+            time.sleep(0.1)
+        assert batches and batches[0] == {1}, batches
         for k in range(1, 7):  # v2..v7 while batch 1 is gated
             t.append(spark.createDataFrame([(k,)], "k INT"))
         gate.set()
-        import time
 
         deadline = time.time() + 90
         while time.time() < deadline:
