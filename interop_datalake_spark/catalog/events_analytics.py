@@ -832,12 +832,106 @@ FROM r ORDER BY event_type, day
 """
 
 
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test per event_type — the hypothesis-testing
+    operator class: users deterministically assigned to arms by
+    user_id parity (in production: the content-hash bucket, same trick
+    as the train/val split), per-arm mean/variance from DECIMAL sums
+    of value and value² (a float sum-of-squares is order-dependent in
+    its last ulp; value has 2 dp so value² has 4 — both sum exactly),
+    Welch z = (m_a − m_b)/√(v_a/n_a + v_b/n_b), |z| > 1.96 flags the
+    5% level. One scan, one map-side-combinable aggregation per arm —
+    the moments are the only shuffled state, so the test costs the
+    same at 100 TB as a count."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    v = F.col("value").cast("decimal(12,2)")
+    per_arm = (
+        ev.select("event_type", arm.alias("arm"), v.alias("v"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+    )
+    a = per_arm.filter(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = per_arm.filter(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+
+    def mean(s, n):
+        return s.cast("double") / n
+
+    def var(s2, s1, n):
+        # unbiased: (Σx² − (Σx)²/n) / (n−1), decimal numerators
+        return (
+            s2.cast("double") - s1.cast("double") ** 2 / n
+        ) / (n - 1)
+
+    j = a.join(b, "event_type")
+    m_a = mean(F.col("s1_a"), F.col("n_a"))
+    m_b = mean(F.col("s1_b"), F.col("n_b"))
+    v_a = var(F.col("s2_a"), F.col("s1_a"), F.col("n_a"))
+    v_b = var(F.col("s2_b"), F.col("s1_b"), F.col("n_b"))
+    z = (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))
+    return (
+        j.select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(m_a, 6).alias("mean_a"),
+            F.round(m_b, 6).alias("mean_b"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > 1.96).alias("significant_05"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AB_TEST_ORACLE = """
+WITH per_arm AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         count(*) AS n,
+         sum(value::DECIMAL(12,2)) AS s1,
+         sum(value::DECIMAL(12,2) * value::DECIMAL(12,2)) AS s2
+  FROM events GROUP BY 1, 2
+), a AS (SELECT event_type, n AS n_a, s1 AS s1_a, s2 AS s2_a
+         FROM per_arm WHERE arm = 'A'),
+b AS (SELECT event_type, n AS n_b, s1 AS s1_b, s2 AS s2_b
+      FROM per_arm WHERE arm = 'B'),
+j AS (
+  SELECT a.event_type, n_a, n_b,
+         s1_a::DOUBLE / n_a AS m_a, s1_b::DOUBLE / n_b AS m_b,
+         (s2_a::DOUBLE - (s1_a::DOUBLE)^2 / n_a) / (n_a - 1) AS v_a,
+         (s2_b::DOUBLE - (s1_b::DOUBLE)^2 / n_b) / (n_b - 1) AS v_b
+  FROM a JOIN b USING (event_type)
+)
+SELECT event_type, n_a, n_b,
+       round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS z_score,
+       abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) > 1.96
+         AS significant_05
+FROM j ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_heavy_hitters": events_heavy_hitters,
     "events_anomaly_mad": events_anomaly_mad,
     "events_quantile_rollup": events_quantile_rollup,
     "events_rolling_median": events_rolling_median,
+    "events_ab_test": events_ab_test,
     "events_distinct_rollup": events_distinct_rollup,
     "events_ewma": events_ewma,
     "events_hypertable_rollup": events_hypertable_rollup,
@@ -853,6 +947,7 @@ ORACLES = {
     "events_anomaly_mad": ANOMALY_MAD_ORACLE,
     "events_quantile_rollup": QUANTILE_ROLLUP_ORACLE,
     "events_rolling_median": ROLLING_MEDIAN_ORACLE,
+    "events_ab_test": AB_TEST_ORACLE,
     "events_ewma": EWMA_ORACLE,
     "events_hypertable_rollup": HYPERTABLE_ORACLE,
     "revenue_share_window": REVENUE_SHARE_ORACLE,
