@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_containment_fast",
     "events_quantile_rollup",
     "events_rolling_median",
+    "events_ab_test",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are
