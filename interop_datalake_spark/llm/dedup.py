@@ -179,8 +179,14 @@ def containment_pairs(
         sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     elif hash_name is not None:
         raise ValueError(f"unsupported hash_name: {hash_name!r}")
+    # the shingle frame feeds THREE consumers (sizes + both sides of
+    # the pair join via kept) — materialize it and the hot-filtered
+    # survivor set once instead of re-running the explode+distinct per
+    # consumer (measured 4.9 → 2.9 s at sf0.1; at cluster scale the
+    # same reuse via persist(DISK_ONLY) or a staged table)
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    kept = drop_hot_shingles(sh, id_col, max_shingle_freq)
+    kept = drop_hot_shingles(sh, id_col, max_shingle_freq).localCheckpoint()
     a = kept.select(F.col(id_col).alias("id_a"), "shingle")
     b = kept.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
