@@ -1638,8 +1638,10 @@ ORDER BY id_a, id_b
 
 def dedup_containment_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-hash containment dedup: identical algebra to
-    dedup_containment but with 64-bit xxhash64 shingle keys (narrow
-    shuffles, no md5). ROWS-ONLY by design — DuckDB has no xxhash64 —
+    dedup_containment but with 64-bit xxhash64 shingle keys (~5×
+    narrower materialized/shuffled rows; local wall time ties the
+    string path now that the shingle frame is checkpointed once — see
+    llm/dedup.py). ROWS-ONLY by design — DuckDB has no xxhash64 —
     with pair-set equality vs the portable path pinned Spark-vs-Spark
     in tests/test_round4c_ops.py (same contract as
     dedup_minhash_lsh_fast)."""

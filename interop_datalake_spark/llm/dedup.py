@@ -168,12 +168,16 @@ def containment_pairs(
     ``hash_name="xxhash64"`` collapses shingles to 64-bit JVM-hashed
     ints BEFORE any shuffle, so every exchange — frequency count, hot
     anti-join, the pair join itself — moves 8-byte keys instead of
-    k-word strings: measured 4.4 → 2.8 s at sf0.1 with identical
-    pairs (pinned Spark-vs-Spark in tests/test_round4c_ops.py). The
-    default keeps raw string keys because that is what the DuckDB
-    oracle replays — an md5-based portable hash was measured SLOWER
-    than the strings it replaces (the md5 costs more than the
-    narrower shuffle saves), so there is no portable middle road."""
+    k-word strings, and the materialized shingle frame shrinks ~5×.
+    Honest local measurement: BEFORE the checkpoint below the narrow
+    keys won 4.4 → 2.8 s at sf0.1; AFTER it the two paths tie locally
+    (~2.9 s — recomputation was the dominant cost), so the variant's
+    remaining value is the smaller checkpoint/shuffle footprint at
+    cluster scale, not local wall time. Identical pairs pinned
+    Spark-vs-Spark in tests/test_round4c_ops.py. The default keeps
+    raw string keys because that is what the DuckDB oracle replays —
+    an md5-based portable hash was measured SLOWER than the strings
+    it replaces, so there is no portable middle road."""
     sh = shingles(docs, text_col, id_col, k)
     if hash_name == "xxhash64":
         sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
