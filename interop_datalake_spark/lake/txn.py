@@ -1738,6 +1738,33 @@ class TxnTable:
             )
         return out
 
+    def expire_snapshots(self, older_than) -> int:
+        """Age-based retention (Delta ``VACUUM ... RETAIN`` / Iceberg
+        ``expireSnapshots``): drop history committed before ``older_than``
+        (a datetime, ISO string, or timedelta-back-from-now), keeping
+        every newer version plus the current one. A thin resolution
+        layer over :meth:`vacuum` — commit ``ts_utc`` decides the
+        boundary, vacuum does the deleting (checkpoint-first, so every
+        retained snapshot stays reconstructible)."""
+        from datetime import timedelta
+
+        if isinstance(older_than, timedelta):
+            cutoff = datetime.now(timezone.utc) - older_than
+        elif isinstance(older_than, str):
+            cutoff = datetime.fromisoformat(older_than)
+        else:
+            cutoff = older_than
+        if cutoff.tzinfo is None:
+            cutoff = cutoff.replace(tzinfo=timezone.utc)
+        latest = self.current_version()
+        keep_from = latest
+        if self._manifest_dir.exists():
+            for p in self._manifest_dir.glob("v*.json"):
+                raw = json.loads(p.read_text()).get("ts_utc")
+                if raw and datetime.fromisoformat(raw) >= cutoff:
+                    keep_from = min(keep_from, int(p.stem[1:]))
+        return self.vacuum(keep_versions=latest - keep_from + 1)
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data subdirs unreferenced by the newest
         ``keep_versions`` snapshots, and truncate the log before them

@@ -98,7 +98,48 @@ def test_random_op_sequence_matches_model(spark, session):
     def do_compact():
         t.compact(target_files=2)
 
-    ops = [do_append] * 3 + [do_merge] * 3 + [do_delete, do_overwrite_partitions, do_compact]
+    def do_merge_sync():
+        # tenant-scoped full-state sync: the source IS tenant T's
+        # complete new state, so the model drops every T row and
+        # installs the source rows
+        tenant = rng.choice(TENANTS)
+        rows = [
+            (rng.choice(KEYS), f"ms{rng.randrange(1000)}", tenant)
+            for _ in range(rng.randrange(1, 4))
+        ]
+        by_key = {}
+        for k, v, tn in rows:
+            by_key[(k, tn)] = (k, v, tn)
+        ups = list(by_key.values())
+        t.merge_sync(
+            _df(spark, ups),
+            key_cols=["k", "tenant"],
+            scope=F.col("tenant") == tenant,
+        )
+        for existing in [key for key in model if key[2] == tenant]:
+            del model[existing]
+        model.update(ups)
+
+    def do_clone_check():
+        # zero-copy branch must equal the model, then vanish without
+        # touching the source
+        import shutil
+        import uuid
+
+        name = f"model_clone_{uuid.uuid4().hex[:6]}"
+        c = t.clone_to(name)
+        try:
+            got = _snapshot(c)
+        finally:
+            shutil.rmtree(c.root, ignore_errors=True)
+        assert got == model, "clone diverged from model"
+
+    ops = (
+        [do_append] * 3
+        + [do_merge] * 3
+        + [do_delete, do_overwrite_partitions, do_compact, do_merge_sync,
+           do_clone_check]
+    )
     do_append()  # seed so every op has a table to act on
     for i in range(24):
         rng.choice(ops)()

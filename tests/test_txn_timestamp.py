@@ -64,6 +64,28 @@ class TestTimestampTravel:
         assert all(stamps)
         assert stamps == sorted(stamps)
 
+    def test_expire_snapshots_by_age(self, spark, lake):
+        t = TxnTable(lake, "t6")
+        t.append(_df(spark, [(1,)]))                  # v1 (old)
+        mid = datetime.now(timezone.utc)
+        t.overwrite(_df(spark, [(2,)]))               # v2 (new)
+        t.append(_df(spark, [(3,)]))                  # v3 (new)
+        t.expire_snapshots(older_than=mid)
+        # v1's history is gone, v2/v3 remain readable
+        with pytest.raises(FileNotFoundError):
+            t.read(version=1).collect()
+        assert sorted(r["k"] for r in t.read(version=2).collect()) == [2]
+        assert sorted(r["k"] for r in t.read().collect()) == [2, 3]
+
+    def test_expire_with_timedelta_keeps_recent(self, spark, lake):
+        t = TxnTable(lake, "t7")
+        t.append(_df(spark, [(1,)]))
+        t.append(_df(spark, [(2,)]))
+        # everything is seconds old: a 1-day retention keeps it all
+        t.expire_snapshots(older_than=timedelta(days=1))
+        assert sorted(r["k"] for r in t.read(version=1).collect()) == [1]
+        assert t.current_version() == 2
+
     def test_vacuum_truncates_resolvable_range(self, spark, lake):
         t = TxnTable(lake, "t5")
         t.append(_df(spark, [(1,)]))
