@@ -138,17 +138,25 @@ def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL that would sort NULLS-FIRST into the sample on the Spark
     side only."""
     docs = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
-        + 1
-    ) / F.lit(4294967296.0)
-    w = F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(1))
-    key = F.round(-F.log(u) / w.cast("double"), 12)
     return (
-        docs.select("doc_id", "n_chars", key.alias("race_key"))
+        docs.select("doc_id", "n_chars", race_key().alias("race_key"))
         .orderBy("race_key", "doc_id")
         .limit(50)
     )
+
+
+def race_key(text_col: str = "text", weight_col: str = "n_chars"):
+    """THE canonical A-ES race-key expression (content-hashed uniform,
+    exponential key, weight floored at 1) — one definition shared by
+    the operator and its invariance tests, so they cannot drift."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    w = F.greatest(F.coalesce(F.col(weight_col), F.lit(0)), F.lit(1))
+    return F.round(-F.log(u) / w.cast("double"), 12)
 
 
 SAMPLE_WEIGHTED_ORACLE = """

@@ -382,6 +382,17 @@ class TxnTable:
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr, allowMissingColumns=True)
+        if st is not None:
+            # pin the column order to the log schema: per-group reads
+            # append path-injected columns LAST, so without this a
+            # mixed-spec snapshot's order would depend on which group
+            # happens to come first (positional consumers would see
+            # columns move between versions)
+            names = [f.name for f in st.fields]
+            ordered = [c for c in names if c in out.columns] + [
+                c for c in out.columns if c not in names
+            ]
+            out = out.select(*ordered)
         return out
 
     def read(
@@ -625,14 +636,23 @@ class TxnTable:
         back = self.spark.read.format(self.session.format).load(str(out))
         stat_cols = [c for c in self.stats_cols if c in back.columns]
         bloom_cols = [c for c in self.bloom_cols if c in back.columns]
+        # the read-back frame re-infers types for path-encoded columns
+        # (table partition cols AND layout_partition_by cols): a string
+        # '123' comes back as INT, and xxhash64(INT) ≠ xxhash64(STRING)
+        # — hash the column cast back to the INCOMING frame's type so
+        # write-side positions match the log-schema-cast read probes
+        in_types = dict(df.dtypes)
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in stat_cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
         for c in bloom_cols:
             # the two k-probe position sets aggregate as collect_set —
             # map-side-combined, bounded by bloom_bits per file
+            bcol = F.col(c)
+            if c in in_types:
+                bcol = bcol.cast(in_types[c])
             aggs += [
-                F.collect_set(self._bloom_pos(F.col(c), probe)).alias(
+                F.collect_set(self._bloom_pos(bcol, probe)).alias(
                     f"_bloom{probe}_{c}"
                 )
                 for probe in (0, 1)
@@ -1066,38 +1086,50 @@ class TxnTable:
             schema=df.schema.json(),
         )
 
+    def _retained_versions(self) -> list[int]:
+        if not self._manifest_dir.exists():
+            return []
+        return sorted(
+            int(p.stem[1:]) for p in self._manifest_dir.glob("v*.json")
+        )
+
+    def _commit_ts(self, v: int) -> datetime:
+        raw = json.loads(self._manifest_path(v).read_text()).get("ts_utc")
+        # pre-feature records carry no timestamp: treat as older than
+        # any queried instant (eligible floor; they form a version
+        # prefix, so monotonicity holds)
+        return (
+            datetime.fromisoformat(raw)
+            if raw
+            else datetime.min.replace(tzinfo=timezone.utc)
+        )
+
     def version_at_timestamp(self, ts) -> int:
         """AS-OF time travel resolution (Delta ``TIMESTAMP AS OF``):
         the latest version whose commit time is ≤ ``ts`` (ISO string
-        or datetime; naive datetimes are taken as UTC). Scans only the
-        retained log; raises ``ValueError`` if ``ts`` predates the
-        earliest retained commit (vacuum truncates history — same
-        honesty rule as restore-to-vacuumed-version)."""
+        or datetime; naive datetimes are taken as UTC). Commit times
+        are monotone over versions, so this is a BINARY SEARCH parsing
+        O(log history) commit records — a long-history bloom-indexed
+        table's records carry megabytes of stats that a linear sweep
+        would re-parse on every lookup. Raises ``ValueError`` if
+        ``ts`` predates the earliest retained commit (vacuum truncates
+        history — same honesty rule as restore-to-vacuumed-version)."""
         if isinstance(ts, str):
             ts = datetime.fromisoformat(ts)
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
+        vs = self._retained_versions()
         best = None
-        earliest = None
-        if self._manifest_dir.exists():
-            for p in sorted(
-                self._manifest_dir.glob("v*.json"),
-                key=lambda p: int(p.stem[1:]),
-            ):
-                v = int(p.stem[1:])
-                raw = json.loads(p.read_text()).get("ts_utc")
-                # pre-feature records carry no timestamp: treat as
-                # older than any queried instant (eligible floor)
-                cts = (
-                    datetime.fromisoformat(raw)
-                    if raw
-                    else datetime.min.replace(tzinfo=timezone.utc)
-                )
-                if earliest is None:
-                    earliest = cts
-                if cts <= ts:
-                    best = v
+        lo, hi = 0, len(vs) - 1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self._commit_ts(vs[mid]) <= ts:
+                best = vs[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
         if best is None:
+            earliest = self._commit_ts(vs[0]) if vs else None
             raise ValueError(
                 f"table {self.name}: no retained commit at or before "
                 f"{ts.isoformat()} (earliest retained: "
@@ -1342,6 +1374,7 @@ class TxnTable:
         source: DataFrame,
         key_cols: list[str],
         scope=None,
+        scope_partition_filter: dict[str, object] | None = None,
     ) -> int:
         """MERGE with ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` —
         the CDC full-state sync: after the commit, the rows matching
@@ -1385,15 +1418,33 @@ class TxnTable:
         if scope is None:
             touched = list(prev["files"])
         else:
-            scan = self._load_files(prev["files"], prev)
-            scope_hits = {
-                r["_f"]
-                for r in scan.withColumn("_f", F.input_file_name())
-                .filter(scope)
-                .select("_f")
-                .distinct()
-                .collect()  # one row per file containing scope rows
-            }
+            # the scope-hit scan defaults to the whole table (a scope
+            # predicate can reference anything); when the caller states
+            # that the scope is partition-confined —
+            # scope_partition_filter={'tenant': 'A'}, the canonical
+            # per-tenant publish — the manifest prunes the scan to
+            # those partitions first, so a tenant sync on a 100 TB
+            # table scans one tenant, not the table. Contract: files
+            # outside the filter are trusted scope-free (a too-narrow
+            # filter under-deletes; it can never corrupt kept rows).
+            if scope_partition_filter:
+                scan_files = self.resolve_files(
+                    version=base, partition_filter=scope_partition_filter
+                )
+            else:
+                scan_files = prev["files"]
+            if scan_files:
+                scan = self._load_files(scan_files, prev)
+                scope_hits = {
+                    r["_f"]
+                    for r in scan.withColumn("_f", F.input_file_name())
+                    .filter(scope)
+                    .select("_f")
+                    .distinct()
+                    .collect()  # one row per file containing scope rows
+                }
+            else:
+                scope_hits = set()
             k = key_cols[0]
             if self.stats_cols and k in self.stats_cols:
                 key_touched, _ = self._key_intersecting_split(
@@ -1477,7 +1528,14 @@ class TxnTable:
                 removed=[],
                 rows_total=prev["rows"],
             )
-        remaining = self._load_files(touched, prev).filter(~condition)
+        # SQL DELETE removes rows only where the predicate is TRUE: a
+        # NULL predicate keeps the row (same three-valued ~NULL trap
+        # fixed in merge_sync — without the coalesce, a NULL-predicate
+        # row in a touched file was silently deleted while an
+        # identical row in an untouched file survived)
+        remaining = self._load_files(touched, prev).filter(
+            ~F.coalesce(condition, F.lit(False))
+        )
         new_files, new_rows, new_stats, new_parts, ptypes = self._write_data(
             remaining
         )
@@ -1757,12 +1815,20 @@ class TxnTable:
         if cutoff.tzinfo is None:
             cutoff = cutoff.replace(tzinfo=timezone.utc)
         latest = self.current_version()
+        if latest == 0:
+            return 0  # nothing committed: retention sweep is a no-op
+        # binary search (ts monotone): leftmost retained version
+        # committed at/after the cutoff — see version_at_timestamp
+        vs = self._retained_versions()
         keep_from = latest
-        if self._manifest_dir.exists():
-            for p in self._manifest_dir.glob("v*.json"):
-                raw = json.loads(p.read_text()).get("ts_utc")
-                if raw and datetime.fromisoformat(raw) >= cutoff:
-                    keep_from = min(keep_from, int(p.stem[1:]))
+        lo, hi = 0, len(vs) - 1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self._commit_ts(vs[mid]) >= cutoff:
+                keep_from = min(keep_from, vs[mid])
+                hi = mid - 1
+            else:
+                lo = mid + 1
         return self.vacuum(keep_versions=latest - keep_from + 1)
 
     def vacuum(self, keep_versions: int = 1) -> int:

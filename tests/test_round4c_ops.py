@@ -92,19 +92,17 @@ class TestWeightedSample:
         ids1 = sorted(
             r["doc_id"] for r in corpus_sample_weighted(spark, sf_dir).collect()
         )
-        # same computation over a repartitioned scan must pick the
-        # identical winners (content-hash keys, not RNG state)
+        # the SAME canonical key expression over a repartitioned scan
+        # must pick the identical winners (content-hash keys, not RNG
+        # state)
+        from interop_datalake_spark.catalog.sampling import race_key
+
         docs = (
             spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(13)
         )
-        u = (
-            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
-            .cast("bigint") + 1
-        ) / F.lit(4294967296.0)
-        key = F.round(-F.log(u) / F.col("n_chars").cast("double"), 12)
         ids2 = sorted(
             r["doc_id"]
-            for r in docs.select("doc_id", key.alias("k"))
+            for r in docs.select("doc_id", race_key().alias("k"))
             .orderBy("k", "doc_id")
             .limit(50)
             .collect()

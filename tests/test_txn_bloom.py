@@ -124,6 +124,21 @@ class TestBloomPruning:
         c.append(_batch(spark, ["fresh_tag"]))
         assert c.read(bloom_eq={"tag": "fresh_tag"}).count() == 1
 
+    def test_bloom_on_path_encoded_column_probes_correct_type(
+        self, spark, lake
+    ):
+        # a partition column holding digit STRINGS is re-inferred as
+        # INT on the stats read-back; write-side positions must hash
+        # the log-schema type or every probe false-negatives (review
+        # finding)
+        t = TxnTable(lake, "bp", partition_cols=["tag"], bloom_cols=["tag"])
+        t.append(
+            spark.createDataFrame(
+                [(i, str(100 + i)) for i in range(6)], "k INT, tag STRING"
+            )
+        )
+        assert t.read(bloom_eq={"tag": "103"}).count() == 1
+
     def test_bloom_survives_clone(self, spark, lake):
         t = TxnTable(lake, "b6", bloom_cols=["tag"])
         for g in range(3):

@@ -174,6 +174,36 @@ class TestMergeSync:
         )
         assert files_before == files_after  # no orphaned data written
 
+    def test_scope_partition_filter_bounds_the_scan(self, spark, lake):
+        # with the partition hint, the scope scan touches only tenant
+        # A's files — and results are identical to the unhinted sync
+        t = TxnTable(lake, "tp", partition_cols=["tenant"])
+        t.append(
+            _df(spark, [(1, "A", "a"), (2, "A", "stale"), (3, "B", "keep")])
+        )
+        t.merge_sync(
+            _df(spark, [(1, "A", "a2")]),
+            ["id"],
+            scope=F.col("tenant") == "A",
+            scope_partition_filter={"tenant": "A"},
+        )
+        assert _content(t) == [(1, "A", "a2"), (3, "B", "keep")]
+
+    def test_delete_where_null_predicate_keeps_row(self, spark, lake):
+        # same three-valued trap as merge_sync's scope: DELETE removes
+        # rows only where the predicate is TRUE; a NULL-tenant row in
+        # the touched file must survive
+        t = TxnTable(lake, "td")
+        t.append(
+            spark.createDataFrame(
+                [(1, "A"), (2, None)], "id INT, tenant STRING"
+            ).coalesce(1)
+        )
+        t.delete_where(F.col("tenant") == "A")
+        assert sorted(
+            (r["id"], r["tenant"]) for r in t.read().collect()
+        ) == [(2, None)]
+
     def test_conflicted_sync_raises_not_rebases(self, spark, lake):
         t = TxnTable(lake, "t6")
         t.append(_df(spark, [(1, "A", "a")]))

@@ -80,6 +80,17 @@ class TestPartitionEvolution:
         rows = p2.read(partition_filter={"a": "x"}).collect()
         assert sorted(r["k"] for r in rows) == [1, 3]
 
+    def test_column_order_stable_across_mixed_specs(self, spark, lake):
+        # positional consumers (toPandas, CSV export) must see the log
+        # schema's column order regardless of which spec-group loads
+        # first (review finding: path-injected columns appended last)
+        plain = TxnTable(lake, "tc")
+        plain.append(_df(spark, [(1, "a")]))
+        part = TxnTable(lake, "tc", partition_cols=["v"])
+        part.append(_df(spark, [(2, "b")]))
+        assert part.read().columns == ["k", "v"]
+        assert part.read(version=1).columns == ["k", "v"]
+
     def test_pure_layouts_unchanged(self, spark, lake):
         # regression guard: single-layout tables take the single-read
         # path and behave exactly as before
