@@ -1792,6 +1792,47 @@ FROM occ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def search_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction
+    (llm/search.py:tfidf_keywords): top-3 terms per doc by idf·tf with
+    the deterministic (score desc, term) tie-break; idf 9-dp-rounded
+    before the multiply so DuckDB replays the ranking exactly."""
+    from interop_datalake_spark.llm.search import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "text", "doc_id", top_n=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+TFIDF_KEYWORDS_ORACLE = """
+WITH postings AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nn AS (
+  SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM postings
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         t.tf * round(ln((SELECT n FROM nn) / f.df), 9) AS score
+  FROM tf t JOIN dfreq f USING (term)
+), ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, round(score, 6) AS score
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): hashed-unigram importance
     weights, target = English documents. Two bucket-bounded (1024-row)
@@ -1879,6 +1920,7 @@ QUERIES = {
     "ann_index_incremental": ann_index_incremental,
     "search_bm25": search_bm25,
     "search_phrase": search_phrase,
+    "search_tfidf_keywords": search_tfidf_keywords,
     "corpus_split_contamination": corpus_split_contamination,
     "dedup_containment": dedup_containment,
     "dedup_containment_fast": dedup_containment_fast,
@@ -1914,6 +1956,7 @@ ORACLES = {
     "ann_index_incremental": ANN_INDEX_ORACLE,
     "search_bm25": SEARCH_BM25_ORACLE,
     "search_phrase": SEARCH_PHRASE_ORACLE,
+    "search_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
     "corpus_split_contamination": CONTAMINATION_ORACLE,
     "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,

@@ -104,6 +104,48 @@ def bm25_scores(
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: tf from the doc's
+    postings, idf = ln(N/df) from the corpus, top-N terms per doc by
+    (score desc, term asc) — the deterministic tie-break matters
+    because word-salad corpora produce exact score ties.
+
+    Scale shape: same two aggregations as BM25's index build (tf and
+    df — df is vocabulary-sized and broadcasts); the per-doc top-N is
+    a window over each doc's DISTINCT terms, partitioned by doc —
+    never a global sort. Scores are idf·tf with idf rounded to 9 dp
+    BEFORE the multiply so the ranking replays bit-for-bit in the
+    oracle."""
+    from pyspark.sql import Window
+
+    postings = tokenize_words(docs, text_col, id_col)
+    tf = postings.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = postings.select(id_col).distinct().count()  # bounded scalar
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        "tf",
+        (
+            F.col("tf")
+            * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "rank", "term", "tf", F.round("score", 6).alias("score"))
+    )
+
+
 def positional_postings(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
