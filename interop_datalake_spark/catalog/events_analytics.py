@@ -925,6 +925,63 @@ FROM j ORDER BY event_type
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type) with transition counts — the
+    sequence-model analytics funnel/sessionize don't give (funnels fix
+    an order; this measures ALL orders). One lag window per user (the
+    only fact shuffle, keyed by user) then a count matrix bounded by
+    |types|²; probabilities are exact BIGINT ratios rounded at 6 dp,
+    ties impossible."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type", 1).over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+MARKOV_ORACLE = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+), totals AS (
+  SELECT from_type, sum(n) AS n_from FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n::DOUBLE / t.n_from, 6) AS p
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "events_heavy_hitters": events_heavy_hitters,
@@ -932,6 +989,7 @@ QUERIES = {
     "events_quantile_rollup": events_quantile_rollup,
     "events_rolling_median": events_rolling_median,
     "events_ab_test": events_ab_test,
+    "events_markov_transitions": events_markov_transitions,
     "events_distinct_rollup": events_distinct_rollup,
     "events_ewma": events_ewma,
     "events_hypertable_rollup": events_hypertable_rollup,
@@ -948,6 +1006,7 @@ ORACLES = {
     "events_quantile_rollup": QUANTILE_ROLLUP_ORACLE,
     "events_rolling_median": ROLLING_MEDIAN_ORACLE,
     "events_ab_test": AB_TEST_ORACLE,
+    "events_markov_transitions": MARKOV_ORACLE,
     "events_ewma": EWMA_ORACLE,
     "events_hypertable_rollup": HYPERTABLE_ORACLE,
     "revenue_share_window": REVENUE_SHARE_ORACLE,

@@ -314,8 +314,81 @@ GROUP BY 1 ORDER BY delay_bucket
 """
 
 
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (the A-priori pair pass):
+    orders are baskets, parts are items; co-occurring part pairs get
+    support count and LIFT = P(a,b)/(P(a)·P(b)) — the classic
+    bought-together analysis.
+
+    Scale shape: the within-basket self-join costs Σ|basket|² — bounded
+    by line-per-order limits, NOT corpus size (the same bounded-group
+    argument as SemDeDup's clusters); item frequencies are
+    vocabulary-sized and broadcast; min-support (≥2) prunes the pair
+    tail BEFORE the stats join. Lift is a ratio of exact BIGINTs
+    rounded at 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.select("l_orderkey").distinct().count()  # scalar
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    b = items.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        items.join(b, (items.l_orderkey == b.o2) & (items.l_partkey < b.pb))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b")
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * n_baskets
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(fa), "pa")
+        .join(F.broadcast(fb), "pb")
+        .select(
+            "pa", "pb", "n_pair", "n_a", "n_b",
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy("pa", "pb")
+    )
+
+
+BASKET_LIFT_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), nb AS (
+  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM items
+), freq AS (
+  SELECT l_partkey, count(*) AS n_item FROM items GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_pair
+  FROM items a
+  JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.pa, p.pb, p.n_pair, fa.n_item AS n_a, fb.n_item AS n_b,
+       round(p.n_pair::DOUBLE * (SELECT n FROM nb)
+             / (fa.n_item * fb.n_item), 6) AS lift
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.pa
+JOIN freq fb ON fb.l_partkey = p.pb
+ORDER BY pa, pb
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "basket_pair_lift": basket_pair_lift,
     "q12_ship_delay": q12_ship_delay,
     "q7_nation_volume": q7_nation_volume,
     "q10_returned_items": q10_returned_items,
@@ -326,6 +399,7 @@ QUERIES = {
 
 ORACLES = {
     "q4_order_priority": Q4_ORACLE,
+    "basket_pair_lift": BASKET_LIFT_ORACLE,
     "q12_ship_delay": Q12_ORACLE,
     "q7_nation_volume": Q7_ORACLE,
     "q10_returned_items": Q10_ORACLE,
