@@ -80,6 +80,9 @@ HEADLINE = [
     "events_quantile_rollup",
     "events_rolling_median",
     "events_ab_test",
+    "events_markov_transitions",
+    "basket_pair_lift",
+    "search_tfidf_keywords",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are
