@@ -1831,6 +1831,56 @@ class TxnTable:
                 lo = mid + 1
         return self.vacuum(keep_versions=latest - keep_from + 1)
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The snapshot's file manifest AS A DATAFRAME — the Iceberg
+        ``.files`` / Delta ``DESCRIBE DETAIL`` metadata-table surface:
+        one row per data file with row count, per-stats-column min/max
+        (JSON-encoded, typed via _stats_encode tags), and partition
+        values. Built from the log only — never opens a data file — so
+        it is the cheap input for file-size audits, compaction
+        policies, and skew diagnostics."""
+        m = self.manifest(version)
+        rows = []
+        for f in m["files"]:
+            st = m["stats"].get(f, {})
+            rows.append(
+                (
+                    f,
+                    st.get("rows"),
+                    json.dumps(
+                        {k: v for k, v in st.items() if k != "rows"}
+                    ),
+                    json.dumps(m["partitions"].get(f, {})),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file STRING, rows BIGINT, stats_json STRING, "
+            "partition_json STRING",
+        )
+
+    def history_df(self) -> DataFrame:
+        """Commit history AS A DATAFRAME (DESCRIBE HISTORY analog):
+        version, commit timestamp, op, files added/removed, resulting
+        rows, streaming epoch. Log-only, like :meth:`history`."""
+        hs = self.history()
+        return self.spark.createDataFrame(
+            [
+                (
+                    h["version"],
+                    h["ts_utc"],
+                    h["op"],
+                    h["n_added"],
+                    h["n_removed"],
+                    h["rows_total"],
+                    h["epoch"],
+                )
+                for h in hs
+            ],
+            "version INT, ts_utc STRING, op STRING, n_added INT, "
+            "n_removed INT, rows_total BIGINT, epoch BIGINT",
+        )
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data subdirs unreferenced by the newest
         ``keep_versions`` snapshots, and truncate the log before them

@@ -94,3 +94,31 @@ class TestTimestampTravel:
         t.vacuum(keep_versions=1)
         with pytest.raises(ValueError, match="no retained commit"):
             t.version_at_timestamp(pre)
+
+
+class TestMetadataTables:
+    def test_files_df_matches_manifest(self, spark, lake):
+        import json as _json
+
+        t = TxnTable(lake, "m1", stats_cols=["k"], partition_cols=[])
+        t.append(_df(spark, [(1,), (2,)]))
+        t.append(_df(spark, [(5,)]))
+        fdf = t.files_df().collect()
+        m = t.manifest()
+        assert sorted(r["file"] for r in fdf) == sorted(m["files"])
+        # empty part files carry no stats entry → rows is NULL there
+        assert sum(r["rows"] or 0 for r in fdf) == m["rows"]
+        # per-file stats ride along, JSON-typed
+        for r in fdf:
+            st = _json.loads(r["stats_json"])
+            if st.get("k"):
+                assert len(st["k"]) == 2  # [min, max]
+
+    def test_history_df_shape(self, spark, lake):
+        t = TxnTable(lake, "m2")
+        t.append(_df(spark, [(1,)]))
+        t.overwrite(_df(spark, [(2,)]))
+        hs = t.history_df().orderBy("version").collect()
+        assert [h["op"] for h in hs] == ["append", "overwrite"]
+        assert all(h["ts_utc"] for h in hs)
+        assert hs[-1]["rows_total"] == 1
