@@ -1197,9 +1197,111 @@ ORDER BY "column", metric
 """
 
 
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: per-language Zipf fit — closed-form
+    OLS slope of ln(freq) on ln(rank) over the word-frequency table
+    (natural text sits near −1; a slope far off flags synthetic or
+    degenerate corpora before any training run). All regression inputs
+    are 9-dp-rounded BEFORE the DECIMAL sums, so the normal-equation
+    arithmetic is order-independent and the oracle replays it exactly
+    (the same determinism pattern as the classifier/perplexity
+    trajectories). One explode + one vocab-sized window per language —
+    the regression itself runs over Σ|vocab| rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    ).alias("word")
+    freq = (
+        docs.select("lang", words)
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "word")
+    xy = freq.select(
+        "lang",
+        F.round(F.log(F.row_number().over(w).cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9).alias("y"),
+    ).select(
+        "lang",
+        F.col("x").cast("decimal(28,9)").alias("x"),
+        F.col("y").cast("decimal(28,9)").alias("y"),
+        F.round(F.col("x") * F.col("y"), 9)
+        .cast("decimal(28,9)")
+        .alias("xy"),
+        F.round(F.col("x") * F.col("x"), 9)
+        .cast("decimal(28,9)")
+        .alias("xx"),
+    )
+    sums = xy.groupBy("lang").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (m * F.col("sxy").cast("double") - sx * sy) / (
+        m * F.col("sxx").cast("double") - sx * sx
+    )
+    intercept = (sy - slope * sx) / m
+    return (
+        sums.select(
+            "lang",
+            F.col("m").alias("n_vocab"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round(intercept, 6).alias("intercept"),
+        )
+        .orderBy("lang")
+    )
+
+
+ZIPF_ORACLE = """
+WITH freq AS (
+  SELECT lang, word, count(*) AS n
+  FROM (
+    SELECT lang,
+           unnest(list_filter(string_split(lower(text), ' '),
+                              w -> w <> '')) AS word
+    FROM documents
+  )
+  GROUP BY lang, word
+), xy AS (
+  SELECT lang,
+         round(ln(row_number() OVER (
+           PARTITION BY lang ORDER BY n DESC, word)::DOUBLE), 9)
+           ::DECIMAL(28,9) AS x,
+         round(ln(n::DOUBLE), 9)::DECIMAL(28,9) AS y
+  FROM freq
+), terms AS (
+  SELECT lang, x, y,
+         round(x::DOUBLE * y::DOUBLE, 9)::DECIMAL(28,9) AS xy,
+         round(x::DOUBLE * x::DOUBLE, 9)::DECIMAL(28,9) AS xx
+  FROM xy
+), sums AS (
+  SELECT lang, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(xy) AS sxy, sum(xx) AS sxx
+  FROM terms GROUP BY lang
+)
+SELECT lang, m AS n_vocab,
+       round((m * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (m * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+         AS zipf_slope,
+       round((sy::DOUBLE
+              - ((m * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (m * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                * sx::DOUBLE) / m, 6) AS intercept
+FROM sums ORDER BY lang
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "corpus_profile": corpus_profile,
+    "corpus_zipf_fit": corpus_zipf_fit,
     "text_winnowing_fingerprints": text_winnowing_fingerprints,
     "text_lang_ngram": text_lang_ngram,
     "text_lang_id": text_lang_id,
@@ -1221,6 +1323,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_profile": CORPUS_PROFILE_ORACLE,
+    "corpus_zipf_fit": ZIPF_ORACLE,
     "text_quality_classifier": TEXT_CLASSIFIER_ORACLE,
     "text_bpe_tokenize": TEXT_BPE_TOKENIZE_ORACLE,
     "corpus_domain_mix": DOMAIN_MIX_ORACLE,
