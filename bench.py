@@ -83,6 +83,7 @@ HEADLINE = [
     "events_markov_transitions",
     "basket_pair_lift",
     "search_tfidf_keywords",
+    "corpus_zipf_fit",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are
