@@ -933,9 +933,16 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     only fact shuffle, keyed by user) then a count matrix bounded by
     |types|²; probabilities are exact BIGINT ratios rounded at 6 dp,
     ties impossible."""
+    ev = load_table(spark, sf_dir, "events")
+    return markov_transitions(ev).orderBy("from_type", "to_type")
+
+
+def markov_transitions(ev: DataFrame) -> DataFrame:
+    """Reusable core of :func:`events_markov_transitions`: transition
+    counts + conditional probabilities over (user_id, ts, event_id,
+    event_type) rows."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -957,7 +964,6 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
         )
-        .orderBy("from_type", "to_type")
     )
 
 

@@ -328,22 +328,35 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 6 dp."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    n_baskets = items.select("l_orderkey").distinct().count()  # scalar
-    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    return pair_lift(items, "l_orderkey", "l_partkey", min_support=2).orderBy(
+        "pa", "pb"
+    )
+
+
+def pair_lift(
+    items: DataFrame, basket_col: str, item_col: str, min_support: int = 2
+) -> DataFrame:
+    """Reusable core of :func:`basket_pair_lift` over a distinct
+    (basket, item) frame."""
+    n_baskets = items.select(basket_col).distinct().count()  # scalar
+    freq = items.groupBy(item_col).agg(F.count("*").alias("n_item"))
     b = items.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+        F.col(basket_col).alias("o2"), F.col(item_col).alias("pb")
     )
     pairs = (
-        items.join(b, (items.l_orderkey == b.o2) & (items.l_partkey < b.pb))
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        items.join(
+            b,
+            (items[basket_col] == b.o2) & (items[item_col] < b.pb),
+        )
+        .groupBy(F.col(item_col).alias("pa"), "pb")
         .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= 2)
+        .filter(F.col("n_pair") >= min_support)
     )
     fa = freq.select(
-        F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a")
+        F.col(item_col).alias("pa"), F.col("n_item").alias("n_a")
     )
     fb = freq.select(
-        F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b")
+        F.col(item_col).alias("pb"), F.col("n_item").alias("n_b")
     )
     lift = (
         F.col("n_pair").cast("double")
@@ -357,7 +370,6 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pa", "pb", "n_pair", "n_a", "n_b",
             F.round(lift, 6).alias("lift"),
         )
-        .orderBy("pa", "pb")
     )
 
 
