@@ -1206,15 +1206,19 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is order-independent and the oracle replays it exactly
     (the same determinism pattern as the classifier/perplexity
     trajectories). One explode + one vocab-sized window per language —
-    the regression itself runs over Σ|vocab| rows."""
+    the regression itself runs over Σ|vocab| rows. A single-word
+    vocabulary makes the OLS denominator zero: both engines emit NULL
+    slope for that language (n_vocab = 1 is the explicit signal)."""
     from pyspark.sql import Window
 
+    from interop_datalake_spark.llm.search import tokenize_words
+
     docs = load_table(spark, sf_dir, "documents")
-    words = F.explode(
-        F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
-    ).alias("word")
+    # ONE tokenizer definition (llm/search.py) across BM25, TF-IDF,
+    # and this diagnostic — they cannot drift
     freq = (
-        docs.select("lang", words)
+        tokenize_words(docs, "text", "lang")
+        .withColumnRenamed("term", "word")
         .groupBy("lang", "word")
         .agg(F.count("*").alias("n"))
     )

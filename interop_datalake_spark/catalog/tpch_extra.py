@@ -337,8 +337,14 @@ def pair_lift(
     items: DataFrame, basket_col: str, item_col: str, min_support: int = 2
 ) -> DataFrame:
     """Reusable core of :func:`basket_pair_lift` over a distinct
-    (basket, item) frame."""
-    n_baskets = items.select(basket_col).distinct().count()  # scalar
+    (basket, item) frame. The frame feeds FOUR consumers (frequencies,
+    both self-join sides, the basket-count scalar) — materialized once;
+    the scalar rides as a broadcast 1-row crossJoin, never a driver
+    collect (the bm25_scores convention)."""
+    items = items.localCheckpoint()
+    nb = items.agg(
+        F.count_distinct(basket_col).cast("double").alias("_n_baskets")
+    )
     freq = items.groupBy(item_col).agg(F.count("*").alias("n_item"))
     b = items.select(
         F.col(basket_col).alias("o2"), F.col(item_col).alias("pb")
@@ -360,12 +366,13 @@ def pair_lift(
     )
     lift = (
         F.col("n_pair").cast("double")
-        * n_baskets
+        * F.col("_n_baskets")
         / (F.col("n_a") * F.col("n_b"))
     )
     return (
         pairs.join(F.broadcast(fa), "pa")
         .join(F.broadcast(fb), "pb")
+        .crossJoin(F.broadcast(nb))
         .select(
             "pa", "pb", "n_pair", "n_a", "n_b",
             F.round(lift, 6).alias("lift"),

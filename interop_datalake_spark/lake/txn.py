@@ -1847,8 +1847,16 @@ class TxnTable:
                 (
                     f,
                     st.get("rows"),
+                    # min/max ranges only: bloom position blobs stay in
+                    # the log (they'd drag bloom_bits/2 ints per column
+                    # per file through the driver and break consumers
+                    # expecting 2-element ranges)
                     json.dumps(
-                        {k: v for k, v in st.items() if k != "rows"}
+                        {
+                            k: v
+                            for k, v in st.items()
+                            if k != "rows" and not k.startswith("bloom:")
+                        }
                     ),
                     json.dumps(m["partitions"].get(f, {})),
                 )

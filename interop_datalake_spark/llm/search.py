@@ -124,17 +124,30 @@ def tfidf_keywords(
     from pyspark.sql import Window
 
     postings = tokenize_words(docs, text_col, id_col)
-    tf = postings.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf feeds three consumers (df table, the N scalar, the scoring
+    # join): materialize it once; N rides as a broadcast 1-row
+    # crossJoin — never a driver collect (the bm25_scores convention)
+    tf = (
+        postings.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = postings.select(id_col).distinct().count()  # bounded scalar
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        id_col,
-        "term",
-        "tf",
-        (
-            F.col("tf")
-            * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
-        ).alias("score"),
+    nd = tf.agg(
+        F.count_distinct(id_col).cast("double").alias("_n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("_n_docs") / F.col("df")), 9)
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.col("term")
