@@ -102,6 +102,47 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles (the engine's sketch
+    quantile, deterministic for fixed data+accuracy) checked IN-QUERY
+    against the exact percentile: the oracle pins the exact values and
+    the ``err_ok`` flag (GK's rank error ε=1/accuracy translates to a
+    value tolerance measured here as 1% of the exact), not the
+    engine-specific sketch numbers — the same honesty pattern as the
+    HLL rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_a"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_a"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50_exact"),
+        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("p95_exact"),
+    )
+    tol = 0.01
+    return (
+        per.select(
+            "l_returnflag",
+            "p50_exact",
+            "p95_exact",
+            (
+                (F.abs(F.col("p50_a") - F.col("p50_exact"))
+                 <= tol * F.col("p50_exact"))
+                & (F.abs(F.col("p95_a") - F.col("p95_exact"))
+                   <= tol * F.col("p95_exact"))
+            ).alias("err_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+APPROX_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+       true AS err_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders above the global average price (uncorrelated scalar subquery)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_adv_orders")
@@ -367,6 +408,7 @@ QUERIES = {
     "agg_median": agg_median,
     "agg_variance_manual": agg_variance_manual,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_approx_percentile": agg_approx_percentile,
     "subquery_scalar": subquery_scalar,
     "subquery_exists": subquery_exists,
     "subquery_not_exists": subquery_not_exists,
@@ -374,6 +416,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_approx_percentile": APPROX_PERCENTILE_ORACLE,
     "entity_resolution": ENTITY_RESOLUTION_ORACLE,
     "agg_percentiles": AGG_PERCENTILES_ORACLE,
     "agg_min_max_by": AGG_MIN_MAX_BY_ORACLE,

@@ -677,6 +677,61 @@ ORDER BY phase, id
 """
 
 
+def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-table surfaces (lake/txn.py: files_df / history_df —
+    the DESCRIBE DETAIL / DESCRIBE HISTORY analogs, log-only): a
+    3-commit scratch table is summarized purely from its manifests —
+    per-commit op/files-added/rows from history_df (timestamps exist
+    but are wall-clock, so the pinned projection drops them) and
+    file-count/row totals per snapshot from files_df. VALUES oracle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+
+    root = tempfile.mkdtemp(prefix="lake_meta_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "meta_demo")
+
+        def df(rows):
+            return spark.createDataFrame(rows, "k INT").coalesce(1)
+
+        t.append(df([(1,), (2,)]))
+        t.append(df([(3,)]))
+        t.delete_where(F.col("k") == 2)
+        rows = [
+            ("history", h["version"], h["op"], h["n_added"], h["rows_total"])
+            for h in t.history_df().collect()
+        ]
+        for v in (1, 3):
+            fd = t.files_df(version=v).agg(
+                F.count("*").alias("nf"),
+                F.sum("rows").alias("rows"),
+            ).collect()[0]
+            rows.append((f"files_v{v}", v, "snapshot", fd["nf"], fd["rows"]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe STRING, version INT, op STRING, n INT, rows_total BIGINT"
+    ).orderBy("probe", "version")
+
+
+LAKE_METADATA_ORACLE = """
+SELECT * FROM (VALUES
+  ('files_v1', 1, 'snapshot', 1, 2),
+  ('files_v3', 3, 'snapshot', 2, 2),
+  ('history',  1, 'append',   1, 2),
+  ('history',  2, 'append',   1, 3),
+  ('history',  3, 'delete',   1, 2)
+) AS t(probe, version, op, n, rows_total)
+ORDER BY probe, version
+"""
+
+
 def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish (lake/expectations.py): one batch with a
     warn-action and a drop-action expectation — 2 rows quarantined
@@ -796,6 +851,7 @@ QUERIES = {
     "lake_bloom_index": lake_bloom_index,
     "lake_partition_evolution": lake_partition_evolution,
     "lake_merge_sync": lake_merge_sync,
+    "lake_metadata_tables": lake_metadata_tables,
     "lake_expectations": lake_expectations,
 }
 
@@ -812,5 +868,6 @@ ORACLES = {
     "lake_bloom_index": LAKE_BLOOM_ORACLE,
     "lake_partition_evolution": LAKE_PEVO_ORACLE,
     "lake_merge_sync": LAKE_MERGE_SYNC_ORACLE,
+    "lake_metadata_tables": LAKE_METADATA_ORACLE,
     "lake_expectations": LAKE_EXPECTATIONS_ORACLE,
 }
