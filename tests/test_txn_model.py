@@ -47,8 +47,9 @@ def _random_rows(rng, n):
     ]
 
 
-def test_random_op_sequence_matches_model(spark, session):
-    rng = random.Random(42)
+@pytest.mark.parametrize("seed", [42, 7])
+def test_random_op_sequence_matches_model(spark, session, seed):
+    rng = random.Random(seed)
     t = TxnTable(
         session, "model", stats_cols=["k"], partition_cols=["tenant"],
         checkpoint_interval=5,
