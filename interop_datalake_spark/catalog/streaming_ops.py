@@ -45,6 +45,39 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
 
+def stream_window_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window p50/p95 of value per type — the
+    percentile member of the stream-twin family (same
+    tumbling_window_agg core as stream_tumbling_window; in a true
+    readStream, exact percentiles need an Update-mode sink or the
+    histogram sketch of events_quantile_rollup — both documented, this
+    is the batch-twin semantics gate)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        ],
+    )
+    return out.select(
+        "window_start", "event_type", "n_events", "p50", "p95"
+    ).orderBy("window_start", "event_type")
+
+
+STREAM_WINDOW_QUANTILES_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = sliding_window_agg(
@@ -214,6 +247,7 @@ GROUP BY 1, 2 ORDER BY p.user_id, pid
 
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
+    "stream_window_quantiles": stream_window_quantiles,
     "stream_sliding_window": stream_sliding_window,
     "stream_session_window": stream_session_window,
     "stream_dedup": stream_dedup,
@@ -223,6 +257,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_tumbling_window": STREAM_TUMBLING_ORACLE,
+    "stream_window_quantiles": STREAM_WINDOW_QUANTILES_ORACLE,
     "stream_sliding_window": STREAM_SLIDING_ORACLE,
     "stream_session_window": STREAM_SESSION_ORACLE,
     "stream_dedup": STREAM_DEDUP_ORACLE,
