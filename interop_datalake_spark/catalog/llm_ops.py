@@ -903,12 +903,19 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = duplicate_span_coverage(
         docs.union(planted), "text", "doc_id", k=8
     )
+    # 6-dp coverage via exact BIGINT micro-units, not round(double):
+    # the round-4 driver hash proved round(double, 6) + HUGEINT sums
+    # are both hash-fragile across engines (functions/fixedpoint.py).
+    from interop_datalake_spark.functions.fixedpoint import exact_ratio
+
     return out.select(
         "doc_id",
         "n_words",
-        "n_dup_grams",
-        "dup_tokens",
-        F.round("dup_fraction", 6).alias("dup_fraction"),
+        F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+        F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+        exact_ratio(F.col("dup_tokens"), F.col("n_words")).alias(
+            "dup_fraction"
+        ),
     ).orderBy("doc_id")
 
 
@@ -953,10 +960,12 @@ WITH docs AS (
 )
 SELECT d.doc_id,
        len(string_split(d.text, ' ')) AS n_words,
-       coalesce(p.n_dup_grams, 0) AS n_dup_grams,
-       coalesce(p.dup_tokens, 0) AS dup_tokens,
-       round(coalesce(p.dup_tokens, 0)::DOUBLE
-             / len(string_split(d.text, ' ')), 6) AS dup_fraction
+       coalesce(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       ((2 * coalesce(p.dup_tokens, 0)::BIGINT * 1000000
+           + len(string_split(d.text, ' ')))
+        // (2 * len(string_split(d.text, ' '))))::DOUBLE
+         / 1000000.0 AS dup_fraction
 FROM docs d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """

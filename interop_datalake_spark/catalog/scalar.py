@@ -498,7 +498,7 @@ SCALAR_MAP_ORACLE = """
 SELECT o_orderkey,
        m['status'][1]                                AS status_val,
        m['priority'][1]                              AS priority_val,
-       cardinality(m)                                AS map_size,
+       cardinality(m)::INT                           AS map_size,
        array_to_string(list_sort(map_keys(m)), ',')  AS keys_sorted
 FROM (
   SELECT o_orderkey,

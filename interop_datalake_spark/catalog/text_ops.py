@@ -944,7 +944,11 @@ WITH w0 AS (
   SELECT word, wcount, i AS pos, substr(word, i, 1) AS sym
   FROM w0, unnest(generate_series(1, length(word))) AS t(i)
 ), {_bpe_iter_sql('s0', 1)}, {_bpe_iter_sql('s1', 2)}, {_bpe_iter_sql('s2', 3)}
-SELECT rank, lft AS "left", rgt AS "right", pair_count FROM (
+SELECT rank, lft AS "left", rgt AS "right",
+       -- ::BIGINT: DuckDB sum() yields HUGEINT, which the driver's
+       -- hashing layer canonicalizes differently from Spark's int64
+       -- (round-4 driver-red class; tests/oracle.py type whitelist)
+       pair_count::BIGINT AS pair_count FROM (
   SELECT 1 AS rank, lft, rgt, pair_count FROM b1
   UNION ALL SELECT 2, lft, rgt, pair_count FROM b2
   UNION ALL SELECT 3, lft, rgt, pair_count FROM b3
@@ -1064,7 +1068,10 @@ def _lr_iter_sql(k: int) -> str:
          round(wp::DOUBLE - g_p::DOUBLE / n, 9)::DECIMAL(20,9) AS wp,
          round(ws_::DOUBLE - g_s::DOUBLE / n, 9)::DECIMAL(20,9) AS ws_,
          round(wl::DOUBLE - g_l::DOUBLE / n, 9)::DECIMAL(20,9) AS wl,
-         round(loss_sum::DOUBLE / n, 6) AS train_loss
+         -- 6-dp mean loss via exact BIGINT micro-units (loss >= 0):
+         -- round(double, 6) at output precision is hash-fragile
+         ((2 * (loss_sum * 1000000000)::BIGINT + n * 1000)
+          // (2 * n * 1000))::DOUBLE / 1000000.0 AS train_loss
   FROM it{k} CROSS JOIN w{k - 1}
 )"""
 
@@ -1075,10 +1082,15 @@ WITH feats AS ({_LR_FEATS}
   SELECT 0.0::DECIMAL(20,9) AS wb, 0.0::DECIMAL(20,9) AS wp,
          0.0::DECIMAL(20,9) AS ws_, 0.0::DECIMAL(20,9) AS wl
 ), {_lr_iter_sql(1)}, {_lr_iter_sql(2)}, {_lr_iter_sql(3)}
-SELECT 1 AS iter, wb AS w_bias, wp AS w_awl, ws_ AS w_stop,
-       wl AS w_loglen, train_loss FROM w1
-UNION ALL SELECT 2, wb, wp, ws_, wl, train_loss FROM w2
-UNION ALL SELECT 3, wb, wp, ws_, wl, train_loss FROM w3
+-- weights recurse as DECIMAL(20,9) but are EMITTED as DOUBLE (one
+-- correctly-rounded cast, identical in both engines); a DECIMAL
+-- output column is the round-4 driver-red canonicalization class
+SELECT 1 AS iter, wb::DOUBLE AS w_bias, wp::DOUBLE AS w_awl,
+       ws_::DOUBLE AS w_stop, wl::DOUBLE AS w_loglen, train_loss FROM w1
+UNION ALL SELECT 2, wb::DOUBLE, wp::DOUBLE, ws_::DOUBLE, wl::DOUBLE,
+       train_loss FROM w2
+UNION ALL SELECT 3, wb::DOUBLE, wp::DOUBLE, ws_::DOUBLE, wl::DOUBLE,
+       train_loss FROM w3
 ORDER BY iter
 """
 

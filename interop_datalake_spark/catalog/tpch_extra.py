@@ -306,9 +306,9 @@ Q12_ORACLE = """
 SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
             THEN 'fast' ELSE 'slow' END AS delay_bucket,
        sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority_lines,
+                THEN 1 ELSE 0 END)::BIGINT AS high_priority_lines,
        sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_priority_lines
+                THEN 0 ELSE 1 END)::BIGINT AS low_priority_lines
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY delay_bucket
 """

@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from interop_datalake_spark.functions import text as T
+from interop_datalake_spark.functions.fixedpoint import (
+    div_half_up,
+    micros_to_double,
+)
 
 #: feature column order; w[0] is the bias.
 FEATURES = ["x_awl", "x_stop", "x_loglen"]
@@ -138,9 +142,15 @@ def logreg_train(
                 .alias(wc)
                 for wc in wcols
             ],
-            F.round(F.col("loss_sum").cast("double") / F.col("n"), 6).alias(
-                "train_loss"
-            ),
+            # mean log-loss at 6 dp via exact BIGINT micro-units
+            # (functions/fixedpoint.py) — round(double, 6) at output
+            # precision is the round-4 driver-red class
+            micros_to_double(
+                div_half_up(
+                    (F.col("loss_sum") * F.lit(1000000000)).cast("bigint"),
+                    F.col("n") * F.lit(1000),
+                )
+            ).alias("train_loss"),
         )
         # localCheckpoint CUTS LINEAGE, not just caches: each iteration
         # embeds the previous weight plan twice (σ map + update), so
@@ -156,7 +166,16 @@ def logreg_train(
     # trajectory rows are already localCheckpoint-materialized, so the
     # feature cache has served its purpose
     feats.unpersist()
-    return out
+    # the RECURSION state stays DECIMAL(20,9) (exact, replayable), but
+    # the EMITTED weights are cast to double — decimal→double is one
+    # correctly-rounded conversion, identical in Spark and DuckDB,
+    # while a DECIMAL output column survives into the driver's hashing
+    # layer with engine-specific canonicalization (round-4 red class)
+    return out.select(
+        "iter",
+        *[F.col(wc).cast("double").alias(wc) for wc in wcols],
+        "train_loss",
+    )
 
 
 def logreg_score(feats: DataFrame, weights: DataFrame) -> DataFrame:

@@ -18,20 +18,21 @@ def test_recursion_matches_hand_computation(spark, sf_dir):
     by_user = {}
     for (uid, day), (x, ew) in sorted(out.items()):
         by_user.setdefault(uid, []).append((day, x, ew))
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def round6(v: float) -> float:
-        # Spark's round() is HALF_UP on the decimal rendering; Python's
-        # built-in round is banker's on the binary double — not the same
-        return float(
-            Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
-        )
+    # the fold runs in exact BIGINT micro-units with HALF_UP ties
+    # (functions/fixedpoint.py) — replay the same integer recursion
+    def div10_half_up(n: int) -> int:
+        return (2 * n + 10) // 20 if n >= 0 else -((-2 * n + 10) // 20)
 
     for uid, series in by_user.items():
-        acc = None
+        acc = None  # micro-units
         for day, x, ew in series:
-            acc = x if acc is None else round6(0.3 * x + 0.7 * acc)
-            assert ew == pytest.approx(acc, abs=1e-9), (uid, day)
+            x_micro = round(x * 1_000_000)
+            acc = (
+                x_micro
+                if acc is None
+                else div10_half_up(3 * x_micro + 7 * acc)
+            )
+            assert ew == acc / 1_000_000.0, (uid, day)
 
 
 def test_first_observation_seeds(spark, sf_dir):
