@@ -121,6 +121,29 @@ def _with_required_conf(fn):
 #: scd2/expectations/restore/clone). lake_merge_sync,
 #: lake_partition_evolution, corpus_profile, q4/q12, search_phrase
 #: variants stay oracle-backed past the cut via the pytest gate.
+#: Round-5 rotation (per the round-4 verdict item 3): the 12 entries
+#: below rotate IN so every round-4 operator class gets a driver row;
+#: every displaced entry was driver-green in a PRIOR round (r4 or
+#: earlier, see CORRECTNESS_r0{1..4}.json) and leaves a same-class
+#: sibling in-window. The five round-4 driver-RED rows
+#: (dedup_span_coverage, text_quality_classifier, text_bpe_train,
+#: events_ewma, events_distinct_rollup) STAY in-window so their fixes
+#: are re-witnessed — a red row never rotates out.
+#:   in: lake_merge_sync, lake_partition_evolution,
+#:       lake_metadata_tables   — out: lake_scd2, lake_restore,
+#:       lake_clone (ACID class keeps expectations/bloom/publish)
+#:   in: dedup_incremental, dedup_stream_pipeline — out:
+#:       dedup_containment, dedup_semantic (keeps cluster/span)
+#:   in: events_rolling_median, events_ab_test,
+#:       events_markov_transitions — out: events_heavy_hitters,
+#:       events_quantile_rollup, events_anomaly_mad (keeps
+#:       sessionize; the red HLL rollup keeps the sketch subclass)
+#:   in: corpus_zipf_fit, corpus_profile — out: corpus_redact_pii,
+#:       corpus_pack_sequences_sharded (6 corpus siblings remain)
+#:   in: search_tfidf_keywords — out: search_phrase (bm25 remains)
+#:   in: basket_pair_lift (new association-mining class) — out:
+#:       object_url_parse (4× green; ref-surface keeps
+#:       lake_publish_roundtrip)
 WITNESS_PRIORITY = [
     # relational core (elementary join_broadcast moved past the cut;
     # BroadcastHashJoin stays witnessed via the q5/q7/q18 chains)
@@ -128,16 +151,13 @@ WITNESS_PRIORITY = [
     "agg_rollup",
     # TPC-H-extra multi-join workload (q7 = round-1 fix)
     "q7_nation_volume",
-    # reference lake surface + ACID table format + change feed + SCD2
-    # (path templating stays oracle-backed past the cut; its class is
-    # witnessed via object_url_parse)
-    "object_url_parse",
+    # reference lake surface + ACID table format + change feed +
+    # scoped sync + partition-spec evolution + metadata tables
     "lake_publish_roundtrip",
-    "lake_scd2", "lake_expectations", "lake_restore", "lake_clone",
-    "lake_bloom_index",
-    # windows + custom joins (window_rank displaced for
-    # entity_resolution below — r03-green, topk_per_group keeps the
-    # window-function class in-window)
+    "lake_expectations", "lake_bloom_index",
+    "lake_merge_sync", "lake_partition_evolution",
+    "lake_metadata_tables",
+    # windows + custom joins
     "topk_per_group", "join_asof",
     # set ops
     "set_union_all",
@@ -145,57 +165,55 @@ WITNESS_PRIORITY = [
     # witnessed via variant_json_access; try_* stays oracle-backed
     # past the cut)
     "scalar_math",
-    # LLM dedup: containment (quote/excerpt semantics Jaccard misses)
-    # / clusters / spans / semantic; the MinHash-LSH pipeline class
-    # stays witnessed verbatim via corpus_split_contamination below
-    "dedup_containment",
-    "dedup_cluster", "dedup_span_coverage", "dedup_semantic",
+    # LLM dedup: clusters / spans / persisted-store incremental /
+    # exactly-once streaming capstone; containment+semantic rotate
+    # out (r4-green), the MinHash-LSH pipeline class stays witnessed
+    # verbatim via corpus_split_contamination below
+    "dedup_cluster", "dedup_span_coverage",
+    "dedup_incremental", "dedup_stream_pipeline",
     # embedding similarity: blocked exact, Gaussian LSH, ANN,
-    # quantization, clustering, retrieval (the axis-aligned LSH
-    # variant moved past the cut for lake_expectations; its class
-    # keeps the Gaussian + blocked reps here)
+    # quantization, clustering, retrieval
     "dedup_embedding_lsh_gaussian", "ann_cosine_topk_blocked",
     "ann_index_incremental",
     "embedding_quantize_int8", "cluster_kmeans", "search_bm25",
-    "search_phrase",
-    # text analysis + corpus curation (+ bigram-LM quality score);
-    # the contamination audit composes hash-split + LSH dedup and
-    # displaces corpus_decontaminate (r03-green, same class)
+    # TF-IDF keyword extraction (round-4 tail class; phrase search
+    # rotates out r4-green, bm25 keeps the retrieval class)
+    "search_tfidf_keywords",
+    # text analysis + corpus curation (+ bigram-LM quality score)
     "corpus_split_contamination", "corpus_filter_gopher",
-    "corpus_redact_pii", "corpus_pack_sequences_sharded",
     "corpus_to_training_set", "text_perplexity",
-    # data selection (DSIR) + in-frame classifier training (new
-    # classes, round-4 continuation)
+    # corpus diagnostics (round-4 tail classes): per-language Zipf
+    # OLS fit + long-form table profiler
+    "corpus_zipf_fit", "corpus_profile",
+    # data selection (DSIR) + in-frame classifier training
     "corpus_importance_sample", "text_quality_classifier",
-    # record linkage (new class, round-4 continuation)
+    # record linkage
     "entity_resolution",
-    # streaming twins (tumbling window displaced by BPE below;
-    # the class keeps stream_dedup here + true-readStream pytest runs)
+    # streaming twins (the class keeps stream_dedup here + the
+    # true-readStream pytest runs)
     "stream_dedup",
-    # BPE tokenizer training (iterative vocab learning, round 4)
+    # BPE tokenizer training (iterative vocab learning)
     "text_bpe_train",
-    # pandas UDF + multimodal surface (+ pHash image dedup, new class;
-    # dedup_exact displaced — r03-green with 5 dedup siblings in-window)
+    # pandas UDF + multimodal surface (+ pHash image dedup)
     "pandas_scalar_udf", "multimodal_phash_dedup",
-    # advanced aggs + subqueries + schema evolution (percentile class
-    # stays witnessed via agg_rollup/median family past the cut)
+    # advanced aggs + subqueries
     "subquery_exists",
-    # reshape + variant (gapfill displaced for events_ewma below —
-    # r03-green; variant_json_access keeps the reshape class in-window)
+    # reshape + variant
     "variant_json_access",
-    # time-series smoothing via per-key ordered fold (new class)
+    # time-series smoothing via per-key ordered fold (round-4 RED,
+    # re-witnessing the scaled-integer fold fix)
     "events_ewma",
-    # corpus sampling: deterministic weighted A-ES (new subclass)
+    # corpus sampling: deterministic weighted A-ES
     "corpus_sample_weighted",
-    # event analytics: mergeable-HLL distinct rollup (new class —
-    # displaces events_hypertable_rollup, r03-green with the
-    # sessionize/gapfill siblings in-window) + batch sessionization
-    # (funnel/cohort stay oracle-backed past the cut)
-    "events_distinct_rollup", "events_heavy_hitters",
-    "events_quantile_rollup", "events_anomaly_mad",
-    "events_sessionize",
-    # graph analytics: iterative PageRank (round 4) + degree-oriented
-    # triangle counting (non-iterative multi-way self-join subclass)
+    # event analytics: mergeable-HLL distinct rollup (round-4 RED,
+    # re-witnessing) + sessionization + round-4 tail classes
+    # (centered rolling median, Welch A/B test, Markov transitions)
+    "events_distinct_rollup", "events_sessionize",
+    "events_rolling_median", "events_ab_test",
+    "events_markov_transitions",
+    # association mining (A-priori pair lift, round-4 tail class)
+    "basket_pair_lift",
+    # graph analytics: iterative PageRank + triangle counting
     "graph_pagerank", "graph_triangles",
 ]
 
