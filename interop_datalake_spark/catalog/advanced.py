@@ -383,19 +383,24 @@ norm AS (
          END AS bg
   FROM norm
 )
-SELECT a.rec_id AS id_a, b.rec_id AS id_b,
-       round(
-         len(list_filter(a.bg, x -> list_contains(b.bg, x)))::DOUBLE
-         / nullif(len(a.bg) + len(b.bg)
-                  - len(list_filter(a.bg, x -> list_contains(b.bg, x))), 0),
-         6) AS jaccard
-FROM feat a JOIN feat b
-  ON a.blk = b.blk AND a.region = b.region AND a.rec_id < b.rec_id
-WHERE round(
-        len(list_filter(a.bg, x -> list_contains(b.bg, x)))::DOUBLE
-        / nullif(len(a.bg) + len(b.bg)
-                 - len(list_filter(a.bg, x -> list_contains(b.bg, x))), 0),
-        6) >= 0.6
+, pairs AS (
+  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+         len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS inter,
+         len(a.bg) + len(b.bg)
+           - len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS uni
+  FROM feat a JOIN feat b
+    ON a.blk = b.blk AND a.region = b.region AND a.rec_id < b.rec_id
+)
+-- exact 6-dp half-up integer ratio (round(double, 6) red class);
+-- the threshold also filters on the same 6-dp value, like Spark
+SELECT id_a, id_b,
+       (CASE WHEN uni <> 0 THEN
+          ((2 * inter * 1000000 + uni) // (2 * uni))::DOUBLE / 1000000.0
+        END) AS jaccard
+FROM pairs
+WHERE (CASE WHEN uni <> 0 THEN
+         ((2 * inter * 1000000 + uni) // (2 * uni))::DOUBLE / 1000000.0
+       END) >= 0.6
 ORDER BY id_a, id_b
 """
 

@@ -190,13 +190,21 @@ def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    from interop_datalake_spark.functions.fixedpoint import exact_ratio
+
     # the window total re-sums 25 already-rounded doubles: go through
-    # decimal again so the grand total is order-independent too
+    # decimal again so the grand total is order-independent too, and
+    # emit share as an exact 6-dp half-up CENTS ratio — a money ratio
+    # is rational and round(double, 6) of it can land exactly half-way
+    # on the grid (ewma red-row class)
     w = Window.partitionBy()
-    total = F.sum(F.col("revenue").cast("decimal(14,2)")).over(w).cast("double")
+    cents = (F.col("revenue").cast("decimal(14,2)") * 100).cast("bigint")
+    total_cents = F.sum(cents).over(w)
     return (
-        per_nation.withColumn("share", F.col("revenue") / total)
-        .select("n_name", "revenue", F.round("share", 6).alias("share"))
+        per_nation.withColumn(
+            "share", exact_ratio(cents, total_cents)
+        )
+        .select("n_name", "revenue", "share")
         .orderBy("n_name")
     )
 
@@ -210,7 +218,10 @@ WITH per_nation AS (
   GROUP BY n_name
 )
 SELECT n_name, revenue,
-       round(revenue / (sum(revenue::DECIMAL(14,2)) OVER ())::DOUBLE, 6) AS share
+       ((2 * (revenue::DECIMAL(14,2) * 100)::BIGINT * 1000000
+           + (sum((revenue::DECIMAL(14,2) * 100)::BIGINT) OVER ()))
+        // (2 * (sum((revenue::DECIMAL(14,2) * 100)::BIGINT) OVER ())))
+         ::DOUBLE / 1000000.0 AS share
 FROM per_nation ORDER BY n_name
 """
 
@@ -619,11 +630,23 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mad")
         )
     )
+    from interop_datalake_spark.functions.fixedpoint import (
+        div_half_up,
+        micros_to_double,
+    )
+
+    # totals sit on the cent grid and med/mad on the quarter-cent
+    # (k/400) grid, so z = 0.6745·d/mad is RATIONAL and round(double,
+    # 6) of it can land exactly half-way (ewma red-row class). Compute
+    # in exact integer quarter-cent units instead: z_micro =
+    # div_half_up(6745·d4·100, m4) with d4 = 400·(total−med),
+    # m4 = 400·mad — the ×400 products are near-integers (grid
+    # values), so the 0-dp round is a deterministic integer snap.
+    d4 = F.round((F.col("total") - F.col("med")) * 400, 0).cast("bigint")
+    m4 = F.round(F.col("mad") * 400, 0).cast("bigint")
     z = F.when(
         F.col("mad") != 0.0,
-        F.round(
-            0.6745 * (F.col("total") - F.col("med")) / F.col("mad"), 6
-        ),
+        micros_to_double(div_half_up(6745 * d4 * 100, m4)),
     )
     return (
         daily.join(F.broadcast(med), "event_type")
@@ -656,8 +679,18 @@ WITH daily AS (
   FROM daily d JOIN meds s USING (event_type) GROUP BY 1
 )
 SELECT d.event_type, d.day::DATE AS day, d.total, s.med, m.mad,
-       CASE WHEN m.mad <> 0.0
-            THEN round(0.6745 * (d.total - s.med) / m.mad, 6) END AS robust_z,
+       -- exact integer quarter-cent z (see the Spark twin): rational
+       -- ratios under round(double, 6) are the ewma red-row class
+       CASE WHEN m.mad <> 0.0 THEN
+         (CASE WHEN 6745 * round((d.total - s.med) * 400)::BIGINT >= 0
+               THEN (2 * 6745 * round((d.total - s.med) * 400)::BIGINT * 100
+                       + round(m.mad * 400)::BIGINT)
+                    // (2 * round(m.mad * 400)::BIGINT)
+               ELSE -((-2 * 6745 * round((d.total - s.med) * 400)::BIGINT * 100
+                       + round(m.mad * 400)::BIGINT)
+                    // (2 * round(m.mad * 400)::BIGINT))
+          END)::DOUBLE / 1000000.0
+       END AS robust_z,
        abs(d.total - s.med) > 2.0 * 1.4826 * m.mad AS is_anomaly
 FROM daily d JOIN meds s USING (event_type) JOIN mads m USING (event_type)
 ORDER BY event_type, day
@@ -704,7 +737,18 @@ def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(Window.partitionBy("scope")).alias("n"),
     )
 
+    from interop_datalake_spark.functions.fixedpoint import (
+        div_half_up,
+        micros_to_double,
+    )
+
     def est(q):
+        # interpolated estimate as exact micro-units: est = 5·bin +
+        # 5·(q·n − cum_prev)/cnt is RATIONAL, and round(double, 6) of
+        # a rational can land exactly half-way on the grid (ewma red
+        # class). With q = p/100: est_micro = 5e6·bin +
+        # div_half_up(5e4·(p·n − 100·cum_prev), cnt), all BIGINT.
+        p = int(q * 100)
         target = F.lit(q) * F.col("n")
         hit = cum.filter(F.col("cum") >= target)
         first = hit.groupBy("scope").agg(F.min("bin").alias("bin"))
@@ -712,13 +756,17 @@ def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             first.join(cum, ["scope", "bin"])
             .select(
                 "scope",
-                F.round(
-                    F.col("bin") * W
-                    + W
-                    * (F.lit(q) * F.col("n") - F.col("cum_prev"))
-                    / F.col("cnt"),
-                    6,
-                ).alias(f"p{int(q * 100)}_est"),
+                micros_to_double(
+                    F.col("bin") * 5000000
+                    + div_half_up(
+                        F.lit(50000)
+                        * (
+                            F.lit(p) * F.col("n")
+                            - F.lit(100) * F.col("cum_prev")
+                        ),
+                        F.col("cnt"),
+                    )
+                ).alias(f"p{p}_est"),
             )
         )
 
@@ -766,8 +814,12 @@ WITH binned AS (
          sum(cnt) OVER (PARTITION BY scope) AS n
   FROM bins
 ), e50 AS (
+  -- exact micro-unit interpolation (see the Spark twin): the rational
+  -- estimate under round(double, 6) is the ewma red-row class
   SELECT c.scope,
-         round(c.bin * 5.0 + 5.0 * (0.5 * c.n - c.cum_prev) / c.cnt, 6)
+         (c.bin * 5000000
+          + (2 * 50000 * (50 * c.n::BIGINT - 100 * c.cum_prev::BIGINT)
+               + c.cnt) // (2 * c.cnt))::DOUBLE / 1000000.0
            AS p50_est
   FROM cum c
   JOIN (SELECT scope, min(bin) AS bin FROM cum
@@ -775,7 +827,9 @@ WITH binned AS (
     ON f.scope = c.scope AND f.bin = c.bin
 ), e95 AS (
   SELECT c.scope,
-         round(c.bin * 5.0 + 5.0 * (0.95 * c.n - c.cum_prev) / c.cnt, 6)
+         (c.bin * 5000000
+          + (2 * 50000 * (95 * c.n::BIGINT - 100 * c.cum_prev::BIGINT)
+               + c.cnt) // (2 * c.cnt))::DOUBLE / 1000000.0
            AS p95_est
   FROM cum c
   JOIN (SELECT scope, min(bin) AS bin FROM cum
@@ -911,14 +965,26 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_b = mean(F.col("s1_b"), F.col("n_b"))
     v_a = var(F.col("s2_a"), F.col("s1_a"), F.col("n_a"))
     v_b = var(F.col("s2_b"), F.col("s1_b"), F.col("n_b"))
+    from interop_datalake_spark.functions.fixedpoint import exact_ratio
+
     z = (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))
     return (
         j.select(
             "event_type",
             "n_a",
             "n_b",
-            F.round(m_a, 6).alias("mean_a"),
-            F.round(m_b, 6).alias("mean_b"),
+            # means are cents/count integer ratios: exact half-up
+            # micro-units (round(double, 6) of an integer ratio can
+            # land exactly half-way on the grid — ewma red-row class);
+            # z stays round(irrational, 6): off-grid by construction
+            exact_ratio(
+                (F.col("s1_a") * 100).cast("bigint"),
+                F.col("n_a") * 100,
+            ).alias("mean_a"),
+            exact_ratio(
+                (F.col("s1_b") * 100).cast("bigint"),
+                F.col("n_b") * 100,
+            ).alias("mean_b"),
             F.round(z, 6).alias("z_score"),
             (F.abs(z) > 1.96).alias("significant_05"),
         )
@@ -939,14 +1005,17 @@ WITH per_arm AS (
 b AS (SELECT event_type, n AS n_b, s1 AS s1_b, s2 AS s2_b
       FROM per_arm WHERE arm = 'B'),
 j AS (
-  SELECT a.event_type, n_a, n_b,
+  SELECT a.event_type, n_a, n_b, s1_a, s1_b,
          s1_a::DOUBLE / n_a AS m_a, s1_b::DOUBLE / n_b AS m_b,
          (s2_a::DOUBLE - (s1_a::DOUBLE)^2 / n_a) / (n_a - 1) AS v_a,
          (s2_b::DOUBLE - (s1_b::DOUBLE)^2 / n_b) / (n_b - 1) AS v_b
   FROM a JOIN b USING (event_type)
 )
 SELECT event_type, n_a, n_b,
-       round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+       ((2 * (s1_a * 100)::BIGINT * 1000000 + n_a * 100)
+        // (2 * n_a * 100))::DOUBLE / 1000000.0 AS mean_a,
+       ((2 * (s1_b * 100)::BIGINT * 1000000 + n_b * 100)
+        // (2 * n_b * 100))::DOUBLE / 1000000.0 AS mean_b,
        round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS z_score,
        abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) > 1.96
          AS significant_05
@@ -985,13 +1054,18 @@ def markov_transitions(ev: DataFrame) -> DataFrame:
         F.count("*").alias("n")
     )
     totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    from interop_datalake_spark.functions.fixedpoint import exact_ratio
+
+    # p is an integer ratio n/n_from: exact half-up micro-units, not
+    # round(double, 6) — integer ratios can land exactly half-way on
+    # the 6-dp grid (the ewma red-row class)
     return (
         counts.join(F.broadcast(totals), "from_type")
         .select(
             "from_type",
             "to_type",
             "n",
-            F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+            exact_ratio(F.col("n"), F.col("n_from")).alias("p"),
         )
     )
 
@@ -1011,7 +1085,8 @@ WITH pairs AS (
   SELECT from_type, sum(n) AS n_from FROM counts GROUP BY from_type
 )
 SELECT c.from_type, c.to_type, c.n,
-       round(c.n::DOUBLE / t.n_from, 6) AS p
+       ((2 * c.n * 1000000 + t.n_from::BIGINT)
+        // (2 * t.n_from::BIGINT))::DOUBLE / 1000000.0 AS p
 FROM counts c JOIN totals t USING (from_type)
 ORDER BY from_type, to_type
 """

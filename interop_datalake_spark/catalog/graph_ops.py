@@ -72,27 +72,40 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = edges.join(F.broadcast(deg), "src").localCheckpoint(
         eager=False
     )
+    from interop_datalake_spark.functions.fixedpoint import (
+        div_half_up,
+        micros_to_double,
+    )
+
     n = deg.count()  # bounded driver scalar: |V|, needed for the teleport term
-    base = F.round(F.lit(0.15) / F.lit(float(n)), 12)
+    # FIXED-POINT recursion in BIGINT pico-units (1e-12): the round-4
+    # verdict proved per-step round(double, n) recursions flip at
+    # representation boundaries between engines (ewma red-row class),
+    # so ranks never touch a rounded double — contributions are exact
+    # half-up femto-unit divisions, the damp factor an exact integer
+    # 85/100 scale, and the only doubles are the final cast-divide.
+    base_pico = (150000000000 + n // 2) // n  # round(0.15/n, 12) exact
     ranks = deg.select(
         F.col("src").alias("node"),
-        F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("r"),
+        F.lit((1000000000000 + n // 2) // n).cast("bigint").alias("rp"),
     )
     for _ in range(_ITERS):
         contrib = edges_deg.join(
             F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
         ).select(
             F.col("dst").alias("node"),
-            (F.col("r") / F.col("deg")).cast("decimal(20,15)").alias("_c"),
+            # r/deg at femto precision (1e-15), exact half-up
+            div_half_up(F.col("rp") * 1000, F.col("deg")).alias("_cf"),
         )
         ranks = (
             contrib.groupBy("node")
-            .agg(F.sum("_c").alias("_s"))
+            .agg(F.sum("_cf").alias("_sf"))
             .select(
                 "node",
-                F.round(
-                    base + F.lit(_DAMP) * F.col("_s").cast("double"), 12
-                ).alias("r"),
+                (
+                    F.lit(base_pico)
+                    + div_half_up(85 * F.col("_sf"), F.lit(100000))
+                ).cast("bigint").alias("rp"),
             )
             .localCheckpoint(eager=False)
         )
@@ -104,18 +117,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranks.join(deg.withColumnRenamed("src", "node"), "node")
-        .select(label.alias("node"), "deg", F.round("r", 6).alias("rank"))
+        .select(
+            label.alias("node"),
+            "deg",
+            # 6-dp rank: exact half-up pico→micro, then one IEEE divide
+            micros_to_double(
+                div_half_up(F.col("rp"), F.lit(1000000))
+            ).alias("rank"),
+        )
         .orderBy("node")
     )
 
 
 def _pr_iter_sql(prev: str, n: int) -> str:
-    """One synchronous PageRank round as a CTE fragment."""
+    """One synchronous PageRank round as a CTE fragment — BIGINT
+    pico-unit fixed point, replaying the Spark recursion exactly
+    (all quantities non-negative, so the half-up idiom is the simple
+    ``(2a + b) // (2b)`` form)."""
     return f"""r{n} AS (
   SELECT e.dst AS node,
-         round((SELECT round(0.15 / n, 12) FROM nn)
-               + 0.85 * sum((p.r / e.deg)::DECIMAL(20,15))::DOUBLE,
-               12) AS r
+         (SELECT bp FROM nn)
+           + (2 * 85 * sum((2 * p.rp * 1000 + e.deg) // (2 * e.deg))::BIGINT
+                + 100000) // 200000 AS rp
   FROM ed e JOIN {prev} p ON e.src = p.node
   GROUP BY e.dst
 )"""
@@ -131,13 +154,21 @@ WITH pairs AS (
   SELECT src, count(*) AS deg FROM edges GROUP BY src
 ), ed AS (
   SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src
-), nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+), nn AS (
+  SELECT count(*)::BIGINT AS n,
+         (150000000000 + count(*)::BIGINT // 2) // count(*)::BIGINT AS bp
+  FROM deg
+),
 r0 AS (
-  SELECT src AS node, round(1.0 / n, 12) AS r FROM deg, nn
+  SELECT src AS node,
+         ((1000000000000 + (SELECT n FROM nn) // 2)
+          // (SELECT n FROM nn))::BIGINT AS rp
+  FROM deg
 ), {_pr_iter_sql('r0', 1)}, {_pr_iter_sql('r1', 2)}, {_pr_iter_sql('r2', 3)}
 SELECT CASE WHEN r.node % 2 = 0 THEN 'c' || (r.node // 2)
             ELSE 's' || ((r.node - 1) // 2) END AS node,
-       d.deg, round(r.r, 6) AS rank
+       d.deg,
+       ((2 * r.rp + 1000000) // 2000000)::DOUBLE / 1000000.0 AS rank
 FROM r3 r JOIN deg d ON d.src = r.node
 ORDER BY node
 """

@@ -125,7 +125,8 @@ WITH tok AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 )
 SELECT id_a, id_b,
-       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+       ((2 * n_inter * 1000000 + (sa.n + sb.n - n_inter))
+        // (2 * (sa.n + sb.n - n_inter)))::DOUBLE / 1000000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -211,7 +212,8 @@ WITH tok AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 )
 SELECT id_a, id_b,
-       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+       ((2 * n_inter * 1000000 + (sa.n + sb.n - n_inter))
+        // (2 * (sa.n + sb.n - n_inter)))::DOUBLE / 1000000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -353,7 +355,8 @@ WITH tok AS (
   GROUP BY a.doc_id, b.doc_id
 ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 SELECT id_a, id_b,
-       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+       ((2 * n_inter * 1000000 + (sa.n + sb.n - n_inter))
+        // (2 * (sa.n + sb.n - n_inter)))::DOUBLE / 1000000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -872,7 +875,8 @@ WITH tok AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 )
 SELECT id_a, id_b,
-       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+       ((2 * n_inter * 1000000 + (sa.n + sb.n - n_inter))
+        // (2 * (sa.n + sb.n - n_inter)))::DOUBLE / 1000000.0 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -1636,7 +1640,8 @@ WITH tok AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 )
 SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
-       round(n_inter::DOUBLE / least(sa.n, sb.n), 6) AS containment
+       ((2 * n_inter * 1000000 + least(sa.n, sb.n))
+        // (2 * least(sa.n, sb.n)))::DOUBLE / 1000000.0 AS containment
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -1743,7 +1748,8 @@ WITH tok AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), verified AS (
   SELECT id_a, id_b,
-         round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+         ((2 * n_inter * 1000000 + (sa.n + sb.n - n_inter))
+        // (2 * (sa.n + sb.n - n_inter)))::DOUBLE / 1000000.0 AS jaccard
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
@@ -1826,17 +1832,25 @@ WITH postings AS (
 ), nn AS (
   SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM postings
 ), scored AS (
+  -- exact BIGINT nano-unit score (tf · 9-dp idf): ranking compares
+  -- integers and the 6-dp emission is an exact half-up division
+  -- (round(double, 6) of a 1e-9-grid value is the ewma red class)
   SELECT t.doc_id, t.term, t.tf,
-         t.tf * round(ln((SELECT n FROM nn) / f.df), 9) AS score
+         t.tf * round(ln((SELECT n FROM nn) / f.df) * 1000000000)::BIGINT
+           AS score_nano
   FROM tf t JOIN dfreq f USING (term)
 ), ranked AS (
-  SELECT doc_id, term, tf, score,
+  SELECT doc_id, term, tf, score_nano,
          row_number() OVER (
-           PARTITION BY doc_id ORDER BY score DESC, term
+           PARTITION BY doc_id ORDER BY score_nano DESC, term
          ) AS rank
   FROM scored
 )
-SELECT doc_id, rank, term, tf, round(score, 6) AS score
+SELECT doc_id, rank, term, tf,
+       (CASE WHEN score_nano >= 0
+             THEN (2 * score_nano + 1000) // 2000
+             ELSE -((-2 * score_nano + 1000) // 2000) END)::DOUBLE
+         / 1000000.0 AS score
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
 """
@@ -1895,8 +1909,14 @@ WITH toks AS (
                9)::DECIMAL(18,9) AS log_ratio
   FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
 ), weights AS (
+  -- exact half-up nano→micro division of the 9-dp DECIMAL sum
+  -- (round(double, 6) of a 1e-9-grid value is the ewma red class)
   SELECT doc_id, count(*) AS n_toks,
-         round(sum(log_ratio)::DOUBLE, 6) AS log_weight
+         (CASE WHEN (sum(log_ratio) * 1000000000)::BIGINT >= 0
+               THEN (2 * (sum(log_ratio) * 1000000000)::BIGINT + 1000)
+                    // 2000
+               ELSE -((-2 * (sum(log_ratio) * 1000000000)::BIGINT + 1000)
+                    // 2000) END)::DOUBLE / 1000000.0 AS log_weight
   FROM toks JOIN ratio USING (bucket) GROUP BY doc_id
 )
 SELECT doc_id, n_toks, log_weight,

@@ -7,6 +7,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from interop_datalake_spark.functions import text as T
+from interop_datalake_spark.functions.fixedpoint import (
+    exact_ratio,
+    sql_exact_ratio,
+    sql_try_exact_ratio,
+)
 from interop_datalake_spark.sources.tables import load_table
 
 
@@ -18,12 +23,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").alias("n_chars_actual"),
             T.token_count_ws("text").alias("n_words"),
             T.token_count_bpe_ish("text").alias("n_tokens"),
-            F.round(F.coalesce(T.punct_ratio("text"), F.lit(0.0)), 6).alias(
+            # emitted ratios use the exact 6-dp integer-ratio variants
+            # (round(double, 6) of an integer ratio is the ewma red
+            # class — functions/fixedpoint.py)
+            F.coalesce(T.punct_ratio_6dp("text"), F.lit(0.0)).alias(
                 "punct_ratio"
             ),
-            F.round(T.avg_word_length("text").cast("double"), 6).alias("avg_word_len"),
-            F.round(
-                F.coalesce(T.stopword_ratio("text", "en"), F.lit(0.0)), 6
+            T.avg_word_length_6dp("text").alias("avg_word_len"),
+            F.coalesce(
+                T.stopword_ratio_6dp("text", "en"), F.lit(0.0)
             ).alias("en_stopword_ratio"),
             T.quality_score("text").alias("quality"),
         )
@@ -33,6 +41,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WORDS = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
 _EN_SW = "['the','a','of','and','to','in','is','on','for','with']"
+#: punct-char count (f-string expressions can't hold backslashes)
+_PUNCT_N = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
 
 TEXT_QUALITY_ORACLE = f"""
 WITH base AS (
@@ -42,13 +52,15 @@ WITH base AS (
          length(text)                                            AS n_chars_actual,
          len(ws)                                                 AS n_words,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
-         round(coalesce(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-               / nullif(length(text), 0), 0.0), 6)               AS punct_ratio,
-         round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
-               / nullif(len(ws), 0), 6)                          AS avg_word_len,
-         round(coalesce(len(list_filter(list_transform(ws, w -> lower(w)),
-                                        w -> list_contains({_EN_SW}, w)))::DOUBLE
-               / nullif(len(ws), 0), 0.0), 6)                    AS en_stopword_ratio,
+         coalesce({sql_try_exact_ratio(_PUNCT_N, "length(text)")},
+                  0.0)                                           AS punct_ratio,
+         {sql_try_exact_ratio(
+             "list_sum(list_transform(ws, w -> length(w)))::BIGINT",
+             "len(ws)")}                                         AS avg_word_len,
+         coalesce({sql_try_exact_ratio(
+             "len(list_filter(list_transform(ws, w -> lower(w)),"
+             f" w -> list_contains({_EN_SW}, w)))",
+             "len(ws)")}, 0.0)                                   AS en_stopword_ratio,
          length(text) AS L,
          coalesce(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
                   / nullif(length(text), 0), 0.0)                AS praw,
@@ -302,16 +314,21 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ngram_containment(
         docs, eval_df, "text", "eval_id", k=5, train_id_col="doc_id"
     )
+    # containment n_hit/n_shingles is an integer ratio: exact 6-dp
+    # half-up micro-units (round(double, 6) red class); flagged keeps
+    # the raw IEEE ratio comparison (bit-identical on both engines)
     return out.select(
         "eval_id",
         "n_shingles",
         "n_hit",
-        F.round("containment", 6).alias("containment"),
+        exact_ratio(F.col("n_hit"), F.col("n_shingles")).alias(
+            "containment"
+        ),
         (F.col("containment") >= 0.8).alias("flagged"),
     ).orderBy("eval_id")
 
 
-CORPUS_DECONTAMINATE_ORACLE = """
+CORPUS_DECONTAMINATE_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), train_sh AS (
@@ -333,7 +350,8 @@ WITH tok AS (
 SELECT eval_id,
        count(*)                                    AS n_shingles,
        count(t.shingle)                            AS n_hit,
-       round(count(t.shingle) / count(*), 6)       AS containment,
+       {sql_exact_ratio('count(t.shingle)', 'count(*)')}
+                                                   AS containment,
        count(t.shingle) / count(*) >= 0.8          AS flagged
 FROM eval_sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
 GROUP BY eval_id ORDER BY eval_id
@@ -537,13 +555,20 @@ def corpus_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = F.lit(True)
     for c in rules.values():
         keep = keep & c
+    # rule booleans compare the RAW ratios (bit-identical IEEE doubles
+    # on both engines — safe); only the EMITTED ratios switch to the
+    # exact 6-dp integer variants (round(double, 6) red class)
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(F.coalesce(alpha, F.lit(0.0)), 6).alias("alpha_word_frac"),
+        T.avg_word_length_6dp("text").alias("mean_word_len"),
+        F.coalesce(T.alpha_word_frac_6dp("text"), F.lit(0.0)).alias(
+            "alpha_word_frac"
+        ),
         dsw.alias("distinct_stopwords"),
-        F.round(F.coalesce(dupf, F.lit(0.0)), 6).alias("dup_word_frac"),
+        F.coalesce(T.dup_word_frac_6dp("text"), F.lit(0.0)).alias(
+            "dup_word_frac"
+        ),
         *[c.alias(n) for n, c in rules.items()],
         keep.alias("keep"),
     ).orderBy("doc_id")
@@ -562,12 +587,22 @@ WITH base AS (
          len(list_distinct(list_filter(list_transform(ws, w -> lower(w)),
              w -> list_contains({_EN_SW}, w)))) AS dsw,
          coalesce(1.0 - len(list_distinct(ws))::DOUBLE / nullif(len(ws), 0), 0.0)
-           AS dupf
+           AS dupf,
+         -- exact 6-dp twins for the EMITTED columns (rule booleans
+         -- keep the raw IEEE ratios above, same as the Spark side)
+         {sql_try_exact_ratio(
+             "list_sum(list_transform(ws, w -> length(w)))::BIGINT",
+             "len(ws)")} AS mwl6,
+         coalesce({sql_try_exact_ratio(
+             "len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))",
+             "len(ws)")}, 0.0) AS alpha6,
+         coalesce({sql_try_exact_ratio(
+             "len(ws) - len(list_distinct(ws))", "len(ws)")}, 0.0) AS dupf6
   FROM base
 )
-SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
-       round(alpha, 6) AS alpha_word_frac, dsw AS distinct_stopwords,
-       round(dupf, 6) AS dup_word_frac,
+SELECT doc_id, n_words, mwl6 AS mean_word_len,
+       alpha6 AS alpha_word_frac, dsw AS distinct_stopwords,
+       dupf6 AS dup_word_frac,
        (n_words >= 25 AND n_words <= 100000) AS r_word_count,
        (mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
        (alpha >= 0.8) AS r_alpha_words,
@@ -861,10 +896,13 @@ WITH toks AS (
   SELECT w AS w1, count(*) AS c1 FROM toks GROUP BY w
 ), vocab AS (SELECT count(DISTINCT w) AS v FROM toks)
 SELECT b.doc_id, count(*) AS n_bigrams,
-       round(-(sum(
+       -- exact half-up micro-unit mean of the 9-dp DECIMAL sum
+       -- (round(double, 6) of this rational is the ewma red class)
+       ((2 * (sum(
          round(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * vocab.v)), 9)
            ::DECIMAL(18,9)
-       )::DOUBLE) / count(*), 6) AS cross_entropy
+       ) * -1000000000)::BIGINT + count(*) * 1000)
+        // (2 * count(*) * 1000))::DOUBLE / 1000000.0 AS cross_entropy
 FROM big b
 JOIN c12 USING (w1, w)
 JOIN c1 USING (w1)
@@ -1119,11 +1157,21 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("n_chars").cast("double").alias("nc_min"),
         F.max("n_chars").cast("double").alias("nc_max"),
-        F.round(F.avg("n_chars"), 2).alias("nc_avg"),
-        F.round(
-            F.avg(F.size(F.filter(F.split("text", " "), lambda w: w != ""))),
-            2,
-        ).alias("text_avg_words"),
+        # round(avg(int), 2) can land EXACTLY half-way on the 2-dp
+        # grid (sum ≡ n/2 mod n patterns) — the ewma red-row class;
+        # both averages use the exact integer half-up ratio instead
+        F.sum("n_chars").alias("nc_sum"),
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        ).alias("words_sum"),
+    ).select(
+        "*",
+        exact_ratio(F.col("nc_sum"), F.col("row_count"), dp=2).alias(
+            "nc_avg"
+        ),
+        exact_ratio(F.col("words_sum"), F.col("row_count"), dp=2).alias(
+            "text_avg_words"
+        ),
     )
     long = wide.selectExpr(
         """stack(9,
@@ -1163,7 +1211,7 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CORPUS_PROFILE_ORACLE = """
+CORPUS_PROFILE_ORACLE = f"""
 WITH wide AS (
   SELECT count(*)::DOUBLE AS row_count,
          count(DISTINCT lang)::DOUBLE AS lang_nd,
@@ -1172,8 +1220,14 @@ WITH wide AS (
          sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::DOUBLE AS source_nn,
          min(n_chars)::DOUBLE AS nc_min,
          max(n_chars)::DOUBLE AS nc_max,
-         round(avg(n_chars), 2) AS nc_avg,
-         round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))), 2)
+         -- exact 2-dp half-up integer ratio, not round(avg(...), 2):
+         -- a mean of ints can land exactly half-way on the 2-dp grid
+         {sql_exact_ratio('sum(n_chars)::BIGINT', 'count(*)', dp=2)}
+           AS nc_avg,
+         {sql_exact_ratio(
+             "sum(len(list_filter(string_split(text, ' '),"
+             " w -> w <> '')))::BIGINT",
+             'count(*)', dp=2)}
            AS text_avg_words
   FROM documents
 ), long AS (

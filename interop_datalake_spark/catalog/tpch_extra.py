@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from interop_datalake_spark.functions.fixedpoint import sql_exact_ratio
 from interop_datalake_spark.functions.money import money, money_sum, one_minus
 from interop_datalake_spark.sources.tables import load_table
 
@@ -343,7 +344,7 @@ def pair_lift(
     collect (the bm25_scores convention)."""
     items = items.localCheckpoint()
     nb = items.agg(
-        F.count_distinct(basket_col).cast("double").alias("_n_baskets")
+        F.count_distinct(basket_col).alias("_n_baskets")
     )
     freq = items.groupBy(item_col).agg(F.count("*").alias("n_item"))
     b = items.select(
@@ -364,27 +365,31 @@ def pair_lift(
     fb = freq.select(
         F.col(item_col).alias("pb"), F.col("n_item").alias("n_b")
     )
-    lift = (
-        F.col("n_pair").cast("double")
-        * F.col("_n_baskets")
-        / (F.col("n_a") * F.col("n_b"))
-    )
+    from interop_datalake_spark.functions.fixedpoint import exact_ratio
+
+    # lift is a pure integer ratio n_pair·N / (n_a·n_b): computed as
+    # an exact half-up micro-unit division, never round(double, 6) —
+    # an integer ratio CAN land exactly half-way on the 6-dp grid
+    # (e.g. denominators of the form 2^7·5^j), the ewma red-row class
     return (
         pairs.join(F.broadcast(fa), "pa")
         .join(F.broadcast(fb), "pb")
         .crossJoin(F.broadcast(nb))
         .select(
             "pa", "pb", "n_pair", "n_a", "n_b",
-            F.round(lift, 6).alias("lift"),
+            exact_ratio(
+                F.col("n_pair") * F.col("_n_baskets"),
+                F.col("n_a") * F.col("n_b"),
+            ).alias("lift"),
         )
     )
 
 
-BASKET_LIFT_ORACLE = """
+BASKET_LIFT_ORACLE = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), nb AS (
-  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM items
+  SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM items
 ), freq AS (
   SELECT l_partkey, count(*) AS n_item FROM items GROUP BY l_partkey
 ), pairs AS (
@@ -396,8 +401,8 @@ WITH items AS (
   HAVING count(*) >= 2
 )
 SELECT p.pa, p.pb, p.n_pair, fa.n_item AS n_a, fb.n_item AS n_b,
-       round(p.n_pair::DOUBLE * (SELECT n FROM nb)
-             / (fa.n_item * fb.n_item), 6) AS lift
+       {sql_exact_ratio('p.n_pair * (SELECT n FROM nb)',
+                        'fa.n_item * fb.n_item')} AS lift
 FROM pairs p
 JOIN freq fa ON fa.l_partkey = p.pa
 JOIN freq fb ON fb.l_partkey = p.pb

@@ -220,25 +220,48 @@ ORDER BY user_id, purchase_id, error_id
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank / cume_dist over
     account balance within each market segment."""
+    from interop_datalake_spark.functions.fixedpoint import (
+        exact_ratio,
+        try_exact_ratio,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_mktsegment")
+    # percent_rank/cume_dist are integer ratios (rank−1)/(n−1), rn/n —
+    # emitted via the exact 6-dp half-up integer ratio, because
+    # round(double, 6) of an integer ratio can land exactly half-way
+    # on the grid (ewma red-row class). The ORDER BY tiebreak is
+    # unique (c_custkey), so rank == row_number and cume counts rn.
+    rn = F.row_number().over(w)
+    n = F.count("*").over(wp)
     return (
         cust.select(
             "c_mktsegment",
             "c_custkey",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.coalesce(
+                try_exact_ratio(rn - 1, n - 1), F.lit(0.0)
+            ).alias("pct_rank"),
+            exact_ratio(rn, n).alias("cume"),
         )
         .orderBy("c_mktsegment", "c_custkey")
     )
 
 
 WINDOW_DISTRIBUTION_ORACLE = """
+WITH r AS (
+  SELECT c_mktsegment, c_custkey,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+)
 SELECT c_mktsegment, c_custkey,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6)    AS cume
-FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+       coalesce(CASE WHEN n > 1 THEN
+         ((2 * (rn - 1) * 1000000 + (n - 1))
+          // (2 * (n - 1)))::DOUBLE / 1000000.0 END, 0.0) AS pct_rank,
+       ((2 * rn * 1000000 + n) // (2 * n))::DOUBLE / 1000000.0 AS cume
+FROM r
 ORDER BY c_mktsegment, c_custkey
 """
 

@@ -76,11 +76,19 @@ def micros_to_double(c: Column) -> Column:
     return c.cast("double") / F.lit(1000000.0)
 
 
-def exact_ratio(num: Column, den: Column) -> Column:
-    """The portable spelling of ``round(num / den, 6)`` as a double:
-    integer micro-units first, then one exact cast-and-divide.
-    DuckDB: ``(<div_half_up idiom>)::DOUBLE / 1000000.0``."""
-    return micros_to_double(ratio_micros(num, den))
+def exact_ratio(num: Column, den: Column, dp: int = 6) -> Column:
+    """The portable spelling of ``round(num / den, dp)`` as a double:
+    integer scaled units first (HALF_UP), then one exact
+    cast-and-divide. DuckDB: :func:`sql_exact_ratio`."""
+    scale = 10**dp
+    q = div_half_up(num.cast("bigint") * F.lit(scale), den)
+    return q.cast("double") / F.lit(float(scale))
+
+
+def try_exact_ratio(num: Column, den: Column, dp: int = 6) -> Column:
+    """:func:`exact_ratio` with ``try_divide`` semantics: NULL when
+    the denominator is 0. DuckDB: :func:`sql_try_exact_ratio`."""
+    return F.when(den != 0, exact_ratio(num, den, dp))
 
 
 #: DuckDB fragment builder for the same algebra (kept next to the
@@ -93,9 +101,19 @@ def sql_div_half_up(num: str, den: str) -> str:
     )
 
 
-def sql_exact_ratio(num: str, den: str) -> str:
-    """DuckDB twin of :func:`exact_ratio` (micro-unit half-up ratio as
-    double). Cast ``num``/``den`` to BIGINT before calling if they are
-    sums (HUGEINT would otherwise propagate)."""
-    q = sql_div_half_up(f"({num}) * 1000000", den)
-    return f"(({q})::DOUBLE / 1000000.0)"
+def sql_exact_ratio(num: str, den: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`exact_ratio` (scaled-unit half-up ratio
+    as double). Cast ``num``/``den`` to BIGINT before calling if they
+    are sums (HUGEINT would otherwise propagate)."""
+    scale = 10**dp
+    q = sql_div_half_up(f"({num}) * {scale}", den)
+    return f"(({q})::DOUBLE / {scale}.0)"
+
+
+def sql_try_exact_ratio(num: str, den: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`try_exact_ratio` (NULL on zero/NULL
+    denominator)."""
+    return (
+        f"(CASE WHEN ({den}) <> 0 "
+        f"THEN {sql_exact_ratio(num, den, dp)} END)"
+    )

@@ -67,6 +67,58 @@ def avg_word_length(text: Column | str) -> Column:
     )
 
 
+def punct_ratio_6dp(text: Column | str) -> Column:
+    """Exact 6-dp :func:`punct_ratio` via integer half-up micro-units
+    (functions/fixedpoint.py) — for EMITTED columns, where
+    ``round(double, 6)`` of an integer ratio can land exactly
+    half-way on the grid and flip between engines (ewma red class)."""
+    from interop_datalake_spark.functions.fixedpoint import try_exact_ratio
+
+    t = _col(text)
+    return try_exact_ratio(
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")), F.length(t)
+    )
+
+
+def stopword_ratio_6dp(text: Column | str, lang: str = "en") -> Column:
+    """Exact 6-dp :func:`stopword_ratio` (see :func:`punct_ratio_6dp`)."""
+    from interop_datalake_spark.functions.fixedpoint import try_exact_ratio
+
+    return try_exact_ratio(stopword_hits(text, lang), token_count_ws(text))
+
+
+def avg_word_length_6dp(text: Column | str) -> Column:
+    """Exact 6-dp :func:`avg_word_length` (see :func:`punct_ratio_6dp`)."""
+    from interop_datalake_spark.functions.fixedpoint import try_exact_ratio
+
+    ws = words(text)
+    return try_exact_ratio(
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)),
+        F.size(ws),
+    )
+
+
+def dup_word_frac_6dp(text: Column | str) -> Column:
+    """Exact 6-dp :func:`dup_word_frac` as (total − distinct)/total
+    (see :func:`punct_ratio_6dp`)."""
+    from interop_datalake_spark.functions.fixedpoint import try_exact_ratio
+
+    ws = words(text)
+    return try_exact_ratio(
+        F.size(ws) - F.size(F.array_distinct(ws)), F.size(ws)
+    )
+
+
+def alpha_word_frac_6dp(text: Column | str) -> Column:
+    """Exact 6-dp :func:`alpha_word_frac` (see :func:`punct_ratio_6dp`)."""
+    from interop_datalake_spark.functions.fixedpoint import try_exact_ratio
+
+    ws = words(text)
+    return try_exact_ratio(
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))), F.size(ws)
+    )
+
+
 def language_guess(text: Column | str) -> Column:
     """Stopword-vote language heuristic: the language with the most
     stopword hits wins; ties and zero hits → 'und' (undetermined).

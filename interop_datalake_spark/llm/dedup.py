@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from interop_datalake_spark.functions.fixedpoint import exact_ratio
+
 
 def _hash64(col) -> "F.Column":
     """Deterministic 32-bit hash from md5 hex (engine-portable).
@@ -127,10 +129,13 @@ def ngram_containment(
     )
     ev = shingles(eval_df, text_col, id_col, k)
     joined = ev.join(tr.withColumn("_hit", F.lit(1)), "shingle", "left")
+    # containment emitted as the exact 6-dp half-up integer ratio
+    # (functions/fixedpoint.py): round(double, 6) of an integer ratio
+    # can land exactly half-way on the grid (ewma red-row class)
     return joined.groupBy(id_col).agg(
         F.count("*").alias("n_shingles"),
         F.count("_hit").alias("n_hit"),
-        (F.count("_hit") / F.count("*")).alias("containment"),
+        exact_ratio(F.count("_hit"), F.count("*")).alias("containment"),
     )
 
 
@@ -201,15 +206,27 @@ def containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    # threshold filters on the RAW IEEE ratio (selection semantics
+    # unchanged, bit-identical cross-engine); the EMITTED value is the
+    # exact 6-dp half-up integer ratio (round(double, 6) red class)
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "containment",
+            "_raw",
             F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")),
         )
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "containment")
+        .filter(F.col("_raw") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            exact_ratio(
+                F.col("n_inter"), F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
     )
 
 
@@ -370,6 +387,8 @@ def jaccard_pairs(
         # no broadcast hint on the array sides: candidate shingle-set
         # arrays can be large at scale; AQE picks broadcast when they
         # fit and falls back to shuffle join when they don't
+        # filter on the raw IEEE ratio; emit the exact 6-dp half-up
+        # integer ratio (round(double, 6) red class)
         scored = (
             pair_ids.join(sa, "id_a")
             .join(sb, "id_b")
@@ -377,13 +396,15 @@ def jaccard_pairs(
                 "inter", F.size(F.array_intersect("_set_a", "_set_b"))
             )
             .withColumn(
-                "jaccard",
-                F.col("inter")
-                / (F.size("_set_a") + F.size("_set_b") - F.col("inter")),
+                "_union",
+                F.size("_set_a") + F.size("_set_b") - F.col("inter"),
             )
+            .withColumn("_raw", F.col("inter") / F.col("_union"))
         )
-        return scored.filter(F.col("jaccard") >= threshold).select(
-            "id_a", "id_b", "jaccard"
+        return scored.filter(F.col("_raw") >= threshold).select(
+            "id_a",
+            "id_b",
+            exact_ratio(F.col("inter"), F.col("_union")).alias("jaccard"),
         )
 
     sizes = shingles_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -399,11 +420,15 @@ def jaccard_pairs(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+            "_union", F.col("n_a") + F.col("n_b") - F.col("inter")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("_raw", F.col("inter") / F.col("_union"))
+        .filter(F.col("_raw") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            exact_ratio(F.col("inter"), F.col("_union")).alias("jaccard"),
+        )
     )
 
 

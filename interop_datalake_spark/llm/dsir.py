@@ -105,14 +105,25 @@ def importance_weights(
             .alias("log_ratio"),
         )
     )
+    from interop_datalake_spark.functions.fixedpoint import (
+        div_half_up,
+        micros_to_double,
+    )
+
+    # the 9-dp DECIMAL sum sits on the 1e-9 grid, where round(double,
+    # 6) can land exactly half-way (ewma red-row class): emit the
+    # 6-dp weight via exact half-up nano→micro integer division
     return (
         toks.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_toks"),
-            F.round(F.sum("log_ratio").cast("double"), 6).alias(
-                "log_weight"
-            ),
+            micros_to_double(
+                div_half_up(
+                    (F.sum("log_ratio") * 1000000000).cast("bigint"),
+                    F.lit(1000),
+                )
+            ).alias("log_weight"),
         )
     )
 

@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from interop_datalake_spark.functions import text as T
+from interop_datalake_spark.functions.fixedpoint import (
+    div_half_up,
+    micros_to_double,
+)
 
 
 def bigram_cross_entropy(
@@ -65,8 +69,15 @@ def bigram_cross_entropy(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                -(F.sum("_lp").cast("double")) / F.count("*"), 6
+            # mean at 6 dp via exact BIGINT nano/micro units: the
+            # 9-dp DECIMAL sum over an integer count is rational and
+            # CAN land exactly half-way on the 6-dp grid, where
+            # round(double, 6) flips between engines (ewma red class)
+            micros_to_double(
+                div_half_up(
+                    (F.sum("_lp") * F.lit(-1000000000)).cast("bigint"),
+                    F.count("*") * F.lit(1000),
+                )
             ).alias("cross_entropy"),
         )
     )

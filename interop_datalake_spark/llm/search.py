@@ -136,6 +136,22 @@ def tfidf_keywords(
     nd = tf.agg(
         F.count_distinct(id_col).cast("double").alias("_n_docs")
     )
+    from interop_datalake_spark.functions.fixedpoint import (
+        div_half_up,
+        micros_to_double,
+    )
+
+    # score = tf · idf with idf on the 9-dp grid puts score on the
+    # 1e-9 grid, where round(double, 6) can land exactly half-way
+    # (ewma red-row class): carry score as exact BIGINT nano-units —
+    # ranking compares the integers (no double-collision tie risk) and
+    # the emitted 6-dp value is an exact half-up division.
+    # round at nano scale directly (a ×1e9 THEN truncating cast would
+    # corrupt k − ε doubles); ln is irrational so the 0-dp round of
+    # ln·1e9 never sits near a tie
+    idf_nano = F.round(
+        F.log(F.col("_n_docs") / F.col("df")) * 1000000000, 0
+    ).cast("bigint")
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(nd))
@@ -143,19 +159,24 @@ def tfidf_keywords(
             id_col,
             "term",
             "tf",
-            (
-                F.col("tf")
-                * F.round(F.log(F.col("_n_docs") / F.col("df")), 9)
-            ).alias("score"),
+            (F.col("tf") * idf_nano).alias("_score_nano"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(
-        F.desc("score"), F.col("term")
+        F.desc("_score_nano"), F.col("term")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
-        .select(id_col, "rank", "term", "tf", F.round("score", 6).alias("score"))
+        .select(
+            id_col,
+            "rank",
+            "term",
+            "tf",
+            micros_to_double(
+                div_half_up(F.col("_score_nano"), F.lit(1000))
+            ).alias("score"),
+        )
     )
 
 

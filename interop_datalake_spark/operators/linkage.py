@@ -80,12 +80,17 @@ def resolve_entities(
     union = (
         F.size(F.col("a._bg")) + F.size(F.col("b._bg")) - inter
     )
+    from interop_datalake_spark.functions.fixedpoint import try_exact_ratio
+
+    # exact 6-dp half-up integer ratio, and the threshold filters on
+    # that same 6-dp value on BOTH engines — round(double, 6) of an
+    # integer ratio can land exactly half-way on the grid (ewma class)
     return (
         a.join(b, cond)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(inter / F.nullif(union, F.lit(0)), 6).alias("jaccard"),
+            try_exact_ratio(inter, union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
