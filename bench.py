@@ -57,6 +57,7 @@ HEADLINE = [
     "corpus_pack_sequences_sharded",
     "corpus_filter_gopher",
     "dedup_incremental",
+    "dedup_incremental_steady",
     "dedup_span_coverage",
     "corpus_curate_pipeline",
     "corpus_to_training_set",

@@ -60,7 +60,7 @@ import uuid
 from datetime import date, datetime, timezone
 from decimal import Decimal
 from pathlib import Path
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -77,6 +77,17 @@ class SchemaEvolutionError(ValueError):
     columns is evolution (allowed); changing a type silently corrupts
     every existing file's read, so it must be an explicit migration
     (overwrite with the new schema), never an append side effect."""
+
+
+def _uri_endswith(uri: str, rel: str) -> bool:
+    """True when the URI from input_file_name() names the manifest's
+    relative file `rel`. input_file_name() returns a percent-ENCODED
+    URI (space → %20, '%' → %25, …), so a raw str.endswith against the
+    on-disk relative path fails for any partition value containing a
+    URI-reserved character — and a scope/key match that fails here
+    silently treats the file as untouched (rows that should be deleted
+    survive). Decode the URI's path component before comparing."""
+    return unquote(urlparse(uri).path).endswith(rel)
 
 
 def _stats_encode(v):
@@ -347,9 +358,26 @@ class TxnTable:
         # matching read schema + injections, and the frames union by
         # name — no spec's files are ever silently NULLed.
         parts = state.get("partitions", {})
+        # each file's path-encoded set comes from the manifest's
+        # RECORDED keys for that file (intersected with the log
+        # schema), NOT from the current partition_cols: a file written
+        # under an older spec whose path column was later dropped or
+        # replaced must still have that column injected from its path
+        # — filtering on the current spec would silently NULL it
+        # (round-5 advice finding). Ordering: current-spec columns
+        # first (pcols order), then dropped ones by name — stable.
+        log_names = {f.name for f in st.fields} if st is not None else None
         groups: dict[tuple, list[str]] = {}
         for f in rel_files:
-            key = tuple(c for c in pcols if c in parts.get(f, {}))
+            recorded = parts.get(f, {})
+            eligible = {
+                c
+                for c in recorded
+                if log_names is None or c in log_names
+            }
+            key = tuple(c for c in pcols if c in eligible) + tuple(
+                sorted(eligible - set(pcols))
+            )
             groups.setdefault(key, []).append(f)
 
         def _read(files: list[str], path_cols: tuple) -> DataFrame:
@@ -375,7 +403,15 @@ class TxnTable:
                     .when(dec == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
                     .otherwise(dec)
                 )
-                df = df.withColumn(c, val.cast(ptypes.get(c, "string")))
+                # dropped-spec columns are absent from the current
+                # partition_types: fall back to the log schema's type
+                typ = ptypes.get(c)
+                if typ is None and st is not None:
+                    for fld in st.fields:
+                        if fld.name == c:
+                            typ = fld.dataType.simpleString()
+                            break
+                df = df.withColumn(c, val.cast(typ or "string"))
             return df
 
         frames = [_read(files, key) for key, files in groups.items()]
@@ -633,18 +669,40 @@ class TxnTable:
                         if k in pcols:  # layout-only dirs are not table partitions
                             vals[k] = unquote(raw)
                 partitions[rel] = vals
-        back = self.spark.read.format(self.session.format).load(str(out))
+        # Partition TYPE INFERENCE on the stats read-back is disabled:
+        # inference is LOSSY for numeric-looking strings (path value
+        # '0103' → INT 103 → cast back to STRING gives '103'), so a
+        # bloom position hashed from the inferred value would differ
+        # from the read probe's hash of the true value '0103' — a
+        # FALSE NEGATIVE that silently drops existing rows. With
+        # inference off, path-encoded columns come back as the exact
+        # on-disk string; the cast below then converts to the
+        # incoming frame's type (the same cast the read probes apply),
+        # so positions match for string AND genuinely-typed columns.
+        _INF_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        _old_inf = self.spark.conf.get(_INF_KEY, "true")
+        self.spark.conf.set(_INF_KEY, "false")
+        try:
+            # partition-schema resolution happens at load(); the conf
+            # can be restored right after
+            back = self.spark.read.format(self.session.format).load(str(out))
+        finally:
+            self.spark.conf.set(_INF_KEY, _old_inf)
         stat_cols = [c for c in self.stats_cols if c in back.columns]
         bloom_cols = [c for c in self.bloom_cols if c in back.columns]
-        # the read-back frame re-infers types for path-encoded columns
-        # (table partition cols AND layout_partition_by cols): a string
-        # '123' comes back as INT, and xxhash64(INT) ≠ xxhash64(STRING)
-        # — hash the column cast back to the INCOMING frame's type so
-        # write-side positions match the log-schema-cast read probes
         in_types = dict(df.dtypes)
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in stat_cols:
-            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+            # cast path-encoded stats columns to the incoming type too
+            # (inference-off leaves them STRING; min/max must compare
+            # in the log-schema's type system, not lexicographically)
+            scol = F.col(c)
+            if c in in_types:
+                scol = scol.cast(in_types[c])
+            aggs += [
+                F.min(scol).alias(f"_min_{c}"),
+                F.max(scol).alias(f"_max_{c}"),
+            ]
         for c in bloom_cols:
             # the two k-probe position sets aggregate as collect_set —
             # map-side-combined, bounded by bloom_bits per file
@@ -670,7 +728,9 @@ class TxnTable:
         # that mostly fails to prune (also bounds manifest growth)
         cap = self.bloom_bits // 2
         for r in per_file:
-            rel = next((f for f in rel_files if r["_file"].endswith(f)), None)
+            rel = next(
+                (f for f in rel_files if _uri_endswith(r["_file"], f)), None
+            )
             rows += r["_rows"]
             if rel is not None:
                 stats[rel] = {
@@ -785,10 +845,23 @@ class TxnTable:
             )
         new_version = base_version + 1
         self._manifest_dir.mkdir(parents=True, exist_ok=True)
+        # version_at_timestamp / expire_snapshots binary-search on the
+        # invariant "ts_utc is monotone over versions" — wall clocks
+        # are not (NTP steps, VM migrations), so clamp to the parent
+        # commit's timestamp, keeping the invariant true by
+        # CONSTRUCTION (Delta applies the same monotonicity fixup)
+        now = datetime.now(timezone.utc)
+        if base_version > 0:
+            try:
+                parent_ts = self._commit_ts(base_version)
+                if parent_ts > now:
+                    now = parent_ts
+            except (OSError, ValueError, json.JSONDecodeError):
+                pass  # unreadable parent record: fall back to now
         record = {
             "version": new_version,
             "parent": base_version,
-            "ts_utc": datetime.now(timezone.utc).isoformat(),
+            "ts_utc": now.isoformat(),
             "op": op,
             "added": added,
             "removed": removed,
@@ -1458,7 +1531,8 @@ class TxnTable:
             touched = [
                 f
                 for f in prev["files"]
-                if f in key_set or any(h.endswith(f) for h in scope_hits)
+                if f in key_set
+                or any(_uri_endswith(h, f) for h in scope_hits)
             ]
         if not touched:
             new_files, new_rows, new_stats, new_parts, ptypes = (
@@ -1518,7 +1592,9 @@ class TxnTable:
             .collect()  # one row per file containing matches — bounded
         ]
         touched = [
-            f for f in prev["files"] if any(h.endswith(f) for h in hit_files)
+            f
+            for f in prev["files"]
+            if any(_uri_endswith(h, f) for h in hit_files)
         ]
         if not touched:  # no matching rows anywhere: clean no-op commit
             return self._commit(

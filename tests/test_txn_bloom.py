@@ -139,6 +139,28 @@ class TestBloomPruning:
         )
         assert t.read(bloom_eq={"tag": "103"}).count() == 1
 
+    def test_bloom_on_noncanonical_path_string_never_false_negatives(
+        self, spark, lake
+    ):
+        # '0103' is a NON-canonical numeric-looking string: partition
+        # type inference would canonicalize it ('0103' → INT 103 →
+        # back to STRING '103'), so write-side bloom positions would
+        # hash the wrong value and a read probe for the true string
+        # would prune the file — silently dropping an existing row
+        # (round-5 advice finding). Inference is now disabled for the
+        # stats read-back, so positions hash the exact on-disk string.
+        t = TxnTable(lake, "bp2", partition_cols=["tag"], bloom_cols=["tag"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "0103"), (2, "0104"), (3, "7")], "k INT, tag STRING"
+            )
+        )
+        got = t.read(bloom_eq={"tag": "0103"})
+        assert got.count() == 1 and got.collect()[0]["k"] == 1
+        # canonical values keep working, and a miss still prunes
+        assert t.read(bloom_eq={"tag": "7"}).count() == 1
+        assert t.read(bloom_eq={"tag": "103"}).count() == 0
+
     def test_bloom_survives_clone(self, spark, lake):
         t = TxnTable(lake, "b6", bloom_cols=["tag"])
         for g in range(3):

@@ -223,3 +223,46 @@ class TestMergeSync:
                 new_rows=0,
                 removed_rows=0,
             )
+
+
+class TestPercentEncodedPaths:
+    """input_file_name() returns percent-ENCODED URIs; scope/key file
+    matching must decode before the suffix compare or files whose
+    partition value contains a URI-reserved character (space → %20)
+    are treated as scope-free and in-scope deletes silently no-op
+    (round-5 advice finding)."""
+
+    def test_sync_deletes_in_scope_rows_under_encoded_partition(
+        self, spark, lake
+    ):
+        t = TxnTable(lake, "tp", partition_cols=["tenant"])
+        t.append(
+            _df(spark, [(1, "A corp", "old"), (2, "A corp", "old"),
+                        (3, "B", "keep")])
+        )
+        # source = 'A corp' tenant's COMPLETE new state: 2 must DIE
+        t.merge_sync(
+            _df(spark, [(1, "A corp", "new")]),
+            ["id"],
+            scope=F.col("tenant") == "A corp",
+        )
+        assert _content(t) == [(1, "A corp", "new"), (3, "B", "keep")]
+
+    def test_delete_where_hits_encoded_partition(self, spark, lake):
+        t = TxnTable(lake, "tq", partition_cols=["tenant"])
+        t.append(_df(spark, [(1, "A corp", "x"), (2, "B", "y")]))
+        t.delete_where(F.col("tenant") == "A corp")
+        assert _content(t) == [(2, "B", "y")]
+
+    def test_bloom_stats_attach_under_encoded_partition(self, spark, lake):
+        # _write_data keys per-file stats by the same suffix match;
+        # an unmatched file would commit with NO stats/bloom entry
+        t = TxnTable(
+            lake, "tr", partition_cols=["tenant"],
+            stats_cols=["id"], bloom_cols=["v"],
+        )
+        t.append(_df(spark, [(1, "A corp", "x1"), (2, "B", "y2")]))
+        st = t._state(t.current_version())
+        assert all(f in st["stats"] for f in st["files"])
+        got = t.read(bloom_eq={"v": "x1"})
+        assert [r["id"] for r in got.collect()] == [1]

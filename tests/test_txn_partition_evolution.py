@@ -100,3 +100,30 @@ class TestPartitionEvolution:
         u = TxnTable(lake, "t5")
         u.append(_df(spark, [(9, "z")]))
         assert u.read().count() == 1
+
+
+class TestSpecColumnDrop:
+    def test_dropped_path_column_still_injected_from_path(self, spark, lake):
+        # spec ['v'] → spec [] (column dropped from the spec, still in
+        # the log schema): the old file's v lives ONLY in its path, and
+        # the manifest records it — reads must inject it, not NULL it
+        # (round-5 advice finding: grouping keyed on the CURRENT spec
+        # silently NULLed older specs' path columns)
+        part = TxnTable(lake, "td", partition_cols=["v"])
+        part.append(_df(spark, [(1, "a"), (2, "b")]))         # v in PATH
+        plain = TxnTable(lake, "td")                          # spec drops v
+        plain.append(_df(spark, [(3, "c")]))                  # v IN data
+        got = {r["k"]: r["v"] for r in plain.read().collect()}
+        assert got == {1: "a", 2: "b", 3: "c"}
+
+    def test_replaced_path_column_keeps_old_files_whole(self, spark, lake):
+        # spec ['v'] → spec ['w']: files from both specs coexist; each
+        # group injects ITS OWN recorded path column
+        df1 = spark.createDataFrame([(1, "a", "x")], "k INT, v STRING, w STRING")
+        t1 = TxnTable(lake, "tr", partition_cols=["v"])
+        t1.append(df1)
+        df2 = spark.createDataFrame([(2, "b", "y")], "k INT, v STRING, w STRING")
+        t2 = TxnTable(lake, "tr", partition_cols=["w"])
+        t2.append(df2)
+        rows = {r["k"]: (r["v"], r["w"]) for r in t2.read().collect()}
+        assert rows == {1: ("a", "x"), 2: ("b", "y")}
