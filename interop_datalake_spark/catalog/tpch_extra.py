@@ -17,8 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from interop_datalake_spark.functions.fixedpoint import sql_exact_ratio
-from interop_datalake_spark.functions.money import money, money_sum, one_minus
+from interop_datalake_spark.functions.fixedpoint import (
+    exact_ratio,
+    sql_exact_ratio,
+)
+from interop_datalake_spark.functions.money import (
+    RATE,
+    money,
+    money_sum,
+    one_minus,
+)
 from interop_datalake_spark.sources.tables import load_table
 
 
