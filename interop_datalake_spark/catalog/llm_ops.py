@@ -935,13 +935,22 @@ def dedup_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         session = DatalakeSession(lake_root=root, spark=spark)
         store = TxnTable(session, "lsh_signatures")
+        # STEADY-STATE SIZE INVARIANT (ADVICE round 5): each run
+        # appends the day's batch, so without a reset the store (and
+        # the candidate join) would grow linearly with run count and
+        # the "daily run" timing would depend on how many times the
+        # entry ran in-process. RESTORE back to the seed snapshot
+        # (metadata-only commit, no data movement) so every run pays
+        # the identical daily price: sign batch + one append against a
+        # store of exactly corpus size.
+        if store.current_version() > 1:
+            store.restore(1)
     pairs = incremental_lsh_dedup(
         store, docs, "text", "doc_id", F.col("doc_id") >= cutoff, threshold=0.8
     )
-    return (
-        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
-    )
+    # jaccard_pairs already emits the exact 6-dp fixed-point value —
+    # no output rounding here (a round(double) would be the red class)
+    return pairs.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
 
 def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

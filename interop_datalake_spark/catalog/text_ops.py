@@ -315,8 +315,12 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, eval_df, "text", "eval_id", k=5, train_id_col="doc_id"
     )
     # containment n_hit/n_shingles is an integer ratio: exact 6-dp
-    # half-up micro-units (round(double, 6) red class); flagged keeps
-    # the raw IEEE ratio comparison (bit-identical on both engines)
+    # half-up micro-units (round(double, 6) red class). flagged
+    # compares the RAW IEEE ratio n_hit/n_shingles — one exact
+    # int÷int division, bit-identical on both engines — matching the
+    # oracle's raw-ratio comparison (the 6-dp-rounded value would flag
+    # a raw containment in [0.7999995, 0.8) that the oracle doesn't:
+    # the knife-edge boolean class, ADVICE round 5).
     return out.select(
         "eval_id",
         "n_shingles",
@@ -324,7 +328,9 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_ratio(F.col("n_hit"), F.col("n_shingles")).alias(
             "containment"
         ),
-        (F.col("containment") >= 0.8).alias("flagged"),
+        (
+            F.col("n_hit").cast("double") / F.col("n_shingles") >= 0.8
+        ).alias("flagged"),
     ).orderBy("eval_id")
 
 

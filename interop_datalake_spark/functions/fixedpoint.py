@@ -50,6 +50,20 @@ def div_half_up(num: Column, den: Column) -> Column:
     ties — the same tie rule as Spark's ``round`` and DuckDB's decimal
     round. Integral columns only, ``den > 0``.
 
+    HEADROOM PRECONDITION (ADVICE round 5): the intermediate is
+    ``2*|num| + den`` in int64, so callers must keep
+    ``|num| < (2^63 - den) / 2`` ≈ 4.6e18. Since ``num`` is usually
+    already scaled by ``10^dp`` (see :func:`exact_ratio`), the working
+    bound is ``|raw_num| < 2^62 / 10^dp`` — e.g. ~4.6e11 for dp=6.
+    Overflow fails LOUDLY on both engines rather than diverging:
+    Spark 4 runs with ANSI mode on by default
+    (``spark.sql.ansi.enabled=true``), which raises
+    ``ARITHMETIC_OVERFLOW`` on int64 wrap, and DuckDB raises
+    ``Out of Range`` — there is no silent-wrap configuration in play
+    on either side of the oracle gate. Callers whose numerators can
+    legitimately exceed the bound must pre-divide or route through
+    ``decimal(38,0)`` before calling.
+
     DuckDB spelling (``//`` floors; operands are made non-negative so
     floor == truncate and the engines agree)::
 

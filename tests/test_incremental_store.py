@@ -161,13 +161,16 @@ def test_successive_batches_compose_through_the_store(spark, sf_dir, store):
 
 def test_steady_state_entry_is_result_idempotent_across_runs(spark, sf_dir):
     """dedup_incremental_steady re-runs against the SAME persisted
-    store (bench.py min-of-2, the daily-run measurement): the second
-    call re-appends the new batch's bands, which must only duplicate
-    (band, band_key) rows — the DISTINCT candidate pair set and the
-    verified output are identical run-to-run."""
+    store (bench.py min-of-2, the daily-run measurement): every run
+    RESTOREs the store to the corpus-seed snapshot first (ADVICE
+    round 5), so the data the candidate join scans is constant-size
+    run-to-run — and the verified output is identical."""
     from interop_datalake_spark.catalog.llm_ops import (
+        _STEADY_STORE_ROOTS,
         dedup_incremental_steady,
     )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
 
     first = sorted(
         (r["id_a"], r["id_b"], r["jaccard"])
@@ -178,3 +181,15 @@ def test_steady_state_entry_is_result_idempotent_across_runs(spark, sf_dir):
         for r in dedup_incremental_steady(spark, sf_dir).collect()
     )
     assert first == second and len(first) > 0
+    # the store's LATEST snapshot row count equals seed + one batch —
+    # not seed + N batches — no matter how many runs happened
+    store = TxnTable(
+        DatalakeSession(
+            lake_root=_STEADY_STORE_ROOTS[str(sf_dir)], spark=spark
+        ),
+        "lsh_signatures",
+    )
+    latest = store.read().count()
+    seed = store.read(version=1).count()
+    one_batch = store.read_changes(1, 2).count()
+    assert latest == seed + one_batch
