@@ -85,6 +85,11 @@ HEADLINE = [
     "basket_pair_lift",
     "search_tfidf_keywords",
     "corpus_zipf_fit",
+    # round 6: hidden partitioning + merge-on-read deletes — the two
+    # TxnTable reads-at-scale features; their rows track the full
+    # write→prune→read / write→vector→read cost
+    "lake_partition_transforms",
+    "lake_deletion_vectors",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are

@@ -144,77 +144,101 @@ def _with_required_conf(fn):
 #:   in: basket_pair_lift (new association-mining class) — out:
 #:       object_url_parse (4× green; ref-surface keeps
 #:       lake_publish_roundtrip)
+#: Round-6 rotation (per the round-5 verdict item 1): ALL 50 round-5
+#: in-window rows are driver-GREEN (CORRECTNESS_r05.json, 50/50), so
+#: the standing rule lets the window rotate aggressively toward the 44
+#: never-witnessed queries. 17 entries rotate IN (the verdict's cohort
+#: of 15 + the two new round-6 lake features); every displaced entry
+#: is r5-driver-green and leaves a same-class in-window sibling:
+#:   in: q4_order_priority, q10_returned_items, q12_ship_delay
+#:       (fragile-type-fixed in r5, never driver-confirmed — first),
+#:       q14_promo_share, q19_bracket_predicates — out:
+#:       q7_nation_volume (TPC-H keeps q1 + the five incoming)
+#:   in: agg_median, agg_approx_percentile, agg_min_max_by — out:
+#:       corpus_zipf_fit, corpus_profile, text_perplexity (corpus
+#:       keeps gopher/to_training_set/split_contamination/
+#:       importance_sample; agg keeps agg_rollup)
+#:   in: subquery_scalar — out: variant_json_access (r5-green;
+#:       subquery_exists stays; scalar class keeps scalar_math)
+#:   in: stream_sliding_window, stream_join_outer — out:
+#:       events_rolling_median, events_ab_test (stream_dedup stays;
+#:       events keeps ewma/distinct_rollup/sessionize)
+#:   in: text_bpe_tokenize — out: events_markov_transitions
+#:       (text_bpe_train stays as the BPE sibling)
+#:   in: dedup_incremental_steady — out: dedup_incremental (same
+#:       oracle, same class; cluster/span/stream_pipeline stay)
+#:   in: revenue_share_window — out: search_tfidf_keywords
+#:       (topk_per_group stays as the window sibling; search keeps
+#:       bm25)
+#:   in: corpus_domain_mix — out: corpus_sample_weighted
+#:       (importance_sample stays as the selection/sampling sibling)
+#:   in: lake_partition_transforms (hidden partitioning, round-6) —
+#:       out: lake_merge_sync (lake keeps publish/bloom/
+#:       partition_evolution/expectations… see below)
+#:   in: lake_deletion_vectors (merge-on-read deletes, round-6) —
+#:       out: lake_metadata_tables
+#:   out (slot balance, each with in-window siblings):
+#:       lake_expectations (lake keeps publish/bloom/
+#:       partition_evolution + 2 new), graph_triangles (pagerank
+#:       stays), embedding_quantize_int8 + dedup_embedding_lsh_gaussian
+#:       (embedding similarity keeps ann_cosine_topk_blocked +
+#:       ann_index_incremental)
 WITNESS_PRIORITY = [
     # relational core (elementary join_broadcast moved past the cut;
     # BroadcastHashJoin stays witnessed via the q5/q7/q18 chains)
     "q1_pricing_summary", "scan_filter_project",
     "agg_rollup",
-    # TPC-H-extra multi-join workload (q7 = round-1 fix)
-    "q7_nation_volume",
-    # reference lake surface + ACID table format + change feed +
-    # scoped sync + partition-spec evolution + metadata tables
+    # TPC-H-extra workload: the five never-witnessed queries rotate
+    # in (q12 first — its r5 HUGEINT fix has no driver row yet)
+    "q12_ship_delay", "q4_order_priority", "q10_returned_items",
+    "q14_promo_share", "q19_bracket_predicates",
+    # advanced aggregates (exact median, approx percentile,
+    # min_by/max_by) — never witnessed before round 6
+    "agg_median", "agg_approx_percentile", "agg_min_max_by",
+    # reference lake surface + ACID table format + round-6 features:
+    # hidden partitioning (partition transforms) + deletion vectors
     "lake_publish_roundtrip",
-    "lake_expectations", "lake_bloom_index",
-    "lake_merge_sync", "lake_partition_evolution",
-    "lake_metadata_tables",
-    # windows + custom joins
-    "topk_per_group", "join_asof",
+    "lake_bloom_index", "lake_partition_evolution",
+    "lake_partition_transforms", "lake_deletion_vectors",
+    # windows + custom joins (+ windowed running revenue share)
+    "topk_per_group", "join_asof", "revenue_share_window",
     # set ops
     "set_union_all",
-    # scalar surface (scalar_math = round-1 fix; JSON access is
-    # witnessed via variant_json_access; try_* stays oracle-backed
-    # past the cut)
+    # scalar surface (scalar_math = round-1 fix; variant/JSON access
+    # rotates out r5-green)
     "scalar_math",
-    # LLM dedup: clusters / spans / persisted-store incremental /
-    # exactly-once streaming capstone; containment+semantic rotate
-    # out (r4-green), the MinHash-LSH pipeline class stays witnessed
-    # verbatim via corpus_split_contamination below
+    # LLM dedup: clusters / spans / steady-state persisted-store
+    # incremental / exactly-once streaming capstone
     "dedup_cluster", "dedup_span_coverage",
-    "dedup_incremental", "dedup_stream_pipeline",
-    # embedding similarity: blocked exact, Gaussian LSH, ANN,
-    # quantization, clustering, retrieval
-    "dedup_embedding_lsh_gaussian", "ann_cosine_topk_blocked",
-    "ann_index_incremental",
-    "embedding_quantize_int8", "cluster_kmeans", "search_bm25",
-    # TF-IDF keyword extraction (round-4 tail class; phrase search
-    # rotates out r4-green, bm25 keeps the retrieval class)
-    "search_tfidf_keywords",
-    # text analysis + corpus curation (+ bigram-LM quality score)
+    "dedup_incremental_steady", "dedup_stream_pipeline",
+    # embedding similarity: blocked exact ANN + persisted IVF index,
+    # clustering, retrieval
+    "ann_cosine_topk_blocked", "ann_index_incremental",
+    "cluster_kmeans", "search_bm25",
+    # text analysis + corpus curation + domain mixture weights
     "corpus_split_contamination", "corpus_filter_gopher",
-    "corpus_to_training_set", "text_perplexity",
-    # corpus diagnostics (round-4 tail classes): per-language Zipf
-    # OLS fit + long-form table profiler
-    "corpus_zipf_fit", "corpus_profile",
+    "corpus_to_training_set", "corpus_domain_mix",
     # data selection (DSIR) + in-frame classifier training
     "corpus_importance_sample", "text_quality_classifier",
     # record linkage
     "entity_resolution",
-    # streaming twins (the class keeps stream_dedup here + the
-    # true-readStream pytest runs)
-    "stream_dedup",
-    # BPE tokenizer training (iterative vocab learning)
-    "text_bpe_train",
+    # streaming twins: dedup + never-witnessed sliding window and
+    # stream-stream outer join
+    "stream_dedup", "stream_sliding_window", "stream_join_outer",
+    # BPE tokenizer: training (r5-green) + apply-side tokenize
+    "text_bpe_train", "text_bpe_tokenize",
     # pandas UDF + multimodal surface (+ pHash image dedup)
     "pandas_scalar_udf", "multimodal_phash_dedup",
-    # advanced aggs + subqueries
-    "subquery_exists",
-    # reshape + variant
-    "variant_json_access",
-    # time-series smoothing via per-key ordered fold (round-4 RED,
-    # re-witnessing the scaled-integer fold fix)
+    # advanced aggs + subqueries (EXISTS stays, scalar subquery new)
+    "subquery_exists", "subquery_scalar",
+    # time-series smoothing via per-key ordered fold
     "events_ewma",
-    # corpus sampling: deterministic weighted A-ES
-    "corpus_sample_weighted",
-    # event analytics: mergeable-HLL distinct rollup (round-4 RED,
-    # re-witnessing) + sessionization + round-4 tail classes
-    # (centered rolling median, Welch A/B test, Markov transitions)
+    # event analytics: mergeable-HLL distinct rollup + sessionization
     "events_distinct_rollup", "events_sessionize",
-    "events_rolling_median", "events_ab_test",
-    "events_markov_transitions",
-    # association mining (A-priori pair lift, round-4 tail class)
+    # association mining (A-priori pair lift)
     "basket_pair_lift",
-    # graph analytics: iterative PageRank + triangle counting
-    "graph_pagerank", "graph_triangles",
+    # graph analytics: iterative PageRank (triangles r5-green, out)
+    "graph_pagerank",
 ]
 
 

@@ -838,6 +838,215 @@ ORDER BY kind, item, detail
 """
 
 
+def lake_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN partitioning via partition transforms (lake/txn.py:
+    _transform_value_expr; Iceberg table-spec "Partition Transforms";
+    the reference's ``_date=<ingest date>`` layout,
+    DatalakePublishService.kt:68-73, is days(ingest_ts) hand-rolled):
+    the first 10 days of ``events`` are written into a TxnTable whose
+    spec declares ``days(ts)`` + ``bucket(8, user_id)``; both probes
+    then predicate on the RAW columns only — the day-range read opens
+    ~3/10 of the files and the user point-lookup ~1/8 (pruning counts
+    pinned in tests/test_partition_transforms.py; this query pins the
+    VALUES). The derived columns never appear in the read-back schema,
+    so the oracle is plain SQL over the raw parquet. Counts and BIGINT
+    min/max only — no double sums, per the portable-type rule."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp")
+    )
+    root = tempfile.mkdtemp(prefix="lake_ptf_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(
+            session,
+            "events_hidden",
+            partition_transforms={
+                "ts_day": ("days", "ts"),
+                "uid_b": ("bucket", 8, "user_id"),
+            },
+        )
+        t.append(events)
+        day_range = (
+            t.read(
+                key_range=(
+                    "ts",
+                    "2024-01-05 00:00:00",
+                    "2024-01-07 23:59:59.999999",
+                )
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col("user_id")).alias("n_users"),
+                F.min("event_id").alias("min_eid"),
+                F.max("event_id").alias("max_eid"),
+            )
+            .select(
+                F.lit("day_range").alias("probe"), "event_type",
+                "n", "n_users", "min_eid", "max_eid",
+            )
+        )
+        # global agg (no groupBy): exactly one row even when the user
+        # has no events at this sf — matching the oracle's shape
+        point = (
+            t.read(key_range=("user_id", 17, 17))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col("user_id")).alias("n_users"),
+                F.min("event_id").alias("min_eid"),
+                F.max("event_id").alias("max_eid"),
+            )
+            .select(
+                F.lit("bucket_point").alias("probe"),
+                F.lit("all").alias("event_type"),
+                "n", "n_users", "min_eid", "max_eid",
+            )
+        )
+        rows = day_range.unionByName(point).collect()  # bounded: one
+        # row per event_type (+1) — result detached so the temp lake
+        # can be deleted before return
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "probe STRING, event_type STRING, n BIGINT, n_users BIGINT,"
+        " min_eid BIGINT, max_eid BIGINT",
+    ).orderBy("probe", "event_type")
+
+
+LAKE_PTF_ORACLE = """
+WITH base AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+), day_range AS (
+  SELECT 'day_range' AS probe, event_type,
+         count(*)::BIGINT AS n,
+         count(DISTINCT user_id)::BIGINT AS n_users,
+         min(event_id)::BIGINT AS min_eid,
+         max(event_id)::BIGINT AS max_eid
+  FROM base
+  WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+               AND TIMESTAMP '2024-01-07 23:59:59.999999'
+  GROUP BY event_type
+), bucket_point AS (
+  SELECT 'bucket_point' AS probe, 'all' AS event_type,
+         count(*)::BIGINT AS n,
+         count(DISTINCT user_id)::BIGINT AS n_users,
+         min(event_id)::BIGINT AS min_eid,
+         max(event_id)::BIGINT AS max_eid
+  FROM base WHERE user_id = 17
+)
+SELECT * FROM day_range
+UNION ALL
+SELECT * FROM bucket_point
+ORDER BY probe, event_type
+"""
+
+
+def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes via DELETION VECTORS (lake/txn.py:
+    _delete_where_dv; the Delta deletion-vector / Iceberg v2
+    position-delete design): ``documents`` is committed once, then a
+    ``lang='de'`` delete records per-file row-position vectors in ONE
+    commit that moves ZERO data bytes — ``n_files_rewritten`` is
+    pinned 0 in the oracle; the byte-identity of every data file is
+    pinned in tests/test_deletion_vectors.py. Probes: the live
+    snapshot after the vector delete, time travel to the pre-delete
+    version, a stacked second vector, and the compact() reconciliation
+    that rewrites files clean — all replayed by the oracle as plain
+    filters over the raw parquet."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="lake_dv_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "docs_dv", stats_cols=["doc_id"])
+        t.append(docs.repartition(4))
+        files_v1 = set(t.manifest()["files"])
+        t.delete_where(F.col("lang") == "de", merge_on_read=True)
+        files_v2 = set(t.manifest()["files"])
+
+        def probe(name, frame):
+            r = frame.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            ).collect()[0]
+            return (name, r["n"], r["min_id"], r["max_id"])
+
+        rows = [
+            probe("after_dv_delete", t.read()),
+            probe("time_travel_v1", t.read(version=1)),
+            (
+                "files_rewritten_by_dv",
+                len(files_v1 ^ files_v2),
+                None,
+                None,
+            ),
+        ]
+        t.delete_where(F.col("n_chars") < 200, merge_on_read=True)
+        rows.append(probe("after_stacked_dv", t.read()))
+        t.compact(target_files=2)
+        rows.append(probe("after_compact", t.read()))
+        rows.append(
+            (
+                "vectors_after_compact",
+                len(t.manifest()["dvs"]),
+                None,
+                None,
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe STRING, n BIGINT, min_id BIGINT, max_id BIGINT"
+    ).orderBy("probe")
+
+
+LAKE_DV_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents
+), no_de AS (
+  SELECT * FROM base WHERE lang <> 'de'
+), stacked AS (
+  SELECT * FROM no_de WHERE n_chars >= 200
+)
+SELECT * FROM (
+  SELECT 'after_dv_delete' AS probe, count(*)::BIGINT AS n,
+         min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+  FROM no_de
+  UNION ALL
+  SELECT 'time_travel_v1', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT FROM base
+  UNION ALL
+  SELECT 'files_rewritten_by_dv', 0::BIGINT, NULL, NULL
+  UNION ALL
+  SELECT 'after_stacked_dv', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT FROM stacked
+  UNION ALL
+  SELECT 'after_compact', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT FROM stacked
+  UNION ALL
+  SELECT 'vectors_after_compact', 0::BIGINT, NULL, NULL
+)
+ORDER BY probe
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -853,6 +1062,8 @@ QUERIES = {
     "lake_merge_sync": lake_merge_sync,
     "lake_metadata_tables": lake_metadata_tables,
     "lake_expectations": lake_expectations,
+    "lake_partition_transforms": lake_partition_transforms,
+    "lake_deletion_vectors": lake_deletion_vectors,
 }
 
 ORACLES = {
@@ -870,4 +1081,6 @@ ORACLES = {
     "lake_merge_sync": LAKE_MERGE_SYNC_ORACLE,
     "lake_metadata_tables": LAKE_METADATA_ORACLE,
     "lake_expectations": LAKE_EXPECTATIONS_ORACLE,
+    "lake_partition_transforms": LAKE_PTF_ORACLE,
+    "lake_deletion_vectors": LAKE_DV_ORACLE,
 }
