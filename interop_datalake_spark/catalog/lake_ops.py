@@ -1010,6 +1010,18 @@ def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 None,
             )
         )
+        # DV MERGE (merge-on-read upsert): re-insert every doc_id %
+        # 100 == 0 from the RAW corpus (matched live rows soft-delete
+        # by vector; previously hard/soft-deleted ids re-insert) plus
+        # two brand-new ids — zero existing files rewritten
+        upserts = docs.filter(F.col("doc_id") % 100 == 0).unionByName(
+            spark.createDataFrame(
+                [(1000000, "en", 1000), (1000001, "en", 1000)],
+                "doc_id BIGINT, lang STRING, n_chars BIGINT",
+            )
+        )
+        t.merge(upserts, ["doc_id"], merge_on_read=True)
+        rows.append(probe("after_mor_merge", t.read()))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
@@ -1042,6 +1054,16 @@ SELECT * FROM (
          min(doc_id)::BIGINT, max(doc_id)::BIGINT FROM stacked
   UNION ALL
   SELECT 'vectors_after_compact', 0::BIGINT, NULL, NULL
+  UNION ALL
+  SELECT 'after_mor_merge', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT
+  FROM (
+    SELECT doc_id FROM stacked WHERE doc_id % 100 <> 0
+    UNION ALL
+    SELECT doc_id FROM base WHERE doc_id % 100 = 0
+    UNION ALL
+    SELECT * FROM (VALUES (1000000), (1000001)) v(doc_id)
+  )
 )
 ORDER BY probe
 """

@@ -178,17 +178,36 @@ def _transform_value_expr(c, spec, src_dtype: str | None):
 
 
 def _normalize_key_ranges(key_range):
-    """``key_range`` accepts one ``(col, lo, hi)`` tuple or a list of
-    them (composite-key pruning: every range must intersect)."""
+    """``key_range`` accepts one ``(col, lo, hi)`` tuple OR list, or a
+    sequence of them (composite-key pruning: every range must
+    intersect). The single-vs-many call is decided by element shape —
+    a single range's first element is the column NAME — so the
+    historical ``['col', lo, hi]`` list spelling keeps working."""
     if key_range is None:
         return []
-    if isinstance(key_range, (list,)) or (
-        isinstance(key_range, tuple)
-        and key_range
-        and isinstance(key_range[0], (tuple, list))
-    ):
-        return [tuple(r) for r in key_range]
-    return [tuple(key_range)]
+    kr = list(key_range)
+    if len(kr) == 3 and isinstance(kr[0], str):
+        return [tuple(kr)]
+    return [tuple(r) for r in kr]
+
+
+def _canon_transform_bound(x):
+    """Canonicalize a computed transform bound for comparison against
+    recorded path-string partition values. Timestamps/dates become
+    their default string rendering (the same 'yyyy-MM-dd HH:mm:ss'
+    shape Hive path-encodes, and lexicographic order matches time
+    order there). Types with no safe string ordering return None —
+    the caller then skips pruning on that transform entirely rather
+    than risking a typed-vs-string comparison (review finding: an
+    identity transform over a timestamp raised TypeError on every
+    predicated read)."""
+    if x is None or isinstance(x, bool):
+        return None
+    if isinstance(x, int) or isinstance(x, str):
+        return x
+    if isinstance(x, (datetime, date)):
+        return str(x)
+    return None
 
 
 def _part_value_matches(raw, sample):
@@ -559,18 +578,28 @@ class TxnTable:
             if with_lineage:
                 # row lineage straight off the file scan: the decoded
                 # root-relative path (matches the manifest's file
-                # names — _metadata.file_path is a percent-encoded
-                # URI, decoded the same way at DV-write and DV-apply
-                # so the equi-join keys can never drift) + the row's
-                # position in its file (stable across scans/splits)
+                # names exactly) + the row's position in its file
+                # (stable across scans/splits). Decode BEFORE taking
+                # the suffix, anchored on the TABLE ROOT — extracting
+                # the first 'data/' would grab the wrong segment for
+                # any lake root containing '/data/' in its own path,
+                # silently emptying copy-on-write deletes (review
+                # finding). '+' is pre-escaped because url_decode is
+                # form-decoding ('+' → space) while the URI from
+                # _metadata.file_path leaves literal '+' unescaped.
+                dec = F.url_decode(
+                    F.replace(
+                        F.col("_metadata.file_path"),
+                        F.lit("+"),
+                        F.lit("%2B"),
+                    )
+                )
                 df = df.select(
                     "*",
-                    F.url_decode(
-                        F.regexp_extract(
-                            F.col("_metadata.file_path"),
-                            "(data/.*)$",
-                            1,
-                        )
+                    F.regexp_extract(
+                        dec,
+                        re.escape(str(self.root)) + "/(data/.*)$",
+                        1,
                     ).alias("_dv_file"),
                     F.col("_metadata.row_index").alias("_dv_row"),
                 )
@@ -578,7 +607,24 @@ class TxnTable:
                 raw = F.regexp_extract(
                     F.input_file_name(), rf"/{re.escape(c)}=([^/]+)/", 1
                 )
-                dec = F.url_decode(raw)
+
+                def _decode(e):
+                    # url_decode is FORM-decoding: a literal '+' (legal
+                    # unescaped in both the URI and a Hive dir name)
+                    # would wrongly become a space — pre-escape it
+                    return F.url_decode(
+                        F.replace(e, F.lit("+"), F.lit("%2B"))
+                    )
+
+                # TWO decode layers, matching the two encode layers:
+                # the writer Hive-escapes the VALUE into the dir name
+                # ('50%' → '50%25'), and input_file_name() URI-encodes
+                # the PATH ('%' → '%25' again). A single decode
+                # returned the on-disk dir name, so a '%'-containing
+                # partition value was injected double-escaped (the
+                # manifest, via Python unquote of the dir name, holds
+                # the correct logical value — the two sides disagreed)
+                dec = _decode(_decode(raw))
                 val = (
                     F.when(raw == "", F.lit(None))
                     .when(dec == "__HIVE_DEFAULT_PARTITION__", F.lit(None))
@@ -752,9 +798,10 @@ class TxnTable:
                 parts = m.get("partitions", {})
                 tvals = self._transform_literals(tmatch, [lo, hi], m)
                 for tname, spec in tmatch.items():
-                    tlo, thi = tvals[tname]
+                    tlo = _canon_transform_bound(tvals[tname][0])
+                    thi = _canon_transform_bound(tvals[tname][1])
                     if tlo is None or thi is None:
-                        continue  # transform of bound is NULL: no prune
+                        continue  # NULL/unorderable bound: no prune
                     if spec[0] in _ORDER_PRESERVING:
                         fs = [
                             f
@@ -1691,6 +1738,7 @@ class TxnTable:
         key_cols: list[str],
         prune: bool = True,
         _epoch: int | None = None,
+        merge_on_read: bool = False,
     ) -> int | None:
         """ACID upsert: update rows matching ``key_cols``, insert the
         rest — atomic across every file in ONE commit (the property
@@ -1705,10 +1753,22 @@ class TxnTable:
         table clustered by the merge key, a single-tenant upsert
         rewrites one file's worth of data and the commit is still one
         atomic record. Files without recorded stats are conservatively
-        rewritten; ``prune=False`` forces the full rewrite."""
+        rewritten; ``prune=False`` forces the full rewrite.
+
+        ``merge_on_read=True``: the deletion-vector upsert (Delta's
+        DV-enabled MERGE). Matched rows are soft-deleted by position
+        vector and the updates land as NEW files — no existing file
+        is read in full or rewritten, so a small upsert's cost is
+        O(new rows + matched positions) regardless of how many
+        gigabytes the matched files hold. Same end state as the
+        copy-on-write path (pinned); :meth:`compact` reconciles.
+        Commits via plain CAS (vectors index an exact snapshot —
+        never rebased)."""
         base = self.current_version()
         prev = self._state(base)
         self._merge_schema(prev, updates)  # validate before writing
+        if merge_on_read and base > 0:
+            return self._merge_dv(updates, key_cols, prune, base, prev)
         # a merge's READ scope is partition-confined only when the
         # partition columns are part of the merge key (a key then
         # cannot match rows outside its own partition) — the condition
@@ -1770,6 +1830,81 @@ class TxnTable:
             partition_scoped=scoped,
         )
         return version
+
+    def _merge_dv(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        prune: bool,
+        base: int,
+        prev: dict,
+    ) -> int:
+        """Deletion-vector MERGE body: (1) stats-prune to the files
+        whose key range can match, (2) semi-join their rows' lineage
+        against the updates' (distinct, usually broadcast) key set —
+        the matched positions become this commit's vector, (3) write
+        the updates as new data files, (4) ONE commit carrying both.
+        Existing data files are scanned only for key + lineage columns
+        (column pruning reaches the parquet reader) and never
+        rewritten."""
+        from pyspark.sql import functions as F
+
+        k = key_cols[0]
+        candidates = list(prev["files"])
+        if prune and self.stats_cols and k in self.stats_cols:
+            candidates, _ = self._key_intersecting_split(prev, updates, k)
+        dv = None
+        if candidates:
+            live = self._load_files(candidates, prev, keep_lineage=True)
+            doomed = live.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_semi"
+            ).select(
+                F.col("_dv_file").alias("file_key"),
+                F.col("_dv_row").alias("row_idx"),
+            )
+            dv_rel = f"dv/{uuid.uuid4().hex}"
+            dv_dir = self.root / dv_rel
+            doomed.write.mode("overwrite").parquet(str(dv_dir))
+            per_file = (
+                self.spark.read.parquet(str(dv_dir))
+                .groupBy("file_key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # one row per matched file — bounded
+            )
+            if per_file:
+                live_set = set(prev["files"])
+                files_map = {}
+                for r in per_file:
+                    if r["file_key"] not in live_set:
+                        raise RuntimeError(
+                            f"table {self.name}: merge vector references "
+                            f"unknown file {r['file_key']!r}"
+                        )
+                    files_map[r["file_key"]] = int(r["n"])
+                dv = {"path": dv_rel, "files": files_map}
+            else:
+                shutil.rmtree(dv_dir, ignore_errors=True)  # no matches
+        new_files, new_rows, new_stats, new_parts, ptypes = (
+            self._write_data(updates)
+        )
+        n_deleted = sum(dv["files"].values()) if dv else 0
+        try:
+            return self._commit(
+                base,
+                op="merge",
+                added=new_files,
+                removed=[],
+                rows_total=prev["rows"] - n_deleted + new_rows,
+                stats=new_stats,
+                partitions=new_parts,
+                partition_types=ptypes,
+                schema=self._merge_schema(prev, updates),
+                dv=dv,
+            )
+        except CommitConflictError:
+            if dv:
+                shutil.rmtree(self.root / dv["path"], ignore_errors=True)
+            raise
 
     def _key_intersecting_split(
         self, prev: dict, frame: DataFrame, k: str
@@ -1888,11 +2023,14 @@ class TxnTable:
                 # keys — conservatively rewrite everything
                 key_touched = list(prev["files"])
             key_set = set(key_touched)
+            # scope_hits are exact manifest-relative paths from the
+            # lineage column — plain membership, no re-decoding (an
+            # extra unquote() would double-decode '%25' partitions
+            # and let their scope rows escape the sync)
             touched = [
                 f
                 for f in prev["files"]
-                if f in key_set
-                or any(_uri_endswith(h, f) for h in scope_hits)
+                if f in key_set or f in scope_hits
             ]
         if not touched:
             new_files, new_rows, new_stats, new_parts, ptypes = (

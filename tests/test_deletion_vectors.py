@@ -155,6 +155,87 @@ class TestDeletionVectors:
         assert remaining & live_dvs == set()
         assert t.read().count() == 181
 
+    def test_lineage_correct_when_root_contains_data_segment(
+        self, spark
+    ):
+        """Review finding: extracting the FIRST 'data/' from the scan
+        URI breaks for any lake root with '/data/' in its own path —
+        lineage keys then never match the manifest and a copy-on-write
+        delete silently no-ops. The extraction is anchored on the
+        table root instead."""
+        base = tempfile.mkdtemp(prefix="txn_dvroot_")
+        root = str(Path(base) / "data" / "lakehouse")
+        try:
+            lake = DatalakeSession(lake_root=root, spark=spark)
+            t = _table(spark, lake, "dd1", n=200)
+            t.delete_where(F.col("k") % 10 == 3)  # copy-on-write
+            assert t.read().count() == 180
+            t.delete_where(F.col("k") < 20, merge_on_read=True)
+            assert t.read().count() == 162  # 180 - (20 - 2 gone)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    def test_lineage_correct_with_plus_and_percent_partitions(
+        self, spark, lake
+    ):
+        """Review finding: Spark's url_decode is FORM-decoding ('+' →
+        space); a literal '+' in a partition value must survive the
+        lineage round trip, as must an escaped '%' (no double
+        decode)."""
+        t = TxnTable(lake, "dd2", partition_cols=["site"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "a+b"), (2, "50%"), (3, "plain")],
+                "k INT, site STRING",
+            )
+        )
+        t.delete_where(F.col("site") == "a+b")  # cow: needs lineage
+        assert {r["site"] for r in t.read().collect()} == {"50%", "plain"}
+        t.delete_where(F.col("site") == "50%", merge_on_read=True)
+        assert {r["site"] for r in t.read().collect()} == {"plain"}
+
+    def test_merge_on_read_equals_copy_on_write_merge(self, spark, lake):
+        """DV MERGE (Delta's DV-enabled upsert): matched rows soft-
+        delete by vector, updates land as new files — end state must
+        equal the copy-on-write merge on identical inputs."""
+        updates = spark.createDataFrame(
+            [(3, 700), (998, 700), (5000, 700)], "k BIGINT, g BIGINT"
+        )
+        cow = _table(spark, lake, "m_cow")
+        cow.merge(updates, ["k"])
+        mor = _table(spark, lake, "m_mor")
+        before = _data_bytes(mor)
+        mor.merge(updates, ["k"], merge_on_read=True)
+        want = sorted(
+            (r["k"], r["g"]) for r in cow.read().collect()
+        )
+        got = sorted((r["k"], r["g"]) for r in mor.read().collect())
+        assert got == want
+        assert mor.manifest()["rows"] == cow.manifest()["rows"] == 1001
+        # every PRE-EXISTING file is byte-identical — only new files
+        after = _data_bytes(mor)
+        assert all(after[f] == sz for f, sz in before.items())
+        assert set(after) > set(before)  # the updates' new files
+
+    def test_merge_on_read_stacks_with_dv_deletes_and_compacts(
+        self, spark, lake
+    ):
+        t = _table(spark, lake, "m_stack")
+        t.delete_where(F.col("k") % 10 == 3, merge_on_read=True)
+        t.merge(
+            spark.createDataFrame([(3, 700), (4, 700)], "k BIGINT, g BIGINT"),
+            ["k"],
+            merge_on_read=True,
+        )
+        # k=3 was soft-deleted then re-inserted by the merge; k=4
+        # was soft-deleted BY the merge and replaced
+        assert t.read().count() == 901  # 900 - old k=4 + two upserts
+        got = {r["k"]: r["g"] for r in t.read().collect() if r["k"] < 6}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 700, 4: 700, 5: 5}
+        t.compact(target_files=2)
+        assert t.manifest()["dvs"] == {}
+        assert t.read().count() == 901
+
     def test_stats_pruning_composes_with_vectors(self, spark, lake):
         t = TxnTable(lake, "d10", stats_cols=["k"])
         for lo in (0, 250, 500, 750):  # 4 files with disjoint k ranges

@@ -165,6 +165,45 @@ class TestHiddenPartitioning:
         with pytest.raises(ValueError, match="collides"):
             bad.append(_events(spark, 10))
 
+    def test_identity_transform_over_timestamp_source(self, spark, lake):
+        """Review finding: an identity transform whose source is a
+        TIMESTAMP produced datetime-vs-str comparisons in pruning
+        (TypeError on every predicated read). Unorderable bounds now
+        skip transform pruning conservatively; the read stays
+        correct."""
+        t = TxnTable(
+            lake, "ev9", partition_transforms={"tsp": ("identity", "ts")}
+        )
+        t.append(_events(spark, 200))
+        got = t.read(
+            key_range=("ts", "2024-01-01 00:00:00", "2024-01-01 01:00:00")
+        ).count()
+        want = (
+            _events(spark, 200)
+            .filter(
+                F.col("ts").between(
+                    "2024-01-01 00:00:00", "2024-01-01 01:00:00"
+                )
+            )
+            .count()
+        )
+        assert got == want > 0
+
+    def test_single_key_range_as_list_still_works(self, spark, lake):
+        """Review finding: ['col', lo, hi] (list spelling of a single
+        range) predates the composite form and must keep working."""
+        t = TxnTable(
+            lake, "ev10", partition_transforms={"ts_day": ("days", "ts")}
+        )
+        t.append(_events(spark))
+        tpl = t.read(
+            key_range=("ts", "2024-01-02 00:00:00", "2024-01-02 23:59:59")
+        ).count()
+        lst = t.read(
+            key_range=["ts", "2024-01-02 00:00:00", "2024-01-02 23:59:59"]
+        ).count()
+        assert tpl == lst > 0
+
     def test_transforms_compose_with_hive_partition_cols(
         self, spark, lake
     ):
