@@ -671,7 +671,9 @@ class TxnTable:
     def read(
         self,
         version: int | None = None,
-        key_range: tuple[str, object, object] | None = None,
+        key_range: tuple[str, object, object]
+        | list[tuple[str, object, object]]
+        | None = None,
         partition_filter: dict[str, object] | None = None,
         bloom_eq: dict[str, object] | None = None,
         as_of_ts=None,
@@ -747,7 +749,9 @@ class TxnTable:
     def resolve_files(
         self,
         version: int | None = None,
-        key_range: tuple[str, object, object] | None = None,
+        key_range: tuple[str, object, object]
+        | list[tuple[str, object, object]]
+        | None = None,
         partition_filter: dict[str, object] | None = None,
         bloom_eq: dict[str, object] | None = None,
     ) -> list[str]:
@@ -1383,6 +1387,16 @@ class TxnTable:
                 # both replace table state wholesale (restore may also
                 # change the schema back): no commit reorders across them
                 return False
+            if "dv" in rec and set(rec["dv"]["files"]) & set(removed):
+                # their deletion vector soft-deletes rows INSIDE files
+                # our rewrite replaces: our rewritten data was computed
+                # from the pre-vector snapshot, so re-CASing would
+                # RESURRECT their deleted rows (and the replay drops
+                # the vector with the removed file, hiding it) — no
+                # serial order produces that state (round-6 review
+                # repro: rebased cow merge over a concurrent
+                # merge-on-read delete brought all 10 rows back)
+                return False
             if our_parts is None:
                 continue  # blind append: compatible with the rest
             if their_op in ("compact",):
@@ -1768,7 +1782,15 @@ class TxnTable:
         prev = self._state(base)
         self._merge_schema(prev, updates)  # validate before writing
         if merge_on_read and base > 0:
-            return self._merge_dv(updates, key_cols, prune, base, prev)
+            # conflict = re-run on the fresh snapshot (see delete_where)
+            for attempt in range(4):
+                try:
+                    return self._merge_dv(updates, key_cols, prune, base, prev)
+                except CommitConflictError:
+                    if attempt == 3:
+                        raise
+                    base = self.current_version()
+                    prev = self._state(base)
         # a merge's READ scope is partition-confined only when the
         # partition columns are part of the merge key (a key then
         # cannot match rows outside its own partition) — the condition
@@ -1862,28 +1884,7 @@ class TxnTable:
                 F.col("_dv_file").alias("file_key"),
                 F.col("_dv_row").alias("row_idx"),
             )
-            dv_rel = f"dv/{uuid.uuid4().hex}"
-            dv_dir = self.root / dv_rel
-            doomed.write.mode("overwrite").parquet(str(dv_dir))
-            per_file = (
-                self.spark.read.parquet(str(dv_dir))
-                .groupBy("file_key")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()  # one row per matched file — bounded
-            )
-            if per_file:
-                live_set = set(prev["files"])
-                files_map = {}
-                for r in per_file:
-                    if r["file_key"] not in live_set:
-                        raise RuntimeError(
-                            f"table {self.name}: merge vector references "
-                            f"unknown file {r['file_key']!r}"
-                        )
-                    files_map[r["file_key"]] = int(r["n"])
-                dv = {"path": dv_rel, "files": files_map}
-            else:
-                shutil.rmtree(dv_dir, ignore_errors=True)  # no matches
+            dv = self._write_dv_vector(doomed, prev)
         new_files, new_rows, new_stats, new_parts, ptypes = (
             self._write_data(updates)
         )
@@ -2090,7 +2091,18 @@ class TxnTable:
         base = self.current_version()
         prev = self._state(base)
         if merge_on_read:
-            return self._delete_where_dv(condition, base, prev)
+            # conflict handling = RE-RUN against the fresh snapshot
+            # (the correct serial order; a vector indexes exactly one
+            # snapshot's files, so it can never be re-CASed blindly) —
+            # same outcome the cow path's rebase-or-retry gives
+            for attempt in range(4):
+                try:
+                    return self._delete_where_dv(condition, base, prev)
+                except CommitConflictError:
+                    if attempt == 3:
+                        raise
+                    base = self.current_version()
+                    prev = self._state(base)
         scan = self._load_files(prev["files"], prev, keep_lineage=True)
         hit_files = {
             r["_f"]
@@ -2134,25 +2146,17 @@ class TxnTable:
             partition_types=ptypes,
         )
 
-    def _delete_where_dv(self, condition, base: int, prev: dict) -> int:
-        """Merge-on-read delete: ONE metadata+vector commit, zero data
-        bytes moved. The matching rows' (file, row-position) pairs are
-        written as a parquet vector by a distributed job; per-file
-        deleted counts come from one bounded aggregate over it (rows =
-        touched files, not deleted rows). SQL DELETE semantics: only
-        rows where the predicate is TRUE are deleted — a NULL
-        predicate row simply doesn't match the filter and survives,
-        no three-valued trap on this path. Commits via plain CAS (no
-        rebase): a vector is only valid against the exact snapshot
-        whose files it indexes — a concurrent compact could have
-        rewritten them — so a conflict re-runs the delete."""
+    def _write_dv_vector(self, matches: DataFrame, prev: dict):
+        """Shared vector-commit tail of the two merge-on-read writers
+        (:meth:`_delete_where_dv`, :meth:`_merge_dv`): write the
+        (file_key, row_idx) matches as one parquet vector via a
+        distributed job, aggregate per-file deleted counts (one
+        bounded collect — rows = touched files, not deleted rows),
+        and validate every key against the snapshot. Returns the
+        commit's ``dv`` payload, or None when nothing matched (the
+        empty dir is removed)."""
         from pyspark.sql import functions as F
 
-        live = self._load_files(prev["files"], prev, keep_lineage=True)
-        matches = live.filter(condition).select(
-            F.col("_dv_file").alias("file_key"),
-            F.col("_dv_row").alias("row_idx"),
-        )
         dv_rel = f"dv/{uuid.uuid4().hex}"
         dv_dir = self.root / dv_rel
         matches.write.mode("overwrite").parquet(str(dv_dir))
@@ -2162,15 +2166,9 @@ class TxnTable:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()  # one row per touched file — bounded
         )
-        if not per_file:  # no matching rows: clean no-op commit
+        if not per_file:
             shutil.rmtree(dv_dir, ignore_errors=True)
-            return self._commit(
-                base,
-                op="delete",
-                added=[],
-                removed=[],
-                rows_total=prev["rows"],
-            )
+            return None
         live_set = set(prev["files"])
         dv_files = {}
         for r in per_file:
@@ -2180,17 +2178,45 @@ class TxnTable:
                     f"unknown file {r['file_key']!r}"
                 )
             dv_files[r["file_key"]] = int(r["n"])
+        return {"path": dv_rel, "files": dv_files}
+
+    def _delete_where_dv(self, condition, base: int, prev: dict) -> int:
+        """Merge-on-read delete: ONE metadata+vector commit, zero data
+        bytes moved. SQL DELETE semantics: only rows where the
+        predicate is TRUE are deleted — a NULL predicate row simply
+        doesn't match the filter and survives, no three-valued trap on
+        this path. Commits via plain CAS, never a rebase — a vector
+        is only valid against the exact snapshot whose files it
+        indexes; on conflict the caller (:meth:`delete_where`)
+        re-RUNS the whole delete against the fresh snapshot, which is
+        the correct serial order."""
+        from pyspark.sql import functions as F
+
+        live = self._load_files(prev["files"], prev, keep_lineage=True)
+        matches = live.filter(condition).select(
+            F.col("_dv_file").alias("file_key"),
+            F.col("_dv_row").alias("row_idx"),
+        )
+        dv = self._write_dv_vector(matches, prev)
+        if dv is None:  # no matching rows: clean no-op commit
+            return self._commit(
+                base,
+                op="delete",
+                added=[],
+                removed=[],
+                rows_total=prev["rows"],
+            )
         try:
             return self._commit(
                 base,
                 op="delete",
                 added=[],
                 removed=[],
-                rows_total=prev["rows"] - sum(dv_files.values()),
-                dv={"path": dv_rel, "files": dv_files},
+                rows_total=prev["rows"] - sum(dv["files"].values()),
+                dv=dv,
             )
         except CommitConflictError:
-            shutil.rmtree(dv_dir, ignore_errors=True)  # orphan vector
+            shutil.rmtree(self.root / dv["path"], ignore_errors=True)
             raise
 
     def overwrite_partitions(self, replacement: DataFrame) -> int:

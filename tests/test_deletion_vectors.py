@@ -236,6 +236,83 @@ class TestDeletionVectors:
         assert t.manifest()["dvs"] == {}
         assert t.read().count() == 901
 
+    def test_dv_delete_retries_over_concurrent_append(
+        self, spark, lake, monkeypatch
+    ):
+        """A vector CAS loser re-RUNS against the fresh snapshot (the
+        correct serial order) instead of surfacing the conflict: a
+        concurrent append's rows that match the predicate are deleted
+        too — exactly what append-then-delete serialization means."""
+        t = _table(spark, lake, "retry1")
+        orig = t._write_dv_vector
+        fired = {"done": False}
+
+        def hook(matches, prev):
+            if not fired["done"]:
+                fired["done"] = True
+                # another writer lands an append mid-flight → our CAS
+                # loses and delete_where must re-run
+                TxnTable(lake, "retry1", stats_cols=["k"]).append(
+                    spark.createDataFrame(
+                        [(1003, 0), (2000, 0)], "k BIGINT, g BIGINT"
+                    )
+                )
+            return orig(matches, prev)
+
+        monkeypatch.setattr(t, "_write_dv_vector", hook)
+        t.delete_where(F.col("k") % 10 == 3, merge_on_read=True)
+        # 1000 + 2 appended - 100 original matches - appended 1003
+        assert t.read().count() == 901
+        assert t.read().filter(F.col("k") % 10 == 3).count() == 0
+
+    def test_rebase_refused_over_concurrent_dv_delete(self, spark, lake):
+        """Round-6 review repro: a copy-on-write rewrite staged
+        against version N must NOT rebase over a concurrent vector
+        delete on the files it removes — its rewritten data predates
+        the vector, so a re-CAS would resurrect the soft-deleted rows
+        (and the replay drops the vector with the removed file,
+        hiding it). The conflict must raise; the correct serial order
+        is a re-run."""
+        from interop_datalake_spark.lake.txn import CommitConflictError
+
+        t = TxnTable(lake, "race", partition_cols=["site"], stats_cols=["k"])
+        t.append(
+            spark.range(0, 100).select(
+                F.col("id").alias("k"),
+                F.when(F.col("id") < 50, "a").otherwise("b").alias("site"),
+            )
+        )  # v1
+        # writer A stages a cow delete over partition a's files
+        cond = (F.col("site") == "a") & (F.col("k") % 2 == 0)
+        prev = t._state(1)
+        touched = t.resolve_files(version=1, partition_filter={"site": "a"})
+        remaining = t._load_files(touched, prev).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        staged = t._write_data(remaining)
+        # writer B lands a merge-on-read delete on the same files first
+        b = TxnTable(lake, "race", partition_cols=["site"], stats_cols=["k"])
+        b.delete_where(
+            (F.col("site") == "a") & (F.col("k") < 10), merge_on_read=True
+        )  # v2: vector on partition a's files
+        assert b.read().count() == 90
+        with pytest.raises(CommitConflictError):
+            t._commit_retry(
+                1,
+                op="delete",
+                added=staged[0],
+                removed=touched,
+                new_rows=staged[1],
+                removed_rows=50,
+                stats=staged[2],
+                partitions=staged[3],
+                partition_types=staged[4],
+            )
+        # B's soft deletes intact; the re-run composes correctly
+        assert t.read().count() == 90
+        t.delete_where(cond)
+        assert t.read().count() == 70  # 90 - (25 evens - 5 already gone)
+
     def test_stats_pruning_composes_with_vectors(self, spark, lake):
         t = TxnTable(lake, "d10", stats_cols=["k"])
         for lo in (0, 250, 500, 750):  # 4 files with disjoint k ranges

@@ -20,12 +20,12 @@ from tools.audit_oracle_types import flagged_columns  # noqa: E402
 from interop_datalake_spark import catalog  # noqa: E402
 from tests.oracle import duckdb_conn  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
-
 
 @pytest.fixture(scope="module")
-def conn():
-    return duckdb_conn(SF_DIR)
+def conn(sf_dir):
+    # env-driven sf_dir from conftest (the audit is DESCRIBE-only, so
+    # any scale factor works — follow the suite-wide override)
+    return duckdb_conn(sf_dir)
 
 
 def _oracle_items():
