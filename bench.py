@@ -90,6 +90,7 @@ HEADLINE = [
     # write→prune→read / write→vector→read cost
     "lake_partition_transforms",
     "lake_deletion_vectors",
+    "lake_change_feed_deletes",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are

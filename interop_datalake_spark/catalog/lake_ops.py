@@ -1069,6 +1069,90 @@ ORDER BY probe
 """
 
 
+def lake_change_feed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed WITH delete emission (lake/txn.py:read_changes
+    include_deletes — Delta CDF on deletion-vector tables): because a
+    merge-on-read delete's vector names exact (file, row-position)
+    pairs, the feed emits the deleted rows themselves — no snapshot
+    diff. Scenario: documents subset appended (v1 inserts), a vector
+    delete of lang='de' (v2 deletes), a vector MERGE re-inserting
+    every doc_id % 50 == 0 plus one new id (v3: deletes of the
+    matched live rows + inserts of the upserts). Output = per
+    (version, change type) counts + BIGINT id ranges, replayed by the
+    oracle as plain set algebra over the raw parquet."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("doc_id") < 300)
+    root = tempfile.mkdtemp(prefix="lake_cdf_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "docs_cdf", stats_cols=["doc_id"])
+        t.append(docs.repartition(4))                          # v1
+        t.delete_where(F.col("lang") == "de", merge_on_read=True)  # v2
+        upserts = docs.filter(F.col("doc_id") % 50 == 0).unionByName(
+            spark.createDataFrame(
+                [(9000, "en", 1000)], "doc_id BIGINT, lang STRING, n_chars BIGINT"
+            )
+        )
+        t.merge(upserts, ["doc_id"], merge_on_read=True)       # v3
+        rows = (
+            t.read_changes(0, include_deletes=True)
+            .groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .collect()  # ≤ 2 rows per commit — bounded, detaches result
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["_commit_version"], r["_change_type"], r["n"], r["min_id"], r["max_id"])
+            for r in rows
+        ],
+        "commit_version BIGINT, change_type STRING, n BIGINT,"
+        " min_id BIGINT, max_id BIGINT",
+    ).orderBy("commit_version", "change_type")
+
+
+LAKE_CDF_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id < 300
+), v3_del AS (
+  SELECT doc_id FROM base WHERE doc_id % 50 = 0 AND lang <> 'de'
+), v3_ins AS (
+  SELECT doc_id FROM base WHERE doc_id % 50 = 0
+  UNION ALL SELECT 9000
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS commit_version, 'insert' AS change_type,
+         count(*)::BIGINT AS n, min(doc_id)::BIGINT AS min_id,
+         max(doc_id)::BIGINT AS max_id
+  FROM base
+  UNION ALL
+  SELECT 2::BIGINT, 'delete', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT
+  FROM base WHERE lang = 'de'
+  UNION ALL
+  SELECT 3::BIGINT, 'delete', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT FROM v3_del
+  UNION ALL
+  SELECT 3::BIGINT, 'insert', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT FROM v3_ins
+)
+ORDER BY commit_version, change_type
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -1086,6 +1170,7 @@ QUERIES = {
     "lake_expectations": lake_expectations,
     "lake_partition_transforms": lake_partition_transforms,
     "lake_deletion_vectors": lake_deletion_vectors,
+    "lake_change_feed_deletes": lake_change_feed_deletes,
 }
 
 ORACLES = {
@@ -1105,4 +1190,5 @@ ORACLES = {
     "lake_expectations": LAKE_EXPECTATIONS_ORACLE,
     "lake_partition_transforms": LAKE_PTF_ORACLE,
     "lake_deletion_vectors": LAKE_DV_ORACLE,
+    "lake_change_feed_deletes": LAKE_CDF_ORACLE,
 }

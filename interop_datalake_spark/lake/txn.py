@@ -857,7 +857,10 @@ class TxnTable:
         return fs
 
     def read_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_deletes: bool = False,
     ) -> DataFrame:
         """Change feed: rows ADDED by commits in ``(from_version,
         to_version]``, tagged with ``_commit_version`` — the Delta
@@ -866,7 +869,18 @@ class TxnTable:
         rows of their rewritten files; removals are not emitted
         (append-only feed — callers needing delete deltas diff
         snapshots). Feeds :func:`streaming.txn_source` for readStream
-        consumption."""
+        consumption.
+
+        ``include_deletes=True`` adds a ``_change_type`` column
+        ('insert' | 'delete') and emits the rows soft-deleted by each
+        commit's DELETION VECTOR — exact and cheap, because the
+        vector already names the (file, row-position) pairs: the
+        deleted rows are the pre-commit live rows of the vectored
+        files SEMI-joined to the vector (Delta CDF on DV tables works
+        the same way). Copy-on-write rewrites still emit only their
+        re-added rows (emitting their removals would need a full
+        snapshot diff — the documented limitation; run deletes with
+        ``merge_on_read=True`` when the feed must see them)."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -877,22 +891,54 @@ class TxnTable:
             rec = self.commit_record(v)
             added = rec.get("added", [])
             if added:
-                frames.append(
-                    self._load_files(added, rec).withColumn(
-                        "_commit_version", F.lit(v)
-                    )
+                fr = self._load_files(added, rec).withColumn(
+                    "_commit_version", F.lit(v)
                 )
+                if include_deletes:
+                    fr = fr.withColumn("_change_type", F.lit("insert"))
+                frames.append(fr)
+            if include_deletes and "dv" in rec:
+                # pre-commit live rows of the vectored files, keyed by
+                # lineage, semi-joined to exactly THIS commit's vector
+                # (earlier vectors on the same files are already
+                # anti-joined away by the v-1 state's load, so a row
+                # can never be re-emitted as deleted twice)
+                prev_state = self._state(v - 1)
+                affected = [
+                    f
+                    for f in prev_state["files"]
+                    if f in rec["dv"]["files"]
+                ]
+                vec = self.spark.read.parquet(
+                    str(self.root / rec["dv"]["path"])
+                ).select(
+                    F.col("file_key").alias("_dv_file"),
+                    F.col("row_idx").alias("_dv_row"),
+                )
+                gone = (
+                    self._load_files(
+                        affected, prev_state, keep_lineage=True
+                    )
+                    .join(vec, ["_dv_file", "_dv_row"], "left_semi")
+                    .drop("_dv_file", "_dv_row")
+                    .withColumn("_commit_version", F.lit(v))
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                frames.append(gone)
         if not frames:
             m = self.manifest(to)
             if not m["files"]:
                 raise FileNotFoundError(
                     f"table {self.name} has no committed data to diff"
                 )
-            return (
+            empty = (
                 self._load_files(m["files"][:1], m)
                 .withColumn("_commit_version", F.lit(0))
                 .filter(F.lit(False))
             )
+            if include_deletes:
+                empty = empty.withColumn("_change_type", F.lit("insert"))
+            return empty
         # allowMissingColumns: the feed may span a schema-evolution
         # commit; pre-evolution versions null-fill the added columns
         return reduce(

@@ -236,6 +236,51 @@ class TestDeletionVectors:
         assert t.manifest()["dvs"] == {}
         assert t.read().count() == 901
 
+    def test_change_feed_emits_vector_deletes_when_asked(
+        self, spark, lake
+    ):
+        """CDF parity (Delta change feed on DV tables): with
+        include_deletes=True, each vector commit emits its
+        soft-deleted rows tagged _change_type='delete' — exact,
+        because the vector names the positions; no snapshot diff."""
+        t = _table(spark, lake, "cdf1", n=100)
+        t.delete_where(F.col("k") < 10, merge_on_read=True)   # v2
+        t.delete_where(F.col("k") % 10 == 5, merge_on_read=True)  # v3
+        feed = t.read_changes(1, include_deletes=True)
+        rows = [
+            (r["_commit_version"], r["_change_type"], r["k"])
+            for r in feed.collect()
+        ]
+        v2 = sorted(k for v, c, k in rows if v == 2 and c == "delete")
+        v3 = sorted(k for v, c, k in rows if v == 3 and c == "delete")
+        assert v2 == list(range(10))
+        # 5 was already gone at v2 — only the NEW batch emits at v3
+        assert v3 == [15, 25, 35, 45, 55, 65, 75, 85, 95]
+        assert not [r for r in rows if r[1] == "insert"]
+        # default call shape is unchanged (no _change_type column)
+        assert "_change_type" not in t.read_changes(1).columns
+
+    def test_change_feed_tags_dv_merge_inserts_and_deletes(
+        self, spark, lake
+    ):
+        t = _table(spark, lake, "cdf2", n=100)
+        t.merge(
+            spark.createDataFrame(
+                [(5, 700), (200, 700)], "k BIGINT, g BIGINT"
+            ),
+            ["k"],
+            merge_on_read=True,
+        )  # v2: soft-deletes old k=5, inserts both rows
+        feed = t.read_changes(1, include_deletes=True)
+        got = sorted(
+            (r["_change_type"], r["k"], r["g"]) for r in feed.collect()
+        )
+        assert got == [
+            ("delete", 5, 5),
+            ("insert", 5, 700),
+            ("insert", 200, 700),
+        ]
+
     def test_dv_delete_retries_over_concurrent_append(
         self, spark, lake, monkeypatch
     ):
