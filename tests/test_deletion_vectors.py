@@ -310,6 +310,33 @@ class TestDeletionVectors:
         assert t.read().count() == 901
         assert t.read().filter(F.col("k") % 10 == 3).count() == 0
 
+    def test_two_threaded_dv_writers_both_land(self, spark, lake):
+        """TRUE two-thread race (not simulated): two handles issue
+        vector deletes with disjoint predicates concurrently; the CAS
+        loser re-runs against the winner's snapshot and BOTH deletes
+        land — no lost update, no double count."""
+        import threading
+
+        t = _table(spark, lake, "race2", n=400)
+        errs = []
+
+        def run(lo, hi):
+            try:
+                TxnTable(lake, "race2", stats_cols=["k"]).delete_where(
+                    (F.col("k") >= lo) & (F.col("k") < hi),
+                    merge_on_read=True,
+                )
+            except Exception as e:  # noqa: BLE001 - surface in assert
+                errs.append(e)
+
+        a = threading.Thread(target=run, args=(0, 50))
+        b = threading.Thread(target=run, args=(350, 400))
+        a.start(); b.start(); a.join(); b.join()
+        assert not errs
+        assert t.read().count() == 300
+        assert t.manifest()["rows"] == 300
+        assert t.current_version() == 3  # two vector commits landed
+
     def test_rebase_refused_over_concurrent_dv_delete(self, spark, lake):
         """Round-6 review repro: a copy-on-write rewrite staged
         against version N must NOT rebase over a concurrent vector
