@@ -91,6 +91,7 @@ HEADLINE = [
     "lake_partition_transforms",
     "lake_deletion_vectors",
     "lake_change_feed_deletes",
+    "lake_incremental_view",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are

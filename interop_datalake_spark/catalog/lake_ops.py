@@ -1153,6 +1153,80 @@ ORDER BY commit_version, change_type
 """
 
 
+def lake_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (lake/ivm.py:IncrementalAggView):
+    a per-language (count, sum n_chars) rollup of ``documents`` kept
+    current from CHANGE DELTAS — the delete-emitting change feed
+    signs rows (+insert/−vector-delete), so each refresh costs
+    O(changed rows + touched groups) and never re-scans the source.
+    Stages: first materialization, an append-only batch, and a vector
+    delete of lang='de' whose groups shrink (and the 'de' group
+    VANISHES, as a recompute would have it). The oracle replays every
+    stage as a plain filtered aggregate over the raw parquet — which
+    is the invariant IVM promises: incremental ≡ recompute."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.ivm import IncrementalAggView
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="lake_ivm_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        src = TxnTable(session, "docs_src", stats_cols=["doc_id"])
+        view = IncrementalAggView(
+            session, "docs_by_lang", src, ["lang"], ["n_chars"]
+        )
+        rows = []
+
+        def snap(stage):
+            rows.extend(
+                (stage, r["lang"], r["n"], r["sum_n_chars"])
+                for r in view.read().collect()  # one row/lang — bounded
+            )
+
+        src.append(docs.filter(F.col("doc_id") < 300).repartition(4))
+        view.refresh()
+        snap("s1_initial")
+        src.append(
+            docs.filter(
+                (F.col("doc_id") >= 300) & (F.col("doc_id") < 400)
+            )
+        )
+        view.refresh()
+        snap("s2_append")
+        src.delete_where(F.col("lang") == "de", merge_on_read=True)
+        view.refresh()
+        snap("s3_vector_delete")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "stage STRING, lang STRING, n BIGINT, sum_chars BIGINT"
+    ).orderBy("stage", "lang")
+
+
+LAKE_IVM_ORACLE = """
+WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+SELECT * FROM (
+  SELECT 's1_initial' AS stage, lang, count(*)::BIGINT AS n,
+         sum(n_chars)::BIGINT AS sum_chars
+  FROM d WHERE doc_id < 300 GROUP BY lang
+  UNION ALL
+  SELECT 's2_append', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+  FROM d WHERE doc_id < 400 GROUP BY lang
+  UNION ALL
+  SELECT 's3_vector_delete', lang, count(*)::BIGINT, sum(n_chars)::BIGINT
+  FROM d WHERE doc_id < 400 AND lang <> 'de' GROUP BY lang
+)
+ORDER BY stage, lang
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -1171,6 +1245,7 @@ QUERIES = {
     "lake_partition_transforms": lake_partition_transforms,
     "lake_deletion_vectors": lake_deletion_vectors,
     "lake_change_feed_deletes": lake_change_feed_deletes,
+    "lake_incremental_view": lake_incremental_view,
 }
 
 ORACLES = {
@@ -1191,4 +1266,5 @@ ORACLES = {
     "lake_partition_transforms": LAKE_PTF_ORACLE,
     "lake_deletion_vectors": LAKE_DV_ORACLE,
     "lake_change_feed_deletes": LAKE_CDF_ORACLE,
+    "lake_incremental_view": LAKE_IVM_ORACLE,
 }

@@ -1,0 +1,188 @@
+"""Incremental view maintenance (IVM) over TxnTable change feeds.
+
+The materialized-rollup pattern a 100 TB lake actually needs: a
+grouped aggregate (count + sums — the self-decomposable aggregates)
+kept current by applying CHANGE DELTAS, never by re-scanning the
+source. The delete-emitting change feed
+(``TxnTable.read_changes(include_deletes=True)``) makes the deltas
+exact: an insert contributes +1/+value, a vector-deleted row
+contributes −1/−value, so each refresh costs O(changed rows +
+touched groups) regardless of source size — the Delta Live Tables /
+"DBSP/enzyme" maintenance model built from this repo's own CDF
+primitives.
+
+Correctness contract: deltas are only exact when every commit in the
+refresh window is delta-visible — appends, vector deletes, and
+vector merges. A rewriting commit (copy-on-write merge/delete,
+compact, overwrite, restore, merge_sync) re-emits rewritten rows in
+the append-only feed, which would double-count; :meth:`refresh`
+detects those and raises, and :meth:`full_refresh` is the documented
+recovery (one recompute, then incremental again). This mirrors the
+real systems' rule (Delta MVs require the change feed; compaction
+breaks incremental and forces a recompute).
+
+Exactly-once: each refresh stamps the SOURCE version it materialized
+into the view's commit ``epoch`` (the streaming-sink idempotence
+machinery), so a replayed refresh is a no-op, and a crash between
+reading the feed and committing just re-runs the same delta.
+
+Reference parity: the reference publishes append-only per-tenant
+batches (DatalakePublishService.kt:50-90); per-tenant rollups over
+that feed are exactly this maintenance shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.txn import TxnTable
+
+#: commit shapes whose feed emission IS the exact delta: blind appends
+#: (op append, or a first-write/no-match merge/delete with nothing
+#: removed) and vector commits (dv payload, removed=[]).
+_SAFE_OPS = {"append", "delete", "merge"}
+
+
+class IncrementalAggView:
+    """A grouped (count, sums) aggregate of ``source`` materialized as
+    its own TxnTable and maintained incrementally.
+
+    View schema: ``key_cols`` + ``n`` (BIGINT live-row count per
+    group) + ``sum_<c>`` for each of ``sum_cols``. Groups whose count
+    reaches zero are REMOVED (matching a from-scratch recompute).
+    Averages and friends derive at read time (sum/n) — only
+    self-decomposable state is stored, the condition for exact
+    incremental maintenance.
+    """
+
+    def __init__(
+        self,
+        session,
+        name: str,
+        source: TxnTable,
+        key_cols: list[str],
+        sum_cols: list[str] | None = None,
+    ):
+        self.source = source
+        self.key_cols = list(key_cols)
+        self.sum_cols = list(sum_cols or [])
+        self.view = TxnTable(session, name, stats_cols=self.key_cols[:1])
+
+    # -- state ---------------------------------------------------------------
+
+    def last_refreshed_version(self) -> int:
+        """The source version the view currently reflects (0 = never
+        refreshed). Rides the view's commit ``epoch``."""
+        v = self.view.current_version()
+        return self.view.manifest(v).get("epoch") or 0 if v else 0
+
+    def read(self) -> DataFrame:
+        return self.view.read()
+
+    # -- delta algebra -------------------------------------------------------
+
+    def _agg_exprs(self, sign):
+        exprs = [F.sum(sign).cast("bigint").alias("n")]
+        for c in self.sum_cols:
+            exprs.append(
+                F.sum(sign * F.col(c)).cast("bigint").alias(f"sum_{c}")
+            )
+        return exprs
+
+    def _aggregate(self, rows: DataFrame, sign) -> DataFrame:
+        return rows.groupBy(*self.key_cols).agg(*self._agg_exprs(sign))
+
+    def _assert_window_is_delta_visible(self, last: int, to: int) -> None:
+        for v in range(last + 1, to + 1):
+            rec = self.source.commit_record(v)
+            op = rec.get("op")
+            rewriting = rec.get("removed") or op not in _SAFE_OPS
+            if rewriting:
+                raise ValueError(
+                    f"source commit v{v} ({op}) rewrites files — its "
+                    f"feed emission re-adds existing rows and would "
+                    f"double-count; run full_refresh() to resync"
+                )
+
+    # -- refresh -------------------------------------------------------------
+
+    def refresh(self) -> int | None:
+        """Apply the source's change deltas since the last refresh.
+        Returns the view's new version, or None when already current
+        (or a concurrent refresh landed the same source version —
+        the epoch no-op). Cost: one feed scan of the CHANGED commits
+        + a merge touching only the affected groups' files."""
+        src_v = self.source.current_version()
+        last = self.last_refreshed_version()
+        if src_v <= last:
+            return None
+        self._assert_window_is_delta_visible(last, src_v)
+        changes = self.source.read_changes(
+            last, src_v, include_deletes=True
+        )
+        sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+        delta = self._aggregate(changes, sign)
+        if self.view.current_version() == 0:
+            out = delta.filter(F.col("n") > 0)
+            files_exist = out.limit(1).count() > 0
+            if not files_exist:
+                return None  # nothing materialized yet, nothing to do
+            # first materialization: one atomic write stamped with the
+            # source version
+            return self.view.merge(out, self.key_cols, _epoch=src_v)
+        # merge deltas into current group rows: FULL OUTER so brand-new
+        # groups insert and untouched-in-delta groups never load (the
+        # view.read() side is key-pruned by the merge path's stats)
+        cur = self.view.read().join(
+            F.broadcast(delta.select(*self.key_cols).distinct()),
+            self.key_cols,
+            "left_semi",
+        )
+        d_cols = ["n"] + [f"sum_{c}" for c in self.sum_cols]
+        dd = delta.select(
+            *self.key_cols, *[F.col(c).alias(f"_d_{c}") for c in d_cols]
+        )
+        new = (
+            cur.join(dd, self.key_cols, "full_outer")
+            .select(
+                *self.key_cols,
+                *[
+                    (
+                        F.coalesce(F.col(c), F.lit(0))
+                        + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+                    ).cast("bigint").alias(c)
+                    for c in d_cols
+                ],
+            )
+        )
+        survivors = new.filter(F.col("n") > 0)
+        dead = [
+            tuple(r[k] for k in self.key_cols)
+            for r in new.filter(F.col("n") <= 0)
+            .select(*self.key_cols)
+            .collect()  # zero'd groups only — bounded by touched groups
+        ]
+        version = self.view.merge(survivors, self.key_cols, _epoch=src_v)
+        if version is None:
+            return None  # concurrent refresh materialized this epoch
+        if dead:
+            # groups whose live count hit zero vanish, as a recompute
+            # would have it; key tuples are a bounded driver list
+            cond = None
+            for t in dead:
+                eq = F.lit(True)
+                for k, v in zip(self.key_cols, t):
+                    eq = eq & (F.col(k) == F.lit(v))
+                cond = eq if cond is None else (cond | eq)
+            version = self.view.delete_where(cond)
+        return version
+
+    def full_refresh(self) -> int:
+        """Recompute the whole aggregate from the source snapshot —
+        the recovery path after a rewriting source commit (compact /
+        copy-on-write rewrite / restore). One scan; stamps the source
+        version so incremental refresh resumes from here."""
+        src_v = self.source.current_version()
+        out = self._aggregate(self.source.read(version=src_v), F.lit(1))
+        return self.view.overwrite(out.filter(F.col("n") > 0), _epoch=src_v)

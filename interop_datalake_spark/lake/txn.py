@@ -1576,11 +1576,14 @@ class TxnTable:
             incoming_schema=df.schema,
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, _epoch: int | None = None) -> int:
         """ACID full replace; returns the new version. Old files stay
         on disk for time travel until :meth:`vacuum`. The table schema
         is REPLACED by the incoming frame's — overwrite is the explicit
-        migration path for type changes that :meth:`append` rejects."""
+        migration path for type changes that :meth:`append` rejects.
+        ``_epoch`` records an idempotence watermark in the commit (the
+        streaming-sink convention; ``lake/ivm.py`` uses it to stamp
+        the source version a full refresh materialized)."""
         base = self.current_version()
         files, rows, stats, parts, ptypes = self._write_data(df)
         prev = self._state(base)
@@ -1594,6 +1597,7 @@ class TxnTable:
             partitions=parts,
             partition_types=ptypes,
             schema=df.schema.json(),
+            epoch=_epoch,
         )
 
     def _retained_versions(self) -> list[int]:

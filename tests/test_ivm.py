@@ -1,0 +1,149 @@
+"""Incremental view maintenance (lake/ivm.py): a grouped count+sum
+rollup maintained from TxnTable change deltas — exact because the
+delete-emitting change feed signs every row (+insert/−delete). The
+invariant under test everywhere: after any refresh, the view equals a
+from-scratch recompute of the source snapshot.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.ivm import IncrementalAggView
+from interop_datalake_spark.lake.txn import TxnTable
+from interop_datalake_spark.session import DatalakeSession
+
+
+@pytest.fixture()
+def lake(spark):
+    root = tempfile.mkdtemp(prefix="txn_ivm_")
+    yield DatalakeSession(lake_root=root, spark=spark)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+
+
+def _recompute(src):
+    return {
+        r["g"]: (r["n"], r["s"])
+        for r in src.read()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+
+
+def _view_state(view):
+    return {
+        r["g"]: (r["n"], r["sum_v"]) for r in view.read().collect()
+    }
+
+
+class TestIncrementalAggView:
+    def test_incremental_equals_recompute_through_appends_and_deletes(
+        self, spark, lake
+    ):
+        src = TxnTable(lake, "src", stats_cols=["k"])
+        src.append(_batch(spark, 0, 300))
+        view = IncrementalAggView(lake, "v", src, ["g"], ["v"])
+        view.refresh()
+        assert _view_state(view.view) == _recompute(src)
+        src.append(_batch(spark, 300, 450))
+        view.refresh()
+        assert _view_state(view.view) == _recompute(src)
+        src.delete_where(F.col("k") % 2 == 0, merge_on_read=True)
+        view.refresh()
+        assert _view_state(view.view) == _recompute(src)
+
+    def test_group_vanishes_when_count_hits_zero(self, spark, lake):
+        src = TxnTable(lake, "src2", stats_cols=["k"])
+        src.append(_batch(spark, 0, 30))
+        view = IncrementalAggView(lake, "v2", src, ["g"], ["v"])
+        view.refresh()
+        assert set(_view_state(view.view)) == {"0", "1", "2"}
+        src.delete_where(F.col("k") % 3 == 1, merge_on_read=True)
+        view.refresh()
+        got = _view_state(view.view)
+        assert "1" not in got  # zero'd group removed, as recompute has it
+        assert got == _recompute(src)
+
+    def test_refresh_is_idempotent_and_exactly_once(self, spark, lake):
+        src = TxnTable(lake, "src3", stats_cols=["k"])
+        src.append(_batch(spark, 0, 60))
+        view = IncrementalAggView(lake, "v3", src, ["g"], ["v"])
+        assert view.refresh() is not None
+        assert view.refresh() is None  # already current: no commit
+        before = view.view.current_version()
+        assert view.refresh() is None
+        assert view.view.current_version() == before
+        assert view.last_refreshed_version() == src.current_version()
+
+    def test_dv_merge_in_window_applies_both_sides(self, spark, lake):
+        src = TxnTable(lake, "src4", stats_cols=["k"])
+        src.append(_batch(spark, 0, 90))
+        view = IncrementalAggView(lake, "v4", src, ["g"], ["v"])
+        view.refresh()
+        # upsert: replace k=0 (g='0', v=0 → v=999), insert k=1000
+        src.merge(
+            spark.createDataFrame(
+                [(0, "0", 999), (1000, "2", 5)], "k BIGINT, g STRING, v BIGINT"
+            ),
+            ["k"],
+            merge_on_read=True,
+        )
+        view.refresh()
+        assert _view_state(view.view) == _recompute(src)
+
+    def test_rewriting_commit_detected_and_full_refresh_recovers(
+        self, spark, lake
+    ):
+        src = TxnTable(lake, "src5", stats_cols=["k"])
+        src.append(_batch(spark, 0, 60))
+        view = IncrementalAggView(lake, "v5", src, ["g"], ["v"])
+        view.refresh()
+        src.delete_where(F.col("k") < 10)  # copy-on-write REWRITE
+        with pytest.raises(ValueError, match="full_refresh"):
+            view.refresh()
+        view.full_refresh()
+        assert _view_state(view.view) == _recompute(src)
+        # incremental maintenance resumes cleanly after the resync
+        src.append(_batch(spark, 100, 130))
+        view.refresh()
+        assert _view_state(view.view) == _recompute(src)
+
+    def test_multi_key_and_new_groups(self, spark, lake):
+        src = TxnTable(lake, "src6", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, "a", "x", 10), (2, "a", "y", 20)],
+                "k INT, t STRING, u STRING, v INT",
+            )
+        )
+        view = IncrementalAggView(lake, "v6", src, ["t", "u"], ["v"])
+        view.refresh()
+        src.append(
+            spark.createDataFrame(
+                [(3, "b", "x", 5), (4, "a", "x", 1)],
+                "k INT, t STRING, u STRING, v INT",
+            )
+        )
+        view.refresh()
+        got = {
+            (r["t"], r["u"]): (r["n"], r["sum_v"])
+            for r in view.read().collect()
+        }
+        assert got == {
+            ("a", "x"): (2, 11),
+            ("a", "y"): (1, 20),
+            ("b", "x"): (1, 5),
+        }
