@@ -107,12 +107,33 @@ class IncrementalAggView:
 
     # -- refresh -------------------------------------------------------------
 
+    def _keys_predicate(self, key_tuples):
+        """Column predicate "row's key ∈ key_tuples" (bounded OR of
+        ANDs; single-key views collapse to one isin)."""
+        if len(self.key_cols) == 1:
+            return F.col(self.key_cols[0]).isin(
+                [t[0] for t in key_tuples]
+            )
+        cond = None
+        for t in key_tuples:
+            eq = F.lit(True)
+            for k, v in zip(self.key_cols, t):
+                eq = eq & (F.col(k) == F.lit(v))
+            cond = eq if cond is None else (cond | eq)
+        return cond
+
     def refresh(self) -> int | None:
         """Apply the source's change deltas since the last refresh.
         Returns the view's new version, or None when already current
         (or a concurrent refresh landed the same source version —
-        the epoch no-op). Cost: one feed scan of the CHANGED commits
-        + a merge touching only the affected groups' files."""
+        the epoch no-op). Cost: ONE feed scan of the changed commits
+        (the aggregated delta — bounded by touched groups — is
+        collected once and drives everything downstream; rollup views
+        have small group cardinality by construction) + one atomic
+        scoped merge_sync touching only the affected groups' files:
+        matched groups update, zero'd groups DELETE, new groups
+        insert, all in the SAME commit — no window where a reader or
+        a crash can observe half a refresh."""
         src_v = self.source.current_version()
         last = self.last_refreshed_version()
         if src_v <= last:
@@ -122,61 +143,71 @@ class IncrementalAggView:
             last, src_v, include_deletes=True
         )
         sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
-        delta = self._aggregate(changes, sign)
+        d_cols = ["n"] + [f"sum_{c}" for c in self.sum_cols]
+        delta_rows = self._aggregate(changes, sign).collect()
+        if not delta_rows:
+            # empty window (no-op commits): nothing to stamp; the next
+            # refresh rescans this (empty, cheap) window again
+            return None
+        key_tuples = [
+            tuple(r[k] for k in self.key_cols) for r in delta_rows
+        ]
+        if any(v is None for t in key_tuples for v in t):
+            # TxnTable merge keys are not null-safe joins; a NULL group
+            # would silently split/strand — refuse loudly
+            raise ValueError(
+                "NULL group-key values are unsupported; coalesce the "
+                "key columns in the source before materializing"
+            )
+        schema = ", ".join(
+            [f"{k} {t}" for k, t in self._key_schema()]
+            + [f"{c} BIGINT" for c in d_cols]
+        )
+        delta_df = self.view.spark.createDataFrame(
+            [
+                tuple(r[k] for k in self.key_cols)
+                + tuple(int(r[c]) for c in d_cols)
+                for r in delta_rows
+            ],
+            schema,
+        )
         if self.view.current_version() == 0:
-            out = delta.filter(F.col("n") > 0)
-            files_exist = out.limit(1).count() > 0
-            if not files_exist:
-                return None  # nothing materialized yet, nothing to do
+            out = delta_df.filter(F.col("n") > 0)
             # first materialization: one atomic write stamped with the
             # source version
             return self.view.merge(out, self.key_cols, _epoch=src_v)
-        # merge deltas into current group rows: FULL OUTER so brand-new
-        # groups insert and untouched-in-delta groups never load (the
-        # view.read() side is key-pruned by the merge path's stats)
-        cur = self.view.read().join(
-            F.broadcast(delta.select(*self.key_cols).distinct()),
-            self.key_cols,
-            "left_semi",
-        )
-        d_cols = ["n"] + [f"sum_{c}" for c in self.sum_cols]
-        dd = delta.select(
+        in_keys = self._keys_predicate(key_tuples)
+        cur = self.view.read().filter(in_keys)  # stats-prunable scan
+        dd = delta_df.select(
             *self.key_cols, *[F.col(c).alias(f"_d_{c}") for c in d_cols]
         )
-        new = (
-            cur.join(dd, self.key_cols, "full_outer")
-            .select(
-                *self.key_cols,
-                *[
-                    (
-                        F.coalesce(F.col(c), F.lit(0))
-                        + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
-                    ).cast("bigint").alias(c)
-                    for c in d_cols
-                ],
-            )
+        new = cur.join(dd, self.key_cols, "full_outer").select(
+            *self.key_cols,
+            *[
+                (
+                    F.coalesce(F.col(c), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+                ).cast("bigint").alias(c)
+                for c in d_cols
+            ],
         )
         survivors = new.filter(F.col("n") > 0)
-        dead = [
-            tuple(r[k] for k in self.key_cols)
-            for r in new.filter(F.col("n") <= 0)
-            .select(*self.key_cols)
-            .collect()  # zero'd groups only — bounded by touched groups
-        ]
-        version = self.view.merge(survivors, self.key_cols, _epoch=src_v)
-        if version is None:
-            return None  # concurrent refresh materialized this epoch
-        if dead:
-            # groups whose live count hit zero vanish, as a recompute
-            # would have it; key tuples are a bounded driver list
-            cond = None
-            for t in dead:
-                eq = F.lit(True)
-                for k, v in zip(self.key_cols, t):
-                    eq = eq & (F.col(k) == F.lit(v))
-                cond = eq if cond is None else (cond | eq)
-            version = self.view.delete_where(cond)
-        return version
+        # ONE commit: in-scope matched groups replace, in-scope
+        # unmatched (zero'd) groups delete, new groups insert
+        return self.view.merge_sync(
+            survivors, self.key_cols, scope=in_keys, _epoch=src_v
+        )
+
+    def _key_schema(self):
+        """(name, DDL type) of each key column, from the source's log
+        schema (needed to build the literal delta frame)."""
+        st = self.source.table_schema()
+        types = (
+            {f.name: f.dataType.simpleString() for f in st.fields}
+            if st is not None
+            else {}
+        )
+        return [(k, types.get(k, "string")) for k in self.key_cols]
 
     def full_refresh(self) -> int:
         """Recompute the whole aggregate from the source snapshot —

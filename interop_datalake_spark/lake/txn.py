@@ -1990,7 +1990,8 @@ class TxnTable:
         key_cols: list[str],
         scope=None,
         scope_partition_filter: dict[str, object] | None = None,
-    ) -> int:
+        _epoch: int | None = None,
+    ) -> int | None:
         """MERGE with ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` —
         the CDC full-state sync: after the commit, the rows matching
         ``scope`` equal ``source`` exactly (matched keys replaced,
@@ -2029,6 +2030,7 @@ class TxnTable:
                 partitions=new_parts,
                 partition_types=ptypes,
                 incoming_schema=source.schema,
+                epoch=_epoch,
             )
         if scope is None:
             touched = list(prev["files"])
@@ -2116,6 +2118,7 @@ class TxnTable:
             partitions=new_parts,
             partition_types=ptypes,
             incoming_schema=source.schema,
+            epoch=_epoch,
         )
 
     def delete_where(self, condition, merge_on_read: bool = False) -> int:

@@ -121,6 +121,36 @@ class TestIncrementalAggView:
         view.refresh()
         assert _view_state(view.view) == _recompute(src)
 
+    def test_refresh_is_one_atomic_commit_even_with_dead_groups(
+        self, spark, lake
+    ):
+        """Round-6 review: update + zero'd-group delete must land in
+        the SAME commit (merge_sync's in-scope-unmatched-deletes), so
+        no reader or crash can observe half a refresh."""
+        src = TxnTable(lake, "src7", stats_cols=["k"])
+        src.append(_batch(spark, 0, 30))
+        view = IncrementalAggView(lake, "v7", src, ["g"], ["v"])
+        view.refresh()
+        v_before = view.view.current_version()
+        src.delete_where(F.col("k") % 3 == 1, merge_on_read=True)
+        src.append(_batch(spark, 60, 63))
+        view.refresh()
+        # exactly ONE view commit covered group shrink + group death
+        # + group growth together
+        assert view.view.current_version() == v_before + 1
+        assert _view_state(view.view) == _recompute(src)
+
+    def test_null_group_keys_are_refused_loudly(self, spark, lake):
+        src = TxnTable(lake, "src8")
+        src.append(
+            spark.createDataFrame(
+                [(1, None, 10), (2, "a", 20)], "k INT, g STRING, v INT"
+            )
+        )
+        view = IncrementalAggView(lake, "v8", src, ["g"], ["v"])
+        with pytest.raises(ValueError, match="NULL group-key"):
+            view.refresh()
+
     def test_multi_key_and_new_groups(self, spark, lake):
         src = TxnTable(lake, "src6", stats_cols=["k"])
         src.append(
