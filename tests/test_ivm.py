@@ -151,6 +151,40 @@ class TestIncrementalAggView:
         with pytest.raises(ValueError, match="NULL group-key"):
             view.refresh()
 
+    def test_streaming_trigger_drives_continuous_refresh(
+        self, spark, lake
+    ):
+        """Composition with the change-feed STREAM: readStream tails
+        the source and each micro-batch triggers view.refresh() in
+        foreachBatch — the continuous-rollup deployment shape.
+        refresh() reads its own exact delta (including vector
+        deletes) from the batch feed, so the stream is purely the
+        trigger; idempotent epochs make replayed batches no-ops."""
+        from interop_datalake_spark.streaming.txn_source import (
+            read_txn_stream,
+        )
+
+        src = TxnTable(lake, "src_s", stats_cols=["k"])
+        src.append(_batch(spark, 0, 60))                           # v1
+        src.append(_batch(spark, 60, 90))                          # v2
+        src.delete_where(F.col("k") % 3 == 2, merge_on_read=True)  # v3
+        view = IncrementalAggView(lake, "v_s", src, ["g"], ["v"])
+        stream = read_txn_stream(lake, "src_s", max_versions_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, epoch_id: view.refresh()
+            )
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                str(src.root.parent / "_ckpt_ivm_stream"),
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        assert _view_state(view.view) == _recompute(src)
+        assert view.last_refreshed_version() == src.current_version()
+
     def test_multi_key_and_new_groups(self, spark, lake):
         src = TxnTable(lake, "src6", stats_cols=["k"])
         src.append(
