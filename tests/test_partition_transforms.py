@@ -165,6 +165,83 @@ class TestHiddenPartitioning:
         with pytest.raises(ValueError, match="collides"):
             bad.append(_events(spark, 10))
 
+    def test_months_years_hours_transforms_prune(self, spark, lake):
+        """The remaining time granularities share days' format-string
+        path; pin each one's layout value and pruning behavior."""
+        # ~14 months of data, hourly spread
+        df = (
+            spark.range(0, 1000)
+            .select(F.col("id").alias("uid"))
+            .withColumn(
+                "ts",
+                F.expr(
+                    "timestamp'2023-11-15 00:00:00'"
+                    " + make_interval(0,0,0,0, CAST(uid*10 AS INT), 0, 0)"
+                ),
+            )
+        )
+        t = TxnTable(
+            lake,
+            "evm",
+            partition_transforms={
+                "ts_month": ("months", "ts"),
+                "ts_year": ("years", "ts"),
+            },
+        )
+        t.append(df)
+        parts = t.manifest()["partitions"]
+        months = {v["ts_month"] for v in parts.values()}
+        years = {v["ts_year"] for v in parts.values()}
+        assert "2023-11" in months and "2024-01" in months
+        assert {"2023", "2024"} <= years
+        all_files = t.resolve_files()
+        one_month = t.resolve_files(
+            key_range=("ts", "2024-01-01 00:00:00", "2024-01-31 23:59:59")
+        )
+        assert 0 < len(one_month) < len(all_files)
+        got = t.read(
+            key_range=("ts", "2024-01-01 00:00:00", "2024-01-31 23:59:59")
+        ).count()
+        want = df.filter(
+            F.col("ts").between(
+                "2024-01-01 00:00:00", "2024-01-31 23:59:59"
+            )
+        ).count()
+        assert got == want > 0
+        # hours transform on a one-day table
+        th = TxnTable(
+            lake, "evh", partition_transforms={"ts_h": ("hours", "ts")}
+        )
+        th.append(
+            spark.range(0, 240)
+            .select(F.col("id").alias("uid"))
+            .withColumn(
+                "ts",
+                F.expr(
+                    "timestamp'2024-03-01 00:00:00'"
+                    " + make_interval(0,0,0,0,0, CAST(uid*6 AS INT), 0)"
+                ),
+            )
+        )
+        hours = {
+            v["ts_h"] for v in th.manifest()["partitions"].values()
+        }
+        assert "2024-03-01-00" in hours and "2024-03-01-23" in hours
+        one_hour = th.resolve_files(
+            key_range=("ts", "2024-03-01 05:00:00", "2024-03-01 05:59:59")
+        )
+        assert 0 < len(one_hour) < len(th.resolve_files())
+        assert (
+            th.read(
+                key_range=(
+                    "ts",
+                    "2024-03-01 05:00:00",
+                    "2024-03-01 05:59:59",
+                )
+            ).count()
+            == 10
+        )
+
     def test_identity_transform_over_timestamp_source(self, spark, lake):
         """Review finding: an identity transform whose source is a
         TIMESTAMP produced datetime-vs-str comparisons in pruning
