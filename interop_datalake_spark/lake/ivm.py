@@ -49,11 +49,21 @@ class IncrementalAggView:
     its own TxnTable and maintained incrementally.
 
     View schema: ``key_cols`` + ``n`` (BIGINT live-row count per
-    group) + ``sum_<c>`` for each of ``sum_cols``. Groups whose count
-    reaches zero are REMOVED (matching a from-scratch recompute).
-    Averages and friends derive at read time (sum/n) — only
-    self-decomposable state is stored, the condition for exact
+    group) + ``sum_<c>`` for each of ``sum_cols`` + ``min_<c>`` /
+    ``max_<c>`` for each of ``min_cols`` / ``max_cols``. Groups whose
+    count reaches zero are REMOVED (matching a from-scratch
+    recompute). Averages and friends derive at read time (sum/n) —
+    only self-decomposable state is stored, the condition for exact
     incremental maintenance.
+
+    min/max are decomposable under INSERTS only (``least``/
+    ``greatest`` with the incoming batch) — a delete might remove the
+    row holding the extreme, which no stored state can repair. So a
+    refresh window containing vector deletes raises when min/max
+    columns are configured, and :meth:`full_refresh` resyncs — the
+    same honesty rule as rewriting commits. ``max(ts) per tenant``
+    (the freshness rollup) is the canonical use and is append-only in
+    practice.
     """
 
     def __init__(
@@ -63,10 +73,14 @@ class IncrementalAggView:
         source: TxnTable,
         key_cols: list[str],
         sum_cols: list[str] | None = None,
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
     ):
         self.source = source
         self.key_cols = list(key_cols)
         self.sum_cols = list(sum_cols or [])
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
         self.view = TxnTable(session, name, stats_cols=self.key_cols[:1])
 
     # -- state ---------------------------------------------------------------
@@ -82,18 +96,35 @@ class IncrementalAggView:
 
     # -- delta algebra -------------------------------------------------------
 
-    def _agg_exprs(self, sign):
+    def _agg_exprs(self, sign, insert_cond):
         exprs = [F.sum(sign).cast("bigint").alias("n")]
         for c in self.sum_cols:
             exprs.append(
                 F.sum(sign * F.col(c)).cast("bigint").alias(f"sum_{c}")
             )
+        # min/max contribute from INSERT rows only (insert_cond is
+        # lit(True) for full recomputes, where every row is an insert)
+        for c in self.min_cols:
+            exprs.append(
+                F.min(F.when(insert_cond, F.col(c))).alias(f"min_{c}")
+            )
+        for c in self.max_cols:
+            exprs.append(
+                F.max(F.when(insert_cond, F.col(c))).alias(f"max_{c}")
+            )
         return exprs
 
-    def _aggregate(self, rows: DataFrame, sign) -> DataFrame:
-        return rows.groupBy(*self.key_cols).agg(*self._agg_exprs(sign))
+    def _aggregate(
+        self, rows: DataFrame, sign, insert_cond=None
+    ) -> DataFrame:
+        if insert_cond is None:
+            insert_cond = F.lit(True)
+        return rows.groupBy(*self.key_cols).agg(
+            *self._agg_exprs(sign, insert_cond)
+        )
 
     def _assert_window_is_delta_visible(self, last: int, to: int) -> None:
+        minmax = bool(self.min_cols or self.max_cols)
         for v in range(last + 1, to + 1):
             rec = self.source.commit_record(v)
             op = rec.get("op")
@@ -103,6 +134,13 @@ class IncrementalAggView:
                     f"source commit v{v} ({op}) rewrites files — its "
                     f"feed emission re-adds existing rows and would "
                     f"double-count; run full_refresh() to resync"
+                )
+            if minmax and "dv" in rec:
+                raise ValueError(
+                    f"source commit v{v} vector-deletes rows and this "
+                    f"view maintains min/max — a delete can remove the "
+                    f"row holding the extreme, which incremental state "
+                    f"cannot repair; run full_refresh() to resync"
                 )
 
     # -- refresh -------------------------------------------------------------
@@ -143,8 +181,14 @@ class IncrementalAggView:
             last, src_v, include_deletes=True
         )
         sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
-        d_cols = ["n"] + [f"sum_{c}" for c in self.sum_cols]
-        delta_rows = self._aggregate(changes, sign).collect()
+        add_cols = ["n"] + [f"sum_{c}" for c in self.sum_cols]
+        mm_cols = [f"min_{c}" for c in self.min_cols] + [
+            f"max_{c}" for c in self.max_cols
+        ]
+        d_cols = add_cols + mm_cols
+        delta_rows = self._aggregate(
+            changes, sign, F.col("_change_type") == "insert"
+        ).collect()
         if not delta_rows:
             # empty window (no-op commits): nothing to stamp; the next
             # refresh rescans this (empty, cheap) window again
@@ -160,13 +204,25 @@ class IncrementalAggView:
                 "key columns in the source before materializing"
             )
         schema = ", ".join(
-            [f"{k} {t}" for k, t in self._key_schema()]
-            + [f"{c} BIGINT" for c in d_cols]
+            [f"{k} {t}" for k, t in self._key_schema(self.key_cols)]
+            + [f"{c} BIGINT" for c in add_cols]
+            + [
+                f"min_{c} {t}"
+                for c, t in self._key_schema(self.min_cols)
+            ]
+            + [
+                f"max_{c} {t}"
+                for c, t in self._key_schema(self.max_cols)
+            ]
         )
         delta_df = self.view.spark.createDataFrame(
             [
                 tuple(r[k] for k in self.key_cols)
-                + tuple(int(r[c]) for c in d_cols)
+                + tuple(
+                    int(r[c]) if r[c] is not None else None
+                    for c in add_cols
+                )
+                + tuple(r[c] for c in mm_cols)
                 for r in delta_rows
             ],
             schema,
@@ -181,15 +237,25 @@ class IncrementalAggView:
         dd = delta_df.select(
             *self.key_cols, *[F.col(c).alias(f"_d_{c}") for c in d_cols]
         )
+        combined = [
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            ).cast("bigint").alias(c)
+            for c in add_cols
+        ]
+        # least/greatest skip NULLs in Spark, so a group absent from
+        # one side inherits the other side's extreme unchanged
+        combined += [
+            F.least(F.col(c), F.col(f"_d_{c}")).alias(c)
+            for c in (f"min_{x}" for x in self.min_cols)
+        ]
+        combined += [
+            F.greatest(F.col(c), F.col(f"_d_{c}")).alias(c)
+            for c in (f"max_{x}" for x in self.max_cols)
+        ]
         new = cur.join(dd, self.key_cols, "full_outer").select(
-            *self.key_cols,
-            *[
-                (
-                    F.coalesce(F.col(c), F.lit(0))
-                    + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
-                ).cast("bigint").alias(c)
-                for c in d_cols
-            ],
+            *self.key_cols, *combined
         )
         survivors = new.filter(F.col("n") > 0)
         # ONE commit: in-scope matched groups replace, in-scope
@@ -198,16 +264,16 @@ class IncrementalAggView:
             survivors, self.key_cols, scope=in_keys, _epoch=src_v
         )
 
-    def _key_schema(self):
-        """(name, DDL type) of each key column, from the source's log
-        schema (needed to build the literal delta frame)."""
+    def _key_schema(self, cols):
+        """(name, DDL type) of each named column, from the source's
+        log schema (needed to build the literal delta frame)."""
         st = self.source.table_schema()
         types = (
             {f.name: f.dataType.simpleString() for f in st.fields}
             if st is not None
             else {}
         )
-        return [(k, types.get(k, "string")) for k in self.key_cols]
+        return [(k, types.get(k, "string")) for k in cols]
 
     def full_refresh(self) -> int:
         """Recompute the whole aggregate from the source snapshot —

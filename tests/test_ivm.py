@@ -185,6 +185,59 @@ class TestIncrementalAggView:
         assert _view_state(view.view) == _recompute(src)
         assert view.last_refreshed_version() == src.current_version()
 
+    def test_min_max_maintained_under_appends(self, spark, lake):
+        """min/max are insert-decomposable: least/greatest against
+        each batch's extremes. Timestamp max per group = the
+        freshness rollup."""
+        src = TxnTable(lake, "src9", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, "a", "2024-01-01 10:00:00"), (2, "b", "2024-01-02 09:00:00")],
+                "k INT, g STRING, ts_s STRING",
+            ).select("k", "g", F.col("ts_s").cast("timestamp").alias("ts"))
+        )
+        view = IncrementalAggView(
+            lake, "v9", src, ["g"], min_cols=["k"], max_cols=["k", "ts"]
+        )
+        view.refresh()
+        src.append(
+            spark.createDataFrame(
+                [(0, "a", "2024-01-05 00:00:00"), (9, "b", "2023-12-31 00:00:00")],
+                "k INT, g STRING, ts_s STRING",
+            ).select("k", "g", F.col("ts_s").cast("timestamp").alias("ts"))
+        )
+        view.refresh()
+        got = {
+            r["g"]: (r["min_k"], r["max_k"], str(r["max_ts"]))
+            for r in view.read().collect()
+        }
+        assert got == {
+            "a": (0, 1, "2024-01-05 00:00:00"),
+            "b": (2, 9, "2024-01-02 09:00:00"),
+        }
+
+    def test_min_max_refuses_delete_windows_and_recovers(
+        self, spark, lake
+    ):
+        src = TxnTable(lake, "src10", stats_cols=["k"])
+        src.append(_batch(spark, 0, 30))
+        view = IncrementalAggView(
+            lake, "v10", src, ["g"], ["v"], max_cols=["k"]
+        )
+        view.refresh()
+        # the deleted row might BE the max — incremental must refuse
+        src.delete_where(F.col("k") >= 27, merge_on_read=True)
+        with pytest.raises(ValueError, match="min/max"):
+            view.refresh()
+        view.full_refresh()
+        got = {r["g"]: r["max_k"] for r in view.read().collect()}
+        assert got == {"0": 24, "1": 25, "2": 26}
+        # append-only maintenance resumes after the resync
+        src.append(_batch(spark, 100, 103))
+        view.refresh()
+        got = {r["g"]: r["max_k"] for r in view.read().collect()}
+        assert got == {"0": 102, "1": 100, "2": 101}
+
     def test_multi_key_and_new_groups(self, spark, lake):
         src = TxnTable(lake, "src6", stats_cols=["k"])
         src.append(
