@@ -237,11 +237,20 @@ class IncrementalAggView:
         dd = delta_df.select(
             *self.key_cols, *[F.col(c).alias(f"_d_{c}") for c in d_cols]
         )
+        # SQL SUM of an all-NULL group is NULL, not 0 — when BOTH
+        # sides are NULL the combined sum must stay NULL or the view
+        # silently diverges from a recompute (round-6 review finding)
         combined = [
-            (
+            F.when(
+                F.col(c).isNull() & F.col(f"_d_{c}").isNull(),
+                F.lit(None),
+            )
+            .otherwise(
                 F.coalesce(F.col(c), F.lit(0))
                 + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
-            ).cast("bigint").alias(c)
+            )
+            .cast("bigint")
+            .alias(c)
             for c in add_cols
         ]
         # least/greatest skip NULLs in Spark, so a group absent from

@@ -185,6 +185,31 @@ class TestIncrementalAggView:
         assert _view_state(view.view) == _recompute(src)
         assert view.last_refreshed_version() == src.current_version()
 
+    def test_all_null_sum_group_stays_null_not_zero(self, spark, lake):
+        """Round-6 review: SUM of an all-NULL group is NULL in SQL; an
+        incremental combine that coalesces both sides to 0 would
+        silently store 0 where a recompute stores NULL."""
+        src = TxnTable(lake, "src11", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, "a", 10)], "k INT, g STRING, v INT"
+            )
+        )
+        view = IncrementalAggView(lake, "v11", src, ["g"], ["v"])
+        view.refresh()
+        # new group whose v is NULL in every row, via an incremental
+        # window (the materialized-view path, not first-write)
+        src.append(
+            spark.createDataFrame(
+                [(2, "nulls", None), (3, "nulls", None)],
+                "k INT, g STRING, v INT",
+            )
+        )
+        view.refresh()
+        got = {r["g"]: (r["n"], r["sum_v"]) for r in view.read().collect()}
+        assert got == {"a": (1, 10), "nulls": (2, None)}
+        assert _view_state(view.view) == _recompute(src)
+
     def test_min_max_maintained_under_appends(self, spark, lake):
         """min/max are insert-decomposable: least/greatest against
         each batch's extremes. Timestamp max per group = the
