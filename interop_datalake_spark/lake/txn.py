@@ -2319,9 +2319,18 @@ class TxnTable:
         target_files: int = 1,
         sort_by: str | None = None,
         zorder_by: list[str] | None = None,
+        target_mb: float | None = None,
     ) -> int:
         """Rewrite the snapshot into ``target_files`` files — the
         OPTIMIZE analog, transactional like every other commit.
+
+        ``target_mb``: size-targeted bin packing (OPTIMIZE's real
+        contract — files near a target size, not a fixed count):
+        derives ``target_files`` from the snapshot's current data
+        bytes (one driver-side stat sweep over the manifest's file
+        list — bounded, the clone path's cost) so a steady stream of
+        small commits compacts to ~target-sized files no matter how
+        the table grew. Composes with ``sort_by``/``zorder_by``.
 
         ``sort_by``: cluster the rewrite by a key (OPTIMIZE ... ZORDER's
         single-key form): ``repartitionByRange`` gives each output file
@@ -2349,6 +2358,15 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         base = self.current_version()
+        if target_mb is not None:
+            total = sum(
+                (self.root / f).stat().st_size
+                for f in self.manifest(base)["files"]
+                if (self.root / f).exists()
+            )
+            target_files = max(
+                1, -(-total // int(target_mb * 1024 * 1024))  # ceil div
+            )
         df = self.read(base)
         layout_by = None
         if zorder_by is not None:

@@ -570,6 +570,31 @@ def test_zorder_string_tenant_by_rid_composite_point_read(session, spark):
     assert t.read().count() == 16 * 256
 
 
+def test_size_targeted_compaction(session, spark):
+    """compact(target_mb=…): OPTIMIZE's actual contract — derive the
+    output file count from current data bytes so steadily-appended
+    small commits pack to ~target-size files."""
+    t = TxnTable(session, "packs", stats_cols=["k"])
+    for i in range(8):  # 8 small commits → 8+ small files
+        t.append(
+            spark.range(i * 5000, (i + 1) * 5000)
+            .selectExpr("id as k", "repeat('x', 64) as pad")
+            .coalesce(1)
+        )
+    n_before = len(t.manifest()["files"])
+    total_mb = sum(
+        (t.root / f).stat().st_size for f in t.manifest()["files"]
+    ) / (1024 * 1024)
+    t.compact(target_mb=total_mb / 2)  # pack to ~2 target-size files
+    m = t.manifest()
+    assert len(m["files"]) == 2 < n_before
+    assert t.read().count() == 40000
+    # a target far above the data packs to exactly one file
+    t.compact(target_mb=10_000)
+    assert len(t.manifest()["files"]) == 1
+    assert t.read().count() == 40000
+
+
 def test_zorder_compact_prunes_on_both_dims(session, spark):
     t = TxnTable(session, "zorder", stats_cols=["x", "y"])
     # ingestion clustered by x only: 4 files = x quartiles, each
