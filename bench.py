@@ -92,6 +92,25 @@ HEADLINE = [
     "lake_deletion_vectors",
     "lake_change_feed_deletes",
     "lake_incremental_view",
+    # round 7: the newly witness-rotated rows (see catalog
+    # WITNESS_PRIORITY) so driver bench history starts this round
+    "dedup_minhash_lsh_skewsafe",
+    "dedup_minhash_ml",
+    "dedup_simhash",
+    "stream_enrich_join",
+    "stream_window_quantiles",
+    "subquery_not_exists",
+    "text_trigrams_udtf",
+    "agg_string_concat",
+    "agg_variance_manual",
+    "agg_approx_distinct",
+    "text_winnowing_fingerprints",
+    "text_lang_ngram",
+    "text_fingerprint",
+    "text_repetition",
+    "corpus_vocab",
+    "corpus_pack_sequences",
+    "unpivot_order_metrics",
 ]
 # not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are

@@ -33,16 +33,38 @@ def test_rows_only(name, spark, sf_dir):
     assert df.count() >= 0
 
 
+# In-window rows that are rows-only BY DESIGN (round-7 witness
+# burn-down: the verdict asks that even non-SQL-expressible variants
+# get their weaker driver row). Each is pinned by a Spark-vs-Spark or
+# determinism pytest instead of a DuckDB oracle:
+#  - agg_approx_distinct: HLL sketch estimate (exactness pinned vs
+#    exact distinct within documented rsd bounds, tests/test_advanced)
+#  - dedup_minhash_lsh_fast / dedup_containment_fast: xxhash64
+#    production variants, pair-equality-pinned vs the portable md5
+#    twins (tests/test_llm_dedup.py)
+#  - ann_ivf_topk_trained: trained IVF (k-means centroids), recall
+#    measured vs exact top-k (tests/test_similarity.py)
+ROWS_ONLY_WITNESSED = {
+    "agg_approx_distinct",
+    "dedup_minhash_lsh_fast",
+    "dedup_containment_fast",
+    "ann_ivf_topk_trained",
+}
+
+
 def test_witness_priority_ordering():
     """The driver records only the first 50 queries() entries: they
     must be exactly WITNESS_PRIORITY (one representative per distinct
-    operator class), every one of them oracle-backed so all 50 recorded
-    rows are hash-checked, and the catalog must contain them all."""
+    operator class), every one of them oracle-backed — so the recorded
+    rows are hash-checked — except the small documented rows-only
+    allowlist above, and the catalog must contain them all."""
     names = list(_QUERIES)
     assert len(catalog.WITNESS_PRIORITY) == 50
     assert names[:50] == catalog.WITNESS_PRIORITY
     unbacked = [n for n in catalog.WITNESS_PRIORITY if n not in _ORACLES]
-    assert not unbacked, f"priority queries without oracles: {unbacked}"
+    assert set(unbacked) == ROWS_ONLY_WITNESSED & set(
+        catalog.WITNESS_PRIORITY
+    ), f"priority queries without oracles outside allowlist: {unbacked}"
 
 
 def test_catalog_contract():
