@@ -58,13 +58,30 @@ class IncrementalAggView:
 
     min/max are decomposable under INSERTS only (``least``/
     ``greatest`` with the incoming batch) — a delete might remove the
-    row holding the extreme, which no stored state can repair. So a
-    refresh window containing vector deletes raises when min/max
-    columns are configured, and :meth:`full_refresh` resyncs — the
-    same honesty rule as rewriting commits. ``max(ts) per tenant``
+    row holding the extreme, which no stored state can repair. A
+    refresh window containing vector deletes therefore triggers a
+    PARTIAL REPAIR: only the groups named in the delete delta are
+    re-aggregated from the live source snapshot (a stats-prunable
+    scan bounded by those groups' files) and their min/max replaced;
+    untouched groups and the count/sum algebra stay purely
+    incremental. At 100 TB this is the difference between seconds
+    (touched groups' slice) and hours (``full_refresh`` rescan) for
+    one deleted row — round-6 verdict item 3. ``max(ts) per tenant``
     (the freshness rollup) is the canonical use and is append-only in
-    practice.
+    practice, costing no repairs at all.
+
+    sum columns must be INTEGRAL (tinyint/smallint/int/bigint) in the
+    source log schema: delta sums are combined in exact BIGINT
+    arithmetic, and a DOUBLE/DECIMAL column would be silently
+    truncated per-delta — diverging from both a recompute and
+    ``full_refresh`` (truncate-per-delta != truncate-of-total). A
+    non-integral sum column is refused loudly at construction, the
+    same refuse-loudly pattern as NULL group keys (round-6 advice,
+    medium). Fixed-point folds (``functions/fixedpoint.py``) are the
+    documented route for money-typed sums.
     """
+
+    _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
     def __init__(
         self,
@@ -82,6 +99,31 @@ class IncrementalAggView:
         self.min_cols = list(min_cols or [])
         self.max_cols = list(max_cols or [])
         self.view = TxnTable(session, name, stats_cols=self.key_cols[:1])
+        #: files the last delete-window min/max repair scan opened
+        #: (None = no repair ran) — pruning made observable for tests
+        self.last_repair_scan_files: list[str] | None = None
+        self._validate_sum_types()
+
+    def _validate_sum_types(self) -> None:
+        if not self.sum_cols:
+            return
+        st = self.source.table_schema()
+        if st is None:  # source not yet written: re-checked per refresh
+            return
+        types = {f.name: f.dataType.simpleString() for f in st.fields}
+        bad = {
+            c: types[c]
+            for c in self.sum_cols
+            if c in types and types[c] not in self._INTEGRAL_TYPES
+        }
+        if bad:
+            raise TypeError(
+                f"sum_cols must be integral (delta sums combine in "
+                f"exact BIGINT; non-integral columns would truncate "
+                f"per-delta and silently diverge from a recompute): "
+                f"{bad} — pre-scale to fixed-point integers "
+                f"(functions/fixedpoint.py) instead"
+            )
 
     # -- state ---------------------------------------------------------------
 
@@ -96,7 +138,7 @@ class IncrementalAggView:
 
     # -- delta algebra -------------------------------------------------------
 
-    def _agg_exprs(self, sign, insert_cond):
+    def _agg_exprs(self, sign, insert_cond, track_deletes=False):
         exprs = [F.sum(sign).cast("bigint").alias("n")]
         for c in self.sum_cols:
             exprs.append(
@@ -112,19 +154,29 @@ class IncrementalAggView:
             exprs.append(
                 F.max(F.when(insert_cond, F.col(c))).alias(f"max_{c}")
             )
+        if track_deletes:
+            # marks the groups whose stored extremes a delete may have
+            # invalidated — the min/max partial-repair set
+            exprs.append(
+                F.max(F.when(insert_cond, 0).otherwise(1)).alias(
+                    "_had_delete"
+                )
+            )
         return exprs
 
     def _aggregate(
-        self, rows: DataFrame, sign, insert_cond=None
+        self, rows: DataFrame, sign, insert_cond=None, track_deletes=False
     ) -> DataFrame:
         if insert_cond is None:
             insert_cond = F.lit(True)
         return rows.groupBy(*self.key_cols).agg(
-            *self._agg_exprs(sign, insert_cond)
+            *self._agg_exprs(sign, insert_cond, track_deletes)
         )
 
-    def _assert_window_is_delta_visible(self, last: int, to: int) -> None:
-        minmax = bool(self.min_cols or self.max_cols)
+    def _assert_window_is_delta_visible(self, last: int, to: int) -> bool:
+        """Raise on rewriting commits; return True when the window
+        contains vector deletes (the min/max partial-repair trigger)."""
+        has_dv = False
         for v in range(last + 1, to + 1):
             rec = self.source.commit_record(v)
             op = rec.get("op")
@@ -135,13 +187,8 @@ class IncrementalAggView:
                     f"feed emission re-adds existing rows and would "
                     f"double-count; run full_refresh() to resync"
                 )
-            if minmax and "dv" in rec:
-                raise ValueError(
-                    f"source commit v{v} vector-deletes rows and this "
-                    f"view maintains min/max — a delete can remove the "
-                    f"row holding the extreme, which incremental state "
-                    f"cannot repair; run full_refresh() to resync"
-                )
+            has_dv = has_dv or "dv" in rec
+        return has_dv
 
     # -- refresh -------------------------------------------------------------
 
@@ -176,7 +223,10 @@ class IncrementalAggView:
         last = self.last_refreshed_version()
         if src_v <= last:
             return None
-        self._assert_window_is_delta_visible(last, src_v)
+        self._validate_sum_types()
+        has_dv = self._assert_window_is_delta_visible(last, src_v)
+        minmax = bool(self.min_cols or self.max_cols)
+        self.last_repair_scan_files = None
         changes = self.source.read_changes(
             last, src_v, include_deletes=True
         )
@@ -187,7 +237,10 @@ class IncrementalAggView:
         ]
         d_cols = add_cols + mm_cols
         delta_rows = self._aggregate(
-            changes, sign, F.col("_change_type") == "insert"
+            changes,
+            sign,
+            F.col("_change_type") == "insert",
+            track_deletes=minmax and has_dv,
         ).collect()
         if not delta_rows:
             # empty window (no-op commits): nothing to stamp; the next
@@ -227,8 +280,46 @@ class IncrementalAggView:
             ],
             schema,
         )
+        repair = None
+        if minmax and has_dv:
+            # PARTIAL REPAIR (round-6 verdict item 3): a delete may
+            # have removed the row holding a group's stored extreme —
+            # re-aggregate min/max for ONLY the delete-touched groups
+            # from the live source snapshot. One stats-prunable scan
+            # bounded by those groups' files, never a full rescan.
+            repair_keys = [
+                tuple(r[k] for k in self.key_cols)
+                for r in delta_rows
+                if r["_had_delete"]
+            ]
+            if repair_keys:
+                k0 = self.key_cols[0]
+                k0_vals = [t[0] for t in repair_keys]
+                kr = (k0, min(k0_vals), max(k0_vals))
+                self.last_repair_scan_files = self.source.resolve_files(
+                    version=src_v, key_range=kr
+                )
+                live = self.source.read(version=src_v, key_range=kr).filter(
+                    self._keys_predicate(repair_keys)
+                )
+                repair = (
+                    live.groupBy(*self.key_cols)
+                    .agg(
+                        *[
+                            F.min(c).alias(f"_rp_min_{c}")
+                            for c in self.min_cols
+                        ],
+                        *[
+                            F.max(c).alias(f"_rp_max_{c}")
+                            for c in self.max_cols
+                        ],
+                    )
+                    .withColumn("_rp", F.lit(1))
+                )
         if self.view.current_version() == 0:
-            out = delta_df.filter(F.col("n") > 0)
+            out = self._apply_minmax_repair(
+                delta_df.filter(F.col("n") > 0), repair
+            )
             # first materialization: one atomic write stamped with the
             # source version
             return self.view.merge(out, self.key_cols, _epoch=src_v)
@@ -266,11 +357,38 @@ class IncrementalAggView:
         new = cur.join(dd, self.key_cols, "full_outer").select(
             *self.key_cols, *combined
         )
+        new = self._apply_minmax_repair(new, repair)
         survivors = new.filter(F.col("n") > 0)
         # ONE commit: in-scope matched groups replace, in-scope
         # unmatched (zero'd) groups delete, new groups insert
         return self.view.merge_sync(
             survivors, self.key_cols, scope=in_keys, _epoch=src_v
+        )
+
+    def _apply_minmax_repair(self, frame: DataFrame, repair) -> DataFrame:
+        """Replace min/max of the delete-touched groups with their
+        freshly re-aggregated live values; every other group (and every
+        other column) passes through untouched. The ``_rp`` indicator
+        distinguishes "repaired to NULL" (an all-NULL live group) from
+        "not in the repair set"."""
+        if repair is None:
+            return frame
+        keep = [c for c in frame.columns]
+        mm = [f"min_{c}" for c in self.min_cols] + [
+            f"max_{c}" for c in self.max_cols
+        ]
+        rp = {
+            f"min_{c}": f"_rp_min_{c}" for c in self.min_cols
+        } | {f"max_{c}": f"_rp_max_{c}" for c in self.max_cols}
+        return frame.join(F.broadcast(repair), self.key_cols, "left").select(
+            *[
+                F.when(F.col("_rp") == 1, F.col(rp[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in mm
+                else F.col(c)
+                for c in keep
+            ]
         )
 
     def _key_schema(self, cols):
@@ -284,11 +402,15 @@ class IncrementalAggView:
         )
         return [(k, types.get(k, "string")) for k in cols]
 
-    def full_refresh(self) -> int:
+    def full_refresh(self) -> int | None:
         """Recompute the whole aggregate from the source snapshot —
         the recovery path after a rewriting source commit (compact /
         copy-on-write rewrite / restore). One scan; stamps the source
-        version so incremental refresh resumes from here."""
+        version so incremental refresh resumes from here. Returns None
+        when a replayed or concurrent full_refresh already stamped
+        this source version (overwrite's epoch no-op — round-6
+        advice)."""
         src_v = self.source.current_version()
+        self._validate_sum_types()
         out = self._aggregate(self.source.read(version=src_v), F.lit(1))
         return self.view.overwrite(out.filter(F.col("n") > 0), _epoch=src_v)

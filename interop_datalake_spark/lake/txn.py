@@ -728,6 +728,20 @@ class TxnTable:
             return self._load_files(m["files"][:1], m).filter(F.lit(False))
         df = self._load_files(fs, m)
         if partition_filter:
+            # transform-named filters can't apply their residual on the
+            # hidden column (it is never injected into the read-back
+            # frame — round-6 advice: this used to AnalysisException);
+            # recompute the derived value from the SOURCE column with
+            # the same expression the writer used — exact for every
+            # file, including pre-spec files the manifest conservatively
+            # keeps
+            transforms = m.get("partition_transforms") or {}
+            st = self.table_schema(version)
+            src_types = (
+                {f.name: f.dataType.simpleString() for f in st.fields}
+                if st is not None
+                else {}
+            )
             for col, want in partition_filter.items():
                 vals = [
                     str(w)
@@ -737,7 +751,15 @@ class TxnTable:
                         else [want]
                     )
                 ]
-                df = df.filter(F.col(col).cast("string").isin(vals))
+                if col in transforms:
+                    spec = transforms[col]
+                    src = spec[-1]
+                    col_expr = _transform_value_expr(
+                        F.col(src), spec, src_types.get(src)
+                    )
+                else:
+                    col_expr = F.col(col)
+                df = df.filter(col_expr.cast("string").isin(vals))
         for col, lo, hi in _normalize_key_ranges(key_range):
             df = df.filter(F.col(col).between(lo, hi))
         if bloom_eq:
@@ -1576,17 +1598,32 @@ class TxnTable:
             incoming_schema=df.schema,
         )
 
-    def overwrite(self, df: DataFrame, _epoch: int | None = None) -> int:
+    def overwrite(
+        self, df: DataFrame, _epoch: int | None = None
+    ) -> int | None:
         """ACID full replace; returns the new version. Old files stay
         on disk for time travel until :meth:`vacuum`. The table schema
         is REPLACED by the incoming frame's — overwrite is the explicit
         migration path for type changes that :meth:`append` rejects.
         ``_epoch`` records an idempotence watermark in the commit (the
         streaming-sink convention; ``lake/ivm.py`` uses it to stamp
-        the source version a full refresh materialized)."""
+        the source version a full refresh materialized). An epoch at
+        or behind the table's applied watermark returns None WITHOUT
+        committing (replay no-op, same contract as
+        :meth:`_commit_retry`) — a replayed or concurrent
+        ``full_refresh`` must not re-commit its epoch or regress the
+        stamp (round-6 advice). The epoch check races only with
+        commits that land between it and our CAS, and those make the
+        CAS raise :class:`CommitConflictError` rather than regress."""
         base = self.current_version()
-        files, rows, stats, parts, ptypes = self._write_data(df)
         prev = self._state(base)
+        if (
+            _epoch is not None
+            and prev["epoch"] is not None
+            and _epoch <= prev["epoch"]
+        ):
+            return None
+        files, rows, stats, parts, ptypes = self._write_data(df)
         return self._commit(
             base,
             op="overwrite",
@@ -2359,11 +2396,27 @@ class TxnTable:
 
         base = self.current_version()
         if target_mb is not None:
+            st_now = self._state(base)
             total = sum(
                 (self.root / f).stat().st_size
-                for f in self.manifest(base)["files"]
+                for f in st_now["files"]
                 if (self.root / f).exists()
             )
+            # on-disk bytes still include rows soft-deleted by deletion
+            # vectors; a heavily-vectored table (the main
+            # compact-reconciliation case) would otherwise pack to files
+            # well under target. Scale by the live fraction from the
+            # manifest's own row accounting (round-6 advice).
+            file_stats = st_now.get("stats") or {}
+            dv_deleted = st_now.get("dv_deleted") or {}
+            stat_rows = sum(
+                file_stats[f]["rows"]
+                for f in st_now["files"]
+                if f in file_stats
+            )
+            dead = sum(dv_deleted.get(f, 0) for f in st_now["files"])
+            if stat_rows > 0 and dead > 0:
+                total = int(total * (stat_rows - dead) / stat_rows)
             target_files = max(
                 1, -(-total // int(target_mb * 1024 * 1024))  # ceil div
             )
@@ -2437,16 +2490,25 @@ class TxnTable:
                 # the overflow bucket n+1, and hi + 1e-9 rounds back
                 # to hi once hi is large (string proxies are ~1e14, a
                 # 1e-9 nudge is below one ulp) — the max-key rows
-                # would z-rank as 0 and leak into the lowest chunk
-                bucket = F.least(
-                    F.width_bucket(
-                        proxy,
-                        F.lit(lo),
-                        F.lit(hi),
-                        F.lit(1 << bits),
-                    )
-                    - 1,
-                    F.lit((1 << bits) - 1),
+                # would z-rank as 0 and leak into the lowest chunk.
+                # Clamp the LOW end too: the string proxy ranks by
+                # UTF-8 bytes while lo/hi come from Spark min/max
+                # (UTF-16 code-unit order), so a non-BMP value can
+                # proxy below lo, where width_bucket returns 0 and
+                # bucket would go -1, corrupting that row's morton
+                # rank (round-6 advice)
+                bucket = F.greatest(
+                    F.least(
+                        F.width_bucket(
+                            proxy,
+                            F.lit(lo),
+                            F.lit(hi),
+                            F.lit(1 << bits),
+                        )
+                        - 1,
+                        F.lit((1 << bits) - 1),
+                    ),
+                    F.lit(0),
                 ).cast("long")
                 for b in range(bits):
                     # bit b of column ci lands at interleaved position
