@@ -108,9 +108,13 @@ class IncrementalAggView:
         if not self.sum_cols:
             return
         st = self.source.table_schema()
-        if st is None:  # source not yet written: re-checked per refresh
-            return
-        types = {f.name: f.dataType.simpleString() for f in st.fields}
+        if st is None:  # no log schema: refresh() re-checks against the
+            return  # change-feed frame's dtypes (round-7 advice, low)
+        self._check_sum_types(
+            {f.name: f.dataType.simpleString() for f in st.fields}
+        )
+
+    def _check_sum_types(self, types: dict[str, str]) -> None:
         bad = {
             c: types[c]
             for c in self.sum_cols
@@ -230,6 +234,14 @@ class IncrementalAggView:
         changes = self.source.read_changes(
             last, src_v, include_deletes=True
         )
+        if self.sum_cols and self.source.table_schema() is None:
+            # schema-less source log (pre-schema-recording tables): the
+            # construction-time guard couldn't run, so check the actual
+            # feed frame's dtypes before any delta is cast to BIGINT —
+            # otherwise a DOUBLE sum column would truncate per-delta,
+            # the exact silent divergence the guard exists to refuse
+            # (round-7 advice, low)
+            self._check_sum_types(dict(changes.dtypes))
         sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
         add_cols = ["n"] + [f"sum_{c}" for c in self.sum_cols]
         mm_cols = [f"min_{c}" for c in self.min_cols] + [
@@ -293,15 +305,39 @@ class IncrementalAggView:
                 if r["_had_delete"]
             ]
             if repair_keys:
-                k0 = self.key_cols[0]
-                k0_vals = [t[0] for t in repair_keys]
-                kr = (k0, min(k0_vals), max(k0_vals))
-                self.last_repair_scan_files = self.source.resolve_files(
-                    version=src_v, key_range=kr
-                )
-                live = self.source.read(version=src_v, key_range=kr).filter(
-                    self._keys_predicate(repair_keys)
-                )
+                # Prune PER TOUCHED GROUP, not over one collapsed
+                # (min, max) envelope: two touched groups at opposite
+                # ends of the key space would degrade an envelope scan
+                # to near-full-table (round-7 verdict item 2). Each
+                # key's composite point-range resolves its own file
+                # set (repair_keys is the already-collected bounded
+                # delta — one manifest pass per key, no Spark jobs);
+                # the union is the exact set of files that can hold a
+                # touched group's live rows.
+                m = self.source.manifest(src_v)
+                seen: dict[str, None] = {}
+                for t in repair_keys:
+                    kr = [
+                        (k, v, v) for k, v in zip(self.key_cols, t)
+                    ]
+                    for f in self.source.resolve_files(
+                        version=src_v, key_range=kr
+                    ):
+                        seen.setdefault(f)
+                self.last_repair_scan_files = list(seen)
+                if self.last_repair_scan_files:
+                    # same-package load: the vector-aware file reader
+                    # read() itself uses, scoped to the pruned union
+                    live = self.source._load_files(
+                        self.last_repair_scan_files, m
+                    ).filter(self._keys_predicate(repair_keys))
+                else:
+                    # every touched group's files pruned away: all its
+                    # rows were deleted — repair aggregates to empty
+                    # and the n<=0 filter eliminates the groups
+                    live = self.source._load_files(
+                        m["files"][:1], m
+                    ).filter(F.lit(False))
                 repair = (
                     live.groupBy(*self.key_cols)
                     .agg(
@@ -402,15 +438,22 @@ class IncrementalAggView:
         )
         return [(k, types.get(k, "string")) for k in cols]
 
-    def full_refresh(self) -> int | None:
+    def full_refresh(self, force: bool = False) -> int | None:
         """Recompute the whole aggregate from the source snapshot —
         the recovery path after a rewriting source commit (compact /
         copy-on-write rewrite / restore). One scan; stamps the source
         version so incremental refresh resumes from here. Returns None
         when a replayed or concurrent full_refresh already stamped
         this source version (overwrite's epoch no-op — round-6
-        advice)."""
+        advice). ``force=True`` recomputes even at an
+        already-stamped source version — the deliberate resync after
+        suspected view divergence, which the epoch no-op would
+        otherwise silently skip (round-7 advice)."""
         src_v = self.source.current_version()
         self._validate_sum_types()
         out = self._aggregate(self.source.read(version=src_v), F.lit(1))
-        return self.view.overwrite(out.filter(F.col("n") > 0), _epoch=src_v)
+        return self.view.overwrite(
+            out.filter(F.col("n") > 0),
+            _epoch=src_v,
+            _epoch_force=force,
+        )

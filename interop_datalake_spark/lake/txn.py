@@ -1599,7 +1599,10 @@ class TxnTable:
         )
 
     def overwrite(
-        self, df: DataFrame, _epoch: int | None = None
+        self,
+        df: DataFrame,
+        _epoch: int | None = None,
+        _epoch_force: bool = False,
     ) -> int | None:
         """ACID full replace; returns the new version. Old files stay
         on disk for time travel until :meth:`vacuum`. The table schema
@@ -1614,15 +1617,29 @@ class TxnTable:
         ``full_refresh`` must not re-commit its epoch or regress the
         stamp (round-6 advice). The epoch check races only with
         commits that land between it and our CAS, and those make the
-        CAS raise :class:`CommitConflictError` rather than regress."""
+        CAS raise :class:`CommitConflictError` rather than regress.
+        ``_epoch_force=True`` skips the replay check but still stamps
+        ``_epoch`` — the deliberate recompute-at-the-same-watermark
+        path (``IncrementalAggView.full_refresh(force=True)`` after
+        suspected view divergence); the stamp is re-recorded at the
+        same value, never regressed (round-7 advice)."""
         base = self.current_version()
         prev = self._state(base)
         if (
-            _epoch is not None
+            not _epoch_force
+            and _epoch is not None
             and prev["epoch"] is not None
             and _epoch <= prev["epoch"]
         ):
             return None
+        if (
+            _epoch_force
+            and _epoch is not None
+            and prev["epoch"] is not None
+        ):
+            # force never REGRESSES the watermark: a forced recompute
+            # at an older epoch re-stamps the newer stored one
+            _epoch = max(_epoch, prev["epoch"])
         files, rows, stats, parts, ptypes = self._write_data(df)
         return self._commit(
             base,
@@ -2414,7 +2431,15 @@ class TxnTable:
                 for f in st_now["files"]
                 if f in file_stats
             )
-            dead = sum(dv_deleted.get(f, 0) for f in st_now["files"])
+            # the fraction must be computed over a CONSISTENT file
+            # set: a dv-touched stats-less file would add to dead but
+            # not to stat_rows, inflating the dead fraction and
+            # undershooting target_files (round-7 advice)
+            dead = sum(
+                dv_deleted.get(f, 0)
+                for f in st_now["files"]
+                if f in file_stats
+            )
             if stat_rows > 0 and dead > 0:
                 total = int(total * (stat_rows - dead) / stat_rows)
             target_files = max(

@@ -241,27 +241,181 @@ class TestIncrementalAggView:
             "b": (2, 9, "2024-01-02 09:00:00"),
         }
 
-    def test_min_max_refuses_delete_windows_and_recovers(
-        self, spark, lake
-    ):
+    def test_min_max_partial_repair_on_delete_window(self, spark, lake):
+        """Round-7 contract change, pinned (round-7 verdict item 1): a
+        delete window no longer refuses — the delete-touched groups'
+        min/max are REPAIRED from a pruned live scan, the result must
+        equal a recompute, and append-only maintenance resumes with no
+        repair at all."""
         src = TxnTable(lake, "src10", stats_cols=["k"])
         src.append(_batch(spark, 0, 30))
         view = IncrementalAggView(
             lake, "v10", src, ["g"], ["v"], max_cols=["k"]
         )
         view.refresh()
-        # the deleted row might BE the max — incremental must refuse
+        assert view.last_repair_scan_files is None  # first write: no repair
+        # the deleted rows DO hold every group's max (k=27,28,29)
         src.delete_where(F.col("k") >= 27, merge_on_read=True)
-        with pytest.raises(ValueError, match="min/max"):
-            view.refresh()
-        view.full_refresh()
-        got = {r["g"]: r["max_k"] for r in view.read().collect()}
-        assert got == {"0": 24, "1": 25, "2": 26}
-        # append-only maintenance resumes after the resync
+        view.refresh()  # repairs, does not raise
+        got = {
+            r["g"]: (r["max_k"], r["n"], r["sum_v"])
+            for r in view.read().collect()
+        }
+        assert got == {
+            "0": (24, 9, 1080), "1": (25, 9, 1170), "2": (26, 9, 1260),
+        }
+        assert _view_state(view.view) == _recompute(src)
+        # observability: the repair scanned a recorded, bounded file
+        # set — a strict subset of nothing larger than the source
+        assert view.last_repair_scan_files is not None
+        all_files = set(src.manifest()["files"])
+        assert set(view.last_repair_scan_files) <= all_files
+        # append-only window afterwards: purely incremental, no repair
         src.append(_batch(spark, 100, 103))
         view.refresh()
+        assert view.last_repair_scan_files is None
         got = {r["g"]: r["max_k"] for r in view.read().collect()}
         assert got == {"0": 102, "1": 100, "2": 101}
+
+    def test_min_max_repair_eliminates_fully_deleted_group(
+        self, spark, lake
+    ):
+        src = TxnTable(lake, "src12", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, "a", 5), (2, "b", 7), (3, "b", 9)],
+                "k INT, g STRING, v INT",
+            )
+        )
+        view = IncrementalAggView(
+            lake, "v12", src, ["g"], ["v"], min_cols=["k"], max_cols=["k"]
+        )
+        view.refresh()
+        src.delete_where(F.col("g") == "b", merge_on_read=True)
+        view.refresh()
+        got = {
+            r["g"]: (r["n"], r["sum_v"], r["min_k"], r["max_k"])
+            for r in view.read().collect()
+        }
+        # group b vanished exactly as a recompute drops it; group a
+        # untouched (not in the repair set)
+        assert got == {"a": (1, 5, 1, 1)}
+
+    def test_min_max_repair_mixed_insert_delete_window(self, spark, lake):
+        """One refresh window containing BOTH an append and a vector
+        delete of the stored extreme: the count/sum algebra stays
+        incremental, min/max of the touched groups repair, and the
+        result equals a recompute."""
+        src = TxnTable(lake, "src13", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, "a", 10), (5, "a", 50)], "k INT, g STRING, v INT"
+            )
+        )
+        view = IncrementalAggView(
+            lake, "v13", src, ["g"], ["v"], max_cols=["k"]
+        )
+        view.refresh()
+        src.delete_where(F.col("k") == 5, merge_on_read=True)  # the max
+        src.append(
+            spark.createDataFrame(
+                [(3, "a", 30), (2, "b", 20)], "k INT, g STRING, v INT"
+            )
+        )
+        view.refresh()
+        got = {
+            r["g"]: (r["n"], r["sum_v"], r["max_k"])
+            for r in view.read().collect()
+        }
+        assert got == {"a": (2, 40, 3), "b": (1, 20, 2)}
+        assert _view_state(view.view) == _recompute(src)
+
+    def test_min_max_repair_scan_prunes_far_apart_groups(
+        self, spark, lake
+    ):
+        """Round-7 verdict item 2: the repair scan prunes PER GROUP.
+        Deleting from the lowest and highest key-space groups must not
+        drag the middle group's files into the scan — the old single
+        (min, max) envelope did exactly that."""
+        src = TxnTable(lake, "src14", stats_cols=["g"])
+        for g, base in (("aaa", 0), ("mmm", 100), ("zzz", 200)):
+            src.append(
+                spark.createDataFrame(
+                    [(base + i, g, (base + i) * 10) for i in range(4)],
+                    "k INT, g STRING, v INT",
+                ).coalesce(1)
+            )
+        view = IncrementalAggView(
+            lake, "v14", src, ["g"], ["v"], max_cols=["k"]
+        )
+        view.refresh()
+        # delete each end group's max-holder; 'mmm' untouched
+        src.delete_where(F.col("k").isin(3, 203), merge_on_read=True)
+        view.refresh()
+        assert _view_state(view.view) == _recompute(src)
+        got = {r["g"]: r["max_k"] for r in view.read().collect()}
+        assert got == {"aaa": 2, "mmm": 103, "zzz": 202}
+        scanned = set(view.last_repair_scan_files)
+        m = src.manifest()
+        mmm_files = {
+            f
+            for f in m["files"]
+            if m["stats"].get(f, {}).get("g", [None])[0] == "mmm"
+        }
+        assert mmm_files, "expected per-group clustered files with g stats"
+        assert not (scanned & mmm_files), (
+            "repair scan must prune the untouched middle group "
+            f"(scanned {scanned & mmm_files})"
+        )
+        assert len(scanned) < len(m["files"])
+
+    def test_sum_cols_must_be_integral_refused_loudly(self, spark, lake):
+        """Round-7 pin: a DOUBLE sum column would truncate per-delta
+        (bigint delta casts) and silently diverge from a recompute —
+        refused at construction while the log schema is available."""
+        src = TxnTable(lake, "src15", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, "a", 1.5)], "k INT, g STRING, v DOUBLE"
+            )
+        )
+        with pytest.raises(TypeError, match="integral"):
+            IncrementalAggView(lake, "v15", src, ["g"], ["v"])
+
+    def test_sum_type_guard_without_log_schema(self, spark, lake):
+        """Round-7 advice (low): when the source log carries no schema
+        the construction-time guard can't run — refresh must then
+        check the change-feed frame's dtypes instead of silently
+        truncating DOUBLE deltas."""
+        src = TxnTable(lake, "src16", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, "a", 1.5)], "k INT, g STRING, v DOUBLE"
+            )
+        )
+        src.table_schema = lambda *a, **k: None  # schema-less log
+        view = IncrementalAggView(lake, "v16", src, ["g"], ["v"])
+        with pytest.raises(TypeError, match="integral"):
+            view.refresh()
+
+    def test_full_refresh_force_recomputes_at_same_version(
+        self, spark, lake
+    ):
+        """Round-7 advice (medium): the overwrite epoch no-op means a
+        plain full_refresh() at an already-stamped source version
+        silently skips — force=True is the documented divergence-
+        recovery path and must recompute without regressing the
+        watermark."""
+        src = TxnTable(lake, "src17", stats_cols=["k"])
+        src.append(_batch(spark, 0, 30))
+        view = IncrementalAggView(lake, "v17", src, ["g"], ["v"])
+        view.refresh()
+        assert view.full_refresh() is None  # epoch no-op: same source v
+        v_before = view.view.current_version()
+        assert view.full_refresh(force=True) == v_before + 1
+        assert _view_state(view.view) == _recompute(src)
+        assert view.last_refreshed_version() == src.current_version()
+        assert view.refresh() is None  # still current — no double apply
 
     def test_multi_key_and_new_groups(self, spark, lake):
         src = TxnTable(lake, "src6", stats_cols=["k"])

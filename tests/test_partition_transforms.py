@@ -316,3 +316,52 @@ class TestHiddenPartitioning:
             )
         ).count()
         assert got == want > 0
+
+
+class TestTransformNamedFilters:
+    def test_partition_filter_on_transform_name_returns_exact_rows(
+        self, spark, lake
+    ):
+        """Round-7 pin: read(partition_filter={<transform name>: v})
+        must return exact rows — the residual recomputes the derived
+        value from the SOURCE column with the writer's own expression
+        (the hidden column is never in the read-back frame; this
+        AnalysisException'd before round 7)."""
+        t = TxnTable(
+            lake, "ev9", partition_transforms={"ts_day": ("days", "ts")}
+        )
+        df = _events(spark, 500)
+        t.append(df)
+        got = t.read(partition_filter={"ts_day": "2024-01-02"})
+        assert "ts_day" not in got.columns
+        want = df.filter(F.to_date("ts") == "2024-01-02").count()
+        assert got.count() == want > 0
+        # list form unions days
+        two = t.read(
+            partition_filter={"ts_day": ["2024-01-01", "2024-01-02"]}
+        ).count()
+        want2 = df.filter(
+            F.to_date("ts").isin("2024-01-01", "2024-01-02")
+        ).count()
+        assert two == want2 > want
+        # files pruned before the residual ever runs
+        assert len(
+            t.resolve_files(partition_filter={"ts_day": "2024-01-02"})
+        ) < len(t.resolve_files())
+
+    def test_partition_filter_on_bucket_transform_name(self, spark, lake):
+        """Bucket-transform residual: the recomputed pmod(xxhash64)
+        value string-compares against the filter — buckets partition
+        the rows exactly (disjoint, exhaustive)."""
+        t = TxnTable(
+            lake,
+            "ev10",
+            partition_transforms={"uid_b": ("bucket", 4, "uid")},
+        )
+        df = _events(spark, 400)
+        t.append(df)
+        per_bucket = [
+            t.read(partition_filter={"uid_b": b}).count() for b in range(4)
+        ]
+        assert sum(per_bucket) == 400
+        assert all(c > 0 for c in per_bucket)

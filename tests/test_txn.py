@@ -615,3 +615,90 @@ def test_zorder_compact_prunes_on_both_dims(session, spark):
     assert len(t.resolve_files(key_range=("y", 0, 15))) <= 2
     assert t.read(key_range=("y", 0, 15)).count() == 64 * 16
     assert t.read().count() == 64 * 64
+
+
+def test_overwrite_epoch_is_exactly_once(session, spark):
+    """Round-7 pin: overwrite(_epoch=…) at or behind the stored
+    watermark is a replay no-op (returns None, no commit); _epoch_force
+    is the deliberate recompute path and never regresses the stamp."""
+    t = TxnTable(session, "txn_ow_epochs")
+    assert t.overwrite(_df(spark, [(1, "a")]), _epoch=1) == 1
+    # crash-replay at the same / an older epoch: no-op, content kept
+    assert t.overwrite(_df(spark, [(9, "x")]), _epoch=1) is None
+    assert t.overwrite(_df(spark, [(9, "x")]), _epoch=0) is None
+    assert _snapshot(t) == {(1, "a")}
+    assert t.manifest()["epoch"] == 1
+    # a NEW epoch applies on top
+    assert t.overwrite(_df(spark, [(2, "b")]), _epoch=2) == 2
+    assert _snapshot(t) == {(2, "b")}
+    # force: recompute at the SAME watermark commits, stamp unchanged
+    assert (
+        t.overwrite(_df(spark, [(3, "c")]), _epoch=2, _epoch_force=True)
+        == 3
+    )
+    assert _snapshot(t) == {(3, "c")}
+    assert t.manifest()["epoch"] == 2
+    # force with an OLDER epoch never regresses the watermark
+    assert (
+        t.overwrite(_df(spark, [(4, "d")]), _epoch=1, _epoch_force=True)
+        == 4
+    )
+    assert t.manifest()["epoch"] == 2
+
+
+def test_compact_target_mb_accounts_for_dv_deleted_rows(session, spark):
+    """Round-7 pin: compact(target_mb=…) on a heavily-vectored table
+    sizes output files by LIVE bytes — on-disk bytes still include
+    soft-deleted rows, so without the live-fraction scaling a
+    half-dead table would pack to files well under target."""
+    t = TxnTable(session, "packs_dv", stats_cols=["k"])
+    for i in range(8):
+        t.append(
+            spark.range(i * 5000, (i + 1) * 5000)
+            .selectExpr("id as k", "repeat('x', 64) as pad")
+            .coalesce(1)
+        )
+    total_mb = sum(
+        (t.root / f).stat().st_size for f in t.manifest()["files"]
+    ) / (1024 * 1024)
+    # soft-delete half the rows: on-disk bytes unchanged, live halved
+    t.delete_where(F.col("k") % 2 == 0, merge_on_read=True)
+    # a target of half the ON-DISK bytes equals the whole LIVE bytes:
+    # live-fraction scaling packs to ONE file (unscaled math says 2)
+    t.compact(target_mb=total_mb / 2)
+    m = t.manifest()
+    assert len(m["files"]) == 1
+    assert t.read().count() == 20000
+    # vectors reconciled by the rewrite: no dv entries remain
+    assert not (m.get("dv_deleted") or {})
+
+
+def test_zorder_non_bmp_strings_roundtrip(session, spark):
+    """Round-7 pin (round-6 advice): the Z-order string proxy ranks by
+    UTF-8 bytes while Spark's min/max may order differently around
+    surrogate pairs — the low-end width_bucket clamp keeps a non-BMP
+    value's bucket at 0 instead of corrupting its morton rank. The
+    observable contract: clustering a mixed BMP/non-BMP column loses
+    no rows and point reads stay exact."""
+    t = TxnTable(session, "zorder_nonbmp", stats_cols=["s", "k"])
+    rows = []
+    for i in range(64):
+        rows += [
+            ("zz￿", i), ("zz\U0001f600", i + 100),
+            ("aa", i + 200), ("mm", i + 300),
+        ]
+    for q in range(4):  # 4 interleaved commits → no natural clustering
+        t.append(
+            spark.createDataFrame(
+                rows[q::4], "s STRING, k INT"
+            ).coalesce(1)
+        )
+    t.compact(target_files=4, zorder_by=["s", "k"])
+    assert t.read().count() == 256
+    got = {
+        (r["s"], r["k"])
+        for r in t.read(
+            key_range=("s", "zz\U0001f600", "zz\U0001f600")
+        ).collect()
+    }
+    assert got == {("zz\U0001f600", i + 100) for i in range(64)}
