@@ -195,6 +195,26 @@ def _with_required_conf(fn):
 #: driver-green r6; multimodal_frame_sample — multimodal keeps phash;
 #: array_higher_order — scalar class keeps scalar_math) all keep
 #: driver-green in-window siblings and local pytest parity.
+#: Round-8 rotation (per the round-7 verdict item 3): the FINAL 5
+#: never-witnessed queries rotate in, finishing the burn-down to ZERO.
+#: All 46 oracle rows in the round-7 window are driver-GREEN
+#: (CORRECTNESS_r07.json; the other 4 are rows-only by design), so the
+#: standing rule permits the rotation. Every displaced entry is
+#: r7-hash-GREEN and leaves a same-class in-window sibling:
+#:   in: array_higher_order (higher-order array fns) — out:
+#:       dedup_simhash (dedup keeps stream_pipeline/skewsafe/fast/
+#:       containment_fast; scalar class gains a second rep)
+#:   in: corpus_curate_pipeline — out: doc_chunk_windows (corpus
+#:       keeps vocab/pack_sequences/to_training_set/importance_sample)
+#:   in: corpus_sample (rows-only; determinism-pinned in
+#:       tests/test_sampling.py) — out: ann_cosine_topk_arrow (ann
+#:       keeps cosine_topk/int8/index_incremental/ivf_trained)
+#:   in: corpus_sample_stratified (rows-only; pinned likewise) — out:
+#:       text_repetition (text keeps winnowing/lang_ngram/
+#:       fingerprint/trigrams_udtf/bpe_train)
+#:   in: multimodal_frame_sample (mapInPandas frame sampling) — out:
+#:       dedup_minhash_ml (dedup keeps 4 reps; multimodal now has
+#:       phash + frame_sample)
 WITNESS_PRIORITY = [
     # relational core
     "q1_pricing_summary", "scan_filter_project",
@@ -221,14 +241,13 @@ WITNESS_PRIORITY = [
     # cluster/span/steady (class keeps 6 in-window reps)
     "dedup_stream_pipeline", "dedup_minhash_lsh_skewsafe",
     "dedup_minhash_lsh_fast", "dedup_containment_fast",
-    "dedup_minhash_ml", "dedup_simhash",
     # embedding similarity: persisted incremental index stays; the
     # four never-witnessed ANN variants rotate in (JVM column-algebra
     # top-k, Arrow pandas-UDF twin, int8-quantized, trained IVF) over
     # r6-green blocked-topk; trained IVF (k-means train + assign) is
     # the in-window clustering sibling for r6-green cluster_kmeans
     "ann_index_incremental", "ann_cosine_topk",
-    "ann_cosine_topk_arrow", "ann_topk_int8", "ann_ivf_topk_trained",
+    "ann_topk_int8", "ann_ivf_topk_trained",
     # retrieval
     "search_bm25",
     # text analysis: the five never-witnessed rows rotate in
@@ -236,14 +255,16 @@ WITNESS_PRIORITY = [
     # fingerprint, repetition ratios, trigram UDTF) over r6-green
     # quality_classifier/bpe_tokenize (bpe_train stays)
     "text_winnowing_fingerprints", "text_lang_ngram",
-    "text_fingerprint", "text_repetition", "text_trigrams_udtf",
+    "text_fingerprint", "text_trigrams_udtf",
     # corpus curation: capstone + DSIR stay; never-witnessed chunking,
     # vocab, and sequence packing rotate in over r6-green
     # split_contamination (LSH composition in-window via skewsafe)/
     # filter_gopher (runs inside to_training_set)/domain_mix
     # (importance_sample is the selection sibling)
-    "doc_chunk_windows", "corpus_vocab", "corpus_pack_sequences",
+    "corpus_vocab", "corpus_pack_sequences",
     "corpus_to_training_set", "corpus_importance_sample",
+    "corpus_curate_pipeline", "corpus_sample",
+    "corpus_sample_stratified",
     # BPE tokenizer training
     "text_bpe_train",
     # record linkage
@@ -255,7 +276,9 @@ WITNESS_PRIORITY = [
     "stream_window_quantiles",
     # multimodal (mapInPandas surface; pandas_scalar_udf rotates out
     # r6-green — python surface stays witnessed here + trigrams UDTF)
-    "multimodal_phash_dedup",
+    "multimodal_phash_dedup", "multimodal_frame_sample",
+    # higher-order array functions (scalar class, round-8 rotation)
+    "array_higher_order",
     # event analytics (sessionize stays; ewma/distinct_rollup out
     # r6-green)
     "events_sessionize",

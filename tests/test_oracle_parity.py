@@ -41,14 +41,19 @@ def test_rows_only(name, spark, sf_dir):
 #    exact distinct within documented rsd bounds, tests/test_advanced)
 #  - dedup_minhash_lsh_fast / dedup_containment_fast: xxhash64
 #    production variants, pair-equality-pinned vs the portable md5
-#    twins (tests/test_llm_dedup.py)
+#    twins (tests/test_dedup_fast_hash.py)
 #  - ann_ivf_topk_trained: trained IVF (k-means centroids), recall
-#    measured vs exact top-k (tests/test_similarity.py)
+#    measured vs exact top-k (tests/test_ivf_trained.py)
+#  - corpus_sample / corpus_sample_stratified: seeded Bernoulli /
+#    stratified sampling (round-8 burn-down rotation) — determinism
+#    and stratum-bound pinned in tests/test_sampling.py
 ROWS_ONLY_WITNESSED = {
     "agg_approx_distinct",
     "dedup_minhash_lsh_fast",
     "dedup_containment_fast",
     "ann_ivf_topk_trained",
+    "corpus_sample",
+    "corpus_sample_stratified",
 }
 
 
