@@ -40,8 +40,11 @@ from interop_datalake_spark.lake.txn import TxnTable
 
 #: commit shapes whose feed emission IS the exact delta: blind appends
 #: (op append, or a first-write/no-match merge/delete with nothing
-#: removed) and vector commits (dv payload, removed=[]).
-_SAFE_OPS = {"append", "delete", "merge"}
+#: removed) and vector commits (dv payload, removed=[]). A
+#: consolidate_dv commit remaps stacked vectors into one without
+#: changing a single live row — its feed emission is empty, which IS
+#: its (zero) delta, so it never forces a full_refresh.
+_SAFE_OPS = {"append", "delete", "merge", "consolidate_dv"}
 
 
 class IncrementalAggView:

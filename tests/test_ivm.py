@@ -443,3 +443,29 @@ class TestIncrementalAggView:
             ("a", "y"): (1, 20),
             ("b", "x"): (1, 5),
         }
+
+    def test_consolidation_commit_is_delta_invisible_noop(
+        self, spark, lake
+    ):
+        """consolidate_vectors() changes zero live rows — a refresh
+        window containing one must neither raise (it is not a
+        rewrite) nor change the view; composition with deletes and
+        appends in the same window stays exact."""
+        src = TxnTable(lake, "src18", stats_cols=["k"])
+        src.append(_batch(spark, 0, 60))
+        view = IncrementalAggView(
+            lake, "v18", src, ["g"], ["v"], max_cols=["k"]
+        )
+        view.refresh()
+        src.delete_where(F.col("k") % 7 == 0, merge_on_read=True)
+        src.delete_where(F.col("k") % 11 == 0, merge_on_read=True)
+        assert src.consolidate_vectors() is not None
+        # window: two vector deletes + consolidation
+        view.refresh()
+        assert _view_state(view.view) == _recompute(src)
+        # window: consolidation ONLY → empty delta, no view commit
+        src.delete_where(F.col("k") % 13 == 0, merge_on_read=True)
+        view.refresh()
+        assert src.consolidate_vectors() is not None
+        assert view.refresh() is None
+        assert _view_state(view.view) == _recompute(src)

@@ -702,3 +702,140 @@ def test_zorder_non_bmp_strings_roundtrip(session, spark):
         ).collect()
     }
     assert got == {("zz\U0001f600", i + 100) for i in range(64)}
+
+
+def test_consolidate_vectors_merges_stacked_vectors(session, spark):
+    """Round-7 verdict item 4: N merge-on-read deletes stack N vector
+    parquets on the same files — reads anti-join all of them.
+    consolidate_vectors() remaps to ONE vector in a metadata-only
+    commit: same live rows, same dv_deleted accounting, same data
+    files, fewer vector bytes, time travel intact."""
+    t = TxnTable(session, "dv_consolidate", stats_cols=["k"])
+    t.append(
+        spark.range(0, 3000).selectExpr("id as k", "repeat('x', 32) as pad")
+    )
+    for kmod in (7, 11, 13):  # 3 stacked vector commits
+        t.delete_where(F.col("k") % kmod == 0, merge_on_read=True)
+    m = t.manifest()
+    stacked = {p for ps in m["dvs"].values() for p in ps}
+    assert len(stacked) == 3
+
+    def _vec_bytes(paths):
+        return sum(
+            p.stat().st_size
+            for rel in paths
+            for p in (t.root / rel).rglob("*")
+            if p.is_file() and not p.name.startswith(("_", "."))
+        )
+
+    def _vec_parts(paths):
+        return sum(
+            1
+            for rel in paths
+            for p in (t.root / rel).rglob("*.parquet")
+        )
+
+    live_before = {r["k"] for r in t.read().collect()}
+    deleted_before = dict(m["dv_deleted"])
+    bytes_before = _vec_bytes(stacked)
+    parts_before = _vec_parts(stacked)
+    v_pre = t.current_version()
+    assert t.consolidate_vectors() == v_pre + 1
+    m2 = t.manifest()
+    merged = {p for ps in m2["dvs"].values() for p in ps}
+    assert len(merged) == 1
+    assert set(m2["dvs"]) == set(m["dvs"])  # same files stay vectored
+    assert m2["dv_deleted"] == deleted_before
+    assert m2["files"] == m["files"]  # metadata-only: no data rewrite
+    assert {r["k"] for r in t.read().collect()} == live_before
+    # byte + part accounting: one vector, fewer parts, no growth
+    assert _vec_parts(merged) == 1 < parts_before
+    assert _vec_bytes(merged) <= bytes_before
+    rows_in_vec = spark.read.parquet(
+        str(t.root / next(iter(merged)))
+    ).count()
+    assert rows_in_vec == sum(deleted_before.values())
+    # time travel: the pre-consolidation snapshot still reads the old
+    # stacked vectors (they stay on disk until vacuum)
+    assert t.read(version=v_pre).count() == len(live_before)
+    # idempotent: nothing left to merge
+    assert t.consolidate_vectors() is None
+
+
+def test_consolidate_vectors_noop_cases(session, spark):
+    t = TxnTable(session, "dv_consolidate2", stats_cols=["k"])
+    t.append(spark.range(0, 100).selectExpr("id as k", "'x' as v"))
+    assert t.consolidate_vectors() is None  # no vectors at all
+    t.delete_where(F.col("k") < 10, merge_on_read=True)
+    assert t.consolidate_vectors() is None  # one path: nothing stacked
+
+
+def test_dv_read_broadcasts_vector_side(session, spark):
+    """Round-7 verdict item 4: the manifest knows the vector row
+    counts, so a post-delete read broadcasts the (small) vector side
+    explicitly instead of waiting for AQE to measure it."""
+    from interop_datalake_spark.plans.inspect import (
+        has_broadcast_hash_join,
+    )
+
+    t = TxnTable(session, "dv_bcast", stats_cols=["k"])
+    t.append(spark.range(0, 2000).selectExpr("id as k", "'x' as v"))
+    t.delete_where(F.col("k") % 5 == 0, merge_on_read=True)
+    df = t.read()
+    assert has_broadcast_hash_join(df)
+    assert df.count() == 1600
+
+
+def test_manifest_scale_guard_10k_files_50_commits(session, spark):
+    """Round-6 item 6 / round-7 verdict item 6: manifest machinery at
+    scale. 50 commits × 200 files (synthetic records — resolve_files
+    never opens data) must give (a) stats point-lookup pruning 10k→1
+    in bounded driver time, (b) a FRESH handle reconstructing state
+    from the newest checkpoint with at most checkpoint_interval
+    record opens — O(interval), never O(commits)."""
+    import time as _time
+
+    t = TxnTable(
+        session, "bigmanifest", stats_cols=["k"], checkpoint_interval=10
+    )
+    files_per = 200
+    for c in range(50):
+        added = [
+            f"data/synth{c:03d}/part-{i:05d}.parquet"
+            for i in range(files_per)
+        ]
+        stats = {}
+        for i, f in enumerate(added):
+            lo = (c * files_per + i) * 100  # disjoint sorted ranges
+            stats[f] = {"rows": 100, "k": [lo, lo + 99]}
+        t._commit(
+            c,
+            op="append",
+            added=added,
+            removed=[],
+            rows_total=(c + 1) * files_per * 100,
+            stats=stats,
+        )
+    assert t.current_version() == 50
+    m = t.manifest()
+    assert len(m["files"]) == 10_000
+    # (a) point lookup: 10k files → exactly 1, bounded wall time
+    t0 = _time.perf_counter()
+    fs = t.resolve_files(key_range=("k", 123_456, 123_456))
+    dt_point = _time.perf_counter() - t0
+    assert len(fs) == 1
+    assert dt_point < 2.0, f"point resolve took {dt_point:.2f}s on 10k files"
+    # (b) fresh handle: state load rides the v50 checkpoint — zero to
+    # checkpoint_interval incremental record opens, never all 50
+    t2 = TxnTable(
+        session, "bigmanifest", stats_cols=["k"], checkpoint_interval=10
+    )
+    opened: list[int] = []
+    orig = TxnTable.commit_record
+    t2.commit_record = lambda v: (opened.append(v), orig(t2, v))[1]
+    t0 = _time.perf_counter()
+    m2 = t2.manifest()
+    dt_load = _time.perf_counter() - t0
+    assert len(m2["files"]) == 10_000
+    assert len(opened) <= t2.checkpoint_interval
+    assert dt_load < 2.0, f"state load took {dt_load:.2f}s"
