@@ -94,7 +94,6 @@ HEADLINE = [
     "lake_incremental_view",
     # round 7: the newly witness-rotated rows (see catalog
     # WITNESS_PRIORITY) so driver bench history starts this round
-    "dedup_minhash_lsh_skewsafe",
     "dedup_minhash_ml",
     "dedup_simhash",
     "stream_enrich_join",
@@ -111,8 +110,20 @@ HEADLINE = [
     "corpus_vocab",
     "corpus_pack_sequences",
     "unpivot_order_metrics",
+    # round 8: the final witness-rotation cohort (burn-down to zero)
+    "corpus_sample",
+    "corpus_sample_stratified",
+    "multimodal_frame_sample",
+    "array_higher_order",
 ]
-# not in HEADLINE by design: lake_txn_acid, dedup_stream_pipeline,
+# not in HEADLINE by design: dedup_minhash_lsh_skewsafe is a skew
+# PATHOLOGY DEMO (deliberately-injected 60-word boilerplate footer ×
+# 64 interpreted md5 hashes for oracle portability — it was 16% of the
+# bench wall while measuring the injected pathology, not engine
+# throughput; round-7 verdict item 5). It stays oracle-checked in the
+# witness window and skew-capped behavior stays pinned in pytest;
+# dedup_minhash_lsh_fast (xxhash64) is the production-signature bench
+# row. Also excluded: lake_txn_acid, dedup_stream_pipeline,
 # lake_scd2, lake_expectations and ann_index_incremental are
 # multi-commit ACID integration scenarios (write-job bound, not
 # query throughput);
