@@ -839,3 +839,62 @@ def test_manifest_scale_guard_10k_files_50_commits(session, spark):
     assert len(m2["files"]) == 10_000
     assert len(opened) <= t2.checkpoint_interval
     assert dt_load < 2.0, f"state load took {dt_load:.2f}s"
+
+
+def test_stats_readback_toggle_serialized_across_writers(session, spark):
+    """Round-6 item 4 / round-7 verdict item 7: the partition-type-
+    inference toggle is session-global — two concurrent writers on the
+    same SparkSession must not interleave set/restore, or one writer's
+    stats read back type-INFERRED partition values ('0100' → 100) and
+    its bloom probes go false-negative. With the process lock, a
+    contended two-thread write storm keeps every point read exact and
+    restores the conf."""
+    import threading as th
+
+    results: dict[str, TxnTable] = {}
+    errs: list[Exception] = []
+
+    def writer(name):
+        try:
+            t = TxnTable(
+                session,
+                name,
+                partition_cols=["code"],
+                bloom_cols=["code"],
+                stats_cols=["k"],
+            )
+            for i in range(4):
+                t.append(
+                    spark.createDataFrame(
+                        [(i * 10 + j, f"010{j % 3}") for j in range(6)],
+                        "k INT, code STRING",
+                    ).coalesce(1)
+                )
+            results[name] = t
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [
+        th.Thread(target=writer, args=(f"inf_race_{n}",)) for n in range(2)
+    ]
+    for x in threads:
+        x.start()
+    for x in threads:
+        x.join()
+    assert not errs
+    # conf restored after the storm (no writer left it flipped)
+    assert (
+        spark.conf.get(
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            "true",
+        )
+        == "true"
+    )
+    assert len(results) == 2
+    for t in results.values():
+        # bloom probe on the numeric-looking STRING partition value:
+        # inferred-stats corruption would silently drop these rows
+        got = {r["k"] for r in t.read(bloom_eq={"code": "0100"}).collect()}
+        assert got == {i * 10 + j for i in range(4) for j in (0, 3)}
+        # partition pruning by the exact string value stays exact too
+        assert t.read(partition_filter={"code": "0101"}).count() == 8
