@@ -86,6 +86,8 @@ class IncrementalAggView:
 
     _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
+    _LATE_POLICIES = ("refuse", "repair", "drop")
+
     def __init__(
         self,
         session,
@@ -95,16 +97,56 @@ class IncrementalAggView:
         sum_cols: list[str] | None = None,
         min_cols: list[str] | None = None,
         max_cols: list[str] | None = None,
+        watermark_col: str | None = None,
+        watermark_delay=0,
+        late_policy: str = "refuse",
     ):
+        """``watermark_col`` (one of ``key_cols``, ordered — numeric /
+        timestamp / string) turns on WATERMARK semantics for the
+        streaming deployment (round-6 item 5): groups whose key is
+        older than ``max(watermark_col) − watermark_delay`` over the
+        materialized view are FINAL, and a refresh window touching one
+        applies ``late_policy`` EXPLICITLY instead of silently
+        mutating published history:
+
+        - ``"refuse"`` (default): raise, naming the late groups —
+          ``full_refresh()`` is the documented resync (and stamps the
+          window, so a restarted stream trigger replays as a no-op).
+        - ``"repair"``: incorporate exactly (the signed-delta algebra
+          is exact at any lateness) and record the touched groups in
+          ``last_late_groups`` — the repair is free here, unlike
+          engines that discarded per-group state at the watermark.
+        - ``"drop"``: exclude the late groups' deltas, mirroring Spark
+          Structured Streaming's ``withWatermark`` aggregation
+          semantics (late rows beyond the watermark are dropped); the
+          view then intentionally diverges from a recompute for those
+          groups, and ``last_late_groups`` records what was dropped.
+        """
         self.source = source
         self.key_cols = list(key_cols)
         self.sum_cols = list(sum_cols or [])
         self.min_cols = list(min_cols or [])
         self.max_cols = list(max_cols or [])
+        if watermark_col is not None and watermark_col not in self.key_cols:
+            raise ValueError(
+                f"watermark_col {watermark_col!r} must be one of the "
+                f"view's key_cols {self.key_cols} — the watermark "
+                f"finalizes GROUPS, so it must be part of the key"
+            )
+        if late_policy not in self._LATE_POLICIES:
+            raise ValueError(
+                f"late_policy must be one of {self._LATE_POLICIES}"
+            )
+        self.watermark_col = watermark_col
+        self.watermark_delay = watermark_delay
+        self.late_policy = late_policy
         self.view = TxnTable(session, name, stats_cols=self.key_cols[:1])
         #: files the last delete-window min/max repair scan opened
         #: (None = no repair ran) — pruning made observable for tests
         self.last_repair_scan_files: list[str] | None = None
+        #: groups beyond the watermark touched by the last refresh
+        #: (repaired or dropped per late_policy) — observability
+        self.last_late_groups: list[tuple] = []
         self._validate_sum_types()
 
     def _validate_sum_types(self) -> None:
@@ -214,6 +256,37 @@ class IncrementalAggView:
             cond = eq if cond is None else (cond | eq)
         return cond
 
+    def _current_watermark(self):
+        """``max(watermark_col) − delay`` over the MATERIALIZED view
+        (None before the first refresh or when delay can't apply).
+        Derived, not stored: the view itself is the durable high-water
+        record, so crash/replay can never regress the watermark
+        independently of the state it finalizes. One 1-row agg on the
+        (small, rollup-sized) view per refresh."""
+        if self.watermark_col is None or self.view.current_version() == 0:
+            return None
+        row = (
+            self.view.read()
+            .agg(F.max(self.watermark_col).alias("m"))
+            .collect()[0]  # one row — bounded driver action
+        )
+        if row["m"] is None:
+            return None
+        if not self.watermark_delay:
+            return row["m"]
+        return row["m"] - self.watermark_delay
+
+    def _classify_late(self, key_tuples):
+        """The subset of ``key_tuples`` strictly below the current
+        watermark (empty when watermarking is off)."""
+        wm = self._current_watermark()
+        if wm is None:
+            return [], None
+        i = self.key_cols.index(self.watermark_col)
+        return [
+            t for t in key_tuples if t[i] is not None and t[i] < wm
+        ], wm
+
     def refresh(self) -> int | None:
         """Apply the source's change deltas since the last refresh.
         Returns the view's new version, or None when already current
@@ -271,6 +344,37 @@ class IncrementalAggView:
                 "NULL group-key values are unsupported; coalesce the "
                 "key columns in the source before materializing"
             )
+        self.last_late_groups = []
+        late_keys, wm = self._classify_late(key_tuples)
+        if late_keys:
+            if self.late_policy == "refuse":
+                raise ValueError(
+                    f"refresh window touches {len(late_keys)} group(s) "
+                    f"beyond the watermark {wm!r} (e.g. "
+                    f"{late_keys[:3]}): finalized history would be "
+                    f"silently mutated — run full_refresh() to resync "
+                    f"deliberately, or construct the view with "
+                    f"late_policy='repair' (exact late incorporation) "
+                    f"or 'drop' (Spark withWatermark semantics)"
+                )
+            self.last_late_groups = late_keys
+            if self.late_policy == "drop":
+                late_set = set(late_keys)
+                delta_rows = [
+                    r
+                    for r in delta_rows
+                    if tuple(r[k] for k in self.key_cols) not in late_set
+                ]
+                key_tuples = [t for t in key_tuples if t not in late_set]
+                if not delta_rows:
+                    # the whole window was late and dropped: nothing to
+                    # commit, nothing to stamp — the next refresh
+                    # rescans this window (cheap: it still holds only
+                    # dropped-late commits) until on-time data arrives
+                    return None
+            # "repair": fall through — the signed-delta algebra (and
+            # the min/max partial repair below) incorporate late rows
+            # exactly at any lateness
         schema = ", ".join(
             [f"{k} {t}" for k, t in self._key_schema(self.key_cols)]
             + [f"{c} BIGINT" for c in add_cols]

@@ -469,3 +469,129 @@ class TestIncrementalAggView:
         assert src.consolidate_vectors() is not None
         assert view.refresh() is None
         assert _view_state(view.view) == _recompute(src)
+
+
+def _day_batch(spark, rows):
+    """rows = [(k, day, v), ...]"""
+    return spark.createDataFrame(rows, "k INT, day INT, v INT")
+
+
+class TestWatermarkedLateData:
+    """Round-6 item 5 / round-7 verdict item 8: groups older than
+    max(watermark_col) − delay over the materialized view are FINAL;
+    a window touching one applies the explicit late policy."""
+
+    def test_late_refused_and_full_refresh_recovers(self, spark, lake):
+        src = TxnTable(lake, "wm1", stats_cols=["k"])
+        src.append(_day_batch(spark, [(1, 1, 10), (2, 2, 20), (3, 3, 30)]))
+        view = IncrementalAggView(
+            lake, "wmv1", src, ["day"], ["v"],
+            watermark_col="day", watermark_delay=1,
+        )
+        view.refresh()
+        # watermark = max(3) - 1 = 2: day-1 is final, day-2 is not
+        src.append(_day_batch(spark, [(4, 1, 40)]))
+        with pytest.raises(ValueError, match="watermark"):
+            view.refresh()
+        view.full_refresh()  # the documented deliberate resync
+        got = {r["day"]: r["sum_v"] for r in view.read().collect()}
+        assert got == {1: 50, 2: 20, 3: 30}
+        # on-time maintenance resumes; AT-watermark (day 2) is on time
+        src.append(_day_batch(spark, [(5, 2, 5), (6, 4, 60)]))
+        view.refresh()
+        got = {r["day"]: r["sum_v"] for r in view.read().collect()}
+        assert got == {1: 50, 2: 25, 3: 30, 4: 60}
+
+    def test_late_repair_incorporates_exactly(self, spark, lake):
+        src = TxnTable(lake, "wm2", stats_cols=["k"])
+        src.append(_day_batch(spark, [(1, 1, 10), (2, 3, 30)]))
+        view = IncrementalAggView(
+            lake, "wmv2", src, ["day"], ["v"],
+            watermark_col="day", watermark_delay=1,
+            late_policy="repair",
+        )
+        view.refresh()
+        src.append(_day_batch(spark, [(3, 1, 5)]))  # late (wm = 2)
+        view.refresh()
+        assert view.last_late_groups == [(1,)]
+        got = {r["day"]: (r["n"], r["sum_v"]) for r in view.read().collect()}
+        assert got == {1: (2, 15), 3: (1, 30)}  # exact, recompute-equal
+
+    def test_late_dropped_mirrors_spark_watermark_semantics(
+        self, spark, lake
+    ):
+        src = TxnTable(lake, "wm3", stats_cols=["k"])
+        src.append(_day_batch(spark, [(1, 1, 10), (2, 3, 30)]))
+        view = IncrementalAggView(
+            lake, "wmv3", src, ["day"], ["v"],
+            watermark_col="day", watermark_delay=1,
+            late_policy="drop",
+        )
+        view.refresh()
+        # ONE window mixing a late group (day 1) and an on-time one
+        # (day 4): the late delta drops, the on-time one applies
+        src.append(_day_batch(spark, [(3, 1, 5), (4, 4, 40)]))
+        view.refresh()
+        assert view.last_late_groups == [(1,)]
+        got = {r["day"]: r["sum_v"] for r in view.read().collect()}
+        assert got == {1: 10, 3: 30, 4: 40}  # day-1 unchanged (dropped)
+        # an ALL-late window: no commit, refresh keeps returning None
+        src.append(_day_batch(spark, [(5, 1, 99)]))
+        assert view.refresh() is None
+        got = {r["day"]: r["sum_v"] for r in view.read().collect()}
+        assert got == {1: 10, 3: 30, 4: 40}
+
+    def test_watermark_col_must_be_a_key_col(self, spark, lake):
+        src = TxnTable(lake, "wm4", stats_cols=["k"])
+        with pytest.raises(ValueError, match="key_cols"):
+            IncrementalAggView(
+                lake, "wmv4", src, ["day"], ["v"], watermark_col="v"
+            )
+
+    def test_streaming_trigger_with_late_data_pinned_recovery(
+        self, spark, lake
+    ):
+        """readStream drives refresh() per micro-batch; a late commit
+        fails the stream under the refuse policy, full_refresh()
+        resyncs AND stamps the window, so restarting the stream on the
+        SAME checkpoint replays the failed trigger as a no-op —
+        exactly-once recovery end to end."""
+        from interop_datalake_spark.streaming.txn_source import (
+            read_txn_stream,
+        )
+
+        src = TxnTable(lake, "wm_s", stats_cols=["k"])
+        src.append(_day_batch(spark, [(1, 1, 10), (2, 3, 30)]))  # v1
+        view = IncrementalAggView(
+            lake, "wmv_s", src, ["day"], ["v"],
+            watermark_col="day", watermark_delay=1,
+        )
+        view.refresh()  # materialize: watermark = 3 − 1 = 2
+        src.append(_day_batch(spark, [(3, 1, 5)]))  # v2: late (day 1)
+        ckpt = str(src.root.parent / "_ckpt_ivm_wm")
+
+        def _run():
+            stream = read_txn_stream(
+                lake, "wm_s", max_versions_per_trigger=1
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda batch_df, epoch_id: view.refresh()
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        with pytest.raises(StreamingQueryException, match="watermark"):
+            _run()
+        view.full_refresh()  # deliberate resync stamps src version
+        _run()  # same checkpoint: replayed trigger no-ops, stream ends
+        got = {r["day"]: r["sum_v"] for r in view.read().collect()}
+        assert got == {1: 15, 3: 30}
+        assert view.last_refreshed_version() == src.current_version()
