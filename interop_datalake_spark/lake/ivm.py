@@ -33,6 +33,11 @@ that feed are exactly this maintenance shape.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+from datetime import date, datetime, timedelta
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,6 +92,11 @@ class IncrementalAggView:
     _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
     _LATE_POLICIES = ("refuse", "repair", "drop")
+    #: above this many delete-touched groups, repair-scan pruning
+    #: falls back from per-key point ranges to one (min, max)
+    #: envelope — bounds the per-key manifest passes / transform
+    #: literal jobs (round-8 review)
+    _REPAIR_KEYS_MAX_RESOLVE = 32
 
     def __init__(
         self,
@@ -140,6 +150,8 @@ class IncrementalAggView:
         self.watermark_col = watermark_col
         self.watermark_delay = watermark_delay
         self.late_policy = late_policy
+        if watermark_col is not None:
+            self._validate_watermark_delay()
         self.view = TxnTable(session, name, stats_cols=self.key_cols[:1])
         #: files the last delete-window min/max repair scan opened
         #: (None = no repair ran) — pruning made observable for tests
@@ -256,13 +268,97 @@ class IncrementalAggView:
             cond = eq if cond is None else (cond | eq)
         return cond
 
+    def _validate_watermark_delay(self) -> None:
+        """Refuse loudly at construction when the delay's Python type
+        can't subtract from the watermark column's log-schema type —
+        a TypeError deep inside the second refresh is how this
+        surfaced in review (round 8). No schema yet → re-raised with
+        guidance at first use by :meth:`_wm_minus_delay`."""
+        if not self.watermark_delay:
+            return
+        st = self.source.table_schema()
+        if st is None:
+            return
+        types = {f.name: f.dataType.simpleString() for f in st.fields}
+        t = types.get(self.watermark_col)
+        if t is None:
+            return
+        d = self.watermark_delay
+        ok = (
+            isinstance(d, timedelta)
+            if t in ("timestamp", "timestamp_ntz", "date")
+            else isinstance(d, (int, float))
+            if t in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            else False  # string & friends: only delay 0 subtracts
+        )
+        if not ok:
+            raise TypeError(
+                f"watermark_delay {d!r} ({type(d).__name__}) cannot "
+                f"subtract from watermark_col {self.watermark_col!r} "
+                f"of type {t}: use datetime.timedelta for "
+                f"timestamp/date columns, a number for numeric "
+                f"columns, or 0 for string columns"
+            )
+
+    def _wm_minus_delay(self, value):
+        if not self.watermark_delay:
+            return value
+        try:
+            return value - self.watermark_delay
+        except TypeError as e:
+            raise TypeError(
+                f"watermark_delay {self.watermark_delay!r} cannot "
+                f"subtract from watermark value {value!r}: use "
+                f"datetime.timedelta for timestamp/date columns, a "
+                f"number for numeric columns, or 0 for string columns"
+            ) from e
+
+    # -- durable monotone watermark ------------------------------------------
+
+    def _wm_store_path(self):
+        return self.view.root / "_watermark.json"
+
+    def _stored_watermark(self):
+        p = self._wm_store_path()
+        if not p.exists():
+            return None
+        d = json.loads(p.read_text())
+        if d["t"] == "ts":
+            return datetime.fromisoformat(d["v"])
+        if d["t"] == "date":
+            return date.fromisoformat(d["v"])
+        return d["v"]
+
+    def _store_watermark(self, wm) -> None:
+        """Persist the high-water mark, monotone (atomic replace; a
+        crash between the view commit and this write just leaves the
+        previous floor, which the view-derived value re-raises)."""
+        if wm is None:
+            return
+        cur = self._stored_watermark()
+        if cur is not None and not (wm > cur):
+            return
+        if isinstance(wm, datetime):
+            payload = {"t": "ts", "v": wm.isoformat()}
+        elif isinstance(wm, date):
+            payload = {"t": "date", "v": wm.isoformat()}
+        else:
+            payload = {"t": "raw", "v": wm}
+        p = self._wm_store_path()
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps(payload))
+        os.replace(tmp, p)
+
     def _current_watermark(self):
-        """``max(watermark_col) − delay`` over the MATERIALIZED view
-        (None before the first refresh or when delay can't apply).
-        Derived, not stored: the view itself is the durable high-water
-        record, so crash/replay can never regress the watermark
-        independently of the state it finalizes. One 1-row agg on the
-        (small, rollup-sized) view per refresh."""
+        """The MONOTONE high-water mark: max of (a) ``max(
+        watermark_col) − delay`` derived from the materialized view
+        and (b) the durably stored floor from prior refreshes. The
+        derived value alone would REGRESS when a delete eliminates the
+        max-key group — silently re-opening finalized groups (round-8
+        review); Spark's watermark is monotone by construction and so
+        is this one. One 1-row agg on the (small, rollup-sized) view
+        per refresh; None before the first materialization."""
         if self.watermark_col is None or self.view.current_version() == 0:
             return None
         row = (
@@ -270,11 +366,15 @@ class IncrementalAggView:
             .agg(F.max(self.watermark_col).alias("m"))
             .collect()[0]  # one row — bounded driver action
         )
-        if row["m"] is None:
-            return None
-        if not self.watermark_delay:
-            return row["m"]
-        return row["m"] - self.watermark_delay
+        derived = (
+            self._wm_minus_delay(row["m"]) if row["m"] is not None else None
+        )
+        stored = self._stored_watermark()
+        if derived is None:
+            return stored
+        if stored is None:
+            return derived
+        return max(derived, stored)
 
     def _classify_late(self, key_tuples):
         """The subset of ``key_tuples`` strictly below the current
@@ -306,7 +406,11 @@ class IncrementalAggView:
         self._validate_sum_types()
         has_dv = self._assert_window_is_delta_visible(last, src_v)
         minmax = bool(self.min_cols or self.max_cols)
+        # observability fields reset BEFORE any early return, so a
+        # no-op refresh can't leave a previous window's values visible
+        # (round-8 review)
         self.last_repair_scan_files = None
+        self.last_late_groups = []
         changes = self.source.read_changes(
             last, src_v, include_deletes=True
         )
@@ -344,7 +448,6 @@ class IncrementalAggView:
                 "NULL group-key values are unsupported; coalesce the "
                 "key columns in the source before materializing"
             )
-        self.last_late_groups = []
         late_keys, wm = self._classify_late(key_tuples)
         if late_keys:
             if self.late_policy == "refuse":
@@ -367,11 +470,14 @@ class IncrementalAggView:
                 ]
                 key_tuples = [t for t in key_tuples if t not in late_set]
                 if not delta_rows:
-                    # the whole window was late and dropped: nothing to
-                    # commit, nothing to stamp — the next refresh
-                    # rescans this window (cheap: it still holds only
-                    # dropped-late commits) until on-time data arrives
-                    return None
+                    # the whole window was late and dropped: its delta
+                    # is DELIBERATELY empty, but the source version
+                    # must still stamp or every later refresh re-scans
+                    # the accumulated late commits (quadratic total
+                    # work under a stalled backfill — round-8 review).
+                    # Spark advances its offset log past dropped-late
+                    # batches the same way.
+                    return self.view.stamp_epoch(src_v)
             # "repair": fall through — the signed-delta algebra (and
             # the min/max partial repair below) incorporate late rows
             # exactly at any lateness
@@ -417,21 +523,35 @@ class IncrementalAggView:
                 # ends of the key space would degrade an envelope scan
                 # to near-full-table (round-7 verdict item 2). Each
                 # key's composite point-range resolves its own file
-                # set (repair_keys is the already-collected bounded
-                # delta — one manifest pass per key, no Spark jobs);
-                # the union is the exact set of files that can hold a
-                # touched group's live rows.
+                # set; the union is the exact set of files that can
+                # hold a touched group's live rows. CAP the per-key
+                # loop (round-8 review): on a transform-partitioned
+                # source each resolve_files runs a 1-row literal job,
+                # and the manifest pass repeats per key — beyond the
+                # cap the per-group win shrinks (many touched groups
+                # ≈ wide scan anyway), so fall back to ONE envelope
+                # resolution like round 7.
                 m = self.source.manifest(src_v)
-                seen: dict[str, None] = {}
-                for t in repair_keys:
-                    kr = [
-                        (k, v, v) for k, v in zip(self.key_cols, t)
-                    ]
-                    for f in self.source.resolve_files(
-                        version=src_v, key_range=kr
-                    ):
-                        seen.setdefault(f)
-                self.last_repair_scan_files = list(seen)
+                if len(repair_keys) <= self._REPAIR_KEYS_MAX_RESOLVE:
+                    seen: dict[str, None] = {}
+                    for t in repair_keys:
+                        kr = [
+                            (k, v, v) for k, v in zip(self.key_cols, t)
+                        ]
+                        for f in self.source.resolve_files(
+                            version=src_v, key_range=kr
+                        ):
+                            seen.setdefault(f)
+                    self.last_repair_scan_files = list(seen)
+                else:
+                    k0 = self.key_cols[0]
+                    k0_vals = [t[0] for t in repair_keys]
+                    self.last_repair_scan_files = (
+                        self.source.resolve_files(
+                            version=src_v,
+                            key_range=(k0, min(k0_vals), max(k0_vals)),
+                        )
+                    )
                 if self.last_repair_scan_files:
                     # same-package load: the vector-aware file reader
                     # read() itself uses, scoped to the pruned union
@@ -465,7 +585,9 @@ class IncrementalAggView:
             )
             # first materialization: one atomic write stamped with the
             # source version
-            return self.view.merge(out, self.key_cols, _epoch=src_v)
+            v = self.view.merge(out, self.key_cols, _epoch=src_v)
+            self._advance_watermark(key_tuples)
+            return v
         in_keys = self._keys_predicate(key_tuples)
         cur = self.view.read().filter(in_keys)  # stats-prunable scan
         dd = delta_df.select(
@@ -504,9 +626,22 @@ class IncrementalAggView:
         survivors = new.filter(F.col("n") > 0)
         # ONE commit: in-scope matched groups replace, in-scope
         # unmatched (zero'd) groups delete, new groups insert
-        return self.view.merge_sync(
+        v = self.view.merge_sync(
             survivors, self.key_cols, scope=in_keys, _epoch=src_v
         )
+        self._advance_watermark(key_tuples)
+        return v
+
+    def _advance_watermark(self, key_tuples) -> None:
+        """Persist the new floor AFTER a successful commit (a crash
+        in between leaves the old floor; the view-derived max then
+        re-raises it — never regresses)."""
+        if self.watermark_col is None or not key_tuples:
+            return
+        i = self.key_cols.index(self.watermark_col)
+        vals = [t[i] for t in key_tuples if t[i] is not None]
+        if vals:
+            self._store_watermark(self._wm_minus_delay(max(vals)))
 
     def _apply_minmax_repair(self, frame: DataFrame, repair) -> DataFrame:
         """Replace min/max of the delete-touched groups with their

@@ -535,11 +535,16 @@ class TestWatermarkedLateData:
         assert view.last_late_groups == [(1,)]
         got = {r["day"]: r["sum_v"] for r in view.read().collect()}
         assert got == {1: 10, 3: 30, 4: 40}  # day-1 unchanged (dropped)
-        # an ALL-late window: no commit, refresh keeps returning None
+        # an ALL-late window: the delta is deliberately empty, but the
+        # source version still STAMPS (round-8 review: without the
+        # stamp every later refresh re-scans the accumulated late
+        # commits — quadratic under a stalled backfill)
         src.append(_day_batch(spark, [(5, 1, 99)]))
-        assert view.refresh() is None
+        assert view.refresh() is not None  # epoch-only commit
+        assert view.last_refreshed_version() == src.current_version()
         got = {r["day"]: r["sum_v"] for r in view.read().collect()}
         assert got == {1: 10, 3: 30, 4: 40}
+        assert view.refresh() is None  # stamped: no rescan
 
     def test_watermark_col_must_be_a_key_col(self, spark, lake):
         src = TxnTable(lake, "wm4", stats_cols=["k"])
@@ -595,3 +600,55 @@ class TestWatermarkedLateData:
         got = {r["day"]: r["sum_v"] for r in view.read().collect()}
         assert got == {1: 15, 3: 30}
         assert view.last_refreshed_version() == src.current_version()
+
+    def test_watermark_is_monotone_under_max_group_delete(
+        self, spark, lake
+    ):
+        """Round-8 review: deleting the max-key group must not REGRESS
+        the watermark and silently re-open finalized history — the
+        durable floor keeps it monotone, like Spark's."""
+        src = TxnTable(lake, "wm5", stats_cols=["k"])
+        src.append(
+            _day_batch(spark, [(1, 1, 10), (2, 3, 30), (3, 10, 100)])
+        )
+        view = IncrementalAggView(
+            lake, "wmv5", src, ["day"], ["v"],
+            watermark_col="day", watermark_delay=1,
+        )
+        view.refresh()  # watermark floor = 10 − 1 = 9
+        # vector-delete ALL of day 10: the view's max regresses to 3
+        src.delete_where(F.col("day") == 10, merge_on_read=True)
+        view.refresh()
+        assert {r["day"] for r in view.read().collect()} == {1, 3}
+        # day 3 was finalized at wm=9 — a late write must STILL refuse
+        src.append(_day_batch(spark, [(4, 3, 5)]))
+        with pytest.raises(ValueError, match="watermark"):
+            view.refresh()
+
+    def test_watermark_delay_type_validated_loudly(self, spark, lake):
+        """Round-8 review: a delay that can't subtract from the
+        column's type must refuse at construction, not TypeError deep
+        inside the second refresh."""
+        src = TxnTable(lake, "wm6", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, "2024-01-01 00:00:00", 10)],
+                "k INT, ts_s STRING, v INT",
+            ).select(
+                "k", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+            )
+        )
+        with pytest.raises(TypeError, match="timedelta"):
+            IncrementalAggView(
+                lake, "wmv6", src, ["ts"], ["v"],
+                watermark_col="ts", watermark_delay=3600,
+            )
+        # the correct type constructs and refreshes fine
+        from datetime import timedelta
+
+        view = IncrementalAggView(
+            lake, "wmv6b", src, ["ts"], ["v"],
+            watermark_col="ts", watermark_delay=timedelta(hours=1),
+        )
+        view.refresh()
+        assert view.read().count() == 1

@@ -620,7 +620,10 @@ def test_zorder_compact_prunes_on_both_dims(session, spark):
 def test_overwrite_epoch_is_exactly_once(session, spark):
     """Round-7 pin: overwrite(_epoch=…) at or behind the stored
     watermark is a replay no-op (returns None, no commit); _epoch_force
-    is the deliberate recompute path and never regresses the stamp."""
+    is the deliberate resync path and stamps the REQUESTED epoch
+    verbatim — including a LOWER one, the recovery for a torn-down-
+    and-rebuilt source whose version count restarted (round-8
+    review: clamping would leave later refreshes silent no-ops)."""
     t = TxnTable(session, "txn_ow_epochs")
     assert t.overwrite(_df(spark, [(1, "a")]), _epoch=1) == 1
     # crash-replay at the same / an older epoch: no-op, content kept
@@ -638,12 +641,30 @@ def test_overwrite_epoch_is_exactly_once(session, spark):
     )
     assert _snapshot(t) == {(3, "c")}
     assert t.manifest()["epoch"] == 2
-    # force with an OLDER epoch never regresses the watermark
+    # force with a LOWER epoch stamps it verbatim (source-rebuild
+    # resync); plain epochs then resume from the new, lower watermark
     assert (
         t.overwrite(_df(spark, [(4, "d")]), _epoch=1, _epoch_force=True)
         == 4
     )
-    assert t.manifest()["epoch"] == 2
+    assert t.manifest()["epoch"] == 1
+    assert t.overwrite(_df(spark, [(5, "e")]), _epoch=2) == 5
+
+
+def test_stamp_epoch_noop_commit(session, spark):
+    """stamp_epoch: advances only the idempotence watermark — zero
+    file changes; replay at or behind the stamp is a no-op."""
+    t = TxnTable(session, "txn_stamp")
+    t.append(_df(spark, [(1, "a")]))
+    files_before = t.manifest()["files"]
+    assert t.stamp_epoch(7) == 2
+    m = t.manifest()
+    assert m["epoch"] == 7
+    assert m["files"] == files_before
+    assert _snapshot(t) == {(1, "a")}
+    assert t.stamp_epoch(7) is None
+    assert t.stamp_epoch(3) is None
+    assert t.current_version() == 2
 
 
 def test_compact_target_mb_accounts_for_dv_deleted_rows(session, spark):
@@ -898,3 +919,75 @@ def test_stats_readback_toggle_serialized_across_writers(session, spark):
         assert got == {i * 10 + j for i in range(4) for j in (0, 3)}
         # partition pruning by the exact string value stays exact too
         assert t.read(partition_filter={"code": "0101"}).count() == 8
+
+
+def test_consolidate_vectors_drops_dead_file_rows(session, spark):
+    """Round-8 review: a vector parquet keeps rows for files later
+    REMOVED by a rewrite (their dvs entry dies with the file, the
+    parquet does not). Consolidation must filter them out, or every
+    consolidation re-copies dead pairs forever and the 'shrink' op
+    grows vector bytes."""
+    t = TxnTable(
+        session, "dv_dead", partition_cols=["site"], stats_cols=["k"]
+    )
+    df = spark.createDataFrame(
+        [(k, "a" if k % 2 == 0 else "b") for k in range(200)],
+        "k INT, site STRING",
+    )
+    t.append(df)
+    # one vector commit touching BOTH sites' files
+    t.delete_where(F.col("k") < 50, merge_on_read=True)
+    # rewrite site b: its files (and dvs entries) are replaced, but
+    # the shared vector parquet still holds their rows
+    t.overwrite_partitions(
+        spark.createDataFrame(
+            [(1000 + i, "b") for i in range(10)], "k INT, site STRING"
+        )
+    )
+    # stack a second vector so consolidation has work to do
+    t.delete_where(F.col("k") == 100, merge_on_read=True)
+    m = t.manifest()
+    assert len({p for ps in m["dvs"].values() for p in ps}) == 2
+    assert t.consolidate_vectors() is not None
+    m2 = t.manifest()
+    merged = {p for ps in m2["dvs"].values() for p in ps}
+    assert len(merged) == 1
+    vec = spark.read.parquet(str(t.root / next(iter(merged))))
+    # every surviving pair references a LIVE file; total equals the
+    # manifest's live dv accounting exactly — no dead site-b rows
+    live = set(m2["files"])
+    assert {r["file_key"] for r in vec.select("file_key").distinct().collect()} <= live
+    assert vec.count() == sum(m2["dv_deleted"].values())
+    # content unchanged throughout
+    want = {k for k in range(50, 200) if k % 2 == 0 and k != 100} | {
+        1000 + i for i in range(10)
+    }
+    assert {r["k"] for r in t.read().collect()} == want
+
+
+def test_dv_subset_read_broadcast_is_restricted_to_requested_files(
+    session, spark
+):
+    """Round-8 review: the broadcast decision must size the ACTUAL
+    build side — a subset read filters the vector union down to the
+    requested files before broadcasting, so a wide vector commit
+    can't smuggle a huge frame under a small dv_rows estimate."""
+    from interop_datalake_spark.plans.inspect import (
+        explain_str,
+        has_broadcast_hash_join,
+    )
+
+    t = TxnTable(session, "dv_subset", stats_cols=["k"])
+    for i in range(4):  # 4 files with disjoint k ranges
+        t.append(
+            spark.range(i * 1000, (i + 1) * 1000)
+            .selectExpr("id as k", "'x' as v")
+            .coalesce(1)
+        )
+    # ONE vector commit touching all 4 files
+    t.delete_where(F.col("k") % 10 == 0, merge_on_read=True)
+    sub = t.read(key_range=("k", 0, 999))  # prunes to ~1 data file
+    assert has_broadcast_hash_join(sub)
+    # the vector scan carries the file_key subset filter
+    assert "file_key" in explain_str(sub)
+    assert sub.count() == 900
