@@ -92,6 +92,8 @@ HEADLINE = [
     "lake_deletion_vectors",
     "lake_change_feed_deletes",
     "lake_incremental_view",
+    # round 8: Delta-log interop lifecycle (export + self-contained reader)
+    "lake_delta_roundtrip",
     # round 7: the newly witness-rotated rows (see catalog
     # WITNESS_PRIORITY) so driver bench history starts this round
     "dedup_minhash_ml",

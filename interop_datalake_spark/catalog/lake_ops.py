@@ -1227,6 +1227,76 @@ ORDER BY stage, lang
 """
 
 
+def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta transaction-log interop (lake/delta_interop.py): load a
+    lineitem slice into a partitioned TxnTable, soft-delete by
+    deletion vector, compact (reconciling the vectors — a vectored
+    snapshot refuses to export), EXPORT the public-protocol
+    ``_delta_log``, then read the table back through the
+    self-contained Delta LOG READER (add/remove replay + per-file
+    partition-value injection, no delta-spark) and aggregate. The
+    oracle computes the same aggregate straight from the parquet
+    source, so the whole write→vector→compact→export→delta-read
+    lifecycle must be value-exact end to end."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.delta_interop import (
+        export_delta_log,
+        read_delta,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="lake_delta_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(
+            session,
+            "li_delta",
+            partition_cols=["l_returnflag"],
+            stats_cols=["l_orderkey"],
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        )
+        t.append(li.filter(F.col("l_orderkey") < 600))
+        t.delete_where(F.col("l_linenumber") > 4, merge_on_read=True)
+        t.compact(target_files=2)  # reconciles vectors → exportable
+        export_delta_log(t)
+        rows = (
+            read_delta(spark, str(t.root))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").cast("bigint").alias("qty"),
+                F.max("l_orderkey").alias("max_ok"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["l_returnflag"], r["n"], r["qty"], r["max_ok"]) for r in rows],
+        "l_returnflag STRING, n BIGINT, qty BIGINT, max_ok BIGINT",
+    ).orderBy("l_returnflag")
+
+
+LAKE_DELTA_ORACLE = """
+SELECT l_returnflag,
+       count(*)                         AS n,
+       CAST(sum(l_quantity) AS BIGINT)  AS qty,
+       CAST(max(l_orderkey) AS BIGINT)  AS max_ok
+FROM lineitem
+WHERE l_orderkey < 600 AND l_linenumber <= 4
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -1246,6 +1316,7 @@ QUERIES = {
     "lake_deletion_vectors": lake_deletion_vectors,
     "lake_change_feed_deletes": lake_change_feed_deletes,
     "lake_incremental_view": lake_incremental_view,
+    "lake_delta_roundtrip": lake_delta_roundtrip,
 }
 
 ORACLES = {
@@ -1267,4 +1338,5 @@ ORACLES = {
     "lake_deletion_vectors": LAKE_DV_ORACLE,
     "lake_change_feed_deletes": LAKE_CDF_ORACLE,
     "lake_incremental_view": LAKE_IVM_ORACLE,
+    "lake_delta_roundtrip": LAKE_DELTA_ORACLE,
 }

@@ -1,0 +1,216 @@
+"""Delta transaction-log interop (lake/delta_interop.py): export a
+TxnTable snapshot as a public-protocol ``_delta_log`` and read Delta
+logs back without delta-spark. The reader is validated BOTH against
+the exporter (roundtrip) and against a hand-written multi-commit log,
+so the pair can't just agree on a shared mistake."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.delta_interop import (
+    export_delta_log,
+    read_delta,
+)
+from interop_datalake_spark.lake.txn import TxnTable
+from interop_datalake_spark.session import DatalakeSession
+
+
+@pytest.fixture()
+def lake(spark):
+    root = tempfile.mkdtemp(prefix="txn_delta_")
+    yield DatalakeSession(lake_root=root, spark=spark)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_export_then_read_roundtrip(spark, lake):
+    t = TxnTable(
+        lake, "d1", partition_cols=["site"], stats_cols=["k"]
+    )
+    df = spark.createDataFrame(
+        [(k, "a" if k % 2 == 0 else "b", k * 1.5) for k in range(40)],
+        "k INT, site STRING, val DOUBLE",
+    )
+    t.append(df)
+    t.append(
+        spark.createDataFrame([(100, None, 0.5)], "k INT, site STRING, val DOUBLE")
+    )  # NULL partition value → __HIVE_DEFAULT_PARTITION__ → JSON null
+    log_dir = export_delta_log(t)
+    assert (log_dir / f"{0:020d}.json").exists()
+    back = read_delta(spark, str(t.root))
+    assert back.schema == t.read().schema
+    want = {(r["k"], r["site"], r["val"]) for r in t.read().collect()}
+    got = {(r["k"], r["site"], r["val"]) for r in back.collect()}
+    assert got == want
+    assert back.filter(F.col("site").isNull()).count() == 1
+
+
+def test_export_log_structure_and_stats(spark, lake):
+    t = TxnTable(lake, "d2", stats_cols=["k"])
+    t.append(
+        spark.range(0, 100).selectExpr("id as k", "'x' as v").coalesce(1)
+    )
+    log_dir = export_delta_log(t)
+    actions = [
+        json.loads(line)
+        for line in (log_dir / f"{0:020d}.json").read_text().splitlines()
+        if line.strip()
+    ]
+    assert actions[0]["protocol"] == {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    meta = actions[1]["metaData"]
+    assert meta["format"]["provider"] == "parquet"
+    schema = json.loads(meta["schemaString"])
+    assert {f["name"] for f in schema["fields"]} == {"k", "v"}
+    adds = [a["add"] for a in actions[2:] if "add" in a]
+    assert len(adds) == 1
+    assert adds[0]["size"] > 0
+    stats = json.loads(adds[0]["stats"])
+    assert stats["numRecords"] == 100
+    assert int(stats["minValues"]["k"]) == 0
+    assert int(stats["maxValues"]["k"]) == 99
+
+
+def test_export_refuses_deletion_vectors_until_compacted(spark, lake):
+    t = TxnTable(lake, "d3", stats_cols=["k"])
+    t.append(spark.range(0, 50).selectExpr("id as k", "'x' as v"))
+    t.delete_where(F.col("k") < 10, merge_on_read=True)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_delta_log(t)
+    t.compact(target_files=1)  # reconciles vectors into clean files
+    export_delta_log(t)
+    assert read_delta(spark, str(t.root)).count() == 40
+
+
+def test_reader_replays_handwritten_multi_commit_log(spark, tmp_path):
+    """The reader against a log this repo's exporter did NOT write:
+    three commits with add/remove churn + VERSION AS OF."""
+    root = tmp_path / "ext_delta"
+    (root / "_delta_log").mkdir(parents=True)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    df2 = spark.createDataFrame([(3, "c")], "k INT, v STRING")
+    df3 = spark.createDataFrame([(4, "d")], "k INT, v STRING")
+    for name, frame in (("f1", df1), ("f2", df2), ("f3", df3)):
+        frame.coalesce(1).write.parquet(str(root / "stage" / name))
+    rel = {
+        name: f"stage/{name}/"
+        + next(
+            p.name
+            for p in (root / "stage" / name).iterdir()
+            if p.name.endswith(".parquet")
+        )
+        for name in ("f1", "f2", "f3")
+    }
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+
+    def commit(v, actions):
+        (root / "_delta_log" / f"{v:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+
+    commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "ext-1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            {"add": {"path": rel["f1"], "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    commit(
+        1,
+        [{"add": {"path": rel["f2"], "partitionValues": {}, "size": 1,
+                  "modificationTime": 0, "dataChange": True}}],
+    )
+    commit(
+        2,
+        [
+            {"remove": {"path": rel["f1"], "dataChange": True}},
+            {"add": {"path": rel["f3"], "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+
+    def rows(df):
+        return {(r["k"], r["v"]) for r in df.collect()}
+
+    assert rows(read_delta(spark, str(root))) == {(3, "c"), (4, "d")}
+    assert rows(read_delta(spark, str(root), version=0)) == {
+        (1, "a"), (2, "b"),
+    }
+    assert rows(read_delta(spark, str(root), version=1)) == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    with pytest.raises(ValueError, match="version 9"):
+        read_delta(spark, str(root), version=9)
+
+
+def test_reader_refuses_dv_adds_and_truncated_logs(spark, tmp_path):
+    root = tmp_path / "bad_delta"
+    (root / "_delta_log").mkdir(parents=True)
+    schema_string = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}}
+        ]}
+    )
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+                {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                              "schemaString": schema_string,
+                              "partitionColumns": [], "configuration": {}}},
+                {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
+                         "modificationTime": 0, "dataChange": True,
+                         "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                            "offset": 1, "sizeInBytes": 1, "cardinality": 1}}},
+            ]
+        )
+    )
+    with pytest.raises(NotImplementedError, match="deletionVector"):
+        read_delta(spark, str(root))
+    # log whose version-0 json was checkpoint-compacted away
+    root2 = tmp_path / "trunc_delta"
+    (root2 / "_delta_log").mkdir(parents=True)
+    (root2 / "_delta_log" / f"{5:020d}.json").write_text("{}\n")
+    with pytest.raises(NotImplementedError, match="checkpoint"):
+        read_delta(spark, str(root2))
+
+
+def test_reexport_replaces_log_wholesale(spark, lake):
+    t = TxnTable(lake, "d4", stats_cols=["k"])
+    t.append(spark.range(0, 10).selectExpr("id as k", "'x' as v"))
+    export_delta_log(t)
+    assert read_delta(spark, str(t.root)).count() == 10
+    t.append(spark.range(10, 25).selectExpr("id as k", "'y' as v"))
+    export_delta_log(t)  # snapshot export: still ONE commit, v0
+    log = t.root / "_delta_log"
+    assert sorted(p.name for p in log.glob("*.json")) == [
+        f"{0:020d}.json"
+    ]
+    assert read_delta(spark, str(t.root)).count() == 25
