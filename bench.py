@@ -84,6 +84,7 @@ HEADLINE = [
     "events_markov_transitions",
     "basket_pair_lift",
     "search_tfidf_keywords",
+    "search_hybrid_rrf",
     "corpus_zipf_fit",
     # round 6: hidden partitioning + merge-on-read deletes — the two
     # TxnTable reads-at-scale features; their rows track the full

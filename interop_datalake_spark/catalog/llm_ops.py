@@ -1666,6 +1666,80 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (llm/search.py:hybrid_rrf): BM25 lexical
+    top-20 ∪ dense cosine top-20 (query = embedding 0), fused by
+    Reciprocal Rank Fusion 1/(60+rank) — the calibration-free fusion
+    production RAG stacks run. Only RANKS cross the modality
+    boundary, so the oracle replays the fusion exactly from its own
+    BM25 and list_cosine_similarity rankings."""
+    from interop_datalake_spark.llm.search import hybrid_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hybrid_rrf(
+        docs, emb, "text", "doc_id", "embedding", "vec_id",
+        ["table", "scan", "join"], query_vec_id=0,
+    )
+    return out.select(
+        "doc_id", "lex_rank", "dense_rank",
+        F.round("rrf", 6).alias("rrf"),
+    ).orderBy(F.desc("rrf"), "doc_id")
+
+
+SEARCH_HYBRID_ORACLE = f"""
+WITH postings AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM postings GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM postings GROUP BY doc_id
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scalars AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl
+), q AS (
+  SELECT unnest(['join', 'scan', 'table']) AS term
+), bm AS (
+  SELECT t.doc_id,
+         sum(
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf::DOUBLE * 2.2)
+           / (t.tf::DOUBLE + 1.2 * (0.25 + 0.75 * d.dl::DOUBLE / s.avgdl))
+         ) AS score
+  FROM tf t
+  JOIN q USING (term)
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN scalars s
+  GROUP BY t.doc_id
+), lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM bm QUALIFY lex_rank <= 20
+), qv AS (
+  SELECT embedding FROM embeddings WHERE vec_id = 0
+), dns AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY {_COS.format(a='e', b='qv')} DESC, e.vec_id
+         ) AS dense_rank
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> 0 QUALIFY dense_rank <= 20
+), fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         coalesce(1.0 / (60 + l.lex_rank), 0)
+           + coalesce(1.0 / (60 + d.dense_rank), 0) AS rrf
+  FROM lexr l FULL JOIN dns d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise shingle-containment dedup
     (llm/dedup.py::containment_pairs): C = |∩| / min(|A|,|B|) over
@@ -2017,6 +2091,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "ann_index_incremental": ann_index_incremental,
     "search_bm25": search_bm25,
+    "search_hybrid_rrf": search_hybrid_rrf,
     "search_phrase": search_phrase,
     "search_tfidf_keywords": search_tfidf_keywords,
     "corpus_split_contamination": corpus_split_contamination,
@@ -2056,6 +2131,7 @@ ORACLES = {
     "dedup_semantic": DEDUP_SEMANTIC_ORACLE,
     "ann_index_incremental": ANN_INDEX_ORACLE,
     "search_bm25": SEARCH_BM25_ORACLE,
+    "search_hybrid_rrf": SEARCH_HYBRID_ORACLE,
     "search_phrase": SEARCH_PHRASE_ORACLE,
     "search_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
     "corpus_split_contamination": CONTAMINATION_ORACLE,

@@ -237,3 +237,79 @@ def phrase_search(
         F.count("*").alias("n_occurrences"),
         F.min("anchor").cast("int").alias("first_pos"),
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    text_col: str,
+    id_col: str,
+    vec_col: str,
+    vec_id_col: str,
+    query_terms: list[str],
+    query_vec_id,
+    n_each: int = 20,
+    rrf_k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 ∪ dense cosine, fused by
+    Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009):
+    ``rrf = Σ 1/(rrf_k + rank_i)`` over the lists a document appears
+    in. RRF is the standard production fusion because it needs no
+    score calibration — only RANKS cross the modality boundary, so a
+    BM25 log-scale score and a [−1, 1] cosine can never outvote each
+    other by units.
+
+    Scale shape: each side is its own top-``n_each`` cut BEFORE
+    fusion — the lexical candidates collapse via orderBy+limit
+    (TakeOrderedAndProject: per-partition top-N, never a global
+    sort) and the dense side reuses :func:`~interop_datalake_spark.
+    llm.similarity.brute_force_topk` (queries broadcast, corpus
+    scanned once). The fusion join then touches ≤ 2·n_each rows —
+    driver-trivial at any corpus size. The final row_number windows
+    run on those ≤ n_each-row frames only.
+
+    Determinism: ranks tie-break on the id columns; fused scores
+    tie-break on ``id_col`` — so the output replays exactly in the
+    DuckDB oracle. Returns (id, lex_rank, dense_rank, rrf) with NULL
+    ranks for single-list documents."""
+    from pyspark.sql import Window
+
+    from interop_datalake_spark.llm.similarity import brute_force_topk
+
+    lex = bm25_scores(docs, text_col, id_col, query_terms)
+    lex_top = lex.orderBy(F.desc("score"), F.col(id_col)).limit(n_each)
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    lex_r = lex_top.withColumn(
+        "lex_rank", F.row_number().over(w)
+    ).select(F.col(id_col).alias("_rid"), "lex_rank")
+    dense = brute_force_topk(
+        emb.filter(F.col(vec_id_col) == query_vec_id),
+        emb,
+        vec_col,
+        vec_id_col,
+        k=n_each,
+    )
+    dense_r = dense.select(
+        F.col("neighbor_id").alias("_rid"),
+        F.col("rn").alias("dense_rank"),
+    )
+    fused = (
+        lex_r.join(dense_r, "_rid", "full_outer")
+        .select(
+            F.col("_rid").alias(id_col),
+            "lex_rank",
+            "dense_rank",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.col(id_col)).limit(top_n)

@@ -214,3 +214,116 @@ def test_reexport_replaces_log_wholesale(spark, lake):
         f"{0:020d}.json"
     ]
     assert read_delta(spark, str(t.root)).count() == 25
+
+
+# -- model-based reader property ------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_POOL = 6  # pre-written single-row parquet files, k = 0..5
+
+
+@pytest.fixture(scope="module")
+def delta_pool(spark):
+    """A reusable pool of tiny parquet files + a log-builder: each
+    hypothesis example writes only JSON commits, never data."""
+    root = Path(tempfile.mkdtemp(prefix="delta_prop_"))
+    rels = []
+    for k in range(_POOL):
+        d = root / "stage" / f"f{k}"
+        spark.createDataFrame([(k,)], "k INT").coalesce(1).write.parquet(
+            str(d)
+        )
+        rels.append(
+            f"stage/f{k}/"
+            + next(p.name for p in d.iterdir() if p.name.endswith(".parquet"))
+        )
+    yield root, rels
+    shutil.rmtree(root, ignore_errors=True)
+
+
+_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}}
+        ],
+    }
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    ops=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["add", "remove"]),
+                st.integers(min_value=0, max_value=_POOL - 1),
+            ),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    probe=st.integers(min_value=0, max_value=4),
+)
+def test_reader_matches_replay_model(spark, delta_pool, ops, probe):
+    """Hypothesis model check: for ANY add/remove commit sequence, the
+    reader's row set at every probed version equals a trivial Python
+    replay of the same actions (add wins by path, remove drops,
+    re-add after remove resurrects)."""
+    root, rels = delta_pool
+    log = root / "_delta_log"
+    shutil.rmtree(log, ignore_errors=True)
+    log.mkdir()
+    model: set[int] = set()
+    states = []
+    for v, commit_ops in enumerate(ops):
+        actions = []
+        if v == 0:
+            actions += [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {
+                    "metaData": {
+                        "id": "prop",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": _SCHEMA_STRING,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                },
+            ]
+        for op, idx in commit_ops:
+            if op == "add":
+                actions.append(
+                    {
+                        "add": {
+                            "path": rels[idx],
+                            "partitionValues": {},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                model.add(idx)
+            else:
+                actions.append(
+                    {"remove": {"path": rels[idx], "dataChange": True}}
+                )
+                model.discard(idx)
+        (log / f"{v:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+        states.append(set(model))
+    v = min(probe, len(ops) - 1)
+    got = {
+        r["k"] for r in read_delta(spark, str(root), version=v).collect()
+    }
+    assert got == states[v]

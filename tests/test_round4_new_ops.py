@@ -153,3 +153,43 @@ def test_bpe_tiebreak_lexicographic(spark):
     merges, _ = bpe_train(docs, "text", n_merges=1)
     r = merges.collect()[0]
     assert (r["left"], r["right"], r.pair_count) == ("a", "b", 1)
+
+
+def test_hybrid_rrf_fuses_both_lists_above_single_list(spark):
+    """RRF semantics on planted data: a document ranked in BOTH lists
+    must outrank documents of similar single-list rank; NULL ranks
+    mark single-list members; ranks tie-break deterministically."""
+    from interop_datalake_spark.llm.search import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra zebra zebra"),          # dense query doc, no terms
+            (1, "alpha beta alpha beta"),      # strong lexical
+            (2, "alpha beta"),                 # both lists
+            (3, "gamma delta"),                # neither
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),   # orthogonal to query
+            (2, [0.9, 0.1, 0.0]),   # near the query
+            (3, [0.8, 0.2, 0.0]),   # near the query
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    out = hybrid_rrf(
+        docs, emb, "text", "doc_id", "embedding", "vec_id",
+        ["alpha", "beta"], query_vec_id=0, n_each=2, rrf_k=60, top_n=4,
+    ).collect()
+    rows = {r["doc_id"]: (r["lex_rank"], r["dense_rank"], r["rrf"]) for r in out}
+    # doc 2: lexical rank 2 + dense rank 1 — fused top
+    assert rows[2][0] == 2 and rows[2][1] == 1
+    top = max(rows.items(), key=lambda kv: kv[1][2])
+    assert top[0] == 2
+    # single-list members carry NULL for the missing rank
+    assert rows[1][0] == 1 and rows[1][1] is None
+    assert rows[3][0] is None and rows[3][1] == 2
+    # fused score is exactly the rank algebra
+    assert abs(rows[2][2] - (1 / 62 + 1 / 61)) < 1e-12
