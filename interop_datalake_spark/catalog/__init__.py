@@ -215,6 +215,16 @@ def _with_required_conf(fn):
 #:   in: multimodal_frame_sample (mapInPandas frame sampling) — out:
 #:       dedup_minhash_ml (dedup keeps 4 reps; multimodal now has
 #:       phash + frame_sample)
+#: Round-8 NEW operators (the standing rule: this round's flagship
+#: ops rotate in FIRST, displacing only prior-round-green entries
+#: with in-window siblings):
+#:   in: lake_delta_roundtrip (Delta-log export + self-contained
+#:       reader lifecycle) — out: ann_topk_int8 (r7-green; ann keeps
+#:       cosine_topk/index_incremental/ivf_trained)
+#:   in: search_hybrid_rrf (BM25 ∪ dense RRF fusion) — out:
+#:       text_fingerprint (r7-green; text keeps winnowing/lang_ngram/
+#:       trigrams_udtf/bpe_train; search keeps bm25 beside the new
+#:       hybrid rep)
 WITNESS_PRIORITY = [
     # relational core
     "q1_pricing_summary", "scan_filter_project",
@@ -230,6 +240,7 @@ WITNESS_PRIORITY = [
     "lake_publish_roundtrip",
     "lake_partition_transforms", "lake_deletion_vectors",
     "lake_change_feed_deletes", "lake_incremental_view",
+    "lake_delta_roundtrip",
     # windows + custom joins
     "topk_per_group", "join_asof",
     # set ops / scalar / reshape / subqueries
@@ -247,15 +258,15 @@ WITNESS_PRIORITY = [
     # r6-green blocked-topk; trained IVF (k-means train + assign) is
     # the in-window clustering sibling for r6-green cluster_kmeans
     "ann_index_incremental", "ann_cosine_topk",
-    "ann_topk_int8", "ann_ivf_topk_trained",
-    # retrieval
-    "search_bm25",
+    "ann_ivf_topk_trained",
+    # retrieval (bm25 + the round-8 hybrid RRF fusion)
+    "search_bm25", "search_hybrid_rrf",
     # text analysis: the five never-witnessed rows rotate in
     # (winnowing fingerprints, n-gram lang-id, rolling-hash doc
     # fingerprint, repetition ratios, trigram UDTF) over r6-green
     # quality_classifier/bpe_tokenize (bpe_train stays)
     "text_winnowing_fingerprints", "text_lang_ngram",
-    "text_fingerprint", "text_trigrams_udtf",
+    "text_trigrams_udtf",
     # corpus curation: capstone + DSIR stay; never-witnessed chunking,
     # vocab, and sequence packing rotate in over r6-green
     # split_contamination (LSH composition in-window via skewsafe)/

@@ -1732,11 +1732,17 @@ WITH postings AS (
   SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
          l.lex_rank, d.dense_rank,
          coalesce(1.0 / (60 + l.lex_rank), 0)
-           + coalesce(1.0 / (60 + d.dense_rank), 0) AS rrf
+           + coalesce(1.0 / (60 + d.dense_rank), 0) AS rrf_raw
   FROM lexr l FULL JOIN dns d ON l.doc_id = d.doc_id
 )
-SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf
-FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+-- the top-10 CUT orders by the UNROUNDED double, exactly like the
+-- Spark side's limit (rounding only at output) — cutting on the
+-- rounded alias could keep a different row set when ranks 10/11
+-- round equal at 6dp (round-8 review; round-4 red class)
+SELECT doc_id, lex_rank, dense_rank, round(rrf_raw, 6) AS rrf
+FROM (
+  SELECT * FROM fused ORDER BY rrf_raw DESC, doc_id LIMIT 10
+) ORDER BY rrf DESC, doc_id
 """
 
 

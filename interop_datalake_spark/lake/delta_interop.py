@@ -43,6 +43,7 @@ import shutil
 import time
 import uuid
 from pathlib import Path
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,10 +65,26 @@ def export_delta_log(table: TxnTable, version: int | None = None) -> Path:
     same root-relative parquet paths the TxnTable manifest records,
     so zero data bytes move.
 
-    Refuses when the snapshot carries deletion vectors (Delta encodes
-    DVs as a separate feature this exporter does not emit — a silent
-    export would RESURRECT soft-deleted rows for Delta readers);
-    ``consolidate_vectors()`` + ``compact()`` reconcile them first.
+    STALENESS CONTRACT: the export describes the snapshot AT EXPORT
+    TIME; later TxnTable commits (appends, deletes, compactions) do
+    not update it — re-export after mutating, exactly like refreshing
+    any derived copy. The exported snapshot stays CONSISTENT because
+    removed files stay on disk for time travel… until :meth:`vacuum`
+    reclaims them, so vacuum DELETES a stale exported log rather than
+    leave external engines a log of dangling paths (round-8 review).
+
+    Refuses loudly (never silently wrong):
+
+    - snapshots with deletion vectors (Delta encodes DVs as a
+      separate feature this exporter does not emit — a silent export
+      would RESURRECT soft-deleted rows for Delta readers);
+      ``compact()`` reconciles them first.
+    - mixed-partition-spec snapshots where a file predates the
+      current spec (its partition values live IN the data, not the
+      manifest — exporting empty partitionValues would make Delta
+      readers NULL the column for those rows); ``compact()`` rewrites
+      everything under the current spec.
+
     Returns the ``_delta_log`` directory path."""
     m = table.manifest(version)
     if m.get("dvs"):
@@ -88,6 +105,22 @@ def export_delta_log(table: TxnTable, version: int | None = None) -> Path:
     # absent from the data files — exactly the TxnTable layout. The
     # exported schemaString must still CONTAIN them (Delta's schema is
     # the full table schema); TxnTable's log schema already does.
+    parts_map = m.get("partitions", {})
+    if pcols:
+        uncovered = [
+            f
+            for f in m["files"]
+            if any(c not in (parts_map.get(f) or {}) for c in pcols)
+        ]
+        if uncovered:
+            raise ValueError(
+                f"table {table.name}: {len(uncovered)} file(s) predate "
+                f"the current partition spec (their partition values "
+                f"live in the data, not the manifest) — an export "
+                f"would record empty partitionValues and Delta "
+                f"readers would NULL the column for those rows; run "
+                f"compact() to rewrite under the current spec first"
+            )
     now_ms = int(time.time() * 1000)
     actions = [
         # minReader/Writer 1/2: plain parquet + partition columns,
@@ -104,10 +137,9 @@ def export_delta_log(table: TxnTable, version: int | None = None) -> Path:
             }
         },
     ]
-    stats_cols = set()
     st = StructType.fromJson(json.loads(schema_json))
     names = {f.name for f in st.fields}
-    parts = m.get("partitions", {})
+    parts = parts_map
     for f in m["files"]:
         p = table.root / f
         fstat = m.get("stats", {}).get(f, {})
@@ -125,14 +157,19 @@ def export_delta_log(table: TxnTable, version: int | None = None) -> Path:
                     continue
                 if isinstance(mm, (list, tuple)) and len(mm) == 2:
                     mins[c], maxs[c] = mm[0], mm[1]
-                    stats_cols.add(c)
             if mins:
                 stats_payload["minValues"] = mins
                 stats_payload["maxValues"] = maxs
         actions.append(
             {
                 "add": {
-                    "path": f,
+                    # the protocol specifies URL-encoded relative
+                    # paths: a Hive-escaped dir like 'site=50%25' must
+                    # export as 'site=50%2525' or a compliant reader's
+                    # decode resolves the wrong directory (round-8
+                    # review). '=' stays literal (RFC3986 sub-delim,
+                    # what reference writers emit).
+                    "path": quote(f, safe="/="),
                     "partitionValues": pv,
                     "size": p.stat().st_size if p.exists() else 0,
                     "modificationTime": now_ms,
@@ -206,9 +243,12 @@ def read_delta(
                         f"deletionVector; reading the file raw would "
                         f"resurrect deleted rows"
                     )
-                adds[a["path"]] = a
+                # protocol paths are URL-encoded; key and resolve by
+                # the DECODED on-disk path so add/remove pairs match
+                # regardless of each writer's encoding choices
+                adds[unquote(a["path"])] = a
             elif "remove" in action:
-                adds.pop(action["remove"]["path"], None)
+                adds.pop(unquote(action["remove"]["path"]), None)
     if meta is None:
         raise ValueError(f"no metaData action in Delta log {log_dir}")
     st = StructType.fromJson(json.loads(meta["schemaString"]))

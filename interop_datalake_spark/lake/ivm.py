@@ -37,6 +37,7 @@ import json
 import os
 import uuid
 from datetime import date, datetime, timedelta
+from decimal import Decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -289,6 +290,9 @@ class IncrementalAggView:
             if t in ("timestamp", "timestamp_ntz", "date")
             else isinstance(d, (int, float))
             if t in ("tinyint", "smallint", "int", "bigint", "float", "double")
+            # Decimal - int subtracts exactly; Decimal - float raises
+            else (isinstance(d, (int, Decimal)) and not isinstance(d, bool))
+            if t.startswith("decimal")
             else False  # string & friends: only delay 0 subtracts
         )
         if not ok:
@@ -327,6 +331,8 @@ class IncrementalAggView:
             return datetime.fromisoformat(d["v"])
         if d["t"] == "date":
             return date.fromisoformat(d["v"])
+        if d["t"] == "dec":
+            return Decimal(d["v"])
         return d["v"]
 
     def _store_watermark(self, wm) -> None:
@@ -342,6 +348,12 @@ class IncrementalAggView:
             payload = {"t": "ts", "v": wm.isoformat()}
         elif isinstance(wm, date):
             payload = {"t": "date", "v": wm.isoformat()}
+        elif isinstance(wm, Decimal):
+            # DECIMAL key columns collect as decimal.Decimal, which
+            # json.dumps rejects — and this runs AFTER the view commit,
+            # so a TypeError here would fail every refresh around a
+            # view that is actually advancing (round-8 review 2)
+            payload = {"t": "dec", "v": str(wm)}
         else:
             payload = {"t": "raw", "v": wm}
         p = self._wm_store_path()
@@ -694,8 +706,19 @@ class IncrementalAggView:
         src_v = self.source.current_version()
         self._validate_sum_types()
         out = self._aggregate(self.source.read(version=src_v), F.lit(1))
-        return self.view.overwrite(
+        v = self.view.overwrite(
             out.filter(F.col("n") > 0),
             _epoch=src_v,
             _epoch_force=force,
         )
+        if force and self.watermark_col is not None and v is not None:
+            # the forced resync is the REBUILT-SOURCE recovery path
+            # (overwrite's verbatim-epoch contract): a stale durable
+            # floor from the old source would classify every rebuilt
+            # group as late forever — refuse-policy views could never
+            # clear it because the error says "run full_refresh"
+            # (round-8 review 2). Reset AFTER the successful commit;
+            # the next refresh re-derives the floor from the rebuilt
+            # view.
+            self._wm_store_path().unlink(missing_ok=True)
+        return v

@@ -2924,10 +2924,20 @@ class TxnTable:
         (a checkpoint at the oldest retained version is written first,
         so every retained snapshot stays reconstructible). Returns the
         number of removed data subdirs. Readers of retained versions
-        are unaffected — that is the time-travel grace window."""
+        are unaffected — that is the time-travel grace window.
+
+        An exported Delta snapshot (``lake/delta_interop.py`` writes
+        ``_delta_log`` into this root) references the files of its
+        export-time snapshot; vacuum may reclaim exactly those, so a
+        present export is DELETED here rather than left as a log of
+        dangling paths for external engines (round-8 review) —
+        re-export after vacuuming."""
         latest = self.current_version()
         oldest = max(1, latest - keep_versions + 1)
         self._write_checkpoint(oldest)
+        exported = self.root / "_delta_log"
+        if exported.exists():
+            shutil.rmtree(exported)
         referenced: set[str] = set()
         dv_referenced: set[str] = set()
         for v in range(oldest, latest + 1):

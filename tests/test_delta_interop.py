@@ -327,3 +327,68 @@ def test_reader_matches_replay_model(spark, delta_pool, ops, probe):
         r["k"] for r in read_delta(spark, str(root), version=v).collect()
     }
     assert got == states[v]
+
+
+def test_export_refuses_pre_spec_partition_files(spark, lake):
+    """Round-8 review 2: a file written BEFORE the current partition
+    spec keeps its partition values in the data, not the manifest —
+    exporting empty partitionValues would make Delta readers NULL the
+    column for those rows. Refused until compact() rewrites under the
+    current spec."""
+    t = TxnTable(lake, "d5", stats_cols=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k INT, site STRING"
+        )
+    )  # unpartitioned: site lives IN the data
+    t2 = TxnTable(lake, "d5", partition_cols=["site"], stats_cols=["k"])
+    t2.append(
+        spark.createDataFrame([(3, "a")], "k INT, site STRING")
+    )  # current spec: site in the path
+    with pytest.raises(ValueError, match="partition spec"):
+        export_delta_log(t2)
+    t2.compact(target_files=1)
+    export_delta_log(t2)
+    back = read_delta(spark, str(t2.root))
+    assert {(r["k"], r["site"]) for r in back.collect()} == {
+        (1, "a"), (2, "b"), (3, "a"),
+    }
+    assert back.filter(F.col("site").isNull()).count() == 0
+
+
+def test_export_url_encodes_paths_and_reader_decodes(spark, lake):
+    """Round-8 review 2: the protocol specifies URL-encoded add.path.
+    A '%'-containing partition value is Hive-escaped on disk
+    (site=50%25); the export must percent-encode that literal and the
+    reader must decode before resolving — both directions pinned via
+    a value that breaks under raw paths."""
+    t = TxnTable(lake, "d6", partition_cols=["site"], stats_cols=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "50%"), (2, "a b"), (3, "plain")], "k INT, site STRING"
+        )
+    )
+    log_dir = export_delta_log(t)
+    raw = (log_dir / f"{0:020d}.json").read_text()
+    actions = [json.loads(x) for x in raw.splitlines() if x.strip()]
+    paths = [a["add"]["path"] for a in actions if "add" in a]
+    # the on-disk '%' of the Hive-escaped dir is itself percent-encoded
+    assert any("site=50%2525" in p for p in paths), paths
+    assert any("site=a%20b" in p for p in paths), paths
+    back = read_delta(spark, str(t.root))
+    assert {(r["k"], r["site"]) for r in back.collect()} == {
+        (1, "50%"), (2, "a b"), (3, "plain"),
+    }
+
+
+def test_vacuum_deletes_stale_export(spark, lake):
+    """Round-8 review 2: vacuum may reclaim exactly the files an
+    exported snapshot references — it deletes the export rather than
+    leave external engines a log of dangling paths."""
+    t = TxnTable(lake, "d7", stats_cols=["k"])
+    t.append(spark.range(0, 20).selectExpr("id as k", "'x' as v"))
+    export_delta_log(t)
+    assert (t.root / "_delta_log").exists()
+    t.overwrite(spark.range(0, 5).selectExpr("id as k", "'y' as v"))
+    t.vacuum(keep_versions=1)  # reclaims v1's files — export is stale
+    assert not (t.root / "_delta_log").exists()

@@ -652,3 +652,65 @@ class TestWatermarkedLateData:
         )
         view.refresh()
         assert view.read().count() == 1
+
+    def test_forced_full_refresh_resets_watermark_floor(
+        self, spark, lake
+    ):
+        """Round-8 review 2: the durable floor survives a PLAIN
+        full_refresh (monotone finality, intended) but a FORCED one —
+        the rebuilt-source resync — must reset it, or refuse-policy
+        views could never accept the rebuilt history."""
+        src = TxnTable(lake, "wm7", stats_cols=["k"])
+        src.append(
+            _day_batch(spark, [(1, 1, 10), (2, 3, 30), (3, 10, 100)])
+        )
+        view = IncrementalAggView(
+            lake, "wmv7", src, ["day"], ["v"],
+            watermark_col="day", watermark_delay=1,
+        )
+        view.refresh()  # floor = 9
+        src.delete_where(F.col("day") == 10)  # cow REWRITE
+        with pytest.raises(ValueError, match="full_refresh"):
+            view.refresh()
+        view.full_refresh()  # plain: floor intentionally KEPT
+        src.append(_day_batch(spark, [(4, 3, 5)]))
+        with pytest.raises(ValueError, match="watermark"):
+            view.refresh()  # still final under the stale-source floor
+        view.full_refresh(force=True)  # deliberate resync: floor reset
+        src.append(_day_batch(spark, [(5, 3, 7)]))
+        view.refresh()  # day 3 is on time under the rebuilt watermark
+        got = {r["day"]: r["sum_v"] for r in view.read().collect()}
+        assert got == {1: 10, 3: 42}
+
+    def test_decimal_watermark_column_roundtrips(self, spark, lake):
+        """Round-8 review 2: Decimal key values must store/reload in
+        the durable floor (json.dumps rejects Decimal) and a numeric
+        delay must validate against decimal columns."""
+        from decimal import Decimal
+
+        src = TxnTable(lake, "wm8", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, Decimal("10.50"), 5), (2, Decimal("30.25"), 7)],
+                "k INT, d DECIMAL(10,2), v INT",
+            )
+        )
+        view = IncrementalAggView(
+            lake, "wmv8", src, ["d"], ["v"],
+            watermark_col="d", watermark_delay=1,
+        )
+        view.refresh()  # floor = 29.25, stored as a tagged Decimal
+        assert view._stored_watermark() == Decimal("29.25")
+        src.append(
+            spark.createDataFrame(
+                [(3, Decimal("10.50"), 9)], "k INT, d DECIMAL(10,2), v INT"
+            )
+        )
+        with pytest.raises(ValueError, match="watermark"):
+            view.refresh()  # 10.50 < 29.25: late, refused
+        # float delay against a decimal column refuses at construction
+        with pytest.raises(TypeError, match="watermark_delay"):
+            IncrementalAggView(
+                lake, "wmv8b", src, ["d"], ["v"],
+                watermark_col="d", watermark_delay=0.5,
+            )
