@@ -17,18 +17,20 @@ using only the PUBLIC Delta transaction-log protocol
   all carry over.
 - :func:`read_delta` is a minimal, self-contained Delta LOG READER:
   it replays the JSON commits (add/remove actions keyed by path,
-  last metaData wins), supports ``VERSION AS OF`` time travel, and
-  reconstructs the frame with per-file partition-value injection —
-  so this engine can consume tables Delta writers publish, again
-  without delta-spark.
+  last metaData wins) from the newest usable parquet CHECKPOINT —
+  single- or multi-part, the layout every long-lived Delta table has
+  after log cleanup — supports ``VERSION AS OF`` time travel and
+  manifest-level data skipping, and reconstructs the frame with
+  per-file partition-value injection — so this engine can consume
+  tables Delta writers publish, again without delta-spark.
 
 Both directions are pinned by a roundtrip test plus a reader test
 over a hand-written multi-commit log (the reader is NOT validated
 only against our own exporter). Honest limitations, refused loudly:
 the exporter requires a vector-free snapshot (Delta encodes deletion
 vectors differently — ``compact()`` reconciles them first), and the
-reader rejects logs that require checkpoint parquet replay or carry
-``deletionVector`` adds.
+reader rejects ``deletionVector`` adds and truncated logs with no
+usable checkpoint.
 
 Reference parity: the reference publishes parquet for downstream
 engines to consume in place (DatalakeRetrieveService.kt:18-39);
@@ -186,50 +188,132 @@ def export_delta_log(table: TxnTable, version: int | None = None) -> Path:
     if log_dir.exists():
         shutil.rmtree(log_dir)  # snapshot export: replace wholesale
     log_dir.mkdir(parents=True)
-    (log_dir / f"{0:020d}.json").write_text(
-        "\n".join(json.dumps(a) for a in actions) + "\n"
-    )
+    # atomic publish: a crash mid-write must leave either NO commit
+    # json (reader raises FileNotFoundError) or a complete one —
+    # never a truncated action stream an external engine would choke
+    # on halfway through
+    tmp = log_dir / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+    tmp.replace(log_dir / f"{0:020d}.json")
     return log_dir
 
 
-def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """Read a Delta table by replaying its JSON transaction log — no
-    delta-spark needed. ``version`` is Delta's ``VERSION AS OF``
-    (default: latest). Supports add/remove replay (add wins by path,
-    remove drops), last-metaData-wins schema/partition resolution, and
-    per-file partition-value injection cast to the schema's types.
+def _normalize_arrow_map(v):
+    """pyarrow renders MAP columns as a list of (key, value) pairs (or
+    key/value dicts, version-dependent); JSON actions carry plain
+    dicts — normalize both to dict."""
+    if v is None or isinstance(v, dict):
+        return v
+    out = {}
+    for item in v:
+        if isinstance(item, tuple):
+            out[item[0]] = item[1]
+        else:
+            out[item["key"]] = item["value"]
+    return out
 
-    Refuses loudly (never silently wrong): logs whose version-0
-    commit json has been checkpoint-compacted away (parquet
-    checkpoint replay not implemented), and ``add`` actions carrying
-    ``deletionVector`` (reading those files raw would resurrect
-    deleted rows)."""
-    log_dir = Path(path) / "_delta_log"
-    commits = sorted(
-        (int(p.stem), p)
-        for p in log_dir.glob("*.json")
-        if p.stem.isdigit()
-    )
-    if not commits:
-        raise FileNotFoundError(f"no Delta commit json under {log_dir}")
-    if commits[0][0] != 0:
+
+def _refuse_dv(a: dict) -> None:
+    if a.get("deletionVector"):
         raise NotImplementedError(
-            f"Delta log at {log_dir} starts at version {commits[0][0]} "
-            f"(older commits checkpoint-compacted); parquet checkpoint "
-            f"replay is not implemented"
+            f"add action for {a['path']} carries a deletionVector; "
+            f"reading the file raw would resurrect deleted rows"
         )
-    if version is not None:
-        commits = [(v, p) for v, p in commits if v <= version]
-        if not commits or commits[-1][0] != version:
-            raise ValueError(
-                f"Delta version {version} not present under {log_dir}"
-            )
+
+
+def _load_checkpoint(log_dir: Path, ckpt_version: int):
+    """Load a parquet CHECKPOINT (single- or multi-part): the live
+    add set + the metaData action, via pyarrow (no SparkSession —
+    :func:`delta_files` stays engine-free). Checkpoint `remove` rows
+    are vacuum tombstones, not live-set members, and are ignored."""
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        log_dir.glob(f"{ckpt_version:020d}.checkpoint*.parquet")
+    )
     meta = None
     adds: dict[str, dict] = {}
-    for _, p in commits:
-        for line in p.read_text().splitlines():
+    for part in parts:
+        tbl = pq.read_table(part)
+        names = set(tbl.column_names)
+        for row in tbl.to_pylist():
+            md = row.get("metaData") if "metaData" in names else None
+            if md and md.get("schemaString"):
+                md["partitionColumns"] = list(
+                    md.get("partitionColumns") or []
+                )
+                meta = md
+            a = row.get("add") if "add" in names else None
+            if a and a.get("path"):
+                _refuse_dv(a)
+                a["partitionValues"] = _normalize_arrow_map(
+                    a.get("partitionValues")
+                )
+                adds[unquote(a["path"])] = a
+    return meta, adds
+
+
+def _replay_log(path: str, version: int | None):
+    """Resolve the snapshot at ``version`` (default latest): start
+    from the newest usable parquet CHECKPOINT ≤ target whose JSON
+    chain to the target is complete (Delta's own replay rule), else a
+    full JSON replay from version 0. Returns (metaData, adds) where
+    adds maps DECODED relative path → its latest add action."""
+    log_dir = Path(path) / "_delta_log"
+    json_commits = {
+        int(p.stem): p
+        for p in log_dir.glob("*.json")
+        if p.stem.isdigit()
+    }
+    ckpt_versions = sorted(
+        {
+            int(p.name.split(".", 1)[0])
+            for p in log_dir.glob("*.checkpoint*.parquet")
+            if p.name.split(".", 1)[0].isdigit()
+        }
+    )
+    all_versions = set(json_commits) | set(ckpt_versions)
+    if not all_versions:
+        raise FileNotFoundError(f"no Delta commit json under {log_dir}")
+    target = max(all_versions) if version is None else version
+    if version is not None and version not in all_versions:
+        hint = (
+            " (history truncated before the earliest retained "
+            "checkpoint)"
+            if version < max(all_versions)
+            else ""
+        )
+        raise ValueError(
+            f"Delta version {version} not present under {log_dir}{hint}"
+        )
+
+    def chain_ok(start: int) -> bool:
+        return all(v in json_commits for v in range(start, target + 1))
+
+    chosen = next(
+        (
+            c
+            for c in sorted(
+                (c for c in ckpt_versions if c <= target), reverse=True
+            )
+            if chain_ok(c + 1)
+        ),
+        None,
+    )
+    if chosen is None and not chain_ok(0):
+        raise ValueError(
+            f"Delta log at {log_dir}: history truncated — no complete "
+            f"JSON chain from version 0 to {target} and no usable "
+            f"checkpoint parquet at or before it"
+        )
+    if chosen is not None:
+        meta, adds = _load_checkpoint(log_dir, chosen)
+        start = chosen + 1
+    else:
+        meta, adds = None, {}
+        start = 0
+    for v in range(start, target + 1):
+        for line in json_commits[v].read_text().splitlines():
             if not line.strip():
                 continue
             action = json.loads(line)
@@ -237,12 +321,7 @@ def read_delta(
                 meta = action["metaData"]
             elif "add" in action:
                 a = action["add"]
-                if a.get("deletionVector"):
-                    raise NotImplementedError(
-                        f"add action for {a['path']} carries a "
-                        f"deletionVector; reading the file raw would "
-                        f"resurrect deleted rows"
-                    )
+                _refuse_dv(a)
                 # protocol paths are URL-encoded; key and resolve by
                 # the DECODED on-disk path so add/remove pairs match
                 # regardless of each writer's encoding choices
@@ -251,6 +330,108 @@ def read_delta(
                 adds.pop(unquote(action["remove"]["path"]), None)
     if meta is None:
         raise ValueError(f"no metaData action in Delta log {log_dir}")
+    return meta, adds
+
+
+def _stat_le(a, b) -> bool:
+    """Conservative bound compare for stats JSON values: numeric when
+    both coerce, else string order (matching the exporter's recorded
+    encodings and delta-spark's typed JSON)."""
+    try:
+        return float(a) <= float(b)
+    except (TypeError, ValueError):
+        return str(a) <= str(b)
+
+
+def _prune_adds(
+    adds: dict[str, dict],
+    key_range=None,
+    partition_filter: dict | None = None,
+) -> list[str]:
+    files = list(adds)
+    if partition_filter:
+        for c, want in partition_filter.items():
+            wants = {
+                None if w is None else str(w)
+                for w in (
+                    want
+                    if isinstance(want, (list, tuple, set))
+                    else [want]
+                )
+            }
+            files = [
+                f
+                for f in files
+                if (adds[f].get("partitionValues") or {}).get(c) in wants
+            ]
+    if key_range is not None:
+        col, lo, hi = key_range
+        kept = []
+        for f in files:
+            raw = adds[f].get("stats")
+            mn = mx = None
+            if raw:
+                try:
+                    s = json.loads(raw)
+                    mn = (s.get("minValues") or {}).get(col)
+                    mx = (s.get("maxValues") or {}).get(col)
+                except (ValueError, AttributeError):
+                    pass  # unparseable stats: conservatively keep
+            if (
+                mn is None
+                or mx is None
+                or (_stat_le(mn, hi) and _stat_le(lo, mx))
+            ):
+                kept.append(f)
+        files = kept
+    return files
+
+
+def delta_files(
+    path: str,
+    version: int | None = None,
+    key_range=None,
+    partition_filter: dict | None = None,
+) -> list[str]:
+    """The decoded relative data paths a :func:`read_delta` with these
+    predicates opens — the log's own pruning made observable (the
+    ``resolve_files`` analog for external Delta tables):
+    ``partition_filter={col: value_or_list}`` matches add
+    partitionValues; ``key_range=(col, lo, hi)`` skips files whose
+    recorded add-stats min/max don't intersect (stats-less or
+    unparseable adds are conservatively kept). This is what makes the
+    reader credible at scale: a point read over a clustered exported
+    table plans ~one file, not the whole add set."""
+    _, adds = _replay_log(path, version)
+    return _prune_adds(adds, key_range, partition_filter)
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    key_range=None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Read a Delta table by replaying its JSON transaction log — no
+    delta-spark needed. ``version`` is Delta's ``VERSION AS OF``
+    (default: latest). Supports add/remove replay (add wins by path,
+    remove drops), last-metaData-wins schema/partition resolution,
+    per-file partition-value injection cast to the schema's types,
+    and manifest-level data skipping via ``key_range`` /
+    ``partition_filter`` (see :func:`delta_files`; residual row
+    filters still apply — pruning drops files, not rows).
+
+    Replay starts from the newest usable parquet CHECKPOINT (single-
+    or multi-part) when the JSON chain alone can't reach the target —
+    the layout every long-lived Delta table has after log cleanup.
+    Refuses loudly (never silently wrong): truncated logs with no
+    usable checkpoint, and ``add`` actions carrying
+    ``deletionVector`` (reading those files raw would resurrect
+    deleted rows)."""
+    meta, adds = _replay_log(path, version)
+    keep = set(_prune_adds(adds, key_range, partition_filter))
+    adds = {f: a for f, a in adds.items() if f in keep}
     st = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or []
     ptypes = {
@@ -287,4 +468,26 @@ def read_delta(
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
-    return out.select(*[f.name for f in st.fields])
+    out = out.select(*[f.name for f in st.fields])
+    # residual row filters: pruning dropped whole files; rows inside
+    # kept files must still match the predicates
+    if key_range is not None:
+        col, lo, hi = key_range
+        out = out.filter(F.col(col).between(lo, hi))
+    if partition_filter:
+        for c, want in partition_filter.items():
+            vals = [
+                w
+                for w in (
+                    want
+                    if isinstance(want, (list, tuple, set))
+                    else [want]
+                )
+            ]
+            cond = F.col(c).cast("string").isin(
+                [str(v) for v in vals if v is not None]
+            )
+            if any(v is None for v in vals):
+                cond = cond | F.col(c).isNull()
+            out = out.filter(cond)
+    return out

@@ -198,7 +198,7 @@ def test_reader_refuses_dv_adds_and_truncated_logs(spark, tmp_path):
     root2 = tmp_path / "trunc_delta"
     (root2 / "_delta_log").mkdir(parents=True)
     (root2 / "_delta_log" / f"{5:020d}.json").write_text("{}\n")
-    with pytest.raises(NotImplementedError, match="checkpoint"):
+    with pytest.raises(ValueError, match="checkpoint"):
         read_delta(spark, str(root2))
 
 
@@ -392,3 +392,124 @@ def test_vacuum_deletes_stale_export(spark, lake):
     t.overwrite(spark.range(0, 5).selectExpr("id as k", "'y' as v"))
     t.vacuum(keep_versions=1)  # reclaims v1's files — export is stale
     assert not (t.root / "_delta_log").exists()
+
+
+def test_reader_data_skipping_via_add_stats(spark, lake):
+    """The reader's manifest-level pruning: a clustered export records
+    disjoint per-file min/max in add.stats, and a point read plans
+    ~one file — delta_files makes the skipping observable, exact rows
+    via the residual filter."""
+    from interop_datalake_spark.lake.delta_interop import delta_files
+
+    t = TxnTable(lake, "d8", stats_cols=["k"])
+    for i in range(4):  # 4 files with disjoint k ranges
+        t.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id as k", "'x' as v")
+            .coalesce(1)
+        )
+    export_delta_log(t)
+    all_files = delta_files(str(t.root))
+    assert len(all_files) == 4
+    pruned = delta_files(str(t.root), key_range=("k", 150, 160))
+    assert len(pruned) == 1
+    got = read_delta(spark, str(t.root), key_range=("k", 150, 160))
+    assert sorted(r["k"] for r in got.collect()) == list(range(150, 161))
+
+
+def test_reader_partition_filter_prunes_and_filters(spark, lake):
+    from interop_datalake_spark.lake.delta_interop import delta_files
+
+    t = TxnTable(lake, "d9", partition_cols=["site"], stats_cols=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(k, "a" if k % 2 == 0 else "b") for k in range(20)],
+            "k INT, site STRING",
+        )
+    )
+    export_delta_log(t)
+    a_files = delta_files(str(t.root), partition_filter={"site": "a"})
+    assert 0 < len(a_files) < len(delta_files(str(t.root)))
+    got = read_delta(spark, str(t.root), partition_filter={"site": "a"})
+    assert {r["k"] for r in got.collect()} == {k for k in range(20) if k % 2 == 0}
+    # stats-less external adds are conservatively kept
+    assert delta_files(
+        str(t.root), key_range=("nonexistent_col", 0, 1)
+    ) == delta_files(str(t.root))
+
+
+def test_reader_replays_from_parquet_checkpoint(spark, tmp_path):
+    """Real long-lived Delta tables checkpoint every N commits and
+    clean old JSON — the reader must start from the newest usable
+    checkpoint and replay only the JSON commits after it. Built
+    by hand with the protocol's checkpoint row shape (add/metaData/
+    protocol struct columns), JSON v0..v3 deleted."""
+    root = tmp_path / "ckpt_delta"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    frames = {}
+    for k in range(5):
+        d = root / "stage" / f"f{k}"
+        spark.createDataFrame([(k,)], "k INT").coalesce(1).write.parquet(
+            str(d)
+        )
+        frames[k] = f"stage/f{k}/" + next(
+            p.name for p in d.iterdir() if p.name.endswith(".parquet")
+        )
+    schema_string = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}}
+        ]}
+    )
+    # checkpoint at version 3: live set = {f1, f2, f3} (f0 was removed
+    # by some pre-checkpoint commit we never materialize as JSON)
+    ckpt_schema = (
+        "add STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>,"
+        " size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN,"
+        " stats: STRING>,"
+        " metaData STRUCT<id: STRING, format: STRUCT<provider: STRING>,"
+        " schemaString: STRING, partitionColumns: ARRAY<STRING>,"
+        " configuration: MAP<STRING,STRING>>,"
+        " protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>"
+    )
+    rows = [
+        (None, ("ck", ("parquet",), schema_string, [], {}), None),
+        (None, None, (1, 2)),
+    ] + [
+        ((frames[k], {}, 1, 0, True, json.dumps({"numRecords": 1})),
+         None, None)
+        for k in (1, 2, 3)
+    ]
+    tmp_dir = tmp_path / "ckpt_stage"
+    spark.createDataFrame(rows, ckpt_schema).coalesce(1).write.parquet(
+        str(tmp_dir)
+    )
+    part = next(p for p in tmp_dir.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(part, log / f"{3:020d}.checkpoint.parquet")
+    # JSON commits AFTER the checkpoint: v4 removes f2, adds f4
+    (log / f"{4:020d}.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [
+                {"remove": {"path": frames[2], "dataChange": True}},
+                {"add": {"path": frames[4], "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ]
+        )
+        + "\n"
+    )
+
+    def rows_of(df):
+        return {r["k"] for r in df.collect()}
+
+    assert rows_of(read_delta(spark, str(root))) == {1, 3, 4}
+    # pure-checkpoint read at the checkpoint version itself
+    assert rows_of(read_delta(spark, str(root), version=3)) == {1, 2, 3}
+    # pre-checkpoint history is gone: refused loudly
+    with pytest.raises(ValueError, match="history truncated"):
+        read_delta(spark, str(root), version=2)
+    # stats survive the checkpoint path for data skipping
+    from interop_datalake_spark.lake.delta_interop import delta_files
+
+    assert len(delta_files(str(root), version=3, key_range=("k", 2, 2))) == 3
