@@ -41,6 +41,7 @@ contract — consumers bring their own engine.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import time
 import uuid
@@ -188,13 +189,22 @@ def export_delta_log(table: TxnTable, version: int | None = None) -> Path:
     if log_dir.exists():
         shutil.rmtree(log_dir)  # snapshot export: replace wholesale
     log_dir.mkdir(parents=True)
-    # atomic publish: a crash mid-write must leave either NO commit
-    # json (reader raises FileNotFoundError) or a complete one —
-    # never a truncated action stream an external engine would choke
-    # on halfway through
+    # atomic + DURABLE publish: rename alone is atomic only against
+    # process crashes — after power loss the rename can be durable
+    # while the data blocks are not, leaving a complete-looking
+    # truncated commit json (round-8 review 3). fsync the data before
+    # the rename and the directory after it.
     tmp = log_dir / f".tmp-{uuid.uuid4().hex}"
-    tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
     tmp.replace(log_dir / f"{0:020d}.json")
+    dir_fd = os.open(log_dir, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
     return log_dir
 
 
@@ -222,35 +232,92 @@ def _refuse_dv(a: dict) -> None:
 
 
 def _load_checkpoint(log_dir: Path, ckpt_version: int):
-    """Load a parquet CHECKPOINT (single- or multi-part): the live
-    add set + the metaData action, via pyarrow (no SparkSession —
+    """Load a classic parquet CHECKPOINT (single- or multi-part): the
+    live add set + metaData + protocol, via pyarrow (no SparkSession —
     :func:`delta_files` stays engine-free). Checkpoint `remove` rows
-    are vacuum tombstones, not live-set members, and are ignored."""
+    are vacuum tombstones, not live-set members, and are ignored.
+
+    Refuses loudly (round-8 review 3), never a silent partial table:
+
+    - V2 / UUID-named checkpoints (their add actions live in sidecar
+      files this loader does not follow — reading just the manifest
+      would return an EMPTY table);
+    - incomplete multi-part checkpoints (the filename encodes
+      part/nParts; a partial copy would silently drop files);
+    - checkpoint parquet with no ``add`` column at all (not a classic
+      action layout)."""
     import pyarrow.parquet as pq
 
     parts = sorted(
         log_dir.glob(f"{ckpt_version:020d}.checkpoint*.parquet")
     )
+    seen_nparts: set[int] = set()
+    part_ids: set[int] = set()
+    for part in parts:
+        toks = part.name.split(".")
+        # classic: v.checkpoint.parquet | v.checkpoint.ppp.nnn.parquet
+        if len(toks) == 3:
+            continue
+        if len(toks) == 5 and toks[2].isdigit() and toks[3].isdigit():
+            part_ids.add(int(toks[2]))
+            seen_nparts.add(int(toks[3]))
+            continue
+        raise NotImplementedError(
+            f"checkpoint {part.name} is not a classic checkpoint "
+            f"(V2/UUID-named checkpoints keep their add actions in "
+            f"sidecar files; reading only the manifest would return "
+            f"a silently EMPTY table)"
+        )
+    if seen_nparts:
+        n = max(seen_nparts)
+        if len(seen_nparts) != 1 or part_ids != set(range(1, n + 1)):
+            raise ValueError(
+                f"multi-part checkpoint v{ckpt_version} is incomplete: "
+                f"have parts {sorted(part_ids)} of {sorted(seen_nparts)} "
+                f"— a partial read would silently drop files"
+            )
     meta = None
+    protocol = None
     adds: dict[str, dict] = {}
     for part in parts:
-        tbl = pq.read_table(part)
-        names = set(tbl.column_names)
+        names = set(pq.read_schema(part).names)
+        if "add" not in names:
+            raise NotImplementedError(
+                f"checkpoint {part.name} has no 'add' column — not a "
+                f"classic action-per-row checkpoint layout"
+            )
+        if {"checkpointMetadata", "sidecar"} & names:
+            raise NotImplementedError(
+                f"checkpoint {part.name} carries V2 checkpoint "
+                f"columns (sidecar-based); not supported"
+            )
+        # project only the action columns we replay — large-table
+        # checkpoints carry wide remove/txn/stats_parsed columns
+        cols = [
+            c for c in ("add", "metaData", "protocol") if c in names
+        ]
+        tbl = pq.read_table(part, columns=cols)
         for row in tbl.to_pylist():
-            md = row.get("metaData") if "metaData" in names else None
+            md = row.get("metaData")
             if md and md.get("schemaString"):
                 md["partitionColumns"] = list(
                     md.get("partitionColumns") or []
                 )
+                md["configuration"] = _normalize_arrow_map(
+                    md.get("configuration")
+                )
                 meta = md
-            a = row.get("add") if "add" in names else None
+            pr = row.get("protocol")
+            if pr and pr.get("minReaderVersion") is not None:
+                protocol = pr
+            a = row.get("add")
             if a and a.get("path"):
                 _refuse_dv(a)
                 a["partitionValues"] = _normalize_arrow_map(
                     a.get("partitionValues")
                 )
                 adds[unquote(a["path"])] = a
-    return meta, adds
+    return meta, protocol, adds
 
 
 def _replay_log(path: str, version: int | None):
@@ -307,10 +374,10 @@ def _replay_log(path: str, version: int | None):
             f"checkpoint parquet at or before it"
         )
     if chosen is not None:
-        meta, adds = _load_checkpoint(log_dir, chosen)
+        meta, protocol, adds = _load_checkpoint(log_dir, chosen)
         start = chosen + 1
     else:
-        meta, adds = None, {}
+        meta, protocol, adds = None, None, {}
         start = 0
     for v in range(start, target + 1):
         for line in json_commits[v].read_text().splitlines():
@@ -319,6 +386,8 @@ def _replay_log(path: str, version: int | None):
             action = json.loads(line)
             if "metaData" in action:
                 meta = action["metaData"]
+            elif "protocol" in action:
+                protocol = action["protocol"]
             elif "add" in action:
                 a = action["add"]
                 _refuse_dv(a)
@@ -330,7 +399,44 @@ def _replay_log(path: str, version: int | None):
                 adds.pop(unquote(action["remove"]["path"]), None)
     if meta is None:
         raise ValueError(f"no metaData action in Delta log {log_dir}")
+    _check_reader_features(meta, protocol)
     return meta, adds
+
+
+#: reader features this replay handles correctly: timestampNtz is a
+#: plain type, vacuumProtocolCheck constrains writers only, and
+#: deletionVectors is guarded per-add (_refuse_dv) — any OTHER
+#: feature (v2Checkpoint, columnMapping, typeWidening…) could change
+#: how the data must be read and is refused loudly
+_SAFE_READER_FEATURES = {
+    "timestampNtz",
+    "vacuumProtocolCheck",
+    "deletionVectors",
+}
+
+
+def _check_reader_features(meta: dict, protocol: dict | None) -> None:
+    """Silently misreading a feature-bearing table is the worst
+    failure mode (round-8 review 3): column mapping renames physical
+    parquet columns, so reading by logical names yields all-NULL
+    columns with no error. Refuse what the replay can't honor."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if mode and mode != "none":
+        raise NotImplementedError(
+            f"delta.columnMapping.mode={mode!r}: physical parquet "
+            f"column names differ from logical ones; reading by "
+            f"logical names would return all-NULL columns"
+        )
+    if protocol:
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = feats - _SAFE_READER_FEATURES
+        if unsupported:
+            raise NotImplementedError(
+                f"table requires reader features {sorted(unsupported)} "
+                f"this replay does not implement"
+            )
 
 
 def _stat_le(a, b) -> bool:
@@ -343,29 +449,49 @@ def _stat_le(a, b) -> bool:
         return str(a) <= str(b)
 
 
+def _filter_values(want) -> list:
+    """One normalization for a partition_filter value spec, shared by
+    pruning AND the residual filter so the two can never drift
+    (round-8 review 3)."""
+    return list(want) if isinstance(want, (list, tuple, set)) else [want]
+
+
+def _canon_partition_value(v):
+    """Delta partitionValues are strings in the writers' canonical
+    rendering — notably lowercase booleans ('true'/'false'), which
+    Python's str() would miss ('True')."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _prune_adds(
     adds: dict[str, dict],
     key_range=None,
     partition_filter: dict | None = None,
 ) -> list[str]:
+    from interop_datalake_spark.lake.txn import _normalize_key_ranges
+
     files = list(adds)
     if partition_filter:
         for c, want in partition_filter.items():
             wants = {
-                None if w is None else str(w)
-                for w in (
-                    want
-                    if isinstance(want, (list, tuple, set))
-                    else [want]
-                )
+                _canon_partition_value(w) for w in _filter_values(want)
             }
+            # pruning may only drop files it can PROVE are out of
+            # range (txn.py's resolve_files invariant): an add whose
+            # partitionValues lack the column — unpartitioned table,
+            # data column, or an older partition spec — is KEPT and
+            # the residual row filter decides (round-8 review 3)
             files = [
                 f
                 for f in files
-                if (adds[f].get("partitionValues") or {}).get(c) in wants
+                if c not in (adds[f].get("partitionValues") or {})
+                or (adds[f]["partitionValues"] or {}).get(c) in wants
             ]
-    if key_range is not None:
-        col, lo, hi = key_range
+    for col, lo, hi in _normalize_key_ranges(key_range):
         kept = []
         for f in files:
             raw = adds[f].get("stats")
@@ -397,11 +523,15 @@ def delta_files(
     predicates opens — the log's own pruning made observable (the
     ``resolve_files`` analog for external Delta tables):
     ``partition_filter={col: value_or_list}`` matches add
-    partitionValues; ``key_range=(col, lo, hi)`` skips files whose
-    recorded add-stats min/max don't intersect (stats-less or
-    unparseable adds are conservatively kept). This is what makes the
-    reader credible at scale: a point read over a clustered exported
-    table plans ~one file, not the whole add set."""
+    partitionValues (adds that don't record the column are
+    conservatively kept — the resolve_files invariant: only drop what
+    is PROVEN out of range); ``key_range=(col, lo, hi)`` — or a LIST
+    of such tuples, intersecting, same spelling as
+    ``TxnTable.read`` — skips files whose recorded add-stats min/max
+    don't intersect (stats-less or unparseable adds kept). This is
+    what makes the reader credible at scale: a point read over a
+    clustered exported table plans ~one file, not the whole add
+    set."""
     _, adds = _replay_log(path, version)
     return _prune_adds(adds, key_range, partition_filter)
 
@@ -470,22 +600,19 @@ def read_delta(
         out = out.unionByName(fr)
     out = out.select(*[f.name for f in st.fields])
     # residual row filters: pruning dropped whole files; rows inside
-    # kept files must still match the predicates
-    if key_range is not None:
-        col, lo, hi = key_range
+    # kept files must still match the predicates. Same normalization
+    # helpers as the pruning side, so the two can never drift.
+    from interop_datalake_spark.lake.txn import _normalize_key_ranges
+
+    for col, lo, hi in _normalize_key_ranges(key_range):
         out = out.filter(F.col(col).between(lo, hi))
     if partition_filter:
         for c, want in partition_filter.items():
             vals = [
-                w
-                for w in (
-                    want
-                    if isinstance(want, (list, tuple, set))
-                    else [want]
-                )
+                _canon_partition_value(w) for w in _filter_values(want)
             ]
             cond = F.col(c).cast("string").isin(
-                [str(v) for v in vals if v is not None]
+                [v for v in vals if v is not None]
             )
             if any(v is None for v in vals):
                 cond = cond | F.col(c).isNull()

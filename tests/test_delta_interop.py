@@ -513,3 +513,169 @@ def test_reader_replays_from_parquet_checkpoint(spark, tmp_path):
     from interop_datalake_spark.lake.delta_interop import delta_files
 
     assert len(delta_files(str(root), version=3, key_range=("k", 2, 2))) == 3
+
+
+def _mini_log(root, rel_paths, extra_meta_conf=None, protocol=None):
+    """One-commit JSON log over pre-written files (test helper)."""
+    log = root / "_delta_log"
+    log.mkdir(parents=True, exist_ok=True)
+    schema_string = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}}
+        ]}
+    )
+    actions = [
+        {"protocol": protocol or {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_string, "partitionColumns": [],
+                      "configuration": extra_meta_conf or {}}},
+    ] + [
+        {"add": {"path": p, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}
+        for p in rel_paths
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+
+
+def test_reader_refuses_v2_and_incomplete_checkpoints(spark, tmp_path):
+    """Round-8 review 3: a V2/UUID checkpoint keeps its adds in
+    sidecars — reading only the manifest would return a silently
+    EMPTY table; an incomplete multi-part checkpoint would silently
+    drop files. Both refuse loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "v2ckpt"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    # UUID-named checkpoint file
+    pq.write_table(
+        pa.table({"x": [1]}),
+        log / f"{3:020d}.checkpoint.80a083e8.parquet",
+    )
+    with pytest.raises(NotImplementedError, match="sidecar"):
+        read_delta(spark, str(root), version=3)
+    # incomplete classic multi-part: part 1 of 2 only
+    root2 = tmp_path / "partial_ckpt"
+    log2 = root2 / "_delta_log"
+    log2.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"add": [None]}),
+        log2 / f"{3:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    with pytest.raises(ValueError, match="incomplete"):
+        read_delta(spark, str(root2), version=3)
+    # classic-named checkpoint with no 'add' column: not action layout
+    root3 = tmp_path / "no_add_ckpt"
+    log3 = root3 / "_delta_log"
+    log3.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"checkpointMetadata": [1]}),
+        log3 / f"{3:020d}.checkpoint.parquet",
+    )
+    with pytest.raises(NotImplementedError, match="add"):
+        read_delta(spark, str(root3), version=3)
+
+
+def test_reader_refuses_column_mapping_and_unknown_features(
+    spark, tmp_path
+):
+    """Round-8 review 3: column mapping stores physical parquet names
+    — reading by logical names would yield all-NULL columns with no
+    error. Unknown readerFeatures likewise refuse."""
+    root = tmp_path / "cm_delta"
+    d = root / "stage" / "f0"
+    spark.createDataFrame([(1,)], "k INT").coalesce(1).write.parquet(str(d))
+    rel = "stage/f0/" + next(
+        p.name for p in d.iterdir() if p.name.endswith(".parquet")
+    )
+    _mini_log(
+        root, [rel], extra_meta_conf={"delta.columnMapping.mode": "name"}
+    )
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta(spark, str(root))
+    root2 = tmp_path / "feat_delta"
+    d2 = root2 / "stage" / "f0"
+    spark.createDataFrame([(1,)], "k INT").coalesce(1).write.parquet(str(d2))
+    rel2 = "stage/f0/" + next(
+        p.name for p in d2.iterdir() if p.name.endswith(".parquet")
+    )
+    _mini_log(
+        root2, [rel2],
+        protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                  "readerFeatures": ["v2Checkpoint"]},
+    )
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        read_delta(spark, str(root2))
+    # supported features pass (timestampNtz is just a type)
+    root3 = tmp_path / "ok_feat_delta"
+    d3 = root3 / "stage" / "f0"
+    spark.createDataFrame([(7,)], "k INT").coalesce(1).write.parquet(str(d3))
+    rel3 = "stage/f0/" + next(
+        p.name for p in d3.iterdir() if p.name.endswith(".parquet")
+    )
+    _mini_log(
+        root3, [rel3],
+        protocol={"minReaderVersion": 3, "minWriterVersion": 7,
+                  "readerFeatures": ["timestampNtz"]},
+    )
+    assert read_delta(spark, str(root3)).count() == 1
+
+
+def test_partition_filter_conservative_on_unrecorded_columns(
+    spark, lake
+):
+    """Round-8 review 3: filtering on a DATA column (or any column an
+    add's partitionValues don't record) must keep the files and let
+    the residual row filter decide — pruning may only drop what it
+    PROVES out of range. A boolean value canonicalizes to Delta's
+    lowercase rendering."""
+    from interop_datalake_spark.lake.delta_interop import delta_files
+
+    t = TxnTable(lake, "d10", stats_cols=["k"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "x", True), (2, "y", False), (3, "x", True)],
+            "k INT, v STRING, flag BOOLEAN",
+        )
+    )
+    export_delta_log(t)
+    # unpartitioned: partitionValues never record 'v' — files kept,
+    # residual filters rows
+    got = read_delta(spark, str(t.root), partition_filter={"v": "x"})
+    assert sorted(r["k"] for r in got.collect()) == [1, 3]
+    assert len(
+        delta_files(str(t.root), partition_filter={"v": "x"})
+    ) == len(delta_files(str(t.root)))
+    # boolean values canonicalize ('true', not 'True')
+    got2 = read_delta(
+        spark, str(t.root), partition_filter={"flag": True}
+    )
+    assert sorted(r["k"] for r in got2.collect()) == [1, 3]
+
+
+def test_delta_files_accepts_composite_key_ranges(spark, lake):
+    """resolve_files parity: a LIST of key ranges intersects, same
+    spelling as TxnTable.read (round-8 review 3)."""
+    from interop_datalake_spark.lake.delta_interop import delta_files
+
+    t = TxnTable(lake, "d11", stats_cols=["k", "j"])
+    for i in range(4):
+        t.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id as k", "id * 2 as j", "'x' as v")
+            .coalesce(1)
+        )
+    export_delta_log(t)
+    both = delta_files(
+        str(t.root),
+        key_range=[("k", 150, 160), ("j", 300, 320)],
+    )
+    assert len(both) == 1
+    got = read_delta(
+        spark, str(t.root),
+        key_range=[("k", 150, 160), ("j", 300, 320)],
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(150, 161))
