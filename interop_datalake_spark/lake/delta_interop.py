@@ -59,37 +59,17 @@ from interop_datalake_spark.lake.txn import TxnTable
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
-def export_delta_log(table: TxnTable, version: int | None = None) -> Path:
-    """Write a single-commit Delta ``_delta_log`` describing the
-    TxnTable snapshot at ``version`` (default: latest) into the
-    table's root — a SNAPSHOT export, not an incremental mirror: a
-    re-export replaces the log wholesale (Delta version 0 again). The
-    table root then IS a Delta table: ``add.path`` entries are the
-    same root-relative parquet paths the TxnTable manifest records,
-    so zero data bytes move.
+_MIRROR_MARKER = ".txn_mirror.json"  # dot-prefixed: log readers skip it
 
-    STALENESS CONTRACT: the export describes the snapshot AT EXPORT
-    TIME; later TxnTable commits (appends, deletes, compactions) do
-    not update it — re-export after mutating, exactly like refreshing
-    any derived copy. The exported snapshot stays CONSISTENT because
-    removed files stay on disk for time travel… until :meth:`vacuum`
-    reclaims them, so vacuum DELETES a stale exported log rather than
-    leave external engines a log of dangling paths (round-8 review).
 
-    Refuses loudly (never silently wrong):
-
-    - snapshots with deletion vectors (Delta encodes DVs as a
-      separate feature this exporter does not emit — a silent export
-      would RESURRECT soft-deleted rows for Delta readers);
-      ``compact()`` reconciles them first.
-    - mixed-partition-spec snapshots where a file predates the
-      current spec (its partition values live IN the data, not the
-      manifest — exporting empty partitionValues would make Delta
-      readers NULL the column for those rows); ``compact()`` rewrites
-      everything under the current spec.
-
-    Returns the ``_delta_log`` directory path."""
-    m = table.manifest(version)
+def _validate_exportable(
+    table: TxnTable, m: dict, files: list[str]
+) -> None:
+    """The refuse-loudly gate both export modes share: vectored
+    snapshots would resurrect soft-deleted rows for Delta readers,
+    and pre-spec ``files`` (partition values in the data, not the
+    manifest) would export empty partitionValues that readers NULL.
+    ``compact()`` cures both."""
     if m.get("dvs"):
         raise ValueError(
             f"table {table.name}: snapshot has deletion vectors on "
@@ -97,22 +77,17 @@ def export_delta_log(table: TxnTable, version: int | None = None) -> Path:
             f"resurrect the soft-deleted rows — run compact() (which "
             f"reconciles vectors into clean files) and re-export"
         )
-    schema_json = m.get("schema")
-    if schema_json is None:
+    if m.get("schema") is None:
         raise ValueError(
             f"table {table.name}: no log schema recorded; Delta "
             f"metaData requires schemaString"
         )
     pcols = m.get("partition_cols") or []
-    # Delta stores partition columns in the LOG and expects them
-    # absent from the data files — exactly the TxnTable layout. The
-    # exported schemaString must still CONTAIN them (Delta's schema is
-    # the full table schema); TxnTable's log schema already does.
     parts_map = m.get("partitions", {})
     if pcols:
         uncovered = [
             f
-            for f in m["files"]
+            for f in files
             if any(c not in (parts_map.get(f) or {}) for c in pcols)
         ]
         if uncovered:
@@ -124,87 +99,213 @@ def export_delta_log(table: TxnTable, version: int | None = None) -> Path:
                 f"readers would NULL the column for those rows; run "
                 f"compact() to rewrite under the current spec first"
             )
-    now_ms = int(time.time() * 1000)
-    actions = [
-        # minReader/Writer 1/2: plain parquet + partition columns,
-        # no column mapping / DV features claimed
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {
-            "metaData": {
-                "id": str(uuid.uuid4()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": schema_json,
-                "partitionColumns": pcols,
-                "configuration": {},
-                "createdTime": now_ms,
-            }
-        },
-    ]
-    st = StructType.fromJson(json.loads(schema_json))
-    names = {f.name for f in st.fields}
-    parts = parts_map
-    for f in m["files"]:
-        p = table.root / f
-        fstat = m.get("stats", {}).get(f, {})
-        pv = {}
-        for c, v in (parts.get(f) or {}).items():
-            if c not in pcols:
-                continue  # hidden transform dirs are layout-only
-            pv[c] = None if v in (None, _HIVE_NULL) else str(v)
-        stats_payload: dict = {}
-        if "rows" in fstat:
-            stats_payload["numRecords"] = int(fstat["rows"])
-            mins, maxs = {}, {}
-            for c, mm in fstat.items():
-                if c == "rows" or c.startswith("bloom:") or c not in names:
-                    continue
-                if isinstance(mm, (list, tuple)) and len(mm) == 2:
-                    mins[c], maxs[c] = mm[0], mm[1]
-            if mins:
-                stats_payload["minValues"] = mins
-                stats_payload["maxValues"] = maxs
-        actions.append(
-            {
-                "add": {
-                    # the protocol specifies URL-encoded relative
-                    # paths: a Hive-escaped dir like 'site=50%25' must
-                    # export as 'site=50%2525' or a compliant reader's
-                    # decode resolves the wrong directory (round-8
-                    # review). '=' stays literal (RFC3986 sub-delim,
-                    # what reference writers emit).
-                    "path": quote(f, safe="/="),
-                    "partitionValues": pv,
-                    "size": p.stat().st_size if p.exists() else 0,
-                    "modificationTime": now_ms,
-                    "dataChange": True,
-                    **(
-                        {"stats": json.dumps(stats_payload)}
-                        if stats_payload
-                        else {}
-                    ),
-                }
-            }
-        )
-    log_dir = table.root / "_delta_log"
-    if log_dir.exists():
-        shutil.rmtree(log_dir)  # snapshot export: replace wholesale
-    log_dir.mkdir(parents=True)
-    # atomic + DURABLE publish: rename alone is atomic only against
-    # process crashes — after power loss the rename can be durable
-    # while the data blocks are not, leaving a complete-looking
-    # truncated commit json (round-8 review 3). fsync the data before
-    # the rename and the directory after it.
+
+
+def _meta_action(m: dict, now_ms: int) -> dict:
+    return {
+        "metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": m["schema"],
+            "partitionColumns": m.get("partition_cols") or [],
+            "configuration": {},
+            "createdTime": now_ms,
+        }
+    }
+
+
+def _add_action(table: TxnTable, m: dict, f: str, now_ms: int) -> dict:
+    pcols = m.get("partition_cols") or []
+    names = {
+        fld.name
+        for fld in StructType.fromJson(json.loads(m["schema"])).fields
+    }
+    p = table.root / f
+    fstat = m.get("stats", {}).get(f, {})
+    pv = {}
+    for c, v in (m.get("partitions", {}).get(f) or {}).items():
+        if c not in pcols:
+            continue  # hidden transform dirs are layout-only
+        pv[c] = None if v in (None, _HIVE_NULL) else str(v)
+    stats_payload: dict = {}
+    if "rows" in fstat:
+        stats_payload["numRecords"] = int(fstat["rows"])
+        mins, maxs = {}, {}
+        for c, mm in fstat.items():
+            if c == "rows" or c.startswith("bloom:") or c not in names:
+                continue
+            if isinstance(mm, (list, tuple)) and len(mm) == 2:
+                mins[c], maxs[c] = mm[0], mm[1]
+        if mins:
+            stats_payload["minValues"] = mins
+            stats_payload["maxValues"] = maxs
+    return {
+        "add": {
+            # the protocol specifies URL-encoded relative paths: a
+            # Hive-escaped dir like 'site=50%25' must export as
+            # 'site=50%2525' or a compliant reader's decode resolves
+            # the wrong directory (round-8 review). '=' stays literal
+            # (RFC3986 sub-delim, what reference writers emit).
+            "path": quote(f, safe="/="),
+            "partitionValues": pv,
+            "size": p.stat().st_size if p.exists() else 0,
+            "modificationTime": now_ms,
+            "dataChange": True,
+            **(
+                {"stats": json.dumps(stats_payload)}
+                if stats_payload
+                else {}
+            ),
+        }
+    }
+
+
+def _write_commit(log_dir: Path, delta_version: int, actions) -> None:
+    """Atomic + DURABLE publish of one commit json: rename alone is
+    atomic only against process crashes — after power loss the rename
+    can be durable while the data blocks are not, leaving a
+    complete-looking truncated commit (round-8 review 3). fsync the
+    data before the rename and the directory after it."""
     tmp = log_dir / f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
         fh.flush()
         os.fsync(fh.fileno())
-    tmp.replace(log_dir / f"{0:020d}.json")
+    tmp.replace(log_dir / f"{delta_version:020d}.json")
     dir_fd = os.open(log_dir, os.O_RDONLY)
     try:
         os.fsync(dir_fd)
     finally:
         os.close(dir_fd)
+
+
+def _write_marker(log_dir: Path, txn_version: int, delta_version: int):
+    (log_dir / _MIRROR_MARKER).write_text(
+        json.dumps(
+            {"txn_version": txn_version, "delta_version": delta_version}
+        )
+    )
+
+
+def _full_export(table: TxnTable, version: int | None) -> Path:
+    m = table.manifest(version)
+    _validate_exportable(table, m, m["files"])
+    now_ms = int(time.time() * 1000)
+    actions = [
+        # minReader/Writer 1/2: plain parquet + partition columns,
+        # no column mapping / DV features claimed
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(m, now_ms),
+    ] + [_add_action(table, m, f, now_ms) for f in m["files"]]
+    log_dir = table.root / "_delta_log"
+    if log_dir.exists():
+        shutil.rmtree(log_dir)  # snapshot export: replace wholesale
+    log_dir.mkdir(parents=True)
+    _write_commit(log_dir, 0, actions)
+    _write_marker(log_dir, m["version"], 0)
+    return log_dir
+
+
+def export_delta_log(
+    table: TxnTable,
+    version: int | None = None,
+    mode: str = "replace",
+) -> Path:
+    """Write a Delta ``_delta_log`` describing the TxnTable into the
+    table's root — the root then IS a Delta table: ``add.path``
+    entries are the same root-relative parquet paths the TxnTable
+    manifest records, so zero data bytes move.
+
+    ``mode="replace"`` (default): a SNAPSHOT export of ``version``
+    (default latest) — one Delta commit, any existing log replaced
+    wholesale. ``mode="mirror"``: INCREMENTAL — continue a previous
+    export by appending one Delta commit per TxnTable version since
+    the recorded high-water mark (file-set diff → add/remove actions;
+    schema or partition-spec changes emit a fresh metaData action;
+    no-op TxnTable commits — epoch stamps, empty deletes — advance
+    the mark without a Delta commit). External engines then follow
+    the table CONTINUOUSLY, with Delta time travel over the mirrored
+    history; falls back to a full export when no marker exists or the
+    TxnTable log no longer retains the marked version (post-vacuum).
+    ``version`` must be None in mirror mode.
+
+    STALENESS CONTRACT (replace mode): the export describes the
+    snapshot AT EXPORT TIME; later TxnTable commits do not update it
+    — re-export (or mirror) after mutating. The exported snapshot
+    stays CONSISTENT because removed files stay on disk for time
+    travel… until :meth:`vacuum` reclaims them, so vacuum DELETES a
+    stale exported log rather than leave external engines a log of
+    dangling paths (round-8 review).
+
+    Refuses loudly (never silently wrong): snapshots with deletion
+    vectors (a plain export would RESURRECT soft-deleted rows —
+    Delta encodes DVs as a separate feature this exporter does not
+    emit), and mixed-partition-spec snapshots whose pre-spec files
+    would export empty partitionValues; ``compact()`` cures both.
+    Returns the ``_delta_log`` directory path."""
+    if mode == "replace":
+        return _full_export(table, version)
+    if mode != "mirror":
+        raise ValueError("mode must be 'replace' or 'mirror'")
+    if version is not None:
+        raise ValueError("mirror mode always exports to the latest version")
+    log_dir = table.root / "_delta_log"
+    marker_path = log_dir / _MIRROR_MARKER
+    if not marker_path.exists():
+        return _full_export(table, None)
+    marker = json.loads(marker_path.read_text())
+    base_txn = int(marker["txn_version"])
+    delta_v = int(marker["delta_version"])
+    cur = table.current_version()
+    if cur <= base_txn:
+        return log_dir  # already current: idempotent no-op
+    if base_txn not in table._retained_versions() and base_txn != 0:
+        # the marked version was vacuumed away: can't diff — restart
+        return _full_export(table, None)
+    now_ms = int(time.time() * 1000)
+    prev = table.manifest(base_txn)
+    for v in range(base_txn + 1, cur + 1):
+        m = table.manifest(v)
+        if m.get("dvs"):
+            if v == cur:
+                raise ValueError(
+                    f"table {table.name}: the current snapshot has "
+                    f"deletion vectors, which a Delta mirror cannot "
+                    f"encode — run compact() (reconciling them) and "
+                    f"mirror again; intermediate vectored versions "
+                    f"are skipped automatically once a clean version "
+                    f"follows"
+                )
+            # transient vector window (delete → … → compact): a Delta
+            # commit can't encode the soft-delete, so hold ``prev`` at
+            # the last clean version — the next clean version's
+            # file-set diff covers the whole window exactly
+            continue
+        prev_files = set(prev["files"])
+        added = [f for f in m["files"] if f not in prev_files]
+        removed = [f for f in prev["files"] if f not in set(m["files"])]
+        _validate_exportable(table, m, added)
+        actions = []
+        if m.get("schema") != prev.get("schema") or (
+            m.get("partition_cols") or []
+        ) != (prev.get("partition_cols") or []):
+            actions.append(_meta_action(m, now_ms))
+        actions += [
+            {
+                "remove": {
+                    "path": quote(f, safe="/="),
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for f in removed
+        ]
+        actions += [_add_action(table, m, f, now_ms) for f in added]
+        if actions:
+            delta_v += 1
+            _write_commit(log_dir, delta_v, actions)
+        prev = m
+    _write_marker(log_dir, cur, delta_v)
     return log_dir
 
 

@@ -210,9 +210,9 @@ def test_reexport_replaces_log_wholesale(spark, lake):
     t.append(spark.range(10, 25).selectExpr("id as k", "'y' as v"))
     export_delta_log(t)  # snapshot export: still ONE commit, v0
     log = t.root / "_delta_log"
-    assert sorted(p.name for p in log.glob("*.json")) == [
-        f"{0:020d}.json"
-    ]
+    assert sorted(
+        p.name for p in log.glob("*.json") if p.stem.isdigit()
+    ) == [f"{0:020d}.json"]
     assert read_delta(spark, str(t.root)).count() == 25
 
 
@@ -679,3 +679,70 @@ def test_delta_files_accepts_composite_key_ranges(spark, lake):
         key_range=[("k", 150, 160), ("j", 300, 320)],
     )
     assert sorted(r["k"] for r in got.collect()) == list(range(150, 161))
+
+
+class TestMirrorExport:
+    def test_mirror_appends_incremental_delta_commits(self, spark, lake):
+        """mode='mirror': one Delta commit per effective TxnTable
+        version — external engines follow the table continuously and
+        time-travel the mirrored history."""
+        t = TxnTable(lake, "m1", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k", "'a' as v"))
+        export_delta_log(t, mode="mirror")  # no marker yet: full v0
+        assert read_delta(spark, str(t.root)).count() == 10
+        t.append(spark.range(10, 25).selectExpr("id as k", "'b' as v"))
+        t.delete_where(F.col("k") < 5)  # copy-on-write rewrite
+        export_delta_log(t, mode="mirror")
+        log = t.root / "_delta_log"
+        commits = sorted(
+            p.name for p in log.glob("*.json") if p.stem.isdigit()
+        )
+        assert len(commits) == 3  # v0 full + append + cow delete
+        assert read_delta(spark, str(t.root)).count() == 20
+        # Delta time travel over the mirrored history
+        assert read_delta(spark, str(t.root), version=0).count() == 10
+        assert read_delta(spark, str(t.root), version=1).count() == 25
+        got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+        assert got == set(range(5, 25))
+        # idempotent: nothing new → no new commit
+        export_delta_log(t, mode="mirror")
+        assert (
+            sorted(p.name for p in log.glob("*.json") if p.stem.isdigit())
+            == commits
+        )
+
+    def test_mirror_skips_transient_vector_window(self, spark, lake):
+        """A mor-delete followed by compact mirrors as ONE clean diff;
+        a vectored HEAD refuses until compacted."""
+        t = TxnTable(lake, "m2", stats_cols=["k"])
+        t.append(spark.range(0, 30).selectExpr("id as k", "'a' as v"))
+        export_delta_log(t, mode="mirror")
+        t.delete_where(F.col("k") % 3 == 0, merge_on_read=True)
+        with pytest.raises(ValueError, match="mirror"):
+            export_delta_log(t, mode="mirror")
+        t.compact(target_files=1)  # reconciles the vectors
+        export_delta_log(t, mode="mirror")
+        assert read_delta(spark, str(t.root)).count() == 20
+        got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+        assert got == {k for k in range(30) if k % 3 != 0}
+
+    def test_mirror_emits_metadata_on_schema_evolution(self, spark, lake):
+        t = TxnTable(lake, "m3", stats_cols=["k"])
+        t.append(spark.range(0, 5).selectExpr("id as k"))
+        export_delta_log(t, mode="mirror")
+        t.append(spark.range(5, 8).selectExpr("id as k", "'x' as extra"))
+        export_delta_log(t, mode="mirror")
+        back = read_delta(spark, str(t.root))
+        assert set(back.columns) == {"k", "extra"}
+        assert back.count() == 8
+        assert back.filter(F.col("extra").isNull()).count() == 5
+
+    def test_mirror_restarts_full_after_vacuum(self, spark, lake):
+        t = TxnTable(lake, "m4", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k", "'a' as v"))
+        export_delta_log(t, mode="mirror")
+        t.overwrite(spark.range(0, 4).selectExpr("id as k", "'b' as v"))
+        t.vacuum(keep_versions=1)  # deletes the stale export + marker
+        assert not (t.root / "_delta_log").exists()
+        export_delta_log(t, mode="mirror")  # falls back to full export
+        assert read_delta(spark, str(t.root)).count() == 4
