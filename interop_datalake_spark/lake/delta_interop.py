@@ -101,10 +101,14 @@ def _validate_exportable(
             )
 
 
-def _meta_action(m: dict, now_ms: int) -> dict:
+def _meta_action(m: dict, now_ms: int, table_id: str) -> dict:
+    # metaData.id is the table's STABLE unique identifier (Delta
+    # PROTOCOL.md) — external engines key snapshot caches and
+    # streaming-source identity on it, so a mirrored schema evolution
+    # must re-emit the SAME id, never a fresh uuid (round-8 review 4)
     return {
         "metaData": {
-            "id": str(uuid.uuid4()),
+            "id": table_id,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": m["schema"],
             "partitionColumns": m.get("partition_cols") or [],
@@ -114,12 +118,19 @@ def _meta_action(m: dict, now_ms: int) -> dict:
     }
 
 
-def _add_action(table: TxnTable, m: dict, f: str, now_ms: int) -> dict:
-    pcols = m.get("partition_cols") or []
-    names = {
+def _schema_names(m: dict) -> set[str]:
+    """Field-name set of the manifest's log schema — computed ONCE per
+    manifest by callers, not per file (round-8 review 4)."""
+    return {
         fld.name
         for fld in StructType.fromJson(json.loads(m["schema"])).fields
     }
+
+
+def _add_action(
+    table: TxnTable, m: dict, f: str, now_ms: int, names: set[str]
+) -> dict:
+    pcols = m.get("partition_cols") or []
     p = table.root / f
     fstat = m.get("stats", {}).get(f, {})
     pv = {}
@@ -161,17 +172,31 @@ def _add_action(table: TxnTable, m: dict, f: str, now_ms: int) -> dict:
 
 
 def _write_commit(log_dir: Path, delta_version: int, actions) -> None:
-    """Atomic + DURABLE publish of one commit json: rename alone is
-    atomic only against process crashes — after power loss the rename
-    can be durable while the data blocks are not, leaving a
-    complete-looking truncated commit (round-8 review 3). fsync the
-    data before the rename and the directory after it."""
+    """Atomic + DURABLE + IMMUTABLE publish of one commit json:
+    rename alone is atomic only against process crashes — after power
+    loss the rename can be durable while the data blocks are not,
+    leaving a complete-looking truncated commit (round-8 review 3).
+    fsync the data before publishing and the directory after. The
+    publish itself is ``os.link`` put-if-absent (TxnTable's own CAS):
+    a published Delta commit is immutable — silently clobbering one a
+    reader may have cached is never correct (round-8 review 4)."""
     tmp = log_dir / f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
         fh.flush()
         os.fsync(fh.fileno())
-    tmp.replace(log_dir / f"{delta_version:020d}.json")
+    target = log_dir / f"{delta_version:020d}.json"
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise ValueError(
+            f"Delta commit {target.name} already exists — published "
+            f"commits are immutable (concurrent mirror, or a marker "
+            f"rolled back by hand); delete the log and re-export to "
+            f"restart"
+        )
+    finally:
+        tmp.unlink(missing_ok=True)
     dir_fd = os.open(log_dir, os.O_RDONLY)
     try:
         os.fsync(dir_fd)
@@ -179,30 +204,65 @@ def _write_commit(log_dir: Path, delta_version: int, actions) -> None:
         os.close(dir_fd)
 
 
-def _write_marker(log_dir: Path, txn_version: int, delta_version: int):
-    (log_dir / _MIRROR_MARKER).write_text(
-        json.dumps(
-            {"txn_version": txn_version, "delta_version": delta_version}
+def _write_marker(
+    log_dir: Path, txn_version: int, delta_version: int, table_id: str
+):
+    """Atomic + fsync'd like the commits (round-8 review 4): a torn
+    marker would otherwise brick every later mirror call."""
+    tmp = log_dir / f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "txn_version": txn_version,
+                    "delta_version": delta_version,
+                    "table_id": table_id,
+                }
+            )
         )
-    )
+        fh.flush()
+        os.fsync(fh.fileno())
+    tmp.replace(log_dir / _MIRROR_MARKER)
+
+
+def _read_marker(log_dir: Path) -> dict | None:
+    """None when absent OR unparseable — a torn marker falls back to
+    a full export instead of raising forever (round-8 review 4)."""
+    p = log_dir / _MIRROR_MARKER
+    if not p.exists():
+        return None
+    try:
+        d = json.loads(p.read_text())
+        return {
+            "txn_version": int(d["txn_version"]),
+            "delta_version": int(d["delta_version"]),
+            "table_id": str(d["table_id"]),
+        }
+    except (ValueError, KeyError, TypeError):
+        return None
 
 
 def _full_export(table: TxnTable, version: int | None) -> Path:
     m = table.manifest(version)
     _validate_exportable(table, m, m["files"])
     now_ms = int(time.time() * 1000)
+    log_dir = table.root / "_delta_log"
+    # keep the table id stable across re-exports when a prior marker
+    # survives (replace over an existing mirror)
+    old = _read_marker(log_dir) if log_dir.exists() else None
+    table_id = old["table_id"] if old else str(uuid.uuid4())
+    names = _schema_names(m)
     actions = [
         # minReader/Writer 1/2: plain parquet + partition columns,
         # no column mapping / DV features claimed
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        _meta_action(m, now_ms),
-    ] + [_add_action(table, m, f, now_ms) for f in m["files"]]
-    log_dir = table.root / "_delta_log"
+        _meta_action(m, now_ms, table_id),
+    ] + [_add_action(table, m, f, now_ms, names) for f in m["files"]]
     if log_dir.exists():
         shutil.rmtree(log_dir)  # snapshot export: replace wholesale
     log_dir.mkdir(parents=True)
     _write_commit(log_dir, 0, actions)
-    _write_marker(log_dir, m["version"], 0)
+    _write_marker(log_dir, m["version"], 0, table_id)
     return log_dir
 
 
@@ -250,12 +310,13 @@ def export_delta_log(
     if version is not None:
         raise ValueError("mirror mode always exports to the latest version")
     log_dir = table.root / "_delta_log"
-    marker_path = log_dir / _MIRROR_MARKER
-    if not marker_path.exists():
+    marker = _read_marker(log_dir) if log_dir.exists() else None
+    if marker is None:
+        # no marker, or a torn one: restart with a full export
         return _full_export(table, None)
-    marker = json.loads(marker_path.read_text())
-    base_txn = int(marker["txn_version"])
-    delta_v = int(marker["delta_version"])
+    base_txn = marker["txn_version"]
+    delta_v = marker["delta_version"]
+    table_id = marker["table_id"]
     cur = table.current_version()
     if cur <= base_txn:
         return log_dir  # already current: idempotent no-op
@@ -282,14 +343,31 @@ def export_delta_log(
             # file-set diff covers the whole window exactly
             continue
         prev_files = set(prev["files"])
+        cur_files = set(m["files"])
         added = [f for f in m["files"] if f not in prev_files]
-        removed = [f for f in prev["files"] if f not in set(m["files"])]
-        _validate_exportable(table, m, added)
+        removed = [f for f in prev["files"] if f not in cur_files]
+        spec_changed = (m.get("partition_cols") or []) != (
+            prev.get("partition_cols") or []
+        )
+        # a partition-spec change re-scopes EVERY published file: the
+        # survivors' add actions were exported under the old spec, so
+        # validate the WHOLE snapshot (exactly like replace mode) —
+        # pre-spec files with values in the data would silently read
+        # NULL downstream (round-8 review 4). Like the vector window,
+        # an uncovered INTERMEDIATE version is transient (the
+        # following compact rewrites under the new spec and its diff
+        # covers the window); only an uncovered HEAD refuses.
+        try:
+            _validate_exportable(
+                table, m, m["files"] if spec_changed else added
+            )
+        except ValueError:
+            if v == cur:
+                raise
+            continue  # hold ``prev`` at the last exportable version
         actions = []
-        if m.get("schema") != prev.get("schema") or (
-            m.get("partition_cols") or []
-        ) != (prev.get("partition_cols") or []):
-            actions.append(_meta_action(m, now_ms))
+        if m.get("schema") != prev.get("schema") or spec_changed:
+            actions.append(_meta_action(m, now_ms, table_id))
         actions += [
             {
                 "remove": {
@@ -300,12 +378,20 @@ def export_delta_log(
             }
             for f in removed
         ]
-        actions += [_add_action(table, m, f, now_ms) for f in added]
+        names = _schema_names(m)
+        actions += [
+            _add_action(table, m, f, now_ms, names) for f in added
+        ]
         if actions:
             delta_v += 1
             _write_commit(log_dir, delta_v, actions)
+        # marker advances per processed version, AFTER its commit: a
+        # mid-loop failure leaves marker and published commits
+        # consistent, so the retry never regenerates (and could never
+        # clobber — see _write_commit) an already-published commit
+        # (round-8 review 4)
+        _write_marker(log_dir, v, delta_v, table_id)
         prev = m
-    _write_marker(log_dir, cur, delta_v)
     return log_dir
 
 

@@ -746,3 +746,87 @@ class TestMirrorExport:
         assert not (t.root / "_delta_log").exists()
         export_delta_log(t, mode="mirror")  # falls back to full export
         assert read_delta(spark, str(t.root)).count() == 4
+
+    def test_mirror_keeps_table_id_stable_and_survives_torn_marker(
+        self, spark, lake
+    ):
+        """Round-8 review 4: metaData.id is the table's STABLE
+        identity — external engines key caches/stream sources on it,
+        so a mirrored schema evolution must re-emit the same id; a
+        torn marker falls back to a full export instead of raising
+        forever."""
+        t = TxnTable(lake, "m5", stats_cols=["k"])
+        t.append(spark.range(0, 4).selectExpr("id as k"))
+        log = export_delta_log(t, mode="mirror")
+        t.append(spark.range(4, 6).selectExpr("id as k", "'x' as extra"))
+        export_delta_log(t, mode="mirror")  # schema change → metaData
+
+        def _ids():
+            out = []
+            for p in sorted(log.glob("*.json")):
+                if not p.stem.isdigit():
+                    continue
+                for line in p.read_text().splitlines():
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        out.append(a["metaData"]["id"])
+            return out
+
+        ids = _ids()
+        assert len(ids) == 2 and len(set(ids)) == 1
+        # torn marker: next mirror restarts full, no crash
+        (log / ".txn_mirror.json").write_text("{ torn")
+        export_delta_log(t, mode="mirror")
+        assert read_delta(spark, str(t.root)).count() == 6
+
+    def test_mirror_midloop_failure_keeps_published_commits_immutable(
+        self, spark, lake
+    ):
+        """Round-8 review 4: the marker advances per processed
+        version AFTER its commit, so a vectored-head failure leaves
+        marker and published commits consistent — the retry resumes
+        without regenerating (or clobbering) a published commit."""
+        t = TxnTable(lake, "m6", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k", "'a' as v"))
+        log = export_delta_log(t, mode="mirror")
+        t.append(spark.range(10, 14).selectExpr("id as k", "'b' as v"))
+        t.delete_where(F.col("k") < 2, merge_on_read=True)  # dv HEAD
+        with pytest.raises(ValueError, match="mirror"):
+            export_delta_log(t, mode="mirror")
+        # the clean append BEFORE the failure was published
+        c1 = (log / f"{1:020d}.json")
+        assert c1.exists()
+        content_before = c1.read_text()
+        t.compact(target_files=1)
+        export_delta_log(t, mode="mirror")
+        # published commit 1 untouched byte-for-byte; table reads right
+        assert c1.read_text() == content_before
+        assert read_delta(spark, str(t.root)).count() == 12
+        got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+        assert got == set(range(2, 14))
+
+    def test_mirror_refuses_pre_spec_files_on_spec_change(
+        self, spark, lake
+    ):
+        """Round-8 review 4: a partition-spec change re-scopes every
+        published file — survivors exported under the old spec would
+        silently read NULL partition values; the mirror validates the
+        WHOLE snapshot on a spec change, like replace mode."""
+        t = TxnTable(lake, "m7", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k INT, site STRING")
+        )
+        export_delta_log(t, mode="mirror")
+        t2 = TxnTable(lake, "m7", partition_cols=["site"], stats_cols=["k"])
+        t2.append(
+            spark.createDataFrame([(3, "a")], "k INT, site STRING")
+        )
+        with pytest.raises(ValueError, match="partition spec"):
+            export_delta_log(t2, mode="mirror")
+        t2.compact(target_files=1)  # rewrites under the current spec
+        export_delta_log(t2, mode="mirror")
+        back = read_delta(spark, str(t2.root))
+        assert {(r["k"], r["site"]) for r in back.collect()} == {
+            (1, "a"), (2, "b"), (3, "a"),
+        }
+        assert back.filter(F.col("site").isNull()).count() == 0
