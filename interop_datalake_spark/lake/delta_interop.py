@@ -195,6 +195,16 @@ def _write_commit(log_dir: Path, delta_version: int, actions) -> None:
             f"rolled back by hand); delete the log and re-export to "
             f"restart"
         )
+    except OSError:
+        # filesystems without hard links (SMB/FAT/some NFS): degrade
+        # to check-then-rename — a narrow TOCTOU window instead of a
+        # hard failure on mounts where link can never work
+        if target.exists():
+            raise ValueError(
+                f"Delta commit {target.name} already exists — "
+                f"published commits are immutable"
+            )
+        tmp.replace(target)
     finally:
         tmp.unlink(missing_ok=True)
     dir_fd = os.open(log_dir, os.O_RDONLY)
@@ -207,8 +217,10 @@ def _write_commit(log_dir: Path, delta_version: int, actions) -> None:
 def _write_marker(
     log_dir: Path, txn_version: int, delta_version: int, table_id: str
 ):
-    """Atomic + fsync'd like the commits (round-8 review 4): a torn
-    marker would otherwise brick every later mirror call."""
+    """Atomic + fsync'd like the commits — INCLUDING the directory
+    fsync after the rename (round-8 review 5): a dir-cached rename
+    lost to power loss while the commit survived would leave the
+    marker behind the published log."""
     tmp = log_dir / f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         fh.write(
@@ -223,6 +235,11 @@ def _write_marker(
         fh.flush()
         os.fsync(fh.fileno())
     tmp.replace(log_dir / _MIRROR_MARKER)
+    dir_fd = os.open(log_dir, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
 
 def _read_marker(log_dir: Path) -> dict | None:
@@ -247,10 +264,14 @@ def _full_export(table: TxnTable, version: int | None) -> Path:
     _validate_exportable(table, m, m["files"])
     now_ms = int(time.time() * 1000)
     log_dir = table.root / "_delta_log"
-    # keep the table id stable across re-exports when a prior marker
-    # survives (replace over an existing mirror)
-    old = _read_marker(log_dir) if log_dir.exists() else None
-    table_id = old["table_id"] if old else str(uuid.uuid4())
+    # a full export REWINDS the Delta version history to 0 — something
+    # real Delta never does in place — so it mints a FRESH table id:
+    # the id change is exactly the loud "table was replaced" signal
+    # streaming consumers rely on; reusing the old id would serve them
+    # rewound versions under an identity that promises immutability
+    # (round-8 review 5). Within mirror mode the id stays stable via
+    # the marker.
+    table_id = str(uuid.uuid4())
     names = _schema_names(m)
     actions = [
         # minReader/Writer 1/2: plain parquet + partition columns,
@@ -323,6 +344,15 @@ def export_delta_log(
     if base_txn not in table._retained_versions() and base_txn != 0:
         # the marked version was vacuumed away: can't diff — restart
         return _full_export(table, None)
+    # CRASH RECOVERY (round-8 review 5): a crash between a commit's
+    # publish and its marker write leaves UNACKNOWLEDGED commit files
+    # above the marker; the retry would rebuild the same delta version
+    # (with fresh timestamps) and collide forever. Those orphans were
+    # never recorded as published — remove them and resume from the
+    # marker, the only state the protocol acknowledges.
+    for p in log_dir.glob("*.json"):
+        if p.stem.isdigit() and int(p.stem) > delta_v:
+            p.unlink()
     now_ms = int(time.time() * 1000)
     prev = table.manifest(base_txn)
     for v in range(base_txn + 1, cur + 1):
@@ -350,14 +380,24 @@ def export_delta_log(
             prev.get("partition_cols") or []
         )
         # a partition-spec change re-scopes EVERY published file: the
-        # survivors' add actions were exported under the old spec, so
-        # validate the WHOLE snapshot (exactly like replace mode) —
-        # pre-spec files with values in the data would silently read
-        # NULL downstream (round-8 review 4). Like the vector window,
-        # an uncovered INTERMEDIATE version is transient (the
-        # following compact rewrites under the new spec and its diff
-        # covers the window); only an uncovered HEAD refuses.
+        # survivors' add actions were exported under the old spec and
+        # their DATA FILES physically lack any column the old spec
+        # path-encoded — no manifest check can prove them readable
+        # under the new spec, so a spec change is only mirrorable when
+        # the version is a FULL REWRITE (what compact produces:
+        # added == files). Anything else — including merely-covered
+        # survivors, whose dropped path columns would read NULL — is
+        # transient-skipped until a rewriting version lands; only at
+        # HEAD does it refuse (round-8 reviews 4+5). Like the vector
+        # window, ``prev`` holds at the last exportable version.
         try:
+            if spec_changed and set(added) != set(m["files"]):
+                raise ValueError(
+                    f"table {table.name}: partition spec changed at "
+                    f"v{v} without a full rewrite — survivors' data "
+                    f"files cannot be proven readable under the new "
+                    f"spec; run compact() and mirror again"
+                )
             _validate_exportable(
                 table, m, m["files"] if spec_changed else added
             )
@@ -385,13 +425,18 @@ def export_delta_log(
         if actions:
             delta_v += 1
             _write_commit(log_dir, delta_v, actions)
-        # marker advances per processed version, AFTER its commit: a
-        # mid-loop failure leaves marker and published commits
-        # consistent, so the retry never regenerates (and could never
-        # clobber — see _write_commit) an already-published commit
-        # (round-8 review 4)
-        _write_marker(log_dir, v, delta_v, table_id)
+            # marker advances per PUBLISHED commit, right after it: a
+            # mid-loop failure leaves marker and acknowledged commits
+            # consistent (orphans above the marker are cleaned on the
+            # next run — see recovery above), and action-less versions
+            # don't pay an fsync (round-8 reviews 4+5)
+            _write_marker(log_dir, v, delta_v, table_id)
         prev = m
+    if json.loads((log_dir / _MIRROR_MARKER).read_text())[
+        "txn_version"
+    ] != cur:
+        # trailing no-op versions: record them once at the end
+        _write_marker(log_dir, cur, delta_v, table_id)
     return log_dir
 
 

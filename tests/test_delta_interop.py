@@ -830,3 +830,77 @@ class TestMirrorExport:
             (1, "a"), (2, "b"), (3, "a"),
         }
         assert back.filter(F.col("site").isNull()).count() == 0
+
+    def test_mirror_recovers_from_crash_between_commit_and_marker(
+        self, spark, lake
+    ):
+        """Round-8 review 5: a crash after a commit published but
+        before the marker recorded it leaves an orphan above the
+        marker; the retry must clean it and resume — not collide with
+        it forever."""
+        t = TxnTable(lake, "m8", stats_cols=["k"])
+        t.append(spark.range(0, 6).selectExpr("id as k", "'a' as v"))
+        log = export_delta_log(t, mode="mirror")
+        t.append(spark.range(6, 9).selectExpr("id as k", "'b' as v"))
+        # simulate the torn run: an unacknowledged commit 1 exists,
+        # marker still says delta_version=0
+        (log / f"{1:020d}.json").write_text(
+            json.dumps({"add": {"path": "garbage.parquet",
+                                "partitionValues": {}, "size": 1,
+                                "modificationTime": 0,
+                                "dataChange": True}}) + "\n"
+        )
+        export_delta_log(t, mode="mirror")  # recovers, no collision
+        back = read_delta(spark, str(t.root))
+        assert back.count() == 9  # the orphan's garbage add is gone
+        assert {r["k"] for r in back.collect()} == set(range(9))
+
+    def test_mirror_refuses_spec_narrowing_without_rewrite(
+        self, spark, lake
+    ):
+        """Round-8 review 5: narrowing the partition spec leaves
+        survivors' data files without the dropped path column — no
+        manifest check can prove them readable, so only a full
+        rewrite (compact) mirrors a spec change."""
+        t = TxnTable(
+            lake, "m9",
+            partition_cols=["site", "region"], stats_cols=["k"],
+        )
+        t.append(
+            spark.createDataFrame(
+                [(1, "a", "eu"), (2, "b", "us")],
+                "k INT, site STRING, region STRING",
+            )
+        )
+        export_delta_log(t, mode="mirror")
+        t2 = TxnTable(lake, "m9", partition_cols=["site"], stats_cols=["k"])
+        t2.append(
+            spark.createDataFrame(
+                [(3, "a", "eu")], "k INT, site STRING, region STRING"
+            )
+        )
+        with pytest.raises(ValueError, match="full rewrite"):
+            export_delta_log(t2, mode="mirror")
+        t2.compact(target_files=1)
+        export_delta_log(t2, mode="mirror")
+        back = read_delta(spark, str(t2.root))
+        assert back.filter(F.col("region").isNull()).count() == 0
+        assert back.count() == 3
+
+    def test_replace_rewind_mints_fresh_table_id(self, spark, lake):
+        """Round-8 review 5: a replace-mode export REWINDS the Delta
+        history to version 0 — the fresh metaData.id is the loud
+        'table was replaced' signal streaming consumers detect."""
+        t = TxnTable(lake, "m10", stats_cols=["k"])
+        t.append(spark.range(0, 5).selectExpr("id as k"))
+        log = export_delta_log(t, mode="mirror")
+
+        def _id():
+            for line in (log / f"{0:020d}.json").read_text().splitlines():
+                a = json.loads(line)
+                if "metaData" in a:
+                    return a["metaData"]["id"]
+
+        first = _id()
+        export_delta_log(t)  # replace: rewind → new incarnation
+        assert _id() != first
