@@ -904,3 +904,47 @@ class TestMirrorExport:
         first = _id()
         export_delta_log(t)  # replace: rewind → new incarnation
         assert _id() != first
+
+    def test_streaming_trigger_drives_continuous_mirror(
+        self, spark, lake
+    ):
+        """Composition capstone: readStream tails the TxnTable and
+        each micro-batch mirrors the table into the Delta log —
+        continuous open-format publishing, the streaming analog of
+        the reference's publish-for-downstream contract. The stream
+        is purely the trigger (mirror reads its own exact diffs from
+        the manifests); the idempotent marker makes replays no-ops."""
+        from interop_datalake_spark.streaming.txn_source import (
+            read_txn_stream,
+        )
+
+        t = TxnTable(lake, "m11", stats_cols=["k"])
+        t.append(spark.range(0, 8).selectExpr("id as k", "'a' as v"))
+        t.append(spark.range(8, 12).selectExpr("id as k", "'b' as v"))
+        t.delete_where(F.col("k") < 2)  # cow rewrite
+        stream = read_txn_stream(lake, "m11", max_versions_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, epoch_id: export_delta_log(
+                    t, mode="mirror"
+                )
+            )
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                str(t.root.parent / "_ckpt_mirror_stream"),
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        back = read_delta(spark, str(t.root))
+        assert {r["k"] for r in back.collect()} == set(range(2, 12))
+        # replaying the mirror once more is a no-op
+        log = t.root / "_delta_log"
+        commits = sorted(
+            p.name for p in log.glob("*.json") if p.stem.isdigit()
+        )
+        export_delta_log(t, mode="mirror")
+        assert sorted(
+            p.name for p in log.glob("*.json") if p.stem.isdigit()
+        ) == commits
