@@ -195,10 +195,21 @@ def _write_commit(log_dir: Path, delta_version: int, actions) -> None:
             f"rolled back by hand); delete the log and re-export to "
             f"restart"
         )
-    except OSError:
-        # filesystems without hard links (SMB/FAT/some NFS): degrade
-        # to check-then-rename — a narrow TOCTOU window instead of a
-        # hard failure on mounts where link can never work
+    except OSError as e:
+        # ONLY filesystems that genuinely cannot hard-link (SMB/FAT/
+        # some NFS) degrade to check-then-rename; transient errors
+        # (EIO/ENOSPC/…) must NOT downgrade the CAS to a clobber-
+        # capable path on a link-capable mount (round-8 review 6)
+        import errno as _errno
+
+        if e.errno not in (
+            _errno.EPERM,
+            _errno.EOPNOTSUPP,
+            getattr(_errno, "ENOTSUP", _errno.EOPNOTSUPP),
+            _errno.ENOSYS,
+            _errno.EINVAL,
+        ):
+            raise
         if target.exists():
             raise ValueError(
                 f"Delta commit {target.name} already exists — "
@@ -335,6 +346,35 @@ def export_delta_log(
     if marker is None:
         # no marker, or a torn one: restart with a full export
         return _full_export(table, None)
+    # ONE mirror writer at a time, enforced (round-8 review 6): the
+    # crash-recovery unlink below is only safe when no concurrent
+    # mirror can have just acknowledged that commit with a marker this
+    # process hasn't re-read. An advisory flock on a lockfile inside
+    # the log dir serializes mirrors per table (the same single-writer
+    # posture as the inference-toggle lock in txn.py).
+    import fcntl
+
+    lock_path = log_dir / ".mirror.lock"
+    lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            raise ValueError(
+                f"table {table.name}: another mirror export holds the "
+                f"lock — one mirror writer at a time"
+            )
+        return _mirror_locked(table, log_dir)
+    finally:
+        os.close(lock_fd)
+
+
+def _mirror_locked(table: TxnTable, log_dir: Path) -> Path:
+    # marker re-read UNDER the lock: decisions below must be based on
+    # the acknowledged state no concurrent writer can move
+    marker = _read_marker(log_dir)
+    if marker is None:
+        return _full_export(table, None)
     base_txn = marker["txn_version"]
     delta_v = marker["delta_version"]
     table_id = marker["table_id"]
@@ -344,16 +384,15 @@ def export_delta_log(
     if base_txn not in table._retained_versions() and base_txn != 0:
         # the marked version was vacuumed away: can't diff — restart
         return _full_export(table, None)
-    # CRASH RECOVERY (round-8 review 5): a crash between a commit's
-    # publish and its marker write leaves UNACKNOWLEDGED commit files
-    # above the marker; the retry would rebuild the same delta version
-    # (with fresh timestamps) and collide forever. Those orphans were
-    # never recorded as published — remove them and resume from the
-    # marker, the only state the protocol acknowledges.
-    for p in log_dir.glob("*.json"):
-        if p.stem.isdigit() and int(p.stem) > delta_v:
-            p.unlink()
+    # CRASH RECOVERY (round-8 reviews 5+6): a crash between a commit's
+    # publish and its marker write leaves exactly ONE unacknowledged
+    # commit — at delta_v+1, because the marker follows every publish.
+    # The retry would rebuild that version (with fresh timestamps) and
+    # collide forever; remove the orphan, O(1), and resume from the
+    # marker — the only state the protocol acknowledges.
+    (log_dir / f"{delta_v + 1:020d}.json").unlink(missing_ok=True)
     now_ms = int(time.time() * 1000)
+    marked = base_txn
     prev = table.manifest(base_txn)
     for v in range(base_txn + 1, cur + 1):
         m = table.manifest(v)
@@ -376,22 +415,23 @@ def export_delta_log(
         cur_files = set(m["files"])
         added = [f for f in m["files"] if f not in prev_files]
         removed = [f for f in prev["files"] if f not in cur_files]
-        spec_changed = (m.get("partition_cols") or []) != (
-            prev.get("partition_cols") or []
-        )
-        # a partition-spec change re-scopes EVERY published file: the
+        new_spec = m.get("partition_cols") or []
+        old_spec = prev.get("partition_cols") or []
+        spec_changed = new_spec != old_spec
+        # a MEMBERSHIP change re-scopes EVERY published file: the
         # survivors' add actions were exported under the old spec and
         # their DATA FILES physically lack any column the old spec
         # path-encoded — no manifest check can prove them readable
-        # under the new spec, so a spec change is only mirrorable when
-        # the version is a FULL REWRITE (what compact produces:
-        # added == files). Anything else — including merely-covered
-        # survivors, whose dropped path columns would read NULL — is
-        # transient-skipped until a rewriting version lands; only at
-        # HEAD does it refuse (round-8 reviews 4+5). Like the vector
-        # window, ``prev`` holds at the last exportable version.
+        # under the new spec, so it is only mirrorable when the
+        # version is a FULL REWRITE (what compact produces:
+        # added == files); otherwise transient-skip / head-refuse,
+        # like the vector window (round-8 reviews 4+5). A pure
+        # REORDER ([a,b] → [b,a]) drops no column — it only re-emits
+        # metaData, no rewrite required (round-8 review 6).
         try:
-            if spec_changed and set(added) != set(m["files"]):
+            if set(new_spec) != set(old_spec) and set(added) != set(
+                m["files"]
+            ):
                 raise ValueError(
                     f"table {table.name}: partition spec changed at "
                     f"v{v} without a full rewrite — survivors' data "
@@ -427,15 +467,17 @@ def export_delta_log(
             _write_commit(log_dir, delta_v, actions)
             # marker advances per PUBLISHED commit, right after it: a
             # mid-loop failure leaves marker and acknowledged commits
-            # consistent (orphans above the marker are cleaned on the
+            # consistent (the single possible orphan is cleaned on the
             # next run — see recovery above), and action-less versions
             # don't pay an fsync (round-8 reviews 4+5)
             _write_marker(log_dir, v, delta_v, table_id)
+            marked = v
         prev = m
-    if json.loads((log_dir / _MIRROR_MARKER).read_text())[
-        "txn_version"
-    ] != cur:
+    if marked != cur:
         # trailing no-op versions: record them once at the end
+        # (tracked locally — re-reading the marker file here would
+        # bypass _read_marker's torn-marker tolerance and crash if a
+        # concurrent replace/vacuum removed the log; round-8 review 6)
         _write_marker(log_dir, cur, delta_v, table_id)
     return log_dir
 
@@ -612,7 +654,17 @@ def _replay_log(path: str, version: int | None):
         meta, protocol, adds = None, None, {}
         start = 0
     for v in range(start, target + 1):
-        for line in json_commits[v].read_text().splitlines():
+        try:
+            text = json_commits[v].read_text()
+        except FileNotFoundError:
+            # a writer replaced the log or recovered an orphan between
+            # our listing and this read — a clear retryable error, not
+            # a raw crash mid-replay (round-8 review 6)
+            raise ValueError(
+                f"Delta log at {log_dir} changed concurrently during "
+                f"replay (commit v{v} vanished); retry the read"
+            )
+        for line in text.splitlines():
             if not line.strip():
                 continue
             action = json.loads(line)

@@ -948,3 +948,57 @@ class TestMirrorExport:
         assert sorted(
             p.name for p in log.glob("*.json") if p.stem.isdigit()
         ) == commits
+
+    def test_mirror_lock_excludes_concurrent_writers(self, spark, lake):
+        """Round-8 review 6: the crash-recovery unlink is only safe
+        under single-writer mirroring — a second concurrent mirror
+        must refuse loudly while the lock is held."""
+        import fcntl
+        import os as _os
+
+        t = TxnTable(lake, "m12", stats_cols=["k"])
+        t.append(spark.range(0, 5).selectExpr("id as k"))
+        log = export_delta_log(t, mode="mirror")
+        t.append(spark.range(5, 8).selectExpr("id as k"))
+        fd = _os.open(log / ".mirror.lock", _os.O_CREAT | _os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            with pytest.raises(ValueError, match="lock"):
+                export_delta_log(t, mode="mirror")
+        finally:
+            _os.close(fd)  # releases the flock
+        export_delta_log(t, mode="mirror")  # lock free: proceeds
+        assert read_delta(spark, str(t.root)).count() == 8
+
+    def test_mirror_spec_reorder_needs_no_rewrite(self, spark, lake):
+        """Round-8 review 6: reordering partition_cols drops no
+        column — it re-emits metaData and mirrors WITHOUT forcing a
+        full rewrite (membership changes still do)."""
+        t = TxnTable(
+            lake, "m13",
+            partition_cols=["site", "region"], stats_cols=["k"],
+        )
+        t.append(
+            spark.createDataFrame(
+                [(1, "a", "eu"), (2, "b", "us")],
+                "k INT, site STRING, region STRING",
+            )
+        )
+        export_delta_log(t, mode="mirror")
+        t2 = TxnTable(
+            lake, "m13",
+            partition_cols=["region", "site"], stats_cols=["k"],
+        )
+        t2.append(
+            spark.createDataFrame(
+                [(3, "c", "ap")], "k INT, site STRING, region STRING"
+            )
+        )
+        export_delta_log(t2, mode="mirror")  # no rewrite required
+        back = read_delta(spark, str(t2.root))
+        assert {(r["k"], r["site"], r["region"]) for r in back.collect()} == {
+            (1, "a", "eu"), (2, "b", "us"), (3, "c", "ap"),
+        }
+        assert back.filter(
+            F.col("site").isNull() | F.col("region").isNull()
+        ).count() == 0
