@@ -118,6 +118,10 @@ HEADLINE = [
     "corpus_sample_stratified",
     "multimodal_frame_sample",
     "array_higher_order",
+    # round 8 continuation: modern SQL surface + exact-substring dedup
+    "graph_ancestor_chain",
+    "lateral_topk_orders",
+    "dedup_exact_substring",
 ]
 # not in HEADLINE by design: dedup_minhash_lsh_skewsafe is a skew
 # PATHOLOGY DEMO (deliberately-injected 60-word boilerplate footer ×

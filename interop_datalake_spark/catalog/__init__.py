@@ -12,6 +12,7 @@ from interop_datalake_spark.catalog import (
     lake_ops,
     llm_ops,
     python_surface,
+    recursive_sql,
     relational,
     reshape,
     sampling,
@@ -39,6 +40,7 @@ _MODULES = [
     sampling,
     events_analytics,
     graph_ops,
+    recursive_sql,
 ]
 
 
@@ -225,13 +227,28 @@ def _with_required_conf(fn):
 #:       text_fingerprint (r7-green; text keeps winnowing/lang_ngram/
 #:       trigrams_udtf/bpe_train; search keeps bm25 beside the new
 #:       hybrid rep)
+#: Round-8 continuation batch (same standing rule; every displaced
+#: entry is r7-hash-GREEN per CORRECTNESS_r07.json and leaves a
+#: same-class in-window sibling):
+#:   in: graph_ancestor_chain (WITH RECURSIVE frontier walk — new
+#:       Spark-4 SQL surface) — out: agg_string_concat (r7-green; agg
+#:       keeps rollup/variance_manual/approx_distinct; graph gains a
+#:       second rep beside pagerank)
+#:   in: lateral_topk_orders (correlated LATERAL + LIMIT, de-
+#:       correlated to partial WindowGroupLimit) — out: subquery_scalar
+#:       (r7-green; subquery keeps not_exists; top-k keeps
+#:       topk_per_group as the window-form sibling)
+#:   in: dedup_exact_substring (anchor-gram diagonal-run dedup, the
+#:       suffix-array semantics) — out: stream_dedup (r7-green;
+#:       streaming keeps join_outer/enrich_join/window_quantiles AND
+#:       the dedup_stream_pipeline capstone)
 WITNESS_PRIORITY = [
     # relational core
     "q1_pricing_summary", "scan_filter_project",
     # aggregates: rollup stays; the three never-witnessed agg rows
     # rotate in (string concat fold, manual variance algebra,
     # approx_count_distinct) over r6-green median/approx-pct/min-max-by
-    "agg_rollup", "agg_string_concat", "agg_variance_manual",
+    "agg_rollup", "agg_variance_manual",
     "agg_approx_distinct",
     # reference lake surface + ACID table format; the two round-6
     # flagship features with zero driver confirmation rotate in FIRST
@@ -245,13 +262,17 @@ WITNESS_PRIORITY = [
     "topk_per_group", "join_asof",
     # set ops / scalar / reshape / subqueries
     "set_union_all", "scalar_math", "unpivot_order_metrics",
-    "subquery_scalar", "subquery_not_exists",
+    "subquery_not_exists",
+    # modern SQL surface (round-8 continuation): recursive CTE
+    # hierarchy walk + correlated LATERAL top-k
+    "graph_ancestor_chain", "lateral_topk_orders",
     # LLM dedup: exactly-once streaming capstone stays; the five
     # never-witnessed variants rotate in (skew-safe LSH, xxhash64
     # fast LSH + containment, ML-pipeline LSH, SimHash) over r6-green
     # cluster/span/steady (class keeps 6 in-window reps)
     "dedup_stream_pipeline", "dedup_minhash_lsh_skewsafe",
     "dedup_minhash_lsh_fast", "dedup_containment_fast",
+    "dedup_exact_substring",
     # embedding similarity: persisted incremental index stays; the
     # four never-witnessed ANN variants rotate in (JVM column-algebra
     # top-k, Arrow pandas-UDF twin, int8-quantized, trained IVF) over
@@ -283,7 +304,7 @@ WITNESS_PRIORITY = [
     # streaming: dedup + stream-stream outer join stay; never-
     # witnessed stream-static enrich join and windowed stream
     # quantiles rotate in over r6-green sliding_window
-    "stream_dedup", "stream_join_outer", "stream_enrich_join",
+    "stream_join_outer", "stream_enrich_join",
     "stream_window_quantiles",
     # multimodal (mapInPandas surface; pandas_scalar_udf rotates out
     # r6-green — python surface stays witnessed here + trigrams UDTF)

@@ -1798,6 +1798,53 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection
+    (llm/dedup.py::exact_substring_pairs): longest verbatim shared
+    token run per document pair via anchor-4-grams + diagonal
+    gaps-and-islands — the relational re-expression of suffix-array
+    dedup (Lee et al. 2022). Catches the "same paragraph pasted into
+    two otherwise-different documents" case that whole-doc Jaccard
+    and containment both dilute away. Pure integer algebra; the
+    DuckDB oracle replays it verbatim."""
+    from interop_datalake_spark.llm.dedup import exact_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_pairs(
+        docs, "text", "doc_id", k=4, min_tokens=12, max_gram_freq=50
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_EXACT_SUBSTRING_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, g.i - 1 AS pos, array_to_string(w[g.i:g.i+3], ' ') AS gram
+  FROM tok, unnest(generate_series(1, greatest(len(w) - 3, 0))) AS g(i)
+), freq AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) <= 50
+), kept AS (
+  SELECT grams.* FROM grams JOIN freq USING (gram)
+), m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT id_a, id_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                 ORDER BY pa) AS island
+  FROM m
+), runs AS (
+  SELECT id_a, id_b, count(*) + 3 AS run_tokens
+  FROM isl GROUP BY id_a, id_b, diag, island
+)
+SELECT id_a, id_b, max(run_tokens) AS max_run_tokens,
+       count(*) FILTER (WHERE run_tokens >= 12) AS n_runs
+FROM runs GROUP BY id_a, id_b
+HAVING max(run_tokens) >= 12
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_containment_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-hash containment dedup: identical algebra to
     dedup_containment but with 64-bit xxhash64 shingle keys (~5×
@@ -2102,6 +2149,7 @@ QUERIES = {
     "search_tfidf_keywords": search_tfidf_keywords,
     "corpus_split_contamination": corpus_split_contamination,
     "dedup_containment": dedup_containment,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_containment_fast": dedup_containment_fast,
     "dedup_jaccard_ngram": dedup_jaccard_ngram,
     "dedup_minhash_ml": dedup_minhash_ml,
@@ -2142,6 +2190,7 @@ ORACLES = {
     "search_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,
     "corpus_split_contamination": CONTAMINATION_ORACLE,
     "dedup_containment": DEDUP_CONTAINMENT_ORACLE,
+    "dedup_exact_substring": DEDUP_EXACT_SUBSTRING_ORACLE,
     "dedup_jaccard_ngram": DEDUP_JACCARD_ORACLE,
     "dedup_minhash_ml": DEDUP_JACCARD_ORACLE,  # verified set ≡ ground truth
     "dedup_simhash": DEDUP_SIMHASH_ORACLE,

@@ -246,6 +246,104 @@ def drop_hot_shingles(
     return shingles_df.join(hot, "shingle", "left_anti")
 
 
+def positioned_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Word-k-gram shingles WITH their token offset: (id, pos, gram),
+    pos 0-based. The positional variant of ``shingles`` — needed by
+    run-detection (exact_substring_pairs) and winnowing, where
+    adjacency matters and dedup would destroy it."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words) - (k - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    min_tokens: int = 12,
+    max_gram_freq: int = 50,
+) -> DataFrame:
+    """Exact-substring duplicate detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    semantics, re-expressed relationally): for every document pair,
+    the length in TOKENS of the longest run of text they share
+    verbatim, keeping pairs with a run of at least ``min_tokens``.
+    The suffix-array formulation is inherently sequential; the
+    equivalent relational shape is anchor-k-grams + diagonal runs:
+
+      1. positioned k-grams (id, pos, gram) — an anchor every token;
+      2. equi-join on gram (id_a < id_b): each match is a point
+         (pa, pb) in the pair's alignment matrix;
+      3. matches on one shared substring lie on one DIAGONAL
+         (pa - pb constant) at CONSECUTIVE pa — classic
+         gaps-and-islands: island = pa - row_number() within
+         (a, b, diag) ordered by pa;
+      4. an island of r matched k-grams is a shared run of
+         r + k - 1 tokens; keep pairs whose max run ≥ min_tokens.
+
+    Scale shape: identical to containment_pairs — the only join is on
+    the gram, so cost is Σ df² over gram document-frequencies, bounded
+    by ``drop_hot_shingles`` (df ≤ max_gram_freq) BEFORE the join. A
+    boilerplate run shared by >max_freq docs is dropped by the cap
+    (that is what the cap MEANS: dedup against ubiquitous text is
+    handled by the quality filters, not pairwise). The islands window
+    partitions by (pair, diag) — millions of small partitions, no
+    skew. All arithmetic is integer: bit-identical on any engine.
+
+    Returns (id_a, id_b, max_run_tokens, n_runs) where n_runs counts
+    maximal runs that individually clear min_tokens.
+    """
+    grams = positioned_shingles(docs, text_col, id_col, k)
+    kept = drop_hot_shingles(
+        grams.withColumnRenamed("gram", "shingle"), id_col, max_gram_freq
+    ).withColumnRenamed("shingle", "gram")
+    a = kept.select(
+        F.col(id_col).alias("id_a"),
+        F.col("pos").alias("pa"),
+        "gram",
+    )
+    b = kept.select(
+        F.col(id_col).alias("id_b"),
+        F.col("pos").alias("pb"),
+        "gram",
+    )
+    matches = a.join(b, "gram").filter(F.col("id_a") < F.col("id_b"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    islands = (
+        matches.select(
+            "id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+        .withColumn("island", F.col("pa") - F.row_number().over(w))
+    )
+    runs = islands.groupBy("id_a", "id_b", "diag", "island").agg(
+        (F.count("*") + (k - 1)).alias("run_tokens")
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.max("run_tokens").alias("max_run_tokens"),
+            F.sum(
+                F.when(F.col("run_tokens") >= min_tokens, 1).otherwise(0)
+            ).alias("n_runs"),
+        )
+        .filter(F.col("max_run_tokens") >= min_tokens)
+    )
+
+
 #: universal-hash family over the base md5 hash: hᵢ(x) = (aᵢ·h₀ + bᵢ) mod P
 #: — ONE md5 per shingle instead of num_hashes, and the per-seed mins
 #: aggregate as num_hashes columns in a single groupBy (map-side partial
