@@ -119,9 +119,12 @@ HEADLINE = [
     "multimodal_frame_sample",
     "array_higher_order",
     # round 8 continuation: modern SQL surface + exact-substring dedup
+    # + product-quantization retrieval (raw ADC and shortlist→rerank)
     "graph_ancestor_chain",
     "lateral_topk_orders",
     "dedup_exact_substring",
+    "ann_pq_topk",
+    "ann_pq_rerank",
 ]
 # not in HEADLINE by design: dedup_minhash_lsh_skewsafe is a skew
 # PATHOLOGY DEMO (deliberately-injected 60-word boilerplate footer ×

@@ -242,13 +242,20 @@ def _with_required_conf(fn):
 #:       suffix-array semantics) — out: stream_dedup (r7-green;
 #:       streaming keeps join_outer/enrich_join/window_quantiles AND
 #:       the dedup_stream_pipeline capstone)
+#:   in: ann_pq_topk (product-quantization ADC search; rows-only,
+#:       pinned in tests/test_pq.py) — out: agg_variance_manual
+#:       (r7-green; agg keeps rollup/approx_distinct)
+#:   in: ann_pq_rerank (PQ shortlist → exact float rerank pipeline;
+#:       rows-only, recall lever pinned) — out: corpus_vocab
+#:       (r7-green; corpus keeps pack_sequences/to_training_set/
+#:       importance_sample/curate_pipeline/sample/sample_stratified)
 WITNESS_PRIORITY = [
     # relational core
     "q1_pricing_summary", "scan_filter_project",
     # aggregates: rollup stays; the three never-witnessed agg rows
     # rotate in (string concat fold, manual variance algebra,
     # approx_count_distinct) over r6-green median/approx-pct/min-max-by
-    "agg_rollup", "agg_variance_manual",
+    "agg_rollup",
     "agg_approx_distinct",
     # reference lake surface + ACID table format; the two round-6
     # flagship features with zero driver confirmation rotate in FIRST
@@ -280,6 +287,9 @@ WITNESS_PRIORITY = [
     # the in-window clustering sibling for r6-green cluster_kmeans
     "ann_index_incremental", "ann_cosine_topk",
     "ann_ivf_topk_trained",
+    # product quantization (round-8 continuation): ADC search + the
+    # shortlist→rerank pipeline
+    "ann_pq_topk", "ann_pq_rerank",
     # retrieval (bm25 + the round-8 hybrid RRF fusion)
     "search_bm25", "search_hybrid_rrf",
     # text analysis: the five never-witnessed rows rotate in
@@ -293,7 +303,7 @@ WITNESS_PRIORITY = [
     # split_contamination (LSH composition in-window via skewsafe)/
     # filter_gopher (runs inside to_training_set)/domain_mix
     # (importance_sample is the selection sibling)
-    "corpus_vocab", "corpus_pack_sequences",
+    "corpus_pack_sequences",
     "corpus_to_training_set", "corpus_importance_sample",
     "corpus_curate_pipeline", "corpus_sample",
     "corpus_sample_stratified",

@@ -47,6 +47,9 @@ def test_rows_only(name, spark, sf_dir):
 #  - corpus_sample / corpus_sample_stratified: seeded Bernoulli /
 #    stratified sampling (round-8 burn-down rotation) — determinism
 #    and stratum-bound pinned in tests/test_sampling.py
+#  - ann_pq_topk / ann_pq_rerank: product-quantization search (numpy
+#    Lloyd codebooks) — ADC identity, determinism, and measured
+#    recall pinned in tests/test_pq.py
 ROWS_ONLY_WITNESSED = {
     "agg_approx_distinct",
     "dedup_minhash_lsh_fast",
@@ -54,6 +57,8 @@ ROWS_ONLY_WITNESSED = {
     "ann_ivf_topk_trained",
     "corpus_sample",
     "corpus_sample_stratified",
+    "ann_pq_topk",
+    "ann_pq_rerank",
 }
 
 
