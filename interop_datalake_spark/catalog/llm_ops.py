@@ -579,9 +579,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes (64× smaller than the float64 vectors) → asymmetric-distance
     top-k by broadcast LUT join. Rows-only at the driver gate (numpy
     Lloyd training is not SQL-expressible); ADC identity, determinism,
-    and measured recall are pinned in tests/test_pq.py. Scores
-    rounded at output only (no oracle to drift from; stabilizes the
-    display)."""
+    and measured recall are pinned in tests/test_pq.py. Score emitted
+    as exact micro-units (BIGINT) per the repo's no-round(double)-at-
+    output rule — floor(x·1e6 + 0.5) is a single deterministic
+    half-up grid snap, not a float-repr boundary."""
     from interop_datalake_spark.llm.pq import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -591,7 +592,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "neighbor_id", "rn",
-        F.round("score_pq", 6).alias("score_pq"),
+        F.floor(F.col("score_pq") * 1e6 + F.lit(0.5)).alias(
+            "score_pq_micro"
+        ),
     ).orderBy("query_id", "rn")
 
 
@@ -602,7 +605,8 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-precision-rerank pipeline (pipeline recall@10 is 0.71 at
     shortlist=50 on this corpus vs 0.29 for raw ADC; the lever is
     pinned monotone in tests/test_pq.py). Rows-only by design (PQ
-    training)."""
+    training). Cosine emitted as exact micro-units (BIGINT), same
+    rationale as ann_pq_topk."""
     from interop_datalake_spark.llm.pq import pq_rerank_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -611,7 +615,8 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_filter=F.col("vec_id") < 10,
     )
     return out.select(
-        "query_id", "neighbor_id", "rn", F.round("cos", 4).alias("cos")
+        "query_id", "neighbor_id", "rn",
+        F.floor(F.col("cos") * 1e6 + F.lit(0.5)).alias("cos_micro"),
     ).orderBy("query_id", "rn")
 
 

@@ -23,9 +23,10 @@ Scale notes:
   LIMIT k` into WindowGroupLimit with a PARTIAL (map-side) group
   limit before the exchange — each task keeps only k rows per key
   before shuffling, so the shuffle volume is k·|keys|, independent of
-  fact-table row count. Verified in the plan (tests/test_plans.py
-  asserts the partial WindowGroupLimit), which is why this needs no
-  hand-written rewrite to survive a 100× scale-up.
+  fact-table row count. Verified in the plan
+  (tests/test_recursive_sql.py asserts the partial WindowGroupLimit),
+  which is why this needs no hand-written rewrite to survive a 100×
+  scale-up.
 
 Determinism: ancestor math is pure integer arithmetic
 (floor(k/10) parents — doubles ≤ 1e7 are exact, floor is identical in

@@ -231,22 +231,13 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed-overlap fingerprint subset used for plagiarism/near-dup
     detection. Output: per doc, the count + min/max of its distinct
     fingerprints (stable summary of the selected set)."""
-    from interop_datalake_spark.llm.dedup import _hash64
+    from interop_datalake_spark.llm.dedup import _hash64, positioned_shingles
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n = F.size(words) - 3
-    grams = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.array_join(F.slice(words, i, 4), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    ).withColumn("h", _hash64(F.col("gram")))
+    exploded = positioned_shingles(docs, "text", "doc_id", k=4).withColumn(
+        "h", _hash64(F.col("gram"))
+    )
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

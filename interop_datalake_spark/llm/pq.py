@@ -187,7 +187,14 @@ def pq_adc_topk(
     (query, neighbor). The codes column is the ONLY per-document data
     read (8 bytes/vector vs 512 for float64 — the scan-bandwidth win
     PQ exists for); per-query top-k via the usual window. Returns
-    (query_id, neighbor_id, rn, score_pq)."""
+    (query_id, neighbor_id, rn, score_pq).
+
+    CONTRACT: ``queries`` must be a BOUNDED frame (an id-filtered
+    batch at the API edge, like similarity.py:blocked_topk's query
+    batch) — it is broadcast as the LUT. Passing an SF-scaled frame
+    here would broadcast an SF-scaled LUT; the convenience wrappers
+    (pq_topk / pq_rerank_topk) refuse query_filter=None for exactly
+    that reason."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     books = books_frame(queries.sparkSession, codebooks)
@@ -237,12 +244,19 @@ def pq_topk(
     query_filter=None,
 ) -> DataFrame:
     """End-to-end PQ search over one corpus frame: train (bounded
-    driver sample) → encode (column algebra) → ADC top-k."""
+    driver sample) → encode (column algebra) → ADC top-k.
+    ``query_filter`` is REQUIRED: the query set is broadcast as the
+    ADC LUT, so an unfiltered (SF-scaled) query set would broadcast
+    an SF-scaled frame — the hot-path rule this library pins with a
+    lint test."""
+    if query_filter is None:
+        raise ValueError(
+            "pq_topk requires a bounded query_filter: the query set is "
+            "broadcast (ADC LUT); pass e.g. F.col(id) < n"
+        )
     books = train_pq_codebooks(df, vec_col, id_col, m=m, n_codes=n_codes)
     codes = pq_encode(df, vec_col, id_col, books)
-    queries = df.select(F.col(id_col), F.col(vec_col))
-    if query_filter is not None:
-        queries = queries.filter(query_filter)
+    queries = df.select(F.col(id_col), F.col(vec_col)).filter(query_filter)
     return pq_adc_topk(queries, codes, vec_col, id_col, books, k=k)
 
 
@@ -274,11 +288,15 @@ def pq_rerank_topk(
     similarity.py (bit-deterministic)."""
     from interop_datalake_spark.llm.similarity import cosine_similarity
 
+    if query_filter is None:
+        raise ValueError(
+            "pq_rerank_topk requires a bounded query_filter: the query "
+            "set is broadcast twice (ADC LUT + rerank); pass e.g. "
+            "F.col(id) < n"
+        )
     books = train_pq_codebooks(df, vec_col, id_col, m=m, n_codes=n_codes)
     codes = pq_encode(df, vec_col, id_col, books)
-    queries = df.select(F.col(id_col), F.col(vec_col))
-    if query_filter is not None:
-        queries = queries.filter(query_filter)
+    queries = df.select(F.col(id_col), F.col(vec_col)).filter(query_filter)
     cand = pq_adc_topk(
         queries, codes, vec_col, id_col, books, k=shortlist
     ).select("query_id", "neighbor_id")

@@ -170,9 +170,11 @@ class TestRecall:
             emb, "embedding", "vec_id", k=5, shortlist=50,
             query_filter=F.col("vec_id") < 5,
         ).collect()
+        # fetch exactly the vectors the result references — sf-independent
+        ids = {r.query_id for r in rows} | {r.neighbor_id for r in rows}
         vecs = {
             r.vec_id: list(r.embedding)
-            for r in emb.filter(F.col("vec_id") < 600).collect()
+            for r in emb.filter(F.col("vec_id").isin(list(ids))).collect()
         }
 
         def cos(a, b):
