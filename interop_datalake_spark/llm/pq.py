@@ -122,12 +122,30 @@ def books_frame(spark, codebooks) -> DataFrame:
 
 
 def _subvectors(df: DataFrame, vec_col: str, id_col: str, m: int, d: int):
-    """(id, s, sub): L2-normalize, split into m d-dim subvectors."""
-    x = _l2_normalize(F.col(vec_col).cast("array<double>"))
+    """(id, s, sub): L2-normalize, split into m d-dim subvectors.
+
+    Shape matters here: slicing the RAW array and normalizing the
+    8-dim slice AFTER the explode (carrying the norm as a scalar
+    column through the Generate) is ~20× faster than slicing a
+    normalized array expression — each F.slice of a normalized-array
+    expression embeds its own copy of the 64-element transform+fold,
+    and interpreted higher-order functions pay per element
+    (measured: 3.1 s vs 0.15 s for 2000×8 at sf0.1). Same arithmetic
+    (v / nrm element-wise), bit-identical results."""
+    x = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v))
     subs = F.array(*[F.slice(x, s * d + 1, d) for s in range(m)])
-    return df.select(
-        F.col(id_col), F.posexplode(subs).alias("s", "sub")
-    ).withColumn("s", F.col("s").cast("int"))
+    exploded = df.select(
+        F.col(id_col),
+        nrm.alias("_nrm"),
+        F.posexplode(subs).alias("s", "_subraw"),
+    )
+    sub = F.when(F.col("_nrm") == F.lit(0.0), F.col("_subraw")).otherwise(
+        F.transform("_subraw", lambda v: v / F.col("_nrm"))
+    )
+    return exploded.select(
+        F.col(id_col), F.col("s").cast("int").alias("s"), sub.alias("sub")
+    )
 
 
 def pq_encode(
