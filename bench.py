@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_exact_substring",
     "ann_pq_topk",
     "ann_pq_rerank",
+    "lake_incremental_join_view",
 ]
 # not in HEADLINE by design: dedup_minhash_lsh_skewsafe is a skew
 # PATHOLOGY DEMO (deliberately-injected 60-word boilerplate footer ×

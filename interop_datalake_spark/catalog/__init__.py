@@ -249,6 +249,11 @@ def _with_required_conf(fn):
 #:       rows-only, recall lever pinned) — out: corpus_vocab
 #:       (r7-green; corpus keeps pack_sequences/to_training_set/
 #:       importance_sample/curate_pipeline/sample/sample_stratified)
+#:   in: lake_incremental_join_view (bilinear-delta join IVM — the
+#:       round's flagship lake feature) — out: corpus_pack_sequences
+#:       (r7-green; corpus keeps to_training_set — which packs
+#:       sequences inside — plus importance_sample/curate_pipeline/
+#:       sample/sample_stratified)
 WITNESS_PRIORITY = [
     # relational core
     "q1_pricing_summary", "scan_filter_project",
@@ -264,6 +269,7 @@ WITNESS_PRIORITY = [
     "lake_publish_roundtrip",
     "lake_partition_transforms", "lake_deletion_vectors",
     "lake_change_feed_deletes", "lake_incremental_view",
+    "lake_incremental_join_view",
     "lake_delta_roundtrip",
     # windows + custom joins
     "topk_per_group", "join_asof",
@@ -303,7 +309,6 @@ WITNESS_PRIORITY = [
     # split_contamination (LSH composition in-window via skewsafe)/
     # filter_gopher (runs inside to_training_set)/domain_mix
     # (importance_sample is the selection sibling)
-    "corpus_pack_sequences",
     "corpus_to_training_set", "corpus_importance_sample",
     "corpus_curate_pipeline", "corpus_sample",
     "corpus_sample_stratified",

@@ -1210,6 +1210,112 @@ def lake_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage", "lang")
 
 
+def lake_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view maintenance
+    (lake/ivm_join.py:IncrementalJoinView): orders ⋈ customers kept
+    current by the bilinear delta rule Δ(L⋈R) = ΔL⋈R_new + L_old⋈ΔR
+    over both tables' delete-emitting change feeds — each refresh
+    costs O(changed rows × fanout) with stats-pruned snapshot reads,
+    never a re-join of the full tables. Stages: initial
+    materialization, a both-sides append window (including a
+    previously-orphaned order whose customer arrives late), and a
+    both-sides vector-delete window (a customer delete CASCADES its
+    orders out of the view). The oracle replays every stage as a
+    plain filtered join — the invariant join-IVM promises:
+    incremental ≡ recompute."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.ivm_join import IncrementalJoinView
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        # the customer's id IS its join key; the view contract needs a
+        # distinct identity column, so carry a named copy
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_ivmj_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        left = TxnTable(session, "orders_src", stats_cols=["o_orderkey", "custkey"])
+        right = TxnTable(session, "cust_src", stats_cols=["cust_id", "custkey"])
+        view = IncrementalJoinView(
+            session, "orders_by_cust", left, right, on=["custkey"],
+            left_id="o_orderkey", right_id="cust_id",
+            left_cols=["price"], right_cols=["segment"],
+        )
+        rows = []
+
+        def snap(stage):
+            rows.extend(
+                (stage, r["custkey"], r["o_orderkey"], r["price"],
+                 r["segment"])
+                for r in view.read().collect()  # ≤ a few hundred rows
+            )
+
+        right.append(cust.filter(F.col("custkey") < 40))
+        left.append(orders.filter(F.col("o_orderkey") < 150))
+        view.refresh()
+        snap("s1_initial")
+        left.append(
+            orders.filter(
+                (F.col("o_orderkey") >= 150) & (F.col("o_orderkey") < 300)
+            )
+        )
+        right.append(
+            cust.filter((F.col("custkey") >= 40) & (F.col("custkey") < 80))
+        )
+        view.refresh()
+        snap("s2_both_append")
+        right.delete_where(F.col("cust_id") % 7 == 0, merge_on_read=True)
+        left.delete_where(F.col("o_orderkey") % 5 == 0, merge_on_read=True)
+        view.refresh()
+        snap("s3_vector_deletes")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage STRING, custkey BIGINT, o_orderkey BIGINT, "
+        "price DOUBLE, segment STRING",
+    ).orderBy("stage", "custkey", "o_orderkey")
+
+
+LAKE_IVM_JOIN_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS custkey, o_totalprice AS price
+  FROM orders
+), c AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer
+)
+SELECT * FROM (
+  SELECT 's1_initial' AS stage, c.custkey, o.o_orderkey, o.price,
+         c.segment
+  FROM o JOIN c USING (custkey)
+  WHERE o.o_orderkey < 150 AND c.custkey < 40
+  UNION ALL
+  SELECT 's2_both_append', c.custkey, o.o_orderkey, o.price, c.segment
+  FROM o JOIN c USING (custkey)
+  WHERE o.o_orderkey < 300 AND c.custkey < 80
+  UNION ALL
+  SELECT 's3_vector_deletes', c.custkey, o.o_orderkey, o.price,
+         c.segment
+  FROM o JOIN c USING (custkey)
+  WHERE o.o_orderkey < 300 AND c.custkey < 80
+    AND c.custkey % 7 <> 0 AND o.o_orderkey % 5 <> 0
+)
+ORDER BY stage, custkey, o_orderkey
+"""
+
+
 LAKE_IVM_ORACLE = """
 WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
 SELECT * FROM (
@@ -1316,6 +1422,7 @@ QUERIES = {
     "lake_deletion_vectors": lake_deletion_vectors,
     "lake_change_feed_deletes": lake_change_feed_deletes,
     "lake_incremental_view": lake_incremental_view,
+    "lake_incremental_join_view": lake_incremental_join_view,
     "lake_delta_roundtrip": lake_delta_roundtrip,
 }
 
@@ -1338,5 +1445,6 @@ ORACLES = {
     "lake_deletion_vectors": LAKE_DV_ORACLE,
     "lake_change_feed_deletes": LAKE_CDF_ORACLE,
     "lake_incremental_view": LAKE_IVM_ORACLE,
+    "lake_incremental_join_view": LAKE_IVM_JOIN_ORACLE,
     "lake_delta_roundtrip": LAKE_DELTA_ORACLE,
 }

@@ -1,0 +1,439 @@
+"""Incremental maintenance of JOIN views over TxnTable change feeds.
+
+The second half of the materialized-view story (lake/ivm.py covers
+grouped aggregates): an inner equi-join of two TxnTables materialized
+as its own TxnTable and kept current by the classic bilinear delta
+rule (DBSP / differential-dataflow; Green et al. provenance
+semirings — public literature):
+
+    Δ(L ⋈ R) = ΔL ⋈ R_new  +  L_old ⋈ ΔR
+
+with signed multiplicities (+1 insert, −1 vector-delete) from the
+delete-emitting change feed. Expansion check: (L+ΔL)⋈(R+ΔR) − L⋈R =
+ΔL⋈R + L⋈ΔR + ΔL⋈ΔR, and ΔL⋈R_new = ΔL⋈(R+ΔR) absorbs the cross
+term — each refresh costs O(|ΔL| · fanout + |ΔR| · fanout), never a
+re-join of the full tables.
+
+Scale shape: the two snapshot sides (R_new, L_old) are NOT full
+scans when the snapshot table records stats on the join key — the
+changed join-key values (bounded by the window's changed rows) prune
+the snapshot read per key exactly like the agg view's min/max repair
+(ivm.py round-7 item 2): ≤ _PRUNE_KEYS_MAX keys resolve per-key
+point ranges and union the file sets; beyond that one (min, max)
+envelope. The join itself then broadcasts the delta side (changed
+rows — dim-sized by definition of "incremental window") against the
+pruned snapshot slice.
+
+Row identity: view rows are keyed by (left_id, right_id) — each side
+must expose a UNIQUE id column (the primary-key contract every
+CDC-maintained join view has; violations are detected distributed
+and refused loudly, never silently merged). Inner equi-join only:
+outer-join IVM needs per-key presence counters to decide when a
+NULL-padded row appears/disappears — documented out of scope.
+
+Exactly-once: the pair of source versions (lv, rv) packs into the
+view's commit epoch (lv·2²⁰ + rv, lexicographically monotone), so a
+replayed refresh is a no-op and a crash between feed read and commit
+re-runs the same delta — the same idempotence contract as
+IncrementalAggView, which this class deliberately mirrors.
+
+Reference parity: the reference publishes per-tenant resource
+batches (DatalakePublishService.kt:50-90); "resources ⋈ tenant
+reference data, kept current as either side changes" is exactly this
+maintenance shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.ivm import _SAFE_OPS
+from interop_datalake_spark.lake.txn import TxnTable
+
+#: versions-per-source bound for the packed (lv, rv) epoch
+_EPOCH_BASE = 2**20
+#: above this many changed join-key values, snapshot pruning falls
+#: back from per-key point ranges to one (min, max) envelope — same
+#: cap + rationale as IncrementalAggView._REPAIR_KEYS_MAX_RESOLVE
+_PRUNE_KEYS_MAX = 32
+
+
+class IncrementalJoinView:
+    """``left ⋈ right ON on_cols`` materialized as a TxnTable and
+    maintained from change deltas.
+
+    View schema: ``on_cols`` (once) + the requested ``left_cols`` +
+    ``right_cols`` + the two id columns. ``left_id`` / ``right_id``
+    name single UNIQUE id columns (composite identities: concatenate
+    upstream). Column names across the two sides must be disjoint
+    (refused at construction — silent collisions are how join views
+    rot)."""
+
+    def __init__(
+        self,
+        session,
+        name: str,
+        left: TxnTable,
+        right: TxnTable,
+        on: list[str],
+        left_id: str,
+        right_id: str,
+        left_cols: list[str] | None = None,
+        right_cols: list[str] | None = None,
+    ):
+        self.left = left
+        self.right = right
+        self.on = list(on)
+        self.left_id = left_id
+        self.right_id = right_id
+        # on-cols ride the left projection; ids always materialize
+        self.left_cols = [left_id] + self.on + [
+            c
+            for c in (left_cols or [])
+            if c not in (left_id, *self.on)
+        ]
+        self.right_cols = [right_id] + [
+            c for c in (right_cols or []) if c != right_id
+        ]
+        overlap = (set(self.left_cols) - set(self.on)) & set(
+            self.right_cols
+        )
+        if overlap:
+            raise ValueError(
+                f"left/right column names must be disjoint apart from "
+                f"the join columns; rename {sorted(overlap)} upstream"
+            )
+        if left_id in self.on or right_id in self.on:
+            raise ValueError(
+                "id columns cannot be join columns: the identity must "
+                "distinguish rows WITHIN a join key"
+            )
+        # stats on BOTH id columns: a refresh prunes the in-scope view
+        # read per changed id (either side), not by full scan
+        self.view = TxnTable(session, name, stats_cols=[left_id, right_id])
+        #: files the last refresh's pruned snapshot reads opened,
+        #: keyed by side ("left"/"right"; absent side = that term was
+        #: empty; None value = pruning unavailable, full scan) —
+        #: observability for tests, like ivm.last_repair_scan_files
+        self.last_snapshot_scan_files: dict[str, list[str] | None] = {}
+
+    # -- epochs ---------------------------------------------------------------
+
+    def _pack(self, lv: int, rv: int) -> int:
+        if rv >= _EPOCH_BASE or lv >= _EPOCH_BASE:
+            raise ValueError(
+                f"source version exceeds the packed-epoch bound "
+                f"{_EPOCH_BASE} — widen _EPOCH_BASE or full_refresh "
+                f"into a fresh view"
+            )
+        return lv * _EPOCH_BASE + rv
+
+    def last_refreshed_versions(self) -> tuple[int, int]:
+        """(left, right) source versions the view reflects (0, 0 =
+        never refreshed)."""
+        v = self.view.current_version()
+        epoch = (self.view.manifest(v).get("epoch") or 0) if v else 0
+        return divmod(epoch, _EPOCH_BASE)
+
+    def read(self) -> DataFrame:
+        return self.view.read()
+
+    # -- snapshot + delta construction ---------------------------------------
+
+    def _assert_delta_visible(self, table: TxnTable, last: int, to: int):
+        for v in range(last + 1, to + 1):
+            rec = table.commit_record(v)
+            op = rec.get("op")
+            if rec.get("removed") or op not in _SAFE_OPS:
+                raise ValueError(
+                    f"source {table.name} commit v{v} ({op}) rewrites "
+                    f"files — its feed emission re-adds existing rows "
+                    f"and would double-count; run full_refresh() to "
+                    f"resync"
+                )
+
+    def _snapshot(
+        self, table: TxnTable, version: int, cols: list[str],
+        join_keys: list, side: str,
+    ) -> DataFrame:
+        """``table`` at ``version``, pruned to files that can hold the
+        changed join-key values (point-range per key ≤ cap, else one
+        envelope). Pruning drops files, not rows — the equi-join is
+        the exact residual filter, so a stats-less table degrades to
+        a full snapshot scan, never to a wrong answer."""
+        if version == 0:
+            return None
+        key0 = self.on[0]
+        m = table.manifest(version)
+        if not m["files"]:
+            return None
+        keys = sorted({k for k in join_keys if k is not None})
+        if not keys:
+            self.last_snapshot_scan_files[side] = []
+            return None
+        if len(keys) <= _PRUNE_KEYS_MAX:
+            seen: dict[str, None] = {}
+            for k in keys:
+                for f in table.resolve_files(
+                    version=version, key_range=(key0, k, k)
+                ):
+                    seen.setdefault(f)
+            files = list(seen)
+        else:
+            files = table.resolve_files(
+                version=version, key_range=(key0, keys[0], keys[-1])
+            )
+        self.last_snapshot_scan_files[side] = files
+        if not files:
+            return None
+        return table._load_files(files, m).select(*cols)
+
+    @staticmethod
+    def _signed(changes: DataFrame, cols: list[str]) -> DataFrame:
+        sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+        return changes.select(*cols, sign.alias("_sign"))
+
+    # -- refresh --------------------------------------------------------------
+
+    def refresh(self) -> int | None:
+        """Apply both sources' change deltas since the last refresh in
+        ONE atomic view commit. Returns the view's new version, or
+        None when already current. Bounded driver actions: the
+        changed-row join keys and ids (the incremental window's
+        changed rows — the same bounded-delta contract as
+        IncrementalAggView.refresh), plus one distributed violation
+        count."""
+        lv, rv = self.left.current_version(), self.right.current_version()
+        llast, rlast = self.last_refreshed_versions()
+        if (lv, rv) == (llast, rlast):
+            return None
+        self._assert_delta_visible(self.left, llast, lv)
+        self._assert_delta_visible(self.right, rlast, rv)
+        self.last_snapshot_scan_files = {}
+        packed = self._pack(lv, rv)
+        if self.view.current_version() == 0:
+            out = self._full_join(lv, rv)
+            if out is None:
+                # a source is still empty: nothing to materialize and
+                # nothing to stamp on a version-0 view — the rescan of
+                # this window is an empty-manifest check, O(1)
+                return None
+            return self.view.merge(
+                out, [self.left_id, self.right_id], _epoch=packed
+            )
+
+        lchange = (
+            self._signed(
+                self.left.read_changes(llast, lv, include_deletes=True),
+                self.left_cols,
+            )
+            if lv > llast
+            else None
+        )
+        rchange = (
+            self._signed(
+                self.right.read_changes(rlast, rv, include_deletes=True),
+                self.right_cols + self.on,
+            )
+            if rv > rlast
+            else None
+        )
+        # changed ids / join keys: bounded by the window's changed rows
+        lrows = (
+            lchange.select(self.left_id, self.on[0]).collect()
+            if lchange is not None
+            else []
+        )
+        rrows = (
+            rchange.select(self.right_id, self.on[0]).collect()
+            if rchange is not None
+            else []
+        )
+        if not lrows and not rrows:
+            # no-op commits on both sides: stamp so the (empty, cheap)
+            # window is never rescanned
+            return self.view.stamp_epoch(packed)
+
+        terms = []
+        if lrows:
+            r_snap = self._snapshot(
+                self.right,
+                rv,
+                self.right_cols + self.on,
+                [r[1] for r in lrows],
+                "right",
+            )
+            if r_snap is not None:
+                terms.append(lchange.join(r_snap, self.on))
+        if rrows:
+            l_snap = self._snapshot(
+                self.left,
+                llast,
+                self.left_cols,
+                [r[1] for r in rrows],
+                "left",
+            )
+            if l_snap is not None:
+                terms.append(
+                    l_snap.join(
+                        rchange.withColumnRenamed("_sign", "_rsign"),
+                        self.on,
+                    ).withColumn("_sign", F.col("_rsign")).drop("_rsign")
+                )
+        view_cols = self._view_cols()
+        ids = [self.left_id, self.right_id]
+        lids = [r[0] for r in lrows]
+        rids = [r[0] for r in rrows]
+        scope = self._scope_predicate(lids, rids)
+        if not terms:
+            # changes joined nothing (e.g. orphan keys): the view rows
+            # whose ids were touched may still need DELETING (a left
+            # delete with no surviving match) — sync an empty source
+            # over the scope; stamp-only when nothing is in scope
+            cur = self._scoped_view(lids, rids, scope)
+            if cur.limit(1).count() == 0:
+                return self.view.stamp_epoch(packed)
+            empty = cur.filter(F.lit(False))
+            return self.view.merge_sync(
+                empty, ids, scope=scope, _epoch=packed
+            )
+        delta = terms[0]
+        for t in terms[1:]:
+            delta = delta.unionByName(t)
+        payload = [c for c in view_cols if c not in ids]
+        d = delta.groupBy(*ids).agg(
+            F.sum("_sign").cast("bigint").alias("_net"),
+            F.sum(F.when(F.col("_sign") > 0, 1).otherwise(0)).alias(
+                "_n_ins"
+            ),
+            F.max(
+                F.when(F.col("_sign") > 0, F.struct(*payload))
+            ).alias("_ins"),
+        )
+        cur = self._scoped_view(lids, rids, scope)
+        merged = cur.withColumn("_in_view", F.lit(1)).join(
+            d, ids, "full_outer"
+        )
+        presence = F.coalesce(F.col("_in_view"), F.lit(0)) + F.coalesce(
+            F.col("_net"), F.lit(0)
+        )
+        merged = merged.withColumn("_presence", presence)
+        bad = merged.filter(
+            (~F.col("_presence").isin(0, 1))
+            | (F.coalesce(F.col("_n_ins"), F.lit(0)) > 1)
+        ).count()  # bounded action: one scalar
+        if bad:
+            raise ValueError(
+                f"{bad} view row(s) reached an inconsistent state "
+                f"(duplicate left_id/right_id values in a source, or "
+                f"an insert for an already-present pair): the unique-"
+                f"id contract is violated — fix the sources and "
+                f"full_refresh()"
+            )
+        survivors = merged.filter(F.col("_presence") == 1).select(
+            *ids,
+            *[
+                F.when(
+                    F.col("_n_ins") == 1, F.col(f"_ins.{c}")
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in payload
+            ],
+        ).select(*view_cols)
+        return self.view.merge_sync(
+            survivors, ids, scope=scope, _epoch=packed
+        )
+
+    def _view_cols(self) -> list[str]:
+        return (
+            self.on
+            + [c for c in self.left_cols if c not in self.on]
+            + self.right_cols
+        )
+
+    def _scoped_view(self, lids, rids, scope) -> DataFrame:
+        """The view rows the refresh may touch, as a stats-pruned read:
+        files intersecting any changed left_id point-range ∪ any
+        changed right_id point-range (the view records stats on both
+        id columns), residual-filtered by the exact scope predicate.
+        Beyond the per-key cap on either side, that side falls back to
+        its (min, max) envelope; a stats-less view degrades to a full
+        scan, never a wrong answer."""
+        v = self.view.current_version()
+        m = self.view.manifest(v)
+        if not m["files"]:
+            # all view rows previously deleted: empty frame, view schema
+            return self.view.spark.createDataFrame(
+                [], self.view.table_schema(v)
+            )
+
+        def side_files(col, keys):
+            ks = sorted({k for k in keys if k is not None})
+            if not ks:
+                return []
+            if len(ks) <= _PRUNE_KEYS_MAX:
+                seen: dict[str, None] = {}
+                for k in ks:
+                    for f in self.view.resolve_files(
+                        version=v, key_range=(col, k, k)
+                    ):
+                        seen.setdefault(f)
+                return list(seen)
+            return self.view.resolve_files(
+                version=v, key_range=(col, ks[0], ks[-1])
+            )
+
+        files: dict[str, None] = {}
+        for f in side_files(self.left_id, lids):
+            files.setdefault(f)
+        for f in side_files(self.right_id, rids):
+            files.setdefault(f)
+        if not files:
+            return self.view._load_files(m["files"][:1], m).filter(
+                F.lit(False)
+            )
+        return self.view._load_files(list(files), m).filter(scope)
+
+    def _scope_predicate(self, lids, rids):
+        pred = F.lit(False)
+        if lids:
+            pred = pred | F.col(self.left_id).isin(lids)
+        if rids:
+            pred = pred | F.col(self.right_id).isin(rids)
+        return pred
+
+    def _full_join(self, lv: int, rv: int) -> DataFrame | None:
+        if lv == 0 or rv == 0:
+            return None
+        lm = self.left.manifest(lv)
+        rm = self.right.manifest(rv)
+        if not lm["files"] or not rm["files"]:
+            return None
+        out = (
+            self.left.read(version=lv)
+            .select(*self.left_cols)
+            .join(
+                self.right.read(version=rv).select(
+                    *self.right_cols + self.on
+                ),
+                self.on,
+            )
+            .select(*self._view_cols())
+        )
+        return out
+
+    def full_refresh(self, force: bool = False) -> int | None:
+        """Recompute the join from both snapshots — the recovery path
+        after a rewriting source commit. ``force=True`` recomputes at
+        already-stamped versions (overwrite's verbatim-epoch
+        contract), the deliberate resync after suspected
+        divergence."""
+        lv, rv = self.left.current_version(), self.right.current_version()
+        out = self._full_join(lv, rv)
+        if out is None:
+            return None
+        return self.view.overwrite(
+            out, _epoch=self._pack(lv, rv), _epoch_force=force
+        )

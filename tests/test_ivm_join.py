@@ -1,0 +1,302 @@
+"""Incremental JOIN view maintenance (lake/ivm_join.py): an inner
+equi-join of two TxnTables kept current by the bilinear delta rule
+Δ(L⋈R) = ΔL⋈R_new + L_old⋈ΔR over the delete-emitting change feeds.
+The invariant under test everywhere: after any refresh, the view
+equals a from-scratch recompute of the two source snapshots."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.ivm_join import (
+    _EPOCH_BASE,
+    IncrementalJoinView,
+)
+from interop_datalake_spark.lake.txn import TxnTable
+from interop_datalake_spark.session import DatalakeSession
+
+
+@pytest.fixture()
+def lake(spark):
+    root = tempfile.mkdtemp(prefix="txn_ivmj_")
+    yield DatalakeSession(lake_root=root, spark=spark)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+_L_SCHEMA = "o_id long, cust string, amount long"
+_R_SCHEMA = "c_id long, cust string, segment string"
+
+
+def _setup(spark, lake, **kw):
+    left = TxnTable(lake, "l_src", stats_cols=["o_id", "cust"])
+    right = TxnTable(lake, "r_src", stats_cols=["c_id", "cust"])
+    view = IncrementalJoinView(
+        lake, "j_view", left, right, on=["cust"],
+        left_id="o_id", right_id="c_id",
+        left_cols=["amount"], right_cols=["segment"], **kw,
+    )
+    return left, right, view
+
+
+def _recompute(left, right):
+    return sorted(
+        map(
+            tuple,
+            left.read()
+            .select("o_id", "cust", "amount")
+            .join(right.read().select("c_id", "cust", "segment"), "cust")
+            .select("cust", "o_id", "amount", "c_id", "segment")
+            .collect(),
+        )
+    )
+
+
+def _state(view):
+    return sorted(
+        map(
+            tuple,
+            view.read()
+            .select("cust", "o_id", "amount", "c_id", "segment")
+            .collect(),
+        )
+    )
+
+
+class TestLifecycle:
+    def test_incremental_equals_recompute_through_all_change_shapes(
+        self, spark, lake
+    ):
+        left, right, view = _setup(spark, lake)
+        right.append(
+            _mk(spark, [(101, "a", "GOLD"), (102, "b", "SILVER")], _R_SCHEMA)
+        )
+        left.append(
+            _mk(
+                spark,
+                [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "zz", 99)],
+                _L_SCHEMA,
+            )
+        )
+        assert view.refresh() == 1
+        assert _state(view) == _recompute(left, right)
+        # orphan o_id=4 ('zz' has no customer) must be absent
+        assert all(t[0] != "zz" for t in _state(view))
+
+        # both sides advance in one window; the former orphan matches
+        left.append(_mk(spark, [(5, "b", 50)], _L_SCHEMA))
+        right.append(_mk(spark, [(103, "zz", "BRONZE")], _R_SCHEMA))
+        assert view.refresh() is not None
+        assert _state(view) == _recompute(left, right)
+
+        # vector deletes on both sides — including the cascade (right
+        # 'b' delete removes every order of 'b')
+        left.delete_where(F.col("o_id") == 1, merge_on_read=True)
+        right.delete_where(F.col("cust") == "b", merge_on_read=True)
+        assert view.refresh() is not None
+        assert _state(view) == _recompute(left, right)
+
+    def test_replay_is_noop(self, spark, lake):
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        v = view.refresh()
+        assert v == 1
+        assert view.refresh() is None  # same (lv, rv): no-op
+        assert view.view.current_version() == v
+
+    def test_only_right_advances(self, spark, lake):
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10), (2, "c", 5)], _L_SCHEMA))
+        view.refresh()
+        right.append(_mk(spark, [(102, "c", "IRON")], _R_SCHEMA))
+        view.refresh()
+        assert _state(view) == _recompute(left, right)
+        assert view.last_refreshed_versions() == (1, 2)
+
+    def test_pair_deleted_on_both_sides_same_window(self, spark, lake):
+        """L row and its matching R row both vector-deleted in one
+        window: the algebra must emit exactly one −1 (ΔL⋈R_new finds
+        no surviving right row; L_old⋈ΔR finds the old left row)."""
+        left, right, view = _setup(spark, lake)
+        right.append(
+            _mk(spark, [(101, "a", "GOLD"), (102, "b", "S")], _R_SCHEMA)
+        )
+        left.append(_mk(spark, [(1, "a", 10), (2, "b", 20)], _L_SCHEMA))
+        view.refresh()
+        left.delete_where(F.col("o_id") == 1, merge_on_read=True)
+        right.delete_where(F.col("c_id") == 101, merge_on_read=True)
+        view.refresh()
+        assert _state(view) == _recompute(left, right)
+        assert all(t[0] != "a" for t in _state(view))
+
+    def test_update_in_place_replaces_payload(self, spark, lake):
+        """delete + reinsert of the same right id with a new payload
+        (net 0, one insert) must REPLACE the materialized payload."""
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        right.delete_where(F.col("c_id") == 101, merge_on_read=True)
+        right.append(_mk(spark, [(101, "a", "PLATINUM")], _R_SCHEMA))
+        view.refresh()
+        assert _state(view) == [("a", 1, 10, 101, "PLATINUM")]
+        assert _state(view) == _recompute(left, right)
+
+    def test_orphan_only_window_stamps_epoch(self, spark, lake):
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        before = _state(view)
+        left.append(_mk(spark, [(9, "nope", 1)], _L_SCHEMA))  # orphan
+        view.refresh()
+        assert _state(view) == before
+        # the window must still stamp, or every later refresh re-scans
+        assert view.last_refreshed_versions() == (2, 1)
+
+    def test_delete_after_partner_side_removed(self, spark, lake):
+        """Right customer removed in window 1; its left orders deleted
+        in window 2 — ΔL⋈R_new is empty (no partner), yet the view
+        has nothing left to remove. The empty-terms branch must not
+        crash and must stamp."""
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        right.delete_where(F.col("c_id") == 101, merge_on_read=True)
+        view.refresh()
+        assert _state(view) == []
+        left.delete_where(F.col("o_id") == 1, merge_on_read=True)
+        view.refresh()
+        assert _state(view) == []
+        assert view.last_refreshed_versions() == (
+            left.current_version(),
+            right.current_version(),
+        )
+
+
+class TestRefusals:
+    def test_rewriting_commit_refused_full_refresh_recovers(
+        self, spark, lake
+    ):
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(
+            _mk(spark, [(1, "a", 10), (2, "a", 20)], _L_SCHEMA)
+        )
+        view.refresh()
+        # copy-on-write delete (merge_on_read=False) rewrites files
+        left.delete_where(F.col("o_id") == 1)
+        with pytest.raises(ValueError, match="rewrites files"):
+            view.refresh()
+        view.full_refresh()
+        assert _state(view) == _recompute(left, right)
+        # incremental maintenance resumes after the resync
+        left.append(_mk(spark, [(3, "a", 30)], _L_SCHEMA))
+        view.refresh()
+        assert _state(view) == _recompute(left, right)
+
+    def test_duplicate_right_id_refused(self, spark, lake):
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        # second right row with the SAME id and same join key: the
+        # (o_id=1, c_id=101) pair gets a second +1 — unique-id breach
+        right.append(_mk(spark, [(101, "a", "EVIL")], _R_SCHEMA))
+        with pytest.raises(ValueError, match="unique-id contract"):
+            view.refresh()
+
+    def test_column_overlap_refused(self, spark, lake):
+        left = TxnTable(lake, "l2", stats_cols=["o_id"])
+        right = TxnTable(lake, "r2", stats_cols=["c_id"])
+        with pytest.raises(ValueError, match="disjoint"):
+            IncrementalJoinView(
+                lake, "v2", left, right, on=["cust"],
+                left_id="o_id", right_id="c_id",
+                left_cols=["amount"], right_cols=["amount"],
+            )
+
+    def test_id_in_join_cols_refused(self, spark, lake):
+        left = TxnTable(lake, "l3", stats_cols=["o_id"])
+        right = TxnTable(lake, "r3", stats_cols=["c_id"])
+        with pytest.raises(ValueError, match="identity"):
+            IncrementalJoinView(
+                lake, "v3", left, right, on=["o_id"],
+                left_id="o_id", right_id="c_id",
+            )
+
+    def test_epoch_pack_bound_refused(self, spark, lake):
+        left, right, view = _setup(spark, lake)
+        with pytest.raises(ValueError, match="packed-epoch bound"):
+            view._pack(1, _EPOCH_BASE)
+
+
+class TestScalePruning:
+    def test_snapshot_read_is_pruned_to_changed_keys(self, spark, lake):
+        """A one-key left append must NOT rescan the whole right
+        snapshot: the right side's scan file set is a strict subset
+        (the right table has multiple files with disjoint key
+        ranges)."""
+        left, right, view = _setup(spark, lake)
+        # 4 separate right commits → ≥4 files with disjoint cust ranges
+        for i, c in enumerate("abcd"):
+            right.append(
+                _mk(spark, [(100 + i, c, f"SEG{i}")], _R_SCHEMA)
+            )
+        left.append(
+            _mk(spark, [(i, c, i * 10) for i, c in enumerate("abcd")],
+                _L_SCHEMA),
+        )
+        view.refresh()
+        n_right_files = len(right.manifest(right.current_version())["files"])
+        assert n_right_files >= 4
+        # window touching ONLY cust='c'
+        left.append(_mk(spark, [(50, "c", 555)], _L_SCHEMA))
+        view.refresh()
+        scanned = view.last_snapshot_scan_files["right"]
+        assert scanned is not None
+        assert 0 < len(scanned) < n_right_files
+        assert _state(view) == _recompute(left, right)
+
+    def test_scoped_view_read_is_pruned(self, spark, lake):
+        """The in-scope view read prunes by the changed ids' stats —
+        refresh cost must not include a full view scan."""
+        left, right, view = _setup(spark, lake)
+        right.append(
+            _mk(spark, [(100 + i, c, "S") for i, c in enumerate("abcd")],
+                _R_SCHEMA),
+        )
+        # 4 separate view-feeding commits → view accrues several files
+        for i, c in enumerate("abcd"):
+            left.append(_mk(spark, [(i, c, i * 10)], _L_SCHEMA))
+            view.refresh()
+        view_files = len(
+            view.view.manifest(view.view.current_version())["files"]
+        )
+        assert view_files >= 4
+        left.delete_where(F.col("o_id") == 2, merge_on_read=True)
+        view.refresh()
+        assert _state(view) == _recompute(left, right)
+
+    def test_full_refresh_force_at_stamped_versions(self, spark, lake):
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        assert view.full_refresh() is None  # same versions: no-op
+        assert view.full_refresh(force=True) is not None
+        assert _state(view) == _recompute(left, right)
+        # epochs stamped verbatim: incremental resumes cleanly
+        left.append(_mk(spark, [(2, "a", 20)], _L_SCHEMA))
+        view.refresh()
+        assert _state(view) == _recompute(left, right)
