@@ -53,6 +53,26 @@ from interop_datalake_spark.lake.txn import TxnTable
 _SAFE_OPS = {"append", "delete", "merge", "consolidate_dv"}
 
 
+def assert_window_delta_visible(table, last: int, to: int) -> bool:
+    """Raise on rewriting commits in ``(last, to]`` of ``table``;
+    return True when the window contains vector deletes. THE shared
+    safety gate for every incremental consumer (agg views, join
+    views): a rewriting commit re-emits existing rows in the
+    append-only feed and would double-count."""
+    has_dv = False
+    for v in range(last + 1, to + 1):
+        rec = table.commit_record(v)
+        op = rec.get("op")
+        if rec.get("removed") or op not in _SAFE_OPS:
+            raise ValueError(
+                f"source {table.name} commit v{v} ({op}) rewrites "
+                f"files — its feed emission re-adds existing rows and "
+                f"would double-count; run full_refresh() to resync"
+            )
+        has_dv = has_dv or "dv" in rec
+    return has_dv
+
+
 class IncrementalAggView:
     """A grouped (count, sums) aggregate of ``source`` materialized as
     its own TxnTable and maintained incrementally.
@@ -237,20 +257,9 @@ class IncrementalAggView:
 
     def _assert_window_is_delta_visible(self, last: int, to: int) -> bool:
         """Raise on rewriting commits; return True when the window
-        contains vector deletes (the min/max partial-repair trigger)."""
-        has_dv = False
-        for v in range(last + 1, to + 1):
-            rec = self.source.commit_record(v)
-            op = rec.get("op")
-            rewriting = rec.get("removed") or op not in _SAFE_OPS
-            if rewriting:
-                raise ValueError(
-                    f"source commit v{v} ({op}) rewrites files — its "
-                    f"feed emission re-adds existing rows and would "
-                    f"double-count; run full_refresh() to resync"
-                )
-            has_dv = has_dv or "dv" in rec
-        return has_dv
+        contains vector deletes (the min/max partial-repair trigger).
+        Delegates to the module-level gate shared with the join view."""
+        return assert_window_delta_visible(self.source, last, to)
 
     # -- refresh -------------------------------------------------------------
 

@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from interop_datalake_spark.lake.ivm import _SAFE_OPS
+from interop_datalake_spark.lake.ivm import assert_window_delta_visible
 from interop_datalake_spark.lake.txn import TxnTable
 
 #: versions-per-source bound for the packed (lv, rv) epoch
@@ -113,10 +113,15 @@ class IncrementalJoinView:
         # read per changed id (either side), not by full scan
         self.view = TxnTable(session, name, stats_cols=[left_id, right_id])
         #: files the last refresh's pruned snapshot reads opened,
-        #: keyed by side ("left"/"right"; absent side = that term was
-        #: empty; None value = pruning unavailable, full scan) —
-        #: observability for tests, like ivm.last_repair_scan_files
-        self.last_snapshot_scan_files: dict[str, list[str] | None] = {}
+        #: keyed by side ("left"/"right"); absent side = that term was
+        #: empty. Always the actual opened file list — a stats-less
+        #: table records its full file list (the conservative
+        #: full-scan degradation). Observability for tests, like
+        #: ivm.last_repair_scan_files.
+        self.last_snapshot_scan_files: dict[str, list[str]] = {}
+        #: files the last refresh's in-scope VIEW read opened (None =
+        #: refresh didn't reach the scoped read)
+        self.last_view_scan_files: list[str] | None = None
 
     # -- epochs ---------------------------------------------------------------
 
@@ -140,18 +145,6 @@ class IncrementalJoinView:
         return self.view.read()
 
     # -- snapshot + delta construction ---------------------------------------
-
-    def _assert_delta_visible(self, table: TxnTable, last: int, to: int):
-        for v in range(last + 1, to + 1):
-            rec = table.commit_record(v)
-            op = rec.get("op")
-            if rec.get("removed") or op not in _SAFE_OPS:
-                raise ValueError(
-                    f"source {table.name} commit v{v} ({op}) rewrites "
-                    f"files — its feed emission re-adds existing rows "
-                    f"and would double-count; run full_refresh() to "
-                    f"resync"
-                )
 
     def _snapshot(
         self, table: TxnTable, version: int, cols: list[str],
@@ -208,11 +201,16 @@ class IncrementalJoinView:
         llast, rlast = self.last_refreshed_versions()
         if (lv, rv) == (llast, rlast):
             return None
-        self._assert_delta_visible(self.left, llast, lv)
-        self._assert_delta_visible(self.right, rlast, rv)
         self.last_snapshot_scan_files = {}
+        self.last_view_scan_files = None
         packed = self._pack(lv, rv)
         if self.view.current_version() == 0:
+            # initial materialization joins SNAPSHOTS and never reads
+            # the feed — rewriting commits in the pre-history are
+            # irrelevant here (the delta-visibility asserts below
+            # would spuriously refuse any source that was ever
+            # compacted, and cost an O(all-commits) driver loop —
+            # post-review fix)
             out = self._full_join(lv, rv)
             if out is None:
                 # a source is still empty: nothing to materialize and
@@ -222,12 +220,17 @@ class IncrementalJoinView:
             return self.view.merge(
                 out, [self.left_id, self.right_id], _epoch=packed
             )
+        assert_window_delta_visible(self.left, llast, lv)
+        assert_window_delta_visible(self.right, rlast, rv)
 
+        # checkpoint the signed feeds once: each drives a bounded
+        # collect AND a join term — without the barrier the feed read
+        # (with its DV semi-joins) re-runs per consumer
         lchange = (
             self._signed(
                 self.left.read_changes(llast, lv, include_deletes=True),
                 self.left_cols,
-            )
+            ).localCheckpoint()
             if lv > llast
             else None
         )
@@ -235,7 +238,7 @@ class IncrementalJoinView:
             self._signed(
                 self.right.read_changes(rlast, rv, include_deletes=True),
                 self.right_cols + self.on,
-            )
+            ).localCheckpoint()
             if rv > rlast
             else None
         )
@@ -255,6 +258,8 @@ class IncrementalJoinView:
             # window is never rescanned
             return self.view.stamp_epoch(packed)
 
+        view_cols = self._view_cols()
+        payload = [c for c in view_cols if c not in (self.left_id, self.right_id)]
         terms = []
         if lrows:
             r_snap = self._snapshot(
@@ -265,7 +270,15 @@ class IncrementalJoinView:
                 "right",
             )
             if r_snap is not None:
-                terms.append(lchange.join(r_snap, self.on))
+                # term priority 2: ΔL⋈R_new sees BOTH sides current,
+                # so when a pair has inserts from both terms (both
+                # sides updated in one window), term1's payload wins —
+                # term2's left payload is the stale L_old row
+                terms.append(
+                    lchange.join(r_snap, self.on).withColumn(
+                        "_term", F.lit(2)
+                    )
+                )
         if rrows:
             l_snap = self._snapshot(
                 self.left,
@@ -275,40 +288,62 @@ class IncrementalJoinView:
                 "left",
             )
             if l_snap is not None:
+                # l_snap carries no _sign column: the join inherits
+                # rchange's sign unambiguously
                 terms.append(
-                    l_snap.join(
-                        rchange.withColumnRenamed("_sign", "_rsign"),
-                        self.on,
-                    ).withColumn("_sign", F.col("_rsign")).drop("_rsign")
+                    l_snap.join(rchange, self.on).withColumn(
+                        "_term", F.lit(1)
+                    )
                 )
-        view_cols = self._view_cols()
         ids = [self.left_id, self.right_id]
         lids = [r[0] for r in lrows]
         rids = [r[0] for r in rrows]
         scope = self._scope_predicate(lids, rids)
         if not terms:
-            # changes joined nothing (e.g. orphan keys): the view rows
-            # whose ids were touched may still need DELETING (a left
-            # delete with no surviving match) — sync an empty source
-            # over the scope; stamp-only when nothing is in scope
+            # changes joined nothing. If no touched id is materialized
+            # either, the window is pure orphans: stamp and move on.
+            # A MATERIALIZED id whose change joined nothing, however,
+            # can only be a duplicate-id insert (any single change to
+            # a materialized row emits a delete that joins its live
+            # partner, so legitimate windows always produce a term) —
+            # refuse loudly rather than let merge_sync silently delete
+            # the in-scope rows (post-review fix: this branch used to
+            # sync empty over the scope, corrupting the view exactly
+            # when the unique-id contract was broken)
             cur = self._scoped_view(lids, rids, scope)
             if cur.limit(1).count() == 0:
                 return self.view.stamp_epoch(packed)
-            empty = cur.filter(F.lit(False))
-            return self.view.merge_sync(
-                empty, ids, scope=scope, _epoch=packed
+            raise ValueError(
+                "a change for an already-materialized id joined no "
+                "partner row: this only happens when a source re-"
+                "inserts an existing id under a different join key "
+                "(unique-id contract violation) — fix the source and "
+                "full_refresh()"
             )
         delta = terms[0]
         for t in terms[1:]:
             delta = delta.unionByName(t)
-        payload = [c for c in view_cols if c not in ids]
         d = delta.groupBy(*ids).agg(
             F.sum("_sign").cast("bigint").alias("_net"),
-            F.sum(F.when(F.col("_sign") > 0, 1).otherwise(0)).alias(
-                "_n_ins"
-            ),
+            # per-term insert counts: ONE insert per term is the
+            # legitimate maximum (a both-sides same-window update
+            # yields one insert in each term — post-review fix: a
+            # combined count falsely refused that workload); two
+            # inserts within one term = duplicate id in a source
+            F.sum(
+                F.when((F.col("_sign") > 0) & (F.col("_term") == 2), 1)
+                .otherwise(0)
+            ).alias("_n_ins_t2"),
+            F.sum(
+                F.when((F.col("_sign") > 0) & (F.col("_term") == 1), 1)
+                .otherwise(0)
+            ).alias("_n_ins_t1"),
+            # payload of the highest-priority insert (struct max is
+            # lexicographic; _term leads)
             F.max(
-                F.when(F.col("_sign") > 0, F.struct(*payload))
+                F.when(
+                    F.col("_sign") > 0, F.struct("_term", *payload)
+                )
             ).alias("_ins"),
         )
         cur = self._scoped_view(lids, rids, scope)
@@ -318,10 +353,15 @@ class IncrementalJoinView:
         presence = F.coalesce(F.col("_in_view"), F.lit(0)) + F.coalesce(
             F.col("_net"), F.lit(0)
         )
-        merged = merged.withColumn("_presence", presence)
+        # checkpoint: the violation count below and merge_sync's write
+        # both consume this frame — without the barrier the whole
+        # delta lineage (feed reads, snapshot joins, groupBy) re-runs
+        # per action. Bounded: in-scope view rows + touched pairs.
+        merged = merged.withColumn("_presence", presence).localCheckpoint()
         bad = merged.filter(
             (~F.col("_presence").isin(0, 1))
-            | (F.coalesce(F.col("_n_ins"), F.lit(0)) > 1)
+            | (F.coalesce(F.col("_n_ins_t1"), F.lit(0)) > 1)
+            | (F.coalesce(F.col("_n_ins_t2"), F.lit(0)) > 1)
         ).count()  # bounded action: one scalar
         if bad:
             raise ValueError(
@@ -335,7 +375,7 @@ class IncrementalJoinView:
             *ids,
             *[
                 F.when(
-                    F.col("_n_ins") == 1, F.col(f"_ins.{c}")
+                    F.col("_ins").isNotNull(), F.col(f"_ins.{c}")
                 )
                 .otherwise(F.col(c))
                 .alias(c)
@@ -390,6 +430,7 @@ class IncrementalJoinView:
             files.setdefault(f)
         for f in side_files(self.right_id, rids):
             files.setdefault(f)
+        self.last_view_scan_files = list(files)
         if not files:
             return self.view._load_files(m["files"][:1], m).filter(
                 F.lit(False)

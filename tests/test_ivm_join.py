@@ -28,7 +28,10 @@ def lake(spark):
 
 
 def _mk(spark, rows, schema):
-    return spark.createDataFrame(rows, schema)
+    # one file per append: small createDataFrames otherwise emit
+    # empty stat-less part files that conservatively defeat the
+    # pruning paths these tests pin
+    return spark.createDataFrame(rows, schema).coalesce(1)
 
 
 _L_SCHEMA = "o_id long, cust string, amount long"
@@ -151,6 +154,26 @@ class TestLifecycle:
         assert _state(view) == [("a", 1, 10, 101, "PLATINUM")]
         assert _state(view) == _recompute(left, right)
 
+    def test_both_sides_updated_same_window(self, spark, lake):
+        """Left row and its matching right row BOTH updated
+        (DV delete + re-append) in one window: the pair legitimately
+        collects one insert from each delta term; the view must keep
+        the row with BOTH fresh payloads (term1's, where both sides
+        are current — post-review fix: a combined insert count
+        falsely refused this workload, and a naive payload max could
+        have resurrected the stale L_old left payload)."""
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        left.delete_where(F.col("o_id") == 1, merge_on_read=True)
+        left.append(_mk(spark, [(1, "a", 11)], _L_SCHEMA))
+        right.delete_where(F.col("c_id") == 101, merge_on_read=True)
+        right.append(_mk(spark, [(101, "a", "PLATINUM")], _R_SCHEMA))
+        view.refresh()
+        assert _state(view) == [("a", 1, 11, 101, "PLATINUM")]
+        assert _state(view) == _recompute(left, right)
+
     def test_orphan_only_window_stamps_epoch(self, spark, lake):
         left, right, view = _setup(spark, lake)
         right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
@@ -215,6 +238,38 @@ class TestRefusals:
         right.append(_mk(spark, [(101, "a", "EVIL")], _R_SCHEMA))
         with pytest.raises(ValueError, match="unique-id contract"):
             view.refresh()
+
+    def test_duplicate_id_with_orphan_key_refused(self, spark, lake):
+        """A second left row reusing a MATERIALIZED id under a join
+        key that matches nothing bypasses the delta entirely (its
+        term is empty) — the empty-terms branch must refuse loudly,
+        never silently delete the id's in-scope view rows
+        (post-review fix: it used to sync empty over the scope)."""
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        left.append(_mk(spark, [(1, "zz", 99)], _L_SCHEMA))  # dup id
+        with pytest.raises(ValueError, match="unique-id contract"):
+            view.refresh()
+        # the view was NOT corrupted by the refused window
+        assert _state(view) == [("a", 1, 10, 101, "GOLD")]
+
+    def test_initial_materialization_ignores_rewritten_history(
+        self, spark, lake
+    ):
+        """A source compacted/rewritten BEFORE the view exists must
+        not block the first refresh: initial materialization joins
+        snapshots and never reads the feed (post-review fix: the
+        delta-visibility assert ran unconditionally)."""
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(
+            _mk(spark, [(1, "a", 10), (2, "a", 20)], _L_SCHEMA)
+        )
+        left.delete_where(F.col("o_id") == 2)  # copy-on-write rewrite
+        assert view.refresh() is not None
+        assert _state(view) == _recompute(left, right)
 
     def test_column_overlap_refused(self, spark, lake):
         left = TxnTable(lake, "l2", stats_cols=["o_id"])
@@ -287,6 +342,9 @@ class TestScalePruning:
         left.delete_where(F.col("o_id") == 2, merge_on_read=True)
         view.refresh()
         assert _state(view) == _recompute(left, right)
+        # the in-scope view read opened a strict subset of view files
+        assert view.last_view_scan_files is not None
+        assert 0 < len(view.last_view_scan_files) < view_files
 
     def test_full_refresh_force_at_stamped_versions(self, spark, lake):
         left, right, view = _setup(spark, lake)
