@@ -109,6 +109,17 @@ class IncrementalJoinView:
                 "id columns cannot be join columns: the identity must "
                 "distinguish rows WITHIN a join key"
             )
+        reserved = [
+            c
+            for c in set(self.left_cols) | set(self.right_cols) | set(self.on)
+            if c.startswith("_")
+        ]
+        if reserved:
+            raise ValueError(
+                f"column names starting with '_' are reserved for the "
+                f"refresh plumbing (_sign/_term/_net/...): rename "
+                f"{sorted(reserved)} upstream"
+            )
         # stats on BOTH id columns: a refresh prunes the in-scope view
         # read per changed id (either side), not by full scan
         self.view = TxnTable(session, name, stats_cols=[left_id, right_id])
@@ -270,12 +281,17 @@ class IncrementalJoinView:
                 "right",
             )
             if r_snap is not None:
-                # term priority 2: ΔL⋈R_new sees BOTH sides current,
-                # so when a pair has inserts from both terms (both
-                # sides updated in one window), term1's payload wins —
-                # term2's left payload is the stale L_old row
+                # _term=2 (the PRIORITY value under the struct max):
+                # ΔL⋈R_new sees BOTH sides current, so when a pair
+                # collects an insert from each term (both sides
+                # updated in one window) THIS term's payload must win
+                # — the L_old⋈ΔR term (_term=1) carries the stale
+                # pre-window left payload. The delta side is
+                # checkpointed (hides size stats) and window-bounded:
+                # broadcast it explicitly, per the repo's
+                # checkpoint-hides-stats rule.
                 terms.append(
-                    lchange.join(r_snap, self.on).withColumn(
+                    F.broadcast(lchange).join(r_snap, self.on).withColumn(
                         "_term", F.lit(2)
                     )
                 )
@@ -288,10 +304,13 @@ class IncrementalJoinView:
                 "left",
             )
             if l_snap is not None:
-                # l_snap carries no _sign column: the join inherits
-                # rchange's sign unambiguously
+                # _term=1 (loses the payload-priority max to ΔL⋈R_new
+                # when both contribute). l_snap carries no _sign
+                # column: the join inherits rchange's sign
+                # unambiguously. Broadcast the checkpointed delta side
+                # explicitly (same rule as above).
                 terms.append(
-                    l_snap.join(rchange, self.on).withColumn(
+                    l_snap.join(F.broadcast(rchange), self.on).withColumn(
                         "_term", F.lit(1)
                     )
                 )
@@ -404,7 +423,11 @@ class IncrementalJoinView:
         v = self.view.current_version()
         m = self.view.manifest(v)
         if not m["files"]:
-            # all view rows previously deleted: empty frame, view schema
+            # all view rows previously deleted: empty frame, view
+            # schema; the scoped read DID run — record the (empty)
+            # file set, per the attribute's None-means-not-reached
+            # contract
+            self.last_view_scan_files = []
             return self.view.spark.createDataFrame(
                 [], self.view.table_schema(v)
             )

@@ -158,10 +158,11 @@ class TestLifecycle:
         """Left row and its matching right row BOTH updated
         (DV delete + re-append) in one window: the pair legitimately
         collects one insert from each delta term; the view must keep
-        the row with BOTH fresh payloads (term1's, where both sides
-        are current — post-review fix: a combined insert count
-        falsely refused this workload, and a naive payload max could
-        have resurrected the stale L_old left payload)."""
+        the row with BOTH fresh payloads — the ΔL⋈R_new term's, where
+        both sides are current (post-review fix: a combined insert
+        count falsely refused this workload, and an unprioritized
+        payload max could have resurrected the stale L_old left
+        payload from the L_old⋈ΔR term)."""
         left, right, view = _setup(spark, lake)
         right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
         left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
@@ -288,6 +289,16 @@ class TestRefusals:
             IncrementalJoinView(
                 lake, "v3", left, right, on=["o_id"],
                 left_id="o_id", right_id="c_id",
+            )
+
+    def test_reserved_underscore_columns_refused(self, spark, lake):
+        left = TxnTable(lake, "l4", stats_cols=["o_id"])
+        right = TxnTable(lake, "r4", stats_cols=["c_id"])
+        with pytest.raises(ValueError, match="reserved"):
+            IncrementalJoinView(
+                lake, "v4", left, right, on=["cust"],
+                left_id="o_id", right_id="c_id",
+                left_cols=["_sign"],
             )
 
     def test_epoch_pack_bound_refused(self, spark, lake):
