@@ -208,6 +208,47 @@ class TestLifecycle:
         )
 
 
+class TestStreamingTrigger:
+    def test_stream_drives_continuous_join_refresh(self, spark, lake):
+        """Composition with the change-feed STREAM (the same shape as
+        the agg view's continuous-rollup deployment): readStream
+        tails ONE source and each micro-batch triggers refresh() in
+        foreachBatch. refresh() reads its own exact two-sided delta —
+        the stream is purely the trigger, so right-side commits
+        landing between batches are picked up too; idempotent packed
+        epochs make replayed batches no-ops."""
+        from interop_datalake_spark.streaming.txn_source import (
+            read_txn_stream,
+        )
+
+        left, right, view = _setup(spark, lake)
+        right.append(
+            _mk(spark, [(100 + i, c, f"S{i}") for i, c in enumerate("abc")],
+                _R_SCHEMA),
+        )
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))       # v1
+        left.append(_mk(spark, [(2, "b", 20)], _L_SCHEMA))       # v2
+        left.delete_where(F.col("o_id") == 1, merge_on_read=True)  # v3
+        stream = read_txn_stream(lake, "l_src", max_versions_per_trigger=1)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, epoch_id: view.refresh()
+            )
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                str(left.root.parent / "_ckpt_ivmj_stream"),
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        assert _state(view) == _recompute(left, right)
+        assert view.last_refreshed_versions() == (
+            left.current_version(),
+            right.current_version(),
+        )
+
+
 class TestRefusals:
     def test_rewriting_commit_refused_full_refresh_recovers(
         self, spark, lake
