@@ -254,6 +254,9 @@ def _with_required_conf(fn):
 #:       (r7-green; corpus keeps to_training_set — which packs
 #:       sequences inside — plus importance_sample/curate_pipeline/
 #:       sample/sample_stratified)
+#:   in: lake_join_rollup (aggregate-over-join IVM, the DBSP
+#:       composition) — out: text_lang_ngram (r7-green; text keeps
+#:       winnowing_fingerprints/trigrams_udtf/bpe_train)
 WITNESS_PRIORITY = [
     # relational core
     "q1_pricing_summary", "scan_filter_project",
@@ -269,7 +272,7 @@ WITNESS_PRIORITY = [
     "lake_publish_roundtrip",
     "lake_partition_transforms", "lake_deletion_vectors",
     "lake_change_feed_deletes", "lake_incremental_view",
-    "lake_incremental_join_view",
+    "lake_incremental_join_view", "lake_join_rollup",
     "lake_delta_roundtrip",
     # windows + custom joins
     "topk_per_group", "join_asof",
@@ -302,7 +305,7 @@ WITNESS_PRIORITY = [
     # (winnowing fingerprints, n-gram lang-id, rolling-hash doc
     # fingerprint, repetition ratios, trigram UDTF) over r6-green
     # quality_classifier/bpe_tokenize (bpe_train stays)
-    "text_winnowing_fingerprints", "text_lang_ngram",
+    "text_winnowing_fingerprints",
     "text_trigrams_udtf",
     # corpus curation: capstone + DSIR stay; never-witnessed chunking,
     # vocab, and sequence packing rotate in over r6-green

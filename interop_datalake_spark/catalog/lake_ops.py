@@ -1289,6 +1289,111 @@ def lake_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage", "custkey", "o_orderkey")
 
 
+def lake_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-join IVM
+    (lake/ivm_join.py:IncrementalJoinAggView): revenue per market
+    segment over orders ⋈ customers, maintained WITHOUT materializing
+    the join — the signed bilinear join delta feeds the additive
+    aggregate algebra directly (the DBSP composition), so each
+    refresh costs O(changed rows × fanout + touched segments) while
+    the view stores |segments| rows. No unique-id contract: aggregates
+    are multiset-linear. Stages mirror the join-view lifecycle; the
+    oracle replays each as a filtered join + GROUP BY. Money is
+    summed as exact integer cents (floor(price·100 + 0.5) — the same
+    IEEE ops in both engines; sums must be integral by the view's own
+    truncate-per-delta refusal)."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.ivm_join import IncrementalJoinAggView
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    root = tempfile.mkdtemp(prefix="lake_ivmja_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        left = TxnTable(session, "orders_src", stats_cols=["o_orderkey", "custkey"])
+        right = TxnTable(session, "cust_src", stats_cols=["cust_id", "custkey"])
+        view = IncrementalJoinAggView(
+            session, "revenue_by_segment", left, right, on=["custkey"],
+            key_cols=["segment"], sum_cols=["cents"],
+        )
+        rows = []
+
+        def snap(stage):
+            rows.extend(
+                (stage, r["segment"], r["n"], r["sum_cents"])
+                for r in view.read().collect()  # one row/segment
+            )
+
+        right.append(cust.filter(F.col("custkey") < 40))
+        left.append(orders.filter(F.col("o_orderkey") < 150))
+        view.refresh()
+        snap("s1_initial")
+        left.append(
+            orders.filter(
+                (F.col("o_orderkey") >= 150) & (F.col("o_orderkey") < 300)
+            )
+        )
+        right.append(
+            cust.filter((F.col("custkey") >= 40) & (F.col("custkey") < 80))
+        )
+        view.refresh()
+        snap("s2_both_append")
+        right.delete_where(F.col("cust_id") % 7 == 0, merge_on_read=True)
+        left.delete_where(F.col("o_orderkey") % 5 == 0, merge_on_read=True)
+        view.refresh()
+        snap("s3_vector_deletes")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "stage STRING, segment STRING, n BIGINT, sum_cents BIGINT"
+    ).orderBy("stage", "segment")
+
+
+LAKE_JOIN_ROLLUP_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), c AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer
+)
+SELECT * FROM (
+  SELECT 's1_initial' AS stage, c.segment, count(*)::BIGINT AS n,
+         sum(o.cents)::BIGINT AS sum_cents
+  FROM o JOIN c USING (custkey)
+  WHERE o.o_orderkey < 150 AND c.custkey < 40
+  GROUP BY c.segment
+  UNION ALL
+  SELECT 's2_both_append', c.segment, count(*)::BIGINT,
+         sum(o.cents)::BIGINT
+  FROM o JOIN c USING (custkey)
+  WHERE o.o_orderkey < 300 AND c.custkey < 80
+  GROUP BY c.segment
+  UNION ALL
+  SELECT 's3_vector_deletes', c.segment, count(*)::BIGINT,
+         sum(o.cents)::BIGINT
+  FROM o JOIN c USING (custkey)
+  WHERE o.o_orderkey < 300 AND c.custkey < 80
+    AND c.custkey % 7 <> 0 AND o.o_orderkey % 5 <> 0
+  GROUP BY c.segment
+)
+ORDER BY stage, segment
+"""
+
+
 LAKE_IVM_JOIN_ORACLE = """
 WITH o AS (
   SELECT o_orderkey, o_custkey AS custkey, o_totalprice AS price
@@ -1423,6 +1528,7 @@ QUERIES = {
     "lake_change_feed_deletes": lake_change_feed_deletes,
     "lake_incremental_view": lake_incremental_view,
     "lake_incremental_join_view": lake_incremental_join_view,
+    "lake_join_rollup": lake_join_rollup,
     "lake_delta_roundtrip": lake_delta_roundtrip,
 }
 
@@ -1446,5 +1552,6 @@ ORACLES = {
     "lake_change_feed_deletes": LAKE_CDF_ORACLE,
     "lake_incremental_view": LAKE_IVM_ORACLE,
     "lake_incremental_join_view": LAKE_IVM_JOIN_ORACLE,
+    "lake_join_rollup": LAKE_JOIN_ROLLUP_ORACLE,
     "lake_delta_roundtrip": LAKE_DELTA_ORACLE,
 }

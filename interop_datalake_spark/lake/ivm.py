@@ -73,6 +73,43 @@ def assert_window_delta_visible(table, last: int, to: int) -> bool:
     return has_dv
 
 
+def keys_predicate(key_cols: list[str], key_tuples) -> "F.Column":
+    """Column predicate "row's key ∈ key_tuples" (bounded OR of ANDs;
+    single-key views collapse to one isin). Shared by every
+    incremental view's scoped read/merge."""
+    if len(key_cols) == 1:
+        return F.col(key_cols[0]).isin([t[0] for t in key_tuples])
+    cond = None
+    for t in key_tuples:
+        eq = F.lit(True)
+        for k, v in zip(key_cols, t):
+            eq = eq & (F.col(k) == F.lit(v))
+        cond = eq if cond is None else (cond | eq)
+    return cond
+
+
+def additive_combine_exprs(add_cols: list[str]) -> list:
+    """Combine expressions for additive (count/sum) view columns in a
+    cur ⟗ delta full-outer frame where the delta side is aliased
+    ``_d_<col>``: SQL SUM of an all-NULL group is NULL, not 0 — when
+    BOTH sides are NULL the combined sum must stay NULL or the view
+    silently diverges from a recompute (round-6 review finding).
+    Shared by the agg and join-agg views."""
+    return [
+        F.when(
+            F.col(c).isNull() & F.col(f"_d_{c}").isNull(),
+            F.lit(None),
+        )
+        .otherwise(
+            F.coalesce(F.col(c), F.lit(0))
+            + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias(c)
+        for c in add_cols
+    ]
+
+
 class IncrementalAggView:
     """A grouped (count, sums) aggregate of ``source`` materialized as
     its own TxnTable and maintained incrementally.
@@ -264,19 +301,9 @@ class IncrementalAggView:
     # -- refresh -------------------------------------------------------------
 
     def _keys_predicate(self, key_tuples):
-        """Column predicate "row's key ∈ key_tuples" (bounded OR of
-        ANDs; single-key views collapse to one isin)."""
-        if len(self.key_cols) == 1:
-            return F.col(self.key_cols[0]).isin(
-                [t[0] for t in key_tuples]
-            )
-        cond = None
-        for t in key_tuples:
-            eq = F.lit(True)
-            for k, v in zip(self.key_cols, t):
-                eq = eq & (F.col(k) == F.lit(v))
-            cond = eq if cond is None else (cond | eq)
-        return cond
+        """Column predicate "row's key ∈ key_tuples" — delegates to
+        the module-level helper shared with the join views."""
+        return keys_predicate(self.key_cols, key_tuples)
 
     def _validate_watermark_delay(self) -> None:
         """Refuse loudly at construction when the delay's Python type
@@ -614,22 +641,9 @@ class IncrementalAggView:
         dd = delta_df.select(
             *self.key_cols, *[F.col(c).alias(f"_d_{c}") for c in d_cols]
         )
-        # SQL SUM of an all-NULL group is NULL, not 0 — when BOTH
-        # sides are NULL the combined sum must stay NULL or the view
-        # silently diverges from a recompute (round-6 review finding)
-        combined = [
-            F.when(
-                F.col(c).isNull() & F.col(f"_d_{c}").isNull(),
-                F.lit(None),
-            )
-            .otherwise(
-                F.coalesce(F.col(c), F.lit(0))
-                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
-            )
-            .cast("bigint")
-            .alias(c)
-            for c in add_cols
-        ]
+        # additive combine with all-NULL-group preservation — shared
+        # helper (round-6 review finding lives in its docstring)
+        combined = additive_combine_exprs(add_cols)
         # least/greatest skip NULLs in Spark, so a group absent from
         # one side inherits the other side's extreme unchanged
         combined += [

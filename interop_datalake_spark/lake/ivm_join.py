@@ -48,7 +48,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from interop_datalake_spark.lake.ivm import assert_window_delta_visible
+from interop_datalake_spark.lake.ivm import (
+    additive_combine_exprs,
+    assert_window_delta_visible,
+    keys_predicate,
+)
 from interop_datalake_spark.lake.txn import TxnTable
 
 #: versions-per-source bound for the packed (lv, rv) epoch
@@ -57,6 +61,50 @@ _EPOCH_BASE = 2**20
 #: back from per-key point ranges to one (min, max) envelope — same
 #: cap + rationale as IncrementalAggView._REPAIR_KEYS_MAX_RESOLVE
 _PRUNE_KEYS_MAX = 32
+
+
+def pruned_snapshot(
+    table: TxnTable,
+    version: int,
+    cols: list[str],
+    join_keys: list,
+    key0: str,
+    obs: dict,
+    side: str,
+) -> DataFrame | None:
+    """``table`` at ``version``, pruned to files that can hold the
+    changed join-key values (point-range per key ≤ cap, else one
+    envelope), recording the opened file set in ``obs[side]``.
+    Pruning drops files, not rows — the downstream equi-join is the
+    exact residual filter, so a stats-less table degrades to a full
+    snapshot scan, never to a wrong answer. Returns None when the
+    term is provably empty (no snapshot data, no keys, or every file
+    pruned). Shared by the join view and the join-agg view."""
+    if version == 0:
+        return None
+    m = table.manifest(version)
+    if not m["files"]:
+        return None
+    keys = sorted({k for k in join_keys if k is not None})
+    if not keys:
+        obs[side] = []
+        return None
+    if len(keys) <= _PRUNE_KEYS_MAX:
+        seen: dict[str, None] = {}
+        for k in keys:
+            for f in table.resolve_files(
+                version=version, key_range=(key0, k, k)
+            ):
+                seen.setdefault(f)
+        files = list(seen)
+    else:
+        files = table.resolve_files(
+            version=version, key_range=(key0, keys[0], keys[-1])
+        )
+    obs[side] = files
+    if not files:
+        return None
+    return table._load_files(files, m).select(*cols)
 
 
 class IncrementalJoinView:
@@ -161,37 +209,10 @@ class IncrementalJoinView:
         self, table: TxnTable, version: int, cols: list[str],
         join_keys: list, side: str,
     ) -> DataFrame:
-        """``table`` at ``version``, pruned to files that can hold the
-        changed join-key values (point-range per key ≤ cap, else one
-        envelope). Pruning drops files, not rows — the equi-join is
-        the exact residual filter, so a stats-less table degrades to
-        a full snapshot scan, never to a wrong answer."""
-        if version == 0:
-            return None
-        key0 = self.on[0]
-        m = table.manifest(version)
-        if not m["files"]:
-            return None
-        keys = sorted({k for k in join_keys if k is not None})
-        if not keys:
-            self.last_snapshot_scan_files[side] = []
-            return None
-        if len(keys) <= _PRUNE_KEYS_MAX:
-            seen: dict[str, None] = {}
-            for k in keys:
-                for f in table.resolve_files(
-                    version=version, key_range=(key0, k, k)
-                ):
-                    seen.setdefault(f)
-            files = list(seen)
-        else:
-            files = table.resolve_files(
-                version=version, key_range=(key0, keys[0], keys[-1])
-            )
-        self.last_snapshot_scan_files[side] = files
-        if not files:
-            return None
-        return table._load_files(files, m).select(*cols)
+        return pruned_snapshot(
+            table, version, cols, join_keys, self.on[0],
+            self.last_snapshot_scan_files, side,
+        )
 
     @staticmethod
     def _signed(changes: DataFrame, cols: list[str]) -> DataFrame:
@@ -500,4 +521,317 @@ class IncrementalJoinView:
             return None
         return self.view.overwrite(
             out, _epoch=self._pack(lv, rv), _epoch_force=force
+        )
+
+
+class IncrementalJoinAggView:
+    """A grouped (count, sums) aggregate OVER an inner equi-join,
+    maintained incrementally WITHOUT materializing the join — the
+    DBSP composition: the signed join delta (the same two bilinear
+    terms as :class:`IncrementalJoinView`) feeds the additive
+    aggregate algebra directly, so "revenue per customer segment over
+    orders ⋈ customers" refreshes at O(changed rows × fanout +
+    touched groups) while storing only |groups| rows.
+
+    Unlike the join view, NO unique-id contract is needed: aggregates
+    are multiset-linear, so duplicate rows simply contribute their
+    multiplicity — the delta algebra is exact for any bag semantics.
+
+    View schema: ``key_cols`` + ``n`` (BIGINT live joined-row count
+    per group) + ``sum_<c>`` per ``sum_cols``. Groups at n ≤ 0 are
+    removed (≡ recompute). min/max over a join are NOT maintained:
+    repairing a delete-touched extreme would require re-JOINING the
+    touched groups, a different cost class than the agg view's
+    single-table repair scan — use IncrementalJoinView + a downstream
+    aggregate when extremes over joins are needed. sum columns must
+    be INTEGRAL in their owning table's log schema (the same
+    truncate-per-delta refusal as IncrementalAggView).
+
+    Epochs, delta-visibility gating, and full_refresh recovery follow
+    IncrementalJoinView exactly (packed (lv, rv) epoch; rewriting
+    commits refuse; snapshot terms prune by changed join keys)."""
+
+    _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+    def __init__(
+        self,
+        session,
+        name: str,
+        left: TxnTable,
+        right: TxnTable,
+        on: list[str],
+        key_cols: list[str],
+        sum_cols: list[str] | None = None,
+    ):
+        self.left = left
+        self.right = right
+        self.on = list(on)
+        self.key_cols = list(key_cols)
+        self.sum_cols = list(sum_cols or [])
+        # side resolution needs both sources' LOG SCHEMAS, which may
+        # not exist yet at construction (empty tables): resolve lazily
+        # at the first refresh that has data, but eagerly here when
+        # both schemas are already known so misuse fails fast
+        self._side_of: dict[str, str] | None = None
+        self.left_cols: list[str] | None = None
+        self.right_cols: list[str] | None = None
+        self.view = TxnTable(session, name, stats_cols=self.key_cols[:1])
+        self.last_snapshot_scan_files: dict[str, list[str]] = {}
+        if self._schema_types(left) and self._schema_types(right):
+            self._resolve()
+
+    def _resolve(self) -> None:
+        """Bind every referenced column to its owning side and
+        validate sum types. Requires both log schemas (callers reach
+        here only once both sources hold data)."""
+        if self._side_of is not None:
+            return
+        lt = self._schema_types(self.left)
+        rt = self._schema_types(self.right)
+        if not lt or not rt:
+            raise ValueError(
+                "cannot resolve column ownership: a source has no log "
+                "schema yet (empty table) — append data first"
+            )
+        side_of: dict[str, str] = {}
+        for col in self.key_cols + self.sum_cols:
+            if col in self.on:
+                side_of[col] = "left"
+                continue
+            in_l, in_r = col in lt, col in rt
+            if in_l and in_r:
+                raise ValueError(
+                    f"column {col!r} exists in both sources — rename "
+                    f"one side upstream (silent ambiguity is how join "
+                    f"rollups rot)"
+                )
+            if not in_l and not in_r:
+                raise ValueError(
+                    f"column {col!r} exists in neither source schema"
+                )
+            side_of[col] = "left" if in_l else "right"
+        self._side_of = side_of
+        self.left_cols = self.on + [
+            c
+            for c in self.key_cols + self.sum_cols
+            if side_of[c] == "left" and c not in self.on
+        ]
+        self.right_cols = [
+            c
+            for c in self.key_cols + self.sum_cols
+            if side_of[c] == "right"
+        ]
+        self._validate_sum_types()
+
+    @staticmethod
+    def _schema_types(table: TxnTable) -> dict[str, str]:
+        st = table.table_schema()
+        if st is None:
+            return {}
+        return {f.name: f.dataType.simpleString() for f in st.fields}
+
+    def _validate_sum_types(self) -> None:
+        assert self._side_of is not None
+        for c in self.sum_cols:
+            side = self.left if self._side_of[c] == "left" else self.right
+            t = self._schema_types(side).get(c)
+            if t is not None and t not in self._INTEGRAL_TYPES:
+                raise ValueError(
+                    f"sum column {c!r} has non-integral type {t}: "
+                    f"delta sums combine in exact BIGINT arithmetic "
+                    f"and a {t} column would truncate per-delta, "
+                    f"diverging from a recompute — use fixed-point "
+                    f"folds (functions/fixedpoint.py) upstream"
+                )
+
+    # -- epochs (same packing as IncrementalJoinView) -------------------------
+
+    def _pack(self, lv: int, rv: int) -> int:
+        if rv >= _EPOCH_BASE or lv >= _EPOCH_BASE:
+            raise ValueError(
+                f"source version exceeds the packed-epoch bound "
+                f"{_EPOCH_BASE}"
+            )
+        return lv * _EPOCH_BASE + rv
+
+    def last_refreshed_versions(self) -> tuple[int, int]:
+        v = self.view.current_version()
+        epoch = (self.view.manifest(v).get("epoch") or 0) if v else 0
+        return divmod(epoch, _EPOCH_BASE)
+
+    def read(self) -> DataFrame:
+        return self.view.read()
+
+    # -- aggregation algebra ---------------------------------------------------
+
+    def _agg_exprs(self, sign):
+        exprs = [F.sum(sign).cast("bigint").alias("n")]
+        for c in self.sum_cols:
+            exprs.append(
+                F.sum(sign * F.col(c)).cast("bigint").alias(f"sum_{c}")
+            )
+        return exprs
+
+    def _joined_snapshot(self, lv: int, rv: int) -> DataFrame | None:
+        if lv == 0 or rv == 0:
+            return None
+        if not self.left.manifest(lv)["files"]:
+            return None
+        if not self.right.manifest(rv)["files"]:
+            return None
+        self._resolve()
+        return (
+            self.left.read(version=lv)
+            .select(*self.left_cols)
+            .join(
+                self.right.read(version=rv).select(
+                    *self.right_cols + self.on
+                ),
+                self.on,
+            )
+        )
+
+    # -- refresh ----------------------------------------------------------------
+
+    def refresh(self) -> int | None:
+        """Apply both sources' deltas through the join into the
+        aggregate in ONE atomic view commit. The aggregated delta —
+        bounded by touched groups — is collected once and drives the
+        scoped merge, exactly the agg view's contract."""
+        lv, rv = self.left.current_version(), self.right.current_version()
+        llast, rlast = self.last_refreshed_versions()
+        if (lv, rv) == (llast, rlast):
+            return None
+        self.last_snapshot_scan_files = {}
+        packed = self._pack(lv, rv)
+        if self.view.current_version() == 0:
+            joined = self._joined_snapshot(lv, rv)
+            if joined is None:
+                return None
+            out = joined.groupBy(*self.key_cols).agg(
+                *self._agg_exprs(F.lit(1))
+            )
+            return self.view.merge(
+                out.filter(F.col("n") > 0), self.key_cols, _epoch=packed
+            )
+        assert_window_delta_visible(self.left, llast, lv)
+        assert_window_delta_visible(self.right, rlast, rv)
+        self._resolve()
+        sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+        lchange = (
+            self.left.read_changes(llast, lv, include_deletes=True)
+            .select(*self.left_cols, sign.alias("_sign"))
+            .localCheckpoint()
+            if lv > llast
+            else None
+        )
+        rchange = (
+            self.right.read_changes(rlast, rv, include_deletes=True)
+            .select(*self.right_cols + self.on, sign.alias("_sign"))
+            .localCheckpoint()
+            if rv > rlast
+            else None
+        )
+        lkeys = (
+            [r[0] for r in lchange.select(self.on[0]).collect()]
+            if lchange is not None
+            else []
+        )
+        rkeys = (
+            [r[0] for r in rchange.select(self.on[0]).collect()]
+            if rchange is not None
+            else []
+        )
+        if not lkeys and not rkeys:
+            return self.view.stamp_epoch(packed)
+        terms = []
+        if lkeys:
+            r_snap = pruned_snapshot(
+                self.right, rv, self.right_cols + self.on, lkeys,
+                self.on[0], self.last_snapshot_scan_files, "right",
+            )
+            if r_snap is not None:
+                terms.append(F.broadcast(lchange).join(r_snap, self.on))
+        if rkeys:
+            l_snap = pruned_snapshot(
+                self.left, llast, self.left_cols, rkeys,
+                self.on[0], self.last_snapshot_scan_files, "left",
+            )
+            if l_snap is not None:
+                terms.append(l_snap.join(F.broadcast(rchange), self.on))
+        if not terms:
+            # pure-orphan window: the join delta is exactly empty
+            # (aggregates have no id bypass to guard against — a
+            # multiset contributes only what joins)
+            return self.view.stamp_epoch(packed)
+        delta = terms[0]
+        for t in terms[1:]:
+            delta = delta.unionByName(t)
+        add_cols = ["n"] + [f"sum_{c}" for c in self.sum_cols]
+        delta_rows = delta.groupBy(*self.key_cols).agg(
+            *self._agg_exprs(F.col("_sign"))
+        ).collect()  # bounded by touched groups
+        if not delta_rows:
+            return self.view.stamp_epoch(packed)
+        key_tuples = [
+            tuple(r[k] for k in self.key_cols) for r in delta_rows
+        ]
+        if any(v is None for t in key_tuples for v in t):
+            raise ValueError(
+                "NULL group-key values are unsupported; coalesce the "
+                "key columns in the sources before materializing"
+            )
+        schema = ", ".join(
+            [f"{k} {t}" for k, t in self._key_schema()]
+            + [f"{c} BIGINT" for c in add_cols]
+        )
+        delta_df = self.view.spark.createDataFrame(
+            [
+                tuple(r[k] for k in self.key_cols)
+                + tuple(
+                    int(r[c]) if r[c] is not None else None
+                    for c in add_cols
+                )
+                for r in delta_rows
+            ],
+            schema,
+        )
+        in_keys = keys_predicate(self.key_cols, key_tuples)
+        cur = self.view.read().filter(in_keys)
+        dd = delta_df.select(
+            *self.key_cols,
+            *[F.col(c).alias(f"_d_{c}") for c in add_cols],
+        )
+        new = cur.join(dd, self.key_cols, "full_outer").select(
+            *self.key_cols, *additive_combine_exprs(add_cols)
+        )
+        return self.view.merge_sync(
+            new.filter(F.col("n") > 0),
+            self.key_cols,
+            scope=in_keys,
+            _epoch=packed,
+        )
+
+    def _key_schema(self):
+        out = []
+        for k in self.key_cols:
+            side = self.left if self._side_of[k] == "left" else self.right
+            out.append((k, self._schema_types(side).get(k, "string")))
+        return out
+
+    def full_refresh(self, force: bool = False) -> int | None:
+        """Recompute the rollup from both snapshots — recovery after a
+        rewriting source commit; ``force=True`` recomputes at
+        already-stamped versions."""
+        lv, rv = self.left.current_version(), self.right.current_version()
+        joined = self._joined_snapshot(lv, rv)
+        if joined is None:
+            return None
+        out = joined.groupBy(*self.key_cols).agg(
+            *self._agg_exprs(F.lit(1))
+        )
+        return self.view.overwrite(
+            out.filter(F.col("n") > 0),
+            _epoch=self._pack(lv, rv),
+            _epoch_force=force,
         )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from interop_datalake_spark.lake.ivm_join import (
     _EPOCH_BASE,
+    IncrementalJoinAggView,
     IncrementalJoinView,
 )
 from interop_datalake_spark.lake.txn import TxnTable
@@ -410,3 +411,177 @@ class TestScalePruning:
         left.append(_mk(spark, [(2, "a", 20)], _L_SCHEMA))
         view.refresh()
         assert _state(view) == _recompute(left, right)
+
+
+def _agg_setup(spark, lake):
+    left = TxnTable(lake, "la_src", stats_cols=["o_id", "cust"])
+    right = TxnTable(lake, "ra_src", stats_cols=["c_id", "cust"])
+    view = IncrementalJoinAggView(
+        lake, "ja_view", left, right, on=["cust"],
+        key_cols=["segment"], sum_cols=["amount"],
+    )
+    return left, right, view
+
+
+def _agg_recompute(left, right):
+    return sorted(
+        map(
+            tuple,
+            left.read()
+            .join(right.read().select("cust", "segment"), "cust")
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("amount").alias("sum_amount"),
+            )
+            .collect(),
+        )
+    )
+
+
+def _agg_state(view):
+    return sorted(
+        map(
+            tuple,
+            view.read().select("segment", "n", "sum_amount").collect(),
+        )
+    )
+
+
+class TestJoinAggView:
+    """Aggregate OVER a join maintained without materializing the
+    join — the DBSP composition. Invariant: incremental ≡ a
+    groupBy over a from-scratch join of the current snapshots."""
+
+    def test_incremental_equals_recompute(self, spark, lake):
+        left, right, view = _agg_setup(spark, lake)
+        right.append(
+            _mk(
+                spark,
+                [(101, "a", "GOLD"), (102, "b", "SILVER"),
+                 (103, "c", "GOLD")],
+                _R_SCHEMA,
+            )
+        )
+        left.append(
+            _mk(
+                spark,
+                [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 5),
+                 (9, "zz", 99)],  # orphan contributes nothing
+                _L_SCHEMA,
+            )
+        )
+        assert view.refresh() == 1
+        assert _agg_state(view) == _agg_recompute(left, right)
+        # both sides change in one window; a right delete cascades a
+        # whole customer's orders out of its segment's rollup
+        left.append(_mk(spark, [(5, "b", 40)], _L_SCHEMA))
+        right.delete_where(F.col("cust") == "a", merge_on_read=True)
+        view.refresh()
+        assert _agg_state(view) == _agg_recompute(left, right)
+        # a segment emptied entirely VANISHES (≡ recompute)
+        right.delete_where(F.col("segment") == "SILVER", merge_on_read=True)
+        view.refresh()
+        assert _agg_state(view) == _agg_recompute(left, right)
+        assert all(t[0] != "SILVER" for t in _agg_state(view))
+        assert view.refresh() is None  # replay no-op
+
+    def test_duplicate_ids_are_fine_for_aggregates(self, spark, lake):
+        """Aggregates are multiset-linear: duplicate id values (which
+        the JOIN VIEW refuses) just contribute their multiplicity —
+        no unique-id contract."""
+        left, right, view = _agg_setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        left.append(_mk(spark, [(1, "a", 7)], _L_SCHEMA))  # dup o_id
+        view.refresh()
+        assert _agg_state(view) == _agg_recompute(left, right)
+        assert _agg_state(view) == [("GOLD", 2, 17)]
+
+    def test_non_integral_sum_refused(self, spark, lake):
+        left = TxnTable(lake, "la2", stats_cols=["o_id"])
+        right = TxnTable(lake, "ra2", stats_cols=["c_id"])
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        with pytest.raises(ValueError, match="non-integral"):
+            IncrementalJoinAggView(
+                lake, "ja2", left, right, on=["cust"],
+                key_cols=["segment"], sum_cols=["segment"],
+            )
+
+    def test_ambiguous_column_refused(self, spark, lake):
+        left = TxnTable(lake, "la3", stats_cols=["o_id"])
+        right = TxnTable(lake, "ra3", stats_cols=["c_id"])
+        # both sides get an 'amount' column
+        right.append(
+            _mk(spark, [(101, "a", 1)], "c_id long, cust string, amount long")
+        )
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        with pytest.raises(ValueError, match="both sources"):
+            IncrementalJoinAggView(
+                lake, "ja3", left, right, on=["cust"],
+                key_cols=["cust"], sum_cols=["amount"],
+            )
+
+    def test_rewriting_commit_refused_full_refresh_recovers(
+        self, spark, lake
+    ):
+        left, right, view = _agg_setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(
+            _mk(spark, [(1, "a", 10), (2, "a", 20)], _L_SCHEMA)
+        )
+        view.refresh()
+        left.delete_where(F.col("o_id") == 1)  # copy-on-write rewrite
+        with pytest.raises(ValueError, match="rewrites files"):
+            view.refresh()
+        view.full_refresh()
+        assert _agg_state(view) == _agg_recompute(left, right)
+        left.append(_mk(spark, [(3, "a", 30)], _L_SCHEMA))
+        view.refresh()
+        assert _agg_state(view) == _agg_recompute(left, right)
+
+    def test_orphan_only_window_stamps(self, spark, lake):
+        left, right, view = _agg_setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        left.append(_mk(spark, [(9, "nope", 1)], _L_SCHEMA))
+        view.refresh()
+        assert _agg_state(view) == [("GOLD", 1, 10)]
+        assert view.last_refreshed_versions() == (2, 1)
+
+    def test_snapshot_pruned_by_changed_keys(self, spark, lake):
+        left, right, view = _agg_setup(spark, lake)
+        for i, c in enumerate("abcd"):
+            right.append(_mk(spark, [(100 + i, c, f"SEG{i}")], _R_SCHEMA))
+        left.append(
+            _mk(spark, [(i, c, i * 10) for i, c in enumerate("abcd")],
+                _L_SCHEMA),
+        )
+        view.refresh()
+        n_right = len(right.manifest(right.current_version())["files"])
+        assert n_right >= 4
+        left.append(_mk(spark, [(50, "c", 555)], _L_SCHEMA))
+        view.refresh()
+        scanned = view.last_snapshot_scan_files["right"]
+        assert 0 < len(scanned) < n_right
+        assert _agg_state(view) == _agg_recompute(left, right)
+
+    def test_lazy_resolution_on_empty_sources(self, spark, lake):
+        """Constructing the view BEFORE either source has data must
+        work (no log schema yet); the first refresh with data
+        resolves sides."""
+        left = TxnTable(lake, "la4", stats_cols=["o_id"])
+        right = TxnTable(lake, "ra4", stats_cols=["c_id"])
+        view = IncrementalJoinAggView(
+            lake, "ja4", left, right, on=["cust"],
+            key_cols=["segment"], sum_cols=["amount"],
+        )
+        assert view.refresh() is None  # both empty: nothing to do
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        assert view.refresh() is None  # left still empty
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        assert view.refresh() is not None
+        assert _agg_state(view) == [("GOLD", 1, 10)]
