@@ -73,6 +73,30 @@ def assert_window_delta_visible(table, last: int, to: int) -> bool:
     return has_dv
 
 
+def null_out_empty_sums(frame: DataFrame, sum_cols: list[str]) -> DataFrame:
+    """Enforce sum_<c> IS NULL ⟺ nn_<c> = 0 at every view write:
+    after a retraction leaves a group with only NULL contributors,
+    the additive state says 0 but a recompute says NULL — the signed
+    non-NULL counter nn_<c> is the tiebreaker (round-8 review).
+    Shared by the agg and join-agg views."""
+    if not sum_cols:
+        return frame
+    sums = {f"sum_{c}": f"nn_{c}" for c in sum_cols}
+    return frame.select(
+        *[
+            F.when(
+                F.coalesce(F.col(sums[c]), F.lit(0)) == 0,
+                F.lit(None).cast("bigint"),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in sums
+            else F.col(c)
+            for c in frame.columns
+        ]
+    )
+
+
 def keys_predicate(key_cols: list[str], key_tuples) -> "F.Column":
     """Column predicate "row's key ∈ key_tuples" (bounded OR of ANDs;
     single-key views collapse to one isin). Shared by every
@@ -262,6 +286,18 @@ class IncrementalAggView:
         for c in self.sum_cols:
             exprs.append(
                 F.sum(sign * F.col(c)).cast("bigint").alias(f"sum_{c}")
+            )
+            # signed count of NON-NULL contributors: additive sum
+            # state alone cannot distinguish "sum is 0" from "every
+            # remaining contributor is NULL" once the last non-NULL
+            # row is retracted — a recompute reports NULL there
+            # (round-8 review). nn_<c> makes retraction exact.
+            exprs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), sign).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"nn_{c}")
             )
         # min/max contribute from INSERT rows only (insert_cond is
         # lit(True) for full recomputes, where every row is an insert)
@@ -471,7 +507,9 @@ class IncrementalAggView:
             # (round-7 advice, low)
             self._check_sum_types(dict(changes.dtypes))
         sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
-        add_cols = ["n"] + [f"sum_{c}" for c in self.sum_cols]
+        add_cols = ["n"] + [
+            x for c in self.sum_cols for x in (f"sum_{c}", f"nn_{c}")
+        ]
         mm_cols = [f"min_{c}" for c in self.min_cols] + [
             f"max_{c}" for c in self.max_cols
         ]
@@ -628,8 +666,10 @@ class IncrementalAggView:
                     .withColumn("_rp", F.lit(1))
                 )
         if self.view.current_version() == 0:
-            out = self._apply_minmax_repair(
-                delta_df.filter(F.col("n") > 0), repair
+            out = self._null_out_empty_sums(
+                self._apply_minmax_repair(
+                    delta_df.filter(F.col("n") > 0), repair
+                )
             )
             # first materialization: one atomic write stamped with the
             # source version
@@ -658,7 +698,7 @@ class IncrementalAggView:
             *self.key_cols, *combined
         )
         new = self._apply_minmax_repair(new, repair)
-        survivors = new.filter(F.col("n") > 0)
+        survivors = self._null_out_empty_sums(new.filter(F.col("n") > 0))
         # ONE commit: in-scope matched groups replace, in-scope
         # unmatched (zero'd) groups delete, new groups insert
         v = self.view.merge_sync(
@@ -703,6 +743,9 @@ class IncrementalAggView:
                 for c in keep
             ]
         )
+
+    def _null_out_empty_sums(self, frame: DataFrame) -> DataFrame:
+        return null_out_empty_sums(frame, self.sum_cols)
 
     def _key_schema(self, cols):
         """(name, DDL type) of each named column, from the source's

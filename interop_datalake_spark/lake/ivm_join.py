@@ -52,11 +52,30 @@ from interop_datalake_spark.lake.ivm import (
     additive_combine_exprs,
     assert_window_delta_visible,
     keys_predicate,
+    null_out_empty_sums,
 )
 from interop_datalake_spark.lake.txn import TxnTable
 
 #: versions-per-source bound for the packed (lv, rv) epoch
 _EPOCH_BASE = 2**20
+
+
+def pack_epoch(lv: int, rv: int) -> int:
+    """(left, right) source versions → one lexicographically-monotone
+    commit epoch. Shared by both join-view classes (a drifting copy of
+    the encoding would silently desynchronize their replay
+    semantics)."""
+    if rv >= _EPOCH_BASE or lv >= _EPOCH_BASE:
+        raise ValueError(
+            f"source version exceeds the packed-epoch bound "
+            f"{_EPOCH_BASE} — widen _EPOCH_BASE or full_refresh into a "
+            f"fresh view"
+        )
+    return lv * _EPOCH_BASE + rv
+
+
+def unpack_epoch(epoch: int) -> tuple[int, int]:
+    return divmod(epoch, _EPOCH_BASE)
 #: above this many changed join-key values, snapshot pruning falls
 #: back from per-key point ranges to one (min, max) envelope — same
 #: cap + rationale as IncrementalAggView._REPAIR_KEYS_MAX_RESOLVE
@@ -185,20 +204,14 @@ class IncrementalJoinView:
     # -- epochs ---------------------------------------------------------------
 
     def _pack(self, lv: int, rv: int) -> int:
-        if rv >= _EPOCH_BASE or lv >= _EPOCH_BASE:
-            raise ValueError(
-                f"source version exceeds the packed-epoch bound "
-                f"{_EPOCH_BASE} — widen _EPOCH_BASE or full_refresh "
-                f"into a fresh view"
-            )
-        return lv * _EPOCH_BASE + rv
+        return pack_epoch(lv, rv)
 
     def last_refreshed_versions(self) -> tuple[int, int]:
         """(left, right) source versions the view reflects (0, 0 =
         never refreshed)."""
         v = self.view.current_version()
         epoch = (self.view.manifest(v).get("epoch") or 0) if v else 0
-        return divmod(epoch, _EPOCH_BASE)
+        return unpack_epoch(epoch)
 
     def read(self) -> DataFrame:
         return self.view.read()
@@ -568,6 +581,24 @@ class IncrementalJoinAggView:
         self.on = list(on)
         self.key_cols = list(key_cols)
         self.sum_cols = list(sum_cols or [])
+        # the view generates n / sum_<c> / nn_<c> and the refresh
+        # plumbing owns _-prefixed names — collisions would be
+        # silently wrong grouping or AnalysisExceptions deep inside
+        # refresh (round-8 review; same guard as IncrementalJoinView)
+        bad = [
+            c
+            for c in self.key_cols + self.sum_cols + self.on
+            if c.startswith("_")
+            or c.startswith("sum_")
+            or c.startswith("nn_")
+            or c == "n"
+        ]
+        if bad:
+            raise ValueError(
+                f"column names colliding with generated view columns "
+                f"(n, sum_*, nn_*) or the _-prefixed refresh plumbing "
+                f"are unsupported: rename {sorted(set(bad))} upstream"
+            )
         # side resolution needs both sources' LOG SCHEMAS, which may
         # not exist yet at construction (empty tables): resolve lazily
         # at the first refresh that has data, but eagerly here when
@@ -647,17 +678,12 @@ class IncrementalJoinAggView:
     # -- epochs (same packing as IncrementalJoinView) -------------------------
 
     def _pack(self, lv: int, rv: int) -> int:
-        if rv >= _EPOCH_BASE or lv >= _EPOCH_BASE:
-            raise ValueError(
-                f"source version exceeds the packed-epoch bound "
-                f"{_EPOCH_BASE}"
-            )
-        return lv * _EPOCH_BASE + rv
+        return pack_epoch(lv, rv)
 
     def last_refreshed_versions(self) -> tuple[int, int]:
         v = self.view.current_version()
         epoch = (self.view.manifest(v).get("epoch") or 0) if v else 0
-        return divmod(epoch, _EPOCH_BASE)
+        return unpack_epoch(epoch)
 
     def read(self) -> DataFrame:
         return self.view.read()
@@ -669,6 +695,15 @@ class IncrementalJoinAggView:
         for c in self.sum_cols:
             exprs.append(
                 F.sum(sign * F.col(c)).cast("bigint").alias(f"sum_{c}")
+            )
+            # signed non-NULL contributor count — retraction-exact NULL
+            # sums, same rationale as IncrementalAggView._agg_exprs
+            exprs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), sign).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"nn_{c}")
             )
         return exprs
 
@@ -712,7 +747,11 @@ class IncrementalJoinAggView:
                 *self._agg_exprs(F.lit(1))
             )
             return self.view.merge(
-                out.filter(F.col("n") > 0), self.key_cols, _epoch=packed
+                null_out_empty_sums(
+                    out.filter(F.col("n") > 0), self.sum_cols
+                ),
+                self.key_cols,
+                _epoch=packed,
             )
         assert_window_delta_visible(self.left, llast, lv)
         assert_window_delta_visible(self.right, rlast, rv)
@@ -732,13 +771,16 @@ class IncrementalJoinAggView:
             if rv > rlast
             else None
         )
+        # DISTINCT changed join keys — bounded by key cardinality in
+        # the window, not by changed-row count (the join view must
+        # collect per-row because it needs the ids; this one doesn't)
         lkeys = (
-            [r[0] for r in lchange.select(self.on[0]).collect()]
+            [r[0] for r in lchange.select(self.on[0]).distinct().collect()]
             if lchange is not None
             else []
         )
         rkeys = (
-            [r[0] for r in rchange.select(self.on[0]).collect()]
+            [r[0] for r in rchange.select(self.on[0]).distinct().collect()]
             if rchange is not None
             else []
         )
@@ -767,7 +809,9 @@ class IncrementalJoinAggView:
         delta = terms[0]
         for t in terms[1:]:
             delta = delta.unionByName(t)
-        add_cols = ["n"] + [f"sum_{c}" for c in self.sum_cols]
+        add_cols = ["n"] + [
+            x for c in self.sum_cols for x in (f"sum_{c}", f"nn_{c}")
+        ]
         delta_rows = delta.groupBy(*self.key_cols).agg(
             *self._agg_exprs(F.col("_sign"))
         ).collect()  # bounded by touched groups
@@ -797,7 +841,16 @@ class IncrementalJoinAggView:
             schema,
         )
         in_keys = keys_predicate(self.key_cols, key_tuples)
-        cur = self.view.read().filter(in_keys)
+        vm = self.view.manifest(self.view.current_version())
+        if vm["files"]:
+            cur = self.view.read().filter(in_keys)
+        else:
+            # every group previously eliminated: the committed view is
+            # file-less and read() would raise — an empty frame is the
+            # correct current state (round-8 review)
+            cur = self.view.spark.createDataFrame(
+                [], self.view.table_schema(self.view.current_version())
+            )
         dd = delta_df.select(
             *self.key_cols,
             *[F.col(c).alias(f"_d_{c}") for c in add_cols],
@@ -806,7 +859,9 @@ class IncrementalJoinAggView:
             *self.key_cols, *additive_combine_exprs(add_cols)
         )
         return self.view.merge_sync(
-            new.filter(F.col("n") > 0),
+            null_out_empty_sums(
+                new.filter(F.col("n") > 0), self.sum_cols
+            ),
             self.key_cols,
             scope=in_keys,
             _epoch=packed,
@@ -831,7 +886,9 @@ class IncrementalJoinAggView:
             *self._agg_exprs(F.lit(1))
         )
         return self.view.overwrite(
-            out.filter(F.col("n") > 0),
+            null_out_empty_sums(
+                out.filter(F.col("n") > 0), self.sum_cols
+            ),
             _epoch=self._pack(lv, rv),
             _epoch_force=force,
         )

@@ -185,6 +185,32 @@ class TestIncrementalAggView:
         assert _view_state(view.view) == _recompute(src)
         assert view.last_refreshed_version() == src.current_version()
 
+    def test_null_sum_retraction_matches_recompute(self, spark, lake):
+        """Round-8 review: deleting the last NON-NULL contributor of a
+        group must leave the stored sum NULL (the recompute answer
+        over the remaining all-NULL rows), not 0 — additive sum state
+        alone cannot tell the two apart; the signed non-NULL counter
+        nn_<c> is the tiebreaker."""
+        src = TxnTable(lake, "src_nn", stats_cols=["k"])
+        src.append(
+            spark.createDataFrame(
+                [(1, "a", None), (2, "a", 5)], "k INT, g STRING, v INT"
+            )
+        )
+        view = IncrementalAggView(lake, "v_nn", src, ["g"], ["v"])
+        view.refresh()
+        assert _view_state(view.view) == {"a": (2, 5)}
+        src.delete_where(F.col("k") == 2, merge_on_read=True)
+        view.refresh()
+        assert _view_state(view.view) == {"a": (1, None)}
+        assert _view_state(view.view) == _recompute(src)
+        # and back: a non-NULL insert re-materializes the sum
+        src.append(
+            spark.createDataFrame([(3, "a", 7)], "k INT, g STRING, v INT")
+        )
+        view.refresh()
+        assert _view_state(view.view) == {"a": (2, 7)}
+
     def test_all_null_sum_group_stays_null_not_zero(self, spark, lake):
         """Round-6 review: SUM of an all-NULL group is NULL in SQL; an
         incremental combine that coalesces both sides to 0 would

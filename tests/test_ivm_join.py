@@ -569,6 +569,49 @@ class TestJoinAggView:
         assert 0 < len(scanned) < n_right
         assert _agg_state(view) == _agg_recompute(left, right)
 
+    def test_null_sum_retraction_matches_recompute(self, spark, lake):
+        """Deleting the last NON-NULL contributor must leave the sum
+        NULL (what a recompute over the remaining all-NULL rows
+        reports), not 0 — the nn_<c> counter makes retraction exact
+        (round-8 review)."""
+        left, right, view = _agg_setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(
+            _mk(spark, [(1, "a", None), (2, "a", 5)], _L_SCHEMA)
+        )
+        view.refresh()
+        assert _agg_state(view) == [("GOLD", 2, 5)]
+        left.delete_where(F.col("o_id") == 2, merge_on_read=True)
+        view.refresh()
+        assert _agg_state(view) == [("GOLD", 1, None)]
+        assert _agg_state(view) == _agg_recompute(left, right)
+
+    def test_refresh_after_all_groups_eliminated(self, spark, lake):
+        """A committed file-less view (every group deleted) must keep
+        refreshing — read() on an empty manifest raises, so the
+        refresh substitutes an empty frame (round-8 review)."""
+        left, right, view = _agg_setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        left.delete_where(F.col("o_id") == 1, merge_on_read=True)
+        view.refresh()
+        assert _agg_state(view) == []
+        # the view is now committed and file-less; keep going
+        left.append(_mk(spark, [(2, "a", 20)], _L_SCHEMA))
+        view.refresh()
+        assert _agg_state(view) == [("GOLD", 1, 20)]
+        assert _agg_state(view) == _agg_recompute(left, right)
+
+    def test_generated_name_collision_refused(self, spark, lake):
+        left = TxnTable(lake, "la5", stats_cols=["o_id"])
+        right = TxnTable(lake, "ra5", stats_cols=["c_id"])
+        with pytest.raises(ValueError, match="generated view columns"):
+            IncrementalJoinAggView(
+                lake, "ja5", left, right, on=["cust"],
+                key_cols=["n"], sum_cols=["amount"],
+            )
+
     def test_lazy_resolution_on_empty_sources(self, spark, lake):
         """Constructing the view BEFORE either source has data must
         work (no log schema yet); the first refresh with data
