@@ -139,10 +139,11 @@ class IncrementalAggView:
     its own TxnTable and maintained incrementally.
 
     View schema: ``key_cols`` + ``n`` (BIGINT live-row count per
-    group) + ``sum_<c>`` for each of ``sum_cols`` + ``min_<c>`` /
-    ``max_<c>`` for each of ``min_cols`` / ``max_cols``. Groups whose
-    count reaches zero are REMOVED (matching a from-scratch
-    recompute). Averages and friends derive at read time (sum/n) —
+    group) + ``sum_<c>`` and ``nn_<c>`` (signed non-NULL contributor
+    count — the tiebreaker that keeps sums NULL-exact under
+    retraction) for each of ``sum_cols`` + ``min_<c>`` / ``max_<c>``
+    for each of ``min_cols`` / ``max_cols``. Groups whose count
+    reaches zero are REMOVED (matching a from-scratch recompute). Averages and friends derive at read time (sum/n) —
     only self-decomposable state is stored, the condition for exact
     incremental maintenance.
 
