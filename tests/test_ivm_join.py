@@ -612,6 +612,32 @@ class TestJoinAggView:
                 key_cols=["n"], sum_cols=["amount"],
             )
 
+    def test_view_time_travel_composes(self, spark, lake):
+        """The view IS a TxnTable, so time travel works for free: the
+        view AS OF any refresh's commit equals a recompute at the
+        source versions that refresh stamped."""
+        left, right, view = _agg_setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        v1 = view.refresh()
+        left.append(_mk(spark, [(2, "a", 20)], _L_SCHEMA))
+        view.refresh()
+        # read the view at its FIRST refresh commit
+        old = sorted(
+            map(
+                tuple,
+                view.view.read(version=v1)
+                .select("segment", "n", "sum_amount")
+                .collect(),
+            )
+        )
+        assert old == [("GOLD", 1, 10)]
+        # the stamped epoch names the exact source versions it reflects
+        ep = view.view.manifest(v1)["epoch"]
+        from interop_datalake_spark.lake.ivm_join import unpack_epoch
+
+        assert unpack_epoch(ep) == (1, 1)
+
     def test_lazy_resolution_on_empty_sources(self, spark, lake):
         """Constructing the view BEFORE either source has data must
         work (no log schema yet); the first refresh with data
