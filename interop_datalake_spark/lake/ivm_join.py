@@ -82,6 +82,31 @@ def unpack_epoch(epoch: int) -> tuple[int, int]:
 _PRUNE_KEYS_MAX = 32
 
 
+def resolve_key_files(
+    table: TxnTable, version: int | None, col: str, keys: list
+) -> list[str]:
+    """Union of the file sets each key's point-range resolves —
+    per-key up to the cap, then one (min, max) envelope (the same
+    trade-off as IncrementalAggView's repair pruning: beyond the cap
+    the per-key manifest passes cost more than the pruning wins).
+    The single shared resolution loop for snapshot reads AND scoped
+    view reads (a drifting copy would silently diverge them)."""
+    ks = sorted({k for k in keys if k is not None})
+    if not ks:
+        return []
+    if len(ks) <= _PRUNE_KEYS_MAX:
+        seen: dict[str, None] = {}
+        for k in ks:
+            for f in table.resolve_files(
+                version=version, key_range=(col, k, k)
+            ):
+                seen.setdefault(f)
+        return list(seen)
+    return table.resolve_files(
+        version=version, key_range=(col, ks[0], ks[-1])
+    )
+
+
 def pruned_snapshot(
     table: TxnTable,
     version: int,
@@ -104,22 +129,10 @@ def pruned_snapshot(
     m = table.manifest(version)
     if not m["files"]:
         return None
-    keys = sorted({k for k in join_keys if k is not None})
-    if not keys:
+    if not any(k is not None for k in join_keys):
         obs[side] = []
         return None
-    if len(keys) <= _PRUNE_KEYS_MAX:
-        seen: dict[str, None] = {}
-        for k in keys:
-            for f in table.resolve_files(
-                version=version, key_range=(key0, k, k)
-            ):
-                seen.setdefault(f)
-        files = list(seen)
-    else:
-        files = table.resolve_files(
-            version=version, key_range=(key0, keys[0], keys[-1])
-        )
+    files = resolve_key_files(table, version, key0, join_keys)
     obs[side] = files
     if not files:
         return None
@@ -229,8 +242,14 @@ class IncrementalJoinView:
 
     @staticmethod
     def _signed(changes: DataFrame, cols: list[str]) -> DataFrame:
+        # _commit_version rides along: multi-commit windows need it to
+        # pick the LATEST insert payload per pair and to tell
+        # "re-updated across commits" (legal) from "duplicated within
+        # one commit" (unique-id breach) — round-8 full-session review
         sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
-        return changes.select(*cols, sign.alias("_sign"))
+        return changes.select(
+            *cols, sign.alias("_sign"), F.col("_commit_version").alias("_cv")
+        )
 
     # -- refresh --------------------------------------------------------------
 
@@ -262,6 +281,12 @@ class IncrementalJoinView:
                 # nothing to stamp on a version-0 view — the rescan of
                 # this window is an empty-manifest check, O(1)
                 return None
+            # enforce the unique-id contract UP FRONT: a duplicate id
+            # materialized silently would later make an incremental
+            # retraction delete BOTH copies (round-8 full-session
+            # review, reproduced) — the refusal the docstring promises
+            # must cover the initial snapshot too
+            self._assert_unique_ids(lv, rv)
             return self.view.merge(
                 out, [self.left_id, self.right_id], _epoch=packed
             )
@@ -376,28 +401,32 @@ class IncrementalJoinView:
         delta = terms[0]
         for t in terms[1:]:
             delta = delta.unionByName(t)
-        d = delta.groupBy(*ids).agg(
-            F.sum("_sign").cast("bigint").alias("_net"),
-            # per-term insert counts: ONE insert per term is the
-            # legitimate maximum (a both-sides same-window update
-            # yields one insert in each term — post-review fix: a
-            # combined count falsely refused that workload); two
-            # inserts within one term = duplicate id in a source
-            F.sum(
-                F.when((F.col("_sign") > 0) & (F.col("_term") == 2), 1)
-                .otherwise(0)
-            ).alias("_n_ins_t2"),
-            F.sum(
-                F.when((F.col("_sign") > 0) & (F.col("_term") == 1), 1)
-                .otherwise(0)
-            ).alias("_n_ins_t1"),
-            # payload of the highest-priority insert (struct max is
-            # lexicographic; _term leads)
+        # two-stage aggregation (round-8 full-session review): a
+        # multi-commit window legitimately carries SEVERAL inserts per
+        # pair per term (delete+re-append in every commit), so the
+        # consistency unit is (pair, term, COMMIT): more than one
+        # insert there = a source duplicated an id within one commit.
+        # The payload pick orders by (term, commit): term 2 (ΔL⋈R_new,
+        # both sides current) beats term 1, and within a term the
+        # LATEST commit's insert is the live payload.
+        per_cv = delta.groupBy(*ids, "_term", "_cv").agg(
+            F.sum("_sign").cast("bigint").alias("_net_cv"),
+            F.sum(F.when(F.col("_sign") > 0, 1).otherwise(0)).alias(
+                "_ins_cv"
+            ),
+            F.max(
+                F.when(F.col("_sign") > 0, F.struct(*payload))
+            ).alias("_ins_payload"),
+        )
+        d = per_cv.groupBy(*ids).agg(
+            F.sum("_net_cv").cast("bigint").alias("_net"),
+            F.max("_ins_cv").alias("_max_ins_per_commit"),
             F.max(
                 F.when(
-                    F.col("_sign") > 0, F.struct("_term", *payload)
+                    F.col("_ins_cv") >= 1,
+                    F.struct("_term", "_cv", F.col("_ins_payload")),
                 )
-            ).alias("_ins"),
+            )["_ins_payload"].alias("_ins"),
         )
         cur = self._scoped_view(lids, rids, scope)
         merged = cur.withColumn("_in_view", F.lit(1)).join(
@@ -413,8 +442,7 @@ class IncrementalJoinView:
         merged = merged.withColumn("_presence", presence).localCheckpoint()
         bad = merged.filter(
             (~F.col("_presence").isin(0, 1))
-            | (F.coalesce(F.col("_n_ins_t1"), F.lit(0)) > 1)
-            | (F.coalesce(F.col("_n_ins_t2"), F.lit(0)) > 1)
+            | (F.coalesce(F.col("_max_ins_per_commit"), F.lit(0)) > 1)
         ).count()  # bounded action: one scalar
         if bad:
             raise ValueError(
@@ -466,26 +494,10 @@ class IncrementalJoinView:
                 [], self.view.table_schema(v)
             )
 
-        def side_files(col, keys):
-            ks = sorted({k for k in keys if k is not None})
-            if not ks:
-                return []
-            if len(ks) <= _PRUNE_KEYS_MAX:
-                seen: dict[str, None] = {}
-                for k in ks:
-                    for f in self.view.resolve_files(
-                        version=v, key_range=(col, k, k)
-                    ):
-                        seen.setdefault(f)
-                return list(seen)
-            return self.view.resolve_files(
-                version=v, key_range=(col, ks[0], ks[-1])
-            )
-
         files: dict[str, None] = {}
-        for f in side_files(self.left_id, lids):
+        for f in resolve_key_files(self.view, v, self.left_id, lids):
             files.setdefault(f)
-        for f in side_files(self.right_id, rids):
+        for f in resolve_key_files(self.view, v, self.right_id, rids):
             files.setdefault(f)
         self.last_view_scan_files = list(files)
         if not files:
@@ -522,6 +534,30 @@ class IncrementalJoinView:
         )
         return out
 
+    def _assert_unique_ids(self, lv: int, rv: int) -> None:
+        """Distributed uniqueness check of both id columns at the
+        given snapshot versions (two bounded one-scalar actions).
+        Pair multiplicity in the join is the PRODUCT of the two
+        sides' id multiplicities, so per-side uniqueness implies pair
+        uniqueness."""
+        for table, idc, v, side in (
+            (self.left, self.left_id, lv, "left"),
+            (self.right, self.right_id, rv, "right"),
+        ):
+            dup = (
+                table.read(version=v)
+                .groupBy(idc)
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"{side} source holds {dup} duplicated {idc!r} "
+                    f"value(s): the unique-id contract is violated — "
+                    f"dedupe the source before materializing"
+                )
+
     def full_refresh(self, force: bool = False) -> int | None:
         """Recompute the join from both snapshots — the recovery path
         after a rewriting source commit. ``force=True`` recomputes at
@@ -532,6 +568,7 @@ class IncrementalJoinView:
         out = self._full_join(lv, rv)
         if out is None:
             return None
+        self._assert_unique_ids(lv, rv)
         return self.view.overwrite(
             out, _epoch=self._pack(lv, rv), _epoch_force=force
         )

@@ -43,15 +43,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _l2_normalize(col):
-    nrm = F.sqrt(
-        F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
-    )
-    return F.when(nrm == F.lit(0.0), col).otherwise(
-        F.transform(col, lambda x: x / nrm)
-    )
-
-
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v

@@ -176,6 +176,25 @@ class TestLifecycle:
         assert _state(view) == [("a", 1, 11, 101, "PLATINUM")]
         assert _state(view) == _recompute(left, right)
 
+    def test_multiple_updates_same_row_one_window(self, spark, lake):
+        """A stalled view catching up on a busy source sees SEVERAL
+        delete+re-append cycles for one row in a single window — a
+        legal workload that must apply cleanly with the LATEST
+        commit's payload (round-8 full-session review: the per-term
+        insert count falsely refused it; the consistency unit is
+        (pair, term, commit))."""
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        left.delete_where(F.col("o_id") == 1, merge_on_read=True)
+        left.append(_mk(spark, [(1, "a", 11)], _L_SCHEMA))
+        left.delete_where(F.col("o_id") == 1, merge_on_read=True)
+        left.append(_mk(spark, [(1, "a", 12)], _L_SCHEMA))
+        view.refresh()
+        assert _state(view) == [("a", 1, 12, 101, "GOLD")]
+        assert _state(view) == _recompute(left, right)
+
     def test_orphan_only_window_stamps_epoch(self, spark, lake):
         left, right, view = _setup(spark, lake)
         right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
@@ -281,6 +300,24 @@ class TestRefusals:
         right.append(_mk(spark, [(101, "a", "EVIL")], _R_SCHEMA))
         with pytest.raises(ValueError, match="unique-id contract"):
             view.refresh()
+
+    def test_duplicate_id_at_initial_materialization_refused(
+        self, spark, lake
+    ):
+        """Duplicate ids in the FIRST snapshot used to materialize
+        silently — a later retraction then deleted BOTH copies
+        (round-8 full-session review, reproduced). The initial
+        materialization and full_refresh now run the distributed
+        per-side uniqueness check."""
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(
+            _mk(spark, [(1, "a", 10), (1, "a", 99)], _L_SCHEMA)  # dup id
+        )
+        with pytest.raises(ValueError, match="unique-id contract"):
+            view.refresh()
+        with pytest.raises(ValueError, match="unique-id contract"):
+            view.full_refresh()
 
     def test_duplicate_id_with_orphan_key_refused(self, spark, lake):
         """A second left row reusing a MATERIALIZED id under a join
