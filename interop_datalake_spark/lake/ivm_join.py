@@ -229,6 +229,39 @@ class IncrementalJoinView:
     def read(self) -> DataFrame:
         return self.view.read()
 
+    def read_left_outer(self) -> DataFrame:
+        """The LEFT OUTER form, composed at read time: the
+        materialized inner rows ∪ the CURRENT left snapshot's
+        unmatched rows padded with NULL right columns. Deliberately
+        not materialized — maintaining outer padding incrementally
+        needs per-left-row match counters whose flips a single right
+        insert can cascade unboundedly (the padded rows are cheap to
+        derive and expensive to keep: one anti-join against the
+        materialized ids, the same cost any reader of a non-
+        materialized outer join pays). Consistency note: the padding
+        reflects the left table's LIVE snapshot, the inner rows the
+        last refresh — call refresh() first when exactness at one
+        version pair matters."""
+        inner = self.view.read()
+        matched = inner.select(self.left_id)
+        lsnap = self.left.read().select(*self.left_cols)
+        unmatched = lsnap.join(matched, self.left_id, "left_anti")
+        rt = {
+            f.name: f.dataType
+            for f in self.right.table_schema().fields
+        }
+        padded = unmatched.select(
+            *self.on,
+            *[c for c in self.left_cols if c not in self.on],
+            *[
+                F.lit(None).cast(rt[c]).alias(c)
+                if c in rt
+                else F.lit(None).alias(c)
+                for c in self.right_cols
+            ],
+        ).select(*self._view_cols())
+        return inner.select(*self._view_cols()).unionByName(padded)
+
     # -- snapshot + delta construction ---------------------------------------
 
     def _snapshot(

@@ -228,6 +228,56 @@ class TestLifecycle:
         )
 
 
+class TestLeftOuterRead:
+    def test_left_outer_equals_recompute(self, spark, lake):
+        """read_left_outer() = inner view ∪ NULL-padded unmatched live
+        left rows — must equal a from-scratch left outer join."""
+        left, right, view = _setup(spark, lake)
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(
+            _mk(
+                spark,
+                [(1, "a", 10), (4, "zz", 99)],  # zz is unmatched
+                _L_SCHEMA,
+            )
+        )
+        view.refresh()
+        got = sorted(
+            map(
+                tuple,
+                view.read_left_outer()
+                .select("cust", "o_id", "amount", "c_id", "segment")
+                .collect(),
+            ),
+            key=str,
+        )
+        expect = sorted(
+            map(
+                tuple,
+                left.read()
+                .select("o_id", "cust", "amount")
+                .join(
+                    right.read().select("c_id", "cust", "segment"),
+                    "cust",
+                    "left_outer",
+                )
+                .select("cust", "o_id", "amount", "c_id", "segment")
+                .collect(),
+            ),
+            key=str,
+        )
+        assert got == expect
+        assert any(t[3] is None for t in got)  # the padded row exists
+        # a right arrival flips the padding to an inner row
+        right.append(_mk(spark, [(103, "zz", "BRONZE")], _R_SCHEMA))
+        view.refresh()
+        got2 = {
+            (r.o_id, r.c_id)
+            for r in view.read_left_outer().collect()
+        }
+        assert (4, 103) in got2 and (4, None) not in got2
+
+
 class TestStreamingTrigger:
     def test_stream_drives_continuous_join_refresh(self, spark, lake):
         """Composition with the change-feed STREAM (the same shape as
