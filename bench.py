@@ -127,6 +127,7 @@ HEADLINE = [
     "ann_pq_rerank",
     "lake_incremental_join_view",
     "lake_join_rollup",
+    "search_bm25_indexed",
 ]
 # not in HEADLINE by design: dedup_minhash_lsh_skewsafe is a skew
 # PATHOLOGY DEMO (deliberately-injected 60-word boilerplate footer ×

@@ -257,6 +257,10 @@ def _with_required_conf(fn):
 #:   in: lake_join_rollup (aggregate-over-join IVM, the DBSP
 #:       composition) — out: text_lang_ngram (r7-green; text keeps
 #:       winnowing_fingerprints/trigrams_udtf/bpe_train)
+#:   in: search_bm25_indexed (persisted incremental inverted index,
+#:       SAME oracle as search_bm25) — out: search_bm25 (r7-green;
+#:       the indexed variant scores with the identical expression, so
+#:       the class keeps an oracle-checked BM25 rep plus hybrid_rrf)
 WITNESS_PRIORITY = [
     # relational core
     "q1_pricing_summary", "scan_filter_project",
@@ -300,7 +304,7 @@ WITNESS_PRIORITY = [
     # shortlist→rerank pipeline
     "ann_pq_topk", "ann_pq_rerank",
     # retrieval (bm25 + the round-8 hybrid RRF fusion)
-    "search_bm25", "search_hybrid_rrf",
+    "search_bm25_indexed", "search_hybrid_rrf",
     # text analysis: the five never-witnessed rows rotate in
     # (winnowing fingerprints, n-gram lang-id, rolling-hash doc
     # fingerprint, repetition ratios, trigram UDTF) over r6-green

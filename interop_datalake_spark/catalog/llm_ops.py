@@ -1712,6 +1712,40 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a PERSISTED INCREMENTAL inverted index
+    (llm/search_index.py:BM25Index): build term-sorted posting
+    segments from half the corpus, APPEND the other half (tokenizes
+    the new batch only — the indexed segments are never read or
+    rewritten), then query with a term-pruned postings scan. The
+    scoring expression is the one-shot path's own
+    (score_bm25_stats), so this query reuses search_bm25's oracle
+    VERBATIM — "incremental index ≡ whole-corpus BM25" is the pinned
+    contract, not an approximation."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.llm.search_index import BM25Index
+    from interop_datalake_spark.session import DatalakeSession
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="bm25_idx_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        idx = BM25Index(session, "bm")
+        idx.build(docs.filter(F.col("doc_id") < 250), "text", "doc_id")
+        idx.append(docs.filter(F.col("doc_id") >= 250), "text", "doc_id")
+        out = idx.query(["table", "scan", "join"])
+        rows = out.select(
+            "doc_id", "n_hit_terms", F.round("score", 6).alias("score")
+        ).collect()  # bounded: matching docs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id BIGINT, n_hit_terms BIGINT, score DOUBLE"
+    ).orderBy("doc_id")
+
+
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (llm/search.py:hybrid_rrf): BM25 lexical
     top-20 ∪ dense cosine top-20 (query = embedding 0), fused by
@@ -2192,6 +2226,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic,
     "ann_index_incremental": ann_index_incremental,
     "search_bm25": search_bm25,
+    "search_bm25_indexed": search_bm25_indexed,
     "search_hybrid_rrf": search_hybrid_rrf,
     "search_phrase": search_phrase,
     "search_tfidf_keywords": search_tfidf_keywords,
@@ -2233,6 +2268,9 @@ ORACLES = {
     "dedup_semantic": DEDUP_SEMANTIC_ORACLE,
     "ann_index_incremental": ANN_INDEX_ORACLE,
     "search_bm25": SEARCH_BM25_ORACLE,
+    # the indexed path must equal the whole-corpus computation — the
+    # SAME oracle is the contract
+    "search_bm25_indexed": SEARCH_BM25_ORACLE,
     "search_hybrid_rrf": SEARCH_HYBRID_ORACLE,
     "search_phrase": SEARCH_PHRASE_ORACLE,
     "search_tfidf_keywords": TFIDF_KEYWORDS_ORACLE,

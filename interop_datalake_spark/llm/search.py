@@ -64,6 +64,26 @@ def bm25_scores(
     postings = tokenize_words(docs, text_col, id_col)
     tf = postings.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     doclen = postings.groupBy(id_col).agg(F.count("*").alias("dl"))
+    return score_bm25_stats(tf, doclen, id_col, terms, k1, b)
+
+
+def score_bm25_stats(
+    tf: DataFrame,
+    doclen: DataFrame,
+    id_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scoring from the INDEX STATS themselves — ``tf``
+    (id, term, tf) and ``doclen`` (id, dl) — so the one scoring
+    expression serves both the one-shot path (bm25_scores, stats
+    derived in-flight) and the persisted BM25Index (stats read back
+    from TxnTables). ``terms`` must already be lowercased/deduped.
+    df is computed from the tf frame restricted to nothing — callers
+    passing a term-pruned tf still get exact per-term df because
+    pruning keeps every posting of the queried terms."""
+    spark = tf.sparkSession
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     # corpus scalars as a broadcast 1-row frame (no driver collect)
@@ -73,7 +93,7 @@ def bm25_scores(
     )
 
     q = F.broadcast(
-        docs.sparkSession.createDataFrame([(t,) for t in terms], "term STRING")
+        spark.createDataFrame([(t,) for t in terms], "term STRING")
     )
     hits = (
         tf.join(q, "term")

@@ -1,0 +1,96 @@
+"""Persisted incremental BM25 index (llm/search_index.py): the pinned
+contract is "index built in batches ≡ one-shot BM25 over the whole
+corpus", plus the storage-side invariants (appends never touch
+indexed segments; queries prune to the query terms' files)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.llm.search import bm25_scores
+from interop_datalake_spark.llm.search_index import BM25Index
+from interop_datalake_spark.session import DatalakeSession
+
+
+@pytest.fixture()
+def lake(spark):
+    root = tempfile.mkdtemp(prefix="bm25_")
+    yield DatalakeSession(lake_root=root, spark=spark)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+TERMS = ["table", "scan", "join"]
+
+
+def _scores(df):
+    return {
+        r.doc_id: (r.n_hit_terms, round(r.score, 9)) for r in df.collect()
+    }
+
+
+class TestBM25Index:
+    def test_batched_index_equals_one_shot(self, spark, lake, docs):
+        idx = BM25Index(lake, "bm")
+        idx.build(docs.filter(F.col("doc_id") < 250), "text", "doc_id")
+        idx.append(docs.filter(F.col("doc_id") >= 250), "text", "doc_id")
+        got = _scores(idx.query(TERMS))
+        expect = _scores(bm25_scores(docs, "text", "doc_id", TERMS))
+        assert got == expect and got  # exact, incl. df across batches
+
+    def test_append_never_touches_indexed_segments(self, spark, lake, docs):
+        idx = BM25Index(lake, "bm2")
+        idx.build(docs.filter(F.col("doc_id") < 250), "text", "doc_id")
+        before = set(
+            idx.postings.manifest(idx.postings.current_version())["files"]
+        )
+        idx.append(docs.filter(F.col("doc_id") >= 250), "text", "doc_id")
+        after = set(
+            idx.postings.manifest(idx.postings.current_version())["files"]
+        )
+        assert before <= after  # strictly additive: O(batch) ingest
+
+    def test_query_prunes_postings_files(self, spark, lake, docs):
+        idx = BM25Index(lake, "bm3")
+        idx.build(docs, "text", "doc_id")
+        n_files = len(
+            idx.postings.manifest(idx.postings.current_version())["files"]
+        )
+        assert n_files >= 2  # term-range sharding produced segments
+        # a term from the edge of the alphabet resolves few segments
+        # ('window' is the corpus vocabulary's last term)
+        assert idx.query(["window"]).count() > 0
+        assert idx.last_query_scan_files is not None
+        assert 0 < len(idx.last_query_scan_files) < n_files
+
+    def test_compact_merges_segments_same_answer(self, spark, lake, docs):
+        idx = BM25Index(lake, "bm4")
+        half = docs.filter(F.col("doc_id") < 250)
+        idx.build(half, "text", "doc_id")
+        idx.append(docs.filter(F.col("doc_id") >= 250), "text", "doc_id")
+        before = _scores(idx.query(TERMS))
+        idx.compact()
+        assert _scores(idx.query(TERMS)) == before
+
+    def test_fresh_handle_queries_persisted_index(self, spark, lake, docs):
+        idx = BM25Index(lake, "bm5")
+        idx.build(docs, "text", "doc_id")
+        # a new process attaching to the stored index — no state from
+        # the building handle
+        idx2 = BM25Index(lake, "bm5")
+        got = _scores(idx2.query(TERMS))
+        assert got == _scores(bm25_scores(docs, "text", "doc_id", TERMS))
+
+    def test_empty_query_and_absent_term(self, spark, lake, docs):
+        idx = BM25Index(lake, "bm6")
+        idx.build(docs.filter(F.col("doc_id") < 50), "text", "doc_id")
+        assert idx.query([]).count() == 0
+        assert idx.query(["zzzznotaword"]).count() == 0
