@@ -28,10 +28,14 @@ problem.
 Consistency: the two tables commit independently (postings first). A
 crash between the commits leaves postings for documents missing from
 doclens; ``query`` joins ON doclens, so half-indexed documents are
-invisible rather than mis-normalized, and re-running the append is
-the recovery (documented; exactly-once ingest via TxnTable epochs is
-available to callers that stream batches, as dedup_stream_pipeline
-does for the signature store).
+invisible rather than mis-normalized. Recovery: pass a monotone
+``_epoch`` per ingest batch (build/append) — both commits then ride
+TxnTable ``append_epoch``, so a re-run after ANY crash point is
+exactly-once (the postings replay no-ops, the doclens commit
+applies). A bare re-run WITHOUT an epoch would double-append the
+batch's postings and skew every score — refused nowhere, documented
+here, which is why streamed ingest (the dedup_stream_pipeline shape)
+should always forward its foreachBatch epoch.
 """
 
 from __future__ import annotations
@@ -60,7 +64,10 @@ class BM25Index:
         #: observability, like ivm_join.last_snapshot_scan_files)
         self.last_query_scan_files: list[str] | None = None
 
-    def _index_batch(self, docs: DataFrame, text_col: str, id_col: str):
+    def _index_batch(
+        self, docs: DataFrame, text_col: str, id_col: str,
+        _epoch: int | None,
+    ):
         postings = tokenize_words(docs, text_col, id_col)
         tf = postings.groupBy(id_col, "term").agg(
             F.count("*").alias("tf")
@@ -71,24 +78,38 @@ class BM25Index:
         tf_sorted = tf.repartitionByRange(
             self.shards, "term"
         ).sortWithinPartitions("term")
-        self.postings.append(
-            tf_sorted.select("term", F.col(id_col), "tf")
-        )
-        self.doclens.append(dl.select(F.col(id_col), "dl"))
+        p = tf_sorted.select("term", F.col(id_col), "tf")
+        d = dl.select(F.col(id_col), "dl")
+        if _epoch is not None:
+            # exactly-once: a crash-replayed batch no-ops the commit(s)
+            # that already landed and applies the missing one
+            self.postings.append_epoch(p, _epoch)
+            self.doclens.append_epoch(d, _epoch)
+        else:
+            self.postings.append(p)
+            self.doclens.append(d)
 
-    def build(self, docs: DataFrame, text_col: str, id_col: str) -> None:
+    def build(
+        self, docs: DataFrame, text_col: str, id_col: str,
+        _epoch: int | None = None,
+    ) -> None:
         """Index an initial corpus. Tokenization reads ``docs`` once;
-        nothing else is scanned."""
-        self._index_batch(docs, text_col, id_col)
+        nothing else is scanned. Pass ``_epoch`` for crash-replayable
+        exactly-once ingest (module docstring)."""
+        self._index_batch(docs, text_col, id_col, _epoch)
 
-    def append(self, docs: DataFrame, text_col: str, id_col: str) -> None:
+    def append(
+        self, docs: DataFrame, text_col: str, id_col: str,
+        _epoch: int | None = None,
+    ) -> None:
         """Index a NEW batch: tokenizes the batch only — the already-
         indexed postings/doclens files are never read or rewritten
         (pinned: the pre-append file sets are untouched). Documents
         must be new ids; re-indexing an existing doc would double its
         postings (callers dedupe upstream, same contract as
-        ann_index_incremental)."""
-        self._index_batch(docs, text_col, id_col)
+        ann_index_incremental). Pass a monotone ``_epoch`` per batch
+        for exactly-once replay."""
+        self._index_batch(docs, text_col, id_col, _epoch)
 
     def compact(self) -> None:
         """Segment merge: re-sort all postings into term-disjoint
