@@ -97,6 +97,61 @@ def null_out_empty_sums(frame: DataFrame, sum_cols: list[str]) -> DataFrame:
     )
 
 
+#: above this many changed key values, per-key point-range file
+#: resolution falls back to one (min, max) envelope — beyond the cap
+#: the per-key manifest passes cost more than the pruning wins
+_PRUNE_KEYS_MAX = 32
+
+
+def resolve_key_files(
+    table: TxnTable, version: int | None, col: str, keys: list
+) -> list[str]:
+    """Union of the file sets each key's point-range resolves —
+    per-key up to the cap, then one (min, max) envelope (the same
+    trade-off as IncrementalAggView's repair pruning: beyond the cap
+    the per-key manifest passes cost more than the pruning wins).
+    The single shared resolution loop for snapshot reads AND scoped
+    view reads (a drifting copy would silently diverge them)."""
+    ks = sorted({k for k in keys if k is not None})
+    if not ks:
+        return []
+    if len(ks) <= _PRUNE_KEYS_MAX:
+        seen: dict[str, None] = {}
+        for k in ks:
+            for f in table.resolve_files(
+                version=version, key_range=(col, k, k)
+            ):
+                seen.setdefault(f)
+        return list(seen)
+    return table.resolve_files(
+        version=version, key_range=(col, ks[0], ks[-1])
+    )
+
+
+def window_change_rows(table, last: int, to: int) -> int | None:
+    """Changed-row count of the ``(last, to]`` feed window, computed
+    from COMMIT RECORDS only (added files' write-time row stats +
+    deletion-vector counts) — the manifest-level pre-count that lets a
+    refresh decide per-row vs envelope handling BEFORE materializing
+    anything (round-8 verdict item 1: a driver-side collect sized "by
+    the window's changed rows" is only bounded if something counted
+    the window first). Returns None when any added file lacks row
+    stats (unknown → callers must treat the window as large). O(window
+    commits) JSON reads, no Spark job."""
+    total = 0
+    for v in range(last + 1, to + 1):
+        rec = table.commit_record(v)
+        stats = rec.get("stats", {})
+        for f in rec.get("added", []):
+            rows = stats.get(f, {}).get("rows")
+            if rows is None:
+                return None
+            total += int(rows)
+        if "dv" in rec:
+            total += sum(int(n) for n in rec["dv"]["files"].values())
+    return total
+
+
 def keys_predicate(key_cols: list[str], key_tuples) -> "F.Column":
     """Column predicate "row's key ∈ key_tuples" (bounded OR of ANDs;
     single-key views collapse to one isin). Shared by every
@@ -193,6 +248,8 @@ class IncrementalAggView:
         watermark_col: str | None = None,
         watermark_delay=0,
         late_policy: str = "refuse",
+        max_delta_groups: int = 100_000,
+        large_delta_policy: str = "full_refresh",
     ):
         """``watermark_col`` (one of ``key_cols``, ordered — numeric /
         timestamp / string) turns on WATERMARK semantics for the
@@ -235,6 +292,25 @@ class IncrementalAggView:
         self.late_policy = late_policy
         if watermark_col is not None:
             self._validate_watermark_delay()
+        # GROUP-CARDINALITY GUARD (round-8 verdict item 7): the
+        # aggregated delta is collected to the driver — bounded by
+        # touched groups, which a high-cardinality key_cols view can
+        # blow past. The collect is capped at max_delta_groups + 1
+        # rows; beyond the cap, large_delta_policy decides:
+        # "full_refresh" degrades to the fully-distributed snapshot
+        # recompute (always correct; O(source) instead of O(delta)),
+        # "refuse" raises. A watermarked drop-policy view always
+        # refuses — a recompute would silently re-include groups the
+        # incremental path deliberately dropped.
+        if large_delta_policy not in ("refuse", "full_refresh"):
+            raise ValueError(
+                "large_delta_policy must be 'refuse' or 'full_refresh'"
+            )
+        self.max_delta_groups = max_delta_groups
+        self.large_delta_policy = large_delta_policy
+        #: how the last refresh merged: "scoped" (collected delta +
+        #: scoped merge_sync) | "full_recompute" (cardinality degrade)
+        self.last_merge_mode: str | None = None
         self.view = TxnTable(session, name, stats_cols=self.key_cols[:1])
         #: files the last delete-window min/max repair scan opened
         #: (None = no repair ran) — pruning made observable for tests
@@ -496,6 +572,7 @@ class IncrementalAggView:
         # (round-8 review)
         self.last_repair_scan_files = None
         self.last_late_groups = []
+        self.last_merge_mode = None
         changes = self.source.read_changes(
             last, src_v, include_deletes=True
         )
@@ -515,16 +592,43 @@ class IncrementalAggView:
             f"max_{c}" for c in self.max_cols
         ]
         d_cols = add_cols + mm_cols
+        # the collect is CAPPED (group-cardinality guard, constructor
+        # docs): limit(cap+1) bounds driver memory by construction —
+        # one extra row is all the guard needs to know the cap burst
         delta_rows = self._aggregate(
             changes,
             sign,
             F.col("_change_type") == "insert",
             track_deletes=minmax and has_dv,
-        ).collect()
+        ).limit(self.max_delta_groups + 1).collect()
+        if len(delta_rows) > self.max_delta_groups:
+            if self.large_delta_policy == "refuse" or (
+                self.watermark_col is not None
+                and self.late_policy == "drop"
+            ):
+                raise ValueError(
+                    f"refresh window touches more than "
+                    f"{self.max_delta_groups} groups — the collected "
+                    f"delta would no longer be driver-bounded. Run "
+                    f"full_refresh() (fully distributed) or raise "
+                    f"max_delta_groups deliberately"
+                    + (
+                        " (this view is watermarked with "
+                        "late_policy='drop': a recompute would re-"
+                        "include deliberately-dropped groups, so it "
+                        "never degrades automatically)"
+                        if self.watermark_col is not None
+                        and self.late_policy == "drop"
+                        else ""
+                    )
+                )
+            self.last_merge_mode = "full_recompute"
+            return self.full_refresh()
         if not delta_rows:
             # empty window (no-op commits): nothing to stamp; the next
             # refresh rescans this (empty, cheap) window again
             return None
+        self.last_merge_mode = "scoped"
         key_tuples = [
             tuple(r[k] for k in self.key_cols) for r in delta_rows
         ]
@@ -701,9 +805,21 @@ class IncrementalAggView:
         new = self._apply_minmax_repair(new, repair)
         survivors = self._null_out_empty_sums(new.filter(F.col("n") > 0))
         # ONE commit: in-scope matched groups replace, in-scope
-        # unmatched (zero'd) groups delete, new groups insert
+        # unmatched (zero'd) groups delete, new groups insert. The
+        # scope-hit scan gets the key-stats-resolved candidate files —
+        # without them merge_sync rediscovers scope rows by scanning
+        # the whole view (round-8 advice, medium)
         v = self.view.merge_sync(
-            survivors, self.key_cols, scope=in_keys, _epoch=src_v
+            survivors,
+            self.key_cols,
+            scope=in_keys,
+            scope_candidate_files=resolve_key_files(
+                self.view,
+                self.view.current_version(),
+                self.key_cols[0],
+                [t[0] for t in key_tuples],
+            ),
+            _epoch=src_v,
         )
         self._advance_watermark(key_tuples)
         return v

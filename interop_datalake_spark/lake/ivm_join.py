@@ -16,13 +16,28 @@ re-join of the full tables.
 
 Scale shape: the two snapshot sides (R_new, L_old) are NOT full
 scans when the snapshot table records stats on the join key — the
-changed join-key values (bounded by the window's changed rows) prune
-the snapshot read per key exactly like the agg view's min/max repair
-(ivm.py round-7 item 2): ≤ _PRUNE_KEYS_MAX keys resolve per-key
-point ranges and union the file sets; beyond that one (min, max)
-envelope. The join itself then broadcasts the delta side (changed
-rows — dim-sized by definition of "incremental window") against the
-pruned snapshot slice.
+changed join-key values prune the snapshot read per key exactly like
+the agg view's min/max repair (ivm.py round-7 item 2): ≤
+_PRUNE_KEYS_MAX keys resolve per-key point ranges and union the file
+sets; beyond that one (min, max) envelope. "Bounded by the window's
+changed rows" is ENFORCED, not assumed (round-8 verdict item 1): the
+refresh pre-counts the window from the commit records
+(ivm.py:window_change_rows — manifest row stats + vector counts, no
+Spark job) and picks a mode, exposed as ``last_prune_mode``:
+
+- ``"per-id"`` (window ≤ max_point_window_rows): collect the changed
+  (id, join_key) pairs, per-key point-range pruning everywhere, and
+  explicit broadcast of the (small, checkpointed) delta sides.
+- ``"envelope"`` (large or unknown window — a bulk backfill, a week
+  of unrefreshed changes): NOTHING row-shaped ever reaches the
+  driver. Per-side (min, max) bounds of the ids and join keys are
+  aggregated distributed (one 5-scalar row per side); snapshot reads
+  and the scoped view read prune by those envelopes; the scope
+  predicate is the BETWEEN of the id envelopes (wider than the exact
+  id set — untouched in-scope rows flow through the full-outer merge
+  unchanged, so the widening costs I/O, never correctness); and the
+  delta joins carry NO broadcast hint — AQE picks the strategy for
+  a delta that may be executor-memory-sized.
 
 Row identity: view rows are keyed by (left_id, right_id) — each side
 must expose a UNIQUE id column (the primary-key contract every
@@ -49,10 +64,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from interop_datalake_spark.lake.ivm import (
+    _PRUNE_KEYS_MAX,
     additive_combine_exprs,
     assert_window_delta_visible,
     keys_predicate,
     null_out_empty_sums,
+    resolve_key_files,
+    window_change_rows,
 )
 from interop_datalake_spark.lake.txn import TxnTable
 
@@ -76,63 +94,49 @@ def pack_epoch(lv: int, rv: int) -> int:
 
 def unpack_epoch(epoch: int) -> tuple[int, int]:
     return divmod(epoch, _EPOCH_BASE)
-#: above this many changed join-key values, snapshot pruning falls
-#: back from per-key point ranges to one (min, max) envelope — same
-#: cap + rationale as IncrementalAggView._REPAIR_KEYS_MAX_RESOLVE
-_PRUNE_KEYS_MAX = 32
-
-
-def resolve_key_files(
-    table: TxnTable, version: int | None, col: str, keys: list
-) -> list[str]:
-    """Union of the file sets each key's point-range resolves —
-    per-key up to the cap, then one (min, max) envelope (the same
-    trade-off as IncrementalAggView's repair pruning: beyond the cap
-    the per-key manifest passes cost more than the pruning wins).
-    The single shared resolution loop for snapshot reads AND scoped
-    view reads (a drifting copy would silently diverge them)."""
-    ks = sorted({k for k in keys if k is not None})
-    if not ks:
-        return []
-    if len(ks) <= _PRUNE_KEYS_MAX:
-        seen: dict[str, None] = {}
-        for k in ks:
-            for f in table.resolve_files(
-                version=version, key_range=(col, k, k)
-            ):
-                seen.setdefault(f)
-        return list(seen)
-    return table.resolve_files(
-        version=version, key_range=(col, ks[0], ks[-1])
-    )
 
 
 def pruned_snapshot(
     table: TxnTable,
     version: int,
     cols: list[str],
-    join_keys: list,
+    join_keys: list | None,
     key0: str,
     obs: dict,
     side: str,
+    envelope: tuple | None = None,
 ) -> DataFrame | None:
     """``table`` at ``version``, pruned to files that can hold the
     changed join-key values (point-range per key ≤ cap, else one
     envelope), recording the opened file set in ``obs[side]``.
-    Pruning drops files, not rows — the downstream equi-join is the
-    exact residual filter, so a stats-less table degrades to a full
-    snapshot scan, never to a wrong answer. Returns None when the
-    term is provably empty (no snapshot data, no keys, or every file
-    pruned). Shared by the join view and the join-agg view."""
+    ``envelope=(lo, hi)`` skips the per-key path entirely and prunes
+    by that one range — the large-window mode, where the caller
+    derived the bounds distributed instead of collecting keys
+    (round-8 verdict item 1). Pruning drops files, not rows — the
+    downstream equi-join is the exact residual filter, so a stats-less
+    table degrades to a full snapshot scan, never to a wrong answer.
+    Returns None when the term is provably empty (no snapshot data, no
+    keys, or every file pruned). Shared by the join view and the
+    join-agg view."""
     if version == 0:
         return None
     m = table.manifest(version)
     if not m["files"]:
         return None
-    if not any(k is not None for k in join_keys):
-        obs[side] = []
-        return None
-    files = resolve_key_files(table, version, key0, join_keys)
+    if envelope is not None:
+        lo, hi = envelope
+        if lo is None or hi is None:
+            # every changed join key was NULL: NULLs never equi-join
+            obs[side] = []
+            return None
+        files = table.resolve_files(
+            version=version, key_range=(key0, lo, hi)
+        )
+    else:
+        if not any(k is not None for k in join_keys):
+            obs[side] = []
+            return None
+        files = resolve_key_files(table, version, key0, join_keys)
     obs[side] = files
     if not files:
         return None
@@ -161,7 +165,12 @@ class IncrementalJoinView:
         right_id: str,
         left_cols: list[str] | None = None,
         right_cols: list[str] | None = None,
+        max_point_window_rows: int = 100_000,
     ):
+        #: change windows above this many rows (pre-counted from the
+        #: commit records) refresh in "envelope" mode: no per-row
+        #: driver collect, no delta broadcast (round-8 verdict item 1)
+        self.max_point_window_rows = max_point_window_rows
         self.left = left
         self.right = right
         self.on = list(on)
@@ -213,6 +222,9 @@ class IncrementalJoinView:
         #: files the last refresh's in-scope VIEW read opened (None =
         #: refresh didn't reach the scoped read)
         self.last_view_scan_files: list[str] | None = None
+        #: "per-id" | "envelope" — how the last refresh pruned and
+        #: scoped (None = refresh didn't reach the mode decision)
+        self.last_prune_mode: str | None = None
 
     # -- epochs ---------------------------------------------------------------
 
@@ -289,17 +301,20 @@ class IncrementalJoinView:
     def refresh(self) -> int | None:
         """Apply both sources' change deltas since the last refresh in
         ONE atomic view commit. Returns the view's new version, or
-        None when already current. Bounded driver actions: the
-        changed-row join keys and ids (the incremental window's
-        changed rows — the same bounded-delta contract as
-        IncrementalAggView.refresh), plus one distributed violation
-        count."""
+        None when already current. Driver actions are bounded by
+        ENFORCEMENT, not assumption: the window is pre-counted from
+        the commit records and windows above ``max_point_window_rows``
+        switch to envelope mode (module docstring; ``last_prune_mode``
+        records the decision), where the only collects are one
+        5-scalar bounds row per side plus the distributed violation
+        count every mode pays."""
         lv, rv = self.left.current_version(), self.right.current_version()
         llast, rlast = self.last_refreshed_versions()
         if (lv, rv) == (llast, rlast):
             return None
         self.last_snapshot_scan_files = {}
         self.last_view_scan_files = None
+        self.last_prune_mode = None
         packed = self._pack(lv, rv)
         if self.view.current_version() == 0:
             # initial materialization joins SNAPSHOTS and never reads
@@ -325,10 +340,23 @@ class IncrementalJoinView:
             )
         assert_window_delta_visible(self.left, llast, lv)
         assert_window_delta_visible(self.right, rlast, rv)
+        # pre-count the window from the commit records (no Spark job):
+        # "bounded by the window's changed rows" is only a bound if
+        # something counted the window — a bulk backfill or a long-
+        # unrefreshed view must not collect millions of rows onto the
+        # driver nor broadcast the backlog (round-8 verdict item 1)
+        wl = window_change_rows(self.left, llast, lv) if lv > llast else 0
+        wr = window_change_rows(self.right, rlast, rv) if rv > rlast else 0
+        per_id = (
+            wl is not None
+            and wr is not None
+            and wl + wr <= self.max_point_window_rows
+        )
+        self.last_prune_mode = "per-id" if per_id else "envelope"
 
         # checkpoint the signed feeds once: each drives a bounded
-        # collect AND a join term — without the barrier the feed read
-        # (with its DV semi-joins) re-runs per consumer
+        # collect/aggregate AND a join term — without the barrier the
+        # feed read (with its DV semi-joins) re-runs per consumer
         lchange = (
             self._signed(
                 self.left.read_changes(llast, lv, include_deletes=True),
@@ -345,71 +373,111 @@ class IncrementalJoinView:
             if rv > rlast
             else None
         )
-        # changed ids / join keys: bounded by the window's changed rows
-        lrows = (
-            lchange.select(self.left_id, self.on[0]).collect()
-            if lchange is not None
-            else []
-        )
-        rrows = (
-            rchange.select(self.right_id, self.on[0]).collect()
-            if rchange is not None
-            else []
-        )
-        if not lrows and not rrows:
-            # no-op commits on both sides: stamp so the (empty, cheap)
-            # window is never rescanned
-            return self.view.stamp_epoch(packed)
-
         view_cols = self._view_cols()
         payload = [c for c in view_cols if c not in (self.left_id, self.right_id)]
         terms = []
-        if lrows:
-            r_snap = self._snapshot(
-                self.right,
-                rv,
-                self.right_cols + self.on,
-                [r[1] for r in lrows],
-                "right",
+        lids = rids = None
+        lb = rb = None
+        if per_id:
+            # changed ids / join keys: bounded by the pre-counted
+            # window rows
+            lrows = (
+                lchange.select(self.left_id, self.on[0]).collect()
+                if lchange is not None
+                else []
             )
-            if r_snap is not None:
-                # _term=2 (the PRIORITY value under the struct max):
-                # ΔL⋈R_new sees BOTH sides current, so when a pair
-                # collects an insert from each term (both sides
-                # updated in one window) THIS term's payload must win
-                # — the L_old⋈ΔR term (_term=1) carries the stale
-                # pre-window left payload. The delta side is
-                # checkpointed (hides size stats) and window-bounded:
-                # broadcast it explicitly, per the repo's
-                # checkpoint-hides-stats rule.
-                terms.append(
-                    F.broadcast(lchange).join(r_snap, self.on).withColumn(
-                        "_term", F.lit(2)
-                    )
-                )
-        if rrows:
-            l_snap = self._snapshot(
-                self.left,
-                llast,
-                self.left_cols,
-                [r[1] for r in rrows],
-                "left",
+            rrows = (
+                rchange.select(self.right_id, self.on[0]).collect()
+                if rchange is not None
+                else []
             )
-            if l_snap is not None:
-                # _term=1 (loses the payload-priority max to ΔL⋈R_new
-                # when both contribute). l_snap carries no _sign
-                # column: the join inherits rchange's sign
-                # unambiguously. Broadcast the checkpointed delta side
-                # explicitly (same rule as above).
-                terms.append(
-                    l_snap.join(F.broadcast(rchange), self.on).withColumn(
-                        "_term", F.lit(1)
-                    )
+            if not lrows and not rrows:
+                # no-op commits on both sides: stamp so the (empty,
+                # cheap) window is never rescanned
+                return self.view.stamp_epoch(packed)
+            lids = [r[0] for r in lrows]
+            rids = [r[0] for r in rrows]
+            if lrows:
+                r_snap = self._snapshot(
+                    self.right,
+                    rv,
+                    self.right_cols + self.on,
+                    [r[1] for r in lrows],
+                    "right",
                 )
+                if r_snap is not None:
+                    # _term=2 (the PRIORITY value under the struct
+                    # max): ΔL⋈R_new sees BOTH sides current, so when
+                    # a pair collects an insert from each term (both
+                    # sides updated in one window) THIS term's payload
+                    # must win — the L_old⋈ΔR term (_term=1) carries
+                    # the stale pre-window left payload. The delta
+                    # side is checkpointed (hides size stats) and
+                    # window-bounded: broadcast it explicitly, per the
+                    # repo's checkpoint-hides-stats rule.
+                    terms.append(
+                        F.broadcast(lchange).join(r_snap, self.on).withColumn(
+                            "_term", F.lit(2)
+                        )
+                    )
+            if rrows:
+                l_snap = self._snapshot(
+                    self.left,
+                    llast,
+                    self.left_cols,
+                    [r[1] for r in rrows],
+                    "left",
+                )
+                if l_snap is not None:
+                    # _term=1 (loses the payload-priority max to
+                    # ΔL⋈R_new when both contribute). l_snap carries
+                    # no _sign column: the join inherits rchange's
+                    # sign unambiguously. Broadcast the checkpointed
+                    # delta side explicitly (same rule as above).
+                    terms.append(
+                        l_snap.join(F.broadcast(rchange), self.on).withColumn(
+                            "_term", F.lit(1)
+                        )
+                    )
+            scope = self._scope_predicate(lids, rids)
+            cur = self._scoped_view(lids, rids, scope)
+        else:
+            # ENVELOPE mode: per-side (min, max, count) bounds of the
+            # changed ids and join keys — one 5-scalar row per side,
+            # the ONLY driver materialization at any window size
+            lb = self._bounds(lchange, self.left_id)
+            rb = self._bounds(rchange, self.right_id)
+            if lb is None and rb is None:
+                return self.view.stamp_epoch(packed)
+            if lb is not None:
+                r_snap = pruned_snapshot(
+                    self.right, rv, self.right_cols + self.on, None,
+                    self.on[0], self.last_snapshot_scan_files, "right",
+                    envelope=(lb["klo"], lb["khi"]),
+                )
+                if r_snap is not None:
+                    # NO broadcast hint: the delta may be arbitrarily
+                    # large here — AQE picks the join strategy
+                    terms.append(
+                        lchange.join(r_snap, self.on).withColumn(
+                            "_term", F.lit(2)
+                        )
+                    )
+            if rb is not None:
+                l_snap = pruned_snapshot(
+                    self.left, llast, self.left_cols, None,
+                    self.on[0], self.last_snapshot_scan_files, "left",
+                    envelope=(rb["klo"], rb["khi"]),
+                )
+                if l_snap is not None:
+                    terms.append(
+                        l_snap.join(rchange, self.on).withColumn(
+                            "_term", F.lit(1)
+                        )
+                    )
+            scope = self._scope_predicate_envelope(lb, rb)
+            cur = self._scoped_view_envelope(lb, rb, scope)
         ids = [self.left_id, self.right_id]
-        lids = [r[0] for r in lrows]
-        rids = [r[0] for r in rrows]
-        scope = self._scope_predicate(lids, rids)
         if not terms:
             # changes joined nothing. If no touched id is materialized
             # either, the window is pure orphans: stamp and move on.
@@ -421,8 +489,35 @@ class IncrementalJoinView:
             # the in-scope rows (post-review fix: this branch used to
             # sync empty over the scope, corrupting the view exactly
             # when the unique-id contract was broken)
-            cur = self._scoped_view(lids, rids, scope)
-            if cur.limit(1).count() == 0:
+            if per_id:
+                touched = cur.limit(1).count() > 0
+            else:
+                # the envelope scope is WIDER than the touched ids, so
+                # a non-empty scoped read proves nothing — semi-join
+                # the changed ids distributed instead (two bounded
+                # one-scalar actions, no collect)
+                touched = lb is not None and (
+                    cur.join(
+                        lchange.select(self.left_id).distinct(),
+                        self.left_id,
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+                touched = touched or (
+                    rb is not None
+                    and cur.join(
+                        rchange.select(self.right_id).distinct(),
+                        self.right_id,
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            if not touched:
                 return self.view.stamp_epoch(packed)
             raise ValueError(
                 "a change for an already-materialized id joined no "
@@ -461,7 +556,6 @@ class IncrementalJoinView:
                 )
             )["_ins_payload"].alias("_ins"),
         )
-        cur = self._scoped_view(lids, rids, scope)
         merged = cur.withColumn("_in_view", F.lit(1)).join(
             d, ids, "full_outer"
         )
@@ -496,9 +590,80 @@ class IncrementalJoinView:
                 for c in payload
             ],
         ).select(*view_cols)
+        # hand merge_sync the scoped read's resolved file set so its
+        # scope-hit scan opens those files, not the whole view — the
+        # O(view)-per-refresh rediscovery round-8's advice flagged
         return self.view.merge_sync(
-            survivors, ids, scope=scope, _epoch=packed
+            survivors,
+            ids,
+            scope=scope,
+            scope_candidate_files=self.last_view_scan_files,
+            _epoch=packed,
         )
+
+    def _bounds(self, change: DataFrame | None, idc: str):
+        """Envelope-mode bounds of one side's change frame: one
+        5-scalar row {c, ilo, ihi, klo, khi} (count, id min/max,
+        join-key min/max) — None when the side has no changed rows.
+        The bounds can be None with a non-zero count (all-NULL ids or
+        keys); callers skip that side's scope/prune term (NULL ids
+        never equi-join and never match view rows)."""
+        if change is None:
+            return None
+        row = change.agg(
+            F.count("*").alias("c"),
+            F.min(idc).alias("ilo"),
+            F.max(idc).alias("ihi"),
+            F.min(self.on[0]).alias("klo"),
+            F.max(self.on[0]).alias("khi"),
+        ).collect()[0]  # bounded: one 5-scalar row
+        return None if row["c"] == 0 else row
+
+    def _scope_predicate_envelope(self, lb, rb):
+        """BETWEEN of the per-side id envelopes — wider than the exact
+        changed-id set, which is safe: the scoped read uses the SAME
+        predicate, so untouched in-scope rows ride the full-outer
+        merge through to survivors unchanged (the widening costs
+        rewrite I/O, never rows)."""
+        pred = F.lit(False)
+        if lb is not None and lb["ilo"] is not None:
+            pred = pred | F.col(self.left_id).between(
+                F.lit(lb["ilo"]), F.lit(lb["ihi"])
+            )
+        if rb is not None and rb["ilo"] is not None:
+            pred = pred | F.col(self.right_id).between(
+                F.lit(rb["ilo"]), F.lit(rb["ihi"])
+            )
+        return pred
+
+    def _scoped_view_envelope(self, lb, rb, scope) -> DataFrame:
+        """Envelope-mode sibling of :meth:`_scoped_view`: file
+        resolution by one (min, max) range per id column instead of
+        per-key point ranges — no id list ever exists on the driver."""
+        v = self.view.current_version()
+        m = self.view.manifest(v)
+        if not m["files"]:
+            self.last_view_scan_files = []
+            return self.view.spark.createDataFrame(
+                [], self.view.table_schema(v)
+            )
+        files: dict[str, None] = {}
+        if lb is not None and lb["ilo"] is not None:
+            for f in self.view.resolve_files(
+                version=v, key_range=(self.left_id, lb["ilo"], lb["ihi"])
+            ):
+                files.setdefault(f)
+        if rb is not None and rb["ilo"] is not None:
+            for f in self.view.resolve_files(
+                version=v, key_range=(self.right_id, rb["ilo"], rb["ihi"])
+            ):
+                files.setdefault(f)
+        self.last_view_scan_files = list(files)
+        if not files:
+            return self.view._load_files(m["files"][:1], m).filter(
+                F.lit(False)
+            )
+        return self.view._load_files(list(files), m).filter(scope)
 
     def _view_cols(self) -> list[str]:
         return (
@@ -645,7 +810,23 @@ class IncrementalJoinAggView:
         on: list[str],
         key_cols: list[str],
         sum_cols: list[str] | None = None,
+        max_point_window_rows: int = 100_000,
+        max_delta_groups: int = 100_000,
+        large_delta_policy: str = "full_refresh",
     ):
+        if large_delta_policy not in ("refuse", "full_refresh"):
+            raise ValueError(
+                "large_delta_policy must be 'refuse' or 'full_refresh'"
+            )
+        #: windows above this many pre-counted changed rows skip the
+        #: explicit delta broadcast (AQE decides) — the same gate the
+        #: DV read path applies via manifest counts
+        self.max_point_window_rows = max_point_window_rows
+        #: cap on the collected aggregated delta (touched groups);
+        #: beyond it large_delta_policy degrades to the distributed
+        #: full recompute or refuses (same guard as IncrementalAggView)
+        self.max_delta_groups = max_delta_groups
+        self.large_delta_policy = large_delta_policy
         self.left = left
         self.right = right
         self.on = list(on)
@@ -678,6 +859,11 @@ class IncrementalJoinAggView:
         self.right_cols: list[str] | None = None
         self.view = TxnTable(session, name, stats_cols=self.key_cols[:1])
         self.last_snapshot_scan_files: dict[str, list[str]] = {}
+        #: "per-key" | "envelope" — how the last refresh pruned its
+        #: snapshot terms (None = not reached)
+        self.last_prune_mode: str | None = None
+        #: "scoped" | "full_recompute" — how the last refresh merged
+        self.last_merge_mode: str | None = None
         if self._schema_types(left) and self._schema_types(right):
             self._resolve()
 
@@ -808,6 +994,8 @@ class IncrementalJoinAggView:
         if (lv, rv) == (llast, rlast):
             return None
         self.last_snapshot_scan_files = {}
+        self.last_prune_mode = None
+        self.last_merge_mode = None
         packed = self._pack(lv, rv)
         if self.view.current_version() == 0:
             joined = self._joined_snapshot(lv, rv)
@@ -826,6 +1014,18 @@ class IncrementalJoinAggView:
         assert_window_delta_visible(self.left, llast, lv)
         assert_window_delta_visible(self.right, rlast, rv)
         self._resolve()
+        # broadcast gate: pre-count the window from the commit records
+        # — a backfill-sized delta must not be broadcast (round-8
+        # advice; the DV read path gates the same decision on manifest
+        # counts)
+        wl = window_change_rows(self.left, llast, lv) if lv > llast else 0
+        wr = window_change_rows(self.right, rlast, rv) if rv > rlast else 0
+        small_window = (
+            wl is not None
+            and wr is not None
+            and wl + wr <= self.max_point_window_rows
+        )
+        hint = F.broadcast if small_window else (lambda df: df)
         sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
         lchange = (
             self.left.read_changes(llast, lv, include_deletes=True)
@@ -841,36 +1041,38 @@ class IncrementalJoinAggView:
             if rv > rlast
             else None
         )
-        # DISTINCT changed join keys — bounded by key cardinality in
-        # the window, not by changed-row count (the join view must
-        # collect per-row because it needs the ids; this one doesn't)
-        lkeys = (
-            [r[0] for r in lchange.select(self.on[0]).distinct().collect()]
-            if lchange is not None
-            else []
+        # DISTINCT changed join keys, collected only up to the pruning
+        # cap (+1 row to detect the burst): beyond _PRUNE_KEYS_MAX the
+        # per-key point ranges fall back to one envelope anyway, so
+        # the full key list never needs to exist on the driver — the
+        # envelope bounds come from one 2-scalar distributed agg
+        # (round-8 verdict item 1, applied to this class's key collect)
+        lkeys, lenv = self._keys_or_envelope(lchange)
+        rkeys, renv = self._keys_or_envelope(rchange)
+        has_l = bool(lkeys) or lenv is not None
+        has_r = bool(rkeys) or renv is not None
+        self.last_prune_mode = (
+            "envelope" if (lenv is not None or renv is not None) else "per-key"
         )
-        rkeys = (
-            [r[0] for r in rchange.select(self.on[0]).distinct().collect()]
-            if rchange is not None
-            else []
-        )
-        if not lkeys and not rkeys:
+        if not has_l and not has_r:
             return self.view.stamp_epoch(packed)
         terms = []
-        if lkeys:
+        if has_l:
             r_snap = pruned_snapshot(
                 self.right, rv, self.right_cols + self.on, lkeys,
                 self.on[0], self.last_snapshot_scan_files, "right",
+                envelope=lenv,
             )
             if r_snap is not None:
-                terms.append(F.broadcast(lchange).join(r_snap, self.on))
-        if rkeys:
+                terms.append(hint(lchange).join(r_snap, self.on))
+        if has_r:
             l_snap = pruned_snapshot(
                 self.left, llast, self.left_cols, rkeys,
                 self.on[0], self.last_snapshot_scan_files, "left",
+                envelope=renv,
             )
             if l_snap is not None:
-                terms.append(l_snap.join(F.broadcast(rchange), self.on))
+                terms.append(l_snap.join(hint(rchange), self.on))
         if not terms:
             # pure-orphan window: the join delta is exactly empty
             # (aggregates have no id bypass to guard against — a
@@ -882,11 +1084,30 @@ class IncrementalJoinAggView:
         add_cols = ["n"] + [
             x for c in self.sum_cols for x in (f"sum_{c}", f"nn_{c}")
         ]
-        delta_rows = delta.groupBy(*self.key_cols).agg(
-            *self._agg_exprs(F.col("_sign"))
-        ).collect()  # bounded by touched groups
+        # group-cardinality guard (same contract as IncrementalAggView):
+        # the collect is capped at max_delta_groups + 1 rows by
+        # construction; beyond the cap, degrade to the distributed
+        # full recompute or refuse per large_delta_policy
+        delta_rows = (
+            delta.groupBy(*self.key_cols)
+            .agg(*self._agg_exprs(F.col("_sign")))
+            .limit(self.max_delta_groups + 1)
+            .collect()
+        )
+        if len(delta_rows) > self.max_delta_groups:
+            if self.large_delta_policy == "refuse":
+                raise ValueError(
+                    f"refresh window touches more than "
+                    f"{self.max_delta_groups} groups — the collected "
+                    f"delta would no longer be driver-bounded. Run "
+                    f"full_refresh() (fully distributed) or raise "
+                    f"max_delta_groups deliberately"
+                )
+            self.last_merge_mode = "full_recompute"
+            return self.full_refresh()
         if not delta_rows:
             return self.view.stamp_epoch(packed)
+        self.last_merge_mode = "scoped"
         key_tuples = [
             tuple(r[k] for k in self.key_cols) for r in delta_rows
         ]
@@ -934,8 +1155,35 @@ class IncrementalJoinAggView:
             ),
             self.key_cols,
             scope=in_keys,
+            scope_candidate_files=resolve_key_files(
+                self.view,
+                self.view.current_version(),
+                self.key_cols[0],
+                [t[0] for t in key_tuples],
+            ),
             _epoch=packed,
         )
+
+    def _keys_or_envelope(self, change: DataFrame | None):
+        """(keys, envelope) for one side's changed join keys: the
+        DISTINCT key list when it fits the pruning cap (collected
+        capped at cap+1 rows), else one (min, max) envelope from a
+        2-scalar distributed agg — the full key list never exists on
+        the driver. (None-ish, None) = the side has no changed rows."""
+        if change is None:
+            return [], None
+        ks = (
+            change.select(self.on[0])
+            .distinct()
+            .limit(_PRUNE_KEYS_MAX + 1)
+            .collect()
+        )
+        if len(ks) <= _PRUNE_KEYS_MAX:
+            return [r[0] for r in ks], None
+        row = change.agg(
+            F.min(self.on[0]).alias("lo"), F.max(self.on[0]).alias("hi")
+        ).collect()[0]
+        return None, (row["lo"], row["hi"])
 
     def _key_schema(self):
         out = []

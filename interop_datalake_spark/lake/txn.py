@@ -2109,13 +2109,23 @@ class TxnTable:
         key_cols: list[str],
         scope=None,
         scope_partition_filter: dict[str, object] | None = None,
+        scope_candidate_files: list[str] | None = None,
         _epoch: int | None = None,
     ) -> int | None:
         """MERGE with ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` —
         the CDC full-state sync: after the commit, the rows matching
         ``scope`` equal ``source`` exactly (matched keys replaced,
         unmatched-in-scope rows DELETED), while rows outside the scope
-        are untouched. The canonical use is the reference's
+        are untouched. ``scope_candidate_files`` lets a caller that
+        ALREADY resolved the files that can hold scope rows (e.g. an
+        IVM refresh whose scoped view read pruned by key stats) hand
+        that set over, so the scope-hit scan opens those files instead
+        of the whole table — without it every incremental refresh pays
+        an O(view) scan just to rediscover a file set the caller
+        computed one statement earlier (round-8 advice). Trust
+        contract mirrors ``scope_partition_filter``: files outside the
+        list are taken scope-free — a too-narrow list under-deletes
+        (stale in-scope rows survive); it can never corrupt kept rows. The canonical use is the reference's
         one-batch-per-tenant publish shape: "this frame is tenant X's
         complete current state". ``scope=None`` syncs the whole table
         (≡ overwrite, but with merge bookkeeping and file pruning of
@@ -2163,7 +2173,16 @@ class TxnTable:
             # table scans one tenant, not the table. Contract: files
             # outside the filter are trusted scope-free (a too-narrow
             # filter under-deletes; it can never corrupt kept rows).
-            if scope_partition_filter:
+            if scope_candidate_files is not None:
+                # intersect with the live file list: a caller holding
+                # a slightly-stale resolution (file compacted away
+                # between its read and this commit) must not crash the
+                # load — missing files simply can't hold scope rows
+                live = set(prev["files"])
+                scan_files = [
+                    f for f in scope_candidate_files if f in live
+                ]
+            elif scope_partition_filter:
                 scan_files = self.resolve_files(
                     version=base, partition_filter=scope_partition_filter
                 )

@@ -32,10 +32,16 @@ invisible rather than mis-normalized. Recovery: pass a monotone
 ``_epoch`` per ingest batch (build/append) — both commits then ride
 TxnTable ``append_epoch``, so a re-run after ANY crash point is
 exactly-once (the postings replay no-ops, the doclens commit
-applies). A bare re-run WITHOUT an epoch would double-append the
-batch's postings and skew every score — refused nowhere, documented
-here, which is why streamed ingest (the dedup_stream_pipeline shape)
-should always forward its foreachBatch epoch.
+applies). Exactly-once is ENFORCED, not just documented (round-8
+verdict item 3): every ingest that would actually write new postings
+first anti-checks the batch's doc ids against ``doclens`` (one
+narrow stats-pruned semi-join) and REFUSES on overlap — a bare
+re-run without an epoch, or a genuine duplicate-id batch under a
+fresh epoch, raises instead of silently double-appending postings
+and skewing every score. Epoch replays (epoch ≤ the doclens table's
+applied epoch) skip the check and no-op as before; streamed ingest
+(the dedup_stream_pipeline shape) should still forward its
+foreachBatch epoch for crash-replayability.
 """
 
 from __future__ import annotations
@@ -64,10 +70,50 @@ class BM25Index:
         #: observability, like ivm_join.last_snapshot_scan_files)
         self.last_query_scan_files: list[str] | None = None
 
+    def _applied_epoch(self, table: TxnTable) -> int | None:
+        v = table.current_version()
+        return table.manifest(v).get("epoch") if v else None
+
+    def _refuse_reindexed_ids(self, dl: DataFrame, id_col: str) -> None:
+        """The exactly-once ingest gate (module docstring): raise when
+        any batch doc id is already normalized in ``doclens`` — such a
+        write would double the id's postings and skew every score.
+        One narrow semi-join (doc_id, dl only); doclens records stats
+        on doc_id, so the scan is range-pruned like any keyed read."""
+        if self.doclens.current_version() == 0:
+            return
+        if not self.doclens.manifest(self.doclens.current_version())[
+            "files"
+        ]:
+            return
+        dup = (
+            dl.join(
+                self.doclens.read().select(id_col), id_col, "left_semi"
+            )
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "batch contains doc ids that are already indexed — a "
+                "write would double their postings and skew every "
+                "BM25 score (a bare ingest replay, or a batch not "
+                "deduped upstream). Replays are exactly-once only "
+                "through a monotone _epoch per batch; for a "
+                "deliberate re-index, rebuild into a fresh index name"
+            )
+
     def _index_batch(
         self, docs: DataFrame, text_col: str, id_col: str,
         _epoch: int | None,
     ):
+        if _epoch is not None:
+            applied = self._applied_epoch(self.doclens)
+            if applied is not None and _epoch <= applied:
+                # full epoch replay: BOTH commits already landed
+                # (doclens commits second) — no-op without touching
+                # the batch at all
+                return
         postings = tokenize_words(docs, text_col, id_col)
         tf = postings.groupBy(id_col, "term").agg(
             F.count("*").alias("tf")
@@ -80,6 +126,11 @@ class BM25Index:
         ).sortWithinPartitions("term")
         p = tf_sorted.select("term", F.col(id_col), "tf")
         d = dl.select(F.col(id_col), "dl")
+        # the gate runs for every write that can actually land: bare
+        # ingests always, epoch ingests only when the epoch is new
+        # (a partial-crash replay passes — the batch's ids reached
+        # postings but never doclens, which commits second)
+        self._refuse_reindexed_ids(d, id_col)
         if _epoch is not None:
             # exactly-once: a crash-replayed batch no-ops the commit(s)
             # that already landed and applies the missing one
@@ -105,10 +156,11 @@ class BM25Index:
         """Index a NEW batch: tokenizes the batch only — the already-
         indexed postings/doclens files are never read or rewritten
         (pinned: the pre-append file sets are untouched). Documents
-        must be new ids; re-indexing an existing doc would double its
-        postings (callers dedupe upstream, same contract as
-        ann_index_incremental). Pass a monotone ``_epoch`` per batch
-        for exactly-once replay."""
+        must be new ids: re-indexing an existing doc is REFUSED (one
+        narrow doc-id semi-join against doclens — a double-append
+        would skew every score). Pass a monotone ``_epoch`` per batch
+        for exactly-once crash replay (replays no-op; bare replays
+        without an epoch raise)."""
         self._index_batch(docs, text_col, id_col, _epoch)
 
     def compact(self) -> None:

@@ -740,3 +740,67 @@ class TestWatermarkedLateData:
                 lake, "wmv8b", src, ["d"], ["v"],
                 watermark_col="d", watermark_delay=0.5,
             )
+
+
+class TestGroupCardinalityGuard:
+    """Round-8 verdict item 7: the collected aggregated delta is
+    capped at max_delta_groups + 1 rows by construction — beyond the
+    cap the refresh degrades to the fully-distributed full recompute
+    (default) or refuses, never OOMs the driver."""
+
+    def test_degrades_to_full_recompute_beyond_cap(self, spark, lake):
+        src = TxnTable(lake, "gsrc", stats_cols=["k"])
+        src.append(_batch(spark, 0, 9))
+        view = IncrementalAggView(
+            lake, "gv", src, ["g"], ["v"], max_delta_groups=2
+        )
+        view.refresh()  # 3 groups > cap even at first materialization
+        assert view.last_merge_mode == "full_recompute"
+        assert _view_state(view.view) == _recompute(src)
+        # a small window goes back to the scoped incremental path
+        src.append(
+            spark.createDataFrame(
+                [(100, "0", 1)], "k LONG, g STRING, v LONG"
+            ).coalesce(1)
+        )
+        view.refresh()
+        assert view.last_merge_mode == "scoped"
+        assert _view_state(view.view) == _recompute(src)
+
+    def test_refuse_policy_raises_beyond_cap(self, spark, lake):
+        src = TxnTable(lake, "rsrc", stats_cols=["k"])
+        src.append(_batch(spark, 0, 9))
+        view = IncrementalAggView(
+            lake, "rv", src, ["g"], ["v"],
+            max_delta_groups=2, large_delta_policy="refuse",
+        )
+        with pytest.raises(ValueError, match="max_delta_groups"):
+            view.refresh()
+        # full_refresh is the documented recovery
+        assert view.full_refresh() is not None
+        assert _view_state(view.view) == _recompute(src)
+
+    def test_watermarked_drop_view_never_degrades_silently(
+        self, spark, lake
+    ):
+        """A drop-policy watermarked view deliberately diverges from a
+        recompute — an automatic full recompute would silently re-
+        include dropped groups, so the burst must refuse even under
+        the default degrade policy."""
+        src = TxnTable(lake, "wsrc", stats_cols=["k"])
+        src.append(_batch(spark, 0, 9))
+        view = IncrementalAggView(
+            lake, "wv", src, ["g"], ["v"],
+            watermark_col="g", late_policy="drop",
+            max_delta_groups=2,
+        )
+        with pytest.raises(ValueError, match="never degrades"):
+            view.refresh()
+
+    def test_bad_policy_refused_at_construction(self, spark, lake):
+        src = TxnTable(lake, "bsrc", stats_cols=["k"])
+        with pytest.raises(ValueError, match="large_delta_policy"):
+            IncrementalAggView(
+                lake, "bv", src, ["g"], ["v"],
+                large_delta_policy="explode",
+            )

@@ -741,3 +741,228 @@ class TestJoinAggView:
         left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
         assert view.refresh() is not None
         assert _agg_state(view) == [("GOLD", 1, 10)]
+
+
+class TestLargeWindowGuards:
+    """Round-8 verdict item 1: a change window above
+    max_point_window_rows must refresh WITHOUT per-row driver
+    collects and WITHOUT broadcasting the delta side — the envelope
+    mode. Invariant: both modes produce the recompute."""
+
+    def _spy_broadcast(self, monkeypatch):
+        import interop_datalake_spark.lake.ivm_join as m
+
+        calls = []
+        real = m.F.broadcast
+
+        def spy(df):
+            calls.append(1)
+            return real(df)
+
+        monkeypatch.setattr(m.F, "broadcast", spy)
+        return calls
+
+    def _cap_collects(self, monkeypatch, cap):
+        from pyspark.sql import DataFrame
+
+        real = DataFrame.collect
+        seen = []
+
+        def capped(df):
+            rows = real(df)
+            seen.append(len(rows))
+            assert len(rows) <= cap, (
+                f"driver collect materialized {len(rows)} rows during "
+                f"an envelope-mode refresh (cap {cap})"
+            )
+            return rows
+
+        monkeypatch.setattr(DataFrame, "collect", capped)
+        return seen
+
+    def test_large_window_refreshes_in_envelope_mode(
+        self, spark, lake, monkeypatch
+    ):
+        left, right, view = _setup(
+            spark, lake, max_point_window_rows=3
+        )
+        right.append(
+            _mk(spark, [(101, "a", "GOLD"), (102, "b", "SILVER")],
+                _R_SCHEMA)
+        )
+        left.append(_mk(spark, [(1, "a", 10), (2, "b", 20)], _L_SCHEMA))
+        view.refresh()  # initial snapshot join
+        # the "bulk backfill": 6 changed rows > the 3-row cap
+        left.append(
+            _mk(spark,
+                [(3, "a", 1), (4, "a", 2), (5, "b", 3),
+                 (6, "b", 4), (7, "a", 5), (8, "b", 6)],
+                _L_SCHEMA),
+        )
+        bc_calls = self._spy_broadcast(monkeypatch)
+        self._cap_collects(monkeypatch, 8)
+        assert view.refresh() is not None
+        monkeypatch.undo()
+        assert view.last_prune_mode == "envelope"
+        assert bc_calls == [], "envelope mode must not broadcast"
+        assert _state(view) == _recompute(left, right)
+
+    def test_small_window_stays_per_id(self, spark, lake):
+        left, right, view = _setup(spark, lake)  # default cap 100k
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        left.append(_mk(spark, [(2, "a", 20)], _L_SCHEMA))
+        view.refresh()
+        assert view.last_prune_mode == "per-id"
+        assert _state(view) == _recompute(left, right)
+
+    def test_envelope_mode_with_deletes_both_sides(self, spark, lake):
+        """Signed deltas (vector deletes on BOTH sides) through the
+        envelope path: untouched in-scope rows (the widened BETWEEN
+        scope) must ride through unchanged."""
+        left, right, view = _setup(
+            spark, lake, max_point_window_rows=0
+        )  # every non-empty window is "large"
+        right.append(
+            _mk(spark,
+                [(101, "a", "GOLD"), (102, "b", "SILVER"),
+                 (103, "c", "BRONZE")],
+                _R_SCHEMA),
+        )
+        left.append(
+            _mk(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+                _L_SCHEMA),
+        )
+        view.refresh()
+        # one window: left delete + left append + right delete
+        left.delete_where(F.col("o_id") == 1, merge_on_read=True)
+        left.append(_mk(spark, [(4, "b", 40)], _L_SCHEMA))
+        right.delete_where(F.col("c_id") == 103, merge_on_read=True)
+        assert view.refresh() is not None
+        assert view.last_prune_mode == "envelope"
+        assert _state(view) == _recompute(left, right)
+        # next incremental window still applies cleanly (epochs exact)
+        left.append(_mk(spark, [(5, "a", 50)], _L_SCHEMA))
+        right.append(_mk(spark, [(104, "a", "GOLD2")], _R_SCHEMA))
+        view.refresh()
+        assert _state(view) == _recompute(left, right)
+
+    def test_envelope_orphan_window_stamps(self, spark, lake):
+        left, right, view = _setup(
+            spark, lake, max_point_window_rows=0
+        )
+        right.append(_mk(spark, [(101, "a", "GOLD")], _R_SCHEMA))
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        # orphan keys only: joins nothing, must stamp not corrupt
+        left.append(_mk(spark, [(9, "zz", 90)], _L_SCHEMA))
+        view.refresh()
+        assert view.last_prune_mode == "envelope"
+        assert _state(view) == _recompute(left, right)
+        assert view.last_refreshed_versions() == (
+            left.current_version(), right.current_version()
+        )
+
+    def test_envelope_duplicate_id_still_refused(self, spark, lake):
+        """The unique-id breach detection survives the mode switch
+        (same shape as test_duplicate_id_with_orphan_key_refused: a
+        re-inserted materialized id whose change joins nothing) — the
+        envelope no-terms branch must detect "touched materialized
+        id" with a distributed semi-join, since its widened scope
+        makes the per-id mode's non-empty-scope test meaningless."""
+        left, right, view = _setup(
+            spark, lake, max_point_window_rows=0
+        )
+        right.append(
+            _mk(spark, [(101, "a", "GOLD"), (102, "b", "SILVER")],
+                _R_SCHEMA)
+        )
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        # dup id under an orphan join key: joins nothing, but id 1 is
+        # materialized — must refuse, never silently delete in-scope
+        left.append(_mk(spark, [(1, "zz", 99)], _L_SCHEMA))
+        with pytest.raises(ValueError, match="unique-id"):
+            view.refresh()
+
+    def test_join_agg_envelope_beyond_key_cap(self, spark, lake):
+        """>32 distinct changed join keys: the key list must never be
+        collected — envelope pruning, result equals recompute."""
+        left = TxnTable(lake, "le_src", stats_cols=["o_id", "cust"])
+        right = TxnTable(lake, "re_src", stats_cols=["c_id", "cust"])
+        view = IncrementalJoinAggView(
+            lake, "je_view", left, right, on=["cust"],
+            key_cols=["segment"], sum_cols=["amount"],
+            max_point_window_rows=3,
+        )
+        custs = [f"c{i:03d}" for i in range(40)]
+        right.append(
+            _mk(spark,
+                [(100 + i, c, f"S{i % 3}") for i, c in enumerate(custs)],
+                _R_SCHEMA),
+        )
+        left.append(_mk(spark, [(0, "c000", 5)], _L_SCHEMA))
+        view.refresh()
+        # 40 changed keys in one window (> _PRUNE_KEYS_MAX and > the
+        # 3-row broadcast gate)
+        left.append(
+            _mk(spark,
+                [(i + 1, c, i * 10) for i, c in enumerate(custs)],
+                _L_SCHEMA),
+        )
+        assert view.refresh() is not None
+        assert view.last_prune_mode == "envelope"
+        assert _agg_state(view) == _agg_recompute(left, right)
+
+    def test_join_agg_group_cap_degrades_to_full_recompute(
+        self, spark, lake
+    ):
+        left = TxnTable(lake, "lg_src", stats_cols=["o_id", "cust"])
+        right = TxnTable(lake, "rg_src", stats_cols=["c_id", "cust"])
+        view = IncrementalJoinAggView(
+            lake, "jg_view", left, right, on=["cust"],
+            key_cols=["segment"], sum_cols=["amount"],
+            max_delta_groups=2,
+        )
+        right.append(
+            _mk(spark,
+                [(101, "a", "S1"), (102, "b", "S2"),
+                 (103, "c", "S3"), (104, "d", "S4")],
+                _R_SCHEMA),
+        )
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        # one window touching 3 groups > the 2-group cap
+        left.append(
+            _mk(spark, [(2, "b", 20), (3, "c", 30), (4, "d", 40)],
+                _L_SCHEMA),
+        )
+        assert view.refresh() is not None
+        assert view.last_merge_mode == "full_recompute"
+        assert _agg_state(view) == _agg_recompute(left, right)
+        # epoch stamped by the recompute: incremental resumes
+        left.append(_mk(spark, [(5, "a", 50)], _L_SCHEMA))
+        view.refresh()
+        assert view.last_merge_mode == "scoped"
+        assert _agg_state(view) == _agg_recompute(left, right)
+
+    def test_join_agg_group_cap_refuse_policy(self, spark, lake):
+        left = TxnTable(lake, "lr_src", stats_cols=["o_id", "cust"])
+        right = TxnTable(lake, "rr_src", stats_cols=["c_id", "cust"])
+        view = IncrementalJoinAggView(
+            lake, "jr_view", left, right, on=["cust"],
+            key_cols=["segment"], sum_cols=["amount"],
+            max_delta_groups=1, large_delta_policy="refuse",
+        )
+        right.append(
+            _mk(spark, [(101, "a", "S1"), (102, "b", "S2")], _R_SCHEMA)
+        )
+        left.append(_mk(spark, [(1, "a", 10)], _L_SCHEMA))
+        view.refresh()
+        left.append(_mk(spark, [(2, "a", 20), (3, "b", 30)], _L_SCHEMA))
+        with pytest.raises(ValueError, match="max_delta_groups"):
+            view.refresh()
+        # full_refresh is the documented recovery
+        assert view.full_refresh() is not None
+        assert _agg_state(view) == _agg_recompute(left, right)

@@ -189,6 +189,59 @@ class TestMergeSync:
         )
         assert _content(t) == [(1, "A", "a2"), (3, "B", "keep")]
 
+    def test_scope_candidate_files_bound_the_scan(self, spark, lake):
+        # a caller-resolved candidate list replaces the whole-table
+        # scope-hit scan; results identical to the unhinted sync
+        t = TxnTable(lake, "tc", stats_cols=["id"])
+        t.append(_df(spark, [(1, "A", "a"), (2, "A", "stale")]))
+        t.append(_df(spark, [(30, "B", "keep")]))
+        f_a = t.commit_record(1)["added"]  # files holding tenant A rows
+        t.merge_sync(
+            _df(spark, [(1, "A", "a2")]),
+            ["id"],
+            scope=F.col("tenant") == "A",
+            scope_candidate_files=f_a,
+        )
+        assert _content(t) == [(1, "A", "a2"), (30, "B", "keep")]
+
+    def test_scope_candidate_files_trust_contract_under_deletes(
+        self, spark, lake
+    ):
+        # files OUTSIDE the candidate list are trusted scope-free: a
+        # too-narrow list UNDER-deletes (the stale in-scope row in the
+        # excluded file survives) — it never corrupts kept rows. This
+        # is the documented contract, mirroring scope_partition_filter
+        t = TxnTable(lake, "tc2", stats_cols=["id"])
+        t.append(_df(spark, [(1, "A", "a")]))
+        t.append(_df(spark, [(2, "A", "stale-survives")]))
+        f_first = t.commit_record(1)["added"]
+        t.merge_sync(
+            _df(spark, [(1, "A", "a2")]),
+            ["id"],
+            scope=F.col("tenant") == "A",
+            scope_candidate_files=f_first,
+        )
+        assert _content(t) == [(1, "A", "a2"), (2, "A", "stale-survives")]
+
+    def test_scope_candidate_files_tolerate_stale_entries(
+        self, spark, lake
+    ):
+        # a candidate that was compacted away between the caller's
+        # resolution and the sync must not crash the load — it simply
+        # can't hold scope rows anymore
+        t = TxnTable(lake, "tc3", stats_cols=["id"])
+        t.append(_df(spark, [(1, "A", "a"), (2, "A", "stale")]))
+        gone = t.manifest()["files"][0]
+        t.compact()
+        live = t.manifest()["files"]
+        t.merge_sync(
+            _df(spark, [(1, "A", "a2")]),
+            ["id"],
+            scope=F.col("tenant") == "A",
+            scope_candidate_files=[gone] + live,
+        )
+        assert _content(t) == [(1, "A", "a2")]
+
     def test_delete_where_null_predicate_keeps_row(self, spark, lake):
         # same three-valued trap as merge_sync's scope: DELETE removes
         # rows only where the predicate is TRUE; a NULL-tenant row in
