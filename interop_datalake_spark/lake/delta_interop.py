@@ -335,35 +335,39 @@ def export_delta_log(
     emit), and mixed-partition-spec snapshots whose pre-spec files
     would export empty partitionValues; ``compact()`` cures both.
     Returns the ``_delta_log`` directory path."""
-    if mode == "replace":
-        return _full_export(table, version)
-    if mode != "mirror":
+    if mode not in ("replace", "mirror"):
         raise ValueError("mode must be 'replace' or 'mirror'")
-    if version is not None:
+    if mode == "mirror" and version is not None:
         raise ValueError("mirror mode always exports to the latest version")
     log_dir = table.root / "_delta_log"
-    marker = _read_marker(log_dir) if log_dir.exists() else None
-    if marker is None:
-        # no marker, or a torn one: restart with a full export
-        return _full_export(table, None)
-    # ONE mirror writer at a time, enforced (round-8 review 6): the
-    # crash-recovery unlink below is only safe when no concurrent
-    # mirror can have just acknowledged that commit with a marker this
-    # process hasn't re-read. An advisory flock on a lockfile inside
-    # the log dir serializes mirrors per table (the same single-writer
-    # posture as the inference-toggle lock in txn.py).
+    # ONE export writer at a time — BOTH modes (round-8 review 6 +
+    # round-8 advice): the mirror's crash-recovery unlink is only safe
+    # when no concurrent writer can have just acknowledged a commit,
+    # and a replace export racing a mirror mid-publish would rmtree
+    # commits the mirror just acknowledged and interleave a
+    # half-rebuilt log. The advisory flock lives at the TABLE ROOT
+    # (not inside the log dir): _full_export rmtree's the log dir, and
+    # a lockfile deleted while held would let the next writer lock a
+    # fresh inode concurrently — the classic flock-on-replaced-file
+    # hole.
     import fcntl
 
-    lock_path = log_dir / ".mirror.lock"
+    lock_path = table.root / ".delta_export.lock"
     lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
     try:
         try:
             fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
             raise ValueError(
-                f"table {table.name}: another mirror export holds the "
-                f"lock — one mirror writer at a time"
+                f"table {table.name}: another Delta export holds the "
+                f"lock — one export writer at a time"
             )
+        if mode == "replace":
+            return _full_export(table, version)
+        marker = _read_marker(log_dir) if log_dir.exists() else None
+        if marker is None:
+            # no marker, or a torn one: restart with a full export
+            return _full_export(table, None)
         return _mirror_locked(table, log_dir)
     finally:
         os.close(lock_fd)

@@ -251,12 +251,8 @@ class TxnTable:
     opened without ``partition_cols`` discovers them from the log.
     """
 
-    #: largest manifest-recorded vector row count that still gets an
-    #: explicit broadcast on the merge-on-read anti-join (~100 MB of
-    #: (path, long) pairs); bigger vector sets defer to AQE
-    _DV_BROADCAST_MAX_ROWS = 1_000_000
     #: largest vectored-file count whose names still inline as a
-    #: literal IN on the vector scan (the pre-broadcast subset
+    #: literal IN on the vector scan (the pre-join subset
     #: filter); beyond this the predicate would bloat the plan, so
     #: the join runs unfiltered under AQE
     _DV_FILTER_MAX_FILES = 4_096
@@ -680,32 +676,28 @@ class TxnTable:
                 F.col("file_key").alias("_dv_file"),
                 F.col("row_idx").alias("_dv_row"),
             )
-            # The manifest already KNOWS the vector row counts — use
-            # them to broadcast explicitly instead of waiting for AQE
-            # to measure the build side at runtime (round-6 verdict
-            # item 2 / round-7 item 4). A vector row is a file-path
-            # string + a long (~100 B); 1M rows ≈ 100 MB, the ceiling
-            # for a deliberate broadcast. CAVEAT (round-8 review): a
-            # vector parquet holds rows for EVERY file its commit (or
-            # a consolidation) touched, so for a subset read the raw
-            # union can dwarf the requested files' dv_rows — restrict
-            # to the requested files FIRST, making the build side
-            # exactly dv_rows (the extra rows were anti-join no-ops
-            # anyway). The literal IN stays bounded; above either
-            # bound, leave strategy to AQE (which measures the real
-            # build side and can pick SMJ without driver pressure).
+            # Restrict the vector side to the REQUESTED files first
+            # (round-8 review): a vector parquet holds rows for EVERY
+            # file its commit (or a consolidation) touched, so for a
+            # subset read the raw union can dwarf the requested files'
+            # dv_rows — the extra rows were anti-join no-ops anyway,
+            # and at scale (one consolidated vector covering 10k
+            # files, a 1-file point read) the filter shrinks the build
+            # side by orders of magnitude. The literal IN stays
+            # bounded by _DV_FILTER_MAX_FILES.
+            #
+            # Join STRATEGY is deliberately left to AQE (round-9,
+            # partially reverting round-7 item 4's explicit
+            # F.broadcast): AQE measures the REAL build side at
+            # runtime and converts to broadcast-hash with a local
+            # shuffle reader, while the explicit hint forced a
+            # separate broadcast-exchange job per consuming action —
+            # measured ~0.3-0.5 s extra per DV lifecycle at sf0.1
+            # with identical plans downstream (ROUND_NOTES round 9,
+            # lake_deletion_vectors drift profile).
             vectored = [f for f in rel_files if f in dvs_map]
-            dv_rows = sum(
-                (state.get("dv_deleted") or {}).get(f, 0)
-                for f in vectored
-            )
-            if (
-                0 < dv_rows <= self._DV_BROADCAST_MAX_ROWS
-                and len(vectored) <= self._DV_FILTER_MAX_FILES
-            ):
-                dv = F.broadcast(
-                    dv.filter(F.col("file_key").isin(vectored))
-                )
+            if 0 < len(vectored) <= self._DV_FILTER_MAX_FILES:
+                dv = dv.filter(F.col("file_key").isin(vectored))
             out = out.join(dv, ["_dv_file", "_dv_row"], "left_anti")
         if with_lineage and not keep_lineage:
             out = out.drop("_dv_file", "_dv_row")
@@ -2947,16 +2939,19 @@ class TxnTable:
 
         An exported Delta snapshot (``lake/delta_interop.py`` writes
         ``_delta_log`` into this root) references the files of its
-        export-time snapshot; vacuum may reclaim exactly those, so a
-        present export is DELETED here rather than left as a log of
-        dangling paths for external engines (round-8 review) —
-        re-export after vacuuming."""
+        export-time snapshot. The log is deleted ONLY when this vacuum
+        actually reclaims a file the log's LIVE add set references —
+        an export whose current snapshot survives intact stays, so a
+        routine vacuum under a continuous mirror no longer resets the
+        mirrored table's identity every cycle (round-8 advice; the
+        mirror marker lives inside the log). Caveat matching Delta's
+        own vacuum semantics: the kept log's OLDER versions may
+        reference reclaimed files — time travel before the live
+        snapshot dangles, exactly as on a vacuumed real Delta table.
+        An unreadable/unparseable export is deleted as before."""
         latest = self.current_version()
         oldest = max(1, latest - keep_versions + 1)
         self._write_checkpoint(oldest)
-        exported = self.root / "_delta_log"
-        if exported.exists():
-            shutil.rmtree(exported)
         referenced: set[str] = set()
         dv_referenced: set[str] = set()
         for v in range(oldest, latest + 1):
@@ -2966,13 +2961,38 @@ class TxnTable:
                 referenced.add("/".join(Path(f).parts[:2]))
             for paths in (st.get("dvs") or {}).values():
                 dv_referenced.update(paths)  # dv/<uuid>
-        removed = 0
         data_dir = self.root / "data"
-        if data_dir.exists():
-            for sub in data_dir.iterdir():
-                if f"data/{sub.name}" not in referenced:
-                    shutil.rmtree(sub)
-                    removed += 1
+        doomed = (
+            [
+                sub
+                for sub in data_dir.iterdir()
+                if f"data/{sub.name}" not in referenced
+            ]
+            if data_dir.exists()
+            else []
+        )
+        exported = self.root / "_delta_log"
+        if exported.exists():
+            keep_export = False
+            try:
+                # lazy import: delta_interop imports this module
+                from interop_datalake_spark.lake.delta_interop import (
+                    delta_files,
+                )
+
+                prefixes = tuple(f"data/{sub.name}/" for sub in doomed)
+                keep_export = not prefixes or not any(
+                    p.startswith(prefixes)
+                    for p in delta_files(str(self.root))
+                )
+            except Exception:
+                keep_export = False
+            if not keep_export:
+                shutil.rmtree(exported)
+        removed = 0
+        for sub in doomed:
+            shutil.rmtree(sub)
+            removed += 1
         dv_dir = self.root / "dv"
         if dv_dir.exists():
             # deletion vectors obsoleted by compact/restore outside

@@ -185,6 +185,7 @@ def pq_adc_topk(
     id_col: str,
     codebooks: list[list[list[float]]],
     k: int = 3,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k: float queries vs PQ codes.
     score(q, doc) = Σ_s dot(q_sub[s], codebook[s][code[s]]), computed
@@ -203,7 +204,14 @@ def pq_adc_topk(
     batch) — it is broadcast as the LUT. Passing an SF-scaled frame
     here would broadcast an SF-scaled LUT; the convenience wrappers
     (pq_topk / pq_rerank_topk) refuse query_filter=None for exactly
-    that reason."""
+    that reason.
+
+    ``exclude_self=True`` (default) assumes queries and corpus SHARE
+    one id space and drops neighbor_id == query_id — the corpus-
+    self-search shape the wrappers use. Callers with an EXTERNAL
+    query id space must pass ``exclude_self=False``, or any corpus
+    document whose id collides with a query id is silently lost from
+    that query's results (round-8 advice)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     books = books_frame(queries.sparkSession, codebooks)
@@ -218,9 +226,11 @@ def pq_adc_topk(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("s", "code"),
     ).withColumn("s", F.col("s").cast("int"))
+    joined = code_rows.join(F.broadcast(lut), ["s", "code"])
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        code_rows.join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        joined
         .groupBy("query_id", "neighbor_id")
         # fold the m terms in subspace order — a plain sum(double) is
         # partition-order-dependent at the bit level, and near-tied

@@ -394,6 +394,34 @@ def test_vacuum_deletes_stale_export(spark, lake):
     assert not (t.root / "_delta_log").exists()
 
 
+def test_vacuum_keeps_current_export_and_mirror_identity(spark, lake):
+    """Round-8 advice: vacuum deletes the export ONLY when it reclaims
+    a file the log's LIVE add set references. A routine vacuum under a
+    CURRENT mirror keeps the log (and its marker), so the next mirror
+    continues incrementally under the same table id — no identity
+    churn for streaming consumers."""
+    from interop_datalake_spark.lake.delta_interop import _replay_log
+
+    t = TxnTable(lake, "d7b", stats_cols=["k"])
+    # one file so the copy-on-write delete rewrites its whole commit
+    # subdir (vacuum reclaims at subdir granularity)
+    t.append(
+        spark.range(0, 10).selectExpr("id as k", "'a' as v").coalesce(1)
+    )
+    export_delta_log(t, mode="mirror")
+    t.delete_where(F.col("k") < 3)  # copy-on-write rewrite
+    export_delta_log(t, mode="mirror")  # mirror is CURRENT
+    id_before = _replay_log(str(t.root), None)[0]["id"]
+    removed = t.vacuum(keep_versions=1)
+    assert removed > 0  # the rewrite's old subdir was reclaimed
+    assert (t.root / "_delta_log").exists()  # live add set intact
+    assert read_delta(spark, str(t.root)).count() == 7
+    t.append(spark.range(100, 103).selectExpr("id as k", "'b' as v"))
+    export_delta_log(t, mode="mirror")  # incremental, same identity
+    assert _replay_log(str(t.root), None)[0]["id"] == id_before
+    assert read_delta(spark, str(t.root)).count() == 10
+
+
 def test_reader_data_skipping_via_add_stats(spark, lake):
     """The reader's manifest-level pruning: a clustered export records
     disjoint per-file min/max in add.stats, and a point read plans
@@ -958,13 +986,21 @@ class TestMirrorExport:
 
         t = TxnTable(lake, "m12", stats_cols=["k"])
         t.append(spark.range(0, 5).selectExpr("id as k"))
-        log = export_delta_log(t, mode="mirror")
+        export_delta_log(t, mode="mirror")
         t.append(spark.range(5, 8).selectExpr("id as k"))
-        fd = _os.open(log / ".mirror.lock", _os.O_CREAT | _os.O_RDWR)
+        # the lock lives at the TABLE ROOT (outside the log dir, which
+        # _full_export rmtree's) and covers BOTH modes: a replace
+        # export racing a mirror mid-publish would delete acknowledged
+        # commits (round-8 advice)
+        fd = _os.open(
+            t.root / ".delta_export.lock", _os.O_CREAT | _os.O_RDWR
+        )
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             with pytest.raises(ValueError, match="lock"):
                 export_delta_log(t, mode="mirror")
+            with pytest.raises(ValueError, match="lock"):
+                export_delta_log(t, mode="replace")
         finally:
             _os.close(fd)  # releases the flock
         export_delta_log(t, mode="mirror")  # lock free: proceeds

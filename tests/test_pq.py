@@ -77,6 +77,20 @@ class TestADCAlgebra:
         codes = pq_encode(df, "v", "vid", _BOOKS)
         assert pq_adc_topk(df, codes, "v", "vid", _BOOKS, k=3).count() == 0
 
+    def test_external_query_id_space_keeps_colliding_neighbor(
+        self, spark
+    ):
+        """exclude_self=False is the external-id-space contract: a
+        corpus doc whose id equals a query id must NOT be silently
+        dropped (round-8 advice)."""
+        corpus = _frame(spark, [(0, [1.0, 0.0, 0.0, 1.0])])
+        queries = _frame(spark, [(0, [2.0, 0.0, 0.0, 0.0])])
+        codes = pq_encode(corpus, "v", "vid", _BOOKS)
+        rows = pq_adc_topk(
+            queries, codes, "v", "vid", _BOOKS, k=1, exclude_self=False
+        ).collect()
+        assert [(r.query_id, r.neighbor_id) for r in rows] == [(0, 0)]
+
     def test_zero_vector_no_crash(self, spark):
         df = _frame(
             spark, [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0])]
