@@ -95,6 +95,9 @@ HEADLINE = [
     "lake_incremental_view",
     # round 8: Delta-log interop lifecycle (export + self-contained reader)
     "lake_delta_roundtrip",
+    # round 9: Iceberg metadata interop lifecycle (v2 export via the
+    # bundled Avro Java library + self-contained reader)
+    "lake_iceberg_roundtrip",
     # round 7: the newly witness-rotated rows (see catalog
     # WITNESS_PRIORITY) so driver bench history starts this round
     "dedup_minhash_ml",

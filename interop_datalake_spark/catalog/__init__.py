@@ -261,84 +261,71 @@ def _with_required_conf(fn):
 #:       SAME oracle as search_bm25) — out: search_bm25 (r7-green;
 #:       the indexed variant scores with the identical expression, so
 #:       the class keeps an oracle-checked BM25 rep plus hybrid_rrf)
+# Round-9 rotation policy (burn-down complete since r8, so rotation is
+# now BY STALENESS — verdict item 6): 18 queries whose last driver-green
+# was r1-r4 rotate back in (the r1-era TPC-H chain / join / agg / window
+# / set / scalar cohort, plus hl7_msh9, object_url_parse,
+# lake_path_templates, lake_txn_acid, stream_tumbling_window,
+# events_funnel), along with the NEW lake_iceberg_roundtrip. Every
+# displaced entry was r8-hash-green and keeps a same-class sibling
+# in-window: agg_approx_distinct (rollup/cube/grouping_sets stay),
+# lake_partition_transforms + lake_change_feed_deletes (eight lake rows
+# stay), topk_per_group (window_running/analytic in), join_asof
+# (join_semi/left_outer in), set_union_all (set_except in), scalar_math
+# + array_higher_order (scalar_string/scalar_json/null_semantics in),
+# subquery_not_exists (lateral_topk_orders stays),
+# dedup_minhash_lsh_fast + dedup_containment_fast (skewsafe/stream/
+# exact_substring stay), ann_cosine_topk + ann_pq_rerank
+# (index_incremental/ivf_trained/pq_topk stay),
+# text_winnowing_fingerprints (bpe_train/trigrams stay), corpus_sample
+# + corpus_sample_stratified (three corpus rows stay),
+# stream_window_quantiles + stream_enrich_join (join_outer/tumbling
+# stay), multimodal_frame_sample (phash stays), events_sessionize
+# (events_funnel in). Queries whose CODE changed this round
+# (incremental views, DV read plan, BM25 index, PQ) deliberately stay
+# in-window so the changed paths are re-witnessed on the driver.
 WITNESS_PRIORITY = [
-    # relational core
+    # relational core + the stale TPC-H chain
     "q1_pricing_summary", "scan_filter_project",
-    # aggregates: rollup stays; the three never-witnessed agg rows
-    # rotate in (string concat fold, manual variance algebra,
-    # approx_count_distinct) over r6-green median/approx-pct/min-max-by
-    "agg_rollup",
-    "agg_approx_distinct",
-    # reference lake surface + ACID table format; the two round-6
-    # flagship features with zero driver confirmation rotate in FIRST
-    # (CDF delete emission, incremental materialized view) over
-    # r6-green bloom_index/partition_evolution
-    "lake_publish_roundtrip",
-    "lake_partition_transforms", "lake_deletion_vectors",
-    "lake_change_feed_deletes", "lake_incremental_view",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q18_large_orders",
+    # aggregates
+    "agg_rollup", "agg_cube", "agg_grouping_sets",
+    # reference operator surface (r3/r4-era witnesses)
+    "hl7_msh9", "object_url_parse", "lake_path_templates",
+    # lake / ACID format (IVM + DV + interop code changed this round)
+    "lake_publish_roundtrip", "lake_txn_acid",
+    "lake_deletion_vectors", "lake_incremental_view",
     "lake_incremental_join_view", "lake_join_rollup",
-    "lake_delta_roundtrip",
-    # windows + custom joins
-    "topk_per_group", "join_asof",
-    # set ops / scalar / reshape / subqueries
-    "set_union_all", "scalar_math", "unpivot_order_metrics",
-    "subquery_not_exists",
-    # modern SQL surface (round-8 continuation): recursive CTE
-    # hierarchy walk + correlated LATERAL top-k
+    "lake_delta_roundtrip", "lake_iceberg_roundtrip",
+    # windows + joins (r1-era witnesses)
+    "window_running", "window_analytic",
+    "join_semi", "join_left_outer",
+    # set ops / scalar / NULL semantics / reshape
+    "set_except", "scalar_string", "scalar_json", "null_semantics",
+    "unpivot_order_metrics",
+    # modern SQL surface
     "graph_ancestor_chain", "lateral_topk_orders",
-    # LLM dedup: exactly-once streaming capstone stays; the five
-    # never-witnessed variants rotate in (skew-safe LSH, xxhash64
-    # fast LSH + containment, ML-pipeline LSH, SimHash) over r6-green
-    # cluster/span/steady (class keeps 6 in-window reps)
+    # LLM dedup
     "dedup_stream_pipeline", "dedup_minhash_lsh_skewsafe",
-    "dedup_minhash_lsh_fast", "dedup_containment_fast",
     "dedup_exact_substring",
-    # embedding similarity: persisted incremental index stays; the
-    # four never-witnessed ANN variants rotate in (JVM column-algebra
-    # top-k, Arrow pandas-UDF twin, int8-quantized, trained IVF) over
-    # r6-green blocked-topk; trained IVF (k-means train + assign) is
-    # the in-window clustering sibling for r6-green cluster_kmeans
-    "ann_index_incremental", "ann_cosine_topk",
-    "ann_ivf_topk_trained",
-    # product quantization (round-8 continuation): ADC search + the
-    # shortlist→rerank pipeline
-    "ann_pq_topk", "ann_pq_rerank",
-    # retrieval (bm25 + the round-8 hybrid RRF fusion)
+    # embedding similarity / PQ (exclude_self branch added this round)
+    "ann_index_incremental", "ann_ivf_topk_trained", "ann_pq_topk",
+    # retrieval (BM25 index gained the exactly-once gate this round)
     "search_bm25_indexed", "search_hybrid_rrf",
-    # text analysis: the five never-witnessed rows rotate in
-    # (winnowing fingerprints, n-gram lang-id, rolling-hash doc
-    # fingerprint, repetition ratios, trigram UDTF) over r6-green
-    # quality_classifier/bpe_tokenize (bpe_train stays)
-    "text_winnowing_fingerprints",
-    "text_trigrams_udtf",
-    # corpus curation: capstone + DSIR stay; never-witnessed chunking,
-    # vocab, and sequence packing rotate in over r6-green
-    # split_contamination (LSH composition in-window via skewsafe)/
-    # filter_gopher (runs inside to_training_set)/domain_mix
-    # (importance_sample is the selection sibling)
+    # text analysis + tokenizer training
+    "text_trigrams_udtf", "text_bpe_train",
+    # corpus curation
     "corpus_to_training_set", "corpus_importance_sample",
-    "corpus_curate_pipeline", "corpus_sample",
-    "corpus_sample_stratified",
-    # BPE tokenizer training
-    "text_bpe_train",
+    "corpus_curate_pipeline",
     # record linkage
     "entity_resolution",
-    # streaming: dedup + stream-stream outer join stay; never-
-    # witnessed stream-static enrich join and windowed stream
-    # quantiles rotate in over r6-green sliding_window
-    "stream_join_outer", "stream_enrich_join",
-    "stream_window_quantiles",
-    # multimodal (mapInPandas surface; pandas_scalar_udf rotates out
-    # r6-green — python surface stays witnessed here + trigrams UDTF)
-    "multimodal_phash_dedup", "multimodal_frame_sample",
-    # higher-order array functions (scalar class, round-8 rotation)
-    "array_higher_order",
-    # event analytics (sessionize stays; ewma/distinct_rollup out
-    # r6-green)
-    "events_sessionize",
-    # association mining + graph analytics
-    "basket_pair_lift",
-    "graph_pagerank",
+    # streaming
+    "stream_join_outer", "stream_tumbling_window",
+    # multimodal
+    "multimodal_phash_dedup",
+    # event analytics + association mining + graph
+    "events_funnel", "basket_pair_lift", "graph_pagerank",
 ]
 
 

@@ -1508,6 +1508,117 @@ ORDER BY l_returnflag
 """
 
 
+def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 metadata interop (lake/iceberg_interop.py): load an
+    orders slice into an identity-partitioned TxnTable, EXPORT Iceberg
+    table metadata (v2 json + Avro manifest list/manifest via the
+    bundled Avro Java library), append and export a SECOND snapshot
+    (surviving files carry as EXISTING entries under the first
+    snapshot's id), then read back through the self-contained Iceberg
+    reader: the current snapshot, time travel to snapshot 1, a
+    bounds-pruned key-range read, and a partition-filtered read — all
+    with identity partition values injected per the spec's Column
+    Projection rule. The oracle replays every probe as plain filters
+    over the raw parquet, so the whole write→export→append→export→
+    iceberg-read lifecycle must be value-exact end to end."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="lake_ice_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(
+            session,
+            "ord_ice",
+            partition_cols=["o_orderpriority"],
+            stats_cols=["o_orderkey"],
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        t.append(orders.filter(F.col("o_orderkey") < 500).repartition(2))
+        export_iceberg_metadata(t)  # snapshot 1
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
+            ).repartition(2)
+        )
+        export_iceberg_metadata(t)  # snapshot 2: EXISTING carry
+
+        def probe(name, frame):
+            r = frame.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("min_k"),
+                F.max("o_orderkey").alias("max_k"),
+            ).collect()[0]
+            return (name, r["n"], r["min_k"], r["max_k"])
+
+        rows = [
+            probe("current", read_iceberg(spark, str(t.root))),
+            probe(
+                "snap1_travel",
+                read_iceberg(spark, str(t.root), snapshot_id=1),
+            ),
+            probe(
+                "key_pruned",
+                read_iceberg(
+                    spark, str(t.root), key_range=("o_orderkey", 100, 200)
+                ).filter(F.col("o_orderkey").between(100, 200)),
+            ),
+            probe(
+                "partition_urgent",
+                read_iceberg(
+                    spark,
+                    str(t.root),
+                    partition_filter={"o_orderpriority": "1-URGENT"},
+                ).filter(F.col("o_orderpriority") == "1-URGENT"),
+            ),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe STRING, n BIGINT, min_k BIGINT, max_k BIGINT"
+    ).orderBy("probe")
+
+
+LAKE_ICEBERG_ORACLE = """
+WITH snap1 AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+  WHERE o_orderkey < 500
+), cur AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+  WHERE o_orderkey < 1000
+)
+SELECT * FROM (
+  SELECT 'current' AS probe, count(*)::BIGINT AS n,
+         min(o_orderkey)::BIGINT AS min_k,
+         max(o_orderkey)::BIGINT AS max_k
+  FROM cur
+  UNION ALL
+  SELECT 'snap1_travel', count(*)::BIGINT,
+         min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT FROM snap1
+  UNION ALL
+  SELECT 'key_pruned', count(*)::BIGINT,
+         min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
+  FROM cur WHERE o_orderkey BETWEEN 100 AND 200
+  UNION ALL
+  SELECT 'partition_urgent', count(*)::BIGINT,
+         min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
+  FROM cur WHERE o_orderpriority = '1-URGENT'
+) ORDER BY probe
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -1530,6 +1641,7 @@ QUERIES = {
     "lake_incremental_join_view": lake_incremental_join_view,
     "lake_join_rollup": lake_join_rollup,
     "lake_delta_roundtrip": lake_delta_roundtrip,
+    "lake_iceberg_roundtrip": lake_iceberg_roundtrip,
 }
 
 ORACLES = {
@@ -1554,4 +1666,5 @@ ORACLES = {
     "lake_incremental_join_view": LAKE_IVM_JOIN_ORACLE,
     "lake_join_rollup": LAKE_JOIN_ROLLUP_ORACLE,
     "lake_delta_roundtrip": LAKE_DELTA_ORACLE,
+    "lake_iceberg_roundtrip": LAKE_ICEBERG_ORACLE,
 }

@@ -1,0 +1,353 @@
+"""Iceberg v2 metadata interop (lake/iceberg_interop.py): exporting a
+TxnTable snapshot as an Iceberg Hadoop table (metadata json + Avro
+manifest list + manifest, written through the bundled Avro Java
+library) and reading it back with the self-contained reader. Mirrors
+tests/test_delta_interop.py's export half: roundtrip equality,
+snapshot append with EXISTING carry + stable identity, refusals,
+manifest-level pruning, typed values."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from datetime import date, datetime, timezone
+from decimal import Decimal
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.iceberg_interop import (
+    export_iceberg_metadata,
+    iceberg_files,
+    read_iceberg,
+)
+from interop_datalake_spark.lake.txn import TxnTable
+from interop_datalake_spark.session import DatalakeSession
+
+
+@pytest.fixture()
+def lake(spark):
+    root = tempfile.mkdtemp(prefix="ice_")
+    yield DatalakeSession(lake_root=root, spark=spark)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _meta(t, n=None):
+    d = t.root / "metadata"
+    if n is None:
+        n = int((d / "version-hint.text").read_text())
+    return json.loads((d / f"v{n}.metadata.json").read_text())
+
+
+class TestExportRoundtrip:
+    def test_roundtrip_equals_snapshot(self, spark, lake):
+        t = TxnTable(lake, "i1", stats_cols=["k"])
+        t.append(
+            spark.range(0, 50)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+        t.append(
+            spark.range(50, 80)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        back = read_iceberg(spark, str(t.root))
+        assert back.count() == 80
+        assert sorted(r.k for r in back.collect()) == list(range(80))
+        assert [f.name for f in back.schema.fields] == ["k", "v"]
+
+    def test_metadata_shape_is_v2(self, spark, lake):
+        t = TxnTable(lake, "i2", stats_cols=["k"])
+        t.append(spark.range(5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        m = _meta(t)
+        assert m["format-version"] == 2
+        for key in (
+            "table-uuid",
+            "last-sequence-number",
+            "last-column-id",
+            "schemas",
+            "partition-specs",
+            "sort-orders",
+            "current-snapshot-id",
+            "snapshots",
+        ):
+            assert key in m, key
+        # the name mapping makes field-id-less parquet readable by
+        # compliant engines — the standard migration property
+        nm = json.loads(m["properties"]["schema.name-mapping.default"])
+        assert {e["names"][0]: e["field-id"] for e in nm} == {"k": 1}
+        assert (t.root / "metadata" / "version-hint.text").read_text() == "1"
+
+    def test_snapshot_append_carries_existing_and_identity(
+        self, spark, lake
+    ):
+        t = TxnTable(lake, "i3", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        uuid1 = _meta(t)["table-uuid"]
+        snap1 = _meta(t)["current-snapshot-id"]
+        t.append(spark.range(10, 15).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        m = _meta(t)
+        assert m["table-uuid"] == uuid1  # stable identity
+        assert len(m["snapshots"]) == 2
+        assert m["last-sequence-number"] == 2
+        # time travel to the first exported snapshot
+        assert read_iceberg(spark, str(t.root), snapshot_id=snap1).count() == 10
+        assert read_iceberg(spark, str(t.root)).count() == 15
+
+    def test_reexport_unchanged_snapshot_is_noop(self, spark, lake):
+        t = TxnTable(lake, "i4", stats_cols=["k"])
+        t.append(spark.range(3).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        hint = (t.root / "metadata" / "version-hint.text").read_text()
+        export_iceberg_metadata(t)  # same TxnTable version
+        assert (
+            t.root / "metadata" / "version-hint.text"
+        ).read_text() == hint
+
+    def test_schema_evolution_appends_schema_id(self, spark, lake):
+        t = TxnTable(lake, "i5", stats_cols=["k"])
+        t.append(spark.range(3).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.append(
+            spark.range(3, 5)
+            .selectExpr("id as k", "'x' as extra")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        m = _meta(t)
+        assert len(m["schemas"]) == 2
+        assert m["current-schema-id"] == 1
+        back = read_iceberg(spark, str(t.root))
+        assert back.count() == 5
+        assert back.filter(F.col("extra").isNull()).count() == 3
+
+
+class TestPartitioned:
+    def test_identity_partition_injection_and_null(self, spark, lake):
+        t = TxnTable(lake, "ip1", partition_cols=["tenant"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "A", "x"), (2, "B", "y"), (3, None, "z")],
+                "k INT, tenant STRING, v STRING",
+            )
+        )
+        export_iceberg_metadata(t)
+        back = read_iceberg(spark, str(t.root))
+        assert sorted(
+            (r.k, r.tenant, r.v) for r in back.collect()
+        ) == [(1, "A", "x"), (2, "B", "y"), (3, None, "z")]
+
+    def test_partition_filter_prunes_files(self, spark, lake):
+        t = TxnTable(lake, "ip2", partition_cols=["tenant"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "A", "x"), (2, "B", "y")],
+                "k INT, tenant STRING, v STRING",
+            )
+        )
+        export_iceberg_metadata(t)
+        all_f = iceberg_files(spark, str(t.root))
+        a_f = iceberg_files(
+            spark, str(t.root), partition_filter={"tenant": "A"}
+        )
+        assert 0 < len(a_f) < len(all_f)
+
+    def test_typed_int_partition(self, spark, lake):
+        t = TxnTable(lake, "ip3", partition_cols=["bucket"])
+        t.append(
+            spark.createDataFrame(
+                [(1, 7, "x"), (2, 9, "y")], "k INT, bucket INT, v STRING"
+            )
+        )
+        export_iceberg_metadata(t)
+        back = read_iceberg(spark, str(t.root))
+        assert sorted((r.k, r.bucket) for r in back.collect()) == [
+            (1, 7),
+            (2, 9),
+        ]
+        assert dict(back.dtypes)["bucket"] == "int"
+
+
+class TestBoundsPruning:
+    def test_key_range_prunes_by_binary_bounds(self, spark, lake):
+        t = TxnTable(lake, "ib1", stats_cols=["k"])
+        for i in range(4):  # 4 files, disjoint k ranges
+            t.append(
+                spark.range(i * 100, (i + 1) * 100)
+                .selectExpr("id as k", "'x' as v")
+                .coalesce(1)
+            )
+        export_iceberg_metadata(t)
+        all_f = iceberg_files(spark, str(t.root))
+        assert len(all_f) == 4
+        point = iceberg_files(
+            spark, str(t.root), key_range=("k", 150, 160)
+        )
+        assert len(point) == 1
+        # the pruned read is exact after the residual filter
+        got = (
+            read_iceberg(spark, str(t.root), key_range=("k", 150, 160))
+            .filter(F.col("k").between(150, 160))
+            .count()
+        )
+        assert got == 11
+
+    def test_string_bounds(self, spark, lake):
+        t = TxnTable(lake, "ib2", stats_cols=["s"])
+        t.append(
+            spark.createDataFrame(
+                [("apple",), ("banana",)], "s STRING"
+            ).coalesce(1)
+        )
+        t.append(
+            spark.createDataFrame(
+                [("walnut",), ("zebra",)], "s STRING"
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        f = iceberg_files(
+            spark, str(t.root), key_range=("s", "aardvark", "cherry")
+        )
+        assert len(f) == 1
+
+
+class TestTypedValues:
+    def test_date_timestamp_decimal_roundtrip(self, spark, lake):
+        t = TxnTable(lake, "it1", stats_cols=["d"])
+        rows = [
+            (
+                date(2024, 3, 1),
+                datetime(2024, 3, 1, 12, 30, 0, tzinfo=timezone.utc),
+                Decimal("12.34"),
+                1.5,
+                True,
+            ),
+            (
+                date(2025, 1, 2),
+                datetime(2025, 1, 2, 1, 2, 3, tzinfo=timezone.utc),
+                Decimal("99.99"),
+                -2.5,
+                False,
+            ),
+        ]
+        t.append(
+            spark.createDataFrame(
+                rows,
+                "d DATE, ts TIMESTAMP, m DECIMAL(6,2), x DOUBLE, b BOOLEAN",
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        back = sorted(
+            map(tuple, read_iceberg(spark, str(t.root)).collect())
+        )
+        assert [r[0] for r in back] == [date(2024, 3, 1), date(2025, 1, 2)]
+        assert [r[2] for r in back] == [Decimal("12.34"), Decimal("99.99")]
+        assert [r[3] for r in back] == [1.5, -2.5]
+        # date bounds prune through the binary serialization
+        f = iceberg_files(
+            spark,
+            str(t.root),
+            key_range=("d", date(2024, 1, 1), date(2024, 12, 31)),
+        )
+        assert len(f) == 1
+
+
+class TestRefusals:
+    def test_deletion_vectors_refused(self, spark, lake):
+        t = TxnTable(lake, "ir1", stats_cols=["k"])
+        t.append(spark.range(5).selectExpr("id as k").coalesce(1))
+        t.delete_where(F.col("k") == 1, merge_on_read=True)
+        with pytest.raises(ValueError, match="deletion vectors"):
+            export_iceberg_metadata(t)
+        t.compact()  # the documented cure
+        export_iceberg_metadata(t)
+        assert read_iceberg(spark, str(t.root)).count() == 4
+
+    def test_transform_partitioning_refused(self, spark, lake):
+        t = TxnTable(
+            lake,
+            "ir2",
+            partition_transforms={"k_bucket": ["bucket", 4, "k"]},
+            stats_cols=["k"],
+        )
+        t.append(spark.range(5).selectExpr("id as k").coalesce(1))
+        with pytest.raises(ValueError, match="transform"):
+            export_iceberg_metadata(t)
+
+    def test_nested_types_refused(self, spark, lake):
+        t = TxnTable(lake, "ir3", stats_cols=["k"])
+        t.append(
+            spark.range(2)
+            .selectExpr("id as k", "array(id) as a")
+            .coalesce(1)
+        )
+        with pytest.raises(ValueError, match="cannot map"):
+            export_iceberg_metadata(t)
+
+    def test_unknown_snapshot_refused(self, spark, lake):
+        t = TxnTable(lake, "ir4", stats_cols=["k"])
+        t.append(spark.range(3).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        with pytest.raises(ValueError, match="not present"):
+            read_iceberg(spark, str(t.root), snapshot_id=999)
+
+    def test_missing_metadata_refused(self, spark, lake):
+        t = TxnTable(lake, "ir5")
+        t.append(spark.range(2).selectExpr("id as k"))
+        with pytest.raises(FileNotFoundError):
+            read_iceberg(spark, str(t.root))
+
+
+class TestManifestInternals:
+    def test_existing_entries_carry_origin_ids(self, spark, lake):
+        """Second export: surviving files are EXISTING with the
+        FIRST snapshot's id — the manifest-list counts split
+        added/existing accordingly."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            _load_metadata,
+            _read_avro,
+            _uri_to_path,
+        )
+
+        t = TxnTable(lake, "im1", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        snap1 = _meta(t)["current-snapshot-id"]
+        t.append(spark.range(10, 14).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        meta = _load_metadata(str(t.root))
+        snap = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        jvm = spark._jvm
+        lists, lmeta = _read_avro(
+            jvm, Path(_uri_to_path(snap["manifest-list"]))
+        )
+        assert lmeta["format-version"] == "2"
+        (mf,) = lists
+        assert mf.get("added_files_count") == 1
+        assert mf.get("existing_files_count") == 1
+        assert mf.get("added_rows_count") == 4
+        assert mf.get("existing_rows_count") == 10
+        entries, emeta = _read_avro(
+            jvm, Path(_uri_to_path(str(mf.get("manifest_path"))))
+        )
+        assert emeta["content"] == "data"
+        by_status = {}
+        for e in entries:
+            by_status.setdefault(e.get("status"), []).append(e)
+        assert set(by_status) == {0, 1}
+        (existing,) = by_status[0]
+        assert existing.get("snapshot_id") == snap1
+        assert existing.get("sequence_number") == 1
+        (added,) = by_status[1]
+        assert added.get("snapshot_id") is None  # inherits
