@@ -571,8 +571,30 @@ def export_iceberg_metadata(
     same staleness contract as Delta time travel after VACUUM.
 
     Refuses loudly (docstring of :mod:`iceberg_interop`): deletion
-    vectors, transform partitioning, nested types, stats-less files.
-    Returns the ``metadata`` directory path."""
+    vectors, transform partitioning, nested types, stats-less files,
+    re-exporting an OLDER TxnTable version into an appending history
+    (the snapshot id would duplicate), and a concurrent export (one
+    writer at a time — the same advisory flock posture as
+    ``export_delta_log``). Returns the ``metadata`` directory path."""
+    import fcntl
+    import os
+
+    lock_path = table.root / ".iceberg_export.lock"
+    lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            raise ValueError(
+                f"table {table.name}: another Iceberg export holds "
+                f"the lock — one export writer at a time"
+            )
+        return _export_locked(table, version)
+    finally:
+        os.close(lock_fd)
+
+
+def _export_locked(table: TxnTable, version: int | None) -> Path:
     m = table.manifest(version)
     _validate_exportable(table, m)
     jvm = _jvm(table.spark)
@@ -603,6 +625,18 @@ def export_iceberg_metadata(
     prev_snaps = (prev or {}).get("snapshots") or []
     if prev is not None and prev.get("current-snapshot-id") == snap_id:
         return meta_dir  # unchanged snapshot: idempotent no-op
+    if any(s["snapshot-id"] == snap_id for s in prev_snaps):
+        # re-exporting an OLDER TxnTable version would append a
+        # DUPLICATE snapshot-id — _resolve_snapshot and external
+        # engines would pick one arbitrarily (round-9 review). Time
+        # travel to that version already works via snapshot_id.
+        raise ValueError(
+            f"table {table.name}: TxnTable version {snap_id} is "
+            f"already exported as an Iceberg snapshot — read it with "
+            f"read_iceberg(..., snapshot_id={snap_id}) instead of "
+            f"re-exporting (an appending history cannot re-add a "
+            f"snapshot id)"
+        )
     seq = int((prev or {}).get("last-sequence-number") or 0) + 1
 
     # schema / spec id continuity: reuse the previous id when equal,
@@ -847,10 +881,20 @@ def export_iceberg_metadata(
             else []
         ),
     }
+    # atomic publication: json fully written before it becomes
+    # visible, hint flipped LAST — a crash mid-export leaves the
+    # previous metadata version current, never a torn file behind the
+    # hint (round-9 review; same posture as TxnTable commits)
+    import os
+
     hint_n = prev_hint + 1
     mpath = meta_dir / f"v{hint_n}.metadata.json"
-    mpath.write_text(json.dumps(meta, indent=2))
-    (meta_dir / "version-hint.text").write_text(str(hint_n))
+    tmp = meta_dir / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(json.dumps(meta, indent=2))
+    os.replace(tmp, mpath)
+    tmp2 = meta_dir / f".tmp-{uuid.uuid4().hex}"
+    tmp2.write_text(str(hint_n))
+    os.replace(tmp2, meta_dir / "version-hint.text")
     return meta_dir
 
 
@@ -938,36 +982,40 @@ def _entry_partition_values(jvm, dfr, spec_fields, ids_to_type) -> dict:
     return vals
 
 
-def iceberg_files(
-    spark: SparkSession,
-    path: str,
-    snapshot_id: int | None = None,
-    key_range: tuple | None = None,
-    partition_filter: dict | None = None,
-) -> list[str]:
-    """The data-file URIs a :func:`read_iceberg` with these predicates
-    opens — Iceberg's manifest-level pruning made observable (the
-    ``resolve_files`` analog): ``partition_filter`` matches identity
-    partition tuples; ``key_range=(col, lo, hi)`` skips files whose
-    decoded lower/upper bounds don't intersect (bound-less files are
-    conservatively kept)."""
-    jvm = _jvm(spark)
-    meta = _load_metadata(path)
-    snap = _resolve_snapshot(meta, snapshot_id)
-    schema = next(
+def _schema_of(meta: dict, snap: dict) -> dict:
+    return next(
         s
         for s in meta["schemas"]
-        if s["schema-id"] == meta["current-schema-id"]
+        if s["schema-id"]
+        == snap.get("schema-id", meta["current-schema-id"])
     )
+
+
+def _pruned_entries(
+    spark: SparkSession,
+    meta: dict,
+    snap: dict,
+    key_range: tuple | None,
+    partition_filter: dict | None,
+) -> list[tuple]:
+    """The snapshot's live manifest entries surviving the predicates,
+    as (data_file record, partition values) pairs. The SINGLE metadata
+    replay both :func:`iceberg_files` and :func:`read_iceberg` share —
+    each manifest Avro is read once per call, not once per caller
+    (round-9 review: the per-record py4j loop is the O(files)
+    driver-side cost the module docstring flags; doubling it doubled
+    every read)."""
+    jvm = _jvm(spark)
+    schema = _schema_of(meta, snap)
     ids_to_type = {f["id"]: f["type"] for f in schema["fields"]}
     name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
     out = []
     for dfr, spec_fields in _snapshot_entries(spark, meta, snap):
+        pvals = _entry_partition_values(
+            jvm, dfr, spec_fields, ids_to_type
+        )
         keep = True
         if partition_filter:
-            pvals = _entry_partition_values(
-                jvm, dfr, spec_fields, ids_to_type
-            )
             for c, want in partition_filter.items():
                 wants = (
                     {str(w) for w in want}
@@ -998,8 +1046,31 @@ def iceberg_files(
                 if not (blo <= hi and lo <= bhi):
                     keep = False
         if keep:
-            out.append(str(dfr.get("file_path")))
+            out.append((dfr, pvals))
     return out
+
+
+def iceberg_files(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    key_range: tuple | None = None,
+    partition_filter: dict | None = None,
+) -> list[str]:
+    """The data-file URIs a :func:`read_iceberg` with these predicates
+    opens — Iceberg's manifest-level pruning made observable (the
+    ``resolve_files`` analog): ``partition_filter`` matches identity
+    partition tuples; ``key_range=(col, lo, hi)`` skips files whose
+    decoded lower/upper bounds don't intersect (bound-less files are
+    conservatively kept)."""
+    meta = _load_metadata(path)
+    snap = _resolve_snapshot(meta, snapshot_id)
+    return [
+        str(dfr.get("file_path"))
+        for dfr, _ in _pruned_entries(
+            spark, meta, snap, key_range, partition_filter
+        )
+    ]
 
 
 def read_iceberg(
@@ -1018,24 +1089,9 @@ def read_iceberg(
     :func:`iceberg_files`; the residual rows still carry every
     matching file's full contents — apply the exact filter on the
     returned frame, as with any manifest-level pruning."""
-    jvm = _jvm(spark)
     meta = _load_metadata(path)
     snap = _resolve_snapshot(meta, snapshot_id)
-    schema = next(
-        s
-        for s in meta["schemas"]
-        if s["schema-id"] == snap.get("schema-id", meta["current-schema-id"])
-    )
-    ids_to_type = {f["id"]: f["type"] for f in schema["fields"]}
-    wanted = set(
-        iceberg_files(
-            spark,
-            path,
-            snapshot_id=snapshot_id,
-            key_range=key_range,
-            partition_filter=partition_filter,
-        )
-    )
+    schema = _schema_of(meta, snap)
 
     spark_fields = []
     for f in schema["fields"]:
@@ -1050,17 +1106,15 @@ def read_iceberg(
                 )
         spark_fields.append((f["name"], s_t))
 
-    # group files by identity-partition tuple: each group reads with
-    # the schema minus those columns and injects the constants
+    # ONE metadata replay (shared with iceberg_files); group files by
+    # identity-partition tuple: each group reads with the schema minus
+    # those columns and injects the constants
     groups: dict[tuple, list[str]] = {}
     group_vals: dict[tuple, dict] = {}
-    for dfr, spec_fields in _snapshot_entries(spark, meta, snap):
+    for dfr, pvals in _pruned_entries(
+        spark, meta, snap, key_range, partition_filter
+    ):
         uri = str(dfr.get("file_path"))
-        if uri not in wanted:
-            continue
-        pvals = _entry_partition_values(
-            jvm, dfr, spec_fields, ids_to_type
-        )
         key = tuple(sorted((k, str(v)) for k, v in pvals.items()))
         groups.setdefault(key, []).append(_uri_to_path(uri))
         group_vals[key] = pvals

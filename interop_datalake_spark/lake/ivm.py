@@ -602,10 +602,18 @@ class IncrementalAggView:
             track_deletes=minmax and has_dv,
         ).limit(self.max_delta_groups + 1).collect()
         if len(delta_rows) > self.max_delta_groups:
-            if self.large_delta_policy == "refuse" or (
-                self.watermark_col is not None
-                and self.late_policy == "drop"
-            ):
+            # a watermarked view NEVER degrades automatically,
+            # whatever the policy: the burst case IS the late-backfill
+            # case, and this cap check runs before _classify_late —
+            # auto-recomputing would silently mutate finalized history
+            # under 'refuse' (the deliberate-resync contract) and
+            # re-include deliberately-dropped groups under 'drop'
+            # (round-9 review). 'repair' is semantics-preserving
+            # (late incorporation is exact either way) and may degrade.
+            blocked = self.watermark_col is not None and (
+                self.late_policy in ("refuse", "drop")
+            )
+            if self.large_delta_policy == "refuse" or blocked:
                 raise ValueError(
                     f"refresh window touches more than "
                     f"{self.max_delta_groups} groups — the collected "
@@ -613,12 +621,11 @@ class IncrementalAggView:
                     f"full_refresh() (fully distributed) or raise "
                     f"max_delta_groups deliberately"
                     + (
-                        " (this view is watermarked with "
-                        "late_policy='drop': a recompute would re-"
-                        "include deliberately-dropped groups, so it "
-                        "never degrades automatically)"
-                        if self.watermark_col is not None
-                        and self.late_policy == "drop"
+                        f" (this view is watermarked with late_policy="
+                        f"{self.late_policy!r}: it never degrades "
+                        f"automatically — an auto-recompute would "
+                        f"bypass the watermark contract)"
+                        if blocked
                         else ""
                     )
                 )

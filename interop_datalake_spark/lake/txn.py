@@ -2989,6 +2989,39 @@ class TxnTable:
                 keep_export = False
             if not keep_export:
                 shutil.rmtree(exported)
+        # the Iceberg export (lake/iceberg_interop.py writes
+        # ``metadata/`` into this root) gets the SAME keep-or-delete
+        # contract: kept when its CURRENT snapshot's live file set
+        # survives this vacuum (older exported snapshots may dangle —
+        # Iceberg's own post-vacuum semantics), deleted when a live
+        # file is reclaimed or the export is unreadable (round-9
+        # review: round 8 protected _delta_log and forgot the sibling)
+        ice_dir = self.root / "metadata"
+        if (ice_dir / "version-hint.text").exists() or any(
+            ice_dir.glob("v*.metadata.json")
+        ):
+            keep_ice = False
+            try:
+                from interop_datalake_spark.lake.iceberg_interop import (
+                    _uri_to_path,
+                    iceberg_files,
+                )
+
+                prefixes = tuple(
+                    str((self.root / "data" / sub.name).resolve()) + "/"
+                    for sub in doomed
+                )
+                live = [
+                    _uri_to_path(u)
+                    for u in iceberg_files(self.spark, str(self.root))
+                ]
+                keep_ice = not prefixes or not any(
+                    p.startswith(prefixes) for p in live
+                )
+            except Exception:
+                keep_ice = False
+            if not keep_ice:
+                shutil.rmtree(ice_dir)
         removed = 0
         for sub in doomed:
             shutil.rmtree(sub)

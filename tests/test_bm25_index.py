@@ -169,3 +169,54 @@ class TestExactlyOnceEnforcement:
         got = _scores(idx.query(TERMS))
         expect = _scores(bm25_scores(full, "text", "doc_id", TERMS))
         assert got == expect and got
+
+    def test_bare_ingest_crash_window_detected_and_recovered(
+        self, spark, lake, docs
+    ):
+        """Round-9 review: the doclens gate cannot see a crash BETWEEN
+        the postings and doclens commits of a bare ingest (postings
+        landed, doclens didn't — re-running the batch passed the gate
+        and doubled postings). The intent marker detects it, queries
+        and ingests refuse until recover() rolls postings back, and
+        the re-ingest then scores identically to one-shot BM25."""
+        idx = BM25Index(lake, "eo5")
+        b1 = docs.filter(F.col("doc_id") < 100)
+        idx.build(b1, "text", "doc_id")
+        b2 = docs.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+        )
+        # simulate the crash: postings commit lands, doclens doesn't
+        import json as _json
+
+        pv = idx.postings.current_version()
+        idx._intent_path().write_text(
+            _json.dumps({"postings_version": pv})
+        )
+        from interop_datalake_spark.llm.search import tokenize_words
+
+        toks = tokenize_words(b2, "text", "doc_id")
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        idx.postings.append(
+            tf.repartitionByRange(idx.shards, "term")
+            .sortWithinPartitions("term")
+            .select("term", "doc_id", "tf")
+        )
+        # every surface refuses while the marker is present
+        with pytest.raises(ValueError, match="crashed"):
+            idx.append(b2, "text", "doc_id")
+        with pytest.raises(ValueError, match="crashed"):
+            idx.query(TERMS)
+        idx.recover()  # rolls postings back to pv
+        assert idx.postings.current_version() > pv  # restore commit
+        idx.append(b2, "text", "doc_id")  # clean re-ingest
+        full = docs.filter(F.col("doc_id") < 200)
+        got = _scores(idx.query(TERMS))
+        expect = _scores(bm25_scores(full, "text", "doc_id", TERMS))
+        assert got == expect and got
+
+    def test_recover_without_marker_is_noop(self, spark, lake, docs):
+        idx = BM25Index(lake, "eo6")
+        idx.build(docs.filter(F.col("doc_id") < 50), "text", "doc_id")
+        v = idx.postings.current_version()
+        idx.recover()
+        assert idx.postings.current_version() == v

@@ -351,3 +351,67 @@ class TestManifestInternals:
         assert existing.get("sequence_number") == 1
         (added,) = by_status[1]
         assert added.get("snapshot_id") is None  # inherits
+
+
+class TestRound9ReviewFixes:
+    def test_vacuum_deletes_dangling_iceberg_export(self, spark, lake):
+        """Round-9 review: vacuum must give the Iceberg export the
+        same keep-or-delete contract as _delta_log — reclaiming a file
+        the CURRENT snapshot references deletes metadata/ instead of
+        leaving external engines dangling file:// URIs."""
+        t = TxnTable(lake, "rv1", stats_cols=["k"])
+        t.append(spark.range(10).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.overwrite(spark.range(3).selectExpr("id as k").coalesce(1))
+        t.vacuum(keep_versions=1)  # reclaims v1's files
+        assert not (t.root / "metadata" / "version-hint.text").exists()
+
+    def test_vacuum_keeps_current_iceberg_export(self, spark, lake):
+        t = TxnTable(lake, "rv2", stats_cols=["k"])
+        t.append(spark.range(10).selectExpr("id as k").coalesce(1))
+        t.delete_where(F.col("k") < 3)  # copy-on-write rewrite
+        export_iceberg_metadata(t)  # current snapshot: post-delete
+        removed = t.vacuum(keep_versions=1)
+        assert removed > 0  # the pre-delete subdir was reclaimed
+        assert (t.root / "metadata" / "version-hint.text").exists()
+        assert read_iceberg(spark, str(t.root)).count() == 7
+
+    def test_export_lock_excludes_concurrent_writers(self, spark, lake):
+        import fcntl
+        import os as _os
+
+        t = TxnTable(lake, "rv3", stats_cols=["k"])
+        t.append(spark.range(5).selectExpr("id as k").coalesce(1))
+        fd = _os.open(
+            t.root / ".iceberg_export.lock", _os.O_CREAT | _os.O_RDWR
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            with pytest.raises(ValueError, match="lock"):
+                export_iceberg_metadata(t)
+        finally:
+            _os.close(fd)
+        export_iceberg_metadata(t)  # lock free: proceeds
+        assert read_iceberg(spark, str(t.root)).count() == 5
+
+    def test_reexport_of_older_version_refused(self, spark, lake):
+        t = TxnTable(lake, "rv4", stats_cols=["k"])
+        t.append(spark.range(5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.append(spark.range(5, 8).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        with pytest.raises(ValueError, match="already exported"):
+            export_iceberg_metadata(t, version=1)
+        # time travel is the supported way to read the old version
+        assert read_iceberg(spark, str(t.root), snapshot_id=1).count() == 5
+
+    def test_metadata_json_published_atomically(self, spark, lake):
+        """No .tmp files survive a successful export; the hint always
+        points at a complete json."""
+        t = TxnTable(lake, "rv5", stats_cols=["k"])
+        t.append(spark.range(5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        md = t.root / "metadata"
+        assert not list(md.glob(".tmp-*"))
+        n = int((md / "version-hint.text").read_text())
+        json.loads((md / f"v{n}.metadata.json").read_text())
