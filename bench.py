@@ -98,6 +98,10 @@ HEADLINE = [
     # round 9: Iceberg metadata interop lifecycle (v2 export via the
     # bundled Avro Java library + self-contained reader)
     "lake_iceberg_roundtrip",
+    # round 9: deterministic epoch shuffle + curriculum ordering
+    # (hash-key window per shard / per tier)
+    "corpus_shuffle_deterministic",
+    "corpus_curriculum_order",
     # round 7: the newly witness-rotated rows (see catalog
     # WITNESS_PRIORITY) so driver bench history starts this round
     "dedup_minhash_ml",

@@ -315,9 +315,12 @@ WITNESS_PRIORITY = [
     "search_bm25_indexed", "search_hybrid_rrf",
     # text analysis + tokenizer training
     "text_trigrams_udtf", "text_bpe_train",
-    # corpus curation
-    "corpus_to_training_set", "corpus_importance_sample",
-    "corpus_curate_pipeline",
+    # corpus curation + the round-9 ordering ops (deterministic
+    # epoch shuffle, curriculum) — displacing r8-green
+    # importance_sample/curate_pipeline (to_training_set stays as the
+    # curation-class sibling; curate_pipeline composes it anyway)
+    "corpus_to_training_set",
+    "corpus_shuffle_deterministic", "corpus_curriculum_order",
     # record linkage
     "entity_resolution",
     # streaming

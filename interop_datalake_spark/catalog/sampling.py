@@ -173,11 +173,136 @@ LIMIT 50
 """
 
 
+def shuffle_key(seed: str, id_col: str = "doc_id"):
+    """THE canonical deterministic-shuffle key: a content-hash of
+    (seed, id) — a pure function of the record and the seed, never of
+    partitioning, run order, or RNG state, so the permutation is
+    reproducible across engines, re-runs, and cluster sizes (the
+    property ``df.orderBy(rand(seed))`` does NOT have: Spark's rand
+    stream is partitioning-dependent). md5-sliced for oracle
+    portability; swap xxhash64 in production for speed (the recorded
+    convention)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def corpus_shuffle_deterministic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seeded GLOBAL SHUFFLE of the corpus into training shards — the
+    op every epoch of LLM training starts with at 100 TB, where
+    "shuffle the dataset" must be (a) reproducible bit-for-bit from
+    (seed, doc_id) alone and (b) free of any global sort bottleneck:
+    shard = key % n_shards routes each doc independently, and the
+    within-shard position is a window ORDER BY (key, doc_id)
+    PARTITIONED BY shard — n_shards independent local sorts, exactly
+    the sharded-writer layout (one output file per shard, readable in
+    shard order = shuffled order). Re-running with the same seed
+    reproduces the permutation on any cluster size; a new seed is a
+    fresh epoch permutation."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    key = shuffle_key("epoch0")
+    n_shards = 8
+    keyed = docs.select(
+        "doc_id",
+        key.alias("skey"),
+        (key % n_shards).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).alias("pos_in_shard"),
+        )
+        .orderBy("shard", "pos_in_shard")
+    )
+
+
+SHUFFLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('epoch0:' || doc_id::VARCHAR), 1, 12))::BIGINT
+           AS skey
+  FROM documents
+)
+SELECT doc_id,
+       (skey % 8)::INT AS shard,
+       row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id)
+         AS pos_in_shard
+FROM keyed
+ORDER BY shard, pos_in_shard
+"""
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ordering: tier the corpus by a difficulty proxy
+    (document length — short docs first, the classic length-based
+    curriculum), then shuffle WITHIN each tier with the deterministic
+    key, so training consumes easy→hard with reproducible within-tier
+    order. The composition every curriculum/annealing schedule needs:
+    tiering is one column expression, the within-tier permutation is
+    the same shuffle_key, and the global order is (tier, key) — a
+    range-partitionable sort, no driver involvement."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tier = (
+        F.when(F.col("n_chars") < 500, 0)
+        .when(F.col("n_chars") < 2000, 1)
+        .otherwise(2)
+    )
+    key = shuffle_key("curr0")
+    w = Window.partitionBy("tier").orderBy("skey", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            tier.alias("tier"),
+            key.alias("skey"),
+        )
+        .select(
+            "doc_id",
+            "tier",
+            F.row_number().over(w).alias("pos_in_tier"),
+        )
+        .orderBy("tier", "pos_in_tier")
+    )
+
+
+CURRICULUM_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 500 THEN 0
+              WHEN n_chars < 2000 THEN 1
+              ELSE 2 END AS tier,
+         ('0x' || substr(md5('curr0:' || doc_id::VARCHAR), 1, 12))::BIGINT
+           AS skey
+  FROM documents
+)
+SELECT doc_id, tier,
+       row_number() OVER (PARTITION BY tier ORDER BY skey, doc_id)
+         AS pos_in_tier
+FROM keyed
+ORDER BY tier, pos_in_tier
+"""
+
+
 QUERIES = {
     "corpus_split_train_val": corpus_split_train_val,
     "corpus_sample_weighted": corpus_sample_weighted,
     "corpus_sample": corpus_sample,
     "corpus_sample_stratified": corpus_sample_stratified,
+    "corpus_shuffle_deterministic": corpus_shuffle_deterministic,
+    "corpus_curriculum_order": corpus_curriculum_order,
     "array_higher_order": array_higher_order,
 }
 
@@ -185,5 +310,7 @@ ORACLES = {
     "corpus_split_train_val": SPLIT_ORACLE,
     "corpus_sample_weighted": SAMPLE_WEIGHTED_ORACLE,
     # corpus_sample / corpus_sample_stratified: rows-only by design
+    "corpus_shuffle_deterministic": SHUFFLE_ORACLE,
+    "corpus_curriculum_order": CURRICULUM_ORACLE,
     "array_higher_order": ARRAY_HOF_ORACLE,
 }

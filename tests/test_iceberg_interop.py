@@ -270,7 +270,11 @@ class TestRefusals:
         export_iceberg_metadata(t)
         assert read_iceberg(spark, str(t.root)).count() == 4
 
-    def test_transform_partitioning_refused(self, spark, lake):
+    def test_xxhash_bucket_transform_refused(self, spark, lake):
+        """bucket[N] cannot map: TxnTable hashes xxhash64, Iceberg's
+        spec mandates murmur3-32 — a compliant engine's bucket
+        pruning over the exported dir numbers would silently drop
+        matching files."""
         t = TxnTable(
             lake,
             "ir2",
@@ -278,7 +282,7 @@ class TestRefusals:
             stats_cols=["k"],
         )
         t.append(spark.range(5).selectExpr("id as k").coalesce(1))
-        with pytest.raises(ValueError, match="transform"):
+        with pytest.raises(ValueError, match="murmur3"):
             export_iceberg_metadata(t)
 
     def test_nested_types_refused(self, spark, lake):
@@ -415,3 +419,218 @@ class TestRound9ReviewFixes:
         assert not list(md.glob(".tmp-*"))
         n = int((md / "version-hint.text").read_text())
         json.loads((md / f"v{n}.metadata.json").read_text())
+
+
+class TestTransformPartitions:
+    def test_day_transform_exports_and_reads_back(self, spark, lake):
+        """TxnTable days(ts) hidden partitioning exports as an Iceberg
+        day transform with epoch-ordinal partition values; the source
+        column lives in the data files, so the roundtrip needs no
+        injection and values are exact."""
+        t = TxnTable(
+            lake, "tt1",
+            partition_transforms={"ts_day": ("days", "ts")},
+            stats_cols=["k"],
+        )
+        t.append(
+            spark.createDataFrame(
+                [
+                    (1, datetime(2024, 3, 1, 10, 0, tzinfo=timezone.utc)),
+                    (2, datetime(2024, 3, 2, 11, 0, tzinfo=timezone.utc)),
+                ],
+                "k INT, ts TIMESTAMP",
+            )
+        )
+        export_iceberg_metadata(t)
+        m = _meta(t)
+        (spec,) = m["partition-specs"]
+        assert [f["transform"] for f in spec["fields"]] == ["day"]
+        back = read_iceberg(spark, str(t.root))
+        assert back.count() == 2
+        assert sorted(r.k for r in back.collect()) == [1, 2]
+        # the manifest partition tuple stores the epoch day ordinal
+        from interop_datalake_spark.lake.iceberg_interop import (
+            _load_metadata,
+            _read_avro,
+            _resolve_snapshot,
+            _uri_to_path,
+        )
+
+        meta = _load_metadata(str(t.root))
+        snap = _resolve_snapshot(meta, None)
+        jvm = spark._jvm
+        lists, _ = _read_avro(
+            jvm, Path(_uri_to_path(snap["manifest-list"]))
+        )
+        entries, _ = _read_avro(
+            jvm, Path(_uri_to_path(str(lists[0].get("manifest_path"))))
+        )
+        days = sorted(
+            e.get("data_file").get("partition").get("ts_day")
+            for e in entries
+        )
+        assert days == [
+            (date(2024, 3, 1) - date(1970, 1, 1)).days,
+            (date(2024, 3, 2) - date(1970, 1, 1)).days,
+        ]
+
+    def test_truncate_transform_exports(self, spark, lake):
+        t = TxnTable(
+            lake, "tt2",
+            partition_transforms={"uid_t": ("truncate", 2, "uid")},
+            stats_cols=["k"],
+        )
+        t.append(
+            spark.createDataFrame(
+                [(1, "aa-x"), (2, "ab-y"), (3, "zz-q")],
+                "k INT, uid STRING",
+            )
+        )
+        export_iceberg_metadata(t)
+        m = _meta(t)
+        (spec,) = m["partition-specs"]
+        assert [f["transform"] for f in spec["fields"]] == ["truncate[2]"]
+        back = read_iceberg(spark, str(t.root))
+        assert sorted((r.k, r.uid) for r in back.collect()) == [
+            (1, "aa-x"), (2, "ab-y"), (3, "zz-q"),
+        ]
+
+
+class TestIncrementalAppendScan:
+    def test_changes_between_snapshots(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "ic1", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)  # snapshot 1
+        t.append(spark.range(10, 14).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)  # snapshot 2
+        t.append(spark.range(14, 16).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)  # snapshot 3
+        ch = read_iceberg_changes(spark, str(t.root), 1)
+        rows = sorted((r.k, r._snapshot_id) for r in ch.collect())
+        assert [k for k, _ in rows] == list(range(10, 16))
+        assert {s for k, s in rows if k < 14} == {2}
+        assert {s for k, s in rows if k >= 14} == {3}
+        # bounded window
+        mid = read_iceberg_changes(spark, str(t.root), 1, 2)
+        assert sorted(r.k for r in mid.collect()) == list(range(10, 14))
+
+    def test_empty_window_and_unknown_snapshot(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "ic2", stats_cols=["k"])
+        t.append(spark.range(5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        cur = _meta(t)["current-snapshot-id"]
+        assert read_iceberg_changes(spark, str(t.root), cur).count() == 0
+        with pytest.raises(ValueError, match="not present"):
+            read_iceberg_changes(spark, str(t.root), 999)
+
+
+class TestChangesReviewFixes:
+    def test_rewrite_snapshot_refuses_incremental_scan(self, spark, lake):
+        """Round-9 review: the exporter labels a file-dropping export
+        'overwrite' (compact/delete rewrote files), so the incremental
+        append scan REFUSES instead of silently re-emitting rewritten
+        rows as fresh changes."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "cr1", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.append(spark.range(10, 12).selectExpr("id as k").coalesce(1))
+        t.compact()  # rewrites everything into fresh files
+        export_iceberg_metadata(t)
+        m = _meta(t)
+        assert m["snapshots"][-1]["summary"]["operation"] == "overwrite"
+        with pytest.raises(ValueError, match="overwrite"):
+            read_iceberg_changes(spark, str(t.root), 1)
+        # full reads are unaffected
+        assert read_iceberg(spark, str(t.root)).count() == 12
+
+    def test_partitioned_changes_inject_identity_values(
+        self, spark, lake
+    ):
+        """Round-9 review: the changes scan must apply the same Column
+        Projection injection as read_iceberg — hive-layout files omit
+        the partition column."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "cr2", partition_cols=["tenant"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "A", "x")], "k INT, tenant STRING, v STRING"
+            )
+        )
+        export_iceberg_metadata(t)
+        t.append(
+            spark.createDataFrame(
+                [(2, "B", "y"), (3, "A", "z")],
+                "k INT, tenant STRING, v STRING",
+            )
+        )
+        export_iceberg_metadata(t)
+        rows = sorted(
+            (r.k, r.tenant, r._snapshot_id)
+            for r in read_iceberg_changes(spark, str(t.root), 1).collect()
+        )
+        assert rows == [(2, "B", 2), (3, "A", 2)]
+
+    def test_empty_window_schema_is_stable(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "cr3", stats_cols=["k"])
+        t.append(spark.range(3).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        cur = _meta(t)["current-snapshot-id"]
+        empty = read_iceberg_changes(spark, str(t.root), cur)
+        t.append(spark.range(3, 5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        full = read_iceberg_changes(spark, str(t.root), cur)
+        # identical column names + types whether the window is empty
+        # or populated (nullability differs by construction: a literal
+        # column is non-nullable — schema-sensitive sinks key on type)
+        assert empty.dtypes == full.dtypes
+        assert dict(full.dtypes)["_snapshot_id"] == "bigint"
+
+    def test_spec_evolution_allocates_fresh_field_ids(self, spark, lake):
+        """Round-9 review: a NEW partition spec's field-ids continue
+        from last-partition-id + 1 — never reusing an id for a
+        different (source, transform) pair."""
+        t = TxnTable(lake, "cr4", partition_cols=["tenant"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "A", "eu")], "k INT, tenant STRING, region STRING"
+            )
+        )
+        export_iceberg_metadata(t)
+        # evolve the spec: repartition the table by region
+        t2 = TxnTable(lake, "cr4", partition_cols=["region"])
+        t2.append(
+            spark.createDataFrame(
+                [(2, "B", "us")], "k INT, tenant STRING, region STRING"
+            )
+        )
+        t2.compact()  # rewrite everything under the current spec
+        export_iceberg_metadata(t2)
+        m = _meta(t2)
+        by_spec = {
+            s["spec-id"]: [f["field-id"] for f in s["fields"]]
+            for s in m["partition-specs"]
+        }
+        assert by_spec[0] == [1000]
+        assert by_spec[1] == [1001]  # fresh id, never 1000 reused
+        assert m["default-spec-id"] == 1
+        assert m["last-partition-id"] == 1001
+        assert read_iceberg(spark, str(t2.root)).count() == 2
