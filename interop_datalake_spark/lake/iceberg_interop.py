@@ -46,11 +46,19 @@ Iceberg's spec mandates murmur3-32 — exporting the dir numbers under
 the bucket[N] name would make a compliant engine's bucket pruning
 silently drop matching files.
 
-Honest limitations, refused loudly (never silently wrong): vectored
-snapshots (position deletes would need delete manifests — compact()
-reconciles first), xxhash-bucketed partitioning (above), nested
-schema types (name mapping for structs/arrays/maps is out of scope),
-stats-less files (record_count is required and engines trust it).
+Merge-on-read carries over too: a vectored snapshot exports its
+deletion vectors as Iceberg v2 POSITION DELETES — one delete parquet
+(reserved field ids stamped via pyarrow) under an unpartitioned spec
+(path-targeted deletes apply globally) + a DELETE manifest in the
+manifest list; the reader applies them by (path, position) at the v2
+sequence rule (delete seq ≥ data seq), and refuses equality deletes.
+
+Honest limitations, refused loudly (never silently wrong):
+xxhash-bucketed partitioning (above), nested schema types (name
+mapping for structs/arrays/maps is out of scope), stats-less files
+(record_count is required and engines trust it), vector sets beyond
+the bounded driver-side delete-file serialization (compact() first),
+equality-delete files on read.
 
 Reference parity: the reference publishes parquet for downstream
 engines to consume in place (DatalakeRetrieveService.kt:18-39);
@@ -493,13 +501,22 @@ def _py_bytes(jvm, bb) -> bytes | None:
 # -- export -----------------------------------------------------------------
 
 
+#: largest vector row count a merge-on-read export will serialize
+#: driver-side into position-delete parquet (pyarrow, to stamp the
+#: spec's reserved field ids); beyond it compact() first — the same
+#: bounded-driver posture as the TxnTable manifest guard
+_DELETE_EXPORT_MAX_ROWS = 10_000_000
+
+
 def _validate_exportable(table: TxnTable, m: dict) -> None:
-    if m.get("dvs"):
+    dv_rows = sum((m.get("dv_deleted") or {}).values())
+    if dv_rows > _DELETE_EXPORT_MAX_ROWS:
         raise ValueError(
-            f"table {table.name}: snapshot has deletion vectors on "
-            f"{len(m['dvs'])} file(s); an Iceberg export without "
-            f"delete manifests would resurrect the soft-deleted rows "
-            f"— run compact() and re-export"
+            f"table {table.name}: snapshot carries {dv_rows} "
+            f"vector-deleted positions — beyond the "
+            f"{_DELETE_EXPORT_MAX_ROWS}-row position-delete export "
+            f"bound; run compact() (reconciles vectors into clean "
+            f"files) and re-export"
         )
     if m.get("schema") is None:
         raise ValueError(
@@ -588,6 +605,70 @@ def _typed_partition_value(pf: dict, ids_to_type, v):
         d = v if isinstance(v, date) else date.fromisoformat(str(v))
         return (d - _EPOCH_DATE).days
     raise ValueError(f"unsupported partition source type {icetype!r}")
+
+
+def _write_position_deletes(
+    table: TxnTable, m: dict, meta_dir: Path
+) -> tuple[Path, int]:
+    """Serialize the snapshot's deletion vectors as ONE Iceberg
+    position-delete parquet: (file_path URI, pos), deduped and sorted
+    by (path, pos) — the spec's recommended layout — with the RESERVED
+    field ids (2147483546 file_path / 2147483545 pos) stamped through
+    pyarrow so compliant engines project by id. Driver-side and
+    bounded by _DELETE_EXPORT_MAX_ROWS (validated before any write):
+    vectors are metadata-sized by the table's own DV design, and
+    Iceberg's own delete-file writers are coordinator-side too."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dvs = m["dvs"]
+    want = {(f, p) for f, ps in dvs.items() for p in ps}
+    vec_dirs = sorted({p for ps in dvs.values() for p in ps})
+    pairs = set()
+    for vd in vec_dirs:
+        t = pq.read_table(
+            str(table.root / vd), columns=["file_key", "row_idx"]
+        )
+        for f, r in zip(
+            t.column("file_key").to_pylist(),
+            t.column("row_idx").to_pylist(),
+        ):
+            # a vector parquet may hold rows for files whose vector
+            # list no longer references it (consolidation, restore) —
+            # only (file, vector) pairs the MANIFEST names are live
+            if (f, vd) in want:
+                pairs.add(
+                    ((table.root / f).resolve().as_uri(), int(r))
+                )
+    ordered = sorted(pairs)
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": b"2147483545"},
+            ),
+        ]
+    )
+    out = meta_dir / f"{uuid.uuid4().hex}-deletes.parquet"
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([p for p, _ in ordered], pa.string()),
+                pa.array([x for _, x in ordered], pa.int64()),
+            ],
+            schema=schema,
+        ),
+        str(out),
+    )
+    return out, len(ordered)
 
 
 def _prev_metadata(meta_dir: Path) -> tuple[dict | None, int]:
@@ -824,16 +905,17 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
 
     # HONEST operation labeling (round-9 review): a snapshot that
     # DROPS files vs the previous export (delete / compact / merge
-    # rewrote them) is an "overwrite", not an "append" — the label is
-    # what makes read_iceberg_changes' (and real Iceberg's)
-    # incremental-append refusal actually fire instead of silently
-    # re-emitting rewritten rows as fresh changes
+    # rewrote them) — or that carries POSITION DELETES — is an
+    # "overwrite", never an "append": the label is what makes
+    # read_iceberg_changes' (and real Iceberg's) incremental-append
+    # refusal actually fire instead of silently re-emitting rewritten
+    # rows (or missing soft-deletes) as fresh changes
     cur_uris = {
         (table.root / f).resolve().as_uri() for f in m["files"]
     }
     snapshot_op = (
         "append"
-        if set(prev_entries) <= cur_uris
+        if set(prev_entries) <= cur_uris and not (m.get("dvs") or {})
         else "overwrite"
     )
 
@@ -924,6 +1006,61 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
         w.append_json(entry)
     w.close()
 
+    # -- merge-on-read POSITION DELETES (Iceberg v2) --------------------------
+    # TxnTable deletion vectors ARE position deletes — (file, row
+    # position) pairs — so a vectored snapshot exports as a DELETE
+    # MANIFEST + a position-delete parquet (reserved field ids
+    # 2147483546/2147483545 stamped via pyarrow) instead of refusing.
+    # Delete files are written under an UNPARTITIONED spec: they
+    # target data files BY PATH and apply globally, the spec's
+    # path-position-delete shape. Regenerated fresh per vectored
+    # export (stateless; old delete files stay for old snapshots'
+    # time travel). Applied at data seq ≤ delete seq — the v2
+    # merge-on-read rule the reader enforces.
+    delete_mf = None
+    if m.get("dvs"):
+        delete_pq, n_del = _write_position_deletes(table, m, meta_dir)
+        empty_spec = next((s for s in specs if not s["fields"]), None)
+        if empty_spec is None:
+            del_spec_id = max(s["spec-id"] for s in specs) + 1
+            specs = specs + [{"spec-id": del_spec_id, "fields": []}]
+        else:
+            del_spec_id = empty_spec["spec-id"]
+        dm_path = meta_dir / f"{uuid.uuid4().hex}-deletes-m0.avro"
+        dw = _AvroFileWriter(
+            jvm,
+            _manifest_entry_schema([]),
+            dm_path,
+            {
+                "schema": json.dumps({**schema, "schema-id": schema_id}),
+                "schema-id": schema_id,
+                "partition-spec": json.dumps([]),
+                "partition-spec-id": del_spec_id,
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        dw.append_json(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": delete_pq.resolve().as_uri(),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_del,
+                    "file_size_in_bytes": delete_pq.stat().st_size,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+        dw.close()
+        delete_mf = (dm_path, n_del, del_spec_id)
+
     # -- manifest list -------------------------------------------------------
     ml_path = meta_dir / f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     parent = (prev or {}).get("current-snapshot-id")
@@ -955,6 +1092,25 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
             "deleted_rows_count": 0,
         }
     )
+    if delete_mf is not None:
+        dm_path, n_del, del_spec_id = delete_mf
+        lw.append_json(
+            {
+                "manifest_path": dm_path.resolve().as_uri(),
+                "manifest_length": dm_path.stat().st_size,
+                "partition_spec_id": del_spec_id,
+                "content": 1,  # DELETES manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_del,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     lw.close()
 
     # -- table metadata json -------------------------------------------------
@@ -1062,11 +1218,14 @@ def _resolve_snapshot(meta: dict, snapshot_id: int | None) -> dict:
     return snap
 
 
-def _snapshot_entries(spark: SparkSession, meta: dict, snap: dict):
+def _snapshot_entries(
+    spark: SparkSession, meta: dict, snap: dict, content: int = 0
+):
     """Live (entry, data_file record, spec fields, manifest-file
-    record) tuples of one snapshot — manifest list → manifests via the
-    bundled Avro Java library. The manifest-file record rides along
-    because v2 null-id inheritance resolves against ITS
+    record) tuples of one snapshot's manifests with the given
+    ``content`` (0 = data, 1 = deletes) — manifest list → manifests
+    via the bundled Avro Java library. The manifest-file record rides
+    along because v2 null-id inheritance resolves against ITS
     added_snapshot_id / sequence_number, not the scanned snapshot's
     (round-9 review: a real Iceberg writer carries older manifests
     forward in later manifest lists)."""
@@ -1076,12 +1235,8 @@ def _snapshot_entries(spark: SparkSession, meta: dict, snap: dict):
     specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
     out = []
     for mf in lists:
-        if mf.get("content") not in (None, 0):
-            raise ValueError(
-                "delete manifests (content=1) are not supported by "
-                "this reader — merge-on-read Iceberg tables need "
-                "their engine's delete application"
-            )
+        if (mf.get("content") or 0) != content:
+            continue
         mp = Path(_uri_to_path(str(mf.get("manifest_path"))))
         entries, _ = _read_avro(jvm, mp)
         spec_fields = specs.get(mf.get("partition_spec_id"), [])
@@ -1089,6 +1244,35 @@ def _snapshot_entries(spark: SparkSession, meta: dict, snap: dict):
             if e.get("status") == 2:  # DELETED
                 continue
             out.append((e, e.get("data_file"), spec_fields, mf))
+    return out
+
+
+def _entry_seq(e, mf) -> int:
+    """A manifest entry's effective sequence number under v2 null
+    inheritance: explicit value, else the manifest-list entry's."""
+    sq = e.get("sequence_number")
+    return int(sq) if sq is not None else int(mf.get("sequence_number"))
+
+
+def _snapshot_position_deletes(
+    spark: SparkSession, meta: dict, snap: dict
+) -> list[tuple[str, int]]:
+    """(delete-file URI, effective sequence number) for the snapshot's
+    POSITION-delete files. Equality deletes (data_file.content=2)
+    refuse loudly — applying them needs per-row predicate evaluation
+    this reader does not implement."""
+    out = []
+    for e, dfr, _spec, mf in _snapshot_entries(
+        spark, meta, snap, content=1
+    ):
+        c = dfr.get("content")
+        if c == 2:
+            raise ValueError(
+                "equality-delete files are not supported by this "
+                "reader (position deletes are) — rewrite with the "
+                "owning engine first"
+            )
+        out.append((str(dfr.get("file_path")), _entry_seq(e, mf)))
     return out
 
 
@@ -1132,7 +1316,8 @@ def _pruned_entries(
     partition_filter: dict | None,
 ) -> list[tuple]:
     """The snapshot's live manifest entries surviving the predicates,
-    as (data_file record, partition values) pairs. The SINGLE metadata
+    as (data_file record, partition values, effective sequence
+    number) triples. The SINGLE metadata
     replay both :func:`iceberg_files` and :func:`read_iceberg` share —
     each manifest Avro is read once per call, not once per caller
     (round-9 review: the per-record py4j loop is the O(files)
@@ -1143,7 +1328,7 @@ def _pruned_entries(
     ids_to_type = {f["id"]: f["type"] for f in schema["fields"]}
     name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
     out = []
-    for _e, dfr, spec_fields, _mf in _snapshot_entries(spark, meta, snap):
+    for e, dfr, spec_fields, mf in _snapshot_entries(spark, meta, snap):
         pvals = _entry_partition_values(
             jvm, dfr, spec_fields, ids_to_type
         )
@@ -1179,7 +1364,7 @@ def _pruned_entries(
                 if not (blo <= hi and lo <= bhi):
                     keep = False
         if keep:
-            out.append((dfr, pvals))
+            out.append((dfr, pvals, _entry_seq(e, mf)))
     return out
 
 
@@ -1200,7 +1385,7 @@ def iceberg_files(
     snap = _resolve_snapshot(meta, snapshot_id)
     return [
         str(dfr.get("file_path"))
-        for dfr, _ in _pruned_entries(
+        for dfr, _pv, _sq in _pruned_entries(
             spark, meta, snap, key_range, partition_filter
         )
     ]
@@ -1225,16 +1410,48 @@ def read_iceberg(
     meta = _load_metadata(path)
     snap = _resolve_snapshot(meta, snapshot_id)
     spark_fields = _spark_fields(_schema_of(meta, snap))
+    deletes = _snapshot_position_deletes(spark, meta, snap)
     # ONE metadata replay (shared with iceberg_files)
+    entries = _pruned_entries(
+        spark, meta, snap, key_range, partition_filter
+    )
     items = [
         (_uri_to_path(str(dfr.get("file_path"))), pvals)
-        for dfr, pvals in _pruned_entries(
-            spark, meta, snap, key_range, partition_filter
-        )
+        for dfr, pvals, _sq in entries
     ]
-    out = _grouped_read(spark, spark_fields, items)
+    out = _grouped_read(
+        spark, spark_fields, items, lineage=bool(deletes)
+    )
     if out is None:
         return _empty_frame(spark, spark_fields)
+    if deletes:
+        # merge-on-read application (v2): a position delete removes
+        # (path, pos) from data files whose sequence number ≤ the
+        # delete file's. The seq map is bounded by file count; the
+        # delete rows are metadata-sized — AQE picks the join shape.
+        seq_rows = [
+            (_uri_to_path(str(dfr.get("file_path"))), sq)
+            for dfr, _pv, sq in entries
+        ]
+        dmap = spark.createDataFrame(
+            seq_rows, "_ib_file STRING, _dataseq BIGINT"
+        )
+        dels = None
+        for duri, dseq in deletes:
+            d = spark.read.parquet(_uri_to_path(duri)).select(
+                _canon_path_expr(F.col("file_path")).alias("_ib_file"),
+                F.col("pos").alias("_ib_pos"),
+                F.lit(dseq).cast("bigint").alias("_dseq"),
+            )
+            dels = d if dels is None else dels.unionByName(d)
+        applicable = (
+            dels.join(F.broadcast(dmap), "_ib_file")
+            .filter(F.col("_dseq") >= F.col("_dataseq"))
+            .select("_ib_file", "_ib_pos")
+        )
+        out = out.join(
+            applicable, ["_ib_file", "_ib_pos"], "left_anti"
+        ).drop("_ib_file", "_ib_pos")
     return out
 
 
@@ -1259,13 +1476,25 @@ def _empty_frame(spark: SparkSession, spark_fields) -> DataFrame:
     return spark.createDataFrame([], ddl)
 
 
+def _canon_path_expr(col):
+    """Spark-side canonicalization of a file URI to its decoded local
+    path: the join key position deletes and scan lineage share.
+    '+' pre-escapes because url_decode is form-decoding; the scheme
+    prefix strips so as_uri()-style and _metadata.file_path-style
+    encodings meet on equal terms."""
+    dec = F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
+    return F.regexp_replace(dec, "^file:/+", "/")
+
+
 def _grouped_read(
-    spark: SparkSession, spark_fields, items
+    spark: SparkSession, spark_fields, items, lineage: bool = False
 ) -> DataFrame | None:
     """Read (local path, identity partition values) items: files group
     by their partition tuple, each group reads with the schema MINUS
     the injected columns, and the constants come back per the spec's
-    Column Projection rule. None when there are no items."""
+    Column Projection rule. ``lineage=True`` adds (_ib_file, _ib_pos)
+    row lineage off the scan's _metadata — what position-delete
+    application anti-joins on. None when there are no items."""
     groups: dict[tuple, list[str]] = {}
     group_vals: dict[tuple, dict] = {}
     for p, pvals in items:
@@ -1282,10 +1511,21 @@ def _grouped_read(
         ]
         ddl = ", ".join(f"`{n}` {t}" for n, t in read_fields)
         df = spark.read.schema(ddl).parquet(*files)
+        if lineage:
+            df = df.select(
+                "*",
+                _canon_path_expr(F.col("_metadata.file_path")).alias(
+                    "_ib_file"
+                ),
+                F.col("_metadata.row_index").alias("_ib_pos"),
+            )
         for n, t in spark_fields:
             if n in pvals:
                 df = df.withColumn(n, F.lit(pvals[n]).cast(t))
-        frames.append(df.select(*[n for n, _ in spark_fields]))
+        keep = [n for n, _ in spark_fields]
+        if lineage:
+            keep = keep + ["_ib_file", "_ib_pos"]
+        frames.append(df.select(*keep))
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)

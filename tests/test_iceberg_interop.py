@@ -260,13 +260,21 @@ class TestTypedValues:
 
 
 class TestRefusals:
-    def test_deletion_vectors_refused(self, spark, lake):
+    def test_oversized_vector_set_refused(self, spark, lake):
+        from interop_datalake_spark.lake import iceberg_interop as ii
+
         t = TxnTable(lake, "ir1", stats_cols=["k"])
         t.append(spark.range(5).selectExpr("id as k").coalesce(1))
         t.delete_where(F.col("k") == 1, merge_on_read=True)
-        with pytest.raises(ValueError, match="deletion vectors"):
-            export_iceberg_metadata(t)
-        t.compact()  # the documented cure
+        orig = ii._DELETE_EXPORT_MAX_ROWS
+        try:
+            ii._DELETE_EXPORT_MAX_ROWS = 0
+            with pytest.raises(ValueError, match="position-delete"):
+                export_iceberg_metadata(t)
+        finally:
+            ii._DELETE_EXPORT_MAX_ROWS = orig
+        # within the bound, the vectored snapshot exports as
+        # merge-on-read (see TestMergeOnRead)
         export_iceberg_metadata(t)
         assert read_iceberg(spark, str(t.root)).count() == 4
 
@@ -634,3 +642,105 @@ class TestChangesReviewFixes:
         assert m["default-spec-id"] == 1
         assert m["last-partition-id"] == 1001
         assert read_iceberg(spark, str(t2.root)).count() == 2
+
+
+class TestMergeOnRead:
+    """Iceberg v2 position deletes: a vectored TxnTable snapshot
+    exports a DELETE manifest + position-delete parquet, and the
+    reader applies them by (path, pos) at the v2 sequence rule —
+    merge-on-read without compaction."""
+
+    def test_vectored_export_reads_back_exact(self, spark, lake):
+        t = TxnTable(lake, "mor1", stats_cols=["k"])
+        t.append(
+            spark.range(0, 100)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+        t.delete_where(F.col("k") % 10 == 0, merge_on_read=True)
+        t.delete_where(F.col("k") == 55, merge_on_read=True)  # stacked
+        export_iceberg_metadata(t)
+        back = read_iceberg(spark, str(t.root))
+        expect = sorted(
+            k for k in range(100) if k % 10 != 0 and k != 55
+        )
+        assert sorted(r.k for r in back.collect()) == expect
+        # the delete parquet carries the spec's RESERVED field ids
+        import pyarrow.parquet as pq
+
+        (dp,) = list((t.root / "metadata").glob("*-deletes.parquet"))
+        sch = pq.read_schema(str(dp))
+        assert (
+            sch.field("file_path").metadata[b"PARQUET:field_id"]
+            == b"2147483546"
+        )
+        assert (
+            sch.field("pos").metadata[b"PARQUET:field_id"]
+            == b"2147483545"
+        )
+        m = _meta(t)
+        assert m["snapshots"][-1]["summary"]["operation"] == "overwrite"
+
+    def test_mor_then_append_snapshot_sequencing(self, spark, lake):
+        """A later APPEND snapshot's rows are untouched by the earlier
+        delete file (delete seq < new data seq — the v2 rule), while
+        the old files' deletes still apply."""
+        t = TxnTable(lake, "mor2", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").coalesce(1))
+        t.delete_where(F.col("k") < 3, merge_on_read=True)
+        export_iceberg_metadata(t)  # snapshot: deletes 0,1,2
+        t.append(spark.range(100, 103).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        back = sorted(
+            r.k for r in read_iceberg(spark, str(t.root)).collect()
+        )
+        assert back == list(range(3, 10)) + [100, 101, 102]
+        # time travel to the vectored snapshot
+        assert (
+            read_iceberg(spark, str(t.root), snapshot_id=2).count() == 7
+        )
+
+    def test_partitioned_mor_roundtrip(self, spark, lake):
+        t = TxnTable(lake, "mor3", partition_cols=["tenant"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "A", "x"), (2, "A", "y"), (3, "B", "z")],
+                "k INT, tenant STRING, v STRING",
+            )
+        )
+        t.delete_where(F.col("k") == 2, merge_on_read=True)
+        export_iceberg_metadata(t)
+        back = sorted(
+            (r.k, r.tenant)
+            for r in read_iceberg(spark, str(t.root)).collect()
+        )
+        assert back == [(1, "A"), (3, "B")]
+        # the unpartitioned delete spec rode into the metadata
+        m = _meta(t)
+        assert any(not s["fields"] for s in m["partition-specs"])
+
+    def test_mor_snapshot_refuses_incremental_scan(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "mor4", stats_cols=["k"])
+        t.append(spark.range(5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") == 0, merge_on_read=True)
+        export_iceberg_metadata(t)
+        with pytest.raises(ValueError, match="overwrite"):
+            read_iceberg_changes(spark, str(t.root), 1)
+
+    def test_compact_after_mor_export_continues(self, spark, lake):
+        """compact() reconciles the vectors; the next export drops the
+        delete manifest and reads stay exact."""
+        t = TxnTable(lake, "mor5", stats_cols=["k"])
+        t.append(spark.range(0, 20).selectExpr("id as k").coalesce(1))
+        t.delete_where(F.col("k") < 5, merge_on_read=True)
+        export_iceberg_metadata(t)
+        t.compact()
+        export_iceberg_metadata(t)
+        assert sorted(
+            r.k for r in read_iceberg(spark, str(t.root)).collect()
+        ) == list(range(5, 20))
