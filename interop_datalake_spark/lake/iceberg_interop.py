@@ -619,27 +619,35 @@ def _write_position_deletes(
     vectors are metadata-sized by the table's own DV design, and
     Iceberg's own delete-file writers are coordinator-side too."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     dvs = m["dvs"]
-    want = {(f, p) for f, ps in dvs.items() for p in ps}
     vec_dirs = sorted({p for ps in dvs.values() for p in ps})
     pairs = set()
     for vd in vec_dirs:
+        # a vector parquet may hold rows for files whose vector list
+        # no longer references it (consolidation, restore, shared
+        # multi-file commits): filter to THIS vector's live file keys
+        # ARROW-SIDE before anything reaches Python (round-9 review:
+        # to_pylist of the raw table materialized every dead row on
+        # the driver — the exact blowup the live-count guard misses)
+        live_keys = [f for f, ps in dvs.items() if vd in ps]
         t = pq.read_table(
             str(table.root / vd), columns=["file_key", "row_idx"]
         )
+        t = t.filter(pc.is_in(t.column("file_key"), pa.array(live_keys)))
+        if t.num_rows > _DELETE_EXPORT_MAX_ROWS:
+            raise ValueError(
+                f"vector parquet {vd} holds {t.num_rows} live "
+                f"positions — beyond the {_DELETE_EXPORT_MAX_ROWS} "
+                f"bound; run compact() and re-export"
+            )
         for f, r in zip(
             t.column("file_key").to_pylist(),
             t.column("row_idx").to_pylist(),
         ):
-            # a vector parquet may hold rows for files whose vector
-            # list no longer references it (consolidation, restore) —
-            # only (file, vector) pairs the MANIFEST names are live
-            if (f, vd) in want:
-                pairs.add(
-                    ((table.root / f).resolve().as_uri(), int(r))
-                )
+            pairs.add(((table.root / f).resolve().as_uri(), int(r)))
     ordered = sorted(pairs)
     schema = pa.schema(
         [
@@ -707,9 +715,12 @@ def export_iceberg_metadata(
     only — readable until :meth:`TxnTable.vacuum` reclaims them, the
     same staleness contract as Delta time travel after VACUUM.
 
-    Refuses loudly (docstring of :mod:`iceberg_interop`): deletion
-    vectors, transform partitioning, nested types, stats-less files,
-    re-exporting an OLDER TxnTable version into an appending history
+    Vectored snapshots export as MERGE-ON-READ: the deletion vectors
+    become an Iceberg v2 position-delete parquet + DELETE manifest
+    (module docstring). Refuses loudly: xxhash-bucket partitioning,
+    nested types, stats-less files, vector sets beyond the bounded
+    delete-file serialization, and re-exporting an OLDER TxnTable
+    version into an appending history
     (the snapshot id would duplicate), and a concurrent export (one
     writer at a time — the same advisory flock posture as
     ``export_delta_log``). Returns the ``metadata`` directory path."""
@@ -868,8 +879,13 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
     )["fields"]
 
     # EXISTING carry-over: (path → (snapshot_id, sequence_number))
-    # from the previous CURRENT snapshot's manifests
+    # from the previous CURRENT snapshot's DATA manifests; DELETE
+    # manifests collect separately (round-9 review 3: keying the
+    # delete parquet as a data file polluted the carry map) so an
+    # unchanged vector state can carry them forward verbatim instead
+    # of re-serializing the cumulative delete set every export
     prev_entries: dict[str, tuple[int, int]] = {}
+    prev_delete_mfs: list[dict] = []
     if prev is not None and prev.get("current-snapshot-id") is not None:
         cur_snap = next(
             (
@@ -884,6 +900,49 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
                 ml = Path(_uri_to_path(cur_snap["manifest-list"]))
                 lists, _ = _read_avro(jvm, ml)
                 for mf in lists:
+                    if (mf.get("content") or 0) == 1:
+                        prev_delete_mfs.append(
+                            {
+                                "manifest_path": str(
+                                    mf.get("manifest_path")
+                                ),
+                                "manifest_length": int(
+                                    mf.get("manifest_length")
+                                ),
+                                "partition_spec_id": int(
+                                    mf.get("partition_spec_id")
+                                ),
+                                "content": 1,
+                                "sequence_number": int(
+                                    mf.get("sequence_number")
+                                ),
+                                "min_sequence_number": int(
+                                    mf.get("min_sequence_number")
+                                ),
+                                "added_snapshot_id": int(
+                                    mf.get("added_snapshot_id")
+                                ),
+                                "added_files_count": int(
+                                    mf.get("added_files_count")
+                                ),
+                                "existing_files_count": int(
+                                    mf.get("existing_files_count")
+                                ),
+                                "deleted_files_count": int(
+                                    mf.get("deleted_files_count")
+                                ),
+                                "added_rows_count": int(
+                                    mf.get("added_rows_count")
+                                ),
+                                "existing_rows_count": int(
+                                    mf.get("existing_rows_count")
+                                ),
+                                "deleted_rows_count": int(
+                                    mf.get("deleted_rows_count")
+                                ),
+                            }
+                        )
+                        continue
                     mp = Path(
                         _uri_to_path(str(mf.get("manifest_path")))
                     )
@@ -902,10 +961,37 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
                         )
             except Exception:
                 prev_entries = {}  # unreadable history: all ADDED
+                prev_delete_mfs = []
+
+    # dv-state fingerprint: when the vector state is UNCHANGED since
+    # the previous export, its delete manifests carry forward verbatim
+    # (no re-serialization, no duplicate delete files, and a pure
+    # append stays labeled "append" — carried deletes have older
+    # sequence numbers and cannot touch the new rows). Stored as a
+    # table property; foreign readers ignore it.
+    import hashlib as _hashlib
+
+    dvs_now = m.get("dvs") or {}
+    dv_fp = (
+        _hashlib.md5(
+            json.dumps(
+                sorted((f, sorted(ps)) for f, ps in dvs_now.items())
+            ).encode()
+        ).hexdigest()
+        if dvs_now
+        else None
+    )
+    prev_fp = ((prev or {}).get("properties") or {}).get(
+        "txn.dv-fingerprint"
+    )
+    carry_deletes = bool(
+        dvs_now and prev_delete_mfs and dv_fp == prev_fp
+    )
+    new_deletes = bool(dvs_now) and not carry_deletes
 
     # HONEST operation labeling (round-9 review): a snapshot that
     # DROPS files vs the previous export (delete / compact / merge
-    # rewrote them) — or that carries POSITION DELETES — is an
+    # rewrote them) — or that adds NEW position deletes — is an
     # "overwrite", never an "append": the label is what makes
     # read_iceberg_changes' (and real Iceberg's) incremental-append
     # refusal actually fire instead of silently re-emitting rewritten
@@ -915,7 +1001,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
     }
     snapshot_op = (
         "append"
-        if set(prev_entries) <= cur_uris and not (m.get("dvs") or {})
+        if set(prev_entries) <= cur_uris and not new_deletes
         else "overwrite"
     )
 
@@ -1018,7 +1104,10 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
     # time travel). Applied at data seq ≤ delete seq — the v2
     # merge-on-read rule the reader enforces.
     delete_mf = None
-    if m.get("dvs"):
+    carried_delete_mfs: list[dict] = []
+    if carry_deletes:
+        carried_delete_mfs = prev_delete_mfs
+    elif dvs_now:
         delete_pq, n_del = _write_position_deletes(table, m, meta_dir)
         empty_spec = next((s for s in specs if not s["fields"]), None)
         if empty_spec is None:
@@ -1092,6 +1181,8 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
             "deleted_rows_count": 0,
         }
     )
+    for cmf in carried_delete_mfs:
+        lw.append_json(cmf)
     if delete_mf is not None:
         dm_path, n_del, del_spec_id = delete_mf
         lw.append_json(
@@ -1141,7 +1232,14 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
-            "schema.name-mapping.default": json.dumps(_name_mapping(ids))
+            "schema.name-mapping.default": json.dumps(
+                _name_mapping(ids)
+            ),
+            **(
+                {"txn.dv-fingerprint": dv_fp}
+                if dv_fp is not None
+                else {}
+            ),
         },
         "current-snapshot-id": snap_id,
         "snapshots": prev_snaps + [snapshot],
@@ -1218,14 +1316,11 @@ def _resolve_snapshot(meta: dict, snapshot_id: int | None) -> dict:
     return snap
 
 
-def _snapshot_entries(
-    spark: SparkSession, meta: dict, snap: dict, content: int = 0
-):
-    """Live (entry, data_file record, spec fields, manifest-file
-    record) tuples of one snapshot's manifests with the given
-    ``content`` (0 = data, 1 = deletes) — manifest list → manifests
-    via the bundled Avro Java library. The manifest-file record rides
-    along because v2 null-id inheritance resolves against ITS
+def _snapshot_entries_all(spark: SparkSession, meta: dict, snap: dict):
+    """(data entries, delete entries) of one snapshot in ONE manifest-
+    list replay — each a list of (entry, data_file record, spec
+    fields, manifest-file record) tuples. The manifest-file record
+    rides along because v2 null-id inheritance resolves against ITS
     added_snapshot_id / sequence_number, not the scanned snapshot's
     (round-9 review: a real Iceberg writer carries older manifests
     forward in later manifest lists)."""
@@ -1233,38 +1328,46 @@ def _snapshot_entries(
     ml = Path(_uri_to_path(snap["manifest-list"]))
     lists, _ = _read_avro(jvm, ml)
     specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
-    out = []
+    data, deletes = [], []
     for mf in lists:
-        if (mf.get("content") or 0) != content:
-            continue
         mp = Path(_uri_to_path(str(mf.get("manifest_path"))))
         entries, _ = _read_avro(jvm, mp)
         spec_fields = specs.get(mf.get("partition_spec_id"), [])
+        sink = deletes if (mf.get("content") or 0) == 1 else data
         for e in entries:
             if e.get("status") == 2:  # DELETED
                 continue
-            out.append((e, e.get("data_file"), spec_fields, mf))
-    return out
+            sink.append((e, e.get("data_file"), spec_fields, mf))
+    return data, deletes
+
+
+def _snapshot_entries(
+    spark: SparkSession, meta: dict, snap: dict, content: int = 0
+):
+    data, deletes = _snapshot_entries_all(spark, meta, snap)
+    return deletes if content == 1 else data
 
 
 def _entry_seq(e, mf) -> int:
     """A manifest entry's effective sequence number under v2 null
-    inheritance: explicit value, else the manifest-list entry's."""
+    inheritance: explicit value, else the manifest-list entry's, else
+    0 — the spec's sequence number for v1 tables and v1-upgraded
+    files (round-9 review 2: int(None) crashed on foreign v1 Hadoop
+    tables whose manifest lists have no sequence_number field)."""
     sq = e.get("sequence_number")
-    return int(sq) if sq is not None else int(mf.get("sequence_number"))
+    if sq is not None:
+        return int(sq)
+    msq = mf.get("sequence_number")
+    return int(msq) if msq is not None else 0
 
 
-def _snapshot_position_deletes(
-    spark: SparkSession, meta: dict, snap: dict
-) -> list[tuple[str, int]]:
-    """(delete-file URI, effective sequence number) for the snapshot's
-    POSITION-delete files. Equality deletes (data_file.content=2)
+def _position_deletes_from(delete_entries) -> list[tuple[str, int]]:
+    """(delete-file URI, effective sequence number) from pre-fetched
+    delete-manifest entries. Equality deletes (data_file.content=2)
     refuse loudly — applying them needs per-row predicate evaluation
     this reader does not implement."""
     out = []
-    for e, dfr, _spec, mf in _snapshot_entries(
-        spark, meta, snap, content=1
-    ):
+    for e, dfr, _spec, mf in delete_entries:
         c = dfr.get("content")
         if c == 2:
             raise ValueError(
@@ -1314,6 +1417,7 @@ def _pruned_entries(
     snap: dict,
     key_range: tuple | None,
     partition_filter: dict | None,
+    entries=None,
 ) -> list[tuple]:
     """The snapshot's live manifest entries surviving the predicates,
     as (data_file record, partition values, effective sequence
@@ -1327,8 +1431,10 @@ def _pruned_entries(
     schema = _schema_of(meta, snap)
     ids_to_type = {f["id"]: f["type"] for f in schema["fields"]}
     name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    if entries is None:
+        entries = _snapshot_entries(spark, meta, snap)
     out = []
-    for e, dfr, spec_fields, mf in _snapshot_entries(spark, meta, snap):
+    for e, dfr, spec_fields, mf in entries:
         pvals = _entry_partition_values(
             jvm, dfr, spec_fields, ids_to_type
         )
@@ -1410,10 +1516,11 @@ def read_iceberg(
     meta = _load_metadata(path)
     snap = _resolve_snapshot(meta, snapshot_id)
     spark_fields = _spark_fields(_schema_of(meta, snap))
-    deletes = _snapshot_position_deletes(spark, meta, snap)
-    # ONE metadata replay (shared with iceberg_files)
+    # ONE manifest-list replay covers data AND delete manifests
+    data_e, del_e = _snapshot_entries_all(spark, meta, snap)
+    deletes = _position_deletes_from(del_e)
     entries = _pruned_entries(
-        spark, meta, snap, key_range, partition_filter
+        spark, meta, snap, key_range, partition_filter, entries=data_e
     )
     items = [
         (_uri_to_path(str(dfr.get("file_path"))), pvals)
@@ -1483,7 +1590,11 @@ def _canon_path_expr(col):
     prefix strips so as_uri()-style and _metadata.file_path-style
     encodings meet on equal terms."""
     dec = F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
-    return F.regexp_replace(dec, "^file:/+", "/")
+    # strip scheme AND any authority ('file://localhost/a' and
+    # 'file:///a' and 'file:/a' all canonicalize to '/a' — an
+    # authority-full URI is spec-legal and mismatching it would
+    # silently resurrect deleted rows, round-9 review 2)
+    return F.regexp_replace(dec, "^file:(//[^/]*)?", "")
 
 
 def _grouped_read(
@@ -1495,6 +1606,13 @@ def _grouped_read(
     Column Projection rule. ``lineage=True`` adds (_ib_file, _ib_pos)
     row lineage off the scan's _metadata — what position-delete
     application anti-joins on. None when there are no items."""
+    if lineage and any(
+        n in ("_ib_file", "_ib_pos") for n, _ in spark_fields
+    ):
+        raise ValueError(
+            "table columns named _ib_file/_ib_pos collide with the "
+            "merge-on-read row-lineage plumbing — rename upstream"
+        )
     groups: dict[tuple, list[str]] = {}
     group_vals: dict[tuple, dict] = {}
     for p, pvals in items:
@@ -1594,8 +1712,27 @@ def read_iceberg_changes(
         spark_fields = _spark_fields(schema)
         ids_to_type = {f["id"]: f["type"] for f in schema["fields"]}
         jvm = _jvm(spark)
+        data_e, del_e = _snapshot_entries_all(spark, meta, s)
+        # refuse NEW delete files in the window independently of the
+        # writer-supplied operation label (round-9 review: a non-
+        # compliant writer can label a delete-carrying snapshot
+        # "append"); CARRIED delete manifests (seq < this snapshot's)
+        # are fine — they cannot affect this snapshot's added rows
+        # under the delete-seq ≥ data-seq rule
+        new_dels = [
+            d
+            for d in del_e
+            if _entry_seq(d[0], d[3]) >= s["sequence-number"]
+        ]
+        if new_dels:
+            raise ValueError(
+                f"snapshot {s['snapshot-id']} adds delete files — an "
+                f"incremental append scan cannot express its delta "
+                f"as added rows (Iceberg's own incremental read "
+                f"refuses the same way); read full snapshots instead"
+            )
         items = []
-        for e, dfr, spec_fields, mf in _snapshot_entries(spark, meta, s):
+        for e, dfr, spec_fields, mf in data_e:
             # v2 inheritance: a null-id entry belongs to the MANIFEST
             # LIST ENTRY's added snapshot (round-9 review: real Iceberg
             # writers carry older manifests forward in later lists, so

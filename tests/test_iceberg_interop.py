@@ -744,3 +744,55 @@ class TestMergeOnRead:
         assert sorted(
             r.k for r in read_iceberg(spark, str(t.root)).collect()
         ) == list(range(5, 20))
+
+    def test_unchanged_vectors_carry_and_appends_stay_appends(
+        self, spark, lake
+    ):
+        """Round-9 review 3: a pure append on a table with a STANDING
+        (unchanged) vector state carries the previous delete manifest
+        verbatim — no duplicate delete parquet, the snapshot stays an
+        'append', and the incremental scan keeps working (carried
+        deletes have older seqs and cannot touch the new rows)."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "mor6", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").coalesce(1))
+        t.delete_where(F.col("k") < 3, merge_on_read=True)
+        export_iceberg_metadata(t)  # regenerates: snapshot 2, overwrite
+        n_del_files = len(
+            list((t.root / "metadata").glob("*-deletes.parquet"))
+        )
+        t.append(spark.range(100, 103).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)  # vectors unchanged: carry
+        assert (
+            len(list((t.root / "metadata").glob("*-deletes.parquet")))
+            == n_del_files
+        )
+        m = _meta(t)
+        assert m["snapshots"][-1]["summary"]["operation"] == "append"
+        # the incremental scan over the append window works
+        ch = read_iceberg_changes(spark, str(t.root), 2)
+        assert sorted(r.k for r in ch.collect()) == [100, 101, 102]
+        # and the full read still applies the carried deletes
+        assert sorted(
+            r.k for r in read_iceberg(spark, str(t.root)).collect()
+        ) == list(range(3, 10)) + [100, 101, 102]
+
+    def test_changed_vectors_regenerate(self, spark, lake):
+        t = TxnTable(lake, "mor7", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").coalesce(1))
+        t.delete_where(F.col("k") == 0, merge_on_read=True)
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") == 1, merge_on_read=True)  # new vector
+        export_iceberg_metadata(t)
+        m = _meta(t)
+        assert m["snapshots"][-1]["summary"]["operation"] == "overwrite"
+        assert (
+            len(list((t.root / "metadata").glob("*-deletes.parquet")))
+            == 2
+        )
+        assert sorted(
+            r.k for r in read_iceberg(spark, str(t.root)).collect()
+        ) == list(range(2, 10))
