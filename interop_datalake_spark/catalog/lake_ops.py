@@ -1514,13 +1514,18 @@ def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table metadata (v2 json + Avro manifest list/manifest via the
     bundled Avro Java library), append and export a SECOND snapshot
     (surviving files carry as EXISTING entries under the first
-    snapshot's id), then read back through the self-contained Iceberg
-    reader: the current snapshot, time travel to snapshot 1, a
+    snapshot's id), run a MERGE-ON-READ vector delete and export a
+    THIRD snapshot (the vectors become an Iceberg v2 position-delete
+    parquet + DELETE manifest), then read back through the
+    self-contained Iceberg reader: the current snapshot (deletes
+    applied by row lineage at the v2 sequence rule), time travel to
+    snapshots 1 and 2 (the vector invisible pre-delete), a
     bounds-pruned key-range read, and a partition-filtered read — all
     with identity partition values injected per the spec's Column
     Projection rule. The oracle replays every probe as plain filters
     over the raw parquet, so the whole write→export→append→export→
-    iceberg-read lifecycle must be value-exact end to end."""
+    vector-delete→export→iceberg-read lifecycle must be value-exact
+    end to end."""
     import shutil
     import tempfile
 
@@ -1554,6 +1559,13 @@ def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).repartition(2)
         )
         export_iceberg_metadata(t)  # snapshot 2: EXISTING carry
+        # MERGE-ON-READ: a vector delete exports as an Iceberg v2
+        # position-delete parquet + DELETE manifest; the reader
+        # applies it by (path, position) — no compaction
+        t.delete_where(
+            F.col("o_orderkey") % 7 == 0, merge_on_read=True
+        )
+        export_iceberg_metadata(t)  # snapshot 3: delete manifest
 
         def probe(name, frame):
             r = frame.agg(
@@ -1568,6 +1580,10 @@ def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             probe(
                 "snap1_travel",
                 read_iceberg(spark, str(t.root), snapshot_id=1),
+            ),
+            probe(
+                "snap2_travel",  # pre-delete: the vector is invisible
+                read_iceberg(spark, str(t.root), snapshot_id=2),
             ),
             probe(
                 "key_pruned",
@@ -1595,9 +1611,12 @@ LAKE_ICEBERG_ORACLE = """
 WITH snap1 AS (
   SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
   WHERE o_orderkey < 500
-), cur AS (
+), snap2 AS (
   SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
   WHERE o_orderkey < 1000
+), cur AS (
+  -- snapshot 3: the merge-on-read position deletes applied
+  SELECT * FROM snap2 WHERE o_orderkey % 7 <> 0
 )
 SELECT * FROM (
   SELECT 'current' AS probe, count(*)::BIGINT AS n,
@@ -1607,6 +1626,9 @@ SELECT * FROM (
   UNION ALL
   SELECT 'snap1_travel', count(*)::BIGINT,
          min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT FROM snap1
+  UNION ALL
+  SELECT 'snap2_travel', count(*)::BIGINT,
+         min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT FROM snap2
   UNION ALL
   SELECT 'key_pruned', count(*)::BIGINT,
          min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
