@@ -1310,8 +1310,17 @@ class TxnTable:
         partition_scoped: bool | None = None,
         dv: dict | None = None,
         dv_reset: dict | None = None,
+        props: dict | None = None,
     ) -> int:
         """Atomically publish version ``base_version + 1``.
+
+        ``props`` is an opaque caller-owned dict recorded verbatim in
+        the commit record (the Delta/Iceberg commit-properties idiom):
+        layered stores ride it to maintain O(1) derived scalars — e.g.
+        BM25Index keeps the cumulative doclen sum so query-time avgdl
+        needs no corpus scan. TxnTable itself never reads it; commits
+        from other paths (compact/restore/...) simply omit it, so
+        readers MUST treat a missing prop as "unknown, recompute".
 
         The commit point is ``os.link(tmp, v{N}.json)``: the record is
         fully written before it becomes visible, and the link fails
@@ -1367,6 +1376,8 @@ class TxnTable:
             record["dv"] = dv
         if dv_reset is not None:
             record["dv_reset"] = dv_reset
+        if props is not None:
+            record["props"] = props
         tmp = self._manifest_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(record))
         target = self._manifest_path(new_version)
@@ -1551,6 +1562,7 @@ class TxnTable:
         epoch: int | None = None,
         partition_scoped: bool = True,
         max_attempts: int = 10,
+        props: dict | None = None,
     ) -> int | None:
         """CAS with rebase-on-logical-non-conflict: on
         :class:`CommitConflictError`, re-read the moved snapshot, check
@@ -1588,6 +1600,7 @@ class TxnTable:
                     partition_scoped=(
                         partition_scoped if op == "merge" else None
                     ),
+                    props=props,
                 )
             except CommitConflictError:
                 new_base = self.current_version()
@@ -1614,12 +1627,15 @@ class TxnTable:
         tmp.write_text(json.dumps(state))
         os.replace(tmp, path)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, _props: dict | None = None) -> int:
         """ACID append; returns the new version. Schema evolution:
         new columns merge into the table schema (metadata-only — no
         existing file is rewritten; old files read the column as NULL),
         type changes raise :class:`SchemaEvolutionError` BEFORE any
-        data is written."""
+        data is written. ``_props`` rides the commit record verbatim
+        (see :meth:`_commit`); cumulative props assume a single writer
+        per prop — a rebase re-CASes the same record, it does not
+        recompute caller state."""
         base = self.current_version()
         self._merge_schema(self._state(base), df)  # validate before writing
         files, rows, stats, parts, ptypes = self._write_data(df)
@@ -1634,6 +1650,7 @@ class TxnTable:
             partitions=parts,
             partition_types=ptypes,
             incoming_schema=df.schema,
+            props=_props,
         )
 
     def overwrite(
@@ -2739,7 +2756,12 @@ class TxnTable:
 
     # -- streaming sink -----------------------------------------------------
 
-    def append_epoch(self, batch_df: DataFrame, epoch_id: int) -> int | None:
+    def append_epoch(
+        self,
+        batch_df: DataFrame,
+        epoch_id: int,
+        _props: dict | None = None,
+    ) -> int | None:
         """Idempotent epoch append — the exactly-once foreachBatch
         contract: Structured Streaming re-delivers the last epoch after
         a crash between sink write and checkpoint commit; recording the
@@ -2768,6 +2790,7 @@ class TxnTable:
             partition_types=ptypes,
             incoming_schema=batch_df.schema,
             epoch=epoch_id,
+            props=_props,
         )
 
     def foreach_batch_writer(self):

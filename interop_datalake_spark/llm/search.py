@@ -74,6 +74,8 @@ def score_bm25_stats(
     terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    n_docs: float | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """BM25 scoring from the INDEX STATS themselves — ``tf``
     (id, term, tf) and ``doclen`` (id, dl) — so the one scoring
@@ -82,15 +84,24 @@ def score_bm25_stats(
     from TxnTables). ``terms`` must already be lowercased/deduped.
     df is computed from the tf frame restricted to nothing — callers
     passing a term-pruned tf still get exact per-term df because
-    pruning keeps every posting of the queried terms."""
+    pruning keeps every posting of the queried terms. Callers that
+    already KNOW the corpus scalars (BM25Index: manifest row count +
+    maintained Σdl commit property) pass ``n_docs``/``avgdl`` to skip
+    the doclen aggregate — the values must equal what the aggregate
+    would produce (exact-int Σdl / N division is)."""
     spark = tf.sparkSession
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     # corpus scalars as a broadcast 1-row frame (no driver collect)
-    scalars = doclen.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
+    if n_docs is not None and avgdl is not None:
+        scalars = spark.createDataFrame(
+            [(float(n_docs), float(avgdl))], "n_docs DOUBLE, avgdl DOUBLE"
+        )
+    else:
+        scalars = doclen.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
 
     q = F.broadcast(
         spark.createDataFrame([(t,) for t in terms], "term STRING")

@@ -220,3 +220,83 @@ class TestExactlyOnceEnforcement:
         v = idx.postings.current_version()
         idx.recover()
         assert idx.postings.current_version() == v
+
+
+class TestScanBounds:
+    """Round-9 verdict item 2: the ingest gate and the query scalars
+    must be O(batch) / O(1), never O(corpus)."""
+
+    def test_gate_scan_is_envelope_pruned(self, spark, lake, docs):
+        idx = BM25Index(lake, "gb1")
+        idx.build(docs.filter(F.col("doc_id") < 250), "text", "doc_id")
+        f1 = set(
+            idx.doclens.manifest(idx.doclens.current_version())["files"]
+        )
+        idx.append(docs.filter(F.col("doc_id") >= 250), "text", "doc_id")
+        all_files = set(
+            idx.doclens.manifest(idx.doclens.current_version())["files"]
+        )
+        f2 = all_files - f1
+        assert f1 and f2
+        # a duplicate batch whose id envelope only intersects batch 2's
+        # files must be refused WITHOUT opening batch 1's doclens files
+        with pytest.raises(ValueError, match="already indexed"):
+            idx.append(
+                docs.filter(F.col("doc_id") >= 250), "text", "doc_id"
+            )
+        assert idx.last_gate_scan_files is not None
+        assert set(idx.last_gate_scan_files) <= f2
+        assert len(idx.last_gate_scan_files) < len(all_files)
+
+    def test_gate_skips_all_files_for_disjoint_envelope(
+        self, spark, lake, docs
+    ):
+        idx = BM25Index(lake, "gb2")
+        idx.build(docs.filter(F.col("doc_id") < 100), "text", "doc_id")
+        # ids far above every indexed file's max: zero files resolve
+        idx.append(
+            docs.filter(F.col("doc_id") >= 400).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000)
+            ),
+            "text",
+            "doc_id",
+        )
+        assert idx.last_gate_scan_files == []
+
+    def test_sum_dl_property_maintained_and_exact(self, spark, lake, docs):
+        idx = BM25Index(lake, "gb3")
+        idx.build(docs.filter(F.col("doc_id") < 250), "text", "doc_id")
+        idx.append(docs.filter(F.col("doc_id") >= 250), "text", "doc_id")
+        rec = idx.doclens.commit_record(idx.doclens.current_version())
+        true_sum = idx.doclens.read().agg(F.sum("dl")).first()[0]
+        assert rec["props"]["bm25_sum_dl"] == true_sum
+
+    def test_foreign_commit_reseeds_and_scores_stay_exact(
+        self, spark, lake, docs
+    ):
+        """compact() on doclens drops the property chain; queries fall
+        back to the aggregate and the NEXT ingest re-seeds — scores
+        bit-identical to one-shot BM25 throughout."""
+        idx = BM25Index(lake, "gb4")
+        idx.build(docs.filter(F.col("doc_id") < 200), "text", "doc_id")
+        idx.doclens.compact()  # foreign commit: no bm25_sum_dl prop
+        rec = idx.doclens.commit_record(idx.doclens.current_version())
+        assert "bm25_sum_dl" not in rec.get("props", {})
+        sub = docs.filter(F.col("doc_id") < 200)
+        assert _scores(idx.query(TERMS)) == _scores(
+            bm25_scores(sub, "text", "doc_id", TERMS)
+        )
+        idx.append(
+            docs.filter(
+                (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+            ),
+            "text",
+            "doc_id",
+        )
+        rec = idx.doclens.commit_record(idx.doclens.current_version())
+        true_sum = idx.doclens.read().agg(F.sum("dl")).first()[0]
+        assert rec["props"]["bm25_sum_dl"] == true_sum  # re-seeded
+        sub = docs.filter(F.col("doc_id") < 300)
+        assert _scores(idx.query(TERMS)) == _scores(
+            bm25_scores(sub, "text", "doc_id", TERMS)
+        )
