@@ -135,6 +135,11 @@ HEADLINE = [
     "lake_incremental_join_view",
     "lake_join_rollup",
     "search_bm25_indexed",
+    # round 10: TPC-H decorrelation tail (outer-join count
+    # distribution / correlated avg / multi-EXISTS)
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_kept_waiting",
 ]
 # not in HEADLINE by design: dedup_minhash_lsh_skewsafe is a skew
 # PATHOLOGY DEMO (deliberately-injected 60-word boilerplate footer ×

@@ -285,10 +285,17 @@ def _with_required_conf(fn):
 # (incremental views, DV read plan, BM25 index, PQ) deliberately stay
 # in-window so the changed paths are re-witnessed on the driver.
 WITNESS_PRIORITY = [
-    # relational core + the stale TPC-H chain
+    # relational core + the stale TPC-H chain; round 10 adds the
+    # decorrelation tail shapes (q13 outer-join count distribution,
+    # q17 correlated avg, q21 multi-EXISTS) — new queries enter the
+    # window in their debut round per the rotation rule, displacing
+    # r9-green window_analytic / scalar_json / join_left_outer (each
+    # leaves an in-window class sibling: window_running,
+    # scalar_string, join_semi/join_full_outer/join_anti)
     "q1_pricing_summary", "scan_filter_project",
     "q3_shipping_priority", "q5_local_supplier_volume",
-    "q18_large_orders",
+    "q18_large_orders", "q13_customer_distribution",
+    "q17_small_quantity_revenue", "q21_suppliers_kept_waiting",
     # aggregates
     "agg_rollup", "agg_cube", "agg_grouping_sets",
     # reference operator surface (r3/r4-era witnesses)
@@ -298,11 +305,11 @@ WITNESS_PRIORITY = [
     "lake_deletion_vectors", "lake_incremental_view",
     "lake_incremental_join_view", "lake_join_rollup",
     "lake_delta_roundtrip", "lake_iceberg_roundtrip",
-    # windows + joins (r1-era witnesses)
-    "window_running", "window_analytic",
-    "join_semi", "join_left_outer",
+    # windows + joins
+    "window_running",
+    "join_semi",
     # set ops / scalar / NULL semantics / reshape
-    "set_except", "scalar_string", "scalar_json", "null_semantics",
+    "set_except", "scalar_string", "null_semantics",
     "unpivot_order_metrics",
     # modern SQL surface
     "graph_ancestor_chain", "lateral_topk_orders",

@@ -418,6 +418,188 @@ ORDER BY pa, pb
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 analog (customer order-count distribution): how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers — the canonical outer-join-then-double-agg
+    decorrelation shape. The qualifying predicate lives in the join
+    condition (not WHERE): filtering the right side before a LEFT
+    OUTER join is the only placement that keeps orderless customers.
+    count(o_orderkey) counts non-null matches, so unmatched customers
+    land in the c_count=0 bucket."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 analog (small-quantity-order revenue): yearly revenue lost
+    if orders below 20% of a part's average quantity went unshipped —
+    the classic correlated-scalar-average decorrelation: the per-part
+    subquery becomes one aggregate over the SAME filtered join feed,
+    joined back on the correlation key.
+
+    Determinism: ``l_quantity < 0.2 * avg(l_quantity)`` compared in
+    doubles is a knife edge (a float avg is partial-order dependent).
+    Quantities are 2-dp exact, so the predicate is evaluated in exact
+    integers instead: 5·qty_centi·n < Σqty_centi — identical group
+    membership in any engine, no float ever compared."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    # SF-scaled part gets no broadcast hint (module policy) — AQE
+    # broadcasts the post-filter side while it fits
+    pf = part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    feed = li.join(pf, li.l_partkey == pf.p_partkey).select(
+        "l_partkey", "l_extendedprice", qc.alias("qty_centi")
+    )
+    stats = feed.groupBy("l_partkey").agg(
+        F.sum("qty_centi").alias("sum_centi"),
+        F.count("*").alias("n_li"),
+    )
+    return (
+        feed.join(stats, "l_partkey")
+        .filter(
+            F.lit(5) * F.col("qty_centi") * F.col("n_li")
+            < F.col("sum_centi")
+        )
+        .agg(
+            (money_sum(money("l_extendedprice")) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_ORACLE = """
+WITH feed AS (
+  SELECT l_partkey, l_extendedprice,
+         round(l_quantity * 100)::BIGINT AS qty_centi
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+), stats AS (
+  SELECT l_partkey, sum(qty_centi)::BIGINT AS sum_centi,
+         count(*)::BIGINT AS n_li
+  FROM feed GROUP BY l_partkey
+)
+SELECT round(sum(f.l_extendedprice::DECIMAL(12,2)), 2)::DOUBLE / 7.0
+         AS avg_yearly
+FROM feed f JOIN stats s ON f.l_partkey = s.l_partkey
+WHERE 5 * f.qty_centi * s.n_li < s.sum_centi
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 analog (suppliers who kept orders waiting): late lines
+    (ship > order date + 30d, the testdata's receipt-vs-commit
+    analog) in finished orders, where ANOTHER supplier shipped a line
+    of the same order (EXISTS → left-semi with a non-equi suppkey
+    guard on the orderkey equi-join) and NO other supplier was also
+    late (NOT EXISTS → left-anti, same shape) — the classic
+    multi-EXISTS decorrelation stress test. The order-scoped line feed
+    is built ONCE (lineitem ⋈ finished orders, lateness derived from
+    the order's own date) and serves all three roles; both subqueries
+    stay equi-keyed on l_orderkey, so neither EXISTS degenerates to a
+    cartesian (plan-asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    fo = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lo = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fo, li.l_orderkey == fo.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = lo.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        lo.filter(F.col("late"))
+        .select(
+            F.col("l_orderkey").alias("o3"),
+            F.col("l_suppkey").alias("s3"),
+        )
+    )
+    waiting = l1.join(
+        l2,
+        (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3),
+        "left_anti",
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders o
+WHERE s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "basket_pair_lift": basket_pair_lift,
@@ -427,6 +609,9 @@ QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
     "q19_bracket_predicates": q19_bracket_predicates,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
 }
 
 ORACLES = {
@@ -438,4 +623,7 @@ ORACLES = {
     "q14_promo_share": Q14_ORACLE,
     "q18_large_orders": Q18_ORACLE,
     "q19_bracket_predicates": Q19_ORACLE,
+    "q13_customer_distribution": Q13_ORACLE,
+    "q17_small_quantity_revenue": Q17_ORACLE,
+    "q21_suppliers_kept_waiting": Q21_ORACLE,
 }

@@ -140,3 +140,18 @@ def test_phrase_search_prunes_postings_before_shuffle(spark, sf_dir):
     # postings reach the anchor groupBy's exchange
     assert has_broadcast_hash_join(df)
     assert not has_cartesian_product(df)
+
+
+def test_q21_multi_exists_is_not_cartesian(spark, sf_dir):
+    """Round-9 verdict item 7: both EXISTS/NOT-EXISTS subqueries stay
+    equi-keyed on l_orderkey (the suppkey inequality is a join-side
+    filter, not the key) — neither may degenerate to a cartesian or
+    broadcast-nested-loop join."""
+    from interop_datalake_spark.catalog.tpch_extra import (
+        q21_suppliers_kept_waiting,
+    )
+
+    df = q21_suppliers_kept_waiting(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
