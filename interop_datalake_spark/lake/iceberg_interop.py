@@ -53,12 +53,18 @@ deletion vectors as Iceberg v2 POSITION DELETES — one delete parquet
 manifest list; the reader applies them by (path, position) at the v2
 sequence rule (delete seq ≥ data seq), and refuses equality deletes.
 
+Nested schema types (struct/array/map, round 10) export with
+pre-order-assigned nested field ids (struct children, list elements,
+map keys/values each get their own id per the spec) and a properly
+nested ``schema.name-mapping.default``, so the repo's own FHIR silver
+frames (lake/silver.py) round-trip; the reader maps the nested JSON
+types back to Spark DDL recursively.
+
 Honest limitations, refused loudly (never silently wrong):
-xxhash-bucketed partitioning (above), nested schema types (name
-mapping for structs/arrays/maps is out of scope), stats-less files
-(record_count is required and engines trust it), vector sets beyond
-the bounded driver-side delete-file serialization (compact() first),
-equality-delete files on read.
+xxhash-bucketed partitioning (above), interval/variant primitives,
+stats-less files (record_count is required and engines trust it),
+vector sets beyond the bounded driver-side delete-file serialization
+(compact() first).
 
 Reference parity: the reference publishes parquet for downstream
 engines to consume in place (DatalakeRetrieveService.kt:18-39);
@@ -123,34 +129,168 @@ def _iceberg_type(simple: str, col: str) -> str:
         raise ValueError(
             f"column {col!r} has type {simple!r}, which this exporter "
             f"cannot map to an Iceberg type with a correct name "
-            f"mapping (nested/interval types are out of scope) — "
+            f"mapping (interval/variant types are out of scope) — "
             f"flatten or cast upstream"
         )
     return t
 
 
-def _iceberg_schema(st: StructType) -> tuple[dict, dict[str, int]]:
-    """(iceberg schema dict, name → field-id). Field ids are assigned
-    1..n in log-schema order — stable across exports as long as the
-    schema only APPENDS columns (TxnTable's only evolution mode)."""
+class _IdGen:
+    def __init__(self, start: int = 0):
+        self.last = start
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _iceberg_type_of(dt, col: str, gen: _IdGen):
+    """Spark DataType → Iceberg schema-JSON type, assigning nested
+    field ids in PRE-ORDER from ``gen`` (Iceberg's own fresh-id
+    assignment order). Pre-order keeps every existing id stable under
+    TxnTable's only evolution mode — appending top-level columns —
+    because a new column's subtree starts after all previously
+    assigned ids."""
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _St
+
+    if isinstance(dt, _St):
+        fields = []
+        for f in dt.fields:
+            fid = gen.next()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": False,
+                    "type": _iceberg_type_of(
+                        f.dataType, f"{col}.{f.name}", gen
+                    ),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, ArrayType):
+        eid = gen.next()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type_of(
+                dt.elementType, f"{col}.element", gen
+            ),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, MapType):
+        kid = gen.next()
+        vid = gen.next()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type_of(dt.keyType, f"{col}.key", gen),
+            "value-id": vid,
+            "value": _iceberg_type_of(dt.valueType, f"{col}.value", gen),
+            "value-required": not dt.valueContainsNull,
+        }
+    return _iceberg_type(dt.simpleString(), col)
+
+
+def _iceberg_schema(
+    st: StructType,
+) -> tuple[dict, dict[str, int], int]:
+    """(iceberg schema dict, top-level name → field-id,
+    last-column-id). Field ids are assigned in pre-order across the
+    whole tree (struct children, list elements, map keys/values get
+    their own ids per the spec) — stable across exports as long as
+    the schema only APPENDS columns (TxnTable's only evolution
+    mode)."""
+    gen = _IdGen()
     fields = []
     ids: dict[str, int] = {}
-    for i, f in enumerate(st.fields, start=1):
-        ids[f.name] = i
+    for f in st.fields:
+        fid = gen.next()
+        ids[f.name] = fid
         fields.append(
             {
-                "id": i,
+                "id": fid,
                 "name": f.name,
                 "required": False,
-                "type": _iceberg_type(f.dataType.simpleString(), f.name),
+                "type": _iceberg_type_of(f.dataType, f.name, gen),
             }
         )
-    return {"type": "struct", "schema-id": 0, "fields": fields}, ids
+    return (
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        ids,
+        gen.last,
+    )
 
 
-def _name_mapping(ids: dict[str, int]) -> list[dict]:
+def _name_mapping_type(t) -> list[dict]:
+    """Nested name-mapping entries for one Iceberg type (spec: Name
+    Mapping Serialization) — structs map their children by name,
+    lists their 'element', maps 'key'/'value'; primitives have no
+    nested entries."""
+    if not isinstance(t, dict):
+        return []
+    if t["type"] == "struct":
+        return [
+            {
+                "field-id": f["id"],
+                "names": [f["name"]],
+                **(
+                    {"fields": _name_mapping_type(f["type"])}
+                    if isinstance(f["type"], dict)
+                    else {}
+                ),
+            }
+            for f in t["fields"]
+        ]
+    if t["type"] == "list":
+        return [
+            {
+                "field-id": t["element-id"],
+                "names": ["element"],
+                **(
+                    {"fields": _name_mapping_type(t["element"])}
+                    if isinstance(t["element"], dict)
+                    else {}
+                ),
+            }
+        ]
+    if t["type"] == "map":
+        return [
+            {
+                "field-id": t["key-id"],
+                "names": ["key"],
+                **(
+                    {"fields": _name_mapping_type(t["key"])}
+                    if isinstance(t["key"], dict)
+                    else {}
+                ),
+            },
+            {
+                "field-id": t["value-id"],
+                "names": ["value"],
+                **(
+                    {"fields": _name_mapping_type(t["value"])}
+                    if isinstance(t["value"], dict)
+                    else {}
+                ),
+            },
+        ]
+    return []
+
+
+def _name_mapping(schema: dict) -> list[dict]:
     return [
-        {"field-id": i, "names": [name]} for name, i in ids.items()
+        {
+            "field-id": f["id"],
+            "names": [f["name"]],
+            **(
+                {"fields": _name_mapping_type(f["type"])}
+                if isinstance(f["type"], dict)
+                else {}
+            ),
+        }
+        for f in schema["fields"]
     ]
 
 
@@ -752,7 +892,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
     prev, prev_hint = _prev_metadata(meta_dir)
 
     st = StructType.fromJson(json.loads(m["schema"]))
-    schema, ids = _iceberg_schema(st)
+    schema, ids, last_col_id = _iceberg_schema(st)
     ids_to_type = {
         f["id"]: f["type"] for f in schema["fields"]
     }
@@ -1220,7 +1360,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
         "location": table.root.resolve().as_uri(),
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": max(ids.values()),
+        "last-column-id": last_col_id,
         "current-schema-id": schema_id,
         "schemas": schemas,
         "default-spec-id": spec_id,
@@ -1233,7 +1373,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
             "schema.name-mapping.default": json.dumps(
-                _name_mapping(ids)
+                _name_mapping(schema)
             ),
             **(
                 {"txn.dv-fingerprint": dv_fp}
@@ -1562,20 +1702,43 @@ def read_iceberg(
     return out
 
 
+def _spark_type_of(t) -> str:
+    """One Iceberg schema-JSON type → Spark DDL type string,
+    recursing through struct/list/map (round-10: nested types
+    round-trip; required flags drop — Spark DDL fields are nullable
+    and TxnTable schemas are too)."""
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind == "struct":
+            inner = ", ".join(
+                f"`{f['name']}`: {_spark_type_of(f['type'])}"
+                for f in t["fields"]
+            )
+            return f"STRUCT<{inner}>"
+        if kind == "list":
+            return f"ARRAY<{_spark_type_of(t['element'])}>"
+        if kind == "map":
+            return (
+                f"MAP<{_spark_type_of(t['key'])}, "
+                f"{_spark_type_of(t['value'])}>"
+            )
+        raise ValueError(
+            f"Iceberg nested type kind {kind!r} is not mapped by "
+            f"this reader"
+        )
+    s_t = t if t.startswith("decimal(") else _ICEBERG_TO_SPARK.get(t)
+    if s_t is None:
+        raise ValueError(
+            f"Iceberg type {t!r} is not mapped by this reader"
+        )
+    return s_t
+
+
 def _spark_fields(schema: dict) -> list[tuple[str, str]]:
     """Iceberg schema → (name, spark DDL type) pairs — the ONE
     type-mapping site both readers share (round-9 review: the
     duplicated block would let the two readers diverge)."""
-    out = []
-    for f in schema["fields"]:
-        t = f["type"]
-        s_t = t if t.startswith("decimal(") else _ICEBERG_TO_SPARK.get(t)
-        if s_t is None:
-            raise ValueError(
-                f"Iceberg type {t!r} is not mapped by this reader"
-            )
-        out.append((f["name"], s_t))
-    return out
+    return [(f["name"], _spark_type_of(f["type"])) for f in schema["fields"]]
 
 
 def _empty_frame(spark: SparkSession, spark_fields) -> DataFrame:

@@ -293,15 +293,16 @@ class TestRefusals:
         with pytest.raises(ValueError, match="murmur3"):
             export_iceberg_metadata(t)
 
-    def test_nested_types_refused(self, spark, lake):
-        t = TxnTable(lake, "ir3", stats_cols=["k"])
-        t.append(
-            spark.range(2)
-            .selectExpr("id as k", "array(id) as a")
-            .coalesce(1)
+    def test_unmappable_primitive_refused(self, spark, lake):
+        # nested struct/array/map export since round 10
+        # (TestNestedTypes); genuinely unmappable primitives
+        # (interval/variant) still refuse loudly at the type mapper
+        from interop_datalake_spark.lake.iceberg_interop import (
+            _iceberg_type,
         )
+
         with pytest.raises(ValueError, match="cannot map"):
-            export_iceberg_metadata(t)
+            _iceberg_type("interval day", "c")
 
     def test_unknown_snapshot_refused(self, spark, lake):
         t = TxnTable(lake, "ir4", stats_cols=["k"])
@@ -796,3 +797,131 @@ class TestMergeOnRead:
         assert sorted(
             r.k for r in read_iceberg(spark, str(t.root)).collect()
         ) == list(range(2, 10))
+
+
+class TestNestedTypes:
+    """Round-9 verdict item 5: struct/array/map columns export with
+    proper nested field ids + name mapping and round-trip through the
+    self-contained reader — the repo's own FHIR silver frames
+    (lake/silver.py SILVER_SCHEMAS) are nested, so the most on-theme
+    tables must round-trip."""
+
+    def test_struct_array_map_roundtrip(self, spark, lake):
+        t = TxnTable(lake, "inest", stats_cols=["k"])
+        df = (
+            spark.range(0, 20)
+            .selectExpr(
+                "id as k",
+                "named_struct('a', id, 'b', concat('x', id), "
+                "'c', named_struct('d', id * 2)) as s",
+                "array(id, id + 1) as arr",
+                "map(concat('m', id), id) as mp",
+            )
+            .coalesce(1)
+        )
+        t.append(df)
+        export_iceberg_metadata(t)
+        back = read_iceberg(spark, str(t.root))
+        assert back.schema.simpleString() == df.schema.simpleString()
+        got = sorted(back.collect(), key=lambda r: r.k)
+        want = sorted(df.collect(), key=lambda r: r.k)
+        assert got == want
+
+    def test_nested_field_ids_unique_and_mapped(self, spark, lake):
+        t = TxnTable(lake, "inest2", stats_cols=["k"])
+        t.append(
+            spark.range(3)
+            .selectExpr(
+                "id as k",
+                "named_struct('a', id, 'b', array(id)) as s",
+                "map('x', named_struct('y', id)) as mp",
+            )
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        m = _meta(t)
+        schema = m["schemas"][-1]
+
+        def _walk(t_):
+            if not isinstance(t_, dict):
+                return
+            if t_["type"] == "struct":
+                for f in t_["fields"]:
+                    yield f["id"]
+                    yield from _walk(f["type"])
+            elif t_["type"] == "list":
+                yield t_["element-id"]
+                yield from _walk(t_["element"])
+            elif t_["type"] == "map":
+                yield t_["key-id"]
+                yield from _walk(t_["key"])
+                yield t_["value-id"]
+                yield from _walk(t_["value"])
+
+        all_ids = list(_walk(schema))
+        assert len(all_ids) == len(set(all_ids))  # unique across tree
+        assert m["last-column-id"] == max(all_ids)
+        nm = json.loads(m["properties"]["schema.name-mapping.default"])
+        s_entry = next(e for e in nm if e["names"] == ["s"])
+        child_names = {f["names"][0] for f in s_entry["fields"]}
+        assert child_names == {"a", "b"}
+        mp_entry = next(e for e in nm if e["names"] == ["mp"])
+        kv = {f["names"][0] for f in mp_entry["fields"]}
+        assert kv == {"key", "value"}
+
+    def test_fhir_silver_observation_roundtrip(self, spark, lake):
+        from interop_datalake_spark.lake.silver import to_silver
+
+        bronze = spark.createDataFrame(
+            [
+                (
+                    "obs1",
+                    '{"id":"obs1","status":"final",'
+                    '"valueQuantity":{"value":7.5,"unit":"mg"}}',
+                ),
+                (
+                    "obs2",
+                    '{"id":"obs2","status":"amended",'
+                    '"valueQuantity":{"value":1.25,"unit":"ml"}}',
+                ),
+            ],
+            "doc_id STRING, resource_json STRING",
+        )
+        silver = to_silver(bronze, "observation").drop("resource_json")
+        t = TxnTable(lake, "ifhir", stats_cols=["doc_id"])
+        t.append(silver.coalesce(1))
+        export_iceberg_metadata(t)
+        back = read_iceberg(spark, str(t.root))
+        got = sorted(back.collect(), key=lambda r: r.doc_id)
+        want = sorted(silver.collect(), key=lambda r: r.doc_id)
+        assert got == want
+        assert got[0].valueQuantity.unit == "mg"
+
+    def test_schema_append_keeps_existing_nested_ids(self, spark, lake):
+        """Pre-order id stability: appending a top-level column must
+        not renumber any existing (nested) field id — Iceberg readers
+        key columns by id, so a renumber silently remaps data."""
+        t = TxnTable(lake, "inest3", stats_cols=["k"])
+        t.append(
+            spark.range(3)
+            .selectExpr("id as k", "named_struct('a', id) as s")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        before = _meta(t)["schemas"][-1]
+        t.append(
+            spark.range(3, 6)
+            .selectExpr(
+                "id as k",
+                "named_struct('a', id) as s",
+                "concat('n', id) as extra",
+            )
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        after = _meta(t)["schemas"][-1]
+        by_name_before = {f["name"]: f for f in before["fields"]}
+        by_name_after = {f["name"]: f for f in after["fields"]}
+        for name, f in by_name_before.items():
+            assert by_name_after[name] == f  # id AND nested ids stable
+        assert by_name_after["extra"]["id"] == _meta(t)["last-column-id"]
