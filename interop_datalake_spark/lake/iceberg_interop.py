@@ -51,7 +51,11 @@ deletion vectors as Iceberg v2 POSITION DELETES — one delete parquet
 (reserved field ids stamped via pyarrow) under an unpartitioned spec
 (path-targeted deletes apply globally) + a DELETE manifest in the
 manifest list; the reader applies them by (path, position) at the v2
-sequence rule (delete seq ≥ data seq), and refuses equality deletes.
+sequence rule (delete seq ≥ data seq). Foreign equality deletes
+(content=2 — the Flink CDC producer shape) also apply on read:
+null-safe keyed anti-joins at the spec's STRICT sequence rule
+(delete seq > data seq), partition-scoped per the delete file's spec
+(global when unpartitioned).
 
 Nested schema types (struct/array/map, round 10) export with
 pre-order-assigned nested field ids (struct children, list elements,
@@ -459,6 +463,20 @@ def _manifest_entry_schema(partition_fields: list) -> str:
                 "type": ["null", _bounds_map_schema(128, 129, 130)],
                 "default": None,
                 "field-id": 128,
+            },
+            {
+                # spec field 135: the equality-delete field ids; null
+                # for data files and position deletes. Included so the
+                # round-trip fixture (and any future eq-delete writer)
+                # can express content=2 files; foreign manifests
+                # without the field read back as None.
+                "name": "equality_ids",
+                "type": [
+                    "null",
+                    {"type": "array", "items": "int", "element-id": 136},
+                ],
+                "default": None,
+                "field-id": 135,
             },
         ],
     }
@@ -1203,6 +1221,9 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
             "file_size_in_bytes": p.stat().st_size if p.exists() else 0,
             "lower_bounds": {"array": lows} if lows else None,
             "upper_bounds": {"array": highs} if highs else None,
+            # JsonDecoder applies no defaults: every union field must
+            # be present explicitly (None for data files)
+            "equality_ids": None,
         }
         carried = prev_entries.get(uri)
         if carried is not None:
@@ -1284,6 +1305,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
                     "file_size_in_bytes": delete_pq.stat().st_size,
                     "lower_bounds": None,
                     "upper_bounds": None,
+                    "equality_ids": None,
                 },
             }
         )
@@ -1501,22 +1523,62 @@ def _entry_seq(e, mf) -> int:
     return int(msq) if msq is not None else 0
 
 
-def _position_deletes_from(delete_entries) -> list[tuple[str, int]]:
-    """(delete-file URI, effective sequence number) from pre-fetched
-    delete-manifest entries. Equality deletes (data_file.content=2)
-    refuse loudly — applying them needs per-row predicate evaluation
-    this reader does not implement."""
-    out = []
-    for e, dfr, _spec, mf in delete_entries:
-        c = dfr.get("content")
-        if c == 2:
-            raise ValueError(
-                "equality-delete files are not supported by this "
-                "reader (position deletes are) — rewrite with the "
-                "owning engine first"
-            )
-        out.append((str(dfr.get("file_path")), _entry_seq(e, mf)))
-    return out
+def _py_int_list(arr) -> list[int] | None:
+    """py4j Avro generic array of ints → Python list (None passes)."""
+    if arr is None:
+        return None
+    try:
+        return [int(arr.get(i)) for i in range(arr.size())]
+    except AttributeError:
+        return [int(x) for x in arr]
+
+
+def _raw_ptn_key(dfr, spec_fields, mf) -> str:
+    """Partition identity of one manifest entry for delete scoping:
+    spec id + the RAW stored partition tuple (all transforms, not just
+    identity — eq-delete scoping compares layout tuples, not column
+    values). Iceberg's rule: a partitioned-spec equality delete
+    applies only to data files of the same partition under the same
+    spec."""
+    part = dfr.get("partition")
+    vals = {
+        pf["name"]: (
+            None
+            if part is None or part.get(pf["name"]) is None
+            else str(part.get(pf["name"]))
+        )
+        for pf in spec_fields
+    }
+    return json.dumps(
+        {"spec": mf.get("partition_spec_id"), "vals": vals},
+        sort_keys=True,
+    )
+
+
+def _split_delete_files(delete_entries):
+    """Pre-fetched delete-manifest entries → (position deletes,
+    equality deletes). Position: (URI, effective seq). Equality:
+    (URI, effective seq, equality field ids, partition key or None
+    for global) — a ``content=2`` file written under an unpartitioned
+    spec applies globally; under a partitioned spec only to data
+    files of the same partition tuple (``_raw_ptn_key``)."""
+    pos, eq = [], []
+    for e, dfr, spec_fields, mf in delete_entries:
+        seq = _entry_seq(e, mf)
+        uri = str(dfr.get("file_path"))
+        if dfr.get("content") == 2:
+            fids = _py_int_list(dfr.get("equality_ids"))
+            if not fids:
+                raise ValueError(
+                    f"equality-delete file {uri} carries no "
+                    f"equality_ids — the spec requires them and no "
+                    f"safe default exists"
+                )
+            ptn = _raw_ptn_key(dfr, spec_fields, mf) if spec_fields else None
+            eq.append((uri, seq, fids, ptn))
+        else:
+            pos.append((uri, seq))
+    return pos, eq
 
 
 def _entry_partition_values(jvm, dfr, spec_fields, ids_to_type) -> dict:
@@ -1655,10 +1717,11 @@ def read_iceberg(
     returned frame, as with any manifest-level pruning."""
     meta = _load_metadata(path)
     snap = _resolve_snapshot(meta, snapshot_id)
-    spark_fields = _spark_fields(_schema_of(meta, snap))
+    schema = _schema_of(meta, snap)
+    spark_fields = _spark_fields(schema)
     # ONE manifest-list replay covers data AND delete manifests
     data_e, del_e = _snapshot_entries_all(spark, meta, snap)
-    deletes = _position_deletes_from(del_e)
+    pos_deletes, eq_deletes = _split_delete_files(del_e)
     entries = _pruned_entries(
         spark, meta, snap, key_range, partition_filter, entries=data_e
     )
@@ -1666,25 +1729,38 @@ def read_iceberg(
         (_uri_to_path(str(dfr.get("file_path"))), pvals)
         for dfr, pvals, _sq in entries
     ]
-    out = _grouped_read(
-        spark, spark_fields, items, lineage=bool(deletes)
-    )
+    need_lineage = bool(pos_deletes or eq_deletes)
+    out = _grouped_read(spark, spark_fields, items, lineage=need_lineage)
     if out is None:
         return _empty_frame(spark, spark_fields)
-    if deletes:
+    if need_lineage:
+        # per-file seq (+ partition identity when equality deletes
+        # need scoping) as a broadcast map — bounded by file count
+        ptn_by_path: dict[str, str] = {}
+        if eq_deletes:
+            for _e, dfr, spec_fields, mf in data_e:
+                p = _uri_to_path(str(dfr.get("file_path")))
+                ptn_by_path[p] = _raw_ptn_key(dfr, spec_fields, mf)
+        seq_rows = [
+            (
+                _uri_to_path(str(dfr.get("file_path"))),
+                sq,
+                ptn_by_path.get(
+                    _uri_to_path(str(dfr.get("file_path")))
+                ),
+            )
+            for dfr, _pv, sq in entries
+        ]
+        dmap = spark.createDataFrame(
+            seq_rows, "_ib_file STRING, _dataseq BIGINT, _ib_ptn STRING"
+        )
+    if pos_deletes:
         # merge-on-read application (v2): a position delete removes
         # (path, pos) from data files whose sequence number ≤ the
         # delete file's. The seq map is bounded by file count; the
         # delete rows are metadata-sized — AQE picks the join shape.
-        seq_rows = [
-            (_uri_to_path(str(dfr.get("file_path"))), sq)
-            for dfr, _pv, sq in entries
-        ]
-        dmap = spark.createDataFrame(
-            seq_rows, "_ib_file STRING, _dataseq BIGINT"
-        )
         dels = None
-        for duri, dseq in deletes:
+        for duri, dseq in pos_deletes:
             d = spark.read.parquet(_uri_to_path(duri)).select(
                 _canon_path_expr(F.col("file_path")).alias("_ib_file"),
                 F.col("pos").alias("_ib_pos"),
@@ -1696,10 +1772,78 @@ def read_iceberg(
             .filter(F.col("_dseq") >= F.col("_dataseq"))
             .select("_ib_file", "_ib_pos")
         )
-        out = out.join(
-            applicable, ["_ib_file", "_ib_pos"], "left_anti"
-        ).drop("_ib_file", "_ib_pos")
+        out = out.join(applicable, ["_ib_file", "_ib_pos"], "left_anti")
+    if eq_deletes:
+        out = _apply_equality_deletes(
+            spark, out, dmap, eq_deletes, schema
+        )
+    if need_lineage:
+        out = out.drop("_ib_file", "_ib_pos")
     return out
+
+
+def _apply_equality_deletes(
+    spark: SparkSession, out: DataFrame, dmap: DataFrame, eq_deletes,
+    schema: dict,
+) -> DataFrame:
+    """v2 equality-delete application (round-9 verdict item 4 — the
+    common foreign producer is Flink CDC): a ``content=2`` file's rows
+    are match predicates over its ``equality_ids`` columns; a data row
+    is removed when some delete row null-safely equals it on those
+    columns AND the delete's sequence number is STRICTLY greater than
+    the data file's (the spec's rule — strict, unlike position
+    deletes' ≥, so an upsert's own insert survives its delete half)
+    AND the delete's partition scope covers the data file (global for
+    unpartitioned-spec deletes, same spec+tuple otherwise).
+
+    Shape at scale: delete files group by their equality-id set; each
+    group is ONE left-anti join whose keys are the null-safe equality
+    columns (hashable — no nested-loop degeneration), with the
+    seq/partition guards as join-side filters. Data rows carry their
+    file's seq + partition identity from the broadcast ``dmap``."""
+    fid_to_field = {f["id"]: f for f in schema["fields"]}
+    groups: dict[tuple, list] = {}
+    for uri, seq, fids, ptn in eq_deletes:
+        groups.setdefault(tuple(sorted(fids)), []).append(
+            (uri, seq, ptn)
+        )
+    out = out.join(F.broadcast(dmap), "_ib_file")
+    for fids, files in groups.items():
+        cols, types = [], []
+        for fid in fids:
+            f = fid_to_field.get(fid)
+            if f is None or isinstance(f["type"], dict):
+                raise ValueError(
+                    f"equality-delete field id {fid} does not name a "
+                    f"top-level primitive column of the snapshot "
+                    f"schema — nested equality deletes are not "
+                    f"supported by this reader"
+                )
+            cols.append(f["name"])
+            types.append(_spark_type_of(f["type"]))
+        dels = None
+        for duri, dseq, ptn in files:
+            d = spark.read.parquet(_uri_to_path(duri)).select(
+                *[
+                    F.col(c).cast(t).alias(c)
+                    for c, t in zip(cols, types)
+                ],
+                F.lit(dseq).cast("bigint").alias("_dseq"),
+                F.lit(ptn).cast("string").alias("_dptn"),
+            )
+            dels = d if dels is None else dels.unionByName(d)
+        left, right = out.alias("_ql"), dels.alias("_qr")
+        cond = F.col("_qr._dseq") > F.col("_ql._dataseq")
+        cond = cond & (
+            F.col("_qr._dptn").isNull()
+            | (F.col("_qr._dptn") == F.col("_ql._ib_ptn"))
+        )
+        for c in cols:
+            cond = cond & F.col(f"_ql.{c}").eqNullSafe(
+                F.col(f"_qr.{c}")
+            )
+        out = left.join(right, cond, "left_anti")
+    return out.drop("_dataseq", "_ib_ptn")
 
 
 def _spark_type_of(t) -> str:

@@ -925,3 +925,299 @@ class TestNestedTypes:
         for name, f in by_name_before.items():
             assert by_name_after[name] == f  # id AND nested ids stable
         assert by_name_after["extra"]["id"] == _meta(t)["last-column-id"]
+
+
+def _add_eq_delete_snapshot(
+    spark, t, rows, columns, eq_cols, partition=None, spec_id=None,
+    force_seq=None, equality_ids="auto",
+):
+    """Hand-craft a FOREIGN-style equality-delete snapshot (the Flink
+    CDC producer shape) on an exported Iceberg table: a content=2
+    delete parquet + delete manifest + new manifest list carrying the
+    previous snapshot's manifests forward, published as a new metadata
+    version. ``partition``/``spec_id`` scope the delete to one
+    partition tuple of a partitioned spec; default is an
+    unpartitioned-spec (global) delete. ``force_seq`` overrides the
+    new snapshot's sequence number (strict-inequality tests).
+    Returns the new snapshot id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import uuid as _uuid
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        _MANIFEST_FILE_SCHEMA,
+        _AvroFileWriter,
+        _jvm,
+        _manifest_entry_schema,
+        _partition_avro_fields,
+        _partition_field_avro_type,
+        _read_avro,
+        _uri_to_path,
+    )
+
+    meta_dir = t.root / "metadata"
+    n = int((meta_dir / "version-hint.text").read_text())
+    meta = json.loads((meta_dir / f"v{n}.metadata.json").read_text())
+    schema = next(
+        s
+        for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+    ids_to_type = {f["id"]: f["type"] for f in schema["fields"]}
+    eq_ids = (
+        [name_to_id[c] for c in eq_cols]
+        if equality_ids == "auto"
+        else equality_ids
+    )
+    jvm = _jvm(spark)
+    seq = (
+        int(meta["last-sequence-number"]) + 1
+        if force_seq is None
+        else force_seq
+    )
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1000
+    specs = list(meta["partition-specs"])
+
+    # 1. the delete parquet (columns by name, like Flink writes)
+    dp = meta_dir / f"eqdel-{_uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table({c: list(v) for c, v in zip(columns, zip(*rows))}),
+        dp,
+    )
+
+    # 2. spec + partition tuple of the delete file
+    if partition is not None:
+        spec = next(s for s in specs if s["spec-id"] == spec_id)
+        pfields = _partition_avro_fields(spec["fields"], ids_to_type)
+        part_record = {}
+        for pf in spec["fields"]:
+            at = _partition_field_avro_type(pf, ids_to_type)
+            branch = at["type"] if isinstance(at, dict) else at
+            v = partition.get(pf["name"])
+            part_record[pf["name"]] = None if v is None else {branch: v}
+        del_spec_id = spec_id
+        spec_json = json.dumps(spec["fields"])
+    else:
+        empty = next((s for s in specs if not s["fields"]), None)
+        if empty is None:
+            del_spec_id = max(s["spec-id"] for s in specs) + 1
+            specs.append({"spec-id": del_spec_id, "fields": []})
+        else:
+            del_spec_id = empty["spec-id"]
+        pfields, part_record, spec_json = [], {}, "[]"
+
+    # 3. delete manifest
+    dm = meta_dir / f"{_uuid.uuid4().hex}-eqdel-m0.avro"
+    dw = _AvroFileWriter(
+        jvm,
+        _manifest_entry_schema(pfields),
+        dm,
+        {
+            "schema": json.dumps(schema),
+            "schema-id": schema["schema-id"],
+            "partition-spec": spec_json,
+            "partition-spec-id": del_spec_id,
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    dw.append_json(
+        {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": None,  # inherits the list entry's seq
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 2,  # EQUALITY_DELETES
+                "file_path": dp.resolve().as_uri(),
+                "file_format": "PARQUET",
+                "partition": part_record,
+                "record_count": len(rows),
+                "file_size_in_bytes": dp.stat().st_size,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": (
+                    {"array": eq_ids} if eq_ids is not None else None
+                ),
+            },
+        }
+    )
+    dw.close()
+
+    # 4. manifest list: carry the previous snapshot's manifests
+    prev_snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    carried, _m = _read_avro(
+        jvm, Path(_uri_to_path(prev_snap["manifest-list"]))
+    )
+    names_int = [
+        "manifest_length", "partition_spec_id", "content",
+        "sequence_number", "min_sequence_number", "added_snapshot_id",
+        "added_files_count", "existing_files_count",
+        "deleted_files_count", "added_rows_count",
+        "existing_rows_count", "deleted_rows_count",
+    ]
+    ml = meta_dir / f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    lw = _AvroFileWriter(
+        jvm,
+        _MANIFEST_FILE_SCHEMA,
+        ml,
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "format-version": "2",
+        },
+    )
+    for rec in carried:
+        lw.append_json(
+            {
+                "manifest_path": str(rec.get("manifest_path")),
+                **{nm: int(rec.get(nm)) for nm in names_int},
+            }
+        )
+    lw.append_json(
+        {
+            "manifest_path": dm.resolve().as_uri(),
+            "manifest_length": dm.stat().st_size,
+            "partition_spec_id": del_spec_id,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": len(rows),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    )
+    lw.close()
+
+    # 5. new metadata version
+    meta2 = dict(meta)
+    meta2["partition-specs"] = specs
+    meta2["last-sequence-number"] = max(
+        seq, int(meta["last-sequence-number"])
+    )
+    meta2["current-snapshot-id"] = snap_id
+    meta2["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": 0,
+            "manifest-list": ml.resolve().as_uri(),
+            "summary": {"operation": "overwrite"},
+            "schema-id": schema["schema-id"],
+        }
+    ]
+    (meta_dir / f"v{n + 1}.metadata.json").write_text(
+        json.dumps(meta2)
+    )
+    (meta_dir / "version-hint.text").write_text(str(n + 1))
+    return snap_id
+
+
+class TestEqualityDeletes:
+    """Round-9 verdict item 4: content=2 delete files (the Flink CDC
+    producer shape) apply as keyed anti-joins at the v2 STRICT
+    sequence rule instead of refusing."""
+
+    def _table(self, spark, lake, name, **kw):
+        t = TxnTable(lake, name, stats_cols=["k"], **kw)
+        t.append(
+            spark.range(0, 10)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        return t
+
+    def test_global_equality_delete_applies(self, spark, lake):
+        t = self._table(spark, lake, "ieq1")
+        first = _meta(t)["current-snapshot-id"]
+        _add_eq_delete_snapshot(
+            spark, t, [(2,), (5,), (77,)], ["k"], ["k"]
+        )
+        back = read_iceberg(spark, str(t.root))
+        assert sorted(r.k for r in back.collect()) == [
+            0, 1, 3, 4, 6, 7, 8, 9,
+        ]
+        # time travel to the pre-delete snapshot still sees all rows
+        old = read_iceberg(spark, str(t.root), snapshot_id=first)
+        assert old.count() == 10
+
+    def test_strict_sequence_rule(self, spark, lake):
+        """A delete whose sequence number EQUALS the data file's must
+        NOT apply (spec: strictly greater — an upsert's insert half
+        survives its own delete half; position deletes use ≥)."""
+        t = self._table(spark, lake, "ieq2")
+        data_seq = 1  # single export: its data files carry seq 1
+        _add_eq_delete_snapshot(
+            spark, t, [(2,)], ["k"], ["k"], force_seq=data_seq
+        )
+        back = read_iceberg(spark, str(t.root))
+        assert back.count() == 10  # nothing deleted
+
+    def test_partition_scoped_delete(self, spark, lake):
+        t = TxnTable(
+            lake, "ieq3", stats_cols=["k"], partition_cols=["tenant"]
+        )
+        t.append(
+            spark.range(0, 6).selectExpr(
+                "id as k",
+                "CASE WHEN id < 3 THEN 'a' ELSE 'b' END as tenant",
+            )
+        )
+        export_iceberg_metadata(t)
+        m = _meta(t)
+        data_spec_id = next(
+            s["spec-id"]
+            for s in m["partition-specs"]
+            if s["fields"]
+        )
+        # delete k∈{1,4} but scoped to tenant='a': only k=1 goes
+        _add_eq_delete_snapshot(
+            spark,
+            t,
+            [(1,), (4,)],
+            ["k"],
+            ["k"],
+            partition={"tenant": "a"},
+            spec_id=data_spec_id,
+        )
+        back = read_iceberg(spark, str(t.root))
+        assert sorted(r.k for r in back.collect()) == [0, 2, 3, 4, 5]
+
+    def test_null_safe_matching(self, spark, lake):
+        t = TxnTable(lake, "ieq4", stats_cols=["k"])
+        t.append(
+            spark.range(0, 4)
+            .selectExpr(
+                "id as k",
+                "CASE WHEN id % 2 = 0 THEN NULL "
+                "ELSE concat('v', id) END as v",
+            )
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        # equality on v with a NULL delete row: NULL matches NULL
+        _add_eq_delete_snapshot(
+            spark, t, [(None,)], ["v"], ["v"]
+        )
+        back = read_iceberg(spark, str(t.root))
+        assert sorted(r.k for r in back.collect()) == [1, 3]
+
+    def test_missing_equality_ids_refused(self, spark, lake):
+        t = self._table(spark, lake, "ieq5")
+        _add_eq_delete_snapshot(
+            spark, t, [(2,)], ["k"], ["k"], equality_ids=None
+        )
+        with pytest.raises(ValueError, match="equality_ids"):
+            read_iceberg(spark, str(t.root))
