@@ -1784,7 +1784,7 @@ def read_iceberg(
 
 def _apply_equality_deletes(
     spark: SparkSession, out: DataFrame, dmap: DataFrame, eq_deletes,
-    schema: dict,
+    schema: dict, how: str = "left_anti", strict: bool = True,
 ) -> DataFrame:
     """v2 equality-delete application (round-9 verdict item 4 — the
     common foreign producer is Flink CDC): a ``content=2`` file's rows
@@ -1800,7 +1800,12 @@ def _apply_equality_deletes(
     group is ONE left-anti join whose keys are the null-safe equality
     columns (hashable — no nested-loop degeneration), with the
     seq/partition guards as join-side filters. Data rows carry their
-    file's seq + partition identity from the broadcast ``dmap``."""
+    file's seq + partition identity from the broadcast ``dmap``.
+
+    ``how='left_semi'`` returns the rows the deletes WOULD remove
+    (the CDC dual — :func:`read_iceberg_changes` emits them as
+    delete events); ``strict=False`` relaxes the sequence guard to ≥
+    for callers that pre-scoped the delete set."""
     fid_to_field = {f["id"]: f for f in schema["fields"]}
     groups: dict[tuple, list] = {}
     for uri, seq, fids, ptn in eq_deletes:
@@ -1808,6 +1813,7 @@ def _apply_equality_deletes(
             (uri, seq, ptn)
         )
     out = out.join(F.broadcast(dmap), "_ib_file")
+    semi_frames = []
     for fids, files in groups.items():
         cols, types = [], []
         for fid in fids:
@@ -1833,7 +1839,10 @@ def _apply_equality_deletes(
             )
             dels = d if dels is None else dels.unionByName(d)
         left, right = out.alias("_ql"), dels.alias("_qr")
-        cond = F.col("_qr._dseq") > F.col("_ql._dataseq")
+        if strict:
+            cond = F.col("_qr._dseq") > F.col("_ql._dataseq")
+        else:
+            cond = F.col("_qr._dseq") >= F.col("_ql._dataseq")
         cond = cond & (
             F.col("_qr._dptn").isNull()
             | (F.col("_qr._dptn") == F.col("_ql._ib_ptn"))
@@ -1842,7 +1851,19 @@ def _apply_equality_deletes(
             cond = cond & F.col(f"_ql.{c}").eqNullSafe(
                 F.col(f"_qr.{c}")
             )
-        out = left.join(right, cond, "left_anti")
+        if how == "left_anti":
+            out = left.join(right, cond, "left_anti")  # chain groups
+        else:
+            # semi accumulates per group (chaining would intersect);
+            # the union dedups on row lineage — a row matched by two
+            # id-sets is still ONE delete event
+            semi_frames.append(left.join(right, cond, "left_semi"))
+    if how == "left_semi":
+        out = semi_frames[0]
+        for fr in semi_frames[1:]:
+            out = out.unionByName(fr)
+        if len(semi_frames) > 1:
+            out = out.dropDuplicates(["_ib_file", "_ib_pos"])
     return out.drop("_dataseq", "_ib_ptn")
 
 
@@ -1962,6 +1983,7 @@ def read_iceberg_changes(
     path: str,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    include_deletes: bool = False,
 ) -> DataFrame:
     """Iceberg INCREMENTAL APPEND SCAN (the spec's incremental-read
     model, Spark's `spark.readStream.format("iceberg")` contract):
@@ -1977,7 +1999,20 @@ def read_iceberg_changes(
     Refuses loudly, exactly like Iceberg's own incremental scan:
     unknown/expired snapshot ids, and any in-range snapshot whose
     summary operation is not ``append`` (a replace/delete/overwrite
-    snapshot's delta is not expressible as added rows)."""
+    snapshot's delta is not expressible as added rows).
+
+    ``include_deletes=True`` switches to the CDC shape consumers
+    actually want across overwrites (round-9 verdict item 6 — the
+    ``TxnTable.read_changes(include_deletes=True)`` mirror): a
+    ``_change_type`` ('insert' | 'delete') column joins
+    ``_snapshot_id``, non-append snapshots are DIFFED instead of
+    refused (added files → inserts; files dropped from the parent's
+    live set → their parent-live rows as deletes, merge-on-read
+    applied), and delete files NEW in a snapshot emit the rows they
+    remove (position deletes resolve their (path, pos) pairs;
+    equality deletes semi-join the affected files' rows). A row
+    position-deleted twice by non-compliant duplicate delete entries
+    would re-emit; compliant writers never do this."""
     meta = _load_metadata(path)
     snaps = sorted(
         meta.get("snapshots") or [], key=lambda s: s["sequence-number"]
@@ -2005,6 +2040,8 @@ def read_iceberg_changes(
             "history"
         )
     window = snaps[lo + 1 : hi + 1]
+    if include_deletes:
+        return _changes_with_deletes(spark, meta, snaps, window, to)
     frames = []
     for s in window:
         op = (s.get("summary") or {}).get("operation")
@@ -2072,6 +2109,202 @@ def read_iceberg_changes(
         schema = _schema_of(meta, _resolve_snapshot(meta, to))
         return _empty_frame(
             spark, _spark_fields(schema) + [("_snapshot_id", "bigint")]
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr, allowMissingColumns=True)
+    return out
+
+
+def _added_by(e, mf, snapshot_id: int) -> bool:
+    """Was this manifest entry added by the given snapshot? v2 null-id
+    inheritance resolves against the manifest-list entry's
+    added_snapshot_id (the same rule the append scan uses)."""
+    v = e.get("snapshot_id")
+    if v is None:
+        v = mf.get("added_snapshot_id")
+    return v is not None and int(v) == snapshot_id
+
+
+def _changes_with_deletes(
+    spark: SparkSession, meta: dict, snaps: list, window: list, to: int
+) -> DataFrame:
+    """The CDC mode of :func:`read_iceberg_changes`: per window
+    snapshot, DIFF against its parent instead of refusing non-append
+    operations. Inserts are the files new in the snapshot's live set;
+    deletes are (a) the parent-live rows of files dropped from the
+    live set (merge-on-read applied at the parent, so already-deleted
+    rows don't re-emit), (b) the rows named by position-delete files
+    new in the snapshot, and (c) the rows matched by equality-delete
+    files new in the snapshot (semi-join over the affected live
+    files, parent deletes applied first). Driver-side state stays
+    manifest-scale: the only collect is the distinct referenced-file
+    list of new position deletes (bounded by table file count)."""
+    jvm = _jvm(spark)
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    order = [s["snapshot-id"] for s in snaps]
+    frames = []
+    for s in window:
+        sid = s["snapshot-id"]
+        schema = _schema_of(meta, s)
+        spark_fields = _spark_fields(schema)
+        ids_to_type = {f["id"]: f["type"] for f in schema["fields"]}
+        parent_id = s.get("parent-snapshot-id")
+        if parent_id not in by_id:
+            idx = order.index(sid)
+            parent_id = order[idx - 1] if idx > 0 else None
+        s_data, s_del = _snapshot_entries_all(spark, meta, s)
+        if parent_id is not None:
+            p_data, p_del = _snapshot_entries_all(
+                spark, meta, by_id[parent_id]
+            )
+        else:
+            p_data, p_del = [], []
+
+        def _p(dfr) -> str:
+            return _uri_to_path(str(dfr.get("file_path")))
+
+        s_map = {_p(d[1]): d for d in s_data}
+        p_map = {_p(d[1]): d for d in p_data}
+
+        def _items(m, paths):
+            return [
+                (
+                    p,
+                    _entry_partition_values(
+                        jvm, m[p][1], m[p][2], ids_to_type
+                    ),
+                )
+                for p in paths
+            ]
+
+        def _dmap_for(m, paths):
+            rows = [
+                (
+                    p,
+                    _entry_seq(m[p][0], m[p][3]),
+                    _raw_ptn_key(m[p][1], m[p][2], m[p][3]),
+                )
+                for p in paths
+            ]
+            return spark.createDataFrame(
+                rows, "_ib_file STRING, _dataseq BIGINT, _ib_ptn STRING"
+            )
+
+        def _pos_rows(pos_list):
+            dels = None
+            for duri, dseq in pos_list:
+                d = spark.read.parquet(_uri_to_path(duri)).select(
+                    _canon_path_expr(F.col("file_path")).alias(
+                        "_ib_file"
+                    ),
+                    F.col("pos").alias("_ib_pos"),
+                    F.lit(dseq).cast("bigint").alias("_dseq"),
+                )
+                dels = d if dels is None else dels.unionByName(d)
+            return dels
+
+        def _apply_parent_mor(fr, m, paths):
+            """Parent-live rows only: anti-join the parent's position
+            and equality deletes, scoped to ``paths``."""
+            if p_pos:
+                dmap = _dmap_for(m, paths)
+                applicable = (
+                    _pos_rows(p_pos)
+                    .join(F.broadcast(dmap), "_ib_file")
+                    .filter(F.col("_dseq") >= F.col("_dataseq"))
+                    .select("_ib_file", "_ib_pos")
+                )
+                fr = fr.join(
+                    applicable, ["_ib_file", "_ib_pos"], "left_anti"
+                )
+            if p_eq:
+                fr = _apply_equality_deletes(
+                    spark, fr, _dmap_for(m, paths), p_eq, schema
+                )
+            return fr
+
+        def _emit(fr, change_type):
+            frames.append(
+                fr.withColumn("_change_type", F.lit(change_type))
+                .withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
+            )
+
+        new_del_entries = [
+            d for d in s_del if _added_by(d[0], d[3], sid)
+        ]
+        new_pos, new_eq = _split_delete_files(new_del_entries)
+        p_pos, p_eq = (
+            _split_delete_files(p_del) if p_del else ([], [])
+        )
+
+        # inserts: files new in the live set
+        added = [p for p in s_map if p not in p_map]
+        ins = _grouped_read(spark, spark_fields, _items(s_map, added))
+        if ins is not None:
+            _emit(ins, "insert")
+
+        # deletes (a): files dropped from the parent's live set
+        removed = [p for p in p_map if p not in s_map]
+        if removed:
+            fr = _grouped_read(
+                spark, spark_fields, _items(p_map, removed),
+                lineage=True,
+            )
+            if fr is not None:
+                fr = _apply_parent_mor(fr, p_map, removed)
+                _emit(fr.drop("_ib_file", "_ib_pos"), "delete")
+
+        # deletes (b): new position deletes name their rows directly
+        if new_pos:
+            refd = [
+                r[0]
+                for r in _pos_rows(new_pos)
+                .select("_ib_file")
+                .distinct()
+                .collect()  # bounded by table file count
+            ]
+            both = {**p_map, **s_map}
+            refd = [p for p in refd if p in both]
+            if refd:
+                fr = _grouped_read(
+                    spark, spark_fields, _items(both, refd),
+                    lineage=True,
+                )
+                dmap = _dmap_for(both, refd)
+                hit = (
+                    _pos_rows(new_pos)
+                    .join(F.broadcast(dmap), "_ib_file")
+                    .filter(F.col("_dseq") >= F.col("_dataseq"))
+                    .select("_ib_file", "_ib_pos")
+                )
+                fr = fr.join(hit, ["_ib_file", "_ib_pos"], "left_semi")
+                _emit(fr.drop("_ib_file", "_ib_pos"), "delete")
+
+        # deletes (c): new equality deletes match rows of LIVE files
+        if new_eq:
+            live = list(s_map)
+            fr = _grouped_read(
+                spark, spark_fields, _items(s_map, live), lineage=True
+            )
+            if fr is not None:
+                fr = _apply_parent_mor(fr, s_map, live)
+                fr = _apply_equality_deletes(
+                    spark,
+                    fr,
+                    _dmap_for(s_map, live),
+                    new_eq,
+                    schema,
+                    how="left_semi",
+                )
+                _emit(fr.drop("_ib_file", "_ib_pos"), "delete")
+
+    if not frames:
+        schema = _schema_of(meta, _resolve_snapshot(meta, to))
+        return _empty_frame(
+            spark,
+            _spark_fields(schema)
+            + [("_change_type", "string"), ("_snapshot_id", "bigint")],
         )
     out = frames[0]
     for fr in frames[1:]:
