@@ -1784,7 +1784,7 @@ def read_iceberg(
 
 def _apply_equality_deletes(
     spark: SparkSession, out: DataFrame, dmap: DataFrame, eq_deletes,
-    schema: dict, how: str = "left_anti", strict: bool = True,
+    schema: dict, how: str = "left_anti",
 ) -> DataFrame:
     """v2 equality-delete application (round-9 verdict item 4 — the
     common foreign producer is Flink CDC): a ``content=2`` file's rows
@@ -1804,8 +1804,15 @@ def _apply_equality_deletes(
 
     ``how='left_semi'`` returns the rows the deletes WOULD remove
     (the CDC dual — :func:`read_iceberg_changes` emits them as
-    delete events); ``strict=False`` relaxes the sequence guard to ≥
-    for callers that pre-scoped the delete set."""
+    delete events)."""
+    reserved = {"_dataseq", "_ib_ptn", "_dseq", "_dptn"}
+    clash = reserved & set(out.columns)
+    if clash:
+        raise ValueError(
+            f"table columns {sorted(clash)} collide with the "
+            f"equality-delete working columns — rename upstream "
+            f"(the _grouped_read lineage guard's sibling)"
+        )
     fid_to_field = {f["id"]: f for f in schema["fields"]}
     groups: dict[tuple, list] = {}
     for uri, seq, fids, ptn in eq_deletes:
@@ -1839,10 +1846,7 @@ def _apply_equality_deletes(
             )
             dels = d if dels is None else dels.unionByName(d)
         left, right = out.alias("_ql"), dels.alias("_qr")
-        if strict:
-            cond = F.col("_qr._dseq") > F.col("_ql._dataseq")
-        else:
-            cond = F.col("_qr._dseq") >= F.col("_ql._dataseq")
+        cond = F.col("_qr._dseq") > F.col("_ql._dataseq")
         cond = cond & (
             F.col("_qr._dptn").isNull()
             | (F.col("_qr._dptn") == F.col("_ql._ib_ptn"))
@@ -2009,10 +2013,16 @@ def read_iceberg_changes(
     refused (added files → inserts; files dropped from the parent's
     live set → their parent-live rows as deletes, merge-on-read
     applied), and delete files NEW in a snapshot emit the rows they
-    remove (position deletes resolve their (path, pos) pairs;
-    equality deletes semi-join the affected files' rows). A row
-    position-deleted twice by non-compliant duplicate delete entries
-    would re-emit; compliant writers never do this."""
+    remove (position deletes resolve their (path, pos) pairs against
+    PARENT-LIVE rows, so cumulative delete files — this exporter's
+    own vectored shape — never re-emit earlier deletions; equality
+    deletes semi-join the scope-pruned affected files' rows, parent
+    deletes applied first). ``_change_ordinal`` fixes the
+    intra-snapshot fold order (deletes=0 before inserts=1), so a
+    rewrite snapshot (compact) folds to an unchanged state — note a
+    rewrite still EMITS its full row set both ways (a content-level
+    no-op proof would need a row diff; Iceberg's own changelog scan
+    punts on replace snapshots the same way, by skipping them)."""
     meta = _load_metadata(path)
     snaps = sorted(
         meta.get("snapshots") or [], key=lambda s: s["sequence-number"]
@@ -2225,9 +2235,18 @@ def _changes_with_deletes(
             return fr
 
         def _emit(fr, change_type):
+            # _change_ordinal defines the intra-snapshot fold order
+            # (deletes before inserts): a rewrite snapshot that drops
+            # and re-adds the same rows folds to PRESENT, not absent
             frames.append(
                 fr.withColumn("_change_type", F.lit(change_type))
                 .withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
+                .withColumn(
+                    "_change_ordinal",
+                    F.lit(0 if change_type == "delete" else 1).cast(
+                        "int"
+                    ),
+                )
             )
 
         new_del_entries = [
@@ -2255,12 +2274,18 @@ def _changes_with_deletes(
                 fr = _apply_parent_mor(fr, p_map, removed)
                 _emit(fr.drop("_ib_file", "_ib_pos"), "delete")
 
-        # deletes (b): new position deletes name their rows directly
+        # deletes (b): new position deletes name their rows directly.
+        # The semi-join runs against PARENT-LIVE rows (_apply_parent_mor
+        # first): a cumulative delete file that re-lists pairs already
+        # applicable at the parent — the repo's own exporter serializes
+        # the full DV state per vectored export — re-emits nothing
+        # (review: the TxnTable sibling guarantees a row is never
+        # emitted as deleted twice, and this mode must too)
         if new_pos:
+            pos_frame = _pos_rows(new_pos)  # built once, two consumers
             refd = [
                 r[0]
-                for r in _pos_rows(new_pos)
-                .select("_ib_file")
+                for r in pos_frame.select("_ib_file")
                 .distinct()
                 .collect()  # bounded by table file count
             ]
@@ -2271,21 +2296,38 @@ def _changes_with_deletes(
                     spark, spark_fields, _items(both, refd),
                     lineage=True,
                 )
+                fr = _apply_parent_mor(fr, both, refd)
                 dmap = _dmap_for(both, refd)
                 hit = (
-                    _pos_rows(new_pos)
-                    .join(F.broadcast(dmap), "_ib_file")
+                    pos_frame.join(F.broadcast(dmap), "_ib_file")
                     .filter(F.col("_dseq") >= F.col("_dataseq"))
                     .select("_ib_file", "_ib_pos")
                 )
                 fr = fr.join(hit, ["_ib_file", "_ib_pos"], "left_semi")
                 _emit(fr.drop("_ib_file", "_ib_pos"), "delete")
 
-        # deletes (c): new equality deletes match rows of LIVE files
+        # deletes (c): new equality deletes match rows of live files —
+        # pruned at the manifest to files some delete can actually
+        # reach (partition scope + the strict sequence guard), so a
+        # one-tenant Flink delete on a 10k-file table reads that
+        # tenant's files, not the table
         if new_eq:
-            live = list(s_map)
-            fr = _grouped_read(
-                spark, spark_fields, _items(s_map, live), lineage=True
+            live = []
+            for p, (e, dfr, sf, mf) in s_map.items():
+                fseq = _entry_seq(e, mf)
+                fptn = _raw_ptn_key(dfr, sf, mf)
+                if any(
+                    dseq > fseq and (ptn is None or ptn == fptn)
+                    for _u, dseq, _f, ptn in new_eq
+                ):
+                    live.append(p)
+            fr = (
+                _grouped_read(
+                    spark, spark_fields, _items(s_map, live),
+                    lineage=True,
+                )
+                if live
+                else None
             )
             if fr is not None:
                 fr = _apply_parent_mor(fr, s_map, live)
@@ -2304,7 +2346,11 @@ def _changes_with_deletes(
         return _empty_frame(
             spark,
             _spark_fields(schema)
-            + [("_change_type", "string"), ("_snapshot_id", "bigint")],
+            + [
+                ("_change_type", "string"),
+                ("_snapshot_id", "bigint"),
+                ("_change_ordinal", "int"),
+            ],
         )
     out = frames[0]
     for fr in frames[1:]:

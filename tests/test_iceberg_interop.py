@@ -1338,3 +1338,70 @@ class TestChangesCDC:
         assert sorted(
             r.k for r in read_iceberg(spark, str(t.root)).collect()
         ) == [0, 2, 3, 5]
+
+
+class TestChangesCDCReviewFixes:
+    """Round-10 review pass 1: stale-delete re-emission, fold order,
+    working-column collisions."""
+
+    def test_cumulative_delete_files_never_reemit(self, spark, lake):
+        """The exporter serializes the FULL DV state per vectored
+        export, so a later snapshot's delete file re-lists earlier
+        pairs — the window must emit only the window's deletions
+        (the TxnTable sibling's 'never re-emitted twice' guarantee)."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "cdcr1", stats_cols=["k"])
+        t.append(
+            spark.range(0, 10).selectExpr("id as k").coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") == 3, merge_on_read=True)
+        export_iceberg_metadata(t)
+        snap2 = _meta(t)["current-snapshot-id"]
+        t.delete_where(F.col("k") == 7, merge_on_read=True)
+        export_iceberg_metadata(t)
+        snap3 = _meta(t)["current-snapshot-id"]
+        ch = read_iceberg_changes(
+            spark, str(t.root), snap2, include_deletes=True
+        )
+        assert sorted(
+            (r._snapshot_id, r._change_type, r.k) for r in ch.collect()
+        ) == [(snap3, "delete", 7)]  # k=3 deleted BEFORE the window
+
+    def test_rewrite_window_folds_to_unchanged(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "cdcr2", stats_cols=["k"])
+        t.append(spark.range(0, 5).selectExpr("id as k").coalesce(2))
+        export_iceberg_metadata(t)
+        snap1 = _meta(t)["current-snapshot-id"]
+        t.compact()
+        export_iceberg_metadata(t)
+        ch = read_iceberg_changes(
+            spark, str(t.root), snap1, include_deletes=True
+        ).collect()
+        # full churn (documented), but the ordinal fold is lossless:
+        # per key, the LAST event by (snapshot, ordinal) is an insert
+        last = {}
+        for r in sorted(
+            ch, key=lambda r: (r._snapshot_id, r._change_ordinal)
+        ):
+            last[r.k] = r._change_type
+        assert last == {k: "insert" for k in range(5)}
+
+    def test_working_column_collision_refused(self, spark, lake):
+        t = TxnTable(lake, "cdcr3", stats_cols=["k"])
+        t.append(
+            spark.range(0, 3)
+            .selectExpr("id as k", "id as _dataseq")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        _add_eq_delete_snapshot(spark, t, [(1,)], ["k"], ["k"])
+        with pytest.raises(ValueError, match="_dataseq"):
+            read_iceberg(spark, str(t.root))
