@@ -158,8 +158,9 @@ HEADLINE = [
 # tradeoff, not a query-engine property (the exact blocked variant is
 # the scale benchmark; the gaussian variant additionally pays the
 # oracle-exact JVM projection fold, whose production form is one BLAS
-# matmul per Arrow batch); cluster_kmeans / ann_ivf_topk_trained are
-# iterative-training scenarios (KMeans fit dominates, not the query).
+# matmul per Arrow batch); cluster_kmeans / ann_ivf_topk_trained /
+# ann_ivfpq_topk are iterative-training scenarios (KMeans/PQ fit
+# dominates, not the query).
 
 
 def main() -> None:

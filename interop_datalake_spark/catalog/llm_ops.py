@@ -598,6 +598,65 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF×PQ index (llm/ann_index.py:IvfPqIndex — the
+    standard billion-scale ANN layout, FAISS IVFPQ): coarse-quantizer
+    cells store 8-byte PQ codes only; the lifecycle builds on the
+    first 400 vectors, absorbs the rest in one O(batch) ACID append
+    against the STORED model, then ADC-scores each query's 2 probed
+    cells' codes — scan bandwidth shrinks twice (cells × code width),
+    and the cell-sorted segments file-prune like BM25's term
+    segments. Rows-only by design (seeded KMeans + numpy PQ Lloyd);
+    determinism, O(batch) appends, file pruning, and measured recall
+    with the n_probe lever are pinned in tests/test_ivfpq.py. Score
+    emitted as exact micro-units (BIGINT), the ann_pq_topk rule."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.llm.ann_index import IvfPqIndex
+    from interop_datalake_spark.session import DatalakeSession
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ann_ivfpq_")
+    try:
+        idx = IvfPqIndex(
+            DatalakeSession(lake_root=root, spark=spark), "ivfpq"
+        )
+        idx.build(
+            emb.filter(F.col("vec_id") < 400), "embedding", "vec_id",
+            n_cells=8, m=8, n_codes=16,
+        )
+        idx.append(
+            emb.filter(F.col("vec_id") >= 400), "embedding", "vec_id"
+        )
+        out = idx.query(
+            emb.filter(F.col("vec_id") < 10).select(
+                "vec_id", "embedding"
+            ),
+            "embedding",
+            "vec_id",
+            k=5,
+            n_probe=2,
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    import math
+
+    return spark.createDataFrame(
+        [
+            (
+                r.query_id,
+                r.neighbor_id,
+                r.rn,
+                math.floor(r.score_pq * 1e6 + 0.5),  # = F.floor grid
+            )
+            for r in out
+        ],
+        "query_id BIGINT, neighbor_id BIGINT, rn INT, "
+        "score_pq_micro BIGINT",
+    ).orderBy("query_id", "rn")
+
+
 def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage PQ retrieval (llm/pq.py::pq_rerank_topk): ADC
     shortlist over the 8-byte code table, exact float cosine rerank
@@ -2207,6 +2266,7 @@ QUERIES = {
     "ann_ivf_topk_trained": ann_ivf_topk_trained,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_blocked": dedup_embedding_blocked,
     "dedup_embedding_lsh": dedup_embedding_lsh,

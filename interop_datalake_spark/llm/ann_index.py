@@ -23,6 +23,16 @@ Determinism: the quantizer is the RNG-free Lloyd trajectory
 (llm/clustering.py:kmeans_fit), so build → append → append → query is
 a pure function of the inputs and the DuckDB oracle replays the WHOLE
 index lifecycle, not just one query.
+
+:class:`IvfPqIndex` (round 10) composes the two retrieval
+compressions into the standard billion-scale layout (FAISS IVFPQ;
+Jégou et al. 2011): the coarse quantizer routes each vector to one
+cell, the cell stores only the vector's m-byte PQ code, and a query
+ADC-scores the codes of its ``n_probe`` nearest cells only — scan
+bandwidth shrinks twice (n_probe/n_cells of the rows × 64× smaller
+rows). Codes are range-partitioned by cell at every write, so the
+per-file cell stats prune the probe's file set exactly like BM25's
+term-sorted postings segments (``last_query_scan_files``).
 """
 
 from __future__ import annotations
@@ -104,4 +114,184 @@ class IvfIndex:
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("query_id", "neighbor_id", "rn", "cos")
+        )
+
+
+class IvfPqIndex:
+    """Persisted IVF×PQ index — three lake tables:
+
+    - ``{name}_centroids`` (cell, _cent_vec): the coarse quantizer
+      (trained seeded KMeans, similarity.py:train_ivf_centroids);
+    - ``{name}_books`` (s, code, cent): the PQ codebooks (driver-side
+      bounded Lloyd, pq.py:train_pq_codebooks) — model state a fresh
+      process re-attaches to;
+    - ``{name}_codes`` (id, cell, codes): per vector ONE cell id and
+      m code bytes — the only per-document data a query reads.
+
+    Vectors are PQ-encoded RAW (not FAISS's residual encoding —
+    simpler algebra, same asymptotics; the recall cost on this
+    corpus is measured and pinned in tests/test_ivfpq.py, not
+    assumed). Appends assign + encode against the STORED model —
+    O(batch), indexed codes never rescanned. Queries must be BOUNDED
+    frames (the ADC LUT broadcast contract of pq.py:pq_adc_topk)."""
+
+    def __init__(self, session, name: str):
+        self.centroids = TxnTable(session, f"{name}_centroids")
+        self.books = TxnTable(session, f"{name}_books")
+        self.codes = TxnTable(
+            session, f"{name}_codes", stats_cols=["cell"]
+        )
+        self.shards = 4
+        #: code files the last query's probed cells resolved — the
+        #: BM25 last_query_scan_files pattern
+        self.last_query_scan_files: list[str] | None = None
+
+    def build(
+        self,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        n_cells: int = 8,
+        m: int = 8,
+        n_codes: int = 16,
+        seed: int = 42,
+    ) -> None:
+        from interop_datalake_spark.llm.pq import (
+            books_frame,
+            train_pq_codebooks,
+        )
+        from interop_datalake_spark.llm.similarity import (
+            train_ivf_centroids,
+        )
+
+        self.centroids.overwrite(
+            train_ivf_centroids(df, vec_col, n_cells, seed)
+        )
+        books = train_pq_codebooks(
+            df, vec_col, id_col, m=m, n_codes=n_codes
+        )
+        self.books.overwrite(books_frame(df.sparkSession, books))
+        self._index_batch(df, vec_col, id_col, overwrite=True)
+
+    def append(self, df: DataFrame, vec_col: str, id_col: str) -> int:
+        """O(batch): assign + encode against the STORED model, one
+        ACID commit; pre-append code segments stay untouched."""
+        return self._index_batch(df, vec_col, id_col)
+
+    def _stored_books(self) -> list[list[list[float]]]:
+        # m×n_codes rows — the codebook is model state, not data
+        # (bounded collect, same posture as train_ivf_centroids)
+        rows = self.books.read().collect()
+        m = 1 + max(r.s for r in rows)
+        k = 1 + max(r.code for r in rows)
+        out: list = [[None] * k for _ in range(m)]
+        for r in rows:
+            out[r.s][r.code] = [float(v) for v in r.cent]
+        return out
+
+    def _index_batch(
+        self, df: DataFrame, vec_col: str, id_col: str,
+        overwrite: bool = False,
+    ) -> int:
+        from interop_datalake_spark.llm.pq import pq_encode
+        from interop_datalake_spark.llm.similarity import (
+            ivf_assign_cells,
+        )
+
+        cents = self.centroids.read()
+        assigned = ivf_assign_cells(
+            df, vec_col, id_col, cents, n_probe=1
+        )
+        codes = pq_encode(df, vec_col, id_col, self._stored_books())
+        rows = (
+            assigned.join(codes, id_col)
+            .select(F.col(id_col).alias("id"), "cell", "codes")
+            # cell-disjoint segments: per-file cell stats make the
+            # probe-time file resolution prune (the BM25 term-segment
+            # layout, pinned in tests/test_ivfpq.py)
+            .repartitionByRange(self.shards, "cell")
+            .sortWithinPartitions("cell")
+        )
+        write = self.codes.overwrite if overwrite else self.codes.append
+        return write(rows)
+
+    def query(
+        self,
+        queries: DataFrame,
+        vec_col: str,
+        id_col: str,
+        k: int = 3,
+        n_probe: int = 2,
+    ) -> DataFrame:
+        """(query_id, neighbor_id, rn, score_pq): ADC top-k restricted
+        to each query's ``n_probe`` nearest cells. The probe list
+        resolves the code files to open (cell-range stats), candidates
+        come from an equi-join on cell, and the per-(query, s, code)
+        LUT weights broadcast — no float corpus vector is ever read."""
+        from interop_datalake_spark.lake.ivm import resolve_key_files
+        from interop_datalake_spark.llm.pq import (
+            _dot,
+            _subvectors,
+            books_frame,
+        )
+        from interop_datalake_spark.llm.similarity import (
+            ivf_assign_cells,
+        )
+
+        books = self._stored_books()
+        m, d = len(books), len(books[0][0])
+        cents = self.centroids.read()
+        probes = ivf_assign_cells(
+            queries, vec_col, id_col, cents, n_probe=n_probe
+        ).select(F.col(id_col).alias("query_id"), "cell")
+        # probed cells are bounded by the centroid count — driver list
+        cells = sorted(r.cell for r in probes.select("cell").distinct().collect())
+        mf = self.codes.manifest(self.codes.current_version())
+        files = resolve_key_files(self.codes, None, "cell", cells)
+        self.last_query_scan_files = files
+        spark = queries.sparkSession
+        if not files:
+            return spark.createDataFrame(
+                [], "query_id BIGINT, neighbor_id BIGINT, rn INT, "
+                    "score_pq DOUBLE"
+            )
+        bframe = books_frame(spark, books)
+        qsub = _subvectors(queries, vec_col, id_col, m, d).select(
+            F.col(id_col).alias("query_id"), "s", "sub"
+        )
+        lut = qsub.join(F.broadcast(bframe), "s").select(
+            "query_id", "s", "code", _dot("sub", "cent").alias("w")
+        )
+        cand = (
+            self.codes._load_files(files, mf)
+            .filter(F.col("cell").isin(cells))
+            .join(probes, "cell")
+            .filter(F.col("query_id") != F.col("id"))
+            .select(
+                "query_id",
+                F.col("id").alias("neighbor_id"),
+                F.posexplode("codes").alias("s", "code"),
+            )
+            .withColumn("s", F.col("s").cast("int"))
+        )
+        scored = (
+            cand.join(F.broadcast(lut), ["query_id", "s", "code"])
+            .groupBy("query_id", "neighbor_id")
+            # subspace-ordered fold: bit-deterministic scores on any
+            # executor count (the pq_adc_topk convention)
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("s", "w"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["w"],
+                ).alias("score_pq")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_pq"), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "rn", "score_pq")
         )
