@@ -600,6 +600,114 @@ LIMIT 100
 """
 
 
+def q20_semi_chain_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analog (potential part promotion — adapted: the testdata
+    has no partsupp, so availqty's role is played by a per-(supplier,
+    part) shipped-quantity threshold): suppliers in a nation window
+    that shipped >50 total units of some promo-class part — a
+    NESTED-SEMI CHAIN (supplier ← semi ← grouped lineitem ← semi ←
+    filtered part) where each inner level reduces before joining:
+    part filters to a key set, lineitem groups to (supp, part) sums
+    BEFORE the HAVING, and supplier semi-joins the surviving supplier
+    keys — no level materializes wider than its keys."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    promo_parts = part.filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    heavy = (
+        li.join(promo_parts, li.l_partkey == promo_parts.p_partkey,
+                "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") < "K")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name < 'K'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (
+      SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+    )
+    GROUP BY l_suppkey, l_partkey
+    HAVING round(sum(l_quantity), 2) > 50
+  )
+ORDER BY s_suppkey
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 analog (global sales opportunity): per nation-derived
+    country code, the count and balance mass of ABOVE-AVERAGE-balance
+    customers with NO orders — scalar-average subquery (decorrelated
+    to one global aggregate) + NOT EXISTS (left-anti on the order
+    keys, distinct-reduced before the join).
+
+    Determinism: ``c_acctbal > avg(c_acctbal)`` in doubles is the
+    float-knife-edge class (a float avg is partial-order dependent);
+    balances are 2-dp exact, so membership compares exact integers —
+    bal_centi · n > Σbal_centi (the q17 rule)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal_centi = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    stats = pos.agg(
+        F.sum(bal_centi).alias("sum_centi"),
+        F.count("*").alias("n_pos"),
+    )
+    has_order = orders.select("o_custkey").distinct()
+    return (
+        cust.withColumn("bal_centi", bal_centi)
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("bal_centi") * F.col("n_pos") > F.col("sum_centi")
+        )
+        .join(
+            has_order, cust.c_custkey == has_order.o_custkey,
+            "left_anti",
+        )
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum(money("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_ORACLE = """
+WITH stats AS (
+  SELECT sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS sum_centi,
+         count(*)::BIGINT AS n_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal::DECIMAL(12,2)), 2)::DOUBLE AS totacctbal
+FROM customer, stats
+WHERE round(c_acctbal * 100)::BIGINT * n_pos > sum_centi
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+  )
+GROUP BY c_nationkey % 5
+ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "basket_pair_lift": basket_pair_lift,
@@ -612,6 +720,8 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+    "q20_semi_chain_suppliers": q20_semi_chain_suppliers,
+    "q22_dormant_customers": q22_dormant_customers,
 }
 
 ORACLES = {
@@ -626,4 +736,6 @@ ORACLES = {
     "q13_customer_distribution": Q13_ORACLE,
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q21_suppliers_kept_waiting": Q21_ORACLE,
+    "q20_semi_chain_suppliers": Q20_ORACLE,
+    "q22_dormant_customers": Q22_ORACLE,
 }
