@@ -708,6 +708,117 @@ ORDER BY cntrycode
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 (forecasting revenue change) — the canonical
+    pushdown-everything query: three range predicates and one
+    aggregate, no join. All three predicates must reach the parquet
+    scan (plan-asserted in tests/test_plans.py); revenue is the exact
+    decimal fold. Discount literals compare doubles against the same
+    stored doubles in both engines — bit-identical parses, no knife
+    edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(
+                money("l_extendedprice")
+                * F.col("l_discount").cast("decimal(3,2)")
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum(l_extendedprice::DECIMAL(12,2)
+                 * l_discount::DECIMAL(3,2)), 2)::DOUBLE AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog (national market share): one supplier nation's share
+    of revenue among orders from customers of one region, per ship
+    year — the deepest broadcast-dim chain in the set (lineitem ⋈
+    orders ⋈ customer ⋈ nation ⋈ REGION on the customer side, ⋈
+    supplier ⋈ nation on the supply side). Share is a ratio of two
+    decimal-sums (the q14 pattern — deterministic doubles, no outer
+    round)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cr_key"),
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = region.filter(F.col("r_name") == "AMERICA").select(
+        F.col("r_regionkey").alias("cr_key")
+    )
+    vol = money("l_extendedprice") * one_minus("l_discount")
+    target = F.when(F.col("supp_nation") == "BRAZIL", vol)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), "cr_key")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            money_sum(target).alias("brazil_volume"),
+            money_sum(vol).alias("total_volume"),
+            (money_sum(target) / money_sum(vol)).alias("mkt_share"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT year(l_shipdate) AS ship_year,
+       round(sum(CASE WHEN ns.n_name = 'BRAZIL'
+                      THEN l_extendedprice::DECIMAL(12,2)
+                           * (1 - l_discount::DECIMAL(3,2)) END), 2)::DOUBLE
+         AS brazil_volume,
+       round(sum(l_extendedprice::DECIMAL(12,2)
+                 * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE
+         AS total_volume,
+       round(sum(CASE WHEN ns.n_name = 'BRAZIL'
+                      THEN l_extendedprice::DECIMAL(12,2)
+                           * (1 - l_discount::DECIMAL(3,2)) END), 2)::DOUBLE
+         / round(sum(l_extendedprice::DECIMAL(12,2)
+                     * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE
+         AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'AMERICA'
+GROUP BY year(l_shipdate)
+ORDER BY ship_year
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "basket_pair_lift": basket_pair_lift,
@@ -722,6 +833,8 @@ QUERIES = {
     "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "q20_semi_chain_suppliers": q20_semi_chain_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
 }
 
 ORACLES = {
@@ -738,4 +851,6 @@ ORACLES = {
     "q21_suppliers_kept_waiting": Q21_ORACLE,
     "q20_semi_chain_suppliers": Q20_ORACLE,
     "q22_dormant_customers": Q22_ORACLE,
+    "q6_forecast_revenue": Q6_ORACLE,
+    "q8_market_share": Q8_ORACLE,
 }

@@ -155,3 +155,17 @@ def test_q21_multi_exists_is_not_cartesian(spark, sf_dir):
     assert not has_cartesian_product(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_dir):
+    """q6 is the canonical pushdown query: all three range predicates
+    must reach the parquet reader and the scan must not read the
+    un-projected money columns' siblings it doesn't need."""
+    from interop_datalake_spark.catalog.tpch_extra import (
+        q6_forecast_revenue,
+    )
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    assert has_pushed_filters(df)
+    cols = pruned_read_schema(df)
+    assert "l_orderkey" not in cols and "l_returnflag" not in cols
