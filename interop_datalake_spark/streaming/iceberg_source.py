@@ -1,0 +1,304 @@
+"""``readStream`` source over an Iceberg table's append history — the
+``spark.readStream.format("iceberg")`` analog for FOREIGN Iceberg
+Hadoop tables, built on Spark 4's Python DataSource API (the
+streaming/txn_source.py sibling for the public table format).
+
+Offsets are Iceberg SEQUENCE NUMBERS (monotone per the v2 spec —
+snapshot ids are random and cannot order a stream): each micro-batch
+covers the snapshots in ``(start.seq, end.seq]`` and its input
+partitions are the data files those snapshots ADDED — one
+:class:`InputPartition` per file, read on executors with pyarrow.
+Identity partition values inject per the spec's Column Projection
+rule, and every row carries ``_snapshot_id``. Replays are
+deterministic: a snapshot's manifest set is immutable.
+
+The planner process of a Python DataSource has NO py4j gateway, so
+manifests decode through the pure-Python Avro reader
+(lake/avro_read.py), not the bundled Java library the batch reader
+uses — same files, independently decoded (tests pin the two readers
+equal on exporter output).
+
+Refusals mirror :func:`read_iceberg_changes`'s append scan: a
+non-append snapshot, or one that adds delete files, raises at
+planning time (a streaming row feed cannot express a retraction —
+consumers needing deletes use the batch CDC mode,
+``read_iceberg_changes(include_deletes=True)``). Nested-typed
+columns refuse at schema time (the row-yield path is primitive-only).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import date, timedelta
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+FORMAT_NAME = "iceberg_appends"
+
+_ICEBERG_TO_DDL = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+    "binary": "binary",
+}
+
+
+def _load_meta(root: Path) -> dict:
+    meta_dir = root / "metadata"
+    hint = meta_dir / "version-hint.text"
+    if hint.exists():
+        n = int(hint.read_text().strip())
+        return json.loads(
+            (meta_dir / f"v{n}.metadata.json").read_text()
+        )
+    cands = sorted(
+        meta_dir.glob("v*.metadata.json"),
+        key=lambda p: int(p.stem.split(".")[0][1:]),
+    )
+    if not cands:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    return json.loads(cands[-1].read_text())
+
+
+def _uri_path(uri: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    if "://" not in uri and not uri.startswith("file:"):
+        return uri
+    p = urlparse(uri)
+    return unquote(p.path)
+
+
+def _schema_fields(meta: dict) -> list[dict]:
+    schema = next(
+        s
+        for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    return schema["fields"]
+
+
+class _IcebergSlice(InputPartition):
+    def __init__(self, path, snapshot_id, part_values, part_types):
+        self.path = path
+        self.snapshot_id = snapshot_id
+        self.part_values = part_values  # {col: python value}
+        self.part_types = part_types  # {col: spark ddl}
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, field_names: list[str], start_seq: int):
+        self.root = Path(root)
+        self.field_names = field_names
+        self.start_seq = start_seq
+
+    def initialOffset(self) -> dict:
+        return {"seq": self.start_seq}
+
+    def latestOffset(self) -> dict:
+        meta = _load_meta(self.root)
+        return {"seq": int(meta.get("last-sequence-number") or 0)}
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are immutable; Spark's checkpoint is progress
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from interop_datalake_spark.lake.avro_read import read_avro_file
+
+        meta = _load_meta(self.root)
+        fields = _schema_fields(meta)
+        ids_to_type = {f["id"]: f["type"] for f in fields}
+        specs = {
+            s["spec-id"]: s["fields"] for s in meta["partition-specs"]
+        }
+        window = sorted(
+            (
+                s
+                for s in meta.get("snapshots") or []
+                if start["seq"] < s["sequence-number"] <= end["seq"]
+            ),
+            key=lambda s: s["sequence-number"],
+        )
+        slices: list[InputPartition] = []
+        for snap in window:
+            op = (snap.get("summary") or {}).get("operation")
+            if op != "append":
+                raise ValueError(
+                    f"snapshot {snap['snapshot-id']} is a {op!r} "
+                    f"operation — a streaming append feed cannot "
+                    f"express its delta as added rows; use the batch "
+                    f"CDC mode (read_iceberg_changes("
+                    f"include_deletes=True)) instead"
+                )
+            ml, _ = read_avro_file(
+                _uri_path(str(snap["manifest-list"]))
+            )
+            for mf in ml:
+                entries, _m = read_avro_file(
+                    _uri_path(str(mf["manifest_path"]))
+                )
+                if (mf.get("content") or 0) == 1:
+                    # delete manifest: new delete files break the
+                    # append contract; carried ones (seq < this
+                    # snapshot's) cannot affect this snapshot's adds
+                    for e in entries:
+                        sq = e.get("sequence_number")
+                        eff = (
+                            int(sq)
+                            if sq is not None
+                            else int(mf.get("sequence_number") or 0)
+                        )
+                        if (
+                            e.get("status") != 2
+                            and eff >= snap["sequence-number"]
+                        ):
+                            raise ValueError(
+                                f"snapshot {snap['snapshot-id']} adds "
+                                f"delete files — use the batch CDC "
+                                f"mode for retractions"
+                            )
+                    continue
+                spec_fields = specs.get(mf.get("partition_spec_id"), [])
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    sid = e.get("snapshot_id")
+                    if sid is None:
+                        sid = mf.get("added_snapshot_id")
+                    if sid is None or int(sid) != snap["snapshot-id"]:
+                        continue  # carried from an earlier snapshot
+                    dfr = e["data_file"]
+                    pvals, ptypes = {}, {}
+                    part = dfr.get("partition") or {}
+                    for pf in spec_fields:
+                        if pf.get("transform") != "identity":
+                            continue
+                        t = ids_to_type.get(pf["source-id"])
+                        v = part.get(pf["name"])
+                        if v is not None and t == "date":
+                            v = date(1970, 1, 1) + timedelta(
+                                days=int(v)
+                            )
+                        pvals[pf["name"]] = v
+                        ptypes[pf["name"]] = _ICEBERG_TO_DDL.get(
+                            t, "string"
+                        )
+                    slices.append(
+                        _IcebergSlice(
+                            _uri_path(str(dfr["file_path"])),
+                            snap["snapshot-id"],
+                            pvals,
+                            ptypes,
+                        )
+                    )
+        return slices
+
+    def read(self, partition: _IcebergSlice):
+        import pyarrow.parquet as pq
+
+        data_cols = [
+            n
+            for n in self.field_names
+            if n not in partition.part_values and n != "_snapshot_id"
+        ]
+        # columns added after this file was written are absent from
+        # its footer — read what exists, fill the rest with NULL (the
+        # same schema-on-read rule the batch readers apply). Identity
+        # partition columns always come from the manifest, even when a
+        # foreign writer also materialized them in the file (the
+        # spec's Column Projection rule).
+        avail = set(pq.read_schema(partition.path).names)
+        present = [n for n in data_cols if n in avail]
+        table = pq.read_table(partition.path, columns=present)
+        col_lists = {n: table.column(n).to_pylist() for n in present}
+        for i in range(table.num_rows):
+            # assemble in FIELD order — partition columns can sit
+            # anywhere in the Iceberg schema, not just at the end
+            yield tuple(
+                partition.snapshot_id
+                if name == "_snapshot_id"
+                else partition.part_values.get(name)
+                if name in partition.part_values
+                else (col_lists[name][i] if name in col_lists else None)
+                for name in self.field_names
+            )
+
+
+class IcebergAppendsDataSource(DataSource):
+    """``spark.readStream.format("iceberg_appends").option("path",
+    <table root>)`` — register with :func:`register_iceberg_source`.
+    Schema = the current Iceberg schema's columns (identity-partition
+    columns included — they inject from manifests) +
+    ``_snapshot_id bigint``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "iceberg_appends source requires "
+                ".option('path', <table root>)"
+            )
+        meta = _load_meta(Path(path))
+        parts = []
+        for f in _schema_fields(meta):
+            t = f["type"]
+            if isinstance(t, dict):
+                raise ValueError(
+                    f"column {f['name']!r} is nested ({t['type']}) — "
+                    f"the streaming source's row feed is "
+                    f"primitive-only; read nested tables with "
+                    f"read_iceberg"
+                )
+            ddl = (
+                t
+                if t.startswith("decimal(")
+                else _ICEBERG_TO_DDL.get(t)
+            )
+            if ddl is None:
+                raise ValueError(
+                    f"Iceberg type {t!r} is not mapped by this source"
+                )
+            parts.append(f"`{f['name']}` {ddl}")
+        parts.append("`_snapshot_id` bigint")
+        return ", ".join(parts)
+
+    def streamReader(self, schema) -> IcebergStreamReader:
+        return IcebergStreamReader(
+            str(self.options["path"]),
+            [f.name for f in schema.fields],
+            int(self.options.get("starting_after_sequence", 0)),
+        )
+
+
+def register_iceberg_source(spark) -> None:
+    """Idempotently register the ``iceberg_appends`` streaming
+    format."""
+    spark.dataSource.register(IcebergAppendsDataSource)
+
+
+def read_iceberg_stream(spark, path: str, starting_after_sequence: int = 0):
+    """Convenience: a streaming DataFrame tailing the append history
+    of the Iceberg table at ``path``, starting after the given
+    sequence number (0 = from the beginning)."""
+    register_iceberg_source(spark)
+    return (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("starting_after_sequence", starting_after_sequence)
+        .load()
+    )

@@ -1,0 +1,263 @@
+"""Streaming Iceberg source (streaming/iceberg_source.py) + the
+pure-Python Avro reader it plans with (lake/avro_read.py): tail an
+exported table's append history with readStream, resume from a
+checkpoint, inject identity partition values, refuse non-append
+snapshots — and pin the gateway-free Avro decoder byte-equal to the
+bundled Java library on the exporter's own manifests."""
+
+import json
+import shutil
+import struct
+import tempfile
+import zlib
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.avro_read import read_avro_file
+from interop_datalake_spark.lake.iceberg_interop import (
+    export_iceberg_metadata,
+    _jvm,
+    _read_avro,
+    _uri_to_path,
+)
+from interop_datalake_spark.lake.txn import TxnTable
+from interop_datalake_spark.session import DatalakeSession
+from interop_datalake_spark.streaming.iceberg_source import (
+    read_iceberg_stream,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+@pytest.fixture()
+def lake(spark):
+    root = tempfile.mkdtemp(prefix="icestream_")
+    yield DatalakeSession(lake_root=root, spark=spark)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _drain(spark, path, ckpt, sink_rows, starting_after_sequence=0):
+    q = (
+        read_iceberg_stream(spark, path, starting_after_sequence)
+        .writeStream.foreachBatch(
+            lambda bdf, eid: sink_rows.extend(bdf.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+class TestAvroReader:
+    def test_pure_python_decode_matches_java_library(self, spark, lake):
+        t = TxnTable(lake, "av1", stats_cols=["k"], partition_cols=["tenant"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "A", "x"), (2, "B", "y")],
+                "k INT, tenant STRING, v STRING",
+            )
+        )
+        export_iceberg_metadata(t)
+        meta = json.loads(
+            (t.root / "metadata" / "v1.metadata.json").read_text()
+        )
+        ml = Path(_uri_to_path(meta["snapshots"][-1]["manifest-list"]))
+        jrecs, _ = _read_avro(_jvm(spark), ml)
+        precs, pmeta = read_avro_file(ml)
+        assert len(precs) == len(jrecs) == 1
+        assert str(jrecs[0].get("manifest_path")) == precs[0][
+            "manifest_path"
+        ]
+        mp = Path(_uri_to_path(precs[0]["manifest_path"]))
+        jm, _ = _read_avro(_jvm(spark), mp)
+        pm, _ = read_avro_file(mp)
+        assert len(pm) == len(jm) == 2
+        for jr, pr in zip(jm, pm):
+            jd, pd = jr.get("data_file"), pr["data_file"]
+            assert str(jd.get("file_path")) == pd["file_path"]
+            assert int(jd.get("record_count")) == pd["record_count"]
+            assert {
+                k: (None if v is None else str(v))
+                for k, v in pd["partition"].items()
+            } == {"tenant": str(jd.get("partition").get("tenant"))}
+
+    def test_deflate_codec_and_blocked_arrays(self, tmp_path):
+        """Hand-encode a container file per the public spec (zigzag
+        varints, deflate blocks, negative-count array blocks) and
+        decode it — spec-level coverage independent of any writer."""
+
+        def zz(n: int) -> bytes:
+            u = (n << 1) ^ (n >> 63)
+            out = bytearray()
+            while True:
+                b = u & 0x7F
+                u >>= 7
+                if u:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        def s(x: str) -> bytes:
+            b = x.encode()
+            return zz(len(b)) + b
+
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "x", "type": "long"},
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+                {"name": "opt", "type": ["null", "double"]},
+            ],
+        }
+        rec = (
+            zz(7)
+            # array in TWO blocks, the second size-prefixed (negative
+            # count → byte size follows)
+            + zz(1) + s("a")
+            + zz(-1) + zz(len(s("b"))) + s("b")
+            + zz(0)
+            + zz(1) + struct.pack("<d", 2.5)
+        )
+        block = rec + rec
+        payload = zlib.compress(block, 6)[2:-4]  # raw deflate
+        sync = b"S" * 16
+        meta = (
+            zz(2)
+            + s("avro.schema") + (lambda b: zz(len(b)) + b)(
+                json.dumps(schema).encode()
+            )
+            + s("avro.codec") + (lambda b: zz(len(b)) + b)(b"deflate")
+            + zz(0)
+        )
+        path = tmp_path / "hand.avro"
+        path.write_bytes(
+            b"Obj\x01" + meta + sync
+            + zz(2) + zz(len(payload)) + payload + sync
+        )
+        recs, m = read_avro_file(path)
+        assert recs == [
+            {"x": 7, "tags": ["a", "b"], "opt": 2.5},
+            {"x": 7, "tags": ["a", "b"], "opt": 2.5},
+        ]
+
+    def test_unsupported_codec_refused(self, tmp_path):
+        def zz(n):
+            u = (n << 1) ^ (n >> 63)
+            out = bytearray()
+            while True:
+                b = u & 0x7F
+                u >>= 7
+                if u:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        def kv(k, v):
+            kb, vb = k.encode(), v
+            return zz(len(kb)) + kb + zz(len(vb)) + vb
+
+        meta = (
+            zz(2)
+            + kv("avro.schema", b'"long"')
+            + kv("avro.codec", b"snappy")
+            + zz(0)
+        )
+        p = tmp_path / "bad.avro"
+        p.write_bytes(b"Obj\x01" + meta + b"S" * 16)
+        with pytest.raises(ValueError, match="snappy"):
+            read_avro_file(p)
+
+
+class TestIcebergStream:
+    def test_tails_snapshots_and_resumes(self, spark, lake, tmp_path):
+        t = TxnTable(lake, "is1", stats_cols=["k"], partition_cols=["tenant"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "A", "x"), (2, "B", "y")],
+                "k INT, tenant STRING, v STRING",
+            )
+        )
+        export_iceberg_metadata(t)
+        t.append(
+            spark.createDataFrame(
+                [(3, "A", "z")], "k INT, tenant STRING, v STRING"
+            )
+        )
+        export_iceberg_metadata(t)
+        got: list = []
+        ckpt = str(tmp_path / "ck1")
+        _drain(spark, str(t.root), ckpt, got)
+        # identity partition values inject mid-schema, snapshot tags on
+        assert {(r.k, r.tenant, r.v) for r in got} == {
+            (1, "A", "x"), (2, "B", "y"), (3, "A", "z"),
+        }
+        snap_of = {r.k: r._snapshot_id for r in got}
+        assert snap_of[1] == snap_of[2] != snap_of[3]
+
+        # new export, SAME checkpoint → only the delta arrives
+        t.append(
+            spark.createDataFrame(
+                [(4, "B", "w")], "k INT, tenant STRING, v STRING"
+            )
+        )
+        export_iceberg_metadata(t)
+        got2: list = []
+        _drain(spark, str(t.root), ckpt, got2)
+        assert {(r.k, r.tenant) for r in got2} == {(4, "B")}
+
+    def test_starting_after_sequence_skips_history(
+        self, spark, lake, tmp_path
+    ):
+        t = TxnTable(lake, "is2", stats_cols=["k"])
+        t.append(spark.range(0, 3).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.append(spark.range(3, 5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        got: list = []
+        _drain(
+            spark, str(t.root), str(tmp_path / "ck2"), got,
+            starting_after_sequence=1,
+        )
+        assert sorted(r.k for r in got) == [3, 4]
+
+    def test_non_append_snapshot_refused(self, spark, lake, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        t = TxnTable(lake, "is3", stats_cols=["k"])
+        t.append(spark.range(0, 5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") == 2, merge_on_read=True)
+        export_iceberg_metadata(t)  # overwrite snapshot (MOR delete)
+        with pytest.raises(
+            (StreamingQueryException, Exception), match="CDC|append"
+        ):
+            q = (
+                read_iceberg_stream(spark, str(t.root))
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation", str(tmp_path / "ck3")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+    def test_nested_schema_refused_at_plan_time(self, spark, lake):
+        t = TxnTable(lake, "is4", stats_cols=["k"])
+        t.append(
+            spark.range(2)
+            .selectExpr("id as k", "named_struct('a', id) as s")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        with pytest.raises(Exception, match="nested|primitive"):
+            read_iceberg_stream(spark, str(t.root)).writeStream
