@@ -337,8 +337,12 @@ WITNESS_PRIORITY = [
     "corpus_shuffle_deterministic", "corpus_curriculum_order",
     # record linkage
     "entity_resolution",
-    # streaming
-    "stream_join_outer", "stream_tumbling_window",
+    # streaming (round 10: the foreign-format Iceberg readStream
+    # pipeline debuts in-window, displacing r9-green
+    # stream_tumbling_window — stream_join_outer stays as the
+    # streaming-class sibling and the tumbling agg remains
+    # oracle-backed past the cut)
+    "stream_join_outer", "stream_iceberg_appends",
     # multimodal
     "multimodal_phash_dedup",
     # event analytics + association mining + graph

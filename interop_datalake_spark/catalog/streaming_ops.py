@@ -245,6 +245,78 @@ GROUP BY 1, 2 ORDER BY p.user_id, pid
 """
 
 
+
+
+def stream_iceberg_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-FORMAT streaming, driven end-to-end: a TxnTable ingests
+    a bounded orders slice in two batches, each published as an
+    Iceberg v2 snapshot (lake/iceberg_interop.py), and a true
+    readStream over the PUBLISHED table (streaming/iceberg_source.py
+    — offsets are v2 sequence numbers; the planner decodes manifests
+    with the pure-Python Avro reader, no py4j in the DataSource
+    worker) drains with availableNow. Every row must arrive exactly
+    once, tagged with the snapshot that added it; snapshot ids are
+    TxnTable versions (deterministic), so one SQL statement replays
+    the entire write -> export -> stream pipeline — the
+    dedup_stream_pipeline cross-check pattern for the Iceberg
+    surface."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        export_iceberg_metadata,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.streaming.iceberg_source import (
+        read_iceberg_stream,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)  # SF-independent bound
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    root = tempfile.mkdtemp(prefix="ice_stream_q_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "ord", stats_cols=["o_orderkey"])
+        t.append(orders.filter(F.col("o_orderkey") % 4 == 0).coalesce(2))
+        export_iceberg_metadata(t)
+        t.append(orders.filter(F.col("o_orderkey") % 4 != 0).coalesce(2))
+        export_iceberg_metadata(t)
+        got: list = []
+        q = (
+            read_iceberg_stream(spark, str(t.root))
+            .writeStream.foreachBatch(
+                lambda bdf, eid: got.extend(bdf.collect())
+            )
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [
+            (r.o_orderkey, r.o_custkey, r.o_orderstatus, r._snapshot_id)
+            for r in got
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "snapshot_id BIGINT",
+    ).orderBy("o_orderkey")
+
+
+STREAM_ICEBERG_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 2 END AS snapshot_id
+FROM orders
+WHERE o_orderkey <= 3000
+ORDER BY o_orderkey
+"""
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_window_quantiles": stream_window_quantiles,
@@ -253,6 +325,7 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_enrich_join": stream_enrich_join,
     "stream_join_outer": stream_join_outer,
+    "stream_iceberg_appends": stream_iceberg_appends,
 }
 
 ORACLES = {
@@ -263,4 +336,5 @@ ORACLES = {
     "stream_dedup": STREAM_DEDUP_ORACLE,
     "stream_enrich_join": STREAM_ENRICH_ORACLE,
     "stream_join_outer": STREAM_JOIN_OUTER_ORACLE,
+    "stream_iceberg_appends": STREAM_ICEBERG_ORACLE,
 }
