@@ -1627,18 +1627,24 @@ class TxnTable:
         tmp.write_text(json.dumps(state))
         os.replace(tmp, path)
 
-    def append(self, df: DataFrame, _props: dict | None = None) -> int:
+    def append(self, df: DataFrame, _props=None) -> int:
         """ACID append; returns the new version. Schema evolution:
         new columns merge into the table schema (metadata-only — no
         existing file is rewritten; old files read the column as NULL),
         type changes raise :class:`SchemaEvolutionError` BEFORE any
-        data is written. ``_props`` rides the commit record verbatim
-        (see :meth:`_commit`); cumulative props assume a single writer
-        per prop — a rebase re-CASes the same record, it does not
-        recompute caller state."""
+        data is written. ``_props`` (a dict, or a zero-arg callable
+        evaluated AFTER the data write and before the commit — the
+        Observation idiom: metrics observed on ``df`` become available
+        once the write action ran, letting callers record aggregates
+        of the written batch with zero extra jobs) rides the commit
+        record verbatim (see :meth:`_commit`); cumulative props assume
+        a single writer per prop — a rebase re-CASes the same record,
+        it does not recompute caller state."""
         base = self.current_version()
         self._merge_schema(self._state(base), df)  # validate before writing
         files, rows, stats, parts, ptypes = self._write_data(df)
+        if callable(_props):
+            _props = _props()
         return self._commit_retry(
             base,
             op="append",
@@ -2760,7 +2766,7 @@ class TxnTable:
         self,
         batch_df: DataFrame,
         epoch_id: int,
-        _props: dict | None = None,
+        _props=None,
     ) -> int | None:
         """Idempotent epoch append — the exactly-once foreachBatch
         contract: Structured Streaming re-delivers the last epoch after
@@ -2778,6 +2784,8 @@ class TxnTable:
             return None
         self._merge_schema(prev, batch_df)  # validate before writing
         files, rows, stats, parts, ptypes = self._write_data(batch_df)
+        if callable(_props):
+            _props = _props()  # post-write: Observation metrics ready
         return self._commit_retry(
             base,
             op="append",

@@ -194,54 +194,70 @@ class BM25Index:
         ).sortWithinPartitions("term")
         p = tf_sorted.select("term", F.col(id_col), "tf")
         # three consumers (envelope agg, gate semi-join, commit write)
-        # each re-derive the batch tokenization otherwise — cache the
-        # batch-sized doclens frame for the ingest's duration
-        d = dl.select(F.col(id_col), "dl").persist()
-        try:
-            lo, hi, batch_sum = d.agg(
-                F.min(id_col), F.max(id_col), F.sum("dl")
-            ).first()
-            # the gate runs for every write that can actually land:
-            # bare ingests always, epoch ingests only when the epoch is
-            # new (a partial-crash replay passes — the batch's ids
-            # reached postings but never doclens, which commits second)
-            self._refuse_reindexed_ids(d, id_col, lo, hi)
-            props = {
-                "bm25_sum_dl": self._cumulative_sum_dl()
-                + int(batch_sum or 0)
-            }
-            if _epoch is not None:
-                # exactly-once: a crash-replayed batch no-ops the
-                # commit(s) that already landed and applies the missing
-                # one (props recompute from the CURRENT doclens tip, so
-                # a replayed doclens commit records the right sum)
-                self.postings.append_epoch(p, _epoch)
-                self.doclens.append_epoch(d, _epoch, _props=props)
-            else:
-                # bare ingest: bracket the two commits with an intent
-                # marker so a crash between them is DETECTED, not silent
-                import json as _json
-                import os as _os
-                import uuid as _uuid
+        # re-derive the batch tokenization; a persist() of d was
+        # MEASURED SLOWER (sf0.1 lifecycle 5.2s vs 2.8s): caching d's
+        # output can't spare the expensive shared subtree for the
+        # postings write anyway (only d's own cheap tail), while the
+        # memory-store round trip and lost codegen fusion cost more
+        # than the recompute — the round-4 "don't assume caching wins"
+        # lesson again
+        # Σdl rides as an OBSERVATION on the doclens write itself —
+        # the metric materializes with the write action, so the commit
+        # property costs zero extra jobs (TxnTable evaluates callable
+        # _props after _write_data, before the commit record)
+        from pyspark.sql import Observation
 
-                ip = self._intent_path()
-                ip.parent.mkdir(parents=True, exist_ok=True)
-                tmp = ip.with_suffix(f".tmp-{_uuid.uuid4().hex}")
-                tmp.write_text(
-                    _json.dumps(
-                        {
-                            "postings_version": (
-                                self.postings.current_version()
-                            )
-                        }
-                    )
+        obs = Observation()
+        d = dl.select(F.col(id_col), "dl").observe(
+            obs, F.sum("dl").alias("s")
+        )
+        # the gate's envelope comes from the RAW batch's id column —
+        # a column-pruned scan, no tokenization pass (the previous
+        # d.agg() envelope re-ran the tokenize pipeline per ingest:
+        # measured ~0.45 s/lifecycle at sf0.1 for zero information
+        # the id column didn't already hold)
+        lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+        # the gate runs for every write that can actually land:
+        # bare ingests always, epoch ingests only when the epoch is
+        # new (a partial-crash replay passes — the batch's ids
+        # reached postings but never doclens, which commits second)
+        self._refuse_reindexed_ids(d, id_col, lo, hi)
+        base_sum = self._cumulative_sum_dl()
+
+        def props():
+            return {
+                "bm25_sum_dl": base_sum + int(obs.get["s"] or 0)
+            }
+        if _epoch is not None:
+            # exactly-once: a crash-replayed batch no-ops the
+            # commit(s) that already landed and applies the missing
+            # one (props recompute from the CURRENT doclens tip, so
+            # a replayed doclens commit records the right sum)
+            self.postings.append_epoch(p, _epoch)
+            self.doclens.append_epoch(d, _epoch, _props=props)  # callable
+        else:
+            # bare ingest: bracket the two commits with an intent
+            # marker so a crash between them is DETECTED, not silent
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            ip = self._intent_path()
+            ip.parent.mkdir(parents=True, exist_ok=True)
+            tmp = ip.with_suffix(f".tmp-{_uuid.uuid4().hex}")
+            tmp.write_text(
+                _json.dumps(
+                    {
+                        "postings_version": (
+                            self.postings.current_version()
+                        )
+                    }
                 )
-                _os.replace(tmp, ip)
-                self.postings.append(p)
-                self.doclens.append(d, _props=props)
-                ip.unlink(missing_ok=True)
-        finally:
-            d.unpersist()
+            )
+            _os.replace(tmp, ip)
+            self.postings.append(p)
+            self.doclens.append(d, _props=props)
+            ip.unlink(missing_ok=True)
 
     def _cumulative_sum_dl(self) -> int:
         """Σdl over every indexed document, read from the doclens
