@@ -295,7 +295,13 @@ def stream_iceberg_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "iceberg append stream did not drain in 300s — "
+                "refusing to return a silently partial result "
+                "(round-10 review)"
+            )
         rows = [
             (r.o_orderkey, r.o_custkey, r.o_orderstatus, r._snapshot_id)
             for r in got

@@ -251,9 +251,14 @@ class IvfPqIndex:
         self.last_query_scan_files = files
         spark = queries.sparkSession
         if not files:
+            # type the empty frame from the CALLER's id column — a
+            # hardcoded BIGINT diverges from the non-empty path for
+            # string-id corpora (round-10 review)
+            id_t = dict(queries.dtypes)[id_col]
             return spark.createDataFrame(
-                [], "query_id BIGINT, neighbor_id BIGINT, rn INT, "
-                    "score_pq DOUBLE"
+                [],
+                f"query_id {id_t}, neighbor_id {id_t}, rn INT, "
+                f"score_pq DOUBLE",
             )
         bframe = books_frame(spark, books)
         qsub = _subvectors(queries, vec_col, id_col, m, d).select(

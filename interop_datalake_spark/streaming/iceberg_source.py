@@ -28,7 +28,6 @@ columns refuse at schema time (the row-yield path is primitive-only).
 
 from __future__ import annotations
 
-import json
 from datetime import date, timedelta
 from pathlib import Path
 
@@ -40,44 +39,26 @@ from pyspark.sql.datasource import (
 
 FORMAT_NAME = "iceberg_appends"
 
-_ICEBERG_TO_DDL = {
-    "int": "int",
-    "long": "bigint",
-    "float": "float",
-    "double": "double",
-    "string": "string",
-    "boolean": "boolean",
-    "date": "date",
-    "timestamptz": "timestamp",
-    "timestamp": "timestamp_ntz",
-    "binary": "binary",
-}
+
+def _interop():
+    """The batch reader's shared helpers (round-10 review: a second
+    copy of the type map / metadata loader / URI decoder would
+    re-create exactly the divergence the round-9 review deduplicated
+    — e.g. _uri_to_path refuses non-file schemes LOUDLY, which a
+    silent strip-any-scheme copy would not). Imported lazily: the
+    Python DataSource planner worker imports this module before any
+    JVM exists, and iceberg_interop's module import is JVM-free."""
+    from interop_datalake_spark.lake import iceberg_interop as ii
+
+    return ii
 
 
 def _load_meta(root: Path) -> dict:
-    meta_dir = root / "metadata"
-    hint = meta_dir / "version-hint.text"
-    if hint.exists():
-        n = int(hint.read_text().strip())
-        return json.loads(
-            (meta_dir / f"v{n}.metadata.json").read_text()
-        )
-    cands = sorted(
-        meta_dir.glob("v*.metadata.json"),
-        key=lambda p: int(p.stem.split(".")[0][1:]),
-    )
-    if not cands:
-        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
-    return json.loads(cands[-1].read_text())
+    return _interop()._load_metadata(str(root))
 
 
 def _uri_path(uri: str) -> str:
-    from urllib.parse import unquote, urlparse
-
-    if "://" not in uri and not uri.startswith("file:"):
-        return uri
-    p = urlparse(uri)
-    return unquote(p.path)
+    return _interop()._uri_to_path(uri)
 
 
 def _schema_fields(meta: dict) -> list[dict]:
@@ -90,11 +71,10 @@ def _schema_fields(meta: dict) -> list[dict]:
 
 
 class _IcebergSlice(InputPartition):
-    def __init__(self, path, snapshot_id, part_values, part_types):
+    def __init__(self, path, snapshot_id, part_values):
         self.path = path
         self.snapshot_id = snapshot_id
         self.part_values = part_values  # {col: python value}
-        self.part_types = part_types  # {col: spark ddl}
 
 
 class IcebergStreamReader(DataSourceStreamReader):
@@ -179,7 +159,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                     if sid is None or int(sid) != snap["snapshot-id"]:
                         continue  # carried from an earlier snapshot
                     dfr = e["data_file"]
-                    pvals, ptypes = {}, {}
+                    pvals = {}
                     part = dfr.get("partition") or {}
                     for pf in spec_fields:
                         if pf.get("transform") != "identity":
@@ -191,15 +171,11 @@ class IcebergStreamReader(DataSourceStreamReader):
                                 days=int(v)
                             )
                         pvals[pf["name"]] = v
-                        ptypes[pf["name"]] = _ICEBERG_TO_DDL.get(
-                            t, "string"
-                        )
                     slices.append(
                         _IcebergSlice(
                             _uri_path(str(dfr["file_path"])),
                             snap["snapshot-id"],
                             pvals,
-                            ptypes,
                         )
                     )
         return slices
@@ -264,16 +240,9 @@ class IcebergAppendsDataSource(DataSource):
                     f"primitive-only; read nested tables with "
                     f"read_iceberg"
                 )
-            ddl = (
-                t
-                if t.startswith("decimal(")
-                else _ICEBERG_TO_DDL.get(t)
+            parts.append(
+                f"`{f['name']}` {_interop()._spark_type_of(t)}"
             )
-            if ddl is None:
-                raise ValueError(
-                    f"Iceberg type {t!r} is not mapped by this source"
-                )
-            parts.append(f"`{f['name']}` {ddl}")
         parts.append("`_snapshot_id` bigint")
         return ", ".join(parts)
 

@@ -48,7 +48,7 @@ def _drain(spark, path, ckpt, sink_rows, starting_after_sequence=0):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     return q
 
 

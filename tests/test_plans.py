@@ -169,3 +169,25 @@ def test_q6_predicates_reach_the_scan(spark, sf_dir):
     assert has_pushed_filters(df)
     cols = pruned_read_schema(df)
     assert "l_orderkey" not in cols and "l_returnflag" not in cols
+
+
+def test_tpch_analogs_are_not_vacuous(spark, sf_dir):
+    """Round-10 review: a predicate literal that matches nothing in
+    the SYNTHETIC testdata makes a query and its oracle vacuously
+    equal (empty/NULL) — the parity gate proves nothing. Pin that the
+    selective TPC-H analogs actually produce data."""
+    from interop_datalake_spark.catalog.tpch_extra import (
+        q8_market_share,
+        q20_semi_chain_suppliers,
+        q21_suppliers_kept_waiting,
+        q22_dormant_customers,
+    )
+
+    assert q20_semi_chain_suppliers(spark, sf_dir).count() > 0
+    q8 = q8_market_share(spark, sf_dir).collect()
+    assert q8 and any(r.target_volume is not None for r in q8)
+    assert any(
+        r.mkt_share is not None and r.mkt_share > 0 for r in q8
+    )
+    assert q21_suppliers_kept_waiting(spark, sf_dir).count() > 0
+    assert q22_dormant_customers(spark, sf_dir).count() > 0
