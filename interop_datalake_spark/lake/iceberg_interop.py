@@ -1582,6 +1582,19 @@ def _split_delete_files(delete_entries):
 
 
 def _entry_partition_values(jvm, dfr, spec_fields, ids_to_type) -> dict:
+    """Identity partition values of one manifest entry, as typed
+    Python values ready for injection (``jvm`` is unused — kept for
+    signature stability; the record works as a py4j GenericRecord OR
+    a plain dict from the pure-Python Avro reader). The ONE projection
+    site the batch reader, CDC mode, and streaming source share.
+
+    Typed per the Iceberg spec's partition storage: date ordinals →
+    date, timestamptz/timestamp micros → datetime (round-10 review:
+    injecting raw micros through a cast-to-timestamp treats them as
+    SECONDS — silently wrong values for foreign timestamp-identity
+    partitions), int/long/string/boolean pass through; anything else
+    (decimal/uuid/fixed) refuses loudly rather than injecting a value
+    that cannot round-trip faithfully."""
     part = dfr.get("partition")
     vals = {}
     for pf in spec_fields:
@@ -1598,8 +1611,21 @@ def _entry_partition_values(jvm, dfr, spec_fields, ids_to_type) -> dict:
             from datetime import timedelta
 
             v = _EPOCH_DATE + timedelta(days=int(v))
+        elif v is not None and t in ("timestamptz", "timestamp"):
+            v = datetime.fromtimestamp(
+                int(v) / 1_000_000, tz=timezone.utc
+            )
+            if t == "timestamp":
+                v = v.replace(tzinfo=None)
         elif v is not None and t == "string":
             v = str(v)
+        elif v is not None and not isinstance(
+            t, dict
+        ) and t not in ("int", "long", "boolean", "float", "double"):
+            raise ValueError(
+                f"identity partition {pf['name']!r} over Iceberg type "
+                f"{t!r} cannot be injected faithfully by this reader"
+            )
         vals[pf["name"]] = v
     return vals
 

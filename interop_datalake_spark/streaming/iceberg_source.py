@@ -28,7 +28,6 @@ columns refuse at schema time (the row-yield path is primitive-only).
 
 from __future__ import annotations
 
-from datetime import date, timedelta
 from pathlib import Path
 
 from pyspark.sql.datasource import (
@@ -102,10 +101,29 @@ class IcebergStreamReader(DataSourceStreamReader):
         specs = {
             s["spec-id"]: s["fields"] for s in meta["partition-specs"]
         }
+        snaps = meta.get("snapshots") or []
+        # expiry guard (round-10 review): a maintenance job's
+        # expireSnapshots removes snapshots from metadata — silently
+        # skipping their sequence numbers would permanently lose their
+        # rows on resume. Refuse when the window starts before the
+        # oldest RETAINED snapshot (Iceberg's own incremental read
+        # refuses expired from-snapshots the same way). Sequence
+        # numbers consumed by failed commits never had a snapshot or
+        # data, so in-history gaps are safe to skip.
+        if start["seq"] < end["seq"]:
+            retained = [s["sequence-number"] for s in snaps]
+            if not retained or start["seq"] + 1 < min(retained):
+                raise ValueError(
+                    f"offset window ({start['seq']}, {end['seq']}] "
+                    f"begins before the oldest retained snapshot "
+                    f"(seq {min(retained) if retained else 'none'}) — "
+                    f"history was expired; restart the stream from a "
+                    f"retained sequence number"
+                )
         window = sorted(
             (
                 s
-                for s in meta.get("snapshots") or []
+                for s in snaps
                 if start["seq"] < s["sequence-number"] <= end["seq"]
             ),
             key=lambda s: s["sequence-number"],
@@ -125,52 +143,47 @@ class IcebergStreamReader(DataSourceStreamReader):
                 _uri_path(str(snap["manifest-list"]))
             )
             for mf in ml:
+                mf_seq = int(mf.get("sequence_number") or 0)
+                added_by = mf.get("added_snapshot_id")
+                if (mf.get("content") or 0) == 1:
+                    # a delete manifest ADDED by this snapshot means
+                    # new delete files (manifest-list row metadata —
+                    # no decode needed); carried ones can't affect
+                    # this snapshot's adds under the sequence rule
+                    if mf_seq >= snap["sequence-number"]:
+                        raise ValueError(
+                            f"snapshot {snap['snapshot-id']} adds "
+                            f"delete files — use the batch CDC "
+                            f"mode for retractions"
+                        )
+                    continue
+                # entries added by S can only live in manifests
+                # WRITTEN at S — skipping carried manifests before
+                # decoding keeps each micro-batch O(new manifests),
+                # not O(all manifests since table creation)
+                # (round-10 review)
+                if added_by is None or int(added_by) != snap[
+                    "snapshot-id"
+                ]:
+                    continue
                 entries, _m = read_avro_file(
                     _uri_path(str(mf["manifest_path"]))
                 )
-                if (mf.get("content") or 0) == 1:
-                    # delete manifest: new delete files break the
-                    # append contract; carried ones (seq < this
-                    # snapshot's) cannot affect this snapshot's adds
-                    for e in entries:
-                        sq = e.get("sequence_number")
-                        eff = (
-                            int(sq)
-                            if sq is not None
-                            else int(mf.get("sequence_number") or 0)
-                        )
-                        if (
-                            e.get("status") != 2
-                            and eff >= snap["sequence-number"]
-                        ):
-                            raise ValueError(
-                                f"snapshot {snap['snapshot-id']} adds "
-                                f"delete files — use the batch CDC "
-                                f"mode for retractions"
-                            )
-                    continue
                 spec_fields = specs.get(mf.get("partition_spec_id"), [])
                 for e in entries:
                     if e.get("status") == 2:
                         continue
                     sid = e.get("snapshot_id")
-                    if sid is None:
-                        sid = mf.get("added_snapshot_id")
-                    if sid is None or int(sid) != snap["snapshot-id"]:
-                        continue  # carried from an earlier snapshot
+                    if sid is not None and int(sid) != snap[
+                        "snapshot-id"
+                    ]:
+                        continue  # older entry folded into this manifest
                     dfr = e["data_file"]
-                    pvals = {}
-                    part = dfr.get("partition") or {}
-                    for pf in spec_fields:
-                        if pf.get("transform") != "identity":
-                            continue
-                        t = ids_to_type.get(pf["source-id"])
-                        v = part.get(pf["name"])
-                        if v is not None and t == "date":
-                            v = date(1970, 1, 1) + timedelta(
-                                days=int(v)
-                            )
-                        pvals[pf["name"]] = v
+                    # the ONE shared projection site (typed values;
+                    # refuses unmappable identity types loudly)
+                    pvals = _interop()._entry_partition_values(
+                        None, dfr, spec_fields, ids_to_type
+                    )
                     slices.append(
                         _IcebergSlice(
                             _uri_path(str(dfr["file_path"])),
@@ -230,6 +243,14 @@ class IcebergAppendsDataSource(DataSource):
                 ".option('path', <table root>)"
             )
         meta = _load_meta(Path(path))
+        if int(meta.get("format-version") or 1) != 2:
+            raise ValueError(
+                "this streaming source requires Iceberg format-version "
+                "2: v1 tables have no sequence numbers to use as "
+                "offsets (round-10 review: a v1 table would otherwise "
+                "stream as silently empty forever); read v1 tables "
+                "with the batch reader"
+            )
         parts = []
         for f in _schema_fields(meta):
             t = f["type"]

@@ -238,7 +238,8 @@ class TestIcebergStream:
         t.delete_where(F.col("k") == 2, merge_on_read=True)
         export_iceberg_metadata(t)  # overwrite snapshot (MOR delete)
         with pytest.raises(
-            (StreamingQueryException, Exception), match="CDC|append"
+            StreamingQueryException,
+            match="adds delete files|cannot express",
         ):
             q = (
                 read_iceberg_stream(spark, str(t.root))
