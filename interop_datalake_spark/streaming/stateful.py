@@ -77,3 +77,80 @@ def user_stats_batch_twin(events: DataFrame) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
         F.max("value").alias("max_value"),
     )
+
+
+DEDUP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("first_seen_batch", LongType()),
+    ]
+)
+
+
+def _make_dedup_fn(ttl_ms: int | None):
+    def _dedup_keys(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (doc_id,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL eviction: the key was idle past the timeout — drop
+            # its state; a LATER duplicate re-emits (the documented
+            # TTL tradeoff every bounded-state streaming dedup makes)
+            state.remove()
+            return
+        batch = None
+        for pdf in pdfs:
+            if len(pdf) and batch is None:
+                batch = int(pdf["_batch"].iloc[0])
+        if state.exists:
+            # duplicate of an earlier batch (or earlier in this one):
+            # emit nothing, refresh the TTL
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            [(doc_id, batch)], columns=["doc_id", "first_seen_batch"]
+        )
+
+    return _dedup_keys
+
+
+def stateful_dedup_stream(
+    docs: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """STREAMING cross-batch exact dedup: the first arrival of each
+    doc_id is emitted with the micro-batch that saw it; every later
+    duplicate — same batch or any later one (within the TTL, when
+    set) — is dropped. State is one tiny tuple per live key, sharded
+    by the groupBy shuffle (SURVEY §2.B streaming: custom stateful
+    operator; the in-flight sibling of llm/incremental.py's
+    transactional exact path).
+
+    ``ttl_ms`` bounds state to keys seen within the window via
+    ProcessingTimeTimeout eviction — the knob every production
+    streaming dedup exposes (dropDuplicatesWithinWatermark makes the
+    same bounded-state tradeoff). Leave it None for availableNow
+    drains: MEASURED, a pending processing-time timeout keeps an
+    availableNow query scheduling empty micro-batches until the TTL
+    actually fires (hundreds of no-data batches for a 1h TTL), so
+    the timeout mode only suits continuously-triggered queries. The
+    eviction branch itself is unit-pinned against a fake GroupState
+    in tests/test_stateful.py.
+
+    ``docs`` must be a streaming frame with a ``doc_id`` column and a
+    ``_batch`` column (e.g. ``F.lit(batch_id)`` stamped in
+    foreachBatch upstream, or a source epoch)."""
+    return docs.select("doc_id", "_batch").groupBy("doc_id").applyInPandasWithState(
+        _make_dedup_fn(ttl_ms),
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType="seen LONG",
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
