@@ -2382,3 +2382,97 @@ def _changes_with_deletes(
     for fr in frames[1:]:
         out = out.unionByName(fr, allowMissingColumns=True)
     return out
+
+
+def expire_iceberg_snapshots(
+    table: TxnTable, keep_last: int = 1
+) -> list[int]:
+    """Expire all but the newest ``keep_last`` snapshots from a
+    table's EXPORTED Iceberg metadata — the expireSnapshots
+    maintenance op for the interop surface (external engines
+    otherwise accumulate one snapshot per export forever). Publishes
+    a new metadata version whose snapshot list keeps only the tail;
+    manifest lists and manifests referenced ONLY by expired snapshots
+    are deleted (Avro metadata this module wrote — data files belong
+    to the TxnTable and follow ``TxnTable.vacuum``'s contract, same
+    as Iceberg's own expireSnapshots which never deletes files a
+    retained snapshot references). Time travel to an expired snapshot
+    id then refuses (unknown id), and the streaming source's expiry
+    guard refuses resumes from before the retained history instead of
+    silently skipping rows. Returns the expired snapshot ids.
+
+    Runs under the same per-table export lock as
+    :func:`export_iceberg_metadata` (single-writer metadata
+    publication); the new metadata version is written
+    atomically (tmp + rename) before the hint flips, exactly like an
+    export."""
+    meta_dir = table.root / "metadata"
+    lock_path = table.root / ".iceberg_export.lock"
+    import fcntl
+
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        prev, prev_hint = _prev_metadata(meta_dir)
+        if prev is None:
+            raise FileNotFoundError(
+                f"table {table.name}: no Iceberg export to expire"
+            )
+        snaps = sorted(
+            prev.get("snapshots") or [],
+            key=lambda s: s["sequence-number"],
+        )
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return []
+        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        # manifests referenced by RETAINED snapshots must survive —
+        # older manifests are carried forward in newer manifest
+        # lists, so reachability decides, not age
+        jvm = _jvm(table.spark)
+        keep_files: set[str] = set()
+        for s in kept:
+            ml = Path(_uri_to_path(s["manifest-list"]))
+            keep_files.add(str(ml))
+            lists, _ = _read_avro(jvm, ml)
+            for mf in lists:
+                keep_files.add(
+                    str(Path(_uri_to_path(str(mf.get("manifest_path")))))
+                )
+        drop_files: set[str] = set()
+        for s in expired:
+            ml = Path(_uri_to_path(s["manifest-list"]))
+            if str(ml) not in keep_files and ml.exists():
+                drop_files.add(str(ml))
+            if ml.exists():
+                lists, _ = _read_avro(jvm, ml)
+                for mf in lists:
+                    mp = Path(
+                        _uri_to_path(str(mf.get("manifest_path")))
+                    )
+                    if str(mp) not in keep_files and mp.exists():
+                        drop_files.add(str(mp))
+        expired_ids = {s["snapshot-id"] for s in expired}
+        meta = dict(prev)
+        meta["snapshots"] = kept
+        meta["snapshot-log"] = [
+            e
+            for e in prev.get("snapshot-log") or []
+            if e.get("snapshot-id") not in expired_ids
+        ]
+        import uuid as _uuid
+
+        new_hint = prev_hint + 1
+        tmp = meta_dir / f".tmp-{_uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps(meta))
+        import os as _os
+
+        _os.replace(tmp, meta_dir / f"v{new_hint}.metadata.json")
+        hint_tmp = meta_dir / f".tmp-hint-{_uuid.uuid4().hex}"
+        hint_tmp.write_text(str(new_hint))
+        _os.replace(hint_tmp, meta_dir / "version-hint.text")
+        # metadata deletion AFTER the new version is live: a crash
+        # between rename and unlink leaves harmless orphan Avro files
+        for f in drop_files:
+            Path(f).unlink(missing_ok=True)
+        return sorted(expired_ids)
