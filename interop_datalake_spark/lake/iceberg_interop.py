@@ -882,22 +882,50 @@ def export_iceberg_metadata(
     (the snapshot id would duplicate), and a concurrent export (one
     writer at a time — the same advisory flock posture as
     ``export_delta_log``). Returns the ``metadata`` directory path."""
+    import os
+
+    lock_fd = _export_lock(table, "export")
+    try:
+        return _export_locked(table, version)
+    finally:
+        os.close(lock_fd)
+
+
+def _publish_metadata(meta_dir: Path, meta: dict, prev_hint: int) -> int:
+    """Atomic metadata publication (export AND expiry share it —
+    round-10 review: two inline copies had already diverged on JSON
+    formatting): json fully written before it becomes visible, hint
+    flipped LAST — a crash mid-publish leaves the previous metadata
+    version current, never a torn file behind the hint."""
+    import os
+
+    hint_n = prev_hint + 1
+    tmp = meta_dir / f".tmp-{uuid.uuid4().hex}"
+    tmp.write_text(json.dumps(meta, indent=2))
+    os.replace(tmp, meta_dir / f"v{hint_n}.metadata.json")
+    tmp2 = meta_dir / f".tmp-{uuid.uuid4().hex}"
+    tmp2.write_text(str(hint_n))
+    os.replace(tmp2, meta_dir / "version-hint.text")
+    return hint_n
+
+
+def _export_lock(table: TxnTable, what: str):
+    """Advisory per-table export flock, NON-blocking refuse-loudly —
+    the one single-writer posture every metadata publisher shares."""
     import fcntl
     import os
 
     lock_path = table.root / ".iceberg_export.lock"
     lock_fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
     try:
-        try:
-            fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
-            raise ValueError(
-                f"table {table.name}: another Iceberg export holds "
-                f"the lock — one export writer at a time"
-            )
-        return _export_locked(table, version)
-    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
         os.close(lock_fd)
+        raise ValueError(
+            f"table {table.name}: another Iceberg metadata writer "
+            f"holds the lock — one {what} writer at a time"
+        )
+    return lock_fd
 
 
 def _export_locked(table: TxnTable, version: int | None) -> Path:
@@ -961,6 +989,11 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
     prev_snaps = (prev or {}).get("snapshots") or []
     if prev is not None and prev.get("current-snapshot-id") == snap_id:
         return meta_dir  # unchanged snapshot: idempotent no-op
+    expired_ids = json.loads(
+        ((prev or {}).get("properties") or {}).get(
+            "txn.expired-snapshot-ids", "[]"
+        )
+    )
     if any(s["snapshot-id"] == snap_id for s in prev_snaps):
         # re-exporting an OLDER TxnTable version would append a
         # DUPLICATE snapshot-id — _resolve_snapshot and external
@@ -972,6 +1005,16 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
             f"read_iceberg(..., snapshot_id={snap_id}) instead of "
             f"re-exporting (an appending history cannot re-add a "
             f"snapshot id)"
+        )
+    if snap_id in expired_ids:
+        # round-10 review: without this, expiry silently re-opened
+        # the duplicate-id hole — the id would reappear at a HIGHER
+        # sequence number and a resumed stream would re-emit its rows
+        # as fresh adds
+        raise ValueError(
+            f"table {table.name}: TxnTable version {snap_id} was "
+            f"EXPIRED from this Iceberg history — an appending "
+            f"history cannot re-add an expired snapshot id"
         )
     seq = int((prev or {}).get("last-sequence-number") or 0) + 1
 
@@ -1402,6 +1445,11 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
                 if dv_fp is not None
                 else {}
             ),
+            **(
+                {"txn.expired-snapshot-ids": json.dumps(expired_ids)}
+                if expired_ids
+                else {}
+            ),
         },
         "current-snapshot-id": snap_id,
         "snapshots": prev_snaps + [snapshot],
@@ -1423,20 +1471,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
             else []
         ),
     }
-    # atomic publication: json fully written before it becomes
-    # visible, hint flipped LAST — a crash mid-export leaves the
-    # previous metadata version current, never a torn file behind the
-    # hint (round-9 review; same posture as TxnTable commits)
-    import os
-
-    hint_n = prev_hint + 1
-    mpath = meta_dir / f"v{hint_n}.metadata.json"
-    tmp = meta_dir / f".tmp-{uuid.uuid4().hex}"
-    tmp.write_text(json.dumps(meta, indent=2))
-    os.replace(tmp, mpath)
-    tmp2 = meta_dir / f".tmp-{uuid.uuid4().hex}"
-    tmp2.write_text(str(hint_n))
-    os.replace(tmp2, meta_dir / "version-hint.text")
+    _publish_metadata(meta_dir, meta, prev_hint)
     return meta_dir
 
 
@@ -2391,27 +2426,29 @@ def expire_iceberg_snapshots(
     table's EXPORTED Iceberg metadata — the expireSnapshots
     maintenance op for the interop surface (external engines
     otherwise accumulate one snapshot per export forever). Publishes
-    a new metadata version whose snapshot list keeps only the tail;
-    manifest lists and manifests referenced ONLY by expired snapshots
-    are deleted (Avro metadata this module wrote — data files belong
-    to the TxnTable and follow ``TxnTable.vacuum``'s contract, same
-    as Iceberg's own expireSnapshots which never deletes files a
-    retained snapshot references). Time travel to an expired snapshot
-    id then refuses (unknown id), and the streaming source's expiry
-    guard refuses resumes from before the retained history instead of
-    silently skipping rows. Returns the expired snapshot ids.
+    a new metadata version (same atomic path + non-blocking
+    single-writer lock as exports) whose snapshot list keeps only the
+    tail; manifest lists, manifests, AND exporter-written
+    position-delete parquets referenced ONLY by expired snapshots are
+    deleted by reachability from the retained snapshots (data files
+    belong to the TxnTable and follow ``TxnTable.vacuum``'s contract,
+    matching Iceberg's own expireSnapshots). Expired snapshot ids are
+    recorded in ``txn.expired-snapshot-ids`` (carried forward by
+    every later export) so re-exporting an expired TxnTable version
+    refuses instead of re-adding its id at a higher sequence number;
+    time travel to an expired id refuses (unknown id), and the
+    streaming source's expiry guard refuses resumes from before the
+    retained history. A metadata-log entry records the superseded
+    version like every export. Returns the expired snapshot ids.
 
-    Runs under the same per-table export lock as
-    :func:`export_iceberg_metadata` (single-writer metadata
-    publication); the new metadata version is written
-    atomically (tmp + rename) before the hint flips, exactly like an
-    export."""
+    Crash ordering: the new metadata version goes live BEFORE any
+    deletion, so a crash leaves only harmless orphan Avro/parquet
+    files in ``metadata/``."""
+    import os
+
     meta_dir = table.root / "metadata"
-    lock_path = table.root / ".iceberg_export.lock"
-    import fcntl
-
-    with open(lock_path, "w") as lk:
-        fcntl.flock(lk, fcntl.LOCK_EX)
+    lock_fd = _export_lock(table, "expiry")
+    try:
         prev, prev_hint = _prev_metadata(meta_dir)
         if prev is None:
             raise FileNotFoundError(
@@ -2426,53 +2463,75 @@ def expire_iceberg_snapshots(
         if len(snaps) <= keep_last:
             return []
         expired, kept = snaps[:-keep_last], snaps[-keep_last:]
-        # manifests referenced by RETAINED snapshots must survive —
-        # older manifests are carried forward in newer manifest
-        # lists, so reachability decides, not age
         jvm = _jvm(table.spark)
-        keep_files: set[str] = set()
-        for s in kept:
-            ml = Path(_uri_to_path(s["manifest-list"]))
-            keep_files.add(str(ml))
-            lists, _ = _read_avro(jvm, ml)
-            for mf in lists:
-                keep_files.add(
-                    str(Path(_uri_to_path(str(mf.get("manifest_path")))))
-                )
-        drop_files: set[str] = set()
-        for s in expired:
-            ml = Path(_uri_to_path(s["manifest-list"]))
-            if str(ml) not in keep_files and ml.exists():
-                drop_files.add(str(ml))
-            if ml.exists():
+
+        def _reachable(snapshots) -> set[str]:
+            """metadata/-resident files a snapshot set references:
+            its manifest lists, every manifest those lists carry, and
+            the delete parquets delete-manifest entries point at
+            (round-10 review: delete parquets leaked forever)."""
+            out: set[str] = set()
+            mroot = str(meta_dir.resolve())
+            for snp in snapshots:
+                ml = Path(_uri_to_path(snp["manifest-list"]))
+                if not ml.exists():
+                    continue
+                out.add(str(ml))
                 lists, _ = _read_avro(jvm, ml)
                 for mf in lists:
                     mp = Path(
                         _uri_to_path(str(mf.get("manifest_path")))
                     )
-                    if str(mp) not in keep_files and mp.exists():
-                        drop_files.add(str(mp))
-        expired_ids = {s["snapshot-id"] for s in expired}
+                    out.add(str(mp))
+                    if (mf.get("content") or 0) == 1 and mp.exists():
+                        entries, _m = _read_avro(jvm, mp)
+                        for e in entries:
+                            dfr = e.get("data_file")
+                            fp = Path(
+                                _uri_to_path(
+                                    str(dfr.get("file_path"))
+                                )
+                            )
+                            if str(fp.resolve()).startswith(mroot):
+                                out.add(str(fp))
+            return out
+
+        keep_files = _reachable(kept)
+        drop_files = _reachable(expired) - keep_files
+        expired_ids = sorted(s["snapshot-id"] for s in expired)
+        prev_expired = json.loads(
+            (prev.get("properties") or {}).get(
+                "txn.expired-snapshot-ids", "[]"
+            )
+        )
+        now_ms = int(time.time() * 1000)
         meta = dict(prev)
         meta["snapshots"] = kept
         meta["snapshot-log"] = [
             e
             for e in prev.get("snapshot-log") or []
-            if e.get("snapshot-id") not in expired_ids
+            if e.get("snapshot-id") not in set(expired_ids)
         ]
-        import uuid as _uuid
-
-        new_hint = prev_hint + 1
-        tmp = meta_dir / f".tmp-{_uuid.uuid4().hex}.json"
-        tmp.write_text(json.dumps(meta))
-        import os as _os
-
-        _os.replace(tmp, meta_dir / f"v{new_hint}.metadata.json")
-        hint_tmp = meta_dir / f".tmp-hint-{_uuid.uuid4().hex}"
-        hint_tmp.write_text(str(new_hint))
-        _os.replace(hint_tmp, meta_dir / "version-hint.text")
-        # metadata deletion AFTER the new version is live: a crash
-        # between rename and unlink leaves harmless orphan Avro files
+        meta["properties"] = {
+            **(prev.get("properties") or {}),
+            "txn.expired-snapshot-ids": json.dumps(
+                sorted(set(prev_expired) | set(expired_ids))
+            ),
+        }
+        meta["metadata-log"] = (prev.get("metadata-log") or []) + [
+            {
+                "timestamp-ms": now_ms,
+                "metadata-file": (
+                    meta_dir / f"v{prev_hint}.metadata.json"
+                )
+                .resolve()
+                .as_uri(),
+            }
+        ]
+        _publish_metadata(meta_dir, meta, prev_hint)
+        # deletion AFTER the new version is live (see docstring)
         for f in drop_files:
             Path(f).unlink(missing_ok=True)
-        return sorted(expired_ids)
+        return expired_ids
+    finally:
+        os.close(lock_fd)

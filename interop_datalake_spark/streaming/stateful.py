@@ -98,16 +98,22 @@ def _make_dedup_fn(ttl_ms: int | None):
             # TTL tradeoff every bounded-state streaming dedup makes)
             state.remove()
             return
-        batch = None
-        for pdf in pdfs:
-            if len(pdf) and batch is None:
-                batch = int(pdf["_batch"].iloc[0])
         if state.exists:
-            # duplicate of an earlier batch (or earlier in this one):
-            # emit nothing, refresh the TTL
+            # duplicate of an earlier micro-batch: emit nothing and
+            # refresh the TTL WITHOUT deserializing the group's Arrow
+            # chunks (round-10 review: the hot path of a dedup
+            # operator is the duplicate path)
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
             return
+        batch = None
+        for pdf in pdfs:
+            if len(pdf):
+                b = int(pdf["_batch"].min())
+                batch = b if batch is None else min(batch, b)
+        # min over ALL chunks: duplicates stamped with different
+        # _batch values can land in one micro-batch, and chunk order
+        # after the shuffle is not guaranteed (round-10 review)
         state.update((1,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)

@@ -359,3 +359,51 @@ class TestExpireSnapshots:
         assert expire_iceberg_snapshots(t, keep_last=1) == []
         with pytest.raises(ValueError, match="keep_last"):
             expire_iceberg_snapshots(t, keep_last=0)
+
+    def test_expired_version_cannot_reexport(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            expire_iceberg_snapshots,
+        )
+
+        t = TxnTable(lake, "ex4", stats_cols=["k"])
+        t.append(spark.range(0, 3).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.append(spark.range(3, 5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        assert expire_iceberg_snapshots(t, keep_last=1) == [1]
+        # round-10 review: re-exporting the expired version would
+        # re-add its snapshot id at a HIGHER sequence number — a
+        # resumed stream would re-emit its rows as fresh adds
+        with pytest.raises(ValueError, match="EXPIRED"):
+            export_iceberg_metadata(t, version=1)
+        # and the guard survives a later export (property carried)
+        t.append(spark.range(5, 6).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        with pytest.raises(ValueError, match="EXPIRED"):
+            export_iceberg_metadata(t, version=1)
+
+    def test_expire_reclaims_orphaned_delete_parquets(
+        self, spark, lake
+    ):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            expire_iceberg_snapshots,
+            read_iceberg,
+        )
+
+        t = TxnTable(lake, "ex5", stats_cols=["k"])
+        t.append(spark.range(0, 8).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") == 3, merge_on_read=True)
+        export_iceberg_metadata(t)  # writes a position-delete parquet
+        t.compact()  # reconciles the vector into clean files
+        export_iceberg_metadata(t)
+        meta_dir = t.root / "metadata"
+        dels_before = list(meta_dir.glob("*-deletes.parquet"))
+        assert dels_before  # the MOR export materialized one
+        expire_iceberg_snapshots(t, keep_last=1)
+        # only the expired snapshots referenced it — reclaimed
+        assert not list(meta_dir.glob("*-deletes.parquet"))
+        back = read_iceberg(spark, str(t.root))
+        assert sorted(r.k for r in back.collect()) == [
+            0, 1, 2, 4, 5, 6, 7,
+        ]
