@@ -298,8 +298,13 @@ WITNESS_PRIORITY = [
     "q17_small_quantity_revenue", "q21_suppliers_kept_waiting",
     # aggregates
     "agg_rollup", "agg_cube", "agg_grouping_sets",
-    # reference operator surface (r3/r4-era witnesses)
-    "hl7_msh9", "object_url_parse", "lake_path_templates",
+    # reference operator surface (round 10: lake_path_templates
+    # rotates out, r9-green, class keeps hl7_msh9 + object_url_parse
+    # + lake_publish_roundtrip — in its place the stateful-streaming
+    # class's DEBUT oracle-backed witness, stream_stateful_dedup:
+    # applyInPandasWithState through a true readStream vs one SQL
+    # aggregate)
+    "hl7_msh9", "object_url_parse", "stream_stateful_dedup",
     # lake / ACID format (IVM + DV + interop code changed this round)
     "lake_publish_roundtrip", "lake_txn_acid",
     "lake_deletion_vectors", "lake_incremental_view",

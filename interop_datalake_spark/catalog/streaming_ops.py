@@ -323,6 +323,72 @@ WHERE o_orderkey <= 3000
 ORDER BY o_orderkey
 """
 
+
+
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR witnessed end-to-end through a true
+    readStream (streaming/stateful.py:stateful_dedup_stream —
+    applyInPandasWithState): documents map to a duplicate-rich key
+    (doc_id % 300) with a batch stamp (0 below doc_id 450, else 1);
+    the stream emits each key's first arrival with the MINIMUM stamp
+    among the rows the micro-batch delivered, so the result equals
+    one SQL aggregate. The spool is a single parquet file → a single
+    availableNow micro-batch, which keeps the oracle deterministic
+    (micro-batch BOUNDARIES are engine-chosen; the cross-batch state
+    semantics are pinned separately in tests/test_stateful.py with a
+    checkpoint-resumed two-batch run)."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.streaming.stateful import (
+        stateful_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 300).alias("doc_id"),
+        F.when(F.col("doc_id") < 450, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("_batch"),
+    )
+    root = tempfile.mkdtemp(prefix="stateful_dedup_q_")
+    try:
+        docs.coalesce(1).write.mode("overwrite").parquet(
+            root + "/spool"
+        )
+        sdf = spark.readStream.schema(
+            "doc_id BIGINT, _batch BIGINT"
+        ).parquet(root + "/spool")
+        got: list = []
+        q = (
+            stateful_dedup_stream(sdf)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda b, e: got.extend(b.collect()))
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stateful dedup stream did not drain in 300s"
+            )
+        rows = [(r.doc_id, r.first_seen_batch) for r in got]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key_id BIGINT, first_seen_batch BIGINT"
+    ).orderBy("key_id")
+
+
+STREAM_STATEFUL_DEDUP_ORACLE = """
+SELECT doc_id % 300 AS key_id,
+       min(CASE WHEN doc_id < 450 THEN 0 ELSE 1 END) AS first_seen_batch
+FROM documents
+GROUP BY doc_id % 300
+ORDER BY key_id
+"""
+
 QUERIES = {
     "stream_tumbling_window": stream_tumbling_window,
     "stream_window_quantiles": stream_window_quantiles,
@@ -332,6 +398,7 @@ QUERIES = {
     "stream_enrich_join": stream_enrich_join,
     "stream_join_outer": stream_join_outer,
     "stream_iceberg_appends": stream_iceberg_appends,
+    "stream_stateful_dedup": stream_stateful_dedup,
 }
 
 ORACLES = {
@@ -343,4 +410,5 @@ ORACLES = {
     "stream_enrich_join": STREAM_ENRICH_ORACLE,
     "stream_join_outer": STREAM_JOIN_OUTER_ORACLE,
     "stream_iceberg_appends": STREAM_ICEBERG_ORACLE,
+    "stream_stateful_dedup": STREAM_STATEFUL_DEDUP_ORACLE,
 }
