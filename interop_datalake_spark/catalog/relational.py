@@ -147,9 +147,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
+    # [1995, 1996): the synthetic testdata's orderdates start 1995-01-01,
+    # so TPC-H's canonical 1994 window matches NOTHING (vacuous parity).
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -180,8 +182,8 @@ JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01'
-  AND o_orderdate <  TIMESTAMP '1995-01-01'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """

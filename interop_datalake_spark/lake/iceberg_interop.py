@@ -2206,9 +2206,15 @@ def _changes_with_deletes(
     deletes are (a) the parent-live rows of files dropped from the
     live set (merge-on-read applied at the parent, so already-deleted
     rows don't re-emit), (b) the rows named by position-delete files
-    new in the snapshot, and (c) the rows matched by equality-delete
-    files new in the snapshot (semi-join over the affected live
-    files, parent deletes applied first). Driver-side state stays
+    new in the snapshot — restricted to files live at BOTH the parent
+    and the snapshot: a row of a file added by the snapshot itself
+    that its own position deletes kill (the Flink within-checkpoint
+    upsert) was never visible anywhere and emits NEITHER event (it
+    also folds out of the insert frame) — and (c) the rows matched by
+    equality-delete files new in the snapshot (semi-join over the
+    affected live files, parent deletes applied first, same-snapshot
+    position-delete hits excluded so a row never emits delete twice).
+    Driver-side state stays
     manifest-scale: the only collect is the distinct referenced-file
     list of new position deletes (bounded by table file count)."""
     jvm = _jvm(spark)
@@ -2317,11 +2323,40 @@ def _changes_with_deletes(
         p_pos, p_eq = (
             _split_delete_files(p_del) if p_del else ([], [])
         )
+        pos_frame = _pos_rows(new_pos) if new_pos else None
 
-        # inserts: files new in the live set
+        def _new_pos_hits(m, paths):
+            """(file, pos) pairs of the snapshot's OWN new position
+            deletes applicable to ``paths`` (the v2 rule: position
+            deletes apply at delete_seq >= data_seq, so they reach
+            files added in the SAME snapshot)."""
+            dmap = _dmap_for(m, paths)
+            return (
+                pos_frame.join(F.broadcast(dmap), "_ib_file")
+                .filter(F.col("_dseq") >= F.col("_dataseq"))
+                .select("_ib_file", "_ib_pos")
+            )
+
+        # inserts: files new in the live set. The snapshot's own new
+        # position deletes apply to them (the Flink within-checkpoint
+        # upsert shape: one commit both adds a data file and
+        # position-deletes some of its rows) — those rows were never
+        # visible at ANY snapshot, so they must emit neither an insert
+        # nor a delete event. Equality deletes are exempt by the
+        # spec's STRICT sequence rule (dseq > fseq never holds for a
+        # same-snapshot add).
         added = [p for p in s_map if p not in p_map]
-        ins = _grouped_read(spark, spark_fields, _items(s_map, added))
+        ins = _grouped_read(
+            spark, spark_fields, _items(s_map, added),
+            lineage=bool(new_pos),
+        )
         if ins is not None:
+            if new_pos:
+                ins = ins.join(
+                    _new_pos_hits(s_map, added),
+                    ["_ib_file", "_ib_pos"],
+                    "left_anti",
+                ).drop("_ib_file", "_ib_pos")
             _emit(ins, "insert")
 
         # deletes (a): files dropped from the parent's live set
@@ -2343,28 +2378,30 @@ def _changes_with_deletes(
         # (review: the TxnTable sibling guarantees a row is never
         # emitted as deleted twice, and this mode must too)
         if new_pos:
-            pos_frame = _pos_rows(new_pos)  # built once, two consumers
             refd = [
                 r[0]
                 for r in pos_frame.select("_ib_file")
                 .distinct()
                 .collect()  # bounded by table file count
             ]
-            both = {**p_map, **s_map}
-            refd = [p for p in refd if p in both]
+            # ONLY files live at the parent AND still live here: rows
+            # of files added by THIS snapshot were never visible at
+            # the parent (they fold out of the insert frame above,
+            # and a row never visible at the parent must emit neither
+            # event), and rows of files REMOVED here already emitted
+            # via (a) — including them again would double-emit.
+            refd = [p for p in refd if p in p_map and p in s_map]
             if refd:
                 fr = _grouped_read(
-                    spark, spark_fields, _items(both, refd),
+                    spark, spark_fields, _items(p_map, refd),
                     lineage=True,
                 )
-                fr = _apply_parent_mor(fr, both, refd)
-                dmap = _dmap_for(both, refd)
-                hit = (
-                    pos_frame.join(F.broadcast(dmap), "_ib_file")
-                    .filter(F.col("_dseq") >= F.col("_dataseq"))
-                    .select("_ib_file", "_ib_pos")
+                fr = _apply_parent_mor(fr, p_map, refd)
+                fr = fr.join(
+                    _new_pos_hits(p_map, refd),
+                    ["_ib_file", "_ib_pos"],
+                    "left_semi",
                 )
-                fr = fr.join(hit, ["_ib_file", "_ib_pos"], "left_semi")
                 _emit(fr.drop("_ib_file", "_ib_pos"), "delete")
 
         # deletes (c): new equality deletes match rows of live files —
@@ -2392,6 +2429,15 @@ def _changes_with_deletes(
             )
             if fr is not None:
                 fr = _apply_parent_mor(fr, s_map, live)
+                if new_pos:
+                    # a row killed by BOTH a new position delete and a
+                    # new equality delete in the same snapshot already
+                    # emitted via (b) — never emit a delete twice
+                    fr = fr.join(
+                        _new_pos_hits(s_map, live),
+                        ["_ib_file", "_ib_pos"],
+                        "left_anti",
+                    )
                 fr = _apply_equality_deletes(
                     spark,
                     fr,
@@ -2506,6 +2552,10 @@ def expire_iceberg_snapshots(
         )
         now_ms = int(time.time() * 1000)
         meta = dict(prev)
+        # round-11 advice: the expiry-published metadata is a NEW
+        # version — carrying the previous last-updated-ms unchanged
+        # makes it claim it predates its own metadata-log tail
+        meta["last-updated-ms"] = now_ms
         meta["snapshots"] = kept
         meta["snapshot-log"] = [
             e

@@ -23,11 +23,17 @@ non-append snapshot, or one that adds delete files, raises at
 planning time (a streaming row feed cannot express a retraction —
 consumers needing deletes use the batch CDC mode,
 ``read_iceberg_changes(include_deletes=True)``). Nested-typed
-columns refuse at schema time (the row-yield path is primitive-only).
+columns refuse at schema time (identity-partition injection and the
+manifest type map are primitive-only).
+
+Executor reads are VECTORIZED (round-11): ``read()`` yields
+``pyarrow.RecordBatch`` per parquet row-group slice via
+streaming/arrow_yield.py — no per-row Python tuple assembly.
 """
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 from pyspark.sql.datasource import (
@@ -77,9 +83,10 @@ class _IcebergSlice(InputPartition):
 
 
 class IcebergStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, field_names: list[str], start_seq: int):
+    def __init__(self, root: str, schema, start_seq: int):
         self.root = Path(root)
-        self.field_names = field_names
+        self.schema_struct = schema  # declared StructType (picklable)
+        self.field_names = [f.name for f in schema.fields]
         self.start_seq = start_seq
 
     def initialOffset(self) -> dict:
@@ -113,13 +120,36 @@ class IcebergStreamReader(DataSourceStreamReader):
         if start["seq"] < end["seq"]:
             retained = [s["sequence-number"] for s in snaps]
             if not retained or start["seq"] + 1 < min(retained):
-                raise ValueError(
-                    f"offset window ({start['seq']}, {end['seq']}] "
-                    f"begins before the oldest retained snapshot "
-                    f"(seq {min(retained) if retained else 'none'}) — "
-                    f"history was expired; restart the stream from a "
-                    f"retained sequence number"
+                # round-11 advice: a FRESH stream (nothing consumed
+                # yet — start IS the configured initial offset) over a
+                # table whose oldest retained snapshot has seq >
+                # start+1 may simply have head sequence numbers burned
+                # by failed commits, which never had a snapshot or
+                # data — permanently refusing it misses nothing. But
+                # when the metadata PROVES snapshots were expired (the
+                # repo's own expireSnapshots records their ids in
+                # txn.expired-snapshot-ids), a stream from before them
+                # WOULD silently lose their increments — still refuse.
+                # Resumed streams (start advanced past the initial
+                # offset) always refuse: their checkpoint proves the
+                # missing range once existed and was consumable.
+                expired_evidence = json.loads(
+                    (meta.get("properties") or {}).get(
+                        "txn.expired-snapshot-ids", "[]"
+                    )
                 )
+                if (
+                    start["seq"] != self.start_seq
+                    or expired_evidence
+                ):
+                    raise ValueError(
+                        f"offset window ({start['seq']}, "
+                        f"{end['seq']}] begins before the oldest "
+                        f"retained snapshot (seq "
+                        f"{min(retained) if retained else 'none'}) — "
+                        f"history was expired; restart the stream "
+                        f"from a retained sequence number"
+                    )
         window = sorted(
             (
                 s
@@ -194,6 +224,31 @@ class IcebergStreamReader(DataSourceStreamReader):
         return slices
 
     def read(self, partition: _IcebergSlice):
+        # vectorized Arrow path (round-11, closes the round-10 weak
+        # flag): RecordBatches shaped like the declared schema.
+        # Columns added after this file was written are absent from
+        # its footer — NULL-filled (the schema-on-read rule the batch
+        # readers apply). Identity partition columns always come from
+        # the manifest, even when a foreign writer also materialized
+        # them in the file (the spec's Column Projection rule).
+        from interop_datalake_spark.streaming.arrow_yield import (
+            arrow_batches,
+        )
+
+        yield from arrow_batches(
+            partition.path,
+            self.schema_struct,
+            {
+                **partition.part_values,
+                "_snapshot_id": partition.snapshot_id,
+            },
+        )
+
+    def _read_rows(self, partition: _IcebergSlice):
+        """The pre-round-11 per-row tuple path, kept ONLY as the
+        equality witness for the vectorized path
+        (tests/test_stream_vectorized.py); production ``read()``
+        never calls it."""
         import pyarrow.parquet as pq
 
         data_cols = [
@@ -201,12 +256,6 @@ class IcebergStreamReader(DataSourceStreamReader):
             for n in self.field_names
             if n not in partition.part_values and n != "_snapshot_id"
         ]
-        # columns added after this file was written are absent from
-        # its footer — read what exists, fill the rest with NULL (the
-        # same schema-on-read rule the batch readers apply). Identity
-        # partition columns always come from the manifest, even when a
-        # foreign writer also materialized them in the file (the
-        # spec's Column Projection rule).
         avail = set(pq.read_schema(partition.path).names)
         present = [n for n in data_cols if n in avail]
         table = pq.read_table(partition.path, columns=present)
@@ -270,7 +319,7 @@ class IcebergAppendsDataSource(DataSource):
     def streamReader(self, schema) -> IcebergStreamReader:
         return IcebergStreamReader(
             str(self.options["path"]),
-            [f.name for f in schema.fields],
+            schema,
             int(self.options.get("starting_after_sequence", 0)),
         )
 

@@ -1124,6 +1124,187 @@ def _add_eq_delete_snapshot(
     return snap_id
 
 
+def _add_upsert_snapshot(
+    spark, t, rows, columns, del_positions, parent_del=None
+):
+    """Hand-craft a FOREIGN Flink-style upsert-checkpoint snapshot on
+    an exported UNPARTITIONED Iceberg table: ONE commit that both ADDS
+    a data parquet (``rows`` over ``columns``) and position-deletes
+    ``del_positions`` of that SAME file — the within-checkpoint upsert
+    shape real Flink writers produce. ``parent_del`` optionally adds
+    (existing_data_file_uri, pos) pairs to the same delete file so the
+    test can mix same-snapshot and parent-live targets. Returns the
+    new snapshot id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import uuid as _uuid
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        _MANIFEST_FILE_SCHEMA,
+        _AvroFileWriter,
+        _jvm,
+        _manifest_entry_schema,
+        _read_avro,
+        _uri_to_path,
+    )
+
+    meta_dir = t.root / "metadata"
+    n = int((meta_dir / "version-hint.text").read_text())
+    meta = json.loads((meta_dir / f"v{n}.metadata.json").read_text())
+    schema = next(
+        s
+        for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    jvm = _jvm(spark)
+    seq = int(meta["last-sequence-number"]) + 1
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1000
+    specs = list(meta["partition-specs"])
+    del_spec_id = next(
+        s["spec-id"] for s in specs if not s["fields"]
+    )
+
+    # 1. the new data parquet
+    dp = meta_dir / f"upsert-{_uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table({c: list(v) for c, v in zip(columns, zip(*rows))}),
+        dp,
+    )
+
+    # 2. the position-delete parquet: same-snapshot pairs + optional
+    # parent-live pairs, exactly as one Flink checkpoint writes them
+    pairs = [(dp.resolve().as_uri(), int(p)) for p in del_positions]
+    pairs += [(u, int(p)) for u, p in (parent_del or [])]
+    delp = meta_dir / f"posdel-{_uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(
+                    [u for u, _ in pairs], pa.string()
+                ),
+                "pos": pa.array([p for _, p in pairs], pa.int64()),
+            }
+        ),
+        delp,
+    )
+
+    def _manifest(parquet, content, count):
+        mf = meta_dir / f"{_uuid.uuid4().hex}-m0.avro"
+        w = _AvroFileWriter(
+            jvm,
+            _manifest_entry_schema([]),
+            mf,
+            {
+                "schema": json.dumps(schema),
+                "schema-id": schema["schema-id"],
+                "partition-spec": "[]",
+                "partition-spec-id": del_spec_id,
+                "format-version": "2",
+                "content": "data" if content == 0 else "deletes",
+            },
+        )
+        w.append_json(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": content,
+                    "file_path": parquet.resolve().as_uri(),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": count,
+                    "file_size_in_bytes": parquet.stat().st_size,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": None,
+                },
+            }
+        )
+        w.close()
+        return mf
+
+    dm = _manifest(dp, 0, len(rows))
+    xm = _manifest(delp, 1, len(pairs))
+
+    # 3. manifest list: carry previous manifests + both new ones
+    prev_snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    carried, _m = _read_avro(
+        jvm, Path(_uri_to_path(prev_snap["manifest-list"]))
+    )
+    names_int = [
+        "manifest_length", "partition_spec_id", "content",
+        "sequence_number", "min_sequence_number", "added_snapshot_id",
+        "added_files_count", "existing_files_count",
+        "deleted_files_count", "added_rows_count",
+        "existing_rows_count", "deleted_rows_count",
+    ]
+    ml = meta_dir / f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    lw = _AvroFileWriter(
+        jvm,
+        _MANIFEST_FILE_SCHEMA,
+        ml,
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "format-version": "2",
+        },
+    )
+    for rec in carried:
+        lw.append_json(
+            {
+                "manifest_path": str(rec.get("manifest_path")),
+                **{nm: int(rec.get(nm)) for nm in names_int},
+            }
+        )
+    for mf, content, count in ((dm, 0, len(rows)), (xm, 1, len(pairs))):
+        lw.append_json(
+            {
+                "manifest_path": mf.resolve().as_uri(),
+                "manifest_length": mf.stat().st_size,
+                "partition_spec_id": del_spec_id,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": count,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    lw.close()
+
+    # 4. new metadata version
+    meta2 = dict(meta)
+    meta2["last-sequence-number"] = seq
+    meta2["current-snapshot-id"] = snap_id
+    meta2["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": meta["current-snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": 0,
+            "manifest-list": ml.resolve().as_uri(),
+            "summary": {"operation": "overwrite"},
+            "schema-id": schema["schema-id"],
+        }
+    ]
+    (meta_dir / f"v{n + 1}.metadata.json").write_text(
+        json.dumps(meta2)
+    )
+    (meta_dir / "version-hint.text").write_text(str(n + 1))
+    return snap_id
+
+
 class TestEqualityDeletes:
     """Round-9 verdict item 4: content=2 delete files (the Flink CDC
     producer shape) apply as keyed anti-joins at the v2 STRICT
@@ -1343,6 +1524,98 @@ class TestChangesCDC:
 class TestChangesCDCReviewFixes:
     """Round-10 review pass 1: stale-delete re-emission, fold order,
     working-column collisions."""
+
+    def test_same_snapshot_add_plus_pos_delete(self, spark, lake):
+        """Round-11 advice (medium): a foreign snapshot that BOTH adds
+        a data file and position-deletes some of its rows (the Flink
+        within-checkpoint upsert) must emit inserts only for the
+        surviving rows and NO delete events for rows never visible at
+        the parent — the old fold (raw inserts + delete events, with
+        deletes ordered first) resolved those rows to PRESENT while
+        read_iceberg correctly showed them deleted."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg,
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "cdc_upsert", stats_cols=["k"])
+        t.append(
+            spark.range(0, 3)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        snap1 = _meta(t)["current-snapshot-id"]
+        # one foreign commit: add k=10..14, pos-delete positions 1,3
+        snap2 = _add_upsert_snapshot(
+            spark,
+            t,
+            [(10 + i, f"v{10 + i}") for i in range(5)],
+            ["k", "v"],
+            [1, 3],
+        )
+        ch = read_iceberg_changes(
+            spark, str(t.root), snap1, include_deletes=True
+        )
+        events = sorted(
+            (r._snapshot_id, r._change_type, r.k) for r in ch.collect()
+        )
+        assert events == [
+            (snap2, "insert", 10),
+            (snap2, "insert", 12),
+            (snap2, "insert", 14),
+        ]
+        # the event fold agrees with the full read at snap2
+        assert sorted(
+            r.k for r in read_iceberg(spark, str(t.root)).collect()
+        ) == [0, 1, 2, 10, 12, 14]
+
+    def test_same_snapshot_upsert_mixed_with_parent_target(
+        self, spark, lake
+    ):
+        """The same upsert checkpoint also pos-deletes a PARENT-live
+        row: that one still emits a delete event, while the
+        same-snapshot kills emit nothing."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "cdc_upsert2", stats_cols=["k"])
+        t.append(
+            spark.range(0, 3)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        snap1 = _meta(t)["current-snapshot-id"]
+        meta = _meta(t)
+        # resolve the parent data file's URI from the live read plan
+        from interop_datalake_spark.lake.iceberg_interop import (
+            _snapshot_entries_all,
+            _resolve_snapshot,
+        )
+
+        s = _resolve_snapshot(meta, snap1)
+        data, _dels = _snapshot_entries_all(spark, meta, s)
+        parent_uri = str(data[0][1].get("file_path"))
+        # parent file was written by coalesce(1) ordered 0,1,2 →
+        # position 1 is k=1
+        snap2 = _add_upsert_snapshot(
+            spark,
+            t,
+            [(20, "v20"), (21, "v21")],
+            ["k", "v"],
+            [0],
+            parent_del=[(parent_uri, 1)],
+        )
+        ch = read_iceberg_changes(
+            spark, str(t.root), snap1, include_deletes=True
+        )
+        events = sorted(
+            (r._change_type, r.k) for r in ch.collect()
+        )
+        assert events == [("delete", 1), ("insert", 21)]
+        assert snap2 is not None
 
     def test_cumulative_delete_files_never_reemit(self, spark, lake):
         """The exporter serializes the FULL DV state per vectored

@@ -305,6 +305,12 @@ class TestExpireSnapshots:
         # the expired snapshot's manifest-list file is gone
         ml0 = Path(_uri_to_path(snaps_before[0]["manifest-list"]))
         assert not ml0.exists()
+        # round-11 advice: the expiry-published metadata must not
+        # claim it was last updated BEFORE its own metadata-log tail
+        m4 = json.loads((meta_dir / "v4.metadata.json").read_text())
+        assert m4["last-updated-ms"] >= max(
+            e["timestamp-ms"] for e in m4["metadata-log"]
+        )
 
     def test_stream_resume_across_expiry_refuses(
         self, spark, lake, tmp_path

@@ -191,3 +191,11 @@ def test_tpch_analogs_are_not_vacuous(spark, sf_dir):
     )
     assert q21_suppliers_kept_waiting(spark, sf_dir).count() > 0
     assert q22_dormant_customers(spark, sf_dir).count() > 0
+    # Round-11: q5 shipped with TPC-H's canonical 1994 window, which
+    # predates every synthetic orderdate (orders start 1995-01-01) —
+    # it was witnessed driver-green on a 0-row result. Pin non-empty.
+    from interop_datalake_spark.catalog.relational import (
+        q5_local_supplier_volume,
+    )
+
+    assert q5_local_supplier_volume(spark, sf_dir).count() > 0
