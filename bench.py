@@ -98,6 +98,9 @@ HEADLINE = [
     # round 9: Iceberg metadata interop lifecycle (v2 export via the
     # bundled Avro Java library + self-contained reader)
     "lake_iceberg_roundtrip",
+    # round 11: murmur3-32 bucket transform (spec bucket[N]) write +
+    # export + bucket-pruned point lookups
+    "lake_iceberg_bucket",
     # round 9: deterministic epoch shuffle + curriculum ordering
     # (hash-key window per shard / per tier)
     "corpus_shuffle_deterministic",
@@ -163,7 +166,38 @@ HEADLINE = [
 # dominates, not the query).
 
 
+#: pre-run idle gate (round-11 verdict item 7): the r9 AND r10 driver
+#: benches both ran at loadavg ~7/32 CPUs, which manufactured a phantom
+#: 2x "regression" (lake_partition_transforms) the judge had to
+#: adjudicate with idle spot-runs. Poll until the 1-minute loadavg
+#: drops below the threshold or the timeout expires, and RECORD what
+#: the gate saw so a contended run stays self-identifying.
+IDLE_LOAD1_MAX = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD1", "2.0"))
+IDLE_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "120"))
+
+
+def _wait_for_idle() -> dict:
+    """Block until loadavg_1m < IDLE_LOAD1_MAX (or timeout). Returns
+    what it observed for the output line."""
+    t0 = time.monotonic()
+    try:
+        start_load = os.getloadavg()[0]
+    except OSError:
+        return {"idle_wait_s": 0.0, "idle_start_load1": -1.0}
+    load = start_load
+    while load >= IDLE_LOAD1_MAX:
+        if time.monotonic() - t0 >= IDLE_WAIT_MAX_S:
+            break
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return {
+        "idle_wait_s": round(time.monotonic() - t0, 1),
+        "idle_start_load1": round(start_load, 2),
+    }
+
+
 def main() -> None:
+    idle = _wait_for_idle()
     spark = get_spark(
         master=f"local[{CPUS}]", app_name="bench", shuffle_partitions=int(CPUS)
     )
@@ -200,6 +234,7 @@ def main() -> None:
         "cpus": os.cpu_count(),
         "loadavg_1m": round(load1, 2),
         "loadavg_5m": round(load5, 2),
+        **idle,
     }
     # Full per-query detail first — for humans and cross-round diffing.
     # This line outgrew the driver's 2000-char tail capture at ~60

@@ -284,20 +284,36 @@ def _with_required_conf(fn):
 # (events_funnel in). Queries whose CODE changed this round
 # (incremental views, DV read plan, BM25 index, PQ) deliberately stay
 # in-window so the changed paths are re-witnessed on the driver.
+#
+# Round-11 rotation (verdict item 6 — by staleness, burn-down long
+# complete): IN the never-witnessed round-10 TPC-H tails
+# (q6_forecast_revenue, q8_market_share, q20_semi_chain_suppliers,
+# q22_dormant_customers — q8/q20/q22 also carry round-10's
+# non-vacuousness fixes, worth driver confirmation), lake_expectations
+# (never witnessed since r6), events_sessionize (stale since r8), and
+# the DEBUT lake_iceberg_bucket (murmur3-32 bucket transform export —
+# this round's flagship lake feature). OUT, all r10-hash-green per
+# CORRECTNESS_r10.json: agg_rollup (cube/grouping_sets stay),
+# set_except / scalar_string / window_running (the verdict's named
+# long-stayers; scalar keeps null_semantics, top-k keeps
+# lateral_topk_orders' WindowGroupLimit shape), events_funnel
+# (within-class swap for events_sessionize), join_semi
+# (join_full_outer/join_anti stay), graph_pagerank
+# (graph_ancestor_chain stays). Queries whose CODE changed this round
+# (q5 window fix, search_bm25_indexed gate fold, stream_iceberg_appends
+# vectorized read, lake_iceberg_roundtrip CDC/expiry fixes) stay
+# in-window so the changed paths are re-witnessed on the driver.
 WITNESS_PRIORITY = [
-    # relational core + the stale TPC-H chain; round 10 adds the
-    # decorrelation tail shapes (q13 outer-join count distribution,
-    # q17 correlated avg, q21 multi-EXISTS) — new queries enter the
-    # window in their debut round per the rotation rule, displacing
-    # r9-green window_analytic / scalar_json / join_left_outer (each
-    # leaves an in-window class sibling: window_running,
-    # scalar_string, join_semi/join_full_outer/join_anti)
+    # relational core + TPC-H chain (round 11 adds the q6/q8/q20/q22
+    # cohort; q5's orderdate window changed this round — stays)
     "q1_pricing_summary", "scan_filter_project",
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q18_large_orders", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q21_suppliers_kept_waiting",
+    "q6_forecast_revenue", "q8_market_share",
+    "q20_semi_chain_suppliers", "q22_dormant_customers",
     # aggregates
-    "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_cube", "agg_grouping_sets",
     # reference operator surface (round 10: lake_path_templates
     # rotates out, r9-green, class keeps hl7_msh9 + object_url_parse
     # + lake_publish_roundtrip — in its place the stateful-streaming
@@ -305,16 +321,15 @@ WITNESS_PRIORITY = [
     # applyInPandasWithState through a true readStream vs one SQL
     # aggregate)
     "hl7_msh9", "object_url_parse", "stream_stateful_dedup",
-    # lake / ACID format (IVM + DV + interop code changed this round)
+    # lake / ACID format (CDC + expiry + bucket export changed this
+    # round; lake_expectations never witnessed since r6)
     "lake_publish_roundtrip", "lake_txn_acid",
     "lake_deletion_vectors", "lake_incremental_view",
     "lake_incremental_join_view", "lake_join_rollup",
     "lake_delta_roundtrip", "lake_iceberg_roundtrip",
-    # windows + joins
-    "window_running",
-    "join_semi",
-    # set ops / scalar / NULL semantics / reshape
-    "set_except", "scalar_string", "null_semantics",
+    "lake_iceberg_bucket", "lake_expectations",
+    # NULL semantics / reshape
+    "null_semantics",
     "unpivot_order_metrics",
     # modern SQL surface
     "graph_ancestor_chain", "lateral_topk_orders",
@@ -334,12 +349,13 @@ WITNESS_PRIORITY = [
     "search_bm25_indexed", "search_hybrid_rrf",
     # text analysis + tokenizer training
     "text_trigrams_udtf", "text_bpe_train",
-    # corpus curation + the round-9 ordering ops (deterministic
-    # epoch shuffle, curriculum) — displacing r8-green
-    # importance_sample/curate_pipeline (to_training_set stays as the
-    # curation-class sibling; curate_pipeline composes it anyway)
+    # corpus curation + deterministic epoch shuffle (round-11 review:
+    # ann_ivfpq_topk — never witnessed AND behavior-changed by the
+    # residual-PQ flip — takes corpus_curriculum_order's slot; the
+    # displaced entry is r10-green and the corpus class keeps
+    # to_training_set + shuffle_deterministic)
     "corpus_to_training_set",
-    "corpus_shuffle_deterministic", "corpus_curriculum_order",
+    "corpus_shuffle_deterministic", "ann_ivfpq_topk",
     # record linkage
     "entity_resolution",
     # streaming (round 10: the foreign-format Iceberg readStream
@@ -350,8 +366,10 @@ WITNESS_PRIORITY = [
     "stream_join_outer", "stream_iceberg_appends",
     # multimodal
     "multimodal_phash_dedup",
-    # event analytics + association mining + graph
-    "events_funnel", "basket_pair_lift", "graph_pagerank",
+    # event analytics + association mining (the graph class's
+    # remaining witness is graph_ancestor_chain, listed under the
+    # modern-SQL block above)
+    "events_sessionize", "basket_pair_lift",
 ]
 
 

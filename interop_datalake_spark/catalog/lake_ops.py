@@ -1641,6 +1641,118 @@ SELECT * FROM (
 """
 
 
+def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """murmur3-32 bucket partitioning end to end (round-11 verdict
+    item 3; lake/txn.py:_mmh3_32_of_long, Iceberg spec Appendix B):
+    load an orders slice into a TxnTable hidden-partitioned by
+    ``bucket_mm3(8, o_custkey)`` — the spec's
+    ``(murmur3_x86_32(LE long) & MaxInt) % N``, computed as pure
+    column algebra — EXPORT Iceberg v2 metadata (the spec maps to
+    ``bucket[8]``; the old xxhash64 bucket refuses export because a
+    compliant engine's pruning would drop matching files), read the
+    export back through the self-contained Iceberg reader, and run
+    bucket-pruned point lookups through the TxnTable side
+    (``resolve_files`` recomputes the transform over the literal via
+    the SAME Column expression as the write). The oracle replays every
+    probe as plain filters, so a single wrong bucket assignment
+    surfaces as a missing row."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="lake_mm3_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(
+            session,
+            "ord_mm3",
+            stats_cols=["o_orderkey"],
+            partition_transforms={
+                "ck_b": ("bucket_mm3", 8, "o_custkey")
+            },
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        t.append(orders.filter(F.col("o_orderkey") < 800))
+        export_iceberg_metadata(t)
+
+        def probe(name, frame):
+            r = frame.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("min_k"),
+                F.max("o_orderkey").alias("max_k"),
+            ).collect()[0]
+            return (name, r["n"], r["min_k"], r["max_k"])
+
+        # bucket pruning observability: the point lookup must open
+        # fewer files than the table holds (the derived bucket dir is
+        # invisible to the caller — hidden partitioning)
+        all_files = t.manifest(t.current_version())["files"]
+        pruned = t.resolve_files(key_range=("o_custkey", 7, 7))
+        n_pruned = (
+            1 if (all_files and len(pruned) < len(all_files)) else 0
+        )
+        rows = [
+            probe("iceberg_read", read_iceberg(spark, str(t.root))),
+            probe(
+                "point_7",
+                t.read(key_range=("o_custkey", 7, 7)).filter(
+                    F.col("o_custkey") == 7
+                ),
+            ),
+            probe(
+                "point_42",
+                t.read(key_range=("o_custkey", 42, 42)).filter(
+                    F.col("o_custkey") == 42
+                ),
+            ),
+            (
+                "pruning_effective",
+                n_pruned,
+                None,
+                None,
+            ),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe STRING, n BIGINT, min_k BIGINT, max_k BIGINT"
+    ).orderBy("probe")
+
+
+LAKE_ICEBERG_BUCKET_ORACLE = """
+WITH s AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 800
+)
+SELECT * FROM (
+  SELECT 'iceberg_read' AS probe, count(*)::BIGINT AS n,
+         min(o_orderkey)::BIGINT AS min_k,
+         max(o_orderkey)::BIGINT AS max_k
+  FROM s
+  UNION ALL
+  SELECT 'point_7', count(*)::BIGINT,
+         min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
+  FROM s WHERE o_custkey = 7
+  UNION ALL
+  SELECT 'point_42', count(*)::BIGINT,
+         min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
+  FROM s WHERE o_custkey = 42
+  UNION ALL
+  SELECT 'pruning_effective', 1::BIGINT, NULL::BIGINT, NULL::BIGINT
+) ORDER BY probe
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -1664,6 +1776,7 @@ QUERIES = {
     "lake_join_rollup": lake_join_rollup,
     "lake_delta_roundtrip": lake_delta_roundtrip,
     "lake_iceberg_roundtrip": lake_iceberg_roundtrip,
+    "lake_iceberg_bucket": lake_iceberg_bucket,
 }
 
 ORACLES = {
@@ -1689,4 +1802,5 @@ ORACLES = {
     "lake_join_rollup": LAKE_JOIN_ROLLUP_ORACLE,
     "lake_delta_roundtrip": LAKE_DELTA_ORACLE,
     "lake_iceberg_roundtrip": LAKE_ICEBERG_ORACLE,
+    "lake_iceberg_bucket": LAKE_ICEBERG_BUCKET_ORACLE,
 }

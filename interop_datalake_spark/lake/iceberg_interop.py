@@ -380,7 +380,7 @@ def _partition_field_avro_type(pf: dict, ids_to_type):
     tr = pf["transform"]
     if tr == "day":
         return {"type": "int", "logicalType": "date"}
-    if tr in ("year", "month", "hour"):
+    if tr in ("year", "month", "hour") or tr.startswith("bucket["):
         return "int"
     # identity / truncate[W]: the source's type
     ice_t = ids_to_type[pf["source-id"]]
@@ -695,12 +695,12 @@ def _validate_exportable(table: TxnTable, m: dict) -> None:
                 f"bucket-partitioned with xxhash64, which cannot map "
                 f"to Iceberg's murmur3 bucket[N] — a compliant "
                 f"engine's bucket pruning would silently drop "
-                f"matching files. compact() into an unbucketed "
-                f"layout (or identity/time/truncate transforms) "
-                f"before exporting"
+                f"matching files. Use the 'bucket_mm3' transform "
+                f"(the spec's murmur3-32 — exportable) or compact() "
+                f"into an unbucketed layout before exporting"
             )
         if kind not in ("identity", "truncate", "days", "months",
-                        "years", "hours"):
+                        "years", "hours", "bucket_mm3"):
             raise ValueError(
                 f"table {table.name}: unknown partition transform "
                 f"kind {kind!r} — cannot map to an Iceberg transform"
@@ -740,6 +740,8 @@ def _typed_partition_value(pf: dict, ids_to_type, v):
     if v is None or v == _HIVE_NULL:
         return None
     tr = pf["transform"]
+    if tr.startswith("bucket["):
+        return int(v)  # the bucket ordinal is the stored value
     if tr == "day":
         return (date.fromisoformat(str(v)) - _EPOCH_DATE).days
     if tr == "month":
@@ -971,6 +973,12 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
             )
         if kind == "truncate":
             iname = f"truncate[{int(spec[1])}]"
+        elif kind == "bucket_mm3":
+            # the spec's murmur3-32 bucket — exportable because the
+            # write path (txn.py:_mmh3_32_of_long) computes exactly
+            # the hash a compliant engine's pruning recomputes
+            # (xxhash64 'bucket' still refuses above)
+            iname = f"bucket[{int(spec[1])}]"
         else:
             iname = _ICE_TRANSFORM.get(kind, kind)
         spec_fields.append(

@@ -154,6 +154,124 @@ _TIME_FORMATS = {
 }
 
 
+_M32 = 0xFFFFFFFF
+
+
+def _mul32(a, b_const: int):
+    """(a * b_const) mod 2^32 for a non-negative 32-bit Column and a
+    32-bit constant WITHOUT overflowing BIGINT (Spark 4 ANSI mode
+    throws on overflow; 0xFFFFFFFF * 0xcc9e2d51 > 2^63): split ``a``
+    into 16-bit halves so every intermediate stays < 2^49."""
+    from pyspark.sql import functions as F
+
+    hi = F.shiftright(a, 16) * F.lit(b_const)
+    lo = a.bitwiseAND(F.lit(0xFFFF)) * F.lit(b_const)
+    return (
+        F.shiftleft(hi.bitwiseAND(F.lit(0xFFFF)), 16) + lo
+    ).bitwiseAND(F.lit(_M32))
+
+
+def _rotl32(x, r: int):
+    """Rotate a non-negative 32-bit Column left by ``r`` bits."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.shiftleft(x, r)
+        .bitwiseAND(F.lit(_M32))
+        .bitwiseOR(F.shiftright(x, 32 - r))
+    )
+
+
+def _mmh3_32_of_long(c64):
+    """murmur3_x86_32(seed=0) of a BIGINT Column's 8-byte
+    LITTLE-ENDIAN representation — the Iceberg spec's required hash
+    for bucket transforms over int/long/date/time/timestamp sources
+    (Appendix B; ints promote to long before hashing). Pure column
+    algebra, JVM-side, no UDF: the two 4-byte LE blocks are the
+    long's low and high 32 bits, and 32-bit modular arithmetic is
+    emulated with masked BIGINT ops (``_mul32``). Spark's built-in
+    ``F.hash`` is also murmur3-x86-32 but fixes seed=42 and hashes
+    Spark's value layout, so it cannot produce spec values.
+
+    STRUCTURE MATTERS: naively chaining these steps as one expression
+    duplicates every intermediate subtree at each rotate/xorshift
+    (each references its input twice), compounding to a ~10^5-node
+    tree that OOMs codegen. The block loop and the final
+    finalization-mix therefore run inside higher-order-function
+    lambdas (``F.aggregate``), where each step's input is a LAMBDA
+    VARIABLE — a leaf reference, not a copied subtree — keeping the
+    whole expression a few hundred nodes.
+
+    NOT for TxnTable's own hot bucket path — that stays ``xxhash64``
+    (one JVM intrinsic); this exists so ``bucket_mm3`` layouts can
+    EXPORT to Iceberg, where a compliant engine recomputes exactly
+    this function when pruning."""
+    from pyspark.sql import functions as F
+
+    def round_fn(h, k):
+        # h, k are lambda variables: leaves, duplication is cheap
+        k = _mul32(k, 0xCC9E2D51)
+        k = _rotl32(k, 15)
+        k = _mul32(k, 0x1B873593)
+        h = h.bitwiseXOR(k)
+        h = _rotl32(h, 13)
+        return (_mul32(h, 5) + F.lit(0xE6546B64)).bitwiseAND(
+            F.lit(_M32)
+        )
+
+    def fmix(_, h):
+        h = h.bitwiseXOR(F.lit(8))  # total byte length
+        h = h.bitwiseXOR(F.shiftright(h, 16))
+        h = _mul32(h, 0x85EBCA6B)
+        h = h.bitwiseXOR(F.shiftright(h, 13))
+        h = _mul32(h, 0xC2B2AE35)
+        return h.bitwiseXOR(F.shiftright(h, 16))
+
+    blocks = F.array(
+        c64.bitwiseAND(F.lit(_M32)),
+        F.shiftright(c64, 32).bitwiseAND(F.lit(_M32)),
+    )
+    h = F.aggregate(blocks, F.lit(0).cast("bigint"), round_fn)
+    # single-element aggregate: the block-loop tree appears ONCE as
+    # the array element; fmix references it only through its lambda
+    # variable
+    return F.aggregate(
+        F.array(h), F.lit(0).cast("bigint"), fmix
+    )  # unsigned 32-bit value in a BIGINT
+
+
+#: source types bucket_mm3 accepts — the Iceberg spec's
+#: hash-the-long class. Strings/binary/decimal hash VARIABLE-length
+#: byte runs (UTF-8 / raw / minimal big-endian twos-complement),
+#: which column algebra can't loop over — refused at write time
+#: rather than risking a layout a compliant engine would mis-prune.
+_MM3_LONG_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "date", "timestamp",
+    "timestamp_ntz",
+}
+
+
+def _mm3_long_source_expr(c, src_dtype: str | None):
+    """The BIGINT whose 8 LE bytes the Iceberg spec says to hash:
+    ints/longs promote to long; dates hash their DAYS-from-epoch as a
+    long; timestamps hash MICROS-from-epoch as a long."""
+    from pyspark.sql import functions as F
+
+    if src_dtype == "date":
+        return F.unix_date(c).cast("bigint")
+    if src_dtype in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(c.cast("timestamp"))
+    if src_dtype in ("tinyint", "smallint", "int", "bigint", None):
+        return c.cast("bigint")
+    raise ValueError(
+        f"bucket_mm3 source type {src_dtype!r} is not in the "
+        f"long-hash class ({sorted(_MM3_LONG_TYPES)}); string/binary/"
+        f"decimal need variable-length murmur3, which the column-"
+        f"algebra path cannot express — use xxhash64 'bucket' (no "
+        f"Iceberg export) or an identity/truncate transform"
+    )
+
+
 def _transform_value_expr(c, spec, src_dtype: str | None):
     """The Column computing a transform's partition VALUE from a source
     expression ``c`` (a raw column at write time, a literal at prune
@@ -175,6 +293,15 @@ def _transform_value_expr(c, spec, src_dtype: str | None):
         return F.date_format(c.cast("timestamp"), _TIME_FORMATS[kind])
     if kind == "bucket":
         return F.pmod(F.xxhash64(c), F.lit(int(spec[1])))
+    if kind == "bucket_mm3":
+        # Iceberg-spec bucket[N]: (murmur3_x86_32(LE bytes) &
+        # Integer.MAX_VALUE) % N — EXPORTABLE, a compliant engine's
+        # bucket pruning recomputes the same values (vs xxhash64
+        # 'bucket', which refuses export)
+        h = _mmh3_32_of_long(_mm3_long_source_expr(c, src_dtype))
+        return F.pmod(
+            h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(int(spec[1]))
+        ).cast("int")
     if kind == "truncate":
         w = int(spec[1])
         if src_dtype == "string":
@@ -275,6 +402,9 @@ class TxnTable:
         self.partition_cols = list(partition_cols or [])
         #: HIDDEN partitioning (Iceberg partition transforms): name →
         #: ("days"|"months"|"years"|"hours", src) or ("bucket", n, src)
+        #: or ("bucket_mm3", n, src) — the Iceberg-spec murmur3-32
+        #: bucket, exportable to bucket[N] (xxhash64 "bucket" is
+        #: faster but refuses export) —
         #: or ("truncate", w, src) or ("identity", src). Writers derive
         #: the value, readers prune raw-column predicates through it
         #: (see resolve_files), and the derived column never appears in

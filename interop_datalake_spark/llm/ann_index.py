@@ -128,12 +128,20 @@ class IvfPqIndex:
     - ``{name}_codes`` (id, cell, codes): per vector ONE cell id and
       m code bytes — the only per-document data a query reads.
 
-    Vectors are PQ-encoded RAW (not FAISS's residual encoding —
-    simpler algebra, same asymptotics; the recall cost on this
-    corpus is measured and pinned in tests/test_ivfpq.py, not
-    assumed). Appends assign + encode against the STORED model —
-    O(batch), indexed codes never rescanned. Queries must be BOUNDED
-    frames (the ADC LUT broadcast contract of pq.py:pq_adc_topk)."""
+    Vectors are PQ-encoded as RESIDUALS (round-11 verdict item 4; the
+    FAISS-IVFPQ standard): code(x) quantizes x̂ − ĉ(cell(x̂)), and a
+    query scores dot(q̂, ĉ) + Σ_s dot(q̂_sub, book[s][code_s]) — the
+    exact identity dot(q̂, x̂) = dot(q̂, ĉ) + dot(q̂, r). Residuals
+    concentrate near zero, so the same 8-byte code budget quantizes
+    them with far less error than raw unit vectors (recall floors
+    re-pinned in tests/test_ivfpq.py: probe-restricted recall@10 rose
+    from ~0.24/0.28 raw to ~2× that residual at identical budget).
+    The encoding rides the books table's commit props
+    (``pq_encoding``), so a fresh process attaching to a pre-residual
+    index still scores it correctly as raw. Appends assign + encode
+    against the STORED model — O(batch), indexed codes never
+    rescanned. Queries must be BOUNDED frames (the ADC LUT broadcast
+    contract of pq.py:pq_adc_topk)."""
 
     def __init__(self, session, name: str):
         self.centroids = TxnTable(session, f"{name}_centroids")
@@ -155,23 +163,76 @@ class IvfPqIndex:
         m: int = 8,
         n_codes: int = 16,
         seed: int = 42,
+        encoding: str = "residual",
     ) -> None:
         from interop_datalake_spark.llm.pq import (
             books_frame,
             train_pq_codebooks,
+            train_pq_residual_model,
         )
         from interop_datalake_spark.llm.similarity import (
             train_ivf_centroids,
         )
 
-        self.centroids.overwrite(
-            train_ivf_centroids(df, vec_col, n_cells, seed)
+        if encoding not in ("residual", "raw"):
+            raise ValueError(f"unknown pq encoding {encoding!r}")
+        cents = train_ivf_centroids(df, vec_col, n_cells, seed)
+        if encoding == "residual":
+            # ONE bounded sample collect yields codebooks AND anchors
+            # (pq.py:train_pq_residual_model) — the stored anchors are
+            # the exact arrays the codebooks trained against (round-11
+            # review: a distributed F.avg anchor was partial-agg-order
+            # nondeterministic and re-aggregated the corpus twice).
+            # Anchors persist as an extra centroids-table column: one
+            # broadcastable model table, re-read by appends + queries.
+            cent_rows = [
+                (r.cell, list(r._cent_vec)) for r in cents.collect()
+            ]  # bounded: the coarse codebook
+            books, anchor_rows = train_pq_residual_model(
+                df, vec_col, id_col, cent_rows, m=m, n_codes=n_codes
+            )
+            anchors = df.sparkSession.createDataFrame(
+                anchor_rows, "cell INT, _anchor ARRAY<DOUBLE>"
+            )
+            self.centroids.overwrite(cents.join(anchors, "cell"))
+        else:
+            self.centroids.overwrite(cents)
+            books = train_pq_codebooks(
+                df, vec_col, id_col, m=m, n_codes=n_codes
+            )
+        # the encoding is MODEL STATE stored AS DATA (an _enc column
+        # on the books table), not as a commit prop: props live on one
+        # commit record, so any props-less maintenance commit
+        # (compact/restore/clone) would have silently flipped a
+        # residual index to raw scoring (round-11 review); a data
+        # column follows the table state through every maintenance op
+        self.books.overwrite(
+            books_frame(df.sparkSession, books).withColumn(
+                "_enc", F.lit(encoding)
+            )
         )
-        books = train_pq_codebooks(
-            df, vec_col, id_col, m=m, n_codes=n_codes
-        )
-        self.books.overwrite(books_frame(df.sparkSession, books))
+        self._enc_cache = None
         self._index_batch(df, vec_col, id_col, overwrite=True)
+
+    def _encoding(self) -> str:
+        """The index's PQ encoding, read from the books table's _enc
+        column (pre-round-11 indexes have no such column → raw).
+        Cached per (handle, books-version) — one tiny first() job
+        would otherwise ride every query/append."""
+        v = self.books.current_version()
+        if v == 0:
+            return "raw"
+        cached = getattr(self, "_enc_cache", None)
+        if cached and cached[0] == v:
+            return cached[1]
+        bf = self.books.read()
+        enc = (
+            bf.select("_enc").first()["_enc"]
+            if "_enc" in bf.columns
+            else "raw"
+        )
+        self._enc_cache = (v, enc)
+        return enc
 
     def append(self, df: DataFrame, vec_col: str, id_col: str) -> int:
         """O(batch): assign + encode against the STORED model, one
@@ -193,7 +254,10 @@ class IvfPqIndex:
         self, df: DataFrame, vec_col: str, id_col: str,
         overwrite: bool = False,
     ) -> int:
-        from interop_datalake_spark.llm.pq import pq_encode
+        from interop_datalake_spark.llm.pq import (
+            pq_encode,
+            pq_encode_residual,
+        )
         from interop_datalake_spark.llm.similarity import (
             ivf_assign_cells,
         )
@@ -202,7 +266,21 @@ class IvfPqIndex:
         assigned = ivf_assign_cells(
             df, vec_col, id_col, cents, n_probe=1
         )
-        codes = pq_encode(df, vec_col, id_col, self._stored_books())
+        if self._encoding() == "residual":
+            # encode x̂ − a against the SAME assignment that is stored
+            # — encode and query must agree on each vector's anchor
+            codes = pq_encode_residual(
+                df,
+                assigned,
+                cents.select("cell", "_anchor"),
+                vec_col,
+                id_col,
+                self._stored_books(),
+            )
+        else:
+            codes = pq_encode(
+                df, vec_col, id_col, self._stored_books()
+            )
         rows = (
             assigned.join(codes, id_col)
             .select(F.col(id_col).alias("id"), "cell", "codes")
@@ -244,6 +322,39 @@ class IvfPqIndex:
         probes = ivf_assign_cells(
             queries, vec_col, id_col, cents, n_probe=n_probe
         ).select(F.col(id_col).alias("query_id"), "cell")
+        if self._encoding() == "residual":
+            # the coarse half of the residual identity:
+            # dot(q̂, x̂) = dot(q̂, a_cell) + dot(q̂, r) — one bounded
+            # (|Q|·n_probe)-row frame, same fixed-order fold as the
+            # fine terms (bit-deterministic)
+            qx = F.col(vec_col).cast("array<double>")
+            qn = F.sqrt(
+                F.aggregate(qx, F.lit(0.0), lambda a, v: a + v * v)
+            )
+            safe = F.when(qn == F.lit(0.0), F.lit(1.0)).otherwise(qn)
+            qv = queries.select(
+                F.col(id_col).alias("query_id"),
+                qx.alias("_qx"),
+                safe.alias("_qnrm"),
+            )
+            probes = (
+                probes.join(qv, "query_id")
+                .join(
+                    F.broadcast(
+                        cents.select("cell", "_anchor")
+                    ),
+                    "cell",
+                )
+                .select(
+                    "query_id",
+                    "cell",
+                    (_dot("_qx", "_anchor") / F.col("_qnrm")).alias(
+                        "_coarse"
+                    ),
+                )
+            )
+        else:
+            probes = probes.withColumn("_coarse", F.lit(0.0))
         # probed cells are bounded by the centroid count — driver list
         cells = sorted(r.cell for r in probes.select("cell").distinct().collect())
         mf = self.codes.manifest(self.codes.current_version())
@@ -275,6 +386,7 @@ class IvfPqIndex:
             .select(
                 "query_id",
                 F.col("id").alias("neighbor_id"),
+                "_coarse",
                 F.posexplode("codes").alias("s", "code"),
             )
             .withColumn("s", F.col("s").cast("int"))
@@ -283,12 +395,20 @@ class IvfPqIndex:
             cand.join(F.broadcast(lut), ["query_id", "s", "code"])
             .groupBy("query_id", "neighbor_id")
             # subspace-ordered fold: bit-deterministic scores on any
-            # executor count (the pq_adc_topk convention)
+            # executor count (the pq_adc_topk convention). A neighbor
+            # lives in exactly ONE cell (storage n_probe=1), so its m
+            # rows share one _coarse — min() is just the deterministic
+            # way to pick it up through the groupBy
             .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("s", "w"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["w"],
+                (
+                    F.min("_coarse")
+                    + F.aggregate(
+                        F.array_sort(
+                            F.collect_list(F.struct("s", "w"))
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["w"],
+                    )
                 ).alias("score_pq")
             )
         )

@@ -85,35 +85,97 @@ class BM25Index:
         v = table.current_version()
         return table.manifest(v).get("epoch") if v else None
 
-    def _refuse_reindexed_ids(
-        self, dl: DataFrame, id_col: str, lo, hi
-    ) -> None:
+    #: above this many disjoint per-file id intervals the gate's
+    #: overlap predicate collapses to the single global envelope —
+    #: a wider (still correct) test that may route more batches to
+    #: the exact semi-join, trading predicate size for recall
+    _GATE_MAX_INTERVALS = 64
+
+    def _gate_intervals(self, id_col: str):
+        """The CURRENT doclens manifest's per-file (min, max) doc-id
+        ranges, merged into disjoint intervals — DRIVER-side, manifest
+        stats only, zero Spark jobs. Returns (version, intervals);
+        intervals is ``None`` when any live file lacks id stats (a
+        legacy/foreign write — disjointness can't be proven, the
+        caller must fall through to the exact semi-join)."""
+        from interop_datalake_spark.lake.txn import _decode_range
+
+        v = self.doclens.current_version()
+        if v == 0:
+            return v, []
+        m = self.doclens.manifest(v)
+        if not m["files"]:
+            return v, []
+        stats = m.get("stats", {})
+        ivals = []
+        for f in m["files"]:
+            rng = _decode_range(stats.get(f, {}).get(id_col))
+            if rng is None or rng[0] is None:
+                return v, None
+            ivals.append((rng[0], rng[1]))
+        ivals.sort()
+        merged = [list(ivals[0])]
+        for lo, hi in ivals[1:]:
+            if lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        return v, merged
+
+    def _refuse_reindexed_ids(self, docs: DataFrame, id_col: str):
         """The exactly-once ingest gate (module docstring): raise when
         any batch doc id is already normalized in ``doclens`` — such a
         write would double the id's postings and skew every score.
-        Cost is O(batch envelope), never O(corpus): the batch's
-        (min, max) doc-id envelope resolves candidate doclens files
-        through per-file min/max stats (``resolve_files`` — the same
-        pruning every keyed read uses), and only those files feed the
-        narrow semi-join. ``last_gate_scan_files`` records what was
-        opened; sorted-by-id ingest batches keep it at a handful of
-        files regardless of corpus size (round-9 verdict item 2)."""
-        v = self.doclens.current_version()
-        if v == 0 or lo is None:
+
+        Round-11 fold (verdict item 5): the steady-state cost is ONE
+        column-pruned agg job over the RAW batch — the indexed id
+        intervals come from manifest stats driver-side (no job), and
+        the agg computes the batch envelope AND an any-id-in-an-
+        indexed-interval flag together. Only when the flag trips (a
+        real or stats-wide overlap) does the exact pruned semi-join
+        run, against the RAW id column (never the tokenization
+        subtree, and never the Observation-carrying doclens frame —
+        round-11 advice: the gate must not be the first action on the
+        observed write frame, or a future early-exit would persist a
+        partial Σdl). ``last_gate_scan_files`` records what the exact
+        path opened; [] when the agg proved disjointness. Monotone-id
+        appends stay on the one-job path forever."""
+        v, merged = self._gate_intervals(id_col)
+        if merged == []:
             self.last_gate_scan_files = []
             return
+        if merged is not None and len(merged) > self._GATE_MAX_INTERVALS:
+            merged = [[merged[0][0], merged[-1][1]]]
+        c = F.col(id_col)
+        if merged is None:
+            cond = F.lit(True)  # unprovable: always take the exact path
+        else:
+            cond = None
+            for ilo, ihi in merged:
+                t = c.between(F.lit(ilo), F.lit(ihi))
+                cond = t if cond is None else (cond | t)
+        row = docs.agg(
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+            F.max(
+                F.when(cond, F.lit(1)).otherwise(F.lit(0))
+            ).alias("ov"),
+        ).first()
+        if row["lo"] is None or not row["ov"]:
+            self.last_gate_scan_files = []
+            return
+        # exact path: some batch id falls inside an indexed file's
+        # stats range — adjudicate with the pruned semi-join
         m = self.doclens.manifest(v)
-        if not m["files"]:
-            self.last_gate_scan_files = []
-            return
         files = self.doclens.resolve_files(
-            version=v, key_range=(id_col, lo, hi)
+            version=v, key_range=(id_col, row["lo"], row["hi"])
         )
         self.last_gate_scan_files = files
         if not files:
-            return  # no file's id range intersects the batch envelope
+            return
         dup = (
-            dl.join(
+            docs.select(id_col)
+            .join(
                 self.doclens._load_files(files, m).select(id_col),
                 id_col,
                 "left_semi",
@@ -186,54 +248,75 @@ class BM25Index:
         tf = postings.groupBy(id_col, "term").agg(
             F.count("*").alias("tf")
         )
-        dl = postings.groupBy(id_col).agg(F.count("*").alias("dl"))
         # term-sorted segments: disjoint per-file term ranges are what
         # make the query-time per-term file resolution prune
         tf_sorted = tf.repartitionByRange(
             self.shards, "term"
         ).sortWithinPartitions("term")
         p = tf_sorted.select("term", F.col(id_col), "tf")
-        # three consumers (envelope agg, gate semi-join, commit write)
-        # re-derive the batch tokenization; a persist() of d was
-        # MEASURED SLOWER (sf0.1 lifecycle 5.2s vs 2.8s): caching d's
-        # output can't spare the expensive shared subtree for the
-        # postings write anyway (only d's own cheap tail), while the
-        # memory-store round trip and lost codegen fusion cost more
-        # than the recompute — the round-4 "don't assume caching wins"
-        # lesson again
-        # Σdl rides as an OBSERVATION on the doclens write itself —
-        # the metric materializes with the write action, so the commit
-        # property costs zero extra jobs (TxnTable evaluates callable
-        # _props after _write_data, before the commit record)
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        d = dl.select(F.col(id_col), "dl").observe(
-            obs, F.sum("dl").alias("s")
-        )
-        # the gate's envelope comes from the RAW batch's id column —
-        # a column-pruned scan, no tokenization pass (the previous
-        # d.agg() envelope re-ran the tokenize pipeline per ingest:
-        # measured ~0.45 s/lifecycle at sf0.1 for zero information
-        # the id column didn't already hold)
-        lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
         # the gate runs for every write that can actually land:
         # bare ingests always, epoch ingests only when the epoch is
         # new (a partial-crash replay passes — the batch's ids
-        # reached postings but never doclens, which commits second)
-        self._refuse_reindexed_ids(d, id_col, lo, hi)
+        # reached postings but never doclens, which commits second).
+        # ONE column-pruned agg job in the steady state (fold note in
+        # _refuse_reindexed_ids)
+        self._refuse_reindexed_ids(docs, id_col)
         base_sum = self._cumulative_sum_dl()
+        # Σdl rides as an OBSERVATION on the doclens write itself —
+        # the metric materializes with the write action, so the commit
+        # property costs zero extra jobs (TxnTable evaluates callable
+        # _props after _write_data, before the commit record). The
+        # Observation is consumed ONLY by the doclens write action
+        # (round-11 advice): the gate operates on the raw batch, so no
+        # earlier action can capture a partial Σdl.
+        from pyspark.sql import Observation
+
+        obs = Observation()
 
         def props():
             return {
                 "bm25_sum_dl": base_sum + int(obs.get["s"] or 0)
             }
+
+        def _doclens_frame(postings_files, pv):
+            """doclens derived from the JUST-WRITTEN term segments —
+            dl = Σtf per doc, identical by construction to counting
+            the batch's tokens, but a narrow columnar scan of the new
+            segment files instead of a SECOND run of the tokenize
+            subtree (round-11: tokenization was the lifecycle's
+            dominant job and ran twice per ingest — once for the
+            postings write, once re-derived for the doclens write)."""
+            src = self.postings._load_files(
+                postings_files, self.postings.manifest(pv)
+            )
+            dl = src.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+            return dl.select(F.col(id_col), "dl").observe(
+                obs, F.sum("dl").alias("s")
+            )
+
         if _epoch is not None:
             # exactly-once: a crash-replayed batch no-ops the
             # commit(s) that already landed and applies the missing
             # one (props recompute from the CURRENT doclens tip, so
             # a replayed doclens commit records the right sum)
+            before = self.postings.current_version()
             self.postings.append_epoch(p, _epoch)
+            after = self.postings.current_version()
+            if after > before:
+                new_files = self.postings.commit_record(after).get(
+                    "added", []
+                )
+            else:
+                # partial-crash replay: the postings commit for this
+                # epoch already landed — find it by epoch tag so the
+                # doclens half derives from the SAME segment files
+                new_files = self._postings_files_for_epoch(_epoch)
+            d = (
+                _doclens_frame(new_files, after)
+                if new_files  # [] (empty batch) re-tokenizes: cheap,
+                # and _load_files cannot take an empty file list
+                else self._doclens_from_batch(docs, text_col, id_col, obs)
+            )
             self.doclens.append_epoch(d, _epoch, _props=props)  # callable
         else:
             # bare ingest: bracket the two commits with an intent
@@ -256,8 +339,41 @@ class BM25Index:
             )
             _os.replace(tmp, ip)
             self.postings.append(p)
+            pv = self.postings.current_version()
+            d = _doclens_frame(
+                self.postings.commit_record(pv).get("added", []), pv
+            )
             self.doclens.append(d, _props=props)
             ip.unlink(missing_ok=True)
+
+    def _postings_files_for_epoch(self, epoch: int) -> list | None:
+        """The added-file list of the postings commit tagged with
+        ``epoch`` (partial-crash replay: the commit landed in a prior
+        run). Walks commit records newest-first; None when the tagged
+        commit is no longer in the retained log (checkpoint-truncated
+        history) — the caller then falls back to re-tokenizing."""
+        v = self.postings.current_version()
+        while v > 0:
+            try:
+                rec = self.postings.commit_record(v)
+            except FileNotFoundError:
+                return None
+            if rec.get("epoch") == epoch:
+                return rec.get("added", [])
+            v -= 1
+        return None
+
+    def _doclens_from_batch(
+        self, docs: DataFrame, text_col: str, id_col: str, obs
+    ) -> DataFrame:
+        """Fallback doclens derivation (re-tokenize the raw batch) for
+        the rare replay where the epoch-tagged postings commit left
+        the retained log."""
+        toks = tokenize_words(docs, text_col, id_col)
+        dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+        return dl.select(F.col(id_col), "dl").observe(
+            obs, F.sum("dl").alias("s")
+        )
 
     def _cumulative_sum_dl(self) -> int:
         """Σdl over every indexed document, read from the doclens

@@ -132,11 +132,13 @@ class TestLifecycle:
 
 class TestRecall:
     """Measured on the sf0.01 corpus (near-uniform unit sphere — the
-    hardest regime): IVFPQ recall@10 vs exact float top-10 is
-    ~0.24/0.28 at n_probe 2/4 of 8 cells (raw-ADC ceiling on this
-    corpus is ~0.29, tests/test_pq.py — the probe restriction costs a
-    few points at n_probe=2 and closes at 4). Floors pinned with wide
-    margins; n_probe pinned as a monotone (non-strict) lever."""
+    hardest regime). Round-11 RESIDUAL encoding (anchor = per-cell
+    mean of normalized vectors): recall@10 vs exact float top-10 is
+    0.30/0.325/0.36 at n_probe 2/4/8 of 8 cells, up from
+    0.265/0.265/0.29 raw at the identical code budget. Floors pinned
+    below the measured values; n_probe pinned as a monotone
+    (non-strict) lever. The residual win is structurally larger on
+    clustered corpora — pinned separately below."""
 
     def _recall(self, idx, emb, exact, n_probe):
         got = {
@@ -156,22 +158,131 @@ class TestRecall:
         r2 = self._recall(idx, emb, exact_top10, 2)
         r4 = self._recall(idx, emb, exact_top10, 4)
         r8 = self._recall(idx, emb, exact_top10, 8)
-        assert r2 >= 0.15, (r2, r4, r8)
+        # round-11 floors (was 0.15/0.2 raw): residual measured
+        # 0.30/0.325/0.36 — pinned with margin
+        assert r2 >= 0.25, (r2, r4, r8)
         assert r4 >= r2 - 0.02 and r8 >= r4 - 0.02, (r2, r4, r8)
-        # probing ALL cells recovers the raw-ADC ceiling (same codes,
-        # no cell restriction left)
-        assert r8 >= 0.2, (r2, r4, r8)
+        assert r8 >= 0.3, (r2, r4, r8)
+
+    def test_residual_beats_raw_on_clustered_corpus(
+        self, spark, lake
+    ):
+        """The FAISS argument made concrete: on a corpus with real
+        cluster structure (8 planted directions + noise — the shape
+        actual embedding spaces have, unlike the uniform testdata),
+        residual encoding must beat raw at the identical budget.
+        Deterministic: seeded generator, seeded KMeans, RNG-free
+        Lloyd."""
+        import numpy as np
+
+        from interop_datalake_spark.llm.similarity import (
+            brute_force_topk,
+        )
+
+        rng = np.random.RandomState(7)
+        centers = rng.randn(8, 64)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        X = centers[rng.randint(0, 8, 600)] + 0.25 * rng.randn(600, 64)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        qs = df.filter(F.col("vec_id") < 20)
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(
+                qs, df, "embedding", "vec_id", k=10
+            ).collect()
+        }
+
+        def recall(enc):
+            idx = IvfPqIndex(lake, f"pqc_{enc}")
+            idx.build(
+                df, "embedding", "vec_id", n_cells=8, encoding=enc
+            )
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in idx.query(
+                    qs, "embedding", "vec_id", k=10, n_probe=4
+                ).collect()
+            }
+            return len(got & exact) / len(exact)
+
+        r_raw, r_res = recall("raw"), recall("residual")
+        assert r_res > r_raw, (r_raw, r_res)
+        assert r_res >= r_raw + 0.05, (r_raw, r_res)
+
+    def test_raw_encoding_still_supported_and_marked(
+        self, spark, lake, emb
+    ):
+        """encoding='raw' still builds/queries (pre-round-11 indexes
+        replay through the same path), and a books table with NO
+        pq_encoding prop — the pre-round-11 layout — is treated as
+        raw, so a fresh handle never mis-scores an old index."""
+        idx = IvfPqIndex(lake, "pqraw")
+        idx.build(
+            emb.filter(F.col("vec_id") < 300),
+            "embedding",
+            "vec_id",
+            encoding="raw",
+        )
+        assert idx._encoding() == "raw"
+        out = idx.query(_queries(emb), "embedding", "vec_id", k=5)
+        assert out.count() > 0
+        # strip the marker column (simulate an old index): still raw
+        from interop_datalake_spark.llm.pq import books_frame
+
+        idx.books.overwrite(
+            books_frame(spark, idx._stored_books())
+        )
+        assert idx._encoding() == "raw"
+
+    def test_encoding_survives_maintenance_commits(
+        self, spark, lake, emb
+    ):
+        """Round-11 review: the encoding is stored AS DATA (an _enc
+        books column), not as a commit prop — a props-less maintenance
+        commit (compact/restore) on the books table must NOT silently
+        flip a residual index to raw scoring."""
+        idx = IvfPqIndex(lake, "pqm")
+        idx.build(
+            emb.filter(F.col("vec_id") < 300), "embedding", "vec_id"
+        )
+        assert idx._encoding() == "residual"
+        r1 = sorted(
+            map(
+                tuple,
+                idx.query(
+                    _queries(emb), "embedding", "vec_id", k=5
+                ).collect(),
+            )
+        )
+        idx.books.compact()  # props-less maintenance commit
+        assert idx._encoding() == "residual"
+        # a FRESH handle (no cache) attaching to the maintained index
+        fresh = IvfPqIndex(lake, "pqm")
+        assert fresh._encoding() == "residual"
+        r2 = sorted(
+            map(
+                tuple,
+                fresh.query(
+                    _queries(emb), "embedding", "vec_id", k=5
+                ).collect(),
+            )
+        )
+        assert r1 == r2 and r1
 
 
 class TestRerank:
     def test_pipeline_recall_beats_raw_adc(
         self, spark, lake, emb, exact_top10
     ):
-        """Shortlist→exact-rerank recall@10 ≈ 0.47/0.62 at shortlist
-        30/60 with n_probe=4 on this corpus vs ~0.28 for probe-
-        restricted raw ADC — the standard pipeline argument
+        """Shortlist→exact-rerank recall@10 = 0.53/0.67 at shortlist
+        30/60 with n_probe=4 on this corpus (round-11 residual
+        encoding; was 0.505/0.635 raw) vs ~0.33 for probe-restricted
+        residual ADC — the standard pipeline argument
         (pq_rerank_topk's, with the persisted index as stage 1).
-        Floors pinned wide; shortlist pinned as a monotone lever."""
+        Floors pinned below measured; shortlist a monotone lever."""
         from interop_datalake_spark.llm.ann_index import ivfpq_rerank
 
         idx = IvfPqIndex(lake, "pqrr")
@@ -189,6 +300,6 @@ class TestRerank:
 
         r30 = recall(30)
         r60 = recall(60)
-        assert r30 >= 0.35, (r30, r60)
+        assert r30 >= 0.45, (r30, r60)
         assert r60 >= r30 - 0.02  # monotone lever
-        assert r60 >= 0.5, (r30, r60)
+        assert r60 >= 0.6, (r30, r60)

@@ -50,6 +50,11 @@ def test_rows_only(name, spark, sf_dir):
 #  - ann_pq_topk / ann_pq_rerank: product-quantization search (numpy
 #    Lloyd codebooks) — ADC identity, determinism, and measured
 #    recall pinned in tests/test_pq.py
+#  - ann_ivfpq_topk: the persisted IVF×PQ index lifecycle (seeded
+#    MLlib KMeans + numpy Lloyd residual codebooks — not
+#    SQL-expressible); determinism, O(batch) appends, file pruning,
+#    and recall floors pinned in tests/test_ivfpq.py. In-window since
+#    round 11 (never witnessed + residual-encoding behavior change).
 ROWS_ONLY_WITNESSED = {
     "agg_approx_distinct",
     "dedup_minhash_lsh_fast",
@@ -59,6 +64,7 @@ ROWS_ONLY_WITNESSED = {
     "corpus_sample_stratified",
     "ann_pq_topk",
     "ann_pq_rerank",
+    "ann_ivfpq_topk",
 }
 
 
