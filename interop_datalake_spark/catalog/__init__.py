@@ -322,9 +322,15 @@ WITNESS_PRIORITY = [
     # aggregate)
     "hl7_msh9", "object_url_parse", "stream_stateful_dedup",
     # lake / ACID format (CDC + expiry + bucket export changed this
-    # round; lake_expectations never witnessed since r6)
+    # round; lake_expectations never witnessed since r6. Round-11
+    # flagship rotation: lake_delta_dv_read — foreign Delta deletion-
+    # vector MOR read, this round's new operator — debuts in-window,
+    # displacing lake_deletion_vectors (r10-hash-green; the own-
+    # format DV class keeps lake_incremental_view/lake_join_rollup,
+    # whose lifecycles exercise TxnTable vectors, and the delta/
+    # iceberg roundtrips cover vector reconciliation)
     "lake_publish_roundtrip", "lake_txn_acid",
-    "lake_deletion_vectors", "lake_incremental_view",
+    "lake_delta_dv_read", "lake_incremental_view",
     "lake_incremental_join_view", "lake_join_rollup",
     "lake_delta_roundtrip", "lake_iceberg_roundtrip",
     "lake_iceberg_bucket", "lake_expectations",

@@ -1508,6 +1508,203 @@ ORDER BY l_returnflag
 """
 
 
+def lake_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN Delta table WITH deletion vectors — the default-on
+    shape modern Delta writers produce, and the round-10 verdict's
+    top interop gap (lake/delta_interop.py read path + lake/delta_dv
+    decode). Hand-writes a ``_delta_log`` the way a DV-enabled writer
+    would: v0 adds two parquet files, file A carrying an INLINE (Z85)
+    RoaringBitmapArray vector; v1 performs the DV-UPDATE commit shape
+    — a remove naming A's old vector plus a re-add of the SAME path
+    with a widened on-disk uuid-named vector (replay must key the
+    live set on (path, DV identity) or the file tombstones) — and
+    vectors file B inline. ``read_delta`` decodes both storage forms
+    and anti-joins deleted positions by ``_metadata.row_index``. The
+    oracle re-derives the surviving rows as plain predicates, so a
+    mis-decoded bitmap, a mis-framed DV file, or a mis-keyed replay
+    shifts the aggregate."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from interop_datalake_spark.lake.delta_dv import (
+        encode_roaring_bitmap_array,
+        write_dv_file,
+        z85_encode,
+    )
+    from interop_datalake_spark.lake.delta_interop import read_delta
+    from interop_datalake_spark.sources.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="lake_delta_dv_")
+    try:
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_linenumber", "l_quantity",
+                "l_returnflag",
+            )
+            .filter(F.col("l_orderkey") < 400)
+        )
+        schema_string = li.schema.json()
+
+        def _write_sorted(name: str, df) -> tuple[str, list]:
+            # one file, totally ordered by the unique (orderkey,
+            # linenumber) key, so row_index ↔ row is deterministic
+            (
+                df.repartition(1)
+                .sortWithinPartitions("l_orderkey", "l_linenumber")
+                .write.parquet(f"{root}/{name}")
+            )
+            import pathlib
+
+            fname = next(
+                p.name
+                for p in pathlib.Path(f"{root}/{name}").iterdir()
+                if p.name.endswith(".parquet")
+            )
+            rel = f"{name}/{fname}"
+            rows = spark.read.parquet(f"{root}/{rel}").collect()
+            return rel, rows
+
+        rel_a, rows_a = _write_sorted(
+            "a", li.filter(F.col("l_orderkey") < 200)
+        )
+        rel_b, rows_b = _write_sorted(
+            "b", li.filter(F.col("l_orderkey") >= 200)
+        )
+
+        def _inline_dv(idxs: list) -> dict:
+            data = encode_roaring_bitmap_array(idxs)
+            return {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(data),
+                "sizeInBytes": len(data),
+                "cardinality": len(idxs),
+            }
+
+        old_a = _inline_dv(
+            [i for i, r in enumerate(rows_a) if r["l_linenumber"] > 5]
+        )
+        new_a_idx = [
+            i for i, r in enumerate(rows_a) if r["l_linenumber"] > 4
+        ]
+        enc, off, size = write_dv_file(root, new_a_idx)
+        new_a = {
+            "storageType": "u",
+            "pathOrInlineDv": enc,
+            "offset": off,
+            "sizeInBytes": size,
+            "cardinality": len(new_a_idx),
+        }
+        dv_b = _inline_dv(
+            [
+                i
+                for i, r in enumerate(rows_b)
+                if r["l_returnflag"] == "R"
+            ]
+        )
+
+        def _add(path, dv=None, extra=None):
+            a = {
+                "path": path,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if dv:
+                a["deletionVector"] = dv
+            return {"add": a}
+
+        import pathlib
+
+        log = pathlib.Path(root) / "_delta_log"
+        log.mkdir()
+
+        def _commit(v, actions):
+            (log / f"{v:020d}.json").write_text(
+                "\n".join(_json.dumps(a) for a in actions) + "\n"
+            )
+
+        _commit(
+            0,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                },
+                {
+                    "metaData": {
+                        "id": "lake-delta-dv",
+                        "format": {
+                            "provider": "parquet",
+                            "options": {},
+                        },
+                        "schemaString": schema_string,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                },
+                _add(rel_a, old_a),
+                _add(rel_b),
+            ],
+        )
+        _commit(
+            1,
+            [
+                {
+                    "remove": {
+                        "path": rel_a,
+                        "dataChange": True,
+                        "deletionVector": old_a,
+                    }
+                },
+                _add(rel_a, new_a),
+                {"remove": {"path": rel_b, "dataChange": True}},
+                _add(rel_b, dv_b),
+            ],
+        )
+        rows = (
+            read_delta(spark, root)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").cast("bigint").alias("qty"),
+                F.max("l_orderkey").alias("max_ok"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["l_returnflag"], r["n"], r["qty"], r["max_ok"])
+            for r in rows
+        ],
+        "l_returnflag STRING, n BIGINT, qty BIGINT, max_ok BIGINT",
+    ).orderBy("l_returnflag")
+
+
+LAKE_DELTA_DV_ORACLE = """
+SELECT l_returnflag,
+       count(*)                         AS n,
+       CAST(sum(l_quantity) AS BIGINT)  AS qty,
+       CAST(max(l_orderkey) AS BIGINT)  AS max_ok
+FROM lineitem
+WHERE l_orderkey < 400
+  AND NOT (l_orderkey < 200 AND l_linenumber > 4)
+  AND NOT (l_orderkey >= 200 AND l_returnflag = 'R')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v2 metadata interop (lake/iceberg_interop.py): load an
     orders slice into an identity-partitioned TxnTable, EXPORT Iceberg
@@ -1775,6 +1972,7 @@ QUERIES = {
     "lake_incremental_join_view": lake_incremental_join_view,
     "lake_join_rollup": lake_join_rollup,
     "lake_delta_roundtrip": lake_delta_roundtrip,
+    "lake_delta_dv_read": lake_delta_dv_read,
     "lake_iceberg_roundtrip": lake_iceberg_roundtrip,
     "lake_iceberg_bucket": lake_iceberg_bucket,
 }
@@ -1801,6 +1999,7 @@ ORACLES = {
     "lake_incremental_join_view": LAKE_IVM_JOIN_ORACLE,
     "lake_join_rollup": LAKE_JOIN_ROLLUP_ORACLE,
     "lake_delta_roundtrip": LAKE_DELTA_ORACLE,
+    "lake_delta_dv_read": LAKE_DELTA_DV_ORACLE,
     "lake_iceberg_roundtrip": LAKE_ICEBERG_ORACLE,
     "lake_iceberg_bucket": LAKE_ICEBERG_BUCKET_ORACLE,
 }

@@ -1,0 +1,334 @@
+"""Delta Lake deletion-vector decoding — pure Python, no delta-spark.
+
+Modern Delta writers enable deletion vectors by default, so a foreign
+table whose adds carry ``deletionVector`` descriptors is the single
+most common real-world shape :func:`~.delta_interop.read_delta` used
+to refuse. This module decodes those descriptors into deleted
+row-index lists from PUBLIC protocol knowledge only
+(delta-io/delta PROTOCOL.md, "Deletion Vectors" + "Deletion Vector
+Format", and the RoaringBitmap interop spec at
+RoaringBitmap/RoaringFormatSpec):
+
+- **Z85** (the ZeroMQ Base85 variant Delta mandates) for inline
+  vectors and for the 16-byte UUID embedded in on-disk DV names.
+- **RoaringBitmapArray "portable" format**: magic ``1681511377``
+  (4 B LE), bitmap count (8 B LE), then per bitmap its high-32 key
+  (4 B LE) followed by a standard 32-bit portable RoaringBitmap —
+  the 64-bit layout from the RoaringFormatSpec. The Java-native
+  variant (magic ``1681511376``) is refused loudly.
+- **DV file framing**: ``<version:1B>=1`` prologue; at each
+  descriptor ``offset``, ``<dataSize:4B BE><data><crc32(data):4B BE>``.
+
+Everything refuses loudly on any byte it cannot prove it understands
+(unknown magic, truncated blob, checksum mismatch, unknown
+``storageType``) — a silently-wrong deleted-row set would resurrect
+or vanish rows with no error, the worst failure mode.
+
+Reference parity note: the reference engine
+(src/main/kotlin/.../DatalakeRetrieveService.kt) has no lake-format
+layer at all; this exists for the north star's Delta interop surface.
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid as _uuid
+import zlib
+from pathlib import Path
+
+#: ZeroMQ Z85 alphabet (https://rfc.zeromq.org/spec/32/), the Base85
+#: variant Delta PROTOCOL.md mandates for inline DVs and DV-file UUIDs
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+_MAGIC_PORTABLE = 1681511377  # RoaringBitmapArray portable format
+_MAGIC_NATIVE = 1681511376  # Java-native serialization — refused
+
+_SERIAL_COOKIE = 12347  # 32-bit roaring, run containers possible
+_SERIAL_COOKIE_NO_RUN = 12346  # 32-bit roaring, no run containers
+_NO_OFFSET_THRESHOLD = 4  # run-cookie bitmaps this small omit offsets
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85-encode (test-fixture + export helper; 4 B → 5 chars).
+    Delta pads to a 4-byte multiple with zeros and relies on
+    ``sizeInBytes`` to recover the true length."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        block = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            block.append(_Z85_ALPHABET[r])
+        out.extend(reversed(block))
+    return "".join(out)
+
+
+def z85_decode(s: str, out_len: int | None = None) -> bytes:
+    """Z85-decode; ``out_len`` trims Delta's zero padding (the
+    descriptor's ``sizeInBytes`` names the true byte length)."""
+    if len(s) % 5:
+        raise ValueError(
+            f"Z85 string length {len(s)} is not a multiple of 5"
+        )
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for ch in s[i : i + 5]:
+            d = _Z85_INDEX.get(ch)
+            if d is None:
+                raise ValueError(f"invalid Z85 character {ch!r}")
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            raise ValueError(f"Z85 block {s[i:i + 5]!r} overflows 32 bits")
+        out += v.to_bytes(4, "big")
+    if out_len is not None:
+        if not (0 <= len(out) - out_len < 4):
+            raise ValueError(
+                f"declared size {out_len} inconsistent with decoded "
+                f"length {len(out)} (padding must be < 4 bytes)"
+            )
+        del out[out_len:]
+    return bytes(out)
+
+
+def _decode_rbm32(data: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard 32-bit portable RoaringBitmap starting at ``pos``
+    (RoaringFormatSpec); returns (sorted values, next position). The
+    offset header is skipped — a sequential read never needs it."""
+    (cookie,) = struct.unpack_from("<I", data, pos)
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        size = (cookie >> 16) + 1
+        pos += 4
+        nrb = (size + 7) // 8
+        run_flags = data[pos : pos + nrb]
+        pos += nrb
+        has_offsets = size >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        pos += 4
+        (size,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        run_flags = b"\x00" * ((size + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(
+            f"not a portable RoaringBitmap at offset {pos}: cookie "
+            f"{cookie} (expected {_SERIAL_COOKIE} or "
+            f"{_SERIAL_COOKIE_NO_RUN})"
+        )
+    keys: list[int] = []
+    cards: list[int] = []
+    for _ in range(size):
+        k, cm1 = struct.unpack_from("<HH", data, pos)
+        pos += 4
+        keys.append(k)
+        cards.append(cm1 + 1)
+    if has_offsets:
+        pos += 4 * size
+    vals: list[int] = []
+    for i in range(size):
+        base = keys[i] << 16
+        if run_flags[i // 8] & (1 << (i % 8)):
+            (n_runs,) = struct.unpack_from("<H", data, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, lm1 = struct.unpack_from("<HH", data, pos)
+                pos += 4
+                vals.extend(range(base + start, base + start + lm1 + 1))
+        elif cards[i] > 4096:
+            words = struct.unpack_from("<1024Q", data, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                wb = base + (wi << 6)
+                while w:
+                    low = w & -w
+                    vals.append(wb + low.bit_length() - 1)
+                    w ^= low
+        else:
+            vals.extend(
+                base + v
+                for v in struct.unpack_from(f"<{cards[i]}H", data, pos)
+            )
+            pos += 2 * cards[i]
+    return vals, pos
+
+
+def decode_roaring_bitmap_array(data: bytes) -> list[int]:
+    """Decode a serialized RoaringBitmapArray (magic + bitmaps) to the
+    sorted list of set 64-bit indexes."""
+    if len(data) < 12:
+        raise ValueError(f"DV blob too short ({len(data)} bytes)")
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic == _MAGIC_NATIVE:
+        raise NotImplementedError(
+            "deletion vector uses the Java-native RoaringBitmapArray "
+            "serialization (magic 1681511376); only the portable "
+            "format is implemented"
+        )
+    if magic != _MAGIC_PORTABLE:
+        raise ValueError(
+            f"unrecognized deletion-vector magic {magic} (expected "
+            f"portable {_MAGIC_PORTABLE})"
+        )
+    (n_bitmaps,) = struct.unpack_from("<q", data, 4)
+    if n_bitmaps < 0:
+        raise ValueError(f"negative bitmap count {n_bitmaps}")
+    pos = 12
+    out: list[int] = []
+    last_key = -1
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        if key <= last_key:
+            raise ValueError(
+                f"bitmap keys not strictly increasing ({key} after "
+                f"{last_key}) — not a portable RoaringBitmapArray"
+            )
+        last_key = key
+        vals, pos = _decode_rbm32(data, pos)
+        base = key << 32
+        out.extend(base + v for v in vals)
+    if pos != len(data):
+        raise ValueError(
+            f"{len(data) - pos} trailing byte(s) after the last bitmap "
+            f"— size/format mismatch"
+        )
+    return out
+
+
+def encode_roaring_bitmap_array(indexes: list[int]) -> bytes:
+    """Serialize row indexes as a portable RoaringBitmapArray
+    (array containers only — encoder exists for fixtures and the DV
+    export path; correctness is pinned against hand-written spec
+    bytes, not just this encoder's own output)."""
+    by_key: dict[int, dict[int, list[int]]] = {}
+    for v in sorted(set(indexes)):
+        if v < 0:
+            raise ValueError(f"negative row index {v}")
+        by_key.setdefault(v >> 32, {}).setdefault(
+            (v >> 16) & 0xFFFF, []
+        ).append(v & 0xFFFF)
+    out = bytearray(struct.pack("<iq", _MAGIC_PORTABLE, len(by_key)))
+    for key in sorted(by_key):
+        containers = by_key[key]
+        for lows in containers.values():
+            if len(lows) > 4096:
+                raise NotImplementedError(
+                    "fixture encoder only writes array containers "
+                    "(<=4096 values per 16-bit container)"
+                )
+        out += struct.pack("<iI", key, _SERIAL_COOKIE_NO_RUN)
+        out += struct.pack("<I", len(containers))
+        for k16 in sorted(containers):
+            out += struct.pack("<HH", k16, len(containers[k16]) - 1)
+        off = 4 + 4 + 4 * len(containers) + 4 * len(containers)
+        for k16 in sorted(containers):
+            out += struct.pack("<I", off)
+            off += 2 * len(containers[k16])
+        for k16 in sorted(containers):
+            lows = containers[k16]
+            out += struct.pack(f"<{len(lows)}H", *lows)
+    return bytes(out)
+
+
+def write_dv_file(
+    table_root: Path, indexes: list[int]
+) -> tuple[str, int, int]:
+    """Write a spec-framed on-disk DV file for ``indexes`` under
+    ``table_root`` and return ``(pathOrInlineDv, offset,
+    sizeInBytes)`` for a ``storageType='u'`` descriptor (fixture/
+    export helper)."""
+    u = _uuid.uuid4()
+    data = encode_roaring_bitmap_array(indexes)
+    blob = (
+        b"\x01"
+        + struct.pack(">i", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    (Path(table_root) / f"deletion_vector_{u}.bin").write_bytes(blob)
+    return z85_encode(u.bytes), 1, len(data)
+
+
+def dv_unique_id(desc: dict | None) -> str | None:
+    """Delta's log-replay identity for a deletion vector: the
+    (storageType, pathOrInlineDv, offset) triple. Remove actions for
+    a path whose live add carries a DIFFERENT vector must not
+    tombstone it (the DV-update commit shape: remove(old DV) +
+    add(new DV) for the same path)."""
+    if not desc:
+        return None
+    off = desc.get("offset")
+    return (
+        f"{desc.get('storageType')}{desc.get('pathOrInlineDv')}"
+        f"@{off if off is not None else ''}"
+    )
+
+
+def load_dv_row_indexes(table_root: str | Path, desc: dict) -> list[int]:
+    """Resolve a ``deletionVector`` descriptor to the sorted deleted
+    row indexes of its data file. Handles all three storage types:
+    ``i`` (inline Z85), ``u`` (relative DV file named by Z85 UUID,
+    optional random prefix), ``p`` (absolute path)."""
+    st = desc.get("storageType")
+    enc = desc.get("pathOrInlineDv") or ""
+    size = desc.get("sizeInBytes")
+    if st == "i":
+        data = z85_decode(enc, size)
+    elif st in ("u", "p"):
+        if st == "u":
+            if len(enc) < 20:
+                raise ValueError(
+                    f"storageType 'u' pathOrInlineDv {enc!r} shorter "
+                    f"than a Z85 UUID (20 chars)"
+                )
+            prefix, tail = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=z85_decode(tail))
+            p = Path(table_root)
+            if prefix:
+                p = p / prefix
+            p = p / f"deletion_vector_{u}.bin"
+        else:
+            p = Path(enc)
+        raw = p.read_bytes()
+        if not raw or raw[0] != 1:
+            raise ValueError(
+                f"DV file {p} has unsupported format version "
+                f"{raw[0] if raw else 'EMPTY'}"
+            )
+        off = desc.get("offset")
+        if off is None:
+            off = 1  # single-DV files written without an offset
+        (stored_size,) = struct.unpack_from(">i", raw, off)
+        if size is not None and stored_size != size:
+            raise ValueError(
+                f"DV at {p}:{off} stores size {stored_size} but the "
+                f"descriptor claims sizeInBytes={size}"
+            )
+        data = raw[off + 4 : off + 4 + stored_size]
+        if len(data) != stored_size:
+            raise ValueError(f"DV file {p} truncated at offset {off}")
+        (crc,) = struct.unpack_from(">I", raw, off + 4 + stored_size)
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise ValueError(
+                f"DV at {p}:{off} fails its CRC-32 check — corrupt "
+                f"or mis-framed; refusing rather than mis-deleting"
+            )
+    else:
+        raise NotImplementedError(
+            f"deletionVector storageType {st!r} not implemented "
+            f"(known: 'i' inline, 'u' relative file, 'p' absolute)"
+        )
+    idx = decode_roaring_bitmap_array(data)
+    card = desc.get("cardinality")
+    if card is not None and card != len(idx):
+        raise ValueError(
+            f"deletion vector decodes to {len(idx)} row(s) but the "
+            f"descriptor claims cardinality={card}"
+        )
+    return idx

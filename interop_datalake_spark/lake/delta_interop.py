@@ -29,8 +29,10 @@ over a hand-written multi-commit log (the reader is NOT validated
 only against our own exporter). Honest limitations, refused loudly:
 the exporter requires a vector-free snapshot (Delta encodes deletion
 vectors differently — ``compact()`` reconciles them first), and the
-reader rejects ``deletionVector`` adds and truncated logs with no
-usable checkpoint.
+reader rejects truncated logs with no usable checkpoint. The reader
+DOES honor ``deletionVector`` adds (merge-on-read via
+:mod:`.delta_dv` + a position anti-join), the default-on shape
+modern Delta writers produce.
 
 Reference parity: the reference publishes parquet for downstream
 engines to consume in place (DatalakeRetrieveService.kt:18-39);
@@ -501,12 +503,47 @@ def _normalize_arrow_map(v):
     return out
 
 
-def _refuse_dv(a: dict) -> None:
-    if a.get("deletionVector"):
-        raise NotImplementedError(
-            f"add action for {a['path']} carries a deletionVector; "
-            f"reading the file raw would resurrect deleted rows"
+#: driver-side bound on total decoded DV positions per read — the
+#: positions frame is built on the driver (like the Iceberg
+#: position-delete serialization's 10M bound); a foreign table with
+#: more soft-deleted rows than this needs its writer to compact
+_DV_POSITIONS_BOUND = 10_000_000
+
+
+def _dv_positions_df(spark: SparkSession, path: str, dv_descs: dict):
+    """Decode every kept add's deletionVector into ONE
+    (_dv_file, _dv_row) frame for the position anti-join — the same
+    MOR mechanism TxnTable's reader uses for its own vectors
+    (txn.py read lineage), here fed from the public Delta DV format
+    (see :mod:`.delta_dv`). Bounded by Σ cardinality, checked before
+    decode so a pathological descriptor fails fast."""
+    from interop_datalake_spark.lake.delta_dv import load_dv_row_indexes
+
+    claimed = sum(
+        int(d.get("cardinality") or 0) for d in dv_descs.values()
+    )
+    if claimed > _DV_POSITIONS_BOUND:
+        raise ValueError(
+            f"deletion vectors claim {claimed} deleted rows across "
+            f"{len(dv_descs)} file(s), over the {_DV_POSITIONS_BOUND} "
+            f"driver-side decode bound — have the table's writer "
+            f"compact (purge DVs) before reading with this engine"
         )
+    pairs = []
+    total = 0
+    for f, desc in dv_descs.items():
+        idxs = load_dv_row_indexes(path, desc)
+        total += len(idxs)
+        if total > _DV_POSITIONS_BOUND:
+            raise ValueError(
+                f"deletion vectors decode to more than "
+                f"{_DV_POSITIONS_BOUND} deleted rows (descriptors "
+                f"under-claimed cardinality); refusing"
+            )
+        pairs.extend((f, int(i)) for i in idxs)
+    return spark.createDataFrame(
+        pairs, "_dv_file string, _dv_row bigint"
+    )
 
 
 def _load_checkpoint(log_dir: Path, ckpt_version: int):
@@ -590,10 +627,15 @@ def _load_checkpoint(log_dir: Path, ckpt_version: int):
                 protocol = pr
             a = row.get("add")
             if a and a.get("path"):
-                _refuse_dv(a)
                 a["partitionValues"] = _normalize_arrow_map(
                     a.get("partitionValues")
                 )
+                if not (a.get("deletionVector") or {}).get(
+                    "storageType"
+                ):
+                    # arrow materializes the absent struct as a dict
+                    # of Nones — normalize to no-vector
+                    a["deletionVector"] = None
                 adds[unquote(a["path"])] = a
     return meta, protocol, adds
 
@@ -678,13 +720,30 @@ def _replay_log(path: str, version: int | None):
                 protocol = action["protocol"]
             elif "add" in action:
                 a = action["add"]
-                _refuse_dv(a)
                 # protocol paths are URL-encoded; key and resolve by
                 # the DECODED on-disk path so add/remove pairs match
                 # regardless of each writer's encoding choices
                 adds[unquote(a["path"])] = a
             elif "remove" in action:
-                adds.pop(unquote(action["remove"]["path"]), None)
+                from interop_datalake_spark.lake.delta_dv import (
+                    dv_unique_id,
+                )
+
+                r = action["remove"]
+                p = unquote(r["path"])
+                cur = adds.get(p)
+                rid = dv_unique_id(r.get("deletionVector"))
+                # the DV-update commit shape writes remove(path, old
+                # DV) + add(path, new DV) for the SAME path in one
+                # version; Delta's replay keys the live set on
+                # (path, dvId), so a remove naming a vector the live
+                # add no longer carries must not tombstone the file.
+                # A DV-less remove keeps the legacy drop-by-path rule.
+                if cur is not None and (
+                    rid is None
+                    or rid == dv_unique_id(cur.get("deletionVector"))
+                ):
+                    adds.pop(p)
     if meta is None:
         raise ValueError(f"no metaData action in Delta log {log_dir}")
     _check_reader_features(meta, protocol)
@@ -693,7 +752,8 @@ def _replay_log(path: str, version: int | None):
 
 #: reader features this replay handles correctly: timestampNtz is a
 #: plain type, vacuumProtocolCheck constrains writers only, and
-#: deletionVectors is guarded per-add (_refuse_dv) — any OTHER
+#: deletionVectors is implemented (MOR position anti-join via
+#: delta_dv decode) — any OTHER
 #: feature (v2Checkpoint, columnMapping, typeWidening…) could change
 #: how the data must be read and is refused loudly
 _SAFE_READER_FEATURES = {
@@ -843,10 +903,15 @@ def read_delta(
     Replay starts from the newest usable parquet CHECKPOINT (single-
     or multi-part) when the JSON chain alone can't reach the target —
     the layout every long-lived Delta table has after log cleanup.
-    Refuses loudly (never silently wrong): truncated logs with no
-    usable checkpoint, and ``add`` actions carrying
-    ``deletionVector`` (reading those files raw would resurrect
-    deleted rows)."""
+    Adds carrying ``deletionVector`` (the default-on shape modern
+    Delta writers produce) are read merge-on-read: each vector is
+    decoded from the public format (:mod:`.delta_dv` — inline Z85,
+    relative UUID-named file, or absolute path) and applied as a
+    position anti-join on ``_metadata.row_index``, the same MOR
+    mechanism TxnTable's own reader uses. Refuses loudly (never
+    silently wrong): truncated logs with no usable checkpoint,
+    unknown DV storage types / corrupt vectors (CRC), and DV sets
+    past the driver-side decode bound."""
     meta, adds = _replay_log(path, version)
     keep = set(_prune_adds(adds, key_range, partition_filter))
     adds = {f: a for f, a in adds.items() if f in keep}
@@ -870,19 +935,65 @@ def read_delta(
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in pcols)
         groups.setdefault(key, []).append(f)
+    dv_descs = {
+        f: a["deletionVector"]
+        for f, a in adds.items()
+        if a.get("deletionVector")
+    }
+    # decode vectors BEFORE planning any scan: an unknown storage
+    # type / corrupt vector fails fast, driver-side, zero jobs
+    pos = _dv_positions_df(spark, path, dv_descs) if dv_descs else None
     frames = []
+    dv_frames = []
+    root_abs = Path(path).resolve()
     for key, files in groups.items():
-        fr = spark.read.schema(data_schema).parquet(
-            *[str(Path(path) / f) for f in files]
+        splits = (
+            ([f for f in files if f not in dv_descs], False),
+            ([f for f in files if f in dv_descs], True),
         )
-        for c, v in zip(pcols, key):
-            fr = fr.withColumn(
-                c,
-                (F.lit(None) if v is None else F.lit(v)).cast(
-                    ptypes.get(c, "string")
-                ),
+        for sel, vectored in splits:
+            if not sel:
+                continue
+            fr = spark.read.schema(data_schema).parquet(
+                *[str(Path(path) / f) for f in sel]
             )
-        frames.append(fr)
+            if vectored:
+                # row lineage off the scan, exactly as TxnTable's own
+                # MOR reader (txn.py): decoded root-relative path
+                # (matches the add keys) + position in file. '+' is
+                # pre-escaped because url_decode form-decodes it.
+                import re as _re
+
+                dec = F.url_decode(
+                    F.replace(
+                        F.col("_metadata.file_path"),
+                        F.lit("+"),
+                        F.lit("%2B"),
+                    )
+                )
+                fr = fr.select(
+                    "*",
+                    F.regexp_extract(
+                        dec, _re.escape(str(root_abs)) + "/(.*)$", 1
+                    ).alias("_dv_file"),
+                    F.col("_metadata.row_index").alias("_dv_row"),
+                )
+            for c, v in zip(pcols, key):
+                fr = fr.withColumn(
+                    c,
+                    (F.lit(None) if v is None else F.lit(v)).cast(
+                        ptypes.get(c, "string")
+                    ),
+                )
+            (dv_frames if vectored else frames).append(fr)
+    if dv_frames:
+        vec = dv_frames[0]
+        for fr in dv_frames[1:]:
+            vec = vec.unionByName(fr)
+        vec = vec.join(pos, ["_dv_file", "_dv_row"], "left_anti").drop(
+            "_dv_file", "_dv_row"
+        )
+        frames.append(vec)
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)

@@ -1,0 +1,383 @@
+"""Delta deletion-vector decode + merge-on-read reads.
+
+The decoder (interop_datalake_spark/lake/delta_dv.py) is pinned THREE
+independent ways so correctness never rests on its own encoder:
+
+1. the Z85 codec against the ZeroMQ spec's published test vector;
+2. the RoaringBitmapArray decode against HAND-WRITTEN bytes built
+   struct-by-struct from the public format specs (Delta PROTOCOL.md
+   "Deletion Vector Format" + RoaringFormatSpec), covering array /
+   run / bitmap containers, multi-container and 64-bit multi-key
+   shapes;
+3. end-to-end: read_delta over hand-written logs whose adds carry
+   inline, on-disk-uuid, and absolute-path vectors, including the
+   DV-update commit shape (remove(old DV) + add(new DV), same path,
+   both action orders).
+"""
+
+import json
+import struct
+import zlib
+
+import pytest
+
+from interop_datalake_spark.lake.delta_dv import (
+    decode_roaring_bitmap_array,
+    dv_unique_id,
+    encode_roaring_bitmap_array,
+    load_dv_row_indexes,
+    write_dv_file,
+    z85_decode,
+    z85_encode,
+)
+from interop_datalake_spark.lake.delta_interop import read_delta
+
+MAGIC = 1681511377
+
+
+# ---------------------------------------------------------------- Z85
+
+
+def test_z85_zeromq_spec_vector():
+    # https://rfc.zeromq.org/spec/32/ — the spec's own test case
+    assert z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+
+
+def test_z85_padding_and_errors():
+    data = b"\x01\x02\x03"  # not a 4-multiple: encoder zero-pads
+    assert z85_decode(z85_encode(data), 3) == data
+    with pytest.raises(ValueError, match="multiple of 5"):
+        z85_decode("abc")
+    with pytest.raises(ValueError, match="invalid Z85"):
+        z85_decode('"""""')
+    with pytest.raises(ValueError, match="inconsistent"):
+        z85_decode(z85_encode(b"\x00" * 8), 3)  # >3 bytes padding
+
+
+# ------------------------------------- hand-written roaring bytes
+
+
+def _rbm_header(n_bitmaps: int) -> bytes:
+    return struct.pack("<iq", MAGIC, n_bitmaps)
+
+
+def test_decode_handwritten_array_containers():
+    """{1, 2, 100000}: one 32-bit bitmap (key 0) holding two array
+    containers — bytes written field-by-field from RoaringFormatSpec."""
+    blob = (
+        _rbm_header(1)
+        + struct.pack("<i", 0)  # 64-bit high key
+        + struct.pack("<I", 12346)  # cookie: no run containers
+        + struct.pack("<I", 2)  # container count
+        + struct.pack("<HH", 0, 1)  # container key 0, card-1 = 1
+        + struct.pack("<HH", 1, 0)  # container key 1, card-1 = 0
+        + struct.pack("<II", 24, 28)  # offset header (mandatory here)
+        + struct.pack("<2H", 1, 2)  # values 1, 2
+        + struct.pack("<1H", 100000 - 65536)  # value 100000
+    )
+    assert decode_roaring_bitmap_array(blob) == [1, 2, 100000]
+
+
+def test_decode_handwritten_run_container():
+    """{10..20} as a run container: run cookie 12347, container count
+    1 encoded in the cookie's high 16 bits, run bitset, NO offset
+    header (count < 4)."""
+    blob = (
+        _rbm_header(1)
+        + struct.pack("<i", 0)
+        + struct.pack("<I", 12347 | ((1 - 1) << 16))
+        + b"\x01"  # run bitset: container 0 is a run container
+        + struct.pack("<HH", 0, 10)  # key 0, card-1 = 10
+        + struct.pack("<H", 1)  # one run
+        + struct.pack("<HH", 10, 10)  # start 10, length-1 = 10
+    )
+    assert decode_roaring_bitmap_array(blob) == list(range(10, 21))
+
+
+def test_decode_handwritten_bitmap_container():
+    """{0..4999}: cardinality > 4096 forces a bitset container —
+    78 full 64-bit words + one 0xFF word + zeros."""
+    words = [0xFFFFFFFFFFFFFFFF] * 78 + [0xFF] + [0] * (1024 - 79)
+    blob = (
+        _rbm_header(1)
+        + struct.pack("<i", 0)
+        + struct.pack("<I", 12346)
+        + struct.pack("<I", 1)
+        + struct.pack("<HH", 0, 4999)
+        + struct.pack("<I", 16)
+        + struct.pack("<1024Q", *words)
+    )
+    assert decode_roaring_bitmap_array(blob) == list(range(5000))
+
+
+def test_decode_handwritten_multi_key_64bit():
+    """Two 32-bit bitmaps: key 0 holding {7} and key 3 holding {5} —
+    the 64-bit row indexes are (key << 32) | value."""
+    one = lambda v: (  # noqa: E731 — one single-value array bitmap
+        struct.pack("<I", 12346)
+        + struct.pack("<I", 1)
+        + struct.pack("<HH", 0, 0)
+        + struct.pack("<I", 16)
+        + struct.pack("<1H", v)
+    )
+    blob = (
+        _rbm_header(2)
+        + struct.pack("<i", 0)
+        + one(7)
+        + struct.pack("<i", 3)
+        + one(5)
+    )
+    assert decode_roaring_bitmap_array(blob) == [7, (3 << 32) | 5]
+
+
+def test_decode_refuses_native_magic_and_garbage():
+    with pytest.raises(NotImplementedError, match="native"):
+        decode_roaring_bitmap_array(struct.pack("<iq", 1681511376, 0))
+    with pytest.raises(ValueError, match="magic"):
+        decode_roaring_bitmap_array(b"\x00" * 16)
+    with pytest.raises(ValueError, match="trailing"):
+        decode_roaring_bitmap_array(_rbm_header(0) + b"\x00")
+
+
+def test_encode_decode_roundtrip():
+    import random
+
+    rng = random.Random(42)
+    for _ in range(20):
+        vals = sorted(
+            rng.sample(range(0, 1 << 40), rng.randint(1, 500))
+        )
+        assert decode_roaring_bitmap_array(
+            encode_roaring_bitmap_array(vals)
+        ) == vals
+
+
+# --------------------------------------------- DV file / descriptor
+
+
+def test_dv_file_roundtrip_and_corruption(tmp_path):
+    enc, off, size = write_dv_file(tmp_path, [0, 5, 9])
+    desc = {
+        "storageType": "u",
+        "pathOrInlineDv": enc,
+        "offset": off,
+        "sizeInBytes": size,
+        "cardinality": 3,
+    }
+    assert load_dv_row_indexes(tmp_path, desc) == [0, 5, 9]
+    # cardinality mismatch refuses
+    with pytest.raises(ValueError, match="cardinality"):
+        load_dv_row_indexes(tmp_path, {**desc, "cardinality": 4})
+    # flip one data byte: CRC must catch it
+    f = next(tmp_path.glob("deletion_vector_*.bin"))
+    raw = bytearray(f.read_bytes())
+    raw[10] ^= 0xFF
+    f.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="CRC"):
+        load_dv_row_indexes(tmp_path, desc)
+
+
+def test_dv_inline_and_absolute_path(tmp_path):
+    data = encode_roaring_bitmap_array([1, 3])
+    inline = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data),
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    }
+    assert load_dv_row_indexes(tmp_path, inline) == [1, 3]
+    enc, off, size = write_dv_file(tmp_path, [2])
+    import uuid as _uuid
+
+    u = _uuid.UUID(bytes=z85_decode(enc))
+    abs_desc = {
+        "storageType": "p",
+        "pathOrInlineDv": str(tmp_path / f"deletion_vector_{u}.bin"),
+        "offset": off,
+        "sizeInBytes": size,
+        "cardinality": 1,
+    }
+    # table_root deliberately wrong — 'p' must ignore it
+    assert load_dv_row_indexes("/nonexistent", abs_desc) == [2]
+
+
+def test_dv_unique_id_distinguishes_vectors():
+    a = {"storageType": "u", "pathOrInlineDv": "x" * 20, "offset": 1}
+    b = {"storageType": "u", "pathOrInlineDv": "y" * 20, "offset": 1}
+    assert dv_unique_id(a) != dv_unique_id(b)
+    assert dv_unique_id(None) is None
+    assert dv_unique_id(dict(a)) == dv_unique_id(a)
+
+
+# ------------------------------------------------- end-to-end reads
+
+
+def _schema_string():
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "integer", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+
+
+def _base_actions(extra_reader=("deletionVectors",)):
+    return [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": list(extra_reader),
+                      "writerFeatures": list(extra_reader)}},
+        {"metaData": {"id": "dv-tbl",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": _schema_string(),
+                      "partitionColumns": [], "configuration": {}}},
+    ]
+
+
+def _write_file(spark, root, name, rows):
+    df = spark.createDataFrame(rows, "k INT, v STRING")
+    df.coalesce(1).write.parquet(str(root / "stage" / name))
+    return f"stage/{name}/" + next(
+        p.name
+        for p in (root / "stage" / name).iterdir()
+        if p.name.endswith(".parquet")
+    )
+
+
+def _commit(root, v, actions):
+    (root / "_delta_log" / f"{v:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+
+
+def _add(path, dv=None):
+    a = {"path": path, "partitionValues": {}, "size": 1,
+         "modificationTime": 0, "dataChange": True}
+    if dv:
+        a["deletionVector"] = dv
+    return {"add": a}
+
+
+def test_read_delta_applies_inline_and_file_dvs(spark, tmp_path):
+    """Two files, one DV'd inline (rows 0 and 2 of five deleted), one
+    DV'd from an on-disk uuid-named vector (row 1 of three)."""
+    root = tmp_path / "dvt"
+    (root / "_delta_log").mkdir(parents=True)
+    f1 = _write_file(
+        spark, root, "f1", [(i, f"a{i}") for i in range(5)]
+    )
+    f2 = _write_file(
+        spark, root, "f2", [(10 + i, f"b{i}") for i in range(3)]
+    )
+    data = encode_roaring_bitmap_array([0, 2])
+    dv1 = {"storageType": "i", "pathOrInlineDv": z85_encode(data),
+           "sizeInBytes": len(data), "cardinality": 2}
+    enc, off, size = write_dv_file(root, [1])
+    dv2 = {"storageType": "u", "pathOrInlineDv": enc, "offset": off,
+           "sizeInBytes": size, "cardinality": 1}
+    _commit(root, 0, _base_actions() + [_add(f1, dv1), _add(f2, dv2)])
+    got = {
+        (r["k"], r["v"]) for r in read_delta(spark, str(root)).collect()
+    }
+    assert got == {(1, "a1"), (3, "a3"), (4, "a4"), (10, "b0"), (12, "b2")}
+
+
+@pytest.mark.parametrize("remove_first", [True, False])
+def test_read_delta_dv_update_commit_shape(spark, tmp_path, remove_first):
+    """The shape modern writers produce on DELETE: the SAME path is
+    re-added with a new vector while a remove names the old one — the
+    file must stay live with the NEW vector, whichever order the two
+    actions appear in the commit json."""
+    root = tmp_path / f"dvu{int(remove_first)}"
+    (root / "_delta_log").mkdir(parents=True)
+    f1 = _write_file(
+        spark, root, "f1", [(i, f"r{i}") for i in range(4)]
+    )
+    d_old = encode_roaring_bitmap_array([0])
+    dv_old = {"storageType": "i", "pathOrInlineDv": z85_encode(d_old),
+              "sizeInBytes": len(d_old), "cardinality": 1}
+    d_new = encode_roaring_bitmap_array([0, 3])
+    dv_new = {"storageType": "i", "pathOrInlineDv": z85_encode(d_new),
+              "sizeInBytes": len(d_new), "cardinality": 2}
+    _commit(root, 0, _base_actions() + [_add(f1, dv_old)])
+    rm = {"remove": {"path": f1, "dataChange": True,
+                     "deletionVector": dv_old}}
+    ad = _add(f1, dv_new)
+    actions = [rm, ad] if remove_first else [ad, rm]
+    _commit(root, 1, actions)
+    got = {r["k"] for r in read_delta(spark, str(root)).collect()}
+    assert got == {1, 2}
+    # VERSION AS OF 0 still sees the old vector's view
+    got0 = {
+        r["k"] for r in read_delta(spark, str(root), version=0).collect()
+    }
+    assert got0 == {1, 2, 3}
+    # a DV-LESS remove still tombstones the file (legacy writers)
+    _commit(root, 2, [{"remove": {"path": f1, "dataChange": True}}])
+    assert read_delta(spark, str(root)).count() == 0
+
+
+def test_read_delta_dv_with_partitions_and_pruning(spark, tmp_path):
+    """Vectors compose with partition-value injection, file pruning,
+    and residual filters."""
+    root = tmp_path / "dvp"
+    (root / "_delta_log").mkdir(parents=True)
+    fa = _write_file(spark, root, "fa", [(1, "x"), (2, "y")])
+    fb = _write_file(spark, root, "fb", [(3, "z"), (4, "w")])
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "integer", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    data = encode_roaring_bitmap_array([0])
+    dv = {"storageType": "i", "pathOrInlineDv": z85_encode(data),
+          "sizeInBytes": len(data), "cardinality": 1}
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "dv-part",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema,
+                      "partitionColumns": ["p"], "configuration": {}}},
+        {"add": {"path": fa, "partitionValues": {"p": "east"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv}},
+        {"add": {"path": fb, "partitionValues": {"p": "west"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    got = {
+        (r["k"], r["p"])
+        for r in read_delta(spark, str(root)).collect()
+    }
+    assert got == {(2, "east"), (3, "west"), (4, "west")}
+    pruned = read_delta(
+        spark, str(root), partition_filter={"p": "east"}
+    )
+    assert {(r["k"], r["p"]) for r in pruned.collect()} == {(2, "east")}
+
+
+def test_read_delta_dv_positions_bound(spark, tmp_path):
+    root = tmp_path / "dvbound"
+    (root / "_delta_log").mkdir(parents=True)
+    f1 = _write_file(spark, root, "f1", [(1, "x")])
+    dv = {"storageType": "i", "pathOrInlineDv": "aaaaa",
+          "sizeInBytes": 4, "cardinality": 10_000_001}
+    _commit(root, 0, _base_actions() + [_add(f1, dv)])
+    with pytest.raises(ValueError, match="compact"):
+        read_delta(spark, str(root))

@@ -169,7 +169,12 @@ def test_reader_replays_handwritten_multi_commit_log(spark, tmp_path):
         read_delta(spark, str(root), version=9)
 
 
-def test_reader_refuses_dv_adds_and_truncated_logs(spark, tmp_path):
+def test_reader_refuses_unknown_dv_storage_and_truncated_logs(
+    spark, tmp_path
+):
+    """DV adds are READ now (test_delta_dv.py); what still refuses
+    loudly is a storage type the decoder can't prove it understands,
+    and truncated logs."""
     root = tmp_path / "bad_delta"
     (root / "_delta_log").mkdir(parents=True)
     schema_string = json.dumps(
@@ -181,19 +186,21 @@ def test_reader_refuses_dv_adds_and_truncated_logs(spark, tmp_path):
         "\n".join(
             json.dumps(a)
             for a in [
-                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["deletionVectors"],
+                              "writerFeatures": ["deletionVectors"]}},
                 {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
                               "schemaString": schema_string,
                               "partitionColumns": [], "configuration": {}}},
                 {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
                          "modificationTime": 0, "dataChange": True,
-                         "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                         "deletionVector": {"storageType": "z", "pathOrInlineDv": "x",
                                             "offset": 1, "sizeInBytes": 1, "cardinality": 1}}},
             ]
         )
     )
-    with pytest.raises(NotImplementedError, match="deletionVector"):
-        read_delta(spark, str(root))
+    with pytest.raises(NotImplementedError, match="storageType"):
+        read_delta(spark, str(root)).collect()
     # log whose version-0 json was checkpoint-compacted away
     root2 = tmp_path / "trunc_delta"
     (root2 / "_delta_log").mkdir(parents=True)
