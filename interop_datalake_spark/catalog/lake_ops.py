@@ -1441,14 +1441,16 @@ ORDER BY stage, lang
 def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta transaction-log interop (lake/delta_interop.py): load a
     lineitem slice into a partitioned TxnTable, soft-delete by
-    deletion vector, compact (reconciling the vectors — a vectored
-    snapshot refuses to export), EXPORT the public-protocol
-    ``_delta_log``, then read the table back through the
-    self-contained Delta LOG READER (add/remove replay + per-file
-    partition-value injection, no delta-spark) and aggregate. The
-    oracle computes the same aggregate straight from the parquet
-    source, so the whole write→vector→compact→export→delta-read
-    lifecycle must be value-exact end to end."""
+    deletion vector, EXPORT the still-VECTORED snapshot directly —
+    the round-11 DV export re-encodes TxnTable vectors as packed
+    Delta deletionVector files (lake/delta_dv.py), no forced compact
+    — then read the table back through the self-contained Delta LOG
+    READER (add/remove replay, DV decode + position anti-join,
+    per-file partition-value injection, no delta-spark) and
+    aggregate. The oracle computes the same aggregate straight from
+    the parquet source, so the whole write→vector→export→delta-read
+    lifecycle, including the Z85/roaring encode-decode roundtrip,
+    must be value-exact end to end."""
     import shutil
     import tempfile
 
@@ -1476,8 +1478,7 @@ def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.append(li.filter(F.col("l_orderkey") < 600))
         t.delete_where(F.col("l_linenumber") > 4, merge_on_read=True)
-        t.compact(target_files=2)  # reconciles vectors → exportable
-        export_delta_log(t)
+        export_delta_log(t)  # vectored snapshot exports directly
         rows = (
             read_delta(spark, str(t.root))
             .groupBy("l_returnflag")
@@ -1606,7 +1607,7 @@ def lake_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-        def _add(path, dv=None, extra=None):
+        def _add(path, dv=None):
             a = {
                 "path": path,
                 "partitionValues": {},

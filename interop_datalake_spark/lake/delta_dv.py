@@ -202,10 +202,11 @@ def decode_roaring_bitmap_array(data: bytes) -> list[int]:
 
 
 def encode_roaring_bitmap_array(indexes: list[int]) -> bytes:
-    """Serialize row indexes as a portable RoaringBitmapArray
-    (array containers only — encoder exists for fixtures and the DV
-    export path; correctness is pinned against hand-written spec
-    bytes, not just this encoder's own output)."""
+    """Serialize row indexes as a portable RoaringBitmapArray —
+    array containers for sparse 16-bit chunks, bitset containers past
+    the spec's 4096-value threshold (the export path meets dense
+    deletes). Correctness is pinned against hand-written spec bytes,
+    not just this encoder's own output."""
     by_key: dict[int, dict[int, list[int]]] = {}
     for v in sorted(set(indexes)):
         if v < 0:
@@ -216,24 +217,60 @@ def encode_roaring_bitmap_array(indexes: list[int]) -> bytes:
     out = bytearray(struct.pack("<iq", _MAGIC_PORTABLE, len(by_key)))
     for key in sorted(by_key):
         containers = by_key[key]
-        for lows in containers.values():
-            if len(lows) > 4096:
-                raise NotImplementedError(
-                    "fixture encoder only writes array containers "
-                    "(<=4096 values per 16-bit container)"
-                )
         out += struct.pack("<iI", key, _SERIAL_COOKIE_NO_RUN)
         out += struct.pack("<I", len(containers))
         for k16 in sorted(containers):
             out += struct.pack("<HH", k16, len(containers[k16]) - 1)
         off = 4 + 4 + 4 * len(containers) + 4 * len(containers)
         for k16 in sorted(containers):
+            n = len(containers[k16])
             out += struct.pack("<I", off)
-            off += 2 * len(containers[k16])
+            off += 8192 if n > 4096 else 2 * n
         for k16 in sorted(containers):
             lows = containers[k16]
-            out += struct.pack(f"<{len(lows)}H", *lows)
+            if len(lows) > 4096:
+                words = [0] * 1024
+                for lo in lows:
+                    words[lo >> 6] |= 1 << (lo & 63)
+                out += struct.pack("<1024Q", *words)
+            else:
+                out += struct.pack(f"<{len(lows)}H", *lows)
     return bytes(out)
+
+
+def write_packed_dv_file(
+    table_root: Path, per_key: dict[str, list[int]], prefix: str = ""
+) -> dict[str, dict]:
+    """Write ONE spec-framed uuid-named DV file holding one blob per
+    key (real Delta writers pack a whole commit's vectors this way)
+    under ``table_root/prefix`` and return a complete
+    ``storageType='u'`` descriptor per key. Layout:
+    ``<version:1B>=1`` then per blob
+    ``<dataSize:4B BE><data><crc32(data):4B BE>``."""
+    u = _uuid.uuid4()
+    buf = bytearray(b"\x01")
+    descs: dict[str, dict] = {}
+    enc = prefix + z85_encode(u.bytes)
+    for key, idxs in per_key.items():
+        idxs = sorted(set(int(i) for i in idxs))
+        data = encode_roaring_bitmap_array(idxs)
+        off = len(buf)
+        buf += (
+            struct.pack(">i", len(data))
+            + data
+            + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        )
+        descs[key] = {
+            "storageType": "u",
+            "pathOrInlineDv": enc,
+            "offset": off,
+            "sizeInBytes": len(data),
+            "cardinality": len(idxs),
+        }
+    d = Path(table_root) / prefix if prefix else Path(table_root)
+    d.mkdir(parents=True, exist_ok=True)
+    (d / f"deletion_vector_{u}.bin").write_bytes(bytes(buf))
+    return descs
 
 
 def write_dv_file(
@@ -241,18 +278,10 @@ def write_dv_file(
 ) -> tuple[str, int, int]:
     """Write a spec-framed on-disk DV file for ``indexes`` under
     ``table_root`` and return ``(pathOrInlineDv, offset,
-    sizeInBytes)`` for a ``storageType='u'`` descriptor (fixture/
-    export helper)."""
-    u = _uuid.uuid4()
-    data = encode_roaring_bitmap_array(indexes)
-    blob = (
-        b"\x01"
-        + struct.pack(">i", len(data))
-        + data
-        + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
-    )
-    (Path(table_root) / f"deletion_vector_{u}.bin").write_bytes(blob)
-    return z85_encode(u.bytes), 1, len(data)
+    sizeInBytes)`` for a ``storageType='u'`` descriptor (fixture
+    helper; the export path uses :func:`write_packed_dv_file`)."""
+    d = write_packed_dv_file(table_root, {"_": indexes})["_"]
+    return d["pathOrInlineDv"], d["offset"], d["sizeInBytes"]
 
 
 def dv_unique_id(desc: dict | None) -> str | None:

@@ -26,13 +26,14 @@ using only the PUBLIC Delta transaction-log protocol
 
 Both directions are pinned by a roundtrip test plus a reader test
 over a hand-written multi-commit log (the reader is NOT validated
-only against our own exporter). Honest limitations, refused loudly:
-the exporter requires a vector-free snapshot (Delta encodes deletion
-vectors differently — ``compact()`` reconciles them first), and the
-reader rejects truncated logs with no usable checkpoint. The reader
-DOES honor ``deletionVector`` adds (merge-on-read via
-:mod:`.delta_dv` + a position anti-join), the default-on shape
-modern Delta writers produce.
+only against our own exporter). Deletion vectors are supported BOTH
+ways via :mod:`.delta_dv`: the reader decodes ``deletionVector``
+adds (merge-on-read position anti-join — the default-on shape
+modern Delta writers produce) and the exporter re-encodes TxnTable
+vectors as packed Delta DV files, including the mirror-mode
+DV-update commit shape. Honest limitations, refused loudly: the
+reader rejects truncated logs with no usable checkpoint, and both
+directions bound driver-side vector decode.
 
 Reference parity: the reference publishes parquet for downstream
 engines to consume in place (DatalakeRetrieveService.kt:18-39);
@@ -44,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -67,18 +69,12 @@ _MIRROR_MARKER = ".txn_mirror.json"  # dot-prefixed: log readers skip it
 def _validate_exportable(
     table: TxnTable, m: dict, files: list[str]
 ) -> None:
-    """The refuse-loudly gate both export modes share: vectored
-    snapshots would resurrect soft-deleted rows for Delta readers,
-    and pre-spec ``files`` (partition values in the data, not the
-    manifest) would export empty partitionValues that readers NULL.
-    ``compact()`` cures both."""
-    if m.get("dvs"):
-        raise ValueError(
-            f"table {table.name}: snapshot has deletion vectors on "
-            f"{len(m['dvs'])} file(s); a plain Delta export would "
-            f"resurrect the soft-deleted rows — run compact() (which "
-            f"reconciles vectors into clean files) and re-export"
-        )
+    """The refuse-loudly gate both export modes share: pre-spec
+    ``files`` (partition values in the data, not the manifest) would
+    export empty partitionValues that readers NULL; ``compact()``
+    cures it. Deletion vectors are NOT a refusal any more — the
+    export re-encodes TxnTable vectors as Delta DVs (see
+    :func:`_export_dv_descriptors`)."""
     if m.get("schema") is None:
         raise ValueError(
             f"table {table.name}: no log schema recorded; Delta "
@@ -130,7 +126,12 @@ def _schema_names(m: dict) -> set[str]:
 
 
 def _add_action(
-    table: TxnTable, m: dict, f: str, now_ms: int, names: set[str]
+    table: TxnTable,
+    m: dict,
+    f: str,
+    now_ms: int,
+    names: set[str],
+    dv_desc: dict | None = None,
 ) -> dict:
     pcols = m.get("partition_cols") or []
     p = table.root / f
@@ -142,6 +143,11 @@ def _add_action(
         pv[c] = None if v in (None, _HIVE_NULL) else str(v)
     stats_payload: dict = {}
     if "rows" in fstat:
+        # numRecords is the file's PHYSICAL row count (what the
+        # TxnTable recorded at write); with a DV attached the min/max
+        # still span soft-deleted rows, which the protocol flags as
+        # tightBounds=false so engines keep them as conservative
+        # skipping bounds only
         stats_payload["numRecords"] = int(fstat["rows"])
         mins, maxs = {}, {}
         for c, mm in fstat.items():
@@ -152,8 +158,11 @@ def _add_action(
         if mins:
             stats_payload["minValues"] = mins
             stats_payload["maxValues"] = maxs
+        if dv_desc:
+            stats_payload["tightBounds"] = False
     return {
         "add": {
+            **({"deletionVector": dv_desc} if dv_desc else {}),
             # the protocol specifies URL-encoded relative paths: a
             # Hive-escaped dir like 'site=50%25' must export as
             # 'site=50%2525' or a compliant reader's decode resolves
@@ -171,6 +180,76 @@ def _add_action(
             ),
         }
     }
+
+
+#: directory (and descriptor prefix) the export's packed DV files
+#: live under — cleaned up together with the _delta_log they serve
+_DV_EXPORT_PREFIX = "_dv"
+
+#: the protocol action a DV-bearing export (or the mirror commit that
+#: first introduces vectors) must claim — readers that don't
+#: implement the feature refuse instead of resurrecting rows
+_DV_PROTOCOL = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+}
+
+
+def _collect_txn_dv_indexes(
+    table: TxnTable, m: dict, only=None
+) -> dict[str, list[int]]:
+    """Resolve a TxnTable snapshot's deletion-vector state to
+    {file → sorted deleted row indexes}: ONE scan over the (file_key,
+    row_idx) vector parquets the manifest references, restricted to
+    ``only`` when the caller knows which files changed. Driver-
+    bounded like the read side (vectors are per-commit deltas;
+    anything past the bound should be compacted, which reconciles
+    them into clean files)."""
+    dvs_map = {
+        f: ps
+        for f, ps in (m.get("dvs") or {}).items()
+        if only is None or f in only
+    }
+    if not dvs_map:
+        return {}
+    paths = sorted({p for ps in dvs_map.values() for p in ps})
+    rows = (
+        table.spark.read.parquet(*[str(table.root / p) for p in paths])
+        .select("file_key", "row_idx")
+        .filter(F.col("file_key").isin(list(dvs_map)))
+        .limit(_DV_POSITIONS_BOUND + 1)
+        .collect()
+    )
+    if len(rows) > _DV_POSITIONS_BOUND:
+        raise ValueError(
+            f"table {table.name}: snapshot carries more than "
+            f"{_DV_POSITIONS_BOUND} soft-deleted row positions — run "
+            f"compact() (reconciling the vectors) before exporting"
+        )
+    out: dict[str, set] = {}
+    for r in rows:
+        out.setdefault(r["file_key"], set()).add(int(r["row_idx"]))
+    return {f: sorted(s) for f, s in out.items()}
+
+
+def _export_dv_descriptors(
+    table: TxnTable, per_file: dict[str, list[int]]
+) -> dict[str, dict]:
+    """Pack one commit's worth of vectors into a single uuid-named DV
+    file under ``<root>/_dv`` and return Delta descriptors per data
+    file (delta_dv.write_packed_dv_file — the framing read_delta's
+    own decoder consumes)."""
+    from interop_datalake_spark.lake.delta_dv import write_packed_dv_file
+
+    if not per_file:
+        return {}
+    return write_packed_dv_file(
+        table.root, per_file, prefix=_DV_EXPORT_PREFIX
+    )
 
 
 def _write_commit(log_dir: Path, delta_version: int, actions) -> None:
@@ -228,12 +307,22 @@ def _write_commit(log_dir: Path, delta_version: int, actions) -> None:
 
 
 def _write_marker(
-    log_dir: Path, txn_version: int, delta_version: int, table_id: str
+    log_dir: Path,
+    txn_version: int,
+    delta_version: int,
+    table_id: str,
+    dv_descs: dict | None = None,
+    dv_protocol: bool = False,
 ):
     """Atomic + fsync'd like the commits — INCLUDING the directory
     fsync after the rename (round-8 review 5): a dir-cached rename
     lost to power loss while the commit survived would leave the
-    marker behind the published log."""
+    marker behind the published log. ``dv_descs`` persists each
+    exported file's CURRENT deletionVector descriptor: compliant
+    engines key log replay on (path, DV identity), so a later mirror
+    commit that drops or updates a vectored file must emit a remove
+    naming the EXACT descriptor previously published — without the
+    marker the mirror could not reconstruct it."""
     tmp = log_dir / f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         fh.write(
@@ -242,6 +331,8 @@ def _write_marker(
                     "txn_version": txn_version,
                     "delta_version": delta_version,
                     "table_id": table_id,
+                    "dv_descs": dv_descs or {},
+                    "dv_protocol": bool(dv_protocol),
                 }
             )
         )
@@ -267,6 +358,9 @@ def _read_marker(log_dir: Path) -> dict | None:
             "txn_version": int(d["txn_version"]),
             "delta_version": int(d["delta_version"]),
             "table_id": str(d["table_id"]),
+            # pre-DV-export markers lack these: default clean
+            "dv_descs": dict(d.get("dv_descs") or {}),
+            "dv_protocol": bool(d.get("dv_protocol")),
         }
     except (ValueError, KeyError, TypeError):
         return None
@@ -286,17 +380,31 @@ def _full_export(table: TxnTable, version: int | None) -> Path:
     # the marker.
     table_id = str(uuid.uuid4())
     names = _schema_names(m)
-    actions = [
-        # minReader/Writer 1/2: plain parquet + partition columns,
-        # no column mapping / DV features claimed
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        _meta_action(m, now_ms, table_id),
-    ] + [_add_action(table, m, f, now_ms, names) for f in m["files"]]
     if log_dir.exists():
         shutil.rmtree(log_dir)  # snapshot export: replace wholesale
+    dv_dir = table.root / _DV_EXPORT_PREFIX
+    if dv_dir.exists():
+        shutil.rmtree(dv_dir)  # stale packed vectors of the old log
+    dv_descs = _export_dv_descriptors(
+        table, _collect_txn_dv_indexes(table, m)
+    )
+    actions = [
+        # vector-free snapshots stay minReader/Writer 1/2 (plain
+        # parquet + partition columns) — maximally consumable; a
+        # vectored snapshot must claim the deletionVectors feature
+        _DV_PROTOCOL
+        if dv_descs
+        else {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta_action(m, now_ms, table_id),
+    ] + [
+        _add_action(table, m, f, now_ms, names, dv_descs.get(f))
+        for f in m["files"]
+    ]
     log_dir.mkdir(parents=True)
     _write_commit(log_dir, 0, actions)
-    _write_marker(log_dir, m["version"], 0, table_id)
+    _write_marker(
+        log_dir, m["version"], 0, table_id, dv_descs, bool(dv_descs)
+    )
     return log_dir
 
 
@@ -331,12 +439,23 @@ def export_delta_log(
     stale exported log rather than leave external engines a log of
     dangling paths (round-8 review).
 
-    Refuses loudly (never silently wrong): snapshots with deletion
-    vectors (a plain export would RESURRECT soft-deleted rows —
-    Delta encodes DVs as a separate feature this exporter does not
-    emit), and mixed-partition-spec snapshots whose pre-spec files
-    would export empty partitionValues; ``compact()`` cures both.
-    Returns the ``_delta_log`` directory path."""
+    DELETION VECTORS export natively: a vectored snapshot's
+    per-file deleted-row sets are re-encoded as Delta DVs (packed
+    uuid-named RoaringBitmapArray files under ``_dv/``, one per
+    commit — :mod:`.delta_dv`), the adds carry descriptors +
+    ``tightBounds: false`` stats, and the log claims the
+    ``deletionVectors`` reader/writer feature (protocol 3/7; clean
+    snapshots stay 1/2). In mirror mode a vector change exports as
+    Delta's own DV-update shape — remove naming the previously
+    published descriptor + re-add with the new one — with per-file
+    descriptors persisted in the mirror marker so replay identity
+    ((path, DV id)) is preserved across export sessions.
+
+    Refuses loudly (never silently wrong): mixed-partition-spec
+    snapshots whose pre-spec files would export empty
+    partitionValues (``compact()`` cures), and vector sets past the
+    driver-side decode bound. Returns the ``_delta_log`` directory
+    path."""
     if mode not in ("replace", "mirror"):
         raise ValueError("mode must be 'replace' or 'mirror'")
     if mode == "mirror" and version is not None:
@@ -400,27 +519,28 @@ def _mirror_locked(table: TxnTable, log_dir: Path) -> Path:
     now_ms = int(time.time() * 1000)
     marked = base_txn
     prev = table.manifest(base_txn)
+    # exported DV state rides the marker: compliant engines key log
+    # replay on (path, DV identity), so dropping/updating a vectored
+    # file later must name the EXACT previously-published descriptor
+    dv_descs = dict(marker.get("dv_descs") or {})
+    dv_protocol_claimed = bool(marker.get("dv_protocol"))
     for v in range(base_txn + 1, cur + 1):
         m = table.manifest(v)
-        if m.get("dvs"):
-            if v == cur:
-                raise ValueError(
-                    f"table {table.name}: the current snapshot has "
-                    f"deletion vectors, which a Delta mirror cannot "
-                    f"encode — run compact() (reconciling them) and "
-                    f"mirror again; intermediate vectored versions "
-                    f"are skipped automatically once a clean version "
-                    f"follows"
-                )
-            # transient vector window (delete → … → compact): a Delta
-            # commit can't encode the soft-delete, so hold ``prev`` at
-            # the last clean version — the next clean version's
-            # file-set diff covers the whole window exactly
-            continue
         prev_files = set(prev["files"])
         cur_files = set(m["files"])
         added = [f for f in m["files"] if f not in prev_files]
         removed = [f for f in prev["files"] if f not in cur_files]
+        # vector-state diff on the manifest's per-file VECTOR PATH
+        # lists (vector parquets are immutable once written, so equal
+        # lists ⇒ equal deleted-row sets) — no decode unless changed
+        dvs_prev = prev.get("dvs") or {}
+        dvs_cur = m.get("dvs") or {}
+        dv_changed = [
+            f
+            for f in m["files"]
+            if f in prev_files
+            and (dvs_prev.get(f) or []) != (dvs_cur.get(f) or [])
+        ]
         new_spec = m.get("partition_cols") or []
         old_spec = prev.get("partition_cols") or []
         spec_changed = new_spec != old_spec
@@ -451,24 +571,52 @@ def _mirror_locked(table: TxnTable, log_dir: Path) -> Path:
             if v == cur:
                 raise
             continue  # hold ``prev`` at the last exportable version
+        # decode + pack vectors for exactly the files whose vector
+        # state is new this version (fresh adds that carry vectors,
+        # plus survivors whose vector list changed)
+        need = set(f for f in added if dvs_cur.get(f)) | set(dv_changed)
+        new_descs = (
+            _export_dv_descriptors(
+                table, _collect_txn_dv_indexes(table, m, only=need)
+            )
+            if need
+            else {}
+        )
         actions = []
+        if new_descs and not dv_protocol_claimed:
+            # first vectored commit in this mirror: upgrade the
+            # published protocol in-commit (Delta's own upgrade path)
+            actions.append(_DV_PROTOCOL)
         if m.get("schema") != prev.get("schema") or spec_changed:
             actions.append(_meta_action(m, now_ms, table_id))
         actions += [
-            {
-                "remove": {
-                    "path": quote(f, safe="/="),
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                }
-            }
-            for f in removed
+            _remove_action(f, now_ms, dv_descs.get(f)) for f in removed
         ]
         names = _schema_names(m)
+        # the DV-update commit shape: remove naming the OLD vector +
+        # re-add of the same path with the new one (or vector-free
+        # when a restore cleared it)
         actions += [
-            _add_action(table, m, f, now_ms, names) for f in added
+            a
+            for f in dv_changed
+            for a in (
+                _remove_action(f, now_ms, dv_descs.get(f)),
+                _add_action(table, m, f, now_ms, names, new_descs.get(f)),
+            )
+        ]
+        actions += [
+            _add_action(table, m, f, now_ms, names, new_descs.get(f))
+            for f in added
         ]
         if actions:
+            for f in removed:
+                dv_descs.pop(f, None)
+            for f in list(need) + added:
+                if f in new_descs:
+                    dv_descs[f] = new_descs[f]
+                else:
+                    dv_descs.pop(f, None)
+            dv_protocol_claimed = dv_protocol_claimed or bool(new_descs)
             delta_v += 1
             _write_commit(log_dir, delta_v, actions)
             # marker advances per PUBLISHED commit, right after it: a
@@ -476,7 +624,10 @@ def _mirror_locked(table: TxnTable, log_dir: Path) -> Path:
             # consistent (the single possible orphan is cleaned on the
             # next run — see recovery above), and action-less versions
             # don't pay an fsync (round-8 reviews 4+5)
-            _write_marker(log_dir, v, delta_v, table_id)
+            _write_marker(
+                log_dir, v, delta_v, table_id, dv_descs,
+                dv_protocol_claimed,
+            )
             marked = v
         prev = m
     if marked != cur:
@@ -484,8 +635,22 @@ def _mirror_locked(table: TxnTable, log_dir: Path) -> Path:
         # (tracked locally — re-reading the marker file here would
         # bypass _read_marker's torn-marker tolerance and crash if a
         # concurrent replace/vacuum removed the log; round-8 review 6)
-        _write_marker(log_dir, cur, delta_v, table_id)
+        _write_marker(
+            log_dir, cur, delta_v, table_id, dv_descs,
+            dv_protocol_claimed,
+        )
     return log_dir
+
+
+def _remove_action(f: str, now_ms: int, dv_desc: dict | None) -> dict:
+    r = {
+        "path": quote(f, safe="/="),
+        "deletionTimestamp": now_ms,
+        "dataChange": True,
+    }
+    if dv_desc:
+        r["deletionVector"] = dv_desc
+    return {"remove": r}
 
 
 def _normalize_arrow_map(v):
@@ -529,7 +694,11 @@ def _dv_positions_df(spark: SparkSession, path: str, dv_descs: dict):
             f"driver-side decode bound — have the table's writer "
             f"compact (purge DVs) before reading with this engine"
         )
-    pairs = []
+    import numpy as np
+    import pandas as pd
+
+    files: list[str] = []
+    chunks: list[np.ndarray] = []
     total = 0
     for f, desc in dv_descs.items():
         idxs = load_dv_row_indexes(path, desc)
@@ -540,10 +709,21 @@ def _dv_positions_df(spark: SparkSession, path: str, dv_descs: dict):
                 f"{_DV_POSITIONS_BOUND} deleted rows (descriptors "
                 f"under-claimed cardinality); refusing"
             )
-        pairs.extend((f, int(i)) for i in idxs)
-    return spark.createDataFrame(
-        pairs, "_dv_file string, _dv_row bigint"
+        files.extend([f] * len(idxs))
+        chunks.append(np.asarray(idxs, dtype=np.int64))
+    # Arrow-batched localization (createDataFrame on a pandas frame),
+    # never a 10M-tuple pickle round-trip through Py4J
+    pdf = pd.DataFrame(
+        {
+            "_dv_file": pd.Series(files, dtype="string"),
+            "_dv_row": (
+                np.concatenate(chunks)
+                if chunks
+                else np.empty(0, dtype=np.int64)
+            ),
+        }
     )
+    return spark.createDataFrame(pdf)
 
 
 def _load_checkpoint(log_dir: Path, ckpt_version: int):
@@ -962,8 +1142,6 @@ def read_delta(
                 # MOR reader (txn.py): decoded root-relative path
                 # (matches the add keys) + position in file. '+' is
                 # pre-escaped because url_decode form-decodes it.
-                import re as _re
-
                 dec = F.url_decode(
                     F.replace(
                         F.col("_metadata.file_path"),
@@ -974,7 +1152,7 @@ def read_delta(
                 fr = fr.select(
                     "*",
                     F.regexp_extract(
-                        dec, _re.escape(str(root_abs)) + "/(.*)$", 1
+                        dec, re.escape(str(root_abs)) + "/(.*)$", 1
                     ).alias("_dv_file"),
                     F.col("_metadata.row_index").alias("_dv_row"),
                 )

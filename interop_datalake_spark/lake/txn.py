@@ -3150,6 +3150,9 @@ class TxnTable:
                 keep_export = False
             if not keep_export:
                 shutil.rmtree(exported)
+                # the export's packed deletion-vector files (written
+                # under _dv by delta_interop) serve that log only
+                shutil.rmtree(self.root / "_dv", ignore_errors=True)
         # the Iceberg export (lake/iceberg_interop.py writes
         # ``metadata/`` into this root) gets the SAME keep-or-delete
         # contract: kept when its CURRENT snapshot's live file set

@@ -79,15 +79,109 @@ def test_export_log_structure_and_stats(spark, lake):
     assert int(stats["maxValues"]["k"]) == 99
 
 
-def test_export_refuses_deletion_vectors_until_compacted(spark, lake):
+def test_export_encodes_deletion_vectors(spark, lake):
+    """A vectored snapshot exports DIRECTLY (no forced compact): the
+    adds carry DV descriptors + tightBounds=false, the log claims the
+    deletionVectors feature, and read_delta's independent decode path
+    reproduces the soft-deleted view exactly."""
     t = TxnTable(lake, "d3", stats_cols=["k"])
     t.append(spark.range(0, 50).selectExpr("id as k", "'x' as v"))
     t.delete_where(F.col("k") < 10, merge_on_read=True)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        export_delta_log(t)
-    t.compact(target_files=1)  # reconciles vectors into clean files
-    export_delta_log(t)
+    log_dir = export_delta_log(t)
+    actions = [
+        json.loads(line)
+        for line in (log_dir / f"{0:020d}.json").read_text().splitlines()
+        if line.strip()
+    ]
+    assert actions[0]["protocol"]["minReaderVersion"] == 3
+    assert "deletionVectors" in actions[0]["protocol"]["readerFeatures"]
+    adds = [a["add"] for a in actions if "add" in a]
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    assert dv_adds, "no add carries a deletionVector"
+    for a in dv_adds:
+        assert a["deletionVector"]["storageType"] == "u"
+        assert a["deletionVector"]["pathOrInlineDv"].startswith("_dv")
+        assert json.loads(a["stats"])["tightBounds"] is False
+    assert (t.root / "_dv").is_dir()
+    want = {(r["k"], r["v"]) for r in t.read().collect()}
+    got = {
+        (r["k"], r["v"])
+        for r in read_delta(spark, str(t.root)).collect()
+    }
+    assert got == want and len(got) == 40
+    # compact still reconciles: the re-export goes back to a clean
+    # 1/2-protocol log and the stale packed vectors are replaced
+    t.compact(target_files=1)
+    log_dir = export_delta_log(t)
+    actions0 = [
+        json.loads(line)
+        for line in (log_dir / f"{0:020d}.json").read_text().splitlines()
+        if line.strip()
+    ]
+    assert actions0[0]["protocol"] == {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    assert not (t.root / "_dv").exists()
     assert read_delta(spark, str(t.root)).count() == 40
+
+
+def test_mirror_exports_dv_update_commits(spark, lake):
+    """The mirror encodes vector changes as Delta's DV-update shape:
+    remove naming the previously published descriptor + re-add with
+    the widened one, protocol upgraded in the first vectored commit.
+    Every mirrored delta version must equal the TxnTable's view at
+    the matching txn version."""
+    t = TxnTable(lake, "d3m", stats_cols=["k"])
+    t.append(
+        spark.range(0, 60).selectExpr("id as k", "'x' as v").coalesce(1)
+    )
+    export_delta_log(t, mode="mirror")  # v0: clean, protocol 1/2
+    t.delete_where(F.col("k") < 10, merge_on_read=True)
+    export_delta_log(t, mode="mirror")  # v1: first vectors
+    t.delete_where(F.col("k") >= 55, merge_on_read=True)  # widen
+    t.append(
+        spark.range(100, 110)
+        .selectExpr("id as k", "'y' as v")
+        .coalesce(1)
+    )
+    export_delta_log(t, mode="mirror")  # v2+: widened + new file
+    log_dir = t.root / "_delta_log"
+    v1 = [
+        json.loads(line)
+        for line in (log_dir / f"{1:020d}.json").read_text().splitlines()
+        if line.strip()
+    ]
+    assert any(
+        a.get("protocol", {}).get("minReaderVersion") == 3 for a in v1
+    ), "first vectored mirror commit must upgrade the protocol"
+    rm1 = [a["remove"] for a in v1 if "remove" in a]
+    ad1 = [a["add"] for a in v1 if "add" in a]
+    assert len(rm1) == 1 and len(ad1) == 1
+    assert rm1[0].get("deletionVector") is None  # was clean before
+    assert ad1[0]["deletionVector"]["cardinality"] == 10
+    # the widen commit's remove must name EXACTLY the v1 descriptor
+    v2 = [
+        json.loads(line)
+        for line in (log_dir / f"{2:020d}.json").read_text().splitlines()
+        if line.strip()
+    ]
+    rm2 = [
+        a["remove"] for a in v2
+        if "remove" in a and a["remove"].get("deletionVector")
+    ]
+    assert rm2 and rm2[0]["deletionVector"] == ad1[0]["deletionVector"]
+    # value parity at every mirrored version
+    cur = read_delta(spark, str(t.root))
+    want = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert {(r["k"], r["v"]) for r in cur.collect()} == want
+    v1_rows = {
+        r["k"]
+        for r in read_delta(spark, str(t.root), version=1).collect()
+    }
+    assert v1_rows == set(range(10, 60))
+    v0_rows = read_delta(spark, str(t.root), version=0).count()
+    assert v0_rows == 60
 
 
 def test_reader_replays_handwritten_multi_commit_log(spark, tmp_path):
@@ -746,20 +840,46 @@ class TestMirrorExport:
             == commits
         )
 
-    def test_mirror_skips_transient_vector_window(self, spark, lake):
-        """A mor-delete followed by compact mirrors as ONE clean diff;
-        a vectored HEAD refuses until compacted."""
+    def test_mirror_vector_window_then_compact(self, spark, lake):
+        """A mor-delete mirrors as a DV commit (it used to refuse);
+        the following compact mirrors as a rewrite whose adds are
+        vector-free again, and every mirrored version reads back
+        value-exact."""
         t = TxnTable(lake, "m2", stats_cols=["k"])
         t.append(spark.range(0, 30).selectExpr("id as k", "'a' as v"))
         export_delta_log(t, mode="mirror")
         t.delete_where(F.col("k") % 3 == 0, merge_on_read=True)
-        with pytest.raises(ValueError, match="mirror"):
-            export_delta_log(t, mode="mirror")
+        export_delta_log(t, mode="mirror")  # DV commit, not a refusal
+        want = {k for k in range(30) if k % 3 != 0}
+        got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+        assert got == want
         t.compact(target_files=1)  # reconciles the vectors
-        export_delta_log(t, mode="mirror")
+        log_dir = export_delta_log(t, mode="mirror")
         assert read_delta(spark, str(t.root)).count() == 20
         got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
-        assert got == {k for k in range(30) if k % 3 != 0}
+        assert got == want
+        # the compact commit's adds are clean (no descriptors), and
+        # its removes name the vectored file's published descriptor
+        last = max(
+            int(p.stem) for p in log_dir.glob("*.json") if p.stem.isdigit()
+        )
+        acts = [
+            json.loads(line)
+            for line in (log_dir / f"{last:020d}.json")
+            .read_text()
+            .splitlines()
+            if line.strip()
+        ]
+        assert all(
+            not a["add"].get("deletionVector")
+            for a in acts
+            if "add" in a
+        )
+        assert any(
+            a["remove"].get("deletionVector")
+            for a in acts
+            if "remove" in a
+        )
 
     def test_mirror_emits_metadata_on_schema_evolution(self, spark, lake):
         t = TxnTable(lake, "m3", stats_cols=["k"])
@@ -818,24 +938,24 @@ class TestMirrorExport:
         self, spark, lake
     ):
         """Round-8 review 4: the marker advances per processed
-        version AFTER its commit, so a vectored-head failure leaves
-        marker and published commits consistent — the retry resumes
-        without regenerating (or clobbering) a published commit."""
+        version AFTER its commit, so published commits are never
+        regenerated (or clobbered) by later mirror runs — pinned
+        byte-for-byte across a DV commit and a compact rewrite."""
         t = TxnTable(lake, "m6", stats_cols=["k"])
         t.append(spark.range(0, 10).selectExpr("id as k", "'a' as v"))
         log = export_delta_log(t, mode="mirror")
         t.append(spark.range(10, 14).selectExpr("id as k", "'b' as v"))
         t.delete_where(F.col("k") < 2, merge_on_read=True)  # dv HEAD
-        with pytest.raises(ValueError, match="mirror"):
-            export_delta_log(t, mode="mirror")
-        # the clean append BEFORE the failure was published
+        export_delta_log(t, mode="mirror")  # append + DV commits
         c1 = (log / f"{1:020d}.json")
-        assert c1.exists()
-        content_before = c1.read_text()
+        c2 = (log / f"{2:020d}.json")
+        assert c1.exists() and c2.exists()
+        before = (c1.read_text(), c2.read_text())
+        assert read_delta(spark, str(t.root)).count() == 12
         t.compact(target_files=1)
         export_delta_log(t, mode="mirror")
-        # published commit 1 untouched byte-for-byte; table reads right
-        assert c1.read_text() == content_before
+        # published commits untouched byte-for-byte; table reads right
+        assert (c1.read_text(), c2.read_text()) == before
         assert read_delta(spark, str(t.root)).count() == 12
         got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
         assert got == set(range(2, 14))
