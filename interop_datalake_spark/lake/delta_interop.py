@@ -567,21 +567,27 @@ def _mirror_locked(table: TxnTable, log_dir: Path) -> Path:
             _validate_exportable(
                 table, m, m["files"] if spec_changed else added
             )
+            # decode + pack vectors for exactly the files whose
+            # vector state is new this version (fresh adds carrying
+            # vectors, plus survivors whose vector list changed) —
+            # INSIDE the try: an over-bound vector set at an
+            # intermediate version transient-skips like any other
+            # unexportable state (a following compact usually cures
+            # it); at the head it refuses loudly
+            need = set(f for f in added if dvs_cur.get(f)) | set(
+                dv_changed
+            )
+            new_descs = (
+                _export_dv_descriptors(
+                    table, _collect_txn_dv_indexes(table, m, only=need)
+                )
+                if need
+                else {}
+            )
         except ValueError:
             if v == cur:
                 raise
             continue  # hold ``prev`` at the last exportable version
-        # decode + pack vectors for exactly the files whose vector
-        # state is new this version (fresh adds that carry vectors,
-        # plus survivors whose vector list changed)
-        need = set(f for f in added if dvs_cur.get(f)) | set(dv_changed)
-        new_descs = (
-            _export_dv_descriptors(
-                table, _collect_txn_dv_indexes(table, m, only=need)
-            )
-            if need
-            else {}
-        )
         actions = []
         if new_descs and not dv_protocol_claimed:
             # first vectored commit in this mirror: upgrade the
