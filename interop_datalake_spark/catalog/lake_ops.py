@@ -1875,11 +1875,14 @@ def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ord_mm3",
             stats_cols=["o_orderkey"],
             partition_transforms={
-                "ck_b": ("bucket_mm3", 8, "o_custkey")
+                "ck_b": ("bucket_mm3", 8, "o_custkey"),
+                # round-11 byte-class murmur3: strings bucket too
+                # (UTF-8 bytes through _mmh3_32_of_bytes)
+                "op_b": ("bucket_mm3", 4, "o_orderpriority"),
             },
         )
         orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey"
+            "o_orderkey", "o_custkey", "o_orderpriority"
         )
         t.append(orders.filter(F.col("o_orderkey") < 800))
         export_iceberg_metadata(t)
@@ -1914,6 +1917,14 @@ def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o_custkey") == 42
                 ),
             ),
+            probe(
+                "point_urgent",
+                t.read(
+                    key_range=(
+                        "o_orderpriority", "1-URGENT", "1-URGENT"
+                    )
+                ).filter(F.col("o_orderpriority") == "1-URGENT"),
+            ),
             (
                 "pruning_effective",
                 n_pruned,
@@ -1930,7 +1941,8 @@ def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LAKE_ICEBERG_BUCKET_ORACLE = """
 WITH s AS (
-  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 800
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey < 800
 )
 SELECT * FROM (
   SELECT 'iceberg_read' AS probe, count(*)::BIGINT AS n,
@@ -1945,6 +1957,10 @@ SELECT * FROM (
   SELECT 'point_42', count(*)::BIGINT,
          min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
   FROM s WHERE o_custkey = 42
+  UNION ALL
+  SELECT 'point_urgent', count(*)::BIGINT,
+         min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
+  FROM s WHERE o_orderpriority = '1-URGENT' 
   UNION ALL
   SELECT 'pruning_effective', 1::BIGINT, NULL::BIGINT, NULL::BIGINT
 ) ORDER BY probe

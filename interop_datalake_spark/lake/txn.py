@@ -240,11 +240,103 @@ def _mmh3_32_of_long(c64):
     )  # unsigned 32-bit value in a BIGINT
 
 
-#: source types bucket_mm3 accepts — the Iceberg spec's
-#: hash-the-long class. Strings/binary/decimal hash VARIABLE-length
-#: byte runs (UTF-8 / raw / minimal big-endian twos-complement),
-#: which column algebra can't loop over — refused at write time
-#: rather than risking a layout a compliant engine would mis-prune.
+def _mmh3_32_of_bytes(cbin):
+    """murmur3_x86_32(seed=0) of a BINARY Column's VARIABLE-length
+    bytes — the Iceberg spec's required hash for bucket transforms
+    over string (UTF-8 bytes) and binary sources. Pure column
+    algebra, JVM-side, no UDF: the bytes are exposed as hex ONCE
+    (``F.hex`` — two chars per byte, byte order preserved), the
+    4-byte little-endian words are assembled inside an
+    ``F.transform`` over a guarded ``F.sequence`` (byte-pair shuffle
+    + ``conv`` base-16), the block loop runs in the same
+    ``F.aggregate`` lambda shape as :func:`_mmh3_32_of_long` (lambda
+    variables keep the tree small — see that docstring's STRUCTURE
+    MATTERS note), and the 0–3 tail bytes + length are folded in the
+    single-element finalization aggregate. Verified against the
+    pure-Python reference (which itself reproduces the Iceberg
+    Appendix-B ``"iceberg" → 1210000089`` vector)."""
+    from pyspark.sql import functions as F
+
+    hx = F.hex(cbin)  # cheap subtree: one node over the source
+    n = F.length(cbin)
+    nblocks = F.floor(n / F.lit(4)).cast("int")
+
+    def le_word(i):
+        # hex offset of block i's first byte, 1-based substr
+        p = i * F.lit(8) + F.lit(1)
+        return F.conv(
+            F.concat(
+                hx.substr(p + F.lit(6), F.lit(2)),
+                hx.substr(p + F.lit(4), F.lit(2)),
+                hx.substr(p + F.lit(2), F.lit(2)),
+                hx.substr(p, F.lit(2)),
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    # sequence(1, 0) would count DOWN — guard the empty-block case
+    words = F.when(
+        nblocks >= F.lit(1),
+        F.transform(
+            F.sequence(F.lit(0), nblocks - F.lit(1)), le_word
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    def round_fn(h, k):
+        k = _mul32(k, 0xCC9E2D51)
+        k = _rotl32(k, 15)
+        k = _mul32(k, 0x1B873593)
+        h = h.bitwiseXOR(k)
+        h = _rotl32(h, 13)
+        return (_mul32(h, 5) + F.lit(0xE6546B64)).bitwiseAND(
+            F.lit(_M32)
+        )
+
+    tp = nblocks.cast("bigint") * F.lit(8)  # hex chars consumed
+
+    def tail_byte(idx):
+        return F.conv(
+            hx.substr(tp + F.lit(2 * idx + 1), F.lit(2)), 16, 10
+        ).cast("bigint")
+
+    r = n % F.lit(4)
+    k1 = (
+        F.when(r == F.lit(0), F.lit(0).cast("bigint"))
+        .when(r == F.lit(1), tail_byte(0))
+        .when(
+            r == F.lit(2),
+            tail_byte(0) + F.shiftleft(tail_byte(1), 8),
+        )
+        .otherwise(
+            tail_byte(0)
+            + F.shiftleft(tail_byte(1), 8)
+            + F.shiftleft(tail_byte(2), 16)
+        )
+    )
+    # tail mix: k1=0 (r=0) is an exact no-op (0*c1=0, h^0=h)
+    k1 = _mul32(k1, 0xCC9E2D51)
+    k1 = _rotl32(k1, 15)
+    k1m = _mul32(k1, 0x1B873593)
+
+    def tail_fmix(_, h):
+        h = h.bitwiseXOR(k1m)
+        h = h.bitwiseXOR(n.cast("bigint"))  # total byte length
+        h = h.bitwiseXOR(F.shiftright(h, 16))
+        h = _mul32(h, 0x85EBCA6B)
+        h = h.bitwiseXOR(F.shiftright(h, 13))
+        h = _mul32(h, 0xC2B2AE35)
+        return h.bitwiseXOR(F.shiftright(h, 16))
+
+    h = F.aggregate(words, F.lit(0).cast("bigint"), round_fn)
+    return F.aggregate(F.array(h), F.lit(0).cast("bigint"), tail_fmix)
+
+
+#: source types bucket_mm3 accepts via the hash-the-long class of the
+#: Iceberg spec. Strings/binary hash variable-length byte runs
+#: (UTF-8 / raw) via _mmh3_32_of_bytes; decimal (minimal big-endian
+#: twos-complement of the unscaled value) stays refused — a wrong
+#: layout is one a compliant engine would mis-prune.
 _MM3_LONG_TYPES = {
     "tinyint", "smallint", "int", "bigint", "date", "timestamp",
     "timestamp_ntz",
@@ -265,10 +357,12 @@ def _mm3_long_source_expr(c, src_dtype: str | None):
         return c.cast("bigint")
     raise ValueError(
         f"bucket_mm3 source type {src_dtype!r} is not in the "
-        f"long-hash class ({sorted(_MM3_LONG_TYPES)}); string/binary/"
-        f"decimal need variable-length murmur3, which the column-"
-        f"algebra path cannot express — use xxhash64 'bucket' (no "
-        f"Iceberg export) or an identity/truncate transform"
+        f"long-hash class ({sorted(_MM3_LONG_TYPES)}) nor the "
+        f"byte class (string/binary); decimal needs minimal "
+        f"big-endian twos-complement hashing, which is refused "
+        f"rather than risking a layout a compliant engine would "
+        f"mis-prune — use xxhash64 'bucket' (no Iceberg export) or "
+        f"an identity/truncate transform"
     )
 
 
@@ -294,11 +388,17 @@ def _transform_value_expr(c, spec, src_dtype: str | None):
     if kind == "bucket":
         return F.pmod(F.xxhash64(c), F.lit(int(spec[1])))
     if kind == "bucket_mm3":
-        # Iceberg-spec bucket[N]: (murmur3_x86_32(LE bytes) &
+        # Iceberg-spec bucket[N]: (murmur3_x86_32(bytes) &
         # Integer.MAX_VALUE) % N — EXPORTABLE, a compliant engine's
         # bucket pruning recomputes the same values (vs xxhash64
-        # 'bucket', which refuses export)
-        h = _mmh3_32_of_long(_mm3_long_source_expr(c, src_dtype))
+        # 'bucket', which refuses export). Long class hashes the
+        # 8-byte LE value; strings hash UTF-8 bytes, binary raw bytes.
+        if src_dtype == "string":
+            h = _mmh3_32_of_bytes(F.encode(c, "UTF-8"))
+        elif src_dtype == "binary":
+            h = _mmh3_32_of_bytes(c)
+        else:
+            h = _mmh3_32_of_long(_mm3_long_source_expr(c, src_dtype))
         return F.pmod(
             h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(int(spec[1]))
         ).cast("int")

@@ -141,17 +141,89 @@ class TestHashPins:
         assert row.bd == _bucket_ref(17486, 100)
         assert row.bt == _bucket_ref(1510871468000000, 100)
 
-    def test_string_source_refused_at_write(self, spark, lake):
+    def test_byte_class_column_algebra_equals_reference(self, spark):
+        """Strings (UTF-8 bytes) and binary hash via
+        _mmh3_32_of_bytes — pinned against the pure-Python reference
+        on empty/1/2/3-byte tails, multi-block runs, and the
+        Appendix-B string vector."""
+        from interop_datalake_spark.lake.txn import _mmh3_32_of_bytes
+
+        samples = [
+            b"", b"a", b"ab", b"abc", b"abcd", b"iceberg",
+            bytes(range(256)),
+            "héllo wörld — ünïcode".encode("utf-8"),
+        ]
+        import random
+
+        rng = random.Random(11)
+        samples += [
+            bytes(rng.randrange(256) for _ in range(rng.randrange(64)))
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "i INT, b BINARY"
+        )
+        for r in df.select(
+            "i", _mmh3_32_of_bytes(F.col("b")).alias("h")
+        ).collect():
+            assert r.h == _mmh3_ref(samples[r.i]), samples[r.i]
+        # the Iceberg spec Appendix-B string vector, via the STRING
+        # path (UTF-8 encode inside the transform expr)
+        sdf = spark.createDataFrame([("iceberg",)], "s STRING")
+        got = sdf.select(
+            _transform_value_expr(
+                F.col("s"), ("bucket_mm3", 1 << 31, "s"), "string"
+            ).alias("b")
+        ).collect()[0].b
+        assert got == (1210000089 & 0x7FFFFFFF) % (1 << 31)
+
+    def test_string_bucket_write_prune_export(self, spark, lake):
+        """A string-bucketed table writes, point-lookups open only
+        the matching bucket's files, and exports/reads back through
+        Iceberg metadata as bucket[N]."""
         t = TxnTable(
             lake,
             "mm3s",
             stats_cols=["k"],
             partition_transforms={"s_b": ("bucket_mm3", 4, "s")},
         )
-        with pytest.raises(ValueError, match="long-hash class"):
+        rows = [(k, f"user-{k}") for k in range(80)]
+        t.append(spark.createDataFrame(rows, "k BIGINT, s STRING"))
+        got = {
+            (r.k, r.s)
+            for r in t.read(
+                key_range=("s", "user-17", "user-17")
+            ).collect()
+        }
+        assert got == {(17, "user-17")}
+        want_bucket = (_mmh3_ref(b"user-17") & 0x7FFFFFFF) % 4
+        all_files = t.manifest(t.current_version())["files"]
+        opened = t.resolve_files(key_range=("s", "user-17", "user-17"))
+        assert opened and len(opened) < len(all_files)
+        parts = t.manifest(t.current_version())["partitions"]
+        assert all(
+            int(parts[f]["s_b"]) == want_bucket for f in opened
+        )
+        export_iceberg_metadata(t)
+        meta = json.loads(
+            (t.root / "metadata" / "v1.metadata.json").read_text()
+        )
+        spec = meta["partition-specs"][0]["fields"]
+        assert [f["transform"] for f in spec] == ["bucket[4]"]
+        back = read_iceberg(spark, str(t.root))
+        assert {(r.k, r.s) for r in back.collect()} == set(rows)
+
+    def test_decimal_source_still_refused_at_write(self, spark, lake):
+        t = TxnTable(
+            lake,
+            "mm3d",
+            stats_cols=["k"],
+            partition_transforms={"d_b": ("bucket_mm3", 4, "d")},
+        )
+        with pytest.raises(ValueError, match="twos-complement"):
             t.append(
                 spark.createDataFrame(
-                    [(1, "x")], "k BIGINT, s STRING"
+                    [(1, None)], "k BIGINT, d DECIMAL(10,2)"
                 )
             )
 
