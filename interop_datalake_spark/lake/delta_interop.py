@@ -412,6 +412,7 @@ def export_delta_log(
     table: TxnTable,
     version: int | None = None,
     mode: str = "replace",
+    checkpoint_every: int = 10,
 ) -> Path:
     """Write a Delta ``_delta_log`` describing the TxnTable into the
     table's root — the root then IS a Delta table: ``add.path``
@@ -430,6 +431,14 @@ def export_delta_log(
     history; falls back to a full export when no marker exists or the
     TxnTable log no longer retains the marked version (post-vacuum).
     ``version`` must be None in mirror mode.
+
+    CHECKPOINTS: every ``checkpoint_every``-th mirrored Delta commit
+    also writes a classic single-part parquet checkpoint +
+    ``_last_checkpoint`` (the state at that version: protocol,
+    metaData, live adds with DV descriptors), so external engines
+    replay O(checkpoint + tail); :func:`expire_delta_log` then
+    implements Delta's metadata retention by dropping the
+    pre-checkpoint history.
 
     STALENESS CONTRACT (replace mode): the export describes the
     snapshot AT EXPORT TIME; later TxnTable commits do not update it
@@ -489,12 +498,14 @@ def export_delta_log(
         if marker is None:
             # no marker, or a torn one: restart with a full export
             return _full_export(table, None)
-        return _mirror_locked(table, log_dir)
+        return _mirror_locked(table, log_dir, checkpoint_every)
     finally:
         os.close(lock_fd)
 
 
-def _mirror_locked(table: TxnTable, log_dir: Path) -> Path:
+def _mirror_locked(
+    table: TxnTable, log_dir: Path, checkpoint_every: int = 10
+) -> Path:
     # marker re-read UNDER the lock: decisions below must be based on
     # the acknowledged state no concurrent writer can move
     marker = _read_marker(log_dir)
@@ -635,6 +646,14 @@ def _mirror_locked(table: TxnTable, log_dir: Path) -> Path:
                 dv_protocol_claimed,
             )
             marked = v
+            if checkpoint_every and delta_v % checkpoint_every == 0:
+                # the log state at delta_v IS manifest m: checkpoint
+                # it so external engines (and expire_delta_log)
+                # replay O(checkpoint + tail), not the whole history
+                _write_delta_checkpoint(
+                    table, log_dir, delta_v, m, table_id, dv_descs,
+                    dv_protocol_claimed, now_ms,
+                )
         prev = m
     if marked != cur:
         # trailing no-op versions: record them once at the end
@@ -657,6 +676,179 @@ def _remove_action(f: str, now_ms: int, dv_desc: dict | None) -> dict:
     if dv_desc:
         r["deletionVector"] = dv_desc
     return {"remove": r}
+
+
+def _write_delta_checkpoint(
+    table: TxnTable,
+    log_dir: Path,
+    delta_v: int,
+    m: dict,
+    table_id: str,
+    dv_descs: dict,
+    dv_protocol: bool,
+    now_ms: int,
+) -> None:
+    """Write a CLASSIC single-part parquet checkpoint of the log state
+    at ``delta_v`` (one action per row: protocol + metaData + every
+    live add, DV descriptors included) plus the ``_last_checkpoint``
+    pointer — the layout every long-lived Delta table gets from log
+    cleanup, and the exact shape :func:`_load_checkpoint` consumes.
+    External engines then replay O(checkpoint + tail) instead of the
+    whole JSON history, and :func:`expire_delta_log` may drop the
+    pre-checkpoint tail entirely. Remove tombstones are deliberately
+    omitted: they exist for VACUUM bookkeeping, which stays the
+    TxnTable's job on a mirror (documented divergence, not a replay
+    correctness issue). Atomic publish: tmp write + rename (a torn
+    checkpoint must never match the ``*.checkpoint*.parquet`` glob)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    schema = pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    (
+                                        "options",
+                                        pa.map_(pa.string(), pa.string()),
+                                    ),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        (
+                            "configuration",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        (
+                            "partitionValues",
+                            pa.map_(
+                                pa.string(),
+                                pa.field("value", pa.string()),
+                            ),
+                        ),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        ("deletionVector", dv_t),
+                    ]
+                ),
+            ),
+        ]
+    )
+    proto = (
+        _DV_PROTOCOL["protocol"]
+        if dv_protocol
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    names = _schema_names(m)
+    rows = [
+        {"protocol": proto},
+        {"metaData": _meta_action(m, now_ms, table_id)["metaData"]},
+    ]
+    for f in m["files"]:
+        a = _add_action(table, m, f, now_ms, names, dv_descs.get(f))[
+            "add"
+        ]
+        a.setdefault("stats", None)
+        a.setdefault("deletionVector", None)
+        rows.append({"add": a})
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    dest = log_dir / f"{delta_v:020d}.checkpoint.parquet"
+    tmp = log_dir / f".tmp-{uuid.uuid4().hex}.parquet"
+    pq.write_table(tbl, tmp)
+    tmp.replace(dest)
+    lc = log_dir / "_last_checkpoint"
+    lc_tmp = log_dir / f".tmp-{uuid.uuid4().hex}"
+    lc_tmp.write_text(
+        json.dumps({"version": delta_v, "size": len(rows)})
+    )
+    lc_tmp.replace(lc)
+
+
+def expire_delta_log(table: TxnTable) -> int:
+    """Delta metadata retention for an exported/mirrored log: delete
+    every commit json and checkpoint OLDER than the newest checkpoint
+    (replay needs exactly that checkpoint plus the JSON tail after
+    it). Time travel to an expired version then refuses loudly with
+    the reader's existing history-truncated error — never a silent
+    partial replay. Runs under the same one-writer export lock.
+    Returns the number of files removed."""
+    import fcntl
+
+    log_dir = table.root / "_delta_log"
+    if not log_dir.exists():
+        return 0
+    lock_fd = os.open(
+        table.root / ".delta_export.lock", os.O_CREAT | os.O_RDWR
+    )
+    try:
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            raise ValueError(
+                f"table {table.name}: another Delta export holds the "
+                f"lock — one log writer at a time"
+            )
+        ckpts = [
+            int(p.name.split(".", 1)[0])
+            for p in log_dir.glob("*.checkpoint*.parquet")
+            if p.name.split(".", 1)[0].isdigit()
+        ]
+        if not ckpts:
+            return 0
+        newest = max(ckpts)
+        removed = 0
+        for p in log_dir.glob("*.json"):
+            if p.stem.isdigit() and int(p.stem) < newest:
+                p.unlink()
+                removed += 1
+        for p in log_dir.glob("*.checkpoint*.parquet"):
+            v = p.name.split(".", 1)[0]
+            if v.isdigit() and int(v) < newest:
+                p.unlink()
+                removed += 1
+        return removed
+    finally:
+        os.close(lock_fd)
 
 
 def _normalize_arrow_map(v):

@@ -1165,3 +1165,67 @@ class TestMirrorExport:
         assert back.filter(
             F.col("site").isNull() | F.col("region").isNull()
         ).count() == 0
+
+
+class TestCheckpointWriting:
+    def test_mirror_writes_checkpoints_and_expiry(self, spark, lake):
+        """Every checkpoint_every-th mirror commit writes a classic
+        parquet checkpoint + _last_checkpoint; expire_delta_log drops
+        the pre-checkpoint history; reads replay from the checkpoint
+        and expired time travel refuses loudly."""
+        from interop_datalake_spark.lake.delta_interop import (
+            expire_delta_log,
+        )
+
+        t = TxnTable(lake, "mck", stats_cols=["k"])
+        t.append(
+            spark.range(0, 10).selectExpr("id as k", "'a' as v").coalesce(1)
+        )
+        export_delta_log(t, mode="mirror", checkpoint_every=2)
+        for i in range(1, 5):
+            t.append(
+                spark.range(10 * i, 10 * i + 10)
+                .selectExpr("id as k", "'a' as v")
+                .coalesce(1)
+            )
+            export_delta_log(t, mode="mirror", checkpoint_every=2)
+        log = t.root / "_delta_log"
+        assert (log / f"{2:020d}.checkpoint.parquet").exists()
+        assert (log / f"{4:020d}.checkpoint.parquet").exists()
+        lc = json.loads((log / "_last_checkpoint").read_text())
+        assert lc["version"] == 4
+        want = {r["k"] for r in t.read().collect()}
+        removed = expire_delta_log(t)
+        # jsons 0..3 + the older checkpoint at 2
+        assert removed == 5
+        assert not (log / f"{1:020d}.json").exists()
+        assert (log / f"{4:020d}.json").exists()
+        got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+        assert got == want and len(got) == 50
+        with pytest.raises(ValueError, match="not present"):
+            read_delta(spark, str(t.root), version=1)
+        # idempotent: nothing older than the newest checkpoint remains
+        assert expire_delta_log(t) == 0
+
+    def test_dv_descriptors_survive_checkpoint_replay(self, spark, lake):
+        """A vectored table checkpointed then expired must still read
+        correctly from the checkpoint alone — the DV descriptors ride
+        the checkpoint's add structs."""
+        from interop_datalake_spark.lake.delta_interop import (
+            expire_delta_log,
+        )
+
+        t = TxnTable(lake, "mckdv", stats_cols=["k"])
+        t.append(
+            spark.range(0, 40).selectExpr("id as k", "'a' as v").coalesce(1)
+        )
+        export_delta_log(t, mode="mirror", checkpoint_every=1)
+        t.delete_where(F.col("k") % 4 == 0, merge_on_read=True)
+        export_delta_log(t, mode="mirror", checkpoint_every=1)
+        log = t.root / "_delta_log"
+        assert (log / f"{1:020d}.checkpoint.parquet").exists()
+        assert expire_delta_log(t) >= 1
+        # version 0's json is gone: this replay MUST come from the
+        # checkpoint, which must carry the protocol upgrade + DVs
+        got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+        assert got == {k for k in range(40) if k % 4 != 0}
