@@ -1132,28 +1132,78 @@ def _replay_log(path: str, version: int | None):
 #: plain type, vacuumProtocolCheck constrains writers only, and
 #: deletionVectors is implemented (MOR position anti-join via
 #: delta_dv decode) — any OTHER
-#: feature (v2Checkpoint, columnMapping, typeWidening…) could change
-#: how the data must be read and is refused loudly
+#: feature (v2Checkpoint, typeWidening…) could change
+#: how the data must be read and is refused loudly. columnMapping is
+#: safe ONLY because _check_reader_features separately refuses the
+#: 'id' mode — 'name' mode is implemented via _physical_schema.
 _SAFE_READER_FEATURES = {
     "timestampNtz",
     "vacuumProtocolCheck",
     "deletionVectors",
+    "columnMapping",
 }
+
+
+def _physical_schema(st: StructType):
+    """The PHYSICAL twin of a ``columnMapping=name`` logical schema:
+    every field (recursively — nested struct fields are renamed in
+    the parquet too) takes its ``delta.columnMapping.physicalName``
+    metadata, falling back to the logical name. Returns
+    ``(physical StructType, {top-level logical → physical})``. The
+    read path scans with physical names and then casts each top-level
+    column to its logical type (struct casts rename nested fields
+    positionally), so a mapped table reads back fully logical."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+    )
+
+    def conv_dt(dt):
+        if isinstance(dt, StructType):
+            return StructType([conv_field(f) for f in dt.fields])
+        if isinstance(dt, ArrayType):
+            return ArrayType(conv_dt(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                conv_dt(dt.keyType),
+                conv_dt(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    def conv_field(f: StructField) -> StructField:
+        phys = (f.metadata or {}).get(
+            "delta.columnMapping.physicalName"
+        ) or f.name
+        return StructField(phys, conv_dt(f.dataType), f.nullable)
+
+    phys_st = StructType([conv_field(f) for f in st.fields])
+    phys_of = {
+        f.name: pf.name for f, pf in zip(st.fields, phys_st.fields)
+    }
+    return phys_st, phys_of
 
 
 def _check_reader_features(meta: dict, protocol: dict | None) -> None:
     """Silently misreading a feature-bearing table is the worst
     failure mode (round-8 review 3): column mapping renames physical
     parquet columns, so reading by logical names yields all-NULL
-    columns with no error. Refuse what the replay can't honor."""
+    columns with no error. ``name`` mode is IMPLEMENTED (physical
+    names come from the schemaString's per-field
+    ``delta.columnMapping.physicalName`` metadata — see
+    :func:`_physical_schema`); ``id`` mode resolves strictly by
+    parquet field id, which this reader does not honor, so it stays
+    refused rather than relying on writers that happen to keep
+    physical names consistent."""
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode"
     )
-    if mode and mode != "none":
+    if mode and mode not in ("none", "name"):
         raise NotImplementedError(
-            f"delta.columnMapping.mode={mode!r}: physical parquet "
-            f"column names differ from logical ones; reading by "
-            f"logical names would return all-NULL columns"
+            f"delta.columnMapping.mode={mode!r}: only 'name' mapping "
+            f"is implemented (resolution by physicalName metadata); "
+            f"'id' requires parquet field-id resolution"
         )
     if protocol:
         feats = set(protocol.get("readerFeatures") or [])
@@ -1257,9 +1307,47 @@ def delta_files(
     don't intersect (stats-less or unparseable adds kept). This is
     what makes the reader credible at scale: a point read over a
     clustered exported table plans ~one file, not the whole add
-    set."""
-    _, adds = _replay_log(path, version)
+    set. Predicates name LOGICAL columns; under
+    ``columnMapping=name`` they are translated to the physical names
+    the add stats / partitionValues are keyed by."""
+    meta, adds = _replay_log(path, version)
+    st = StructType.fromJson(json.loads(meta["schemaString"]))
+    _, phys_of = _mapping_ctx(meta, st)
+    key_range, partition_filter = _map_predicates(
+        phys_of, key_range, partition_filter
+    )
     return _prune_adds(adds, key_range, partition_filter)
+
+
+def _mapping_ctx(meta: dict, st: StructType):
+    """(physical schema, {logical → physical}) for the table — the
+    identity pair unless ``delta.columnMapping.mode=name``."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if mode == "name":
+        return _physical_schema(st)
+    return st, {f.name: f.name for f in st.fields}
+
+
+def _map_predicates(
+    phys_of: dict, key_range, partition_filter: dict | None
+):
+    """Translate caller predicates (logical names) to the physical
+    names pruning compares against (add stats / partitionValues are
+    physically keyed under column mapping)."""
+    from interop_datalake_spark.lake.txn import _normalize_key_ranges
+
+    mapped_kr = [
+        (phys_of.get(col, col), lo, hi)
+        for col, lo, hi in _normalize_key_ranges(key_range)
+    ] or None
+    mapped_pf = (
+        {phys_of.get(c, c): v for c, v in partition_filter.items()}
+        if partition_filter
+        else None
+    )
+    return mapped_kr, mapped_pf
 
 
 def read_delta(
@@ -1286,23 +1374,44 @@ def read_delta(
     decoded from the public format (:mod:`.delta_dv` — inline Z85,
     relative UUID-named file, or absolute path) and applied as a
     position anti-join on ``_metadata.row_index``, the same MOR
-    mechanism TxnTable's own reader uses. Refuses loudly (never
+    mechanism TxnTable's own reader uses. ``columnMapping=name``
+    tables read back fully LOGICAL: the scan uses the physical names
+    from the schemaString's per-field metadata (nested fields too),
+    predicates/pruning translate logical → physical, and the result
+    is renamed/cast to the logical schema. Refuses loudly (never
     silently wrong): truncated logs with no usable checkpoint,
-    unknown DV storage types / corrupt vectors (CRC), and DV sets
-    past the driver-side decode bound."""
+    ``columnMapping=id`` (strict field-id resolution), unknown DV
+    storage types / corrupt vectors (CRC), and DV sets past the
+    driver-side decode bound."""
     meta, adds = _replay_log(path, version)
-    keep = set(_prune_adds(adds, key_range, partition_filter))
-    adds = {f: a for f, a in adds.items() if f in keep}
     st = StructType.fromJson(json.loads(meta["schemaString"]))
-    pcols = meta.get("partitionColumns") or []
+    phys_st, phys_of = _mapping_ctx(meta, st)
+    logical_of = {p: l for l, p in phys_of.items()}
+    kr_phys, pf_phys = _map_predicates(
+        phys_of, key_range, partition_filter
+    )
+    keep = set(_prune_adds(adds, kr_phys, pf_phys))
+    adds = {f: a for f, a in adds.items() if f in keep}
+    # partitionColumns are logical names in the spec, but tolerate a
+    # writer that recorded physical ones (map back); partitionValues
+    # keys are PHYSICAL under column mapping
+    pcols = [
+        logical_of.get(c, c)
+        for c in (meta.get("partitionColumns") or [])
+    ]
     ptypes = {
         f.name: f.dataType.simpleString()
         for f in st.fields
         if f.name in pcols
     }
-    data_schema = StructType(
-        [f for f in st.fields if f.name not in pcols]
-    )
+    data_fields = [
+        (lf, pf)
+        for lf, pf in zip(st.fields, phys_st.fields)
+        if lf.name not in pcols
+    ]
+    data_schema = StructType([pf for _, pf in data_fields])
+    mapped = any(lf.name != pf.name or lf.dataType != pf.dataType
+                 for lf, pf in data_fields)
     if not adds:
         return spark.createDataFrame([], st)
     # group files by their partition-value tuple: each group reads
@@ -1311,7 +1420,7 @@ def read_delta(
     groups: dict[tuple, list[str]] = {}
     for f, a in adds.items():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in pcols)
+        key = tuple(pv.get(phys_of.get(c, c)) for c in pcols)
         groups.setdefault(key, []).append(f)
     dv_descs = {
         f: a["deletionVector"]
@@ -1353,6 +1462,24 @@ def read_delta(
                         dec, re.escape(str(root_abs)) + "/(.*)$", 1
                     ).alias("_dv_file"),
                     F.col("_metadata.row_index").alias("_dv_row"),
+                )
+            if mapped:
+                # physical → logical rename AFTER the lineage select
+                # (the _metadata pseudo-column is only reachable from
+                # the scan relation); the cast renames nested struct
+                # fields positionally, so deep physical names
+                # disappear too
+                keep_extra = (
+                    ["_dv_file", "_dv_row"] if vectored else []
+                )
+                fr = fr.select(
+                    *[
+                        F.col(pf.name)
+                        .cast(lf.dataType)
+                        .alias(lf.name)
+                        for lf, pf in data_fields
+                    ],
+                    *keep_extra,
                 )
             for c, v in zip(pcols, key):
                 fr = fr.withColumn(

@@ -711,9 +711,12 @@ def test_reader_refuses_v2_and_incomplete_checkpoints(spark, tmp_path):
 def test_reader_refuses_column_mapping_and_unknown_features(
     spark, tmp_path
 ):
-    """Round-8 review 3: column mapping stores physical parquet names
-    — reading by logical names would yield all-NULL columns with no
-    error. Unknown readerFeatures likewise refuse."""
+    """Round-8 review 3 (amended round 11): ``name`` mapping is now
+    IMPLEMENTED — a name-mode table whose fields carry no
+    physicalName metadata resolves to its logical names (the
+    delta-spark fallback) and reads fine; ``id`` mode still refuses
+    (strict field-id resolution). Unknown readerFeatures likewise
+    refuse."""
     root = tmp_path / "cm_delta"
     d = root / "stage" / "f0"
     spark.createDataFrame([(1,)], "k INT").coalesce(1).write.parquet(str(d))
@@ -723,7 +726,11 @@ def test_reader_refuses_column_mapping_and_unknown_features(
     _mini_log(
         root, [rel], extra_meta_conf={"delta.columnMapping.mode": "name"}
     )
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    assert read_delta(spark, str(root)).count() == 1
+    _mini_log(
+        root, [rel], extra_meta_conf={"delta.columnMapping.mode": "id"}
+    )
+    with pytest.raises(NotImplementedError, match="field-id"):
         read_delta(spark, str(root))
     root2 = tmp_path / "feat_delta"
     d2 = root2 / "stage" / "f0"
@@ -1229,3 +1236,120 @@ class TestCheckpointWriting:
         # checkpoint, which must carry the protocol upgrade + DVs
         got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
         assert got == {k for k in range(40) if k % 4 != 0}
+
+
+class TestColumnMapping:
+    """delta.columnMapping.mode=name: physical parquet names resolve
+    through the schemaString's per-field metadata — top-level AND
+    nested — while the caller sees only logical names."""
+
+    def _write_mapped_table(self, spark, root):
+        (root / "_delta_log").mkdir(parents=True)
+        df = spark.createDataFrame(
+            [
+                (k, (k * 10, f"s{k}"), "east" if k < 5 else "west")
+                for k in range(10)
+            ],
+            "`col-aaa` INT, `col-bbb` STRUCT<`col-x1`: INT, "
+            "`col-y1`: STRING>, `col-ppp` STRING",
+        )
+        rels = {}
+        for part in ("east", "west"):
+            sub = df.filter(F.col("col-ppp") == part).drop("col-ppp")
+            sub.coalesce(1).write.parquet(str(root / "stage" / part))
+            rels[part] = f"stage/{part}/" + next(
+                p.name
+                for p in (root / "stage" / part).iterdir()
+                if p.name.endswith(".parquet")
+            )
+        fields = [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "payload", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "x", "type": "integer", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-x1"}},
+                 {"name": "y", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-y1"}},
+             ]}},
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 5,
+                          "delta.columnMapping.physicalName": "col-ppp"}},
+        ]
+        schema_string = json.dumps({"type": "struct", "fields": fields})
+        actions = [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": {"id": "cm-1",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_string,
+                          "partitionColumns": ["p"],
+                          "configuration": {
+                              "delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "5",
+                          }}},
+            {"add": {"path": rels["east"],
+                     "partitionValues": {"col-ppp": "east"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({"numRecords": 5,
+                                          "minValues": {"col-aaa": 0},
+                                          "maxValues": {"col-aaa": 4}})}},
+            {"add": {"path": rels["west"],
+                     "partitionValues": {"col-ppp": "west"},
+                     "size": 1, "modificationTime": 0, "dataChange": True,
+                     "stats": json.dumps({"numRecords": 5,
+                                          "minValues": {"col-aaa": 5},
+                                          "maxValues": {"col-aaa": 9}})}},
+        ]
+        (root / "_delta_log" / f"{0:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+        return rels
+
+    def test_name_mapping_reads_logical(self, spark, tmp_path):
+        from interop_datalake_spark.lake.delta_interop import delta_files
+
+        root = tmp_path / "cm"
+        rels = self._write_mapped_table(spark, root)
+        df = read_delta(spark, str(root))
+        assert df.columns == ["k", "payload", "p"]
+        assert df.schema["payload"].dataType.fieldNames() == ["x", "y"]
+        got = {
+            (r["k"], r["payload"]["x"], r["payload"]["y"], r["p"])
+            for r in df.collect()
+        }
+        assert got == {
+            (k, k * 10, f"s{k}", "east" if k < 5 else "west")
+            for k in range(10)
+        }
+        # logical predicates prune through physical stats + pv keys
+        assert delta_files(str(root), key_range=("k", 7, 7)) == [
+            rels["west"]
+        ]
+        assert delta_files(
+            str(root), partition_filter={"p": "east"}
+        ) == [rels["east"]]
+        pruned = read_delta(
+            spark, str(root), partition_filter={"p": "east"},
+            key_range=("k", 2, 3),
+        )
+        assert {r["k"] for r in pruned.collect()} == {2, 3}
+
+    def test_id_mapping_still_refused(self, spark, tmp_path):
+        root = tmp_path / "cmid"
+        self._write_mapped_table(spark, root)
+        log = root / "_delta_log" / f"{0:020d}.json"
+        log.write_text(
+            log.read_text().replace(
+                '"delta.columnMapping.mode": "name"',
+                '"delta.columnMapping.mode": "id"',
+            )
+        )
+        with pytest.raises(NotImplementedError, match="field-id"):
+            read_delta(spark, str(root))
