@@ -364,12 +364,12 @@ WITNESS_PRIORITY = [
     "corpus_shuffle_deterministic", "ann_ivfpq_topk",
     # record linkage
     "entity_resolution",
-    # streaming (round 10: the foreign-format Iceberg readStream
-    # pipeline debuts in-window, displacing r9-green
-    # stream_tumbling_window — stream_join_outer stays as the
-    # streaming-class sibling and the tumbling agg remains
-    # oracle-backed past the cut)
-    "stream_join_outer", "stream_iceberg_appends",
+    # streaming (round 11: the foreign-DELTA readStream pipeline —
+    # this round's new streaming source — debuts in-window,
+    # displacing r10-green stream_iceberg_appends; the
+    # foreign-format-stream class keeps the new delta rep and the
+    # iceberg pipeline stays oracle-backed past the cut)
+    "stream_join_outer", "stream_delta_appends",
     # multimodal
     "multimodal_phash_dedup",
     # event analytics + association mining (the graph class's

@@ -1843,10 +1843,13 @@ def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """murmur3-32 bucket partitioning end to end (round-11 verdict
     item 3; lake/txn.py:_mmh3_32_of_long, Iceberg spec Appendix B):
     load an orders slice into a TxnTable hidden-partitioned by
-    ``bucket_mm3(8, o_custkey)`` — the spec's
+    ``bucket_mm3(4, o_custkey)`` (+ a string bucket_mm3(2) on
+    o_orderpriority — round-11 byte-class murmur3; combo counts kept
+    small because the Iceberg read-back plans one scan per partition
+    TUPLE) — the spec's
     ``(murmur3_x86_32(LE long) & MaxInt) % N``, computed as pure
     column algebra — EXPORT Iceberg v2 metadata (the spec maps to
-    ``bucket[8]``; the old xxhash64 bucket refuses export because a
+    ``bucket[4]``; the old xxhash64 bucket refuses export because a
     compliant engine's pruning would drop matching files), read the
     export back through the self-contained Iceberg reader, and run
     bucket-pruned point lookups through the TxnTable side
@@ -1875,10 +1878,10 @@ def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ord_mm3",
             stats_cols=["o_orderkey"],
             partition_transforms={
-                "ck_b": ("bucket_mm3", 8, "o_custkey"),
+                "ck_b": ("bucket_mm3", 4, "o_custkey"),
                 # round-11 byte-class murmur3: strings bucket too
                 # (UTF-8 bytes through _mmh3_32_of_bytes)
-                "op_b": ("bucket_mm3", 4, "o_orderpriority"),
+                "op_b": ("bucket_mm3", 2, "o_orderpriority"),
             },
         )
         orders = load_table(spark, sf_dir, "orders").select(

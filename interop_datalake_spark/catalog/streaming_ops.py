@@ -324,6 +324,85 @@ ORDER BY o_orderkey
 """
 
 
+def stream_delta_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-Delta streaming, driven end-to-end (round-11;
+    streaming/delta_source.py — the delta-spark
+    ``readStream.format("delta")`` analog): a TxnTable ingests a
+    bounded orders slice in two batches, each MIRRORED as a Delta
+    commit (lake/delta_interop.py), and a true readStream over the
+    published ``_delta_log`` (offsets are Delta versions; vectorized
+    Arrow reads) drains with availableNow. Every row must arrive
+    exactly once, tagged with the commit version that added it —
+    versions are deterministic (0 and 1), so one SQL statement
+    replays the whole write → mirror → stream pipeline."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.delta_interop import (
+        export_delta_log,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.streaming.delta_source import (
+        read_delta_stream,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)  # SF-independent bound
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    )
+    root = tempfile.mkdtemp(prefix="delta_stream_q_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "ord", stats_cols=["o_orderkey"])
+        t.append(orders.filter(F.col("o_orderkey") % 4 == 0).coalesce(2))
+        export_delta_log(t, mode="mirror")
+        t.append(orders.filter(F.col("o_orderkey") % 4 != 0).coalesce(2))
+        export_delta_log(t, mode="mirror")
+        got: list = []
+        q = (
+            read_delta_stream(spark, str(t.root))
+            .writeStream.foreachBatch(
+                lambda bdf, eid: got.extend(bdf.collect())
+            )
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "delta append stream did not drain in 300s — "
+                "refusing to return a silently partial result"
+            )
+        rows = [
+            (
+                r.o_orderkey,
+                r.o_custkey,
+                r.o_orderstatus,
+                r._commit_version,
+            )
+            for r in got
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "commit_version BIGINT",
+    ).orderBy("o_orderkey")
+
+
+STREAM_DELTA_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE 1 END AS commit_version
+FROM orders
+WHERE o_orderkey <= 3000
+ORDER BY o_orderkey
+"""
+
+
 
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL OPERATOR witnessed end-to-end through a true
@@ -398,6 +477,7 @@ QUERIES = {
     "stream_enrich_join": stream_enrich_join,
     "stream_join_outer": stream_join_outer,
     "stream_iceberg_appends": stream_iceberg_appends,
+    "stream_delta_appends": stream_delta_appends,
     "stream_stateful_dedup": stream_stateful_dedup,
 }
 
@@ -410,5 +490,6 @@ ORACLES = {
     "stream_enrich_join": STREAM_ENRICH_ORACLE,
     "stream_join_outer": STREAM_JOIN_OUTER_ORACLE,
     "stream_iceberg_appends": STREAM_ICEBERG_ORACLE,
+    "stream_delta_appends": STREAM_DELTA_ORACLE,
     "stream_stateful_dedup": STREAM_STATEFUL_DEDUP_ORACLE,
 }

@@ -319,9 +319,13 @@ def _mmh3_32_of_bytes(cbin):
     k1 = _rotl32(k1, 15)
     k1m = _mul32(k1, 0x1B873593)
 
-    def tail_fmix(_, h):
-        h = h.bitwiseXOR(k1m)
-        h = h.bitwiseXOR(n.cast("bigint"))  # total byte length
+    def fmix(_, h):
+        # h is the LAMBDA VARIABLE: the xorshift/multiply chain may
+        # double it per step, but a leaf doubles cheaply. The k1m/
+        # length xors happen OUTSIDE, in the array element — folding
+        # them in here would embed those REAL subtrees and the
+        # doubling would copy them 2^5 times (measured: ~2.5s of
+        # Catalyst analysis per expression, 13s appends)
         h = h.bitwiseXOR(F.shiftright(h, 16))
         h = _mul32(h, 0x85EBCA6B)
         h = h.bitwiseXOR(F.shiftright(h, 13))
@@ -329,7 +333,10 @@ def _mmh3_32_of_bytes(cbin):
         return h.bitwiseXOR(F.shiftright(h, 16))
 
     h = F.aggregate(words, F.lit(0).cast("bigint"), round_fn)
-    return F.aggregate(F.array(h), F.lit(0).cast("bigint"), tail_fmix)
+    mixed_in = h.bitwiseXOR(k1m).bitwiseXOR(n.cast("bigint"))
+    return F.aggregate(
+        F.array(mixed_in), F.lit(0).cast("bigint"), fmix
+    )
 
 
 #: source types bucket_mm3 accepts via the hash-the-long class of the

@@ -1,0 +1,288 @@
+"""``readStream`` source over a Delta table's append history — the
+``spark.readStream.format("delta")`` analog for FOREIGN ``_delta_log``
+tables, built on Spark 4's Python DataSource API (the sibling of
+streaming/iceberg_source.py for the other public table format).
+
+Offsets are Delta VERSION numbers (monotone by construction): each
+micro-batch covers the commits in ``(start.version, end.version]``
+and its input partitions are the data files those commits ADDED with
+``dataChange=true`` — one :class:`InputPartition` per file, read on
+executors as vectorized Arrow batches (streaming/arrow_yield.py).
+Partition values inject from each add's ``partitionValues`` (typed
+from Delta's canonical string forms), and every row carries
+``_commit_version``. Replays are deterministic: a published commit
+json is immutable (delta_interop's own exporter pins this
+byte-for-byte).
+
+Refusals (a streaming row feed can't express retractions or silent
+re-shapes — loudly, at planning time, never a wrong row):
+
+- a ``remove`` with ``dataChange=true`` (DELETE/UPDATE/MERGE) — use
+  the batch reader or a CDC view; compaction (``dataChange=false``
+  on both sides) is skipped as pure rewrite;
+- an ``add`` carrying a ``deletionVector`` (its rows need the MOR
+  anti-join the batch reader performs);
+- a ``metaData`` whose schema differs from the stream's declared one
+  (restart the stream to pick up evolution);
+- expired history: a window whose commit json was removed by log
+  cleanup (``expire_delta_log``) refuses rather than silently
+  skipping its rows;
+- protocol/reader features and ``columnMapping`` gate through the
+  SAME ``_check_reader_features`` as the batch reader at schema
+  time (``columnMapping=name`` is refused here even though the
+  batch reader supports it: the executor slices read physical
+  parquet directly and would silently NULL logical columns).
+
+The planner process of a Python DataSource has no py4j gateway; all
+log parsing is the pure-Python replay delta_interop already uses.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import date, datetime
+from decimal import Decimal
+from pathlib import Path
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+FORMAT_NAME = "delta_appends"
+
+
+def _typed_pv(s: str | None, dt_simple: str):
+    """A Delta partitionValues string in its canonical serialization →
+    the Python value ``arrow_yield`` can type as the declared arrow
+    scalar."""
+    if s is None:
+        return None
+    if dt_simple in ("int", "bigint", "smallint", "tinyint"):
+        return int(s)
+    if dt_simple in ("float", "double"):
+        return float(s)
+    if dt_simple == "boolean":
+        return s == "true"
+    if dt_simple == "date":
+        return date.fromisoformat(s)
+    if dt_simple.startswith("decimal"):
+        return Decimal(s)
+    if dt_simple.startswith("timestamp"):
+        return datetime.fromisoformat(s)
+    return s
+
+
+def _schema_fingerprint(schema_string: str) -> list:
+    st = json.loads(schema_string)
+    return [(f["name"], f["type"]) for f in st["fields"]]
+
+
+class _DeltaSlice(InputPartition):
+    def __init__(self, path, version, part_values):
+        self.path = path
+        self.version = version
+        self.part_values = part_values  # {col: typed python value}
+
+
+class DeltaStreamReader(DataSourceStreamReader):
+    def __init__(
+        self,
+        root: str,
+        schema,
+        start_version: int,
+        schema_string: str,
+        partition_cols: list[str],
+    ):
+        self.root = Path(root)
+        self.schema_struct = schema  # declared StructType (picklable)
+        self.start_version = start_version
+        self.fingerprint = _schema_fingerprint(schema_string)
+        self.partition_cols = partition_cols
+        self.ptypes = {
+            f["name"]: (
+                f["type"] if isinstance(f["type"], str) else "string"
+            )
+            for f in json.loads(schema_string)["fields"]
+            if f["name"] in partition_cols
+        }
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        log = self.root / "_delta_log"
+        versions = [
+            int(p.stem)
+            for p in log.glob("*.json")
+            if p.stem.isdigit()
+        ]
+        return {
+            "version": max(versions) if versions else self.start_version
+        }
+
+    def commit(self, end: dict) -> None:
+        pass  # commit jsons are immutable; Spark checkpoints progress
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        log = self.root / "_delta_log"
+        slices: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            p = log / f"{v:020d}.json"
+            try:
+                text = p.read_text()
+            except FileNotFoundError:
+                raise ValueError(
+                    f"commit json for version {v} is gone — history "
+                    f"was expired by log cleanup; restart the stream "
+                    f"with starting_after_version at or past the "
+                    f"oldest retained commit"
+                )
+            for line in text.splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    # HISTORICAL schemas (older, fewer columns) are
+                    # safe — their files null-fill through the
+                    # schema-on-read rule. Refuse only when a window
+                    # metaData carries (name, type) pairs the DECLARED
+                    # schema lacks: the table evolved after this
+                    # stream resolved its schema, and emitting those
+                    # files would silently drop or re-type columns.
+                    fp = _schema_fingerprint(
+                        action["metaData"]["schemaString"]
+                    )
+                    extra = set(fp) - set(self.fingerprint)
+                    if extra:
+                        raise ValueError(
+                            f"table schema changed at version {v} "
+                            f"(new/retyped columns "
+                            f"{sorted(n for n, _ in extra)}) — "
+                            f"restart the stream to pick up the new "
+                            f"schema"
+                        )
+                elif "remove" in action:
+                    if action["remove"].get("dataChange", True):
+                        raise ValueError(
+                            f"version {v} removes data "
+                            f"({unquote(action['remove']['path'])}) — "
+                            f"a streaming append feed cannot express "
+                            f"retractions; use the batch reader or a "
+                            f"CDC view"
+                        )
+                elif "add" in action:
+                    a = action["add"]
+                    if not a.get("dataChange", True):
+                        continue  # compaction rewrite: no new rows
+                    if a.get("deletionVector"):
+                        raise ValueError(
+                            f"version {v} adds a deletion-vectored "
+                            f"file — its rows need the batch "
+                            f"reader's MOR anti-join"
+                        )
+                    pv = a.get("partitionValues") or {}
+                    typed = {
+                        c: _typed_pv(pv.get(c), self.ptypes.get(c, ""))
+                        for c in self.partition_cols
+                    }
+                    slices.append(
+                        _DeltaSlice(
+                            str(self.root / unquote(a["path"])),
+                            v,
+                            typed,
+                        )
+                    )
+        return slices
+
+    def read(self, partition: _DeltaSlice):
+        from interop_datalake_spark.streaming.arrow_yield import (
+            arrow_batches,
+        )
+
+        yield from arrow_batches(
+            partition.path,
+            self.schema_struct,
+            {
+                **partition.part_values,
+                "_commit_version": partition.version,
+            },
+        )
+
+
+class DeltaAppendsDataSource(DataSource):
+    """``spark.readStream.format("delta_appends").option("path",
+    <table root>)`` — register with :func:`register_delta_source`.
+    Schema = the log's current logical schema (partition columns
+    included — they inject from add actions) +
+    ``_commit_version bigint``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _meta(self):
+        from interop_datalake_spark.lake.delta_interop import (
+            _replay_log,
+        )
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "delta_appends source requires "
+                ".option('path', <table root>)"
+            )
+        meta, _ = _replay_log(path, None)
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        )
+        if mode and mode != "none":
+            raise ValueError(
+                f"delta.columnMapping.mode={mode!r}: the streaming "
+                f"source reads physical parquet directly and would "
+                f"silently NULL logical columns; read mapped tables "
+                f"with the batch reader (read_delta)"
+            )
+        return meta
+
+    def schema(self) -> str:
+        from pyspark.sql.types import StructType
+
+        meta = self._meta()
+        st = StructType.fromJson(json.loads(meta["schemaString"]))
+        parts = [
+            f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields
+        ]
+        parts.append("`_commit_version` bigint")
+        return ", ".join(parts)
+
+    def streamReader(self, schema) -> DeltaStreamReader:
+        meta = self._meta()
+        return DeltaStreamReader(
+            str(self.options["path"]),
+            schema,
+            int(self.options.get("starting_after_version", -1)),
+            meta["schemaString"],
+            list(meta.get("partitionColumns") or []),
+        )
+
+
+def register_delta_source(spark) -> None:
+    """Idempotently register the ``delta_appends`` streaming format."""
+    spark.dataSource.register(DeltaAppendsDataSource)
+
+
+def read_delta_stream(spark, path: str, starting_after_version: int = -1):
+    """Convenience: a streaming DataFrame tailing the append history
+    of the Delta table at ``path``, starting after the given version
+    (-1 = from version 0, i.e. the initial snapshot is the first
+    micro-batch — Delta's own ``startingVersion=0`` shape)."""
+    register_delta_source(spark)
+    return (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("starting_after_version", starting_after_version)
+        .load()
+    )
