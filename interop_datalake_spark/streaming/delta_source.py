@@ -76,8 +76,14 @@ def _typed_pv(s: str | None, dt_simple: str):
 
 
 def _schema_fingerprint(schema_string: str) -> list:
+    """(name, canonical-type-json) pairs — the type is re-serialized
+    because nested types are DICTS (unhashable in the subset check,
+    and key order varies by writer)."""
     st = json.loads(schema_string)
-    return [(f["name"], f["type"]) for f in st["fields"]]
+    return [
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in st["fields"]
+    ]
 
 
 class _DeltaSlice(InputPartition):

@@ -241,3 +241,21 @@ class TestDeltaStream:
         )
         with pytest.raises(Exception, match="columnMapping|batch reader"):
             read_delta_stream(spark, str(t.root)).schema
+
+    def test_nested_typed_table_streams(self, spark, lake, tmp_path):
+        """Nested (struct) columns flow through the Arrow read path,
+        and the schema fingerprint handles dict-typed fields (a raw
+        set() over them would TypeError at planning)."""
+        t = TxnTable(lake, "ds8", stats_cols=[])
+        df = spark.createDataFrame(
+            [(1, (10, "a")), (2, (20, "b"))],
+            "k INT, payload STRUCT<x: INT, y: STRING>",
+        )
+        t.append(df.coalesce(1))
+        export_delta_log(t, mode="mirror")
+        got: list = []
+        _drain(spark, str(t.root), str(tmp_path / "ck8"), got)
+        assert {(r.k, r.payload.x, r.payload.y) for r in got} == {
+            (1, 10, "a"), (2, 20, "b"),
+        }
+        assert all(r._commit_version == 0 for r in got)
