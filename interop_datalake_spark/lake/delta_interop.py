@@ -132,6 +132,7 @@ def _add_action(
     now_ms: int,
     names: set[str],
     dv_desc: dict | None = None,
+    data_change: bool = True,
 ) -> dict:
     pcols = m.get("partition_cols") or []
     p = table.root / f
@@ -172,7 +173,7 @@ def _add_action(
             "partitionValues": pv,
             "size": p.stat().st_size if p.exists() else 0,
             "modificationTime": now_ms,
-            "dataChange": True,
+            "dataChange": data_change,
             **(
                 {"stats": json.dumps(stats_payload)}
                 if stats_payload
@@ -599,6 +600,16 @@ def _mirror_locked(
             if v == cur:
                 raise
             continue  # hold ``prev`` at the last exportable version
+        # pure rewrites (compact, DV consolidation) change files but
+        # not logical rows — export them with dataChange=false, the
+        # OPTIMIZE shape, so streaming consumers (delta-spark's and
+        # this repo's delta_appends source alike) skip them instead
+        # of REPROCESSING every rewritten row after each compaction
+        try:
+            op = table.commit_record(v).get("op")
+        except (OSError, ValueError):
+            op = None  # checkpoint-folded record: assume data change
+        dc = op not in ("compact", "consolidate_dv")
         actions = []
         if new_descs and not dv_protocol_claimed:
             # first vectored commit in this mirror: upgrade the
@@ -607,7 +618,8 @@ def _mirror_locked(
         if m.get("schema") != prev.get("schema") or spec_changed:
             actions.append(_meta_action(m, now_ms, table_id))
         actions += [
-            _remove_action(f, now_ms, dv_descs.get(f)) for f in removed
+            _remove_action(f, now_ms, dv_descs.get(f), dc)
+            for f in removed
         ]
         names = _schema_names(m)
         # the DV-update commit shape: remove naming the OLD vector +
@@ -617,12 +629,16 @@ def _mirror_locked(
             a
             for f in dv_changed
             for a in (
-                _remove_action(f, now_ms, dv_descs.get(f)),
-                _add_action(table, m, f, now_ms, names, new_descs.get(f)),
+                _remove_action(f, now_ms, dv_descs.get(f), dc),
+                _add_action(
+                    table, m, f, now_ms, names, new_descs.get(f), dc
+                ),
             )
         ]
         actions += [
-            _add_action(table, m, f, now_ms, names, new_descs.get(f))
+            _add_action(
+                table, m, f, now_ms, names, new_descs.get(f), dc
+            )
             for f in added
         ]
         if actions:
@@ -667,11 +683,13 @@ def _mirror_locked(
     return log_dir
 
 
-def _remove_action(f: str, now_ms: int, dv_desc: dict | None) -> dict:
+def _remove_action(
+    f: str, now_ms: int, dv_desc: dict | None, data_change: bool = True
+) -> dict:
     r = {
         "path": quote(f, safe="/="),
         "deletionTimestamp": now_ms,
-        "dataChange": True,
+        "dataChange": data_change,
     }
     if dv_desc:
         r["deletionVector"] = dv_desc

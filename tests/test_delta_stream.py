@@ -111,7 +111,10 @@ class TestDeltaStream:
         ckpt = str(tmp_path / "ck3")
         _drain(spark, str(t.root), ckpt, got)
         assert sorted(r.k for r in got) == [0, 1, 2, 3]
-        # compact rewrites files with dataChange=false on both sides
+        # compact mirrors as the OPTIMIZE shape natively:
+        # dataChange=false on both sides, so streaming consumers
+        # (this source AND delta-spark's) skip the rewrite instead of
+        # reprocessing every row
         t.compact(target_files=1)
         export_delta_log(t, mode="mirror")
         log = t.root / "_delta_log"
@@ -121,19 +124,20 @@ class TestDeltaStream:
             if line.strip()
         ]
         assert acts, "compaction commit missing"
-        # hand-mark the rewrite (the exporter emits dataChange=true;
-        # Delta writers emit false for OPTIMIZE — pin the source's
-        # handling of the protocol shape)
-        for a in acts:
-            for k in ("add", "remove"):
-                if k in a:
-                    a[k]["dataChange"] = False
-        (log / f"{1:020d}.json").write_text(
-            "\n".join(json.dumps(a) for a in acts) + "\n"
-        )
+        flags = [
+            a[k]["dataChange"]
+            for a in acts
+            for k in ("add", "remove")
+            if k in a
+        ]
+        assert flags and not any(flags)
         got2: list = []
         _drain(spark, str(t.root), ckpt, got2)
         assert got2 == []  # pure rewrite: no new rows
+        # and the batch reader still sees the post-compact state
+        from interop_datalake_spark.lake.delta_interop import read_delta
+
+        assert read_delta(spark, str(t.root)).count() == 4
 
     def test_retraction_and_dv_adds_refused(self, spark, lake, tmp_path):
         from pyspark.errors.exceptions.captured import (
