@@ -1740,6 +1740,36 @@ def _pruned_entries(
             if blo is not None and bhi is not None:
                 if not (blo <= hi and lo <= bhi):
                     keep = False
+            if keep and lo == hi:
+                # bucket-transform pruning for POINT lookups: hash
+                # the literal with the spec's murmur3 (planner-side
+                # pure Python, zero jobs — lake/mmh3.py, pinned to
+                # the same Appendix-B vectors as the write path) and
+                # drop entries whose recorded bucket ordinal differs.
+                # This is what makes point reads over FOREIGN
+                # bucket-partitioned tables plan ~one bucket's files
+                # even when the writer recorded no column stats.
+                from interop_datalake_spark.lake.mmh3 import (
+                    iceberg_bucket_of,
+                )
+
+                part = dfr.get("partition")
+                for pf in spec_fields:
+                    tr = str(pf.get("transform") or "")
+                    if (
+                        pf.get("source-id") != fid
+                        or not tr.startswith("bucket[")
+                        or part is None
+                    ):
+                        continue
+                    want = iceberg_bucket_of(lo, t, int(tr[7:-1]))
+                    got_b = part.get(pf["name"])
+                    if (
+                        want is not None
+                        and got_b is not None
+                        and int(got_b) != want
+                    ):
+                        keep = False
         if keep:
             out.append((dfr, pvals, _entry_seq(e, mf)))
     return out

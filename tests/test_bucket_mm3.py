@@ -353,3 +353,79 @@ class TestIcebergExport:
         t.append(spark.range(0, 10).selectExpr("id as uid"))
         with pytest.raises(ValueError, match="bucket_mm3|murmur3"):
             export_iceberg_metadata(t)
+
+
+class TestForeignBucketPruning:
+    def test_package_mmh3_matches_spec_and_column_path(self, spark):
+        """The planner-side pure-Python hash (lake/mmh3.py) pins to
+        the Iceberg Appendix-B vectors AND to the write path's column
+        algebra — the two cannot drift silently."""
+        from interop_datalake_spark.lake.mmh3 import (
+            iceberg_bucket_of,
+            mmh3_32,
+        )
+
+        def signed(x):
+            return x - (1 << 32) if x >= (1 << 31) else x
+
+        assert signed(mmh3_32(struct.pack("<q", 34))) == 2017239379
+        assert signed(mmh3_32(b"iceberg")) == 1210000089
+        # column algebra ≡ planner hash on longs and strings
+        df = spark.createDataFrame(
+            [(34, "iceberg"), (7, "user-17")], "k BIGINT, s STRING"
+        )
+        rows = df.select(
+            "k",
+            "s",
+            _transform_value_expr(
+                F.col("k"), ("bucket_mm3", 16, "k"), "bigint"
+            ).alias("kb"),
+            _transform_value_expr(
+                F.col("s"), ("bucket_mm3", 16, "s"), "string"
+            ).alias("sb"),
+        ).collect()
+        for r in rows:
+            assert r.kb == iceberg_bucket_of(r.k, "long", 16)
+            assert r.sb == iceberg_bucket_of(r.s, "string", 16)
+
+    def test_point_lookup_prunes_foreign_iceberg_read(self, spark, lake):
+        """iceberg_files/read_iceberg over a bucket-partitioned
+        EXPORT plan only the literal's bucket — the consumer-side
+        twin of a compliant engine's bucket pruning (works without
+        column stats: the prune is on the recorded bucket ordinal)."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            iceberg_files,
+        )
+
+        t = TxnTable(
+            lake,
+            "mm3fp",
+            stats_cols=[],  # no column stats: bucket prune must carry
+            partition_transforms={"uid_b": ("bucket_mm3", 8, "uid")},
+        )
+        t.append(
+            spark.range(0, 160).selectExpr(
+                "id as uid", "concat('u', id) as v"
+            )
+        )
+        export_iceberg_metadata(t)
+        all_files = iceberg_files(spark, str(t.root))
+        pruned = iceberg_files(
+            spark, str(t.root), key_range=("uid", 123, 123)
+        )
+        assert pruned and len(pruned) < len(all_files)
+        want = _bucket_ref(123, 8)
+        parts = t.manifest(t.current_version())["partitions"]
+        from urllib.parse import unquote as _unq
+
+        for f in pruned:
+            rel = _unq("data/" + f.split("/data/")[-1])
+            assert int(parts[rel]["uid_b"]) == want, f
+        got = (
+            read_iceberg(
+                spark, str(t.root), key_range=("uid", 123, 123)
+            )
+            .filter(F.col("uid") == 123)
+            .collect()
+        )
+        assert [(r.uid, r.v) for r in got] == [(123, "u123")]
