@@ -942,21 +942,110 @@ def _dv_positions_df(spark: SparkSession, path: str, dv_descs: dict):
     return spark.createDataFrame(pdf)
 
 
+def _normalize_add(a: dict) -> dict:
+    """Shared post-arrow normalization for an ``add`` struct read
+    from a checkpoint/sidecar parquet."""
+    a["partitionValues"] = _normalize_arrow_map(
+        a.get("partitionValues")
+    )
+    if not (a.get("deletionVector") or {}).get("storageType"):
+        # arrow materializes the absent struct as a dict of Nones
+        a["deletionVector"] = None
+    return a
+
+
+def _load_v2_checkpoint(
+    log_dir: Path, ckpt_version: int, manifest: Path
+):
+    """Load a V2 (UUID-named) checkpoint: the manifest parquet holds
+    checkpointMetadata / protocol / metaData / sidecar actions (file
+    actions MAY also sit inline); each ``sidecar`` row names a
+    parquet under ``_delta_log/_sidecars/`` carrying the add set.
+    Refuses loudly on a version-mismatched checkpointMetadata or a
+    missing sidecar — a partial read would silently drop files."""
+    import pyarrow.parquet as pq
+
+    meta = None
+    protocol = None
+    adds: dict[str, dict] = {}
+    sidecars: list[str] = []
+    names = set(pq.read_schema(manifest).names)
+    cols = [
+        c
+        for c in (
+            "checkpointMetadata", "sidecar", "add", "metaData",
+            "protocol",
+        )
+        if c in names
+    ]
+    for row in pq.read_table(manifest, columns=cols).to_pylist():
+        cm = row.get("checkpointMetadata")
+        if cm and cm.get("version") is not None:
+            if int(cm["version"]) != ckpt_version:
+                raise ValueError(
+                    f"V2 checkpoint {manifest.name} claims version "
+                    f"{cm['version']} but is named for "
+                    f"{ckpt_version} — corrupt or misplaced"
+                )
+        md = row.get("metaData")
+        if md and md.get("schemaString"):
+            md["partitionColumns"] = list(
+                md.get("partitionColumns") or []
+            )
+            md["configuration"] = _normalize_arrow_map(
+                md.get("configuration")
+            )
+            meta = md
+        pr = row.get("protocol")
+        if pr and pr.get("minReaderVersion") is not None:
+            protocol = pr
+        a = row.get("add")
+        if a and a.get("path"):
+            adds[unquote(a["path"])] = _normalize_add(a)
+        sc = row.get("sidecar")
+        if sc and sc.get("path"):
+            sidecars.append(sc["path"])
+    for rel in sidecars:
+        if "://" in rel and not rel.startswith("file:"):
+            raise NotImplementedError(
+                f"sidecar {rel!r} lives on a non-file scheme"
+            )
+        p = Path(rel.replace("file://", "").replace("file:", ""))
+        if not p.is_absolute():
+            p = log_dir / "_sidecars" / rel
+        if not p.exists():
+            raise ValueError(
+                f"V2 checkpoint v{ckpt_version} sidecar {rel} is "
+                f"missing — a partial read would silently drop files"
+            )
+        snames = set(pq.read_schema(p).names)
+        scols = [c for c in ("add",) if c in snames]
+        if not scols:
+            continue  # remove-only sidecar: tombstones, ignored
+        for row in pq.read_table(p, columns=scols).to_pylist():
+            a = row.get("add")
+            if a and a.get("path"):
+                adds[unquote(a["path"])] = _normalize_add(a)
+    return meta, protocol, adds
+
+
 def _load_checkpoint(log_dir: Path, ckpt_version: int):
-    """Load a classic parquet CHECKPOINT (single- or multi-part): the
-    live add set + metaData + protocol, via pyarrow (no SparkSession —
+    """Load a parquet CHECKPOINT — classic (single- or multi-part) or
+    V2 (UUID-named manifest + ``_sidecars/`` parquet files): the live
+    add set + metaData + protocol, via pyarrow (no SparkSession —
     :func:`delta_files` stays engine-free). Checkpoint `remove` rows
     are vacuum tombstones, not live-set members, and are ignored.
 
     Refuses loudly (round-8 review 3), never a silent partial table:
 
-    - V2 / UUID-named checkpoints (their add actions live in sidecar
-      files this loader does not follow — reading just the manifest
-      would return an EMPTY table);
     - incomplete multi-part checkpoints (the filename encodes
       part/nParts; a partial copy would silently drop files);
-    - checkpoint parquet with no ``add`` column at all (not a classic
-      action layout)."""
+    - V2 manifests whose sidecar files are missing, or whose
+      checkpointMetadata names a different version;
+    - classic checkpoint parquet with no ``add`` column at all (not
+      an action layout). JSON-format V2 checkpoints are not
+      discovered (parquet is what delta-spark writes); a log that has
+      only those refuses with the history-truncated error."""
     import pyarrow.parquet as pq
 
     parts = sorted(
@@ -964,21 +1053,32 @@ def _load_checkpoint(log_dir: Path, ckpt_version: int):
     )
     seen_nparts: set[int] = set()
     part_ids: set[int] = set()
+    classic: list[Path] = []
+    v2: list[Path] = []
     for part in parts:
         toks = part.name.split(".")
         # classic: v.checkpoint.parquet | v.checkpoint.ppp.nnn.parquet
+        # V2:      v.checkpoint.<uniqueStr>.parquet
         if len(toks) == 3:
+            classic.append(part)
             continue
         if len(toks) == 5 and toks[2].isdigit() and toks[3].isdigit():
             part_ids.add(int(toks[2]))
             seen_nparts.add(int(toks[3]))
+            classic.append(part)
+            continue
+        if len(toks) == 4:
+            v2.append(part)
             continue
         raise NotImplementedError(
-            f"checkpoint {part.name} is not a classic checkpoint "
-            f"(V2/UUID-named checkpoints keep their add actions in "
-            f"sidecar files; reading only the manifest would return "
-            f"a silently EMPTY table)"
+            f"checkpoint {part.name} has an unrecognized naming "
+            f"shape — refusing rather than guessing its layout"
         )
+    if v2 and not classic:
+        # several V2 manifests at one version are equivalent states
+        # written by racing engines — any one is complete
+        return _load_v2_checkpoint(log_dir, ckpt_version, v2[0])
+    parts = classic
     if seen_nparts:
         n = max(seen_nparts)
         if len(seen_nparts) != 1 or part_ids != set(range(1, n + 1)):
@@ -1023,16 +1123,7 @@ def _load_checkpoint(log_dir: Path, ckpt_version: int):
                 protocol = pr
             a = row.get("add")
             if a and a.get("path"):
-                a["partitionValues"] = _normalize_arrow_map(
-                    a.get("partitionValues")
-                )
-                if not (a.get("deletionVector") or {}).get(
-                    "storageType"
-                ):
-                    # arrow materializes the absent struct as a dict
-                    # of Nones — normalize to no-vector
-                    a["deletionVector"] = None
-                adds[unquote(a["path"])] = a
+                adds[unquote(a["path"])] = _normalize_add(a)
     return meta, protocol, adds
 
 
@@ -1159,6 +1250,7 @@ _SAFE_READER_FEATURES = {
     "vacuumProtocolCheck",
     "deletionVectors",
     "columnMapping",
+    "v2Checkpoint",  # _load_v2_checkpoint follows the sidecars
 }
 
 

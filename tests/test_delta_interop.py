@@ -668,23 +668,25 @@ def _mini_log(root, rel_paths, extra_meta_conf=None, protocol=None):
     )
 
 
-def test_reader_refuses_v2_and_incomplete_checkpoints(spark, tmp_path):
-    """Round-8 review 3: a V2/UUID checkpoint keeps its adds in
-    sidecars — reading only the manifest would return a silently
-    EMPTY table; an incomplete multi-part checkpoint would silently
-    drop files. Both refuse loudly."""
+def test_reader_refuses_malformed_and_incomplete_checkpoints(
+    spark, tmp_path
+):
+    """Round-8 review 3 (amended round 11 — V2 checkpoints are READ
+    now, TestV2Checkpoint): a V2 manifest with no usable state still
+    refuses loudly rather than returning a silently empty table; an
+    incomplete multi-part checkpoint would silently drop files."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     root = tmp_path / "v2ckpt"
     log = root / "_delta_log"
     log.mkdir(parents=True)
-    # UUID-named checkpoint file
+    # UUID-named V2 manifest with no metaData/sidecars/adds at all
     pq.write_table(
         pa.table({"x": [1]}),
         log / f"{3:020d}.checkpoint.80a083e8.parquet",
     )
-    with pytest.raises(NotImplementedError, match="sidecar"):
+    with pytest.raises(ValueError, match="no metaData"):
         read_delta(spark, str(root), version=3)
     # incomplete classic multi-part: part 1 of 2 only
     root2 = tmp_path / "partial_ckpt"
@@ -741,9 +743,9 @@ def test_reader_refuses_column_mapping_and_unknown_features(
     _mini_log(
         root2, [rel2],
         protocol={"minReaderVersion": 3, "minWriterVersion": 7,
-                  "readerFeatures": ["v2Checkpoint"]},
+                  "readerFeatures": ["typeWidening"]},
     )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, str(root2))
     # supported features pass (timestampNtz is just a type)
     root3 = tmp_path / "ok_feat_delta"
@@ -1352,4 +1354,141 @@ class TestColumnMapping:
             )
         )
         with pytest.raises(NotImplementedError, match="field-id"):
+            read_delta(spark, str(root))
+
+
+class TestV2Checkpoint:
+    def test_v2_checkpoint_with_sidecars_reads(self, spark, tmp_path):
+        """A hand-built V2 (UUID-named) checkpoint: the manifest
+        carries checkpointMetadata/protocol/metaData/sidecar rows;
+        the add set lives in TWO sidecar parquets under _sidecars/.
+        Replay must reconstruct the table from the checkpoint plus
+        the JSON tail, including an expired (deleted) v0 json."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = tmp_path / "v2ck"
+        log = root / "_delta_log"
+        (log / "_sidecars").mkdir(parents=True)
+        rels = {}
+        for name, lo, hi in (("f1", 0, 3), ("f2", 3, 6), ("f3", 6, 8)):
+            df = spark.range(lo, hi).selectExpr("id as k")
+            df.coalesce(1).write.parquet(str(root / "stage" / name))
+            rels[name] = f"stage/{name}/" + next(
+                p.name
+                for p in (root / "stage" / name).iterdir()
+                if p.name.endswith(".parquet")
+            )
+        schema_string = json.dumps(
+            {"type": "struct", "fields": [
+                {"name": "k", "type": "long", "nullable": True,
+                 "metadata": {}}]}
+        )
+        add_t = pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])
+
+        def sidecar(fname, paths):
+            tbl = pa.Table.from_pylist(
+                [
+                    {"add": {"path": p, "partitionValues": {},
+                             "size": 1, "modificationTime": 0,
+                             "dataChange": True}}
+                    for p in paths
+                ],
+                schema=pa.schema([("add", add_t)]),
+            )
+            pq.write_table(tbl, log / "_sidecars" / fname)
+            return fname
+
+        s1 = sidecar("sc-1.parquet", [rels["f1"]])
+        s2 = sidecar("sc-2.parquet", [rels["f2"]])
+        manifest_schema = pa.schema([
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            ("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([
+                    ("provider", pa.string()),
+                    ("options", pa.map_(pa.string(), pa.string())),
+                ])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+                ("createdTime", pa.int64()),
+            ])),
+            ("sidecar", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ])),
+        ])
+        rows = [
+            {"checkpointMetadata": {"version": 1}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            {"metaData": {"id": "v2-1",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": schema_string,
+                          "partitionColumns": [],
+                          "configuration": {},
+                          "createdTime": 0}},
+            {"sidecar": {"path": s1, "sizeInBytes": 1,
+                         "modificationTime": 0}},
+            {"sidecar": {"path": s2, "sizeInBytes": 1,
+                         "modificationTime": 0}},
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=manifest_schema),
+            log / f"{1:020d}.checkpoint.abc-123.parquet",
+        )
+        # JSON tail after the checkpoint adds f3 (v0/v1 jsons expired)
+        (log / f"{2:020d}.json").write_text(
+            json.dumps({"add": {"path": rels["f3"],
+                                "partitionValues": {}, "size": 1,
+                                "modificationTime": 0,
+                                "dataChange": True}}) + "\n"
+        )
+        got = {r["k"] for r in read_delta(spark, str(root)).collect()}
+        assert got == set(range(8))
+        # VERSION AS OF the checkpoint itself: sidecar adds only
+        got1 = {
+            r["k"]
+            for r in read_delta(spark, str(root), version=1).collect()
+        }
+        assert got1 == set(range(6))
+        # a missing sidecar refuses loudly
+        (log / "_sidecars" / s2).unlink()
+        with pytest.raises(ValueError, match="sidecar"):
+            read_delta(spark, str(root))
+
+    def test_v2_manifest_version_mismatch_refuses(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = tmp_path / "v2bad"
+        log = root / "_delta_log"
+        log.mkdir(parents=True)
+        schema = pa.schema([
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            ("add", pa.struct([("path", pa.string())])),
+        ])
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"checkpointMetadata": {"version": 9}}], schema=schema
+            ),
+            log / f"{1:020d}.checkpoint.zzz.parquet",
+        )
+        with pytest.raises(ValueError, match="claims version"):
             read_delta(spark, str(root))
