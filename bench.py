@@ -101,6 +101,12 @@ HEADLINE = [
     # round 11: murmur3-32 bucket transform (spec bucket[N]) write +
     # export + bucket-pruned point lookups
     "lake_iceberg_bucket",
+    # round 11: foreign Delta deletion-vector MOR read (hand-written
+    # DV'd log → Z85/roaring decode → position anti-join)
+    "lake_delta_dv_read",
+    # round 11: foreign-Delta readStream lifecycle (mirror 2 commits +
+    # availableNow drain through the Python DataSource)
+    "stream_delta_appends",
     # round 9: deterministic epoch shuffle + curriculum ordering
     # (hash-key window per shard / per tier)
     "corpus_shuffle_deterministic",
