@@ -253,6 +253,37 @@ def _export_dv_descriptors(
     )
 
 
+#: TxnTable commit op → the Delta operation name external engines
+#: surface in DESCRIBE HISTORY (unknown ops fall back to the raw op)
+_DELTA_OP_NAMES = {
+    "append": "WRITE",
+    "overwrite": "WRITE",
+    "overwrite_partitions": "WRITE",
+    "compact": "OPTIMIZE",
+    "consolidate_dv": "OPTIMIZE",
+    "delete": "DELETE",
+    "merge": "MERGE",
+    "merge_sync": "MERGE",
+    "restore": "RESTORE",
+    "clone": "CLONE",
+}
+
+
+def _commit_info(now_ms: int, op: str | None, txn_version=None) -> dict:
+    """A ``commitInfo`` action (PROTOCOL.md: free-form provenance;
+    engines surface it as DESCRIBE HISTORY). Readers — including this
+    module's — ignore it for replay."""
+    info = {
+        "timestamp": now_ms,
+        "operation": _DELTA_OP_NAMES.get(op, op or "WRITE"),
+        "operationParameters": {},
+        "engineInfo": "interop-datalake-spark txn mirror",
+    }
+    if txn_version is not None:
+        info["operationParameters"] = {"txnVersion": str(txn_version)}
+    return {"commitInfo": info}
+
+
 def _write_commit(log_dir: Path, delta_version: int, actions) -> None:
     """Atomic + DURABLE + IMMUTABLE publish of one commit json:
     rename alone is atomic only against process crashes — after power
@@ -390,6 +421,7 @@ def _full_export(table: TxnTable, version: int | None) -> Path:
         table, _collect_txn_dv_indexes(table, m)
     )
     actions = [
+        _commit_info(now_ms, "append", m["version"]),
         # vector-free snapshots stay minReader/Writer 1/2 (plain
         # parquet + partition columns) — maximally consumable; a
         # vectored snapshot must claim the deletionVectors feature
@@ -610,7 +642,7 @@ def _mirror_locked(
         except (OSError, ValueError):
             op = None  # checkpoint-folded record: assume data change
         dc = op not in ("compact", "consolidate_dv")
-        actions = []
+        actions = [_commit_info(now_ms, op, v)]
         if new_descs and not dv_protocol_claimed:
             # first vectored commit in this mirror: upgrade the
             # published protocol in-commit (Delta's own upgrade path)
@@ -641,7 +673,7 @@ def _mirror_locked(
             )
             for f in added
         ]
-        if actions:
+        if len(actions) > 1:  # beyond the commitInfo provenance row
             for f in removed:
                 dv_descs.pop(f, None)
             for f in list(need) + added:

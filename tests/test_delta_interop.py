@@ -62,11 +62,9 @@ def test_export_log_structure_and_stats(spark, lake):
         for line in (log_dir / f"{0:020d}.json").read_text().splitlines()
         if line.strip()
     ]
-    assert actions[0]["protocol"] == {
-        "minReaderVersion": 1,
-        "minWriterVersion": 2,
-    }
-    meta = actions[1]["metaData"]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
     assert meta["format"]["provider"] == "parquet"
     schema = json.loads(meta["schemaString"])
     assert {f["name"] for f in schema["fields"]} == {"k", "v"}
@@ -93,8 +91,9 @@ def test_export_encodes_deletion_vectors(spark, lake):
         for line in (log_dir / f"{0:020d}.json").read_text().splitlines()
         if line.strip()
     ]
-    assert actions[0]["protocol"]["minReaderVersion"] == 3
-    assert "deletionVectors" in actions[0]["protocol"]["readerFeatures"]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
     adds = [a["add"] for a in actions if "add" in a]
     dv_adds = [a for a in adds if a.get("deletionVector")]
     assert dv_adds, "no add carries a deletionVector"
@@ -118,10 +117,9 @@ def test_export_encodes_deletion_vectors(spark, lake):
         for line in (log_dir / f"{0:020d}.json").read_text().splitlines()
         if line.strip()
     ]
-    assert actions0[0]["protocol"] == {
-        "minReaderVersion": 1,
-        "minWriterVersion": 2,
-    }
+    assert next(
+        a["protocol"] for a in actions0 if "protocol" in a
+    ) == {"minReaderVersion": 1, "minWriterVersion": 2}
     assert not (t.root / "_dv").exists()
     assert read_delta(spark, str(t.root)).count() == 40
 
@@ -1492,3 +1490,27 @@ class TestV2Checkpoint:
         )
         with pytest.raises(ValueError, match="claims version"):
             read_delta(spark, str(root))
+
+
+def test_exported_commits_carry_commit_info(spark, lake):
+    """Every exported commit leads with a commitInfo provenance row
+    (DESCRIBE HISTORY surface): WRITE for appends, OPTIMIZE for
+    compaction — and the replay ignores it."""
+    t = TxnTable(lake, "dci", stats_cols=["k"])
+    t.append(spark.range(0, 6).selectExpr("id as k").coalesce(1))
+    export_delta_log(t, mode="mirror")
+    t.compact(target_files=1)
+    export_delta_log(t, mode="mirror")
+    log = t.root / "_delta_log"
+
+    def first_action(v):
+        return json.loads(
+            (log / f"{v:020d}.json").read_text().splitlines()[0]
+        )
+
+    ci0 = first_action(0)["commitInfo"]
+    assert ci0["operation"] == "WRITE"
+    assert ci0["operationParameters"]["txnVersion"] == "1"
+    ci1 = first_action(1)["commitInfo"]
+    assert ci1["operation"] == "OPTIMIZE"
+    assert read_delta(spark, str(t.root)).count() == 6
