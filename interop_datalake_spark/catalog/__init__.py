@@ -355,13 +355,16 @@ WITNESS_PRIORITY = [
     "search_bm25_indexed", "search_hybrid_rrf",
     # text analysis + tokenizer training
     "text_trigrams_udtf", "text_bpe_train",
-    # corpus curation + deterministic epoch shuffle (round-11 review:
-    # ann_ivfpq_topk — never witnessed AND behavior-changed by the
-    # residual-PQ flip — takes corpus_curriculum_order's slot; the
-    # displaced entry is r10-green and the corpus class keeps
-    # to_training_set + shuffle_deterministic)
+    # corpus curation + deterministic epoch shuffle (round-12: the
+    # driver window is ORACLE-BACKED-ONLY from here on — rotating the
+    # rows-only ann_ivfpq_topk in last round guaranteed a permanent
+    # err:no_oracle the driver can't tell from a breakage (r11
+    # verdict, What's wrong #1). IVF×PQ stays recall-floored in
+    # tests/test_ivfpq.py + its bench row. In its slot: the stalest
+    # oracle-backed LLM-class entry, dedup_embedding_cosine —
+    # r1-green, never re-witnessed since.)
     "corpus_to_training_set",
-    "corpus_shuffle_deterministic", "ann_ivfpq_topk",
+    "corpus_shuffle_deterministic", "dedup_embedding_cosine",
     # record linkage
     "entity_resolution",
     # streaming (round 11: the foreign-DELTA readStream pipeline —

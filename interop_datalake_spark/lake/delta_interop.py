@@ -412,14 +412,23 @@ def _full_export(table: TxnTable, version: int | None) -> Path:
     # the marker.
     table_id = str(uuid.uuid4())
     names = _schema_names(m)
-    if log_dir.exists():
-        shutil.rmtree(log_dir)  # snapshot export: replace wholesale
+    # ALL fallible work (the DV position scan may raise the over-bound
+    # ValueError, and Spark itself can fail) runs BEFORE anything of
+    # the previous export is deleted — a failed export must leave the
+    # old valid log readable, not a rubble pile. New packed vectors
+    # are uuid-named, so they coexist with the old log's files; the
+    # stale ones are swept only after the new log is fully staged.
     dv_dir = table.root / _DV_EXPORT_PREFIX
-    if dv_dir.exists():
-        shutil.rmtree(dv_dir)  # stale packed vectors of the old log
+    stale_dv = set(dv_dir.iterdir()) if dv_dir.exists() else set()
     dv_descs = _export_dv_descriptors(
         table, _collect_txn_dv_indexes(table, m)
     )
+    if log_dir.exists():
+        shutil.rmtree(log_dir)  # snapshot export: replace wholesale
+    for p in stale_dv:  # stale packed vectors of the old log
+        p.unlink(missing_ok=True)
+    if dv_dir.exists() and not any(dv_dir.iterdir()):
+        dv_dir.rmdir()
     actions = [
         _commit_info(now_ms, "append", m["version"]),
         # vector-free snapshots stay minReader/Writer 1/2 (plain
@@ -835,9 +844,14 @@ def _write_delta_checkpoint(
         {"metaData": _meta_action(m, now_ms, table_id)["metaData"]},
     ]
     for f in m["files"]:
-        a = _add_action(table, m, f, now_ms, names, dv_descs.get(f))[
-            "add"
-        ]
+        # checkpoint file actions carry dataChange=false (delta-spark
+        # canonicalizes on state reconstruction): a checkpoint is a
+        # snapshot, not new data — CDC/stream consumers keying on
+        # dataChange must not reprocess it
+        a = _add_action(
+            table, m, f, now_ms, names, dv_descs.get(f),
+            data_change=False,
+        )["add"]
         a.setdefault("stats", None)
         a.setdefault("deletionVector", None)
         rows.append({"add": a})
@@ -1252,15 +1266,19 @@ def _replay_log(path: str, version: int | None):
                 p = unquote(r["path"])
                 cur = adds.get(p)
                 rid = dv_unique_id(r.get("deletionVector"))
-                # the DV-update commit shape writes remove(path, old
-                # DV) + add(path, new DV) for the SAME path in one
-                # version; Delta's replay keys the live set on
-                # (path, dvId), so a remove naming a vector the live
-                # add no longer carries must not tombstone the file.
-                # A DV-less remove keeps the legacy drop-by-path rule.
-                if cur is not None and (
-                    rid is None
-                    or rid == dv_unique_id(cur.get("deletionVector"))
+                # Delta's reconciliation (delta-spark's
+                # InMemoryLogReplay) keys the live set on
+                # (path, dvUniqueId): a remove cancels only the add
+                # carrying the SAME vector id, where "no DV" (None)
+                # matches "no DV". This makes replay order-insensitive
+                # within a version — the DV-introduction shape may
+                # list add(path, new DV) BEFORE remove(path, no DV)
+                # for the same path in one commit, and a path-keyed
+                # wildcard pop would tombstone the live file. A
+                # remove naming a vector the current add does not
+                # carry is a no-op tombstone.
+                if cur is not None and rid == dv_unique_id(
+                    cur.get("deletionVector")
                 ):
                     adds.pop(p)
     if meta is None:
@@ -1501,8 +1519,9 @@ def read_delta(
 ) -> DataFrame:
     """Read a Delta table by replaying its JSON transaction log — no
     delta-spark needed. ``version`` is Delta's ``VERSION AS OF``
-    (default: latest). Supports add/remove replay (add wins by path,
-    remove drops), last-metaData-wins schema/partition resolution,
+    (default: latest). Supports add/remove replay keyed on
+    (path, dvUniqueId) per Delta's reconciliation — order-insensitive
+    within a version — last-metaData-wins schema/partition resolution,
     per-file partition-value injection cast to the schema's types,
     and manifest-level data skipping via ``key_range`` /
     ``partition_filter`` (see :func:`delta_files`; residual row

@@ -62,8 +62,11 @@ def iceberg_bucket_of(value, iceberg_type, n: int) -> int | None:
     """``bucket[n]`` ordinal of one literal per the Iceberg spec's
     single-value serialization (ints promote to long and hash their
     8 LE bytes; dates hash days-from-epoch; timestamps hash
-    micros-from-epoch, naive datetimes read as UTC wall time;
-    strings hash UTF-8 bytes; binary hashes raw bytes). Returns
+    micros-from-epoch — naive datetimes read as UTC wall time for
+    ``timestamp`` but return None for ``timestamptz`` (the caller's
+    naive literal was likely session-time; a UTC guess would prune
+    the WRONG bucket's files); strings hash UTF-8 bytes; binary
+    hashes raw bytes). Returns
     ``None`` for types this helper cannot serialize faithfully —
     callers must then KEEP the file (prune only what is proven)."""
     if value is None:
@@ -81,11 +84,17 @@ def iceberg_bucket_of(value, iceberg_type, n: int) -> int | None:
             b = struct.pack("<q", days)
         elif iceberg_type in ("timestamp", "timestamptz"):
             if isinstance(value, datetime):
-                v = (
-                    value
-                    if value.tzinfo is not None
-                    else value.replace(tzinfo=timezone.utc)
-                )
+                if value.tzinfo is None:
+                    if iceberg_type == "timestamptz":
+                        # a naive literal against a tz-aware column
+                        # was likely meant in SESSION time, not UTC —
+                        # guessing UTC would hash a different bucket
+                        # and silently prune files holding matching
+                        # rows. Conservative: keep the file.
+                        return None
+                    v = value.replace(tzinfo=timezone.utc)
+                else:
+                    v = value
                 td = v - _EPOCH_TS
                 micros = (
                     td.days * 86_400_000_000

@@ -31,7 +31,12 @@ re-shapes — loudly, at planning time, never a wrong row):
   SAME ``_check_reader_features`` as the batch reader at schema
   time (``columnMapping=name`` is refused here even though the
   batch reader supports it: the executor slices read physical
-  parquet directly and would silently NULL logical columns).
+  parquet directly and would silently NULL logical columns);
+- a MID-STREAM table upgrade: an in-window ``protocol`` claiming
+  reader features beyond the stream-safe set, or a ``metaData``
+  configuration change enabling ``columnMapping``, refuses in
+  ``partitions()`` — later physical files would otherwise read as
+  wrong/NULL columns with no error.
 
 The planner process of a Python DataSource has no py4j gateway; all
 log parsing is the pure-Python replay delta_interop already uses.
@@ -84,6 +89,19 @@ def _schema_fingerprint(schema_string: str) -> list:
         (f["name"], json.dumps(f["type"], sort_keys=True))
         for f in st["fields"]
     ]
+
+
+#: reader features an in-window protocol upgrade may claim without
+#: changing how this stream reads physical parquet. columnMapping is
+#: NOT here (the executor slice reads physical column names directly);
+#: deletionVectors IS — enabling the feature is harmless because any
+#: add that actually carries a vector refuses individually below.
+_STREAM_SAFE_READER_FEATURES = {
+    "timestampNtz",
+    "vacuumProtocolCheck",
+    "deletionVectors",
+    "v2Checkpoint",
+}
 
 
 class _DeltaSlice(InputPartition):
@@ -150,7 +168,36 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "metaData" in action:
+                if "protocol" in action:
+                    # a mid-stream table upgrade (e.g. enabling
+                    # columnMapping) changes how later physical files
+                    # must be read — refuse like the batch reader's
+                    # schema-time gate instead of NULLing columns
+                    feats = (
+                        set(action["protocol"].get("readerFeatures")
+                            or [])
+                        - _STREAM_SAFE_READER_FEATURES
+                    )
+                    if feats:
+                        raise ValueError(
+                            f"version {v} upgrades the table to "
+                            f"reader features {sorted(feats)} this "
+                            f"streaming source does not implement — "
+                            f"read the table with the batch reader"
+                        )
+                elif "metaData" in action:
+                    md = action["metaData"]
+                    mode = (md.get("configuration") or {}).get(
+                        "delta.columnMapping.mode"
+                    )
+                    if mode and mode != "none":
+                        raise ValueError(
+                            f"version {v} sets delta.columnMapping."
+                            f"mode={mode!r} mid-stream — the executor "
+                            f"slices read physical parquet directly "
+                            f"and would silently NULL logical "
+                            f"columns; use the batch reader"
+                        )
                     # HISTORICAL schemas (older, fewer columns) are
                     # safe — their files null-fill through the
                     # schema-on-read rule. Refuse only when a window
@@ -158,9 +205,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                     # schema lacks: the table evolved after this
                     # stream resolved its schema, and emitting those
                     # files would silently drop or re-type columns.
-                    fp = _schema_fingerprint(
-                        action["metaData"]["schemaString"]
-                    )
+                    fp = _schema_fingerprint(md["schemaString"])
                     extra = set(fp) - set(self.fingerprint)
                     if extra:
                         raise ValueError(

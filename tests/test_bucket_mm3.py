@@ -388,6 +388,30 @@ class TestForeignBucketPruning:
             assert r.kb == iceberg_bucket_of(r.k, "long", 16)
             assert r.sb == iceberg_bucket_of(r.s, "string", 16)
 
+    def test_naive_datetime_timestamptz_keeps_file(self):
+        """Round-12 ADVICE: a NAIVE datetime literal against a
+        timestamptz bucket column returns None (keep the file) — a
+        UTC guess in a non-UTC session would hash the wrong bucket
+        and silently prune files holding matching rows. For plain
+        ``timestamp`` (wall time) the naive literal is the canonical
+        shape and still hashes; aware datetimes and raw micros hash
+        for both types."""
+        from datetime import datetime, timedelta, timezone
+
+        from interop_datalake_spark.lake.mmh3 import iceberg_bucket_of
+
+        naive = datetime(2017, 11, 16, 22, 31, 8)
+        assert iceberg_bucket_of(naive, "timestamptz", 100) is None
+        want = iceberg_bucket_of(1510871468000000, "timestamptz", 100)
+        assert want is not None
+        aware = naive.replace(tzinfo=timezone.utc)
+        assert iceberg_bucket_of(aware, "timestamptz", 100) == want
+        # the same instant expressed in another zone hashes equal
+        plus2 = aware.astimezone(timezone(timedelta(hours=2)))
+        assert iceberg_bucket_of(plus2, "timestamptz", 100) == want
+        # naive stays valid for zone-less 'timestamp'
+        assert iceberg_bucket_of(naive, "timestamp", 100) == want
+
     def test_point_lookup_prunes_foreign_iceberg_read(self, spark, lake):
         """iceberg_files/read_iceberg over a bucket-partitioned
         EXPORT plan only the literal's bucket — the consumer-side

@@ -319,9 +319,40 @@ def test_read_delta_dv_update_commit_shape(spark, tmp_path, remove_first):
         r["k"] for r in read_delta(spark, str(root), version=0).collect()
     }
     assert got0 == {1, 2, 3}
-    # a DV-LESS remove still tombstones the file (legacy writers)
+    # Delta's reconciliation keys on (path, dvUniqueId): a DV-less
+    # remove does NOT cancel a DV-carrying add (delta-spark's
+    # InMemoryLogReplay removes key (path, None) — a no-op here)
     _commit(root, 2, [{"remove": {"path": f1, "dataChange": True}}])
+    assert read_delta(spark, str(root)).count() == 2
+    # a remove naming the CURRENT vector does tombstone it
+    _commit(root, 3, [{"remove": {"path": f1, "dataChange": True,
+                                  "deletionVector": dv_new}}])
     assert read_delta(spark, str(root)).count() == 0
+
+
+@pytest.mark.parametrize("add_first", [True, False])
+def test_read_delta_dv_introduction_order_insensitive(
+    spark, tmp_path, add_first
+):
+    """The DV-INTRODUCTION shape (first DELETE on a clean file):
+    remove(path, no DV) + add(path, new DV) in one commit. Replay must
+    be order-insensitive — with add listed FIRST, a path-keyed
+    wildcard pop would silently tombstone the live file (round-12
+    ADVICE high: the file's rows all vanished)."""
+    root = tmp_path / f"dvi{int(add_first)}"
+    (root / "_delta_log").mkdir(parents=True)
+    f1 = _write_file(
+        spark, root, "f1", [(i, f"r{i}") for i in range(4)]
+    )
+    _commit(root, 0, _base_actions() + [_add(f1)])
+    data = encode_roaring_bitmap_array([2])
+    dv = {"storageType": "i", "pathOrInlineDv": z85_encode(data),
+          "sizeInBytes": len(data), "cardinality": 1}
+    rm = {"remove": {"path": f1, "dataChange": True}}
+    ad = _add(f1, dv)
+    _commit(root, 1, [ad, rm] if add_first else [rm, ad])
+    got = {r["k"] for r in read_delta(spark, str(root)).collect()}
+    assert got == {0, 1, 3}
 
 
 def test_read_delta_dv_with_partitions_and_pruning(spark, tmp_path):

@@ -124,6 +124,57 @@ def test_export_encodes_deletion_vectors(spark, lake):
     assert read_delta(spark, str(t.root)).count() == 40
 
 
+def test_failed_export_preserves_previous_log(
+    spark, lake, monkeypatch
+):
+    """Round-12 ADVICE: a full export whose fallible DV collection
+    raises (over-bound vectors, or any Spark failure) must leave the
+    PREVIOUS valid export readable — not rmtree it first and die on
+    the rubble."""
+    import interop_datalake_spark.lake.delta_interop as di
+
+    t = TxnTable(lake, "dfail", stats_cols=["k"])
+    t.append(spark.range(0, 20).selectExpr("id as k", "'x' as v"))
+    export_delta_log(t)
+    want = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+    assert len(want) == 20
+    t.delete_where(F.col("k") < 5, merge_on_read=True)
+    monkeypatch.setattr(di, "_DV_POSITIONS_BOUND", 0)
+    with pytest.raises(ValueError, match="compact"):
+        export_delta_log(t)
+    # the old snapshot export is still fully readable
+    got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+    assert got == want
+    # and with the bound restored, the re-export succeeds and
+    # replaces it cleanly (DV'd view: k>=5)
+    monkeypatch.undo()
+    export_delta_log(t)
+    got2 = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+    assert got2 == set(range(5, 20))
+
+
+def test_checkpoint_adds_carry_datachange_false(spark, lake):
+    """Delta canonicalizes checkpoint file actions to
+    dataChange=false (a checkpoint is a snapshot, not new data) —
+    compliant CDC/stream consumers keying on dataChange must not
+    reprocess the checkpointed state."""
+    import pyarrow.parquet as pq_mod
+
+    t = TxnTable(lake, "dckdc", stats_cols=["k"])
+    t.append(spark.range(0, 6).selectExpr("id as k").coalesce(1))
+    export_delta_log(t, mode="mirror", checkpoint_every=1)
+    t.append(spark.range(6, 9).selectExpr("id as k").coalesce(1))
+    export_delta_log(t, mode="mirror", checkpoint_every=1)
+    ckpt = t.root / "_delta_log" / f"{1:020d}.checkpoint.parquet"
+    assert ckpt.exists()
+    rows = pq_mod.read_table(ckpt, columns=["add"]).to_pylist()
+    adds = [r["add"] for r in rows if r["add"] and r["add"].get("path")]
+    assert adds and all(a["dataChange"] is False for a in adds)
+    # and the checkpoint still replays to the right live set
+    got = {r["k"] for r in read_delta(spark, str(t.root)).collect()}
+    assert got == set(range(9))
+
+
 def test_mirror_exports_dv_update_commits(spark, lake):
     """The mirror encodes vector changes as Delta's DV-update shape:
     remove naming the previously published descriptor + re-add with

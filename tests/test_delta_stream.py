@@ -246,6 +246,82 @@ class TestDeltaStream:
         with pytest.raises(Exception, match="columnMapping|batch reader"):
             read_delta_stream(spark, str(t.root)).schema
 
+    def test_midstream_upgrade_refused(self, spark, lake, tmp_path):
+        """Round-12 ADVICE: a window that UPGRADES the table — a
+        protocol claiming reader features beyond the stream-safe set,
+        or a metaData configuration enabling columnMapping — must
+        refuse at planning time, not NULL later files' columns."""
+        from pyspark.sql.types import StructType
+
+        from interop_datalake_spark.streaming.delta_source import (
+            DeltaStreamReader,
+        )
+
+        t = TxnTable(lake, "ds8", stats_cols=["k"])
+        t.append(spark.range(0, 2).selectExpr("id as k").coalesce(1))
+        log_dir = export_delta_log(t, mode="mirror")
+        meta = json.loads(
+            next(
+                line
+                for line in (log_dir / f"{0:020d}.json")
+                .read_text()
+                .splitlines()
+                if '"metaData"' in line
+            )
+        )["metaData"]
+
+        def reader():
+            return DeltaStreamReader(
+                str(t.root),
+                StructType.fromJson(json.loads(meta["schemaString"])),
+                -1,
+                meta["schemaString"],
+                [],
+            )
+
+        # in-window protocol upgrade to an unimplemented feature
+        (log_dir / f"{1:020d}.json").write_text(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["columnMapping"],
+                        "writerFeatures": ["columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        with pytest.raises(ValueError, match="reader features"):
+            reader().partitions({"version": -1}, {"version": 1})
+        # in-window configuration change enabling columnMapping (the
+        # schema itself is unchanged, so the fingerprint check alone
+        # would pass this silently)
+        md = dict(meta)
+        md["configuration"] = {"delta.columnMapping.mode": "name"}
+        (log_dir / f"{1:020d}.json").write_text(
+            json.dumps({"metaData": md}) + "\n"
+        )
+        with pytest.raises(ValueError, match="columnMapping"):
+            reader().partitions({"version": -1}, {"version": 1})
+        # a benign stream-safe protocol action still plans fine
+        (log_dir / f"{1:020d}.json").write_text(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+        parts = reader().partitions({"version": -1}, {"version": 1})
+        assert len(parts) == 1  # v0's add only
+
     def test_nested_typed_table_streams(self, spark, lake, tmp_path):
         """Nested (struct) columns flow through the Arrow read path,
         and the schema fingerprint handles dict-typed fields (a raw

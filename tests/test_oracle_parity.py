@@ -71,16 +71,18 @@ ROWS_ONLY_WITNESSED = {
 def test_witness_priority_ordering():
     """The driver records only the first 50 queries() entries: they
     must be exactly WITNESS_PRIORITY (one representative per distinct
-    operator class), every one of them oracle-backed — so the recorded
-    rows are hash-checked — except the small documented rows-only
-    allowlist above, and the catalog must contain them all."""
+    operator class), and — since round 12 — every one of them
+    oracle-backed: a rows-only entry in the window records a
+    permanent err:no_oracle the driver cannot distinguish from a
+    breakage (r11 verdict). Rows-only queries stay covered by pytest
+    pins and bench rows instead."""
     names = list(_QUERIES)
     assert len(catalog.WITNESS_PRIORITY) == 50
     assert names[:50] == catalog.WITNESS_PRIORITY
     unbacked = [n for n in catalog.WITNESS_PRIORITY if n not in _ORACLES]
-    assert set(unbacked) == ROWS_ONLY_WITNESSED & set(
-        catalog.WITNESS_PRIORITY
-    ), f"priority queries without oracles outside allowlist: {unbacked}"
+    assert unbacked == [], (
+        f"priority window must be 100% oracle-backed: {unbacked}"
+    )
 
 
 def test_catalog_contract():
