@@ -107,6 +107,11 @@ HEADLINE = [
     # round 11: foreign-Delta readStream lifecycle (mirror 2 commits +
     # availableNow drain through the Python DataSource)
     "stream_delta_appends",
+    # round 12: foreign-Delta CHANGE DATA FEED — batch CDC read over
+    # the mirrored log (DV position diffs) + the retraction-capable
+    # delta_cdc readStream (executor-side vector decode)
+    "lake_delta_cdf",
+    "stream_delta_cdc",
     # round 9: deterministic epoch shuffle + curriculum ordering
     # (hash-key window per shard / per tier)
     "corpus_shuffle_deterministic",

@@ -329,10 +329,15 @@ WITNESS_PRIORITY = [
     # format DV class keeps lake_incremental_view/lake_join_rollup,
     # whose lifecycles exercise TxnTable vectors, and the delta/
     # iceberg roundtrips cover vector reconciliation)
+    # Round-12 flagship rotation: lake_delta_cdf — the foreign-Delta
+    # CHANGE DATA FEED batch read, this round's new operator — debuts
+    # in-window, displacing lake_delta_roundtrip (r11-hash-green; the
+    # delta-interop class keeps lake_delta_dv_read + the new CDF
+    # witness, and the roundtrip stays oracle-backed past the cut)
     "lake_publish_roundtrip", "lake_txn_acid",
     "lake_delta_dv_read", "lake_incremental_view",
     "lake_incremental_join_view", "lake_join_rollup",
-    "lake_delta_roundtrip", "lake_iceberg_roundtrip",
+    "lake_delta_cdf", "lake_iceberg_roundtrip",
     "lake_iceberg_bucket", "lake_expectations",
     # NULL semantics / reshape
     "null_semantics",
@@ -367,12 +372,12 @@ WITNESS_PRIORITY = [
     "corpus_shuffle_deterministic", "dedup_embedding_cosine",
     # record linkage
     "entity_resolution",
-    # streaming (round 11: the foreign-DELTA readStream pipeline —
-    # this round's new streaming source — debuts in-window,
-    # displacing r10-green stream_iceberg_appends; the
-    # foreign-format-stream class keeps the new delta rep and the
-    # iceberg pipeline stays oracle-backed past the cut)
-    "stream_join_outer", "stream_delta_appends",
+    # streaming (round 12: the foreign-Delta CDC readStream — the
+    # retraction-capable source lifting delta_appends' refusal —
+    # debuts in-window, displacing r11-green stream_delta_appends;
+    # the foreign-format-stream class keeps the new CDC rep and the
+    # appends pipeline stays oracle-backed past the cut)
+    "stream_join_outer", "stream_delta_cdc",
     # multimodal
     "multimodal_phash_dedup",
     # event analytics + association mining (the graph class's

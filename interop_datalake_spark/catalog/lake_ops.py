@@ -1153,6 +1153,101 @@ ORDER BY commit_version, change_type
 """
 
 
+def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-Delta CHANGE DATA FEED read (round 12;
+    lake/delta_interop.py:read_delta_changes — the ``table_changes()``
+    / readChangeFeed analog over a raw ``_delta_log``): the SAME
+    scenario as ``lake_change_feed_deletes`` — documents subset
+    appended, a merge-on-read vector delete of lang='de', a vector
+    MERGE upserting every doc_id % 50 == 0 plus one new id — but the
+    change rows are recovered from the PUBLISHED Delta log (mirror
+    export), not the TxnTable manifests: inserts derive from add
+    actions, deletes from the DV-update commit shape's position
+    diffs (remove(old DV) + add(new DV) per file). Delta versions
+    are 0-based (v0 append, v1 delete, v2 merge), so one SQL
+    statement replays the pipeline as set algebra."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.delta_interop import (
+        export_delta_log,
+        read_delta_changes,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("doc_id") < 300)
+    root = tempfile.mkdtemp(prefix="lake_delta_cdf_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "docs_dcdf", stats_cols=["doc_id"])
+        t.append(docs.repartition(4))                              # Δv0
+        export_delta_log(t, mode="mirror")
+        t.delete_where(F.col("lang") == "de", merge_on_read=True)  # Δv1
+        export_delta_log(t, mode="mirror")
+        upserts = docs.filter(F.col("doc_id") % 50 == 0).unionByName(
+            spark.createDataFrame(
+                [(9000, "en", 1000)],
+                "doc_id BIGINT, lang STRING, n_chars BIGINT",
+            )
+        )
+        t.merge(upserts, ["doc_id"], merge_on_read=True)           # Δv2
+        export_delta_log(t, mode="mirror")
+        rows = (
+            read_delta_changes(spark, str(t.root), -1)
+            .groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .collect()  # ≤ 2 rows per commit — bounded
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["_commit_version"], r["_change_type"], r["n"],
+             r["min_id"], r["max_id"])
+            for r in rows
+        ],
+        "commit_version BIGINT, change_type STRING, n BIGINT,"
+        " min_id BIGINT, max_id BIGINT",
+    ).orderBy("commit_version", "change_type")
+
+
+LAKE_DELTA_CDF_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id < 300
+), v2_del AS (
+  SELECT doc_id FROM base WHERE doc_id % 50 = 0 AND lang <> 'de'
+), v2_ins AS (
+  SELECT doc_id FROM base WHERE doc_id % 50 = 0
+  UNION ALL SELECT 9000
+)
+SELECT * FROM (
+  SELECT 0::BIGINT AS commit_version, 'insert' AS change_type,
+         count(*)::BIGINT AS n, min(doc_id)::BIGINT AS min_id,
+         max(doc_id)::BIGINT AS max_id
+  FROM base
+  UNION ALL
+  SELECT 1::BIGINT, 'delete', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT
+  FROM base WHERE lang = 'de'
+  UNION ALL
+  SELECT 2::BIGINT, 'delete', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT FROM v2_del
+  UNION ALL
+  SELECT 2::BIGINT, 'insert', count(*)::BIGINT,
+         min(doc_id)::BIGINT, max(doc_id)::BIGINT FROM v2_ins
+)
+ORDER BY commit_version, change_type
+"""
+
+
 def lake_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (lake/ivm.py:IncrementalAggView):
     a per-language (count, sum n_chars) rollup of ``documents`` kept
@@ -1988,6 +2083,7 @@ QUERIES = {
     "lake_partition_transforms": lake_partition_transforms,
     "lake_deletion_vectors": lake_deletion_vectors,
     "lake_change_feed_deletes": lake_change_feed_deletes,
+    "lake_delta_cdf": lake_delta_cdf,
     "lake_incremental_view": lake_incremental_view,
     "lake_incremental_join_view": lake_incremental_join_view,
     "lake_join_rollup": lake_join_rollup,
@@ -2015,6 +2111,7 @@ ORACLES = {
     "lake_partition_transforms": LAKE_PTF_ORACLE,
     "lake_deletion_vectors": LAKE_DV_ORACLE,
     "lake_change_feed_deletes": LAKE_CDF_ORACLE,
+    "lake_delta_cdf": LAKE_DELTA_CDF_ORACLE,
     "lake_incremental_view": LAKE_IVM_ORACLE,
     "lake_incremental_join_view": LAKE_IVM_JOIN_ORACLE,
     "lake_join_rollup": LAKE_JOIN_ROLLUP_ORACLE,

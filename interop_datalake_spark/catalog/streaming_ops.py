@@ -394,6 +394,92 @@ def stream_delta_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def stream_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-Delta CDC streaming (round 12;
+    streaming/delta_source.py delta_cdc format — the readChangeFeed
+    stream analog, lifting the append source's retraction refusal): a
+    TxnTable ingests a bounded orders slice (Delta v0), then a
+    merge-on-read DELETE of every o_orderkey % 10 == 0 mirrors as the
+    DV-update commit shape (Delta v1), and a true readStream over the
+    published log drains with availableNow — the deleted rows arrive
+    as ``_change_type='delete'`` via EXECUTOR-side deletion-vector
+    position diffs, never a planning-time materialization. One SQL
+    statement replays the pipeline: every row inserts at v0, the
+    deleted subset re-emits as a delete at v1."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.delta_interop import (
+        export_delta_log,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.streaming.delta_source import (
+        read_delta_cdc_stream,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)  # SF-independent bound
+        .select("o_orderkey", "o_orderstatus")
+    )
+    root = tempfile.mkdtemp(prefix="delta_cdc_q_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "ordc", stats_cols=["o_orderkey"])
+        t.append(orders.coalesce(2))
+        export_delta_log(t, mode="mirror")
+        t.delete_where(
+            F.col("o_orderkey") % 10 == 0, merge_on_read=True
+        )
+        export_delta_log(t, mode="mirror")
+        got: list = []
+        q = (
+            read_delta_cdc_stream(spark, str(t.root))
+            .writeStream.foreachBatch(
+                lambda bdf, eid: got.extend(bdf.collect())
+            )
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "delta cdc stream did not drain in 300s — refusing "
+                "to return a silently partial result"
+            )
+        rows = [
+            (
+                r.o_orderkey,
+                r.o_orderstatus,
+                r._change_type,
+                r._commit_version,
+            )
+            for r in got
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_orderstatus STRING, "
+        "change_type STRING, commit_version BIGINT",
+    ).orderBy("commit_version", "o_orderkey")
+
+
+STREAM_DELTA_CDC_ORACLE = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderstatus, 'insert' AS change_type,
+         0::BIGINT AS commit_version
+  FROM orders WHERE o_orderkey <= 2000
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, 'delete', 1::BIGINT
+  FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 10 = 0
+)
+ORDER BY commit_version, o_orderkey
+"""
+
+
 STREAM_DELTA_ORACLE = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE 1 END AS commit_version
@@ -478,6 +564,7 @@ QUERIES = {
     "stream_join_outer": stream_join_outer,
     "stream_iceberg_appends": stream_iceberg_appends,
     "stream_delta_appends": stream_delta_appends,
+    "stream_delta_cdc": stream_delta_cdc,
     "stream_stateful_dedup": stream_stateful_dedup,
 }
 
@@ -491,5 +578,6 @@ ORACLES = {
     "stream_join_outer": STREAM_JOIN_OUTER_ORACLE,
     "stream_iceberg_appends": STREAM_ICEBERG_ORACLE,
     "stream_delta_appends": STREAM_DELTA_ORACLE,
+    "stream_delta_cdc": STREAM_DELTA_CDC_ORACLE,
     "stream_stateful_dedup": STREAM_STATEFUL_DEDUP_ORACLE,
 }

@@ -134,14 +134,11 @@ def _add_action(
     dv_desc: dict | None = None,
     data_change: bool = True,
 ) -> dict:
-    pcols = m.get("partition_cols") or []
     p = table.root / f
     fstat = m.get("stats", {}).get(f, {})
-    pv = {}
-    for c, v in (m.get("partitions", {}).get(f) or {}).items():
-        if c not in pcols:
-            continue  # hidden transform dirs are layout-only
-        pv[c] = None if v in (None, _HIVE_NULL) else str(v)
+    # hidden transform dirs are layout-only — _partition_values_of
+    # keeps spec-visible columns
+    pv = _partition_values_of(m, f)
     stats_payload: dict = {}
     if "rows" in fstat:
         # numRecords is the file's PHYSICAL row count (what the
@@ -659,7 +656,10 @@ def _mirror_locked(
         if m.get("schema") != prev.get("schema") or spec_changed:
             actions.append(_meta_action(m, now_ms, table_id))
         actions += [
-            _remove_action(f, now_ms, dv_descs.get(f), dc)
+            _remove_action(
+                f, now_ms, dv_descs.get(f), dc,
+                _partition_values_of(prev, f),
+            )
             for f in removed
         ]
         names = _schema_names(m)
@@ -670,7 +670,10 @@ def _mirror_locked(
             a
             for f in dv_changed
             for a in (
-                _remove_action(f, now_ms, dv_descs.get(f), dc),
+                _remove_action(
+                    f, now_ms, dv_descs.get(f), dc,
+                    _partition_values_of(m, f),
+                ),
                 _add_action(
                     table, m, f, now_ms, names, new_descs.get(f), dc
                 ),
@@ -725,16 +728,39 @@ def _mirror_locked(
 
 
 def _remove_action(
-    f: str, now_ms: int, dv_desc: dict | None, data_change: bool = True
+    f: str,
+    now_ms: int,
+    dv_desc: dict | None,
+    data_change: bool = True,
+    partition_values: dict | None = None,
 ) -> dict:
     r = {
         "path": quote(f, safe="/="),
         "deletionTimestamp": now_ms,
         "dataChange": data_change,
     }
+    if partition_values is not None:
+        # Delta's "extended file metadata" shape: carrying the
+        # partition values lets CDC readers derive the removed file's
+        # partition columns without the pre-version snapshot
+        r["extendedFileMetadata"] = True
+        r["partitionValues"] = partition_values
     if dv_desc:
         r["deletionVector"] = dv_desc
     return {"remove": r}
+
+
+def _partition_values_of(m: dict, f: str) -> dict:
+    """The add-action partitionValues dict for file ``f`` under
+    manifest ``m`` (spec-visible columns only, HIVE null → None) —
+    shared by add and remove emission so the two can't drift."""
+    pcols = m.get("partition_cols") or []
+    pv = {}
+    for c, v in (m.get("partitions", {}).get(f) or {}).items():
+        if c not in pcols:
+            continue
+        pv[c] = None if v in (None, _HIVE_NULL) else str(v)
+    return pv
 
 
 def _write_delta_checkpoint(
@@ -986,6 +1012,25 @@ def _dv_positions_df(spark: SparkSession, path: str, dv_descs: dict):
         }
     )
     return spark.createDataFrame(pdf)
+
+
+def _with_row_lineage(fr: DataFrame, root_abs: Path) -> DataFrame:
+    """Row lineage off a parquet scan, exactly as TxnTable's own MOR
+    reader (txn.py): decoded root-relative path (matching the log's
+    add keys) as ``_dv_file`` + position in file as ``_dv_row``. '+'
+    is pre-escaped because url_decode form-decodes it."""
+    dec = F.url_decode(
+        F.replace(
+            F.col("_metadata.file_path"), F.lit("+"), F.lit("%2B")
+        )
+    )
+    return fr.select(
+        "*",
+        F.regexp_extract(
+            dec, re.escape(str(root_abs)) + "/(.*)$", 1
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_row"),
+    )
 
 
 def _normalize_add(a: dict) -> dict:
@@ -1606,24 +1651,7 @@ def read_delta(
                 *[str(Path(path) / f) for f in sel]
             )
             if vectored:
-                # row lineage off the scan, exactly as TxnTable's own
-                # MOR reader (txn.py): decoded root-relative path
-                # (matches the add keys) + position in file. '+' is
-                # pre-escaped because url_decode form-decodes it.
-                dec = F.url_decode(
-                    F.replace(
-                        F.col("_metadata.file_path"),
-                        F.lit("+"),
-                        F.lit("%2B"),
-                    )
-                )
-                fr = fr.select(
-                    "*",
-                    F.regexp_extract(
-                        dec, re.escape(str(root_abs)) + "/(.*)$", 1
-                    ).alias("_dv_file"),
-                    F.col("_metadata.row_index").alias("_dv_row"),
-                )
+                fr = _with_row_lineage(fr, root_abs)
             if mapped:
                 # physical → logical rename AFTER the lineage select
                 # (the _metadata pseudo-column is only reachable from
@@ -1681,3 +1709,335 @@ def read_delta(
                 cond = cond | F.col(c).isNull()
             out = out.filter(cond)
     return out
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Delta CHANGE DATA FEED read over a foreign ``_delta_log`` —
+    the ``table_changes()`` / ``readChangeFeed`` analog, and the
+    Delta sibling of :func:`~interop_datalake_spark.lake.
+    iceberg_interop.read_iceberg_changes` and
+    ``TxnTable.read_changes(include_deletes=True)``: the rows changed
+    by the commits in ``(from_version, to_version]`` (default
+    ``to_version``: latest), tagged ``_change_type`` / 
+    ``_commit_version`` / ``_commit_timestamp``.
+
+    Per-commit semantics follow the protocol's Change Data Files
+    rule (delta PROTOCOL.md):
+
+    - a commit carrying ``cdc`` actions is AUTHORITATIVE: its change
+      data is exactly the referenced ``_change_data`` parquet files
+      (each row already carries ``_change_type`` — insert /
+      update_preimage / update_postimage / delete), and the commit's
+      add/remove actions are ignored for CDC purposes;
+    - otherwise the change set derives from the file actions, the
+      same derivation delta-spark's CDCReader applies: ``add`` with
+      ``dataChange=true`` emits the file's live rows as ``insert``
+      (merge-on-read if the add carries a deletionVector); ``remove``
+      with ``dataChange=true`` emits the file's rows live at removal
+      (its named vector applied) as ``delete``; and the DV-update
+      pair — remove(path, old DV) + add(path, new DV), the mirror's
+      own DELETE shape — emits exactly the position DIFF: rows in
+      new∖old as ``delete``, rows in old∖new (a restore) as
+      ``insert``. ``dataChange=false`` rewrites (OPTIMIZE) emit
+      nothing.
+
+    ``_commit_timestamp`` comes from the commit's ``commitInfo``
+    timestamp when present, else the commit file's mtime — Delta's
+    own in-commit-timestamp fallback order.
+
+    Refuses loudly (never a wrong row): expired in-window commit
+    jsons, column-mapped tables (cdc/data files are physically
+    named — a mapped CDC read needs the rename pass the snapshot
+    reader does; use :func:`read_delta` for snapshots), a partitioned
+    remove without recorded ``partitionValues``, and DV decode past
+    the driver bound."""
+    log_dir = Path(path) / "_delta_log"
+    json_commits = {
+        int(p.stem): p
+        for p in log_dir.glob("*.json")
+        if p.stem.isdigit()
+    }
+    if not json_commits:
+        raise FileNotFoundError(f"no Delta commit json under {log_dir}")
+    to = max(json_commits) if to_version is None else to_version
+    if from_version > to:
+        raise ValueError(
+            f"from_version {from_version} is past to_version {to}"
+        )
+    missing = [
+        v for v in range(from_version + 1, to + 1)
+        if v not in json_commits
+    ]
+    if missing:
+        raise ValueError(
+            f"commit json for version(s) {missing} gone — history "
+            f"was expired by log cleanup; a change feed over them "
+            f"cannot be reconstructed (read full snapshots instead)"
+        )
+    # schema + feature gate at the window head (checks reader
+    # features; last metaData wins — schema-on-read null-fills older
+    # files exactly like the snapshot reader)
+    meta, _ = _replay_log(path, to)
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    )
+    if mode and mode != "none":
+        raise NotImplementedError(
+            f"delta.columnMapping.mode={mode!r}: the CDF read does "
+            f"not implement the physical→logical rename pass; read "
+            f"snapshots via read_delta"
+        )
+    st = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    ptypes = {
+        f.name: f.dataType.simpleString()
+        for f in st.fields
+        if f.name in pcols
+    }
+    data_schema = StructType(
+        [f for f in st.fields if f.name not in pcols]
+    )
+    from pyspark.sql.types import StringType, StructField
+
+    cdc_schema = StructType(
+        data_schema.fields + [StructField("_change_type", StringType())]
+    )
+    root_abs = Path(path).resolve()
+
+    def _scan(files_pv: dict, schema, lineage: bool):
+        """files_pv: {relpath: partitionValues dict} → one frame per
+        partition-value tuple (never per file), partition columns
+        injected as typed literals."""
+        groups: dict[tuple, list[str]] = {}
+        for f, pv in files_pv.items():
+            key = tuple((pv or {}).get(c) for c in pcols)
+            groups.setdefault(key, []).append(f)
+        frames = []
+        for key, files in groups.items():
+            fr = spark.read.schema(schema).parquet(
+                *[str(Path(path) / f) for f in files]
+            )
+            if lineage:
+                fr = _with_row_lineage(fr, root_abs)
+            for c, v in zip(pcols, key):
+                fr = fr.withColumn(
+                    c,
+                    (F.lit(None) if v is None else F.lit(v)).cast(
+                        ptypes.get(c, "string")
+                    ),
+                )
+            frames.append(fr)
+        return frames
+
+    def _union(frames):
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    from interop_datalake_spark.lake.delta_dv import load_dv_row_indexes
+
+    decoded_positions = 0
+
+    def _positions(desc: dict | None):
+        nonlocal decoded_positions
+        import numpy as np
+
+        if not desc:
+            return np.empty(0, dtype=np.int64)
+        idxs = load_dv_row_indexes(path, desc)
+        decoded_positions += len(idxs)
+        if decoded_positions > _DV_POSITIONS_BOUND:
+            raise ValueError(
+                f"deletion vectors in the change window decode to "
+                f"more than {_DV_POSITIONS_BOUND} positions — narrow "
+                f"the version range"
+            )
+        return np.asarray(sorted(idxs), dtype=np.int64)
+
+    def _remove_pv(r: dict, p: str) -> dict:
+        pv = r.get("partitionValues")
+        if pcols and pv is None:
+            raise ValueError(
+                f"remove action for {p} records no partitionValues "
+                f"(no extended file metadata) on a partitioned "
+                f"table — its deleted rows' partition columns cannot "
+                f"be reconstructed"
+            )
+        return pv or {}
+
+    tagged: list[DataFrame] = []
+    for v in range(from_version + 1, to + 1):
+        cdc: list[dict] = []
+        adds: dict[str, dict] = {}
+        removes: dict[str, dict] = {}
+        ts_ms = None
+        for line in json_commits[v].read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                t = action["commitInfo"].get("timestamp")
+                if t is not None:
+                    ts_ms = int(t)
+            elif "cdc" in action:
+                cdc.append(action["cdc"])
+            elif "add" in action:
+                a = action["add"]
+                if a.get("dataChange", True):
+                    adds[unquote(a["path"])] = a
+            elif "remove" in action:
+                r = action["remove"]
+                if r.get("dataChange", True):
+                    removes[unquote(r["path"])] = r
+        if ts_ms is None:
+            ts_ms = int(json_commits[v].stat().st_mtime * 1000)
+        frames: list[DataFrame] = []
+        if cdc:
+            frames += _scan(
+                {
+                    unquote(c["path"]): c.get("partitionValues") or {}
+                    for c in cdc
+                },
+                cdc_schema,
+                lineage=False,
+            )
+        else:
+            paired = set(adds) & set(removes)
+            pure_adds = {f: a for f, a in adds.items() if f not in paired}
+            pure_removes = {
+                f: r for f, r in removes.items() if f not in paired
+            }
+            for src, ctype, dv_key in (
+                (pure_adds, "insert", "add"),
+                (pure_removes, "delete", "remove"),
+            ):
+                plain = {
+                    f: (
+                        a.get("partitionValues") or {}
+                        if dv_key == "add"
+                        else _remove_pv(a, f)
+                    )
+                    for f, a in src.items()
+                    if not a.get("deletionVector")
+                }
+                vectored = {
+                    f: a for f, a in src.items()
+                    if a.get("deletionVector")
+                }
+                if plain:
+                    frames += [
+                        fr.withColumn("_change_type", F.lit(ctype))
+                        for fr in _scan(plain, data_schema, False)
+                    ]
+                if vectored:
+                    pos = _dv_positions_df(
+                        spark,
+                        path,
+                        {
+                            f: a["deletionVector"]
+                            for f, a in vectored.items()
+                        },
+                    )
+                    fr = _union(
+                        _scan(
+                            {
+                                f: (
+                                    a.get("partitionValues") or {}
+                                    if dv_key == "add"
+                                    else _remove_pv(a, f)
+                                )
+                                for f, a in vectored.items()
+                            },
+                            data_schema,
+                            lineage=True,
+                        )
+                    )
+                    frames.append(
+                        fr.join(
+                            pos, ["_dv_file", "_dv_row"], "left_anti"
+                        )
+                        .drop("_dv_file", "_dv_row")
+                        .withColumn("_change_type", F.lit(ctype))
+                    )
+            if paired:
+                import numpy as np
+                import pandas as pd
+
+                pf, pr, pt = [], [], []
+                for f in paired:
+                    old = _positions(
+                        removes[f].get("deletionVector")
+                    )
+                    new = _positions(adds[f].get("deletionVector"))
+                    dels = np.setdiff1d(new, old)
+                    ress = np.setdiff1d(old, new)
+                    pf += [f] * (len(dels) + len(ress))
+                    pr.append(dels)
+                    pr.append(ress)
+                    pt += ["delete"] * len(dels) + ["insert"] * len(ress)
+                pos_df = spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "_dv_file": pd.Series(pf, dtype="string"),
+                            "_dv_row": (
+                                np.concatenate(pr)
+                                if pr
+                                else np.empty(0, dtype=np.int64)
+                            ),
+                            "_change_type": pd.Series(
+                                pt, dtype="string"
+                            ),
+                        }
+                    )
+                )
+                fr = _union(
+                    _scan(
+                        {
+                            f: adds[f].get("partitionValues") or {}
+                            for f in paired
+                        },
+                        data_schema,
+                        lineage=True,
+                    )
+                )
+                frames.append(
+                    fr.join(pos_df, ["_dv_file", "_dv_row"], "inner")
+                    .drop("_dv_file", "_dv_row")
+                )
+        for fr in frames:
+            tagged.append(
+                fr.withColumn(
+                    "_commit_version", F.lit(v).cast("bigint")
+                ).withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_millis(F.lit(ts_ms)),
+                )
+            )
+    out_cols = [f.name for f in st.fields] + [
+        "_change_type",
+        "_commit_version",
+        "_commit_timestamp",
+    ]
+    if not tagged:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            TimestampType,
+        )
+
+        empty = StructType(
+            st.fields
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    return _union([fr.select(*out_cols) for fr in tagged])

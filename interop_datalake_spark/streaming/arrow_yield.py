@@ -33,6 +33,8 @@ def arrow_batches(
     declared_struct,
     constants: dict,
     batch_size: int = BATCH_ROWS,
+    keep_positions=None,
+    drop_positions=None,
 ) -> Iterator:
     """Yield ``pyarrow.RecordBatch`` objects for the parquet file at
     ``path``, shaped exactly like ``declared_struct`` (the source's
@@ -47,16 +49,34 @@ def arrow_batches(
     schema-on-read rule the batch readers apply: columns added after a
     file was written are absent from its footer).
 
+    ``keep_positions`` / ``drop_positions`` (mutually exclusive,
+    sorted int64 arrays of FILE row indexes) restrict the yield to /
+    away from those rows — the vectorized executor-side form of the
+    batch readers' deletion-vector position joins (``iter_batches``
+    streams the file in order, so each batch's global row range is
+    the running offset).
+
     Runs on executors inside the Python DataSource worker: imports stay
     local, and ``to_arrow_schema`` is the worker's own converter so the
     produced arrow types (e.g. ``timestamp[us, tz=UTC]`` for Spark
     TIMESTAMP) are byte-identical to what the tuple path would have
     produced.
     """
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    if keep_positions is not None and drop_positions is not None:
+        raise ValueError(
+            "keep_positions and drop_positions are mutually exclusive"
+        )
+    positions = (
+        keep_positions if keep_positions is not None else drop_positions
+    )
+    if positions is not None:
+        positions = np.asarray(sorted(positions), dtype=np.int64)
+    offset = 0
     target = to_arrow_schema(declared_struct)
     pf = pq.ParquetFile(path)
     avail = set(pf.schema_arrow.names)
@@ -78,6 +98,17 @@ def arrow_batches(
             )
     for rb in pf.iter_batches(batch_size=batch_size, columns=present):
         n = rb.num_rows
+        mask = None
+        if positions is not None:
+            in_batch = np.isin(
+                np.arange(offset, offset + n, dtype=np.int64),
+                positions,
+                assume_unique=True,
+            )
+            offset += n
+            mask = in_batch if keep_positions is not None else ~in_batch
+            if not mask.any():
+                continue
         if n == 0:
             continue
         names = rb.schema.names
@@ -98,4 +129,7 @@ def arrow_batches(
             else:
                 arr = pa.nulls(n, f.type)
             arrays.append(arr)
-        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+        out = pa.RecordBatch.from_arrays(arrays, schema=target)
+        if mask is not None:
+            out = out.filter(pa.array(mask))
+        yield out

@@ -14,14 +14,24 @@ from Delta's canonical string forms), and every row carries
 json is immutable (delta_interop's own exporter pins this
 byte-for-byte).
 
-Refusals (a streaming row feed can't express retractions or silent
-re-shapes — loudly, at planning time, never a wrong row):
+TWO formats register here: ``delta_appends`` (row feed of appended
+data — refuses retractions) and ``delta_cdc`` (the readChangeFeed
+stream analog: every commit's CHANGE rows, tagged ``_change_type`` /
+``_commit_version`` / ``_commit_timestamp``, with cdc actions
+authoritative and file-action derivation otherwise — the same
+per-commit semantics as the batch ``read_delta_changes``; deletion
+vectors decode executor-side from their descriptors, so the planner
+never materializes positions).
+
+``delta_appends`` refusals (an append-only row feed can't express
+retractions or silent re-shapes — loudly, at planning time, never a
+wrong row):
 
 - a ``remove`` with ``dataChange=true`` (DELETE/UPDATE/MERGE) — use
-  the batch reader or a CDC view; compaction (``dataChange=false``
-  on both sides) is skipped as pure rewrite;
-- an ``add`` carrying a ``deletionVector`` (its rows need the MOR
-  anti-join the batch reader performs);
+  the ``delta_cdc`` stream or the batch CDC reader; compaction
+  (``dataChange=false`` on both sides) is skipped as pure rewrite;
+- an ``add`` carrying a ``deletionVector`` (its rows need a MOR
+  anti-join — the ``delta_cdc`` stream performs it positionally);
 - a ``metaData`` whose schema differs from the stream's declared one
   (restart the stream to pick up evolution);
 - expired history: a window whose commit json was removed by log
@@ -221,8 +231,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                             f"version {v} removes data "
                             f"({unquote(action['remove']['path'])}) — "
                             f"a streaming append feed cannot express "
-                            f"retractions; use the batch reader or a "
-                            f"CDC view"
+                            f"retractions; use the delta_cdc stream "
+                            f"(read_delta_cdc_stream) or the batch "
+                            f"CDC reader (read_delta_changes)"
                         )
                 elif "add" in action:
                     a = action["add"]
@@ -231,8 +242,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                     if a.get("deletionVector"):
                         raise ValueError(
                             f"version {v} adds a deletion-vectored "
-                            f"file — its rows need the batch "
-                            f"reader's MOR anti-join"
+                            f"file — its rows need a MOR anti-join; "
+                            f"use the delta_cdc stream or the batch "
+                            f"reader"
                         )
                     pv = a.get("partitionValues") or {}
                     typed = {
@@ -320,9 +332,295 @@ class DeltaAppendsDataSource(DataSource):
         )
 
 
+CDC_FORMAT_NAME = "delta_cdc"
+
+
+class _CdcSlice(InputPartition):
+    """One unit of change data: a whole file tagged with a constant
+    change type (or a cdc file whose rows carry their own), or a
+    deletion-vector POSITION DIFF of one file (the DV-update commit
+    shape) — vectors decode on the EXECUTOR from their descriptors,
+    so the planner never materializes positions."""
+
+    def __init__(
+        self, root, path, version, ts_ms, part_values,
+        ctype=None, drop_desc=None, old_desc=None, new_desc=None,
+    ):
+        self.root = root
+        self.path = path
+        self.version = version
+        self.ts_ms = ts_ms
+        self.part_values = part_values
+        self.ctype = ctype          # None → cdc file carries its own
+        self.drop_desc = drop_desc  # DV to EXCLUDE (live rows only)
+        self.old_desc = old_desc    # diff mode: positions(new−old)
+        self.new_desc = new_desc    # (ctype=delete) / old−new (insert)
+
+
+class DeltaCdcStreamReader(DataSourceStreamReader):
+    """CDC micro-batches over a Delta log: each commit window emits
+    its change rows per the SAME per-commit semantics as the batch
+    :func:`~interop_datalake_spark.lake.delta_interop.
+    read_delta_changes` — cdc actions authoritative, else derived
+    from file actions (full-file insert/delete, DV position diffs).
+    This LIFTS the delta_appends source's retraction refusal: a
+    DELETE/UPDATE/MERGE commit streams as its delete/insert rows
+    instead of refusing."""
+
+    def __init__(
+        self,
+        root: str,
+        schema,
+        start_version: int,
+        schema_string: str,
+        partition_cols: list[str],
+    ):
+        self.root = Path(root)
+        self.schema_struct = schema
+        self.start_version = start_version
+        self.fingerprint = _schema_fingerprint(schema_string)
+        self.partition_cols = partition_cols
+        self.ptypes = {
+            f["name"]: (
+                f["type"] if isinstance(f["type"], str) else "string"
+            )
+            for f in json.loads(schema_string)["fields"]
+            if f["name"] in partition_cols
+        }
+
+    initialOffset = DeltaStreamReader.initialOffset
+    latestOffset = DeltaStreamReader.latestOffset
+    commit = DeltaStreamReader.commit
+
+    def _typed(self, pv: dict | None) -> dict:
+        pv = pv or {}
+        return {
+            c: _typed_pv(pv.get(c), self.ptypes.get(c, ""))
+            for c in self.partition_cols
+        }
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        log = self.root / "_delta_log"
+        slices: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            p = log / f"{v:020d}.json"
+            try:
+                text = p.read_text()
+            except FileNotFoundError:
+                raise ValueError(
+                    f"commit json for version {v} is gone — history "
+                    f"was expired by log cleanup; restart the stream "
+                    f"with starting_after_version at or past the "
+                    f"oldest retained commit"
+                )
+            cdc: list[dict] = []
+            adds: dict[str, dict] = {}
+            removes: dict[str, dict] = {}
+            ts_ms = None
+            for line in text.splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    t = action["commitInfo"].get("timestamp")
+                    if t is not None:
+                        ts_ms = int(t)
+                elif "protocol" in action:
+                    feats = (
+                        set(action["protocol"].get("readerFeatures")
+                            or [])
+                        - _STREAM_SAFE_READER_FEATURES
+                    )
+                    if feats:
+                        raise ValueError(
+                            f"version {v} upgrades the table to "
+                            f"reader features {sorted(feats)} this "
+                            f"streaming source does not implement"
+                        )
+                elif "metaData" in action:
+                    md = action["metaData"]
+                    mode = (md.get("configuration") or {}).get(
+                        "delta.columnMapping.mode"
+                    )
+                    if mode and mode != "none":
+                        raise ValueError(
+                            f"version {v} sets delta.columnMapping."
+                            f"mode={mode!r} mid-stream; use the "
+                            f"batch reader"
+                        )
+                    extra = set(
+                        _schema_fingerprint(md["schemaString"])
+                    ) - set(self.fingerprint)
+                    if extra:
+                        raise ValueError(
+                            f"table schema changed at version {v} "
+                            f"(new/retyped columns "
+                            f"{sorted(n for n, _ in extra)}) — "
+                            f"restart the stream to pick up the new "
+                            f"schema"
+                        )
+                elif "cdc" in action:
+                    cdc.append(action["cdc"])
+                elif "add" in action:
+                    a = action["add"]
+                    if a.get("dataChange", True):
+                        adds[unquote(a["path"])] = a
+                elif "remove" in action:
+                    r = action["remove"]
+                    if r.get("dataChange", True):
+                        removes[unquote(r["path"])] = r
+            if ts_ms is None:
+                ts_ms = int(p.stat().st_mtime * 1000)
+            if cdc:
+                slices += [
+                    _CdcSlice(
+                        str(self.root),
+                        str(self.root / unquote(c["path"])),
+                        v, ts_ms,
+                        self._typed(c.get("partitionValues")),
+                    )
+                    for c in cdc
+                ]
+                continue
+            paired = set(adds) & set(removes)
+            for f, a in adds.items():
+                if f in paired:
+                    continue
+                slices.append(_CdcSlice(
+                    str(self.root), str(self.root / f), v, ts_ms,
+                    self._typed(a.get("partitionValues")),
+                    ctype="insert", drop_desc=a.get("deletionVector"),
+                ))
+            for f, r in removes.items():
+                if f in paired:
+                    continue
+                pv = r.get("partitionValues")
+                if self.partition_cols and pv is None:
+                    raise ValueError(
+                        f"remove action for {f} at version {v} "
+                        f"records no partitionValues on a partitioned "
+                        f"table — its deleted rows' partition columns "
+                        f"cannot be reconstructed"
+                    )
+                slices.append(_CdcSlice(
+                    str(self.root), str(self.root / f), v, ts_ms,
+                    self._typed(pv),
+                    ctype="delete", drop_desc=r.get("deletionVector"),
+                ))
+            for f in paired:
+                common = dict(
+                    root=str(self.root),
+                    path=str(self.root / f),
+                    version=v,
+                    ts_ms=ts_ms,
+                    part_values=self._typed(
+                        adds[f].get("partitionValues")
+                    ),
+                    old_desc=removes[f].get("deletionVector"),
+                    new_desc=adds[f].get("deletionVector"),
+                )
+                slices.append(_CdcSlice(**common, ctype="delete"))
+                slices.append(_CdcSlice(**common, ctype="insert"))
+        return slices
+
+    def read(self, partition: _CdcSlice):
+        from datetime import datetime, timezone
+
+        from interop_datalake_spark.streaming.arrow_yield import (
+            arrow_batches,
+        )
+
+        s = partition
+        constants = {
+            **s.part_values,
+            "_commit_version": s.version,
+            "_commit_timestamp": datetime.fromtimestamp(
+                s.ts_ms / 1000, tz=timezone.utc
+            ),
+        }
+        keep = drop = None
+        if s.old_desc is not None or s.new_desc is not None:
+            # DV position diff, decoded HERE on the executor
+            import numpy as np
+
+            from interop_datalake_spark.lake.delta_dv import (
+                load_dv_row_indexes,
+            )
+
+            def pos(d):
+                return np.asarray(
+                    load_dv_row_indexes(s.root, d) if d else [],
+                    dtype=np.int64,
+                )
+
+            old, new = pos(s.old_desc), pos(s.new_desc)
+            keep = (
+                np.setdiff1d(new, old)
+                if s.ctype == "delete"
+                else np.setdiff1d(old, new)
+            )
+            if len(keep) == 0:
+                return
+        elif s.drop_desc is not None:
+            from interop_datalake_spark.lake.delta_dv import (
+                load_dv_row_indexes,
+            )
+
+            drop = load_dv_row_indexes(s.root, s.drop_desc)
+        if s.ctype is not None:
+            constants["_change_type"] = s.ctype
+        yield from arrow_batches(
+            s.path,
+            self.schema_struct,
+            constants,
+            keep_positions=keep,
+            drop_positions=drop,
+        )
+
+
+class DeltaCdcDataSource(DataSource):
+    """``spark.readStream.format("delta_cdc").option("path", <table
+    root>)`` — register with :func:`register_delta_source`. Schema =
+    the log's current logical schema + ``_change_type string`` +
+    ``_commit_version bigint`` + ``_commit_timestamp timestamp``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return CDC_FORMAT_NAME
+
+    _meta = DeltaAppendsDataSource._meta
+
+    def schema(self) -> str:
+        from pyspark.sql.types import StructType
+
+        meta = self._meta()
+        st = StructType.fromJson(json.loads(meta["schemaString"]))
+        parts = [
+            f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields
+        ]
+        parts += [
+            "`_change_type` string",
+            "`_commit_version` bigint",
+            "`_commit_timestamp` timestamp",
+        ]
+        return ", ".join(parts)
+
+    def streamReader(self, schema) -> DeltaCdcStreamReader:
+        meta = self._meta()
+        return DeltaCdcStreamReader(
+            str(self.options["path"]),
+            schema,
+            int(self.options.get("starting_after_version", -1)),
+            meta["schemaString"],
+            list(meta.get("partitionColumns") or []),
+        )
+
+
 def register_delta_source(spark) -> None:
-    """Idempotently register the ``delta_appends`` streaming format."""
+    """Idempotently register the ``delta_appends`` + ``delta_cdc``
+    streaming formats."""
     spark.dataSource.register(DeltaAppendsDataSource)
+    spark.dataSource.register(DeltaCdcDataSource)
 
 
 def read_delta_stream(spark, path: str, starting_after_version: int = -1):
@@ -333,6 +631,23 @@ def read_delta_stream(spark, path: str, starting_after_version: int = -1):
     register_delta_source(spark)
     return (
         spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("starting_after_version", starting_after_version)
+        .load()
+    )
+
+
+def read_delta_cdc_stream(
+    spark, path: str, starting_after_version: int = -1
+):
+    """Convenience: a CDC streaming DataFrame over the Delta table at
+    ``path`` — delta-spark's ``readChangeFeed`` stream analog. Unlike
+    :func:`read_delta_stream`, retraction commits (DELETE / UPDATE /
+    MERGE, with or without cdc actions) stream as tagged
+    ``_change_type`` rows instead of refusing."""
+    register_delta_source(spark)
+    return (
+        spark.readStream.format(CDC_FORMAT_NAME)
         .option("path", path)
         .option("starting_after_version", starting_after_version)
         .load()

@@ -1,0 +1,349 @@
+"""Foreign-Delta CHANGE DATA FEED read (lake/delta_interop.py:
+read_delta_changes): the table_changes()/readChangeFeed analog over a
+raw ``_delta_log``. Validated three ways so the reader can't just
+agree with the exporter on a shared mistake:
+
+1. against ``TxnTable.read_changes(include_deletes=True)`` over the
+   SAME mirrored history (the two derive the same change sets through
+   entirely different code paths — manifest diffs vs log actions);
+2. against hand-written commits carrying ``cdc`` actions +
+   ``_change_data`` parquet files (the authoritative protocol shape
+   delta-spark writers produce — add/remove in the same commit must
+   be IGNORED);
+3. shape-by-shape derivation checks: copy-on-write remove+add, DV
+   position diffs, restores, OPTIMIZE no-ops, refusals.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.delta_interop import (
+    export_delta_log,
+    read_delta,
+    read_delta_changes,
+)
+from interop_datalake_spark.lake.txn import TxnTable
+from interop_datalake_spark.session import DatalakeSession
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+@pytest.fixture()
+def lake(spark):
+    root = tempfile.mkdtemp(prefix="delta_cdf_")
+    yield DatalakeSession(lake_root=root, spark=spark)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _changes_set(df, cols):
+    return {
+        tuple(r[c] for c in cols)
+        for r in df.select(*cols).collect()
+    }
+
+
+class TestMirrorParity:
+    def test_matches_txn_change_feed(self, spark, lake):
+        """Mirrored append → MOR delete → MOR merge history: the
+        foreign-CDF read of the exported log reproduces the
+        TxnTable's own delete-emitting change feed row for row
+        (modulo the version offset: TxnTable v1.. ↔ Delta v0..)."""
+        t = TxnTable(lake, "cdf1", stats_cols=["k"])
+        t.append(
+            spark.range(0, 40)
+            .selectExpr("id as k", "cast(id % 4 as int) as g")
+            .repartition(3)
+        )
+        export_delta_log(t, mode="mirror")
+        t.delete_where(F.col("k") % 5 == 0, merge_on_read=True)
+        export_delta_log(t, mode="mirror")
+        up = spark.createDataFrame(
+            [(2, 99), (100, 7)], "k BIGINT, g INT"
+        )
+        t.merge(up, ["k"], merge_on_read=True)
+        export_delta_log(t, mode="mirror")
+
+        want = {
+            (r["k"], r["g"], r["_change_type"], r["_commit_version"])
+            for r in t.read_changes(0, include_deletes=True).collect()
+        }
+        got = {
+            (r["k"], r["g"], r["_change_type"], r["_commit_version"] + 1)
+            for r in read_delta_changes(spark, str(t.root), -1).collect()
+        }
+        assert got == want
+        # _commit_timestamp is populated everywhere
+        assert (
+            read_delta_changes(spark, str(t.root), -1)
+            .filter(F.col("_commit_timestamp").isNull())
+            .count()
+            == 0
+        )
+
+    def test_window_and_empty_range(self, spark, lake):
+        t = TxnTable(lake, "cdf2", stats_cols=["k"])
+        t.append(spark.range(0, 5).selectExpr("id as k"))
+        export_delta_log(t, mode="mirror")
+        t.append(spark.range(5, 8).selectExpr("id as k"))
+        export_delta_log(t, mode="mirror")
+        # only the second commit's window
+        got = _changes_set(
+            read_delta_changes(spark, str(t.root), 0),
+            ["k", "_change_type", "_commit_version"],
+        )
+        assert got == {(k, "insert", 1) for k in range(5, 8)}
+        # empty window → empty frame with the full CDF schema
+        empty = read_delta_changes(spark, str(t.root), 1)
+        assert empty.count() == 0
+        assert set(empty.columns) == {
+            "k", "_change_type", "_commit_version", "_commit_timestamp"
+        }
+
+    def test_optimize_emits_nothing(self, spark, lake):
+        t = TxnTable(lake, "cdf3", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").repartition(4))
+        export_delta_log(t, mode="mirror")
+        t.compact(target_files=1)
+        export_delta_log(t, mode="mirror")
+        assert (
+            read_delta_changes(spark, str(t.root), 0).count() == 0
+        )
+
+    def test_partitioned_removes_carry_partition_values(
+        self, spark, lake
+    ):
+        """Copy-on-write overwrite of one partition: the mirror's
+        remove actions now record partitionValues (extended file
+        metadata), so the CDF read reconstructs the deleted rows'
+        partition columns."""
+        t = TxnTable(lake, "cdf4", partition_cols=["site"],
+                     stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "a"), (2, "a"), (3, "b")], "k INT, site STRING"
+            )
+        )
+        export_delta_log(t, mode="mirror")
+        t.overwrite_partitions(
+            spark.createDataFrame([(9, "a")], "k INT, site STRING")
+        )
+        export_delta_log(t, mode="mirror")
+        got = _changes_set(
+            read_delta_changes(spark, str(t.root), 0),
+            ["k", "site", "_change_type"],
+        )
+        assert got == {
+            (1, "a", "delete"),
+            (2, "a", "delete"),
+            (9, "a", "insert"),
+        }
+
+
+_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+)
+
+
+def _base_actions():
+    return [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "cdf-tbl",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": _SCHEMA_STRING,
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.enableChangeDataFeed": "true"
+                      }}},
+    ]
+
+
+def _write_parquet(spark, root, sub, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.parquet(str(root / "stage" / sub))
+    return f"stage/{sub}/" + next(
+        p.name
+        for p in (root / "stage" / sub).iterdir()
+        if p.name.endswith(".parquet")
+    )
+
+
+def _commit(root, v, actions):
+    (root / "_delta_log" / f"{v:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+
+
+class TestCdcActions:
+    def test_cdc_actions_are_authoritative(self, spark, tmp_path):
+        """A commit with cdc actions: its change data is exactly the
+        _change_data files — the same commit's add/remove are ignored
+        for CDC (the protocol's Change Data Files rule). This is the
+        UPDATE shape delta-spark writes: preimage+postimage rows in
+        the cdc file, rewritten files in add/remove."""
+        root = tmp_path / "cdc1"
+        (root / "_delta_log").mkdir(parents=True)
+        f0 = _write_parquet(
+            spark, root, "f0", [(1, "a"), (2, "b")], "k INT, v STRING"
+        )
+        _commit(root, 0, _base_actions() + [
+            {"add": {"path": f0, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ])
+        # v1: UPDATE k=2 → v='B' (rewrites f0 as f1; cdc file carries
+        # the pre/post images)
+        f1 = _write_parquet(
+            spark, root, "f1", [(1, "a"), (2, "B")], "k INT, v STRING"
+        )
+        cdc1 = _write_parquet(
+            spark, root, "_change_data0",
+            [(2, "b", "update_preimage"), (2, "B", "update_postimage")],
+            "k INT, v STRING, _change_type STRING",
+        )
+        _commit(root, 1, [
+            {"remove": {"path": f0, "dataChange": True,
+                        "partitionValues": {}}},
+            {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+            {"cdc": {"path": cdc1, "partitionValues": {}, "size": 1,
+                     "dataChange": False}},
+            {"commitInfo": {"timestamp": 1700000000000,
+                            "operation": "UPDATE"}},
+        ])
+        got = _changes_set(
+            read_delta_changes(spark, str(root), 0),
+            ["k", "v", "_change_type", "_commit_version"],
+        )
+        assert got == {
+            (2, "b", "update_preimage", 1),
+            (2, "B", "update_postimage", 1),
+        }
+        # the commitInfo timestamp rides through
+        ts = (
+            read_delta_changes(spark, str(root), 0)
+            .select("_commit_timestamp")
+            .first()[0]
+        )
+        assert ts is not None and ts.year == 2023
+        # whole-history read: v0 derives inserts, v1 uses cdc
+        full = _changes_set(
+            read_delta_changes(spark, str(root), -1),
+            ["k", "v", "_change_type", "_commit_version"],
+        )
+        assert full == got | {
+            (1, "a", "insert", 0), (2, "b", "insert", 0),
+        }
+        # and the snapshot read agrees with the folded changes
+        snap = {(r["k"], r["v"])
+                for r in read_delta(spark, str(root)).collect()}
+        assert snap == {(1, "a"), (2, "B")}
+
+    def test_copy_on_write_derivation(self, spark, tmp_path):
+        """No cdc actions: remove emits the file's rows as delete,
+        add emits as insert (delta-spark CDCReader's derivation)."""
+        root = tmp_path / "cdc2"
+        (root / "_delta_log").mkdir(parents=True)
+        f0 = _write_parquet(
+            spark, root, "f0", [(1, "a"), (2, "b")], "k INT, v STRING"
+        )
+        f1 = _write_parquet(
+            spark, root, "f1", [(1, "a")], "k INT, v STRING"
+        )
+        _commit(root, 0, _base_actions() + [
+            {"add": {"path": f0, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ])
+        _commit(root, 1, [
+            {"remove": {"path": f0, "dataChange": True}},
+            {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ])
+        got = _changes_set(
+            read_delta_changes(spark, str(root), 0),
+            ["k", "v", "_change_type"],
+        )
+        assert got == {
+            (1, "a", "delete"), (2, "b", "delete"), (1, "a", "insert"),
+        }
+
+    def test_refusals(self, spark, tmp_path, lake):
+        # expired window
+        t = TxnTable(lake, "cdfr", stats_cols=["k"])
+        t.append(spark.range(0, 3).selectExpr("id as k").coalesce(1))
+        export_delta_log(t, mode="mirror", checkpoint_every=2)
+        for i in range(1, 3):
+            t.append(
+                spark.range(3 * i, 3 * i + 3)
+                .selectExpr("id as k")
+                .coalesce(1)
+            )
+            export_delta_log(t, mode="mirror", checkpoint_every=2)
+        from interop_datalake_spark.lake.delta_interop import (
+            expire_delta_log,
+        )
+
+        assert expire_delta_log(t) > 0
+        with pytest.raises(ValueError, match="expired"):
+            read_delta_changes(spark, str(t.root), -1)
+        # a retained window still reads
+        assert read_delta_changes(spark, str(t.root), 1).count() == 3
+        # column-mapped table
+        root = tmp_path / "cdcm"
+        (root / "_delta_log").mkdir(parents=True)
+        acts = _base_actions()
+        acts[1]["metaData"]["configuration"][
+            "delta.columnMapping.mode"
+        ] = "name"
+        _commit(root, 0, acts)
+        with pytest.raises(NotImplementedError, match="columnMapping"):
+            read_delta_changes(spark, str(root), -1)
+        # partitioned remove without partitionValues
+        root2 = tmp_path / "cdcp"
+        (root2 / "_delta_log").mkdir(parents=True)
+        fa = _write_parquet(
+            spark, root2, "fa", [(1, "x")], "k INT, v STRING"
+        )
+        schema = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "integer", "nullable": True,
+                     "metadata": {}},
+                    {"name": "v", "type": "string", "nullable": True,
+                     "metadata": {}},
+                    {"name": "p", "type": "string", "nullable": True,
+                     "metadata": {}},
+                ],
+            }
+        )
+        _commit(root2, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "pp",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": schema,
+                          "partitionColumns": ["p"],
+                          "configuration": {}}},
+            {"add": {"path": fa, "partitionValues": {"p": "e"},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        _commit(root2, 1, [
+            {"remove": {"path": fa, "dataChange": True}},
+        ])
+        with pytest.raises(ValueError, match="partitionValues"):
+            read_delta_changes(spark, str(root2), -1).collect()

@@ -339,3 +339,146 @@ class TestDeltaStream:
             (1, 10, "a"), (2, 20, "b"),
         }
         assert all(r._commit_version == 0 for r in got)
+
+
+class TestDeltaCdcStream:
+    """The delta_cdc readStream format: retraction commits stream as
+    tagged change rows (lifting delta_appends' refusal), matching the
+    batch read_delta_changes row for row."""
+
+    def _drain_cdc(self, spark, path, ckpt, rows, after=-1):
+        from interop_datalake_spark.streaming.delta_source import (
+            read_delta_cdc_stream,
+        )
+
+        q = (
+            read_delta_cdc_stream(spark, path, after)
+            .writeStream.foreachBatch(
+                lambda bdf, eid: rows.extend(bdf.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "cdc stream did not drain"
+
+    def test_matches_batch_cdc_reader(self, spark, lake, tmp_path):
+        """Append → MOR delete → MOR merge mirrored history: the
+        stream's cumulative change rows equal the batch CDC read
+        (and therefore the TxnTable change feed, by the batch
+        test's parity)."""
+        from interop_datalake_spark.lake.delta_interop import (
+            read_delta_changes,
+        )
+
+        t = TxnTable(lake, "dsc1", stats_cols=["k"])
+        t.append(
+            spark.range(0, 30)
+            .selectExpr("id as k", "cast(id % 3 as int) as g")
+            .repartition(2)
+        )
+        export_delta_log(t, mode="mirror")
+        t.delete_where(F.col("k") % 4 == 0, merge_on_read=True)
+        export_delta_log(t, mode="mirror")
+        up = spark.createDataFrame([(1, 77), (500, 9)], "k BIGINT, g INT")
+        t.merge(up, ["k"], merge_on_read=True)
+        export_delta_log(t, mode="mirror")
+
+        got: list = []
+        self._drain_cdc(spark, str(t.root), str(tmp_path / "c1"), got)
+        got_set = {
+            (r.k, r.g, r._change_type, r._commit_version) for r in got
+        }
+        want = {
+            (r["k"], r["g"], r["_change_type"], r["_commit_version"])
+            for r in read_delta_changes(spark, str(t.root), -1).collect()
+        }
+        assert got_set == want
+        assert all(r._commit_timestamp is not None for r in got)
+
+        # resume: a new commit streams incrementally from the
+        # checkpoint (delete shape again — the lifted refusal)
+        t.delete_where(F.col("k") == 1, merge_on_read=True)
+        export_delta_log(t, mode="mirror")
+        more: list = []
+        self._drain_cdc(spark, str(t.root), str(tmp_path / "c1"), more)
+        assert {(r.k, r._change_type) for r in more} == {(1, "delete")}
+
+    def test_cdc_actions_authoritative_in_stream(
+        self, spark, lake, tmp_path
+    ):
+        """A hand-appended commit with cdc actions streams exactly
+        the _change_data rows; its add/remove are ignored."""
+        import pyspark.sql.functions as SF
+
+        t = TxnTable(lake, "dsc2", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+            .coalesce(1)
+        )
+        log_dir = export_delta_log(t, mode="mirror")
+        cdc_dir = t.root / "_change_data"
+        spark.createDataFrame(
+            [(2, "b", "update_preimage"), (2, "B", "update_postimage")],
+            "k INT, v STRING, _change_type STRING",
+        ).coalesce(1).write.parquet(str(cdc_dir / "c0"))
+        cdc_rel = "_change_data/c0/" + next(
+            p.name for p in (cdc_dir / "c0").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        (log_dir / f"{1:020d}.json").write_text(
+            "\n".join(
+                json.dumps(a)
+                for a in [
+                    {"commitInfo": {"timestamp": 1700000000000,
+                                    "operation": "UPDATE"}},
+                    {"remove": {"path": "ghost.parquet",
+                                "dataChange": True}},
+                    {"cdc": {"path": cdc_rel, "partitionValues": {},
+                             "size": 1, "dataChange": False}},
+                ]
+            )
+            + "\n"
+        )
+        got: list = []
+        self._drain_cdc(spark, str(t.root), str(tmp_path / "c2"), got)
+        changed = [r for r in got if r._commit_version == 1]
+        assert {(r.k, r.v, r._change_type) for r in changed} == {
+            (2, "b", "update_preimage"),
+            (2, "B", "update_postimage"),
+        }
+        # initial snapshot arrived as inserts
+        assert {
+            (r.k, r.v) for r in got if r._commit_version == 0
+        } == {(1, "a"), (2, "b")} and all(
+            r._change_type == "insert"
+            for r in got
+            if r._commit_version == 0
+        )
+        del SF
+
+    def test_partitioned_cow_delete_streams(self, spark, lake, tmp_path):
+        """Copy-on-write partition overwrite: removes carry the new
+        extended file metadata, so deleted rows stream with their
+        partition columns."""
+        t = TxnTable(lake, "dsc3", partition_cols=["site"],
+                     stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "a"), (2, "a"), (3, "b")], "k INT, site STRING"
+            )
+        )
+        export_delta_log(t, mode="mirror")
+        t.overwrite_partitions(
+            spark.createDataFrame([(9, "a")], "k INT, site STRING")
+        )
+        export_delta_log(t, mode="mirror")
+        got: list = []
+        self._drain_cdc(
+            spark, str(t.root), str(tmp_path / "c3"), got, after=0
+        )
+        assert {(r.k, r.site, r._change_type) for r in got} == {
+            (1, "a", "delete"),
+            (2, "a", "delete"),
+            (9, "a", "insert"),
+        }
