@@ -330,6 +330,45 @@ def test_read_delta_dv_update_commit_shape(spark, tmp_path, remove_first):
     assert read_delta(spark, str(root)).count() == 0
 
 
+def test_dv_past_driver_bound_decodes_on_executors(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 (r11 verdict, missing #3): a DV set past the
+    driver-side decode bound no longer refuses — the descriptor rows
+    ship to executors and decode inside mapInPandas, so the bound is
+    per-task. Same table, bound patched to 3: the read must return
+    the identical MOR view the driver path produces."""
+    import interop_datalake_spark.lake.delta_interop as di
+
+    root = tmp_path / "dvx"
+    (root / "_delta_log").mkdir(parents=True)
+    f1 = _write_file(
+        spark, root, "f1", [(i, f"a{i}") for i in range(10)]
+    )
+    f2 = _write_file(
+        spark, root, "f2", [(100 + i, f"b{i}") for i in range(10)]
+    )
+    d1 = encode_roaring_bitmap_array([0, 2, 4])
+    dv1 = {"storageType": "i", "pathOrInlineDv": z85_encode(d1),
+           "sizeInBytes": len(d1), "cardinality": 3}
+    enc, off, size = write_dv_file(root, [1, 3, 5])
+    dv2 = {"storageType": "u", "pathOrInlineDv": enc, "offset": off,
+           "sizeInBytes": size, "cardinality": 3}
+    _commit(root, 0, _base_actions() + [_add(f1, dv1), _add(f2, dv2)])
+    want = {
+        (r["k"], r["v"]) for r in read_delta(spark, str(root)).collect()
+    }
+    assert len(want) == 14
+    monkeypatch.setattr(di, "_DV_POSITIONS_BOUND", 3)
+    got = {
+        (r["k"], r["v"]) for r in read_delta(spark, str(root)).collect()
+    }
+    assert got == want
+    # (a descriptor UNDER-claiming its cardinality cannot reach the
+    # fallback: load_dv_row_indexes pins decoded-count == claimed and
+    # refuses lies — see test_dv_file_cardinality_mismatch)
+
+
 @pytest.mark.parametrize("add_first", [True, False])
 def test_read_delta_dv_introduction_order_insensitive(
     spark, tmp_path, add_first
@@ -403,12 +442,17 @@ def test_read_delta_dv_with_partitions_and_pruning(spark, tmp_path):
     assert {(r["k"], r["p"]) for r in pruned.collect()} == {(2, "east")}
 
 
-def test_read_delta_dv_positions_bound(spark, tmp_path):
+def test_read_delta_dv_over_bound_corrupt_fails_loudly(spark, tmp_path):
+    """A descriptor claiming past the driver bound routes to the
+    executor decode path (round 12 — no more refusal); a CORRUPT
+    vector there must still fail the query loudly (the decoder's own
+    error surfaces through the task), never silently resurrect or
+    drop rows."""
     root = tmp_path / "dvbound"
     (root / "_delta_log").mkdir(parents=True)
     f1 = _write_file(spark, root, "f1", [(1, "x")])
     dv = {"storageType": "i", "pathOrInlineDv": "aaaaa",
           "sizeInBytes": 4, "cardinality": 10_000_001}
     _commit(root, 0, _base_actions() + [_add(f1, dv)])
-    with pytest.raises(ValueError, match="compact"):
-        read_delta(spark, str(root))
+    with pytest.raises(Exception, match="cardinality|magic|decode"):
+        read_delta(spark, str(root)).collect()

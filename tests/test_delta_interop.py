@@ -693,6 +693,87 @@ def test_reader_replays_from_parquet_checkpoint(spark, tmp_path):
     assert len(delta_files(str(root), version=3, key_range=("k", 2, 2))) == 3
 
 
+def test_reader_replays_from_multipart_checkpoint(spark, tmp_path):
+    """The MULTI-PART classic checkpoint layout (filename encodes
+    part/nParts; large tables split their snapshot rows across
+    parts): all parts concatenate into one live set, metaData and
+    protocol land in whichever part holds them, and the JSON tail
+    replays on top."""
+    root = tmp_path / "mp_delta"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    frames = {}
+    for k in range(5):
+        d = root / "stage" / f"f{k}"
+        spark.createDataFrame([(k,)], "k INT").coalesce(1).write.parquet(
+            str(d)
+        )
+        frames[k] = f"stage/f{k}/" + next(
+            p.name for p in d.iterdir() if p.name.endswith(".parquet")
+        )
+    schema_string = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}}
+        ]}
+    )
+    ckpt_schema = (
+        "add STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>,"
+        " size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN,"
+        " stats: STRING>,"
+        " metaData STRUCT<id: STRING, format: STRUCT<provider: STRING>,"
+        " schemaString: STRING, partitionColumns: ARRAY<STRING>,"
+        " configuration: MAP<STRING,STRING>>,"
+        " protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>"
+    )
+    part_rows = [
+        # part 1: metaData + protocol + f1
+        [
+            (None, ("mp", ("parquet",), schema_string, [], {}), None),
+            (None, None, (1, 2)),
+            ((frames[1], {}, 1, 0, True, None), None, None),
+        ],
+        # part 2: f2 + f3
+        [
+            ((frames[k], {}, 1, 0, True, None), None, None)
+            for k in (2, 3)
+        ],
+    ]
+    for i, rows in enumerate(part_rows, start=1):
+        tmp_dir = tmp_path / f"mp_stage{i}"
+        spark.createDataFrame(rows, ckpt_schema).coalesce(1).write.parquet(
+            str(tmp_dir)
+        )
+        part = next(
+            p for p in tmp_dir.iterdir() if p.name.endswith(".parquet")
+        )
+        shutil.copy(
+            part,
+            log / f"{3:020d}.checkpoint.{i:010d}.{2:010d}.parquet",
+        )
+    (log / f"{4:020d}.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [
+                {"remove": {"path": frames[2], "dataChange": True}},
+                {"add": {"path": frames[4], "partitionValues": {},
+                         "size": 1, "modificationTime": 0,
+                         "dataChange": True}},
+            ]
+        )
+        + "\n"
+    )
+    assert {r["k"] for r in read_delta(spark, str(root)).collect()} == {
+        1, 3, 4,
+    }
+    assert {
+        r["k"] for r in read_delta(spark, str(root), version=3).collect()
+    } == {1, 2, 3}
+    # dropping a part → loud incompleteness refusal, not a partial set
+    (log / f"{3:020d}.checkpoint.{2:010d}.{2:010d}.parquet").unlink()
+    with pytest.raises(ValueError, match="incomplete"):
+        read_delta(spark, str(root), version=3)
+
+
 def _mini_log(root, rel_paths, extra_meta_conf=None, protocol=None):
     """One-commit JSON log over pre-written files (test helper)."""
     log = root / "_delta_log"
@@ -762,12 +843,14 @@ def test_reader_refuses_malformed_and_incomplete_checkpoints(
 def test_reader_refuses_column_mapping_and_unknown_features(
     spark, tmp_path
 ):
-    """Round-8 review 3 (amended round 11): ``name`` mapping is now
-    IMPLEMENTED — a name-mode table whose fields carry no
-    physicalName metadata resolves to its logical names (the
-    delta-spark fallback) and reads fine; ``id`` mode still refuses
-    (strict field-id resolution). Unknown readerFeatures likewise
-    refuse."""
+    """Round-8 review 3 (amended rounds 11+12): ``name`` mapping — a
+    name-mode table whose fields carry no physicalName metadata
+    resolves to its logical names (the delta-spark fallback) and
+    reads fine. ``id`` mode is now implemented via parquet field-id
+    resolution, so a mode=id table whose schema carries NO
+    columnMapping.id metadata is CORRUPT (Spark's fieldId reader
+    would silently fall back to name matching) and refuses. Unknown
+    readerFeatures and unknown mapping modes likewise refuse."""
     root = tmp_path / "cm_delta"
     d = root / "stage" / "f0"
     spark.createDataFrame([(1,)], "k INT").coalesce(1).write.parquet(str(d))
@@ -781,7 +864,13 @@ def test_reader_refuses_column_mapping_and_unknown_features(
     _mini_log(
         root, [rel], extra_meta_conf={"delta.columnMapping.mode": "id"}
     )
-    with pytest.raises(NotImplementedError, match="field-id"):
+    with pytest.raises(ValueError, match="columnMapping.id"):
+        read_delta(spark, str(root))
+    _mini_log(
+        root, [rel],
+        extra_meta_conf={"delta.columnMapping.mode": "something-new"},
+    )
+    with pytest.raises(NotImplementedError, match="something-new"):
         read_delta(spark, str(root))
     root2 = tmp_path / "feat_delta"
     d2 = root2 / "stage" / "f0"
@@ -1392,7 +1481,14 @@ class TestColumnMapping:
         )
         assert {r["k"] for r in pruned.collect()} == {2, 3}
 
-    def test_id_mapping_still_refused(self, spark, tmp_path):
+    def test_id_mapping_on_name_shaped_table(self, spark, tmp_path):
+        """A mode=id table whose parquet files are written with
+        matching field ids (the _write_mapped_table fixture's
+        schemaString already records ids 1..5) reads identically to
+        name mode — the files here carry NO parquet field ids, which
+        under mode=id is the delta-spark physicalName fallback shape
+        only when Spark's fieldId reader tolerates it; this pin
+        documents the REFUSAL instead (ids required end-to-end)."""
         root = tmp_path / "cmid"
         self._write_mapped_table(spark, root)
         log = root / "_delta_log" / f"{0:020d}.json"
@@ -1402,8 +1498,74 @@ class TestColumnMapping:
                 '"delta.columnMapping.mode": "id"',
             )
         )
-        with pytest.raises(NotImplementedError, match="field-id"):
-            read_delta(spark, str(root))
+        # schema ids are present, so the read proceeds by field id;
+        # the parquet files were written WITHOUT ids by plain Spark,
+        # so the scan errors loudly rather than silently NULLing
+        with pytest.raises(Exception):
+            read_delta(spark, str(root)).collect()
+
+    def test_id_mapping_reads_by_field_id(self, spark, tmp_path):
+        """mode=id END-TO-END: the parquet files' column NAMES are
+        garbage (neither logical nor physicalName), but their field
+        ids match the schemaString's delta.columnMapping.id — the
+        read must resolve strictly by id (a name-based fallback
+        would produce all-NULL columns)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = tmp_path / "cmid2"
+        (root / "_delta_log").mkdir(parents=True)
+        (root / "stage").mkdir()
+        pa_schema = pa.schema([
+            pa.field("junk_a", pa.int32(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("junk_b", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ])
+        tbl = pa.table(
+            {
+                "junk_a": pa.array([1, 2, 3], pa.int32()),
+                "junk_b": pa.array(["x", "y", "z"]),
+            },
+            schema=pa_schema,
+        )
+        pq.write_table(tbl, root / "stage" / "f0.parquet")
+        fields = [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName":
+                              "col-aaa"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName":
+                              "col-bbb"}},
+        ]
+        actions = [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": {"id": "cm-id",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": json.dumps(
+                              {"type": "struct", "fields": fields}
+                          ),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2",
+                          }}},
+            {"add": {"path": "stage/f0.parquet",
+                     "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ]
+        (root / "_delta_log" / f"{0:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+        df = read_delta(spark, str(root))
+        assert df.columns == ["k", "v"]
+        got = {(r["k"], r["v"]) for r in df.collect()}
+        assert got == {(1, "x"), (2, "y"), (3, "z")}
 
 
 class TestV2Checkpoint:
