@@ -55,7 +55,14 @@ sequence rule (delete seq ≥ data seq). Foreign equality deletes
 (content=2 — the Flink CDC producer shape) also apply on read:
 null-safe keyed anti-joins at the spec's STRICT sequence rule
 (delete seq > data seq), partition-scoped per the delete file's spec
-(global when unpartitioned).
+(global when unpartitioned). Iceberg v3 DELETION VECTORS (round 12)
+read too: ``content=1`` entries with ``file_format='puffin'`` +
+``referenced_data_file``/``content_offset``/``content_size_in_bytes``
+decode their Puffin blobs (:mod:`.puffin` — the Delta-compatible
+framing over the same portable RoaringBitmapArray) into the MOR
+position anti-join, and the CDC mode emits each snapshot's vector
+DIFF against the parent (v3 DVs are cumulative supersets — a
+shrinking vector refuses as corrupt).
 
 Nested schema types (struct/array/map, round 10) export with
 pre-order-assigned nested field ids (struct children, list elements,
@@ -429,7 +436,14 @@ def _bounds_map_schema(outer_id: int, key_id: int, value_id: int) -> dict:
     }
 
 
-def _manifest_entry_schema(partition_fields: list) -> str:
+def _manifest_entry_schema(
+    partition_fields: list, v3_dv: bool = False
+) -> str:
+    """``v3_dv`` appends the spec's v3 deletion-vector fields
+    (referenced_data_file 143, content_offset 144,
+    content_size_in_bytes 145) — used by DV-bearing delete manifests
+    (the reader is schema-driven and handles both shapes; this
+    repo's own exporter writes v2 manifests without them)."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -480,6 +494,27 @@ def _manifest_entry_schema(partition_fields: list) -> str:
             },
         ],
     }
+    if v3_dv:
+        data_file["fields"] += [
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 145,
+            },
+        ]
     return json.dumps(
         {
             "type": "record",
@@ -1600,17 +1635,34 @@ def _raw_ptn_key(dfr, spec_fields, mf) -> str:
 
 def _split_delete_files(delete_entries):
     """Pre-fetched delete-manifest entries → (position deletes,
-    equality deletes). Position: (URI, effective seq). Equality:
-    (URI, effective seq, equality field ids, partition key or None
-    for global) — a ``content=2`` file written under an unpartitioned
-    spec applies globally; under a partitioned spec only to data
-    files of the same partition tuple (``_raw_ptn_key``)."""
-    pos, eq = [], []
+    equality deletes, deletion vectors). Position: (URI, effective
+    seq). Equality: (URI, effective seq, equality field ids,
+    partition key or None for global) — a ``content=2`` file written
+    under an unpartitioned spec applies globally; under a partitioned
+    spec only to data files of the same partition tuple
+    (``_raw_ptn_key``). Deletion vectors (Iceberg v3: ``content=1``
+    entries whose ``file_format`` is PUFFIN / that carry
+    ``referenced_data_file``): (puffin URI, effective seq, referenced
+    data file URI, content_offset, content_size_in_bytes) — decoded
+    via :mod:`.puffin`; an entry missing its blob coordinates
+    refuses (the spec requires them for DVs)."""
+    def _opt(dfr, name):
+        """Optional data_file field: a py4j GenericData.Record (the
+        JVM avro reader) THROWS on unknown field names — unlike the
+        pure-Python reader's plain dicts — and v2 manifests simply
+        don't have the v3 columns."""
+        try:
+            return dfr.get(name)
+        except Exception:
+            return None
+
+    pos, eq, dvs = [], [], []
     for e, dfr, spec_fields, mf in delete_entries:
         seq = _entry_seq(e, mf)
         uri = str(dfr.get("file_path"))
+        fmt = str(_opt(dfr, "file_format") or "").upper()
         if dfr.get("content") == 2:
-            fids = _py_int_list(dfr.get("equality_ids"))
+            fids = _py_int_list(_opt(dfr, "equality_ids"))
             if not fids:
                 raise ValueError(
                     f"equality-delete file {uri} carries no "
@@ -1619,9 +1671,20 @@ def _split_delete_files(delete_entries):
                 )
             ptn = _raw_ptn_key(dfr, spec_fields, mf) if spec_fields else None
             eq.append((uri, seq, fids, ptn))
+        elif fmt == "PUFFIN" or _opt(dfr, "referenced_data_file"):
+            ref = _opt(dfr, "referenced_data_file")
+            off = _opt(dfr, "content_offset")
+            size = _opt(dfr, "content_size_in_bytes")
+            if not ref or off is None or size is None:
+                raise ValueError(
+                    f"deletion-vector entry {uri} is missing "
+                    f"referenced_data_file/content_offset/"
+                    f"content_size_in_bytes — required by the v3 spec"
+                )
+            dvs.append((uri, seq, str(ref), int(off), int(size)))
         else:
             pos.append((uri, seq))
-    return pos, eq
+    return pos, eq, dvs
 
 
 def _entry_partition_values(jvm, dfr, spec_fields, ids_to_type) -> dict:
@@ -1798,6 +1861,52 @@ def iceberg_files(
     ]
 
 
+def _dv_positions_frame(spark: SparkSession, dv_entries: list):
+    """Decode a snapshot's v3 deletion vectors into ONE
+    (_ib_file, _ib_pos, _dseq) frame for the MOR anti-join —
+    Arrow-batched localization like delta_interop's twin. Enforces
+    the spec's at-most-one-DV-per-data-file rule. Driver-side decode
+    (DV blobs are per-file cumulative — bounded by a single file's
+    row count each); a table whose DV total outgrows the driver can
+    route descriptor rows through the same mapInPandas shape
+    delta_interop._dv_positions_df_distributed uses."""
+    import numpy as np
+    import pandas as pd
+
+    from interop_datalake_spark.lake.puffin import read_puffin_dv
+
+    by_ref: dict[str, tuple] = {}
+    for uri, seq, ref, off, size in dv_entries:
+        if ref in by_ref:
+            raise ValueError(
+                f"two deletion vectors reference data file {ref} in "
+                f"one snapshot — the v3 spec allows at most one; "
+                f"corrupt metadata"
+            )
+        by_ref[ref] = (uri, seq, off, size)
+    files: list[str] = []
+    chunks: list = []
+    seqs: list[int] = []
+    for ref, (uri, seq, off, size) in by_ref.items():
+        idxs = read_puffin_dv(_uri_to_path(uri), off, size)
+        p = _uri_to_path(ref)
+        files += [p] * len(idxs)
+        seqs += [int(seq)] * len(idxs)
+        chunks.append(np.asarray(idxs, dtype=np.int64))
+    pdf = pd.DataFrame(
+        {
+            "_ib_file": pd.Series(files, dtype="string"),
+            "_ib_pos": (
+                np.concatenate(chunks)
+                if chunks
+                else np.empty(0, dtype=np.int64)
+            ),
+            "_dseq": pd.Series(seqs, dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -1820,7 +1929,7 @@ def read_iceberg(
     spark_fields = _spark_fields(schema)
     # ONE manifest-list replay covers data AND delete manifests
     data_e, del_e = _snapshot_entries_all(spark, meta, snap)
-    pos_deletes, eq_deletes = _split_delete_files(del_e)
+    pos_deletes, eq_deletes, dv_entries = _split_delete_files(del_e)
     entries = _pruned_entries(
         spark, meta, snap, key_range, partition_filter, entries=data_e
     )
@@ -1828,7 +1937,7 @@ def read_iceberg(
         (_uri_to_path(str(dfr.get("file_path"))), pvals)
         for dfr, pvals, _sq in entries
     ]
-    need_lineage = bool(pos_deletes or eq_deletes)
+    need_lineage = bool(pos_deletes or eq_deletes or dv_entries)
     out = _grouped_read(spark, spark_fields, items, lineage=need_lineage)
     if out is None:
         return _empty_frame(spark, spark_fields)
@@ -1868,6 +1977,20 @@ def read_iceberg(
             dels = d if dels is None else dels.unionByName(d)
         applicable = (
             dels.join(F.broadcast(dmap), "_ib_file")
+            .filter(F.col("_dseq") >= F.col("_dataseq"))
+            .select("_ib_file", "_ib_pos")
+        )
+        out = out.join(applicable, ["_ib_file", "_ib_pos"], "left_anti")
+    if dv_entries:
+        # Iceberg v3 deletion vectors (Puffin blobs): same MOR
+        # position anti-join, positions decoded from the blob each
+        # manifest entry pin-points (content_offset/size). The spec
+        # allows at most ONE DV per data file per snapshot — two is
+        # corrupt metadata, refused (applying both would silently
+        # under- or over-delete depending on writer intent).
+        dvdf = _dv_positions_frame(spark, dv_entries)
+        applicable = (
+            dvdf.join(F.broadcast(dmap), "_ib_file")
             .filter(F.col("_dseq") >= F.col("_dataseq"))
             .select("_ib_file", "_ib_pos")
         )
@@ -2321,12 +2444,17 @@ def _changes_with_deletes(
 
         def _apply_parent_mor(fr, m, paths):
             """Parent-live rows only: anti-join the parent's position
-            and equality deletes, scoped to ``paths``."""
-            if p_pos:
+            deletes, deletion vectors (v3), and equality deletes,
+            scoped to ``paths``."""
+            for pframe in (
+                _pos_rows(p_pos) if p_pos else None,
+                p_dv_frame,
+            ):
+                if pframe is None:
+                    continue
                 dmap = _dmap_for(m, paths)
                 applicable = (
-                    _pos_rows(p_pos)
-                    .join(F.broadcast(dmap), "_ib_file")
+                    pframe.join(F.broadcast(dmap), "_ib_file")
                     .filter(F.col("_dseq") >= F.col("_dataseq"))
                     .select("_ib_file", "_ib_pos")
                 )
@@ -2357,20 +2485,29 @@ def _changes_with_deletes(
         new_del_entries = [
             d for d in s_del if _added_by(d[0], d[3], sid)
         ]
-        new_pos, new_eq = _split_delete_files(new_del_entries)
-        p_pos, p_eq = (
-            _split_delete_files(p_del) if p_del else ([], [])
+        new_pos, new_eq, new_dvs = _split_delete_files(new_del_entries)
+        p_pos, p_eq, p_dvs = (
+            _split_delete_files(p_del) if p_del else ([], [], [])
         )
         pos_frame = _pos_rows(new_pos) if new_pos else None
+        # parent's v3 deletion vectors: part of "parent-live" for MOR
+        p_dv_frame = (
+            _dv_positions_frame(spark, p_dvs) if p_dvs else None
+        )
+        new_dv_frame = (
+            _dv_positions_frame(spark, new_dvs) if new_dvs else None
+        )
 
-        def _new_pos_hits(m, paths):
+        def _new_pos_hits(m, paths, frame=None):
             """(file, pos) pairs of the snapshot's OWN new position
-            deletes applicable to ``paths`` (the v2 rule: position
-            deletes apply at delete_seq >= data_seq, so they reach
-            files added in the SAME snapshot)."""
+            deletes (default) or new DELETION VECTORS (pass
+            ``frame=new_dv_frame``) applicable to ``paths`` (the v2
+            rule: position deletes apply at delete_seq >= data_seq,
+            so they reach files added in the SAME snapshot)."""
             dmap = _dmap_for(m, paths)
             return (
-                pos_frame.join(F.broadcast(dmap), "_ib_file")
+                (pos_frame if frame is None else frame)
+                .join(F.broadcast(dmap), "_ib_file")
                 .filter(F.col("_dseq") >= F.col("_dataseq"))
                 .select("_ib_file", "_ib_pos")
             )
@@ -2386,15 +2523,21 @@ def _changes_with_deletes(
         added = [p for p in s_map if p not in p_map]
         ins = _grouped_read(
             spark, spark_fields, _items(s_map, added),
-            lineage=bool(new_pos),
+            lineage=bool(new_pos or new_dvs),
         )
         if ins is not None:
-            if new_pos:
-                ins = ins.join(
-                    _new_pos_hits(s_map, added),
-                    ["_ib_file", "_ib_pos"],
-                    "left_anti",
-                ).drop("_ib_file", "_ib_pos")
+            # rows of same-snapshot adds killed by the snapshot's own
+            # position deletes OR deletion vectors were never visible
+            # anywhere: emit neither event
+            for frame in (pos_frame, new_dv_frame):
+                if frame is not None:
+                    ins = ins.join(
+                        _new_pos_hits(s_map, added, frame),
+                        ["_ib_file", "_ib_pos"],
+                        "left_anti",
+                    )
+            if new_pos or new_dvs:
+                ins = ins.drop("_ib_file", "_ib_pos")
             _emit(ins, "insert")
 
         # deletes (a): files dropped from the parent's live set
@@ -2442,6 +2585,88 @@ def _changes_with_deletes(
                 )
                 _emit(fr.drop("_ib_file", "_ib_pos"), "delete")
 
+        # deletes (b2): new DELETION VECTORS (v3). A DV is the
+        # CUMULATIVE deleted-position set of one file, so the
+        # snapshot's delta is the position DIFF against the parent's
+        # vector for the same file (exactly delta_interop's DV-update
+        # pair semantics). Only files live at BOTH ends emit here:
+        # same-snapshot adds folded out of the insert frame above,
+        # and dropped files already emitted whole via (a).
+        if new_dvs:
+            import numpy as np
+            import pandas as pd
+
+            from interop_datalake_spark.lake.puffin import (
+                read_puffin_dv,
+            )
+
+            p_by_ref = {
+                ref: (uri, off, size)
+                for (uri, _seq, ref, off, size) in p_dvs
+            }
+            d_files: list[str] = []
+            d_chunks: list = []
+            for uri, _seq, ref, off, size in new_dvs:
+                p = _uri_to_path(ref)
+                if p not in p_map or p not in s_map:
+                    continue
+                new_idx = np.asarray(
+                    read_puffin_dv(_uri_to_path(uri), off, size),
+                    dtype=np.int64,
+                )
+                old = p_by_ref.get(ref)
+                old_idx = (
+                    np.asarray(
+                        read_puffin_dv(
+                            _uri_to_path(old[0]), old[1], old[2]
+                        ),
+                        dtype=np.int64,
+                    )
+                    if old
+                    else np.empty(0, dtype=np.int64)
+                )
+                dropped = np.setdiff1d(old_idx, new_idx)
+                if len(dropped):
+                    raise ValueError(
+                        f"deletion vector for {ref} at snapshot "
+                        f"{sid} drops {len(dropped)} position(s) the "
+                        f"parent's vector had — v3 DVs are cumulative "
+                        f"supersets; corrupt metadata"
+                    )
+                diff = np.setdiff1d(new_idx, old_idx)
+                d_files += [p] * len(diff)
+                d_chunks.append(diff)
+            if d_files:
+                diff_df = spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "_ib_file": pd.Series(
+                                d_files, dtype="string"
+                            ),
+                            "_ib_pos": np.concatenate(d_chunks),
+                        }
+                    )
+                )
+                paths = sorted(set(d_files))
+                fr = _grouped_read(
+                    spark, spark_fields, _items(p_map, paths),
+                    lineage=True,
+                )
+                fr = _apply_parent_mor(fr, p_map, paths)
+                if new_pos:
+                    # never emit a delete twice: positions also named
+                    # by a same-snapshot v2 position delete already
+                    # emitted via (b)
+                    fr = fr.join(
+                        _new_pos_hits(p_map, paths),
+                        ["_ib_file", "_ib_pos"],
+                        "left_anti",
+                    )
+                fr = fr.join(
+                    diff_df, ["_ib_file", "_ib_pos"], "left_semi"
+                )
+                _emit(fr.drop("_ib_file", "_ib_pos"), "delete")
+
         # deletes (c): new equality deletes match rows of live files —
         # pruned at the manifest to files some delete can actually
         # reach (partition scope + the strict sequence guard), so a
@@ -2467,15 +2692,16 @@ def _changes_with_deletes(
             )
             if fr is not None:
                 fr = _apply_parent_mor(fr, s_map, live)
-                if new_pos:
-                    # a row killed by BOTH a new position delete and a
-                    # new equality delete in the same snapshot already
-                    # emitted via (b) — never emit a delete twice
-                    fr = fr.join(
-                        _new_pos_hits(s_map, live),
-                        ["_ib_file", "_ib_pos"],
-                        "left_anti",
-                    )
+                for frame in (pos_frame, new_dv_frame):
+                    # a row killed by BOTH a new position delete / DV
+                    # and a new equality delete in the same snapshot
+                    # already emitted via (b)/(b2) — never twice
+                    if frame is not None:
+                        fr = fr.join(
+                            _new_pos_hits(s_map, live, frame),
+                            ["_ib_file", "_ib_pos"],
+                            "left_anti",
+                        )
                 fr = _apply_equality_deletes(
                     spark,
                     fr,
