@@ -102,7 +102,9 @@ def _validate_exportable(
             )
 
 
-def _meta_action(m: dict, now_ms: int, table_id: str) -> dict:
+def _meta_action(
+    m: dict, now_ms: int, table_id: str, cdf: bool = False
+) -> dict:
     # metaData.id is the table's STABLE unique identifier (Delta
     # PROTOCOL.md) — external engines key snapshot caches and
     # streaming-source identity on it, so a mirrored schema evolution
@@ -113,8 +115,36 @@ def _meta_action(m: dict, now_ms: int, table_id: str) -> dict:
             "format": {"provider": "parquet", "options": {}},
             "schemaString": m["schema"],
             "partitionColumns": m.get("partition_cols") or [],
-            "configuration": {},
+            "configuration": (
+                {"delta.enableChangeDataFeed": "true"} if cdf else {}
+            ),
             "createdTime": now_ms,
+        }
+    }
+
+
+def _protocol_action(dv: bool, cdf: bool) -> dict:
+    """The protocol a snapshot/commit must claim: vector-free tables
+    stay maximally consumable (1/2, or 1/4 — the legacy CDF writer
+    version — when change data is recorded); vectored tables claim
+    3/7 with the deletionVectors feature, plus the writer-only
+    changeDataFeed feature when cdc actions are written."""
+    if dv:
+        feats_w = ["deletionVectors"] + (
+            ["changeDataFeed"] if cdf else []
+        )
+        return {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": feats_w,
+            }
+        }
+    return {
+        "protocol": {
+            "minReaderVersion": 1,
+            "minWriterVersion": 4 if cdf else 2,
         }
     }
 
@@ -187,17 +217,6 @@ def _add_action(
 #: live under — cleaned up together with the _delta_log they serve
 _DV_EXPORT_PREFIX = "_dv"
 
-#: the protocol action a DV-bearing export (or the mirror commit that
-#: first introduces vectors) must claim — readers that don't
-#: implement the feature refuse instead of resurrecting rows
-_DV_PROTOCOL = {
-    "protocol": {
-        "minReaderVersion": 3,
-        "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
-        "writerFeatures": ["deletionVectors"],
-    }
-}
 
 
 def _collect_txn_dv_indexes(
@@ -345,6 +364,7 @@ def _write_marker(
     table_id: str,
     dv_descs: dict | None = None,
     dv_protocol: bool = False,
+    cdf: bool = False,
 ):
     """Atomic + fsync'd like the commits — INCLUDING the directory
     fsync after the rename (round-8 review 5): a dir-cached rename
@@ -365,6 +385,7 @@ def _write_marker(
                     "table_id": table_id,
                     "dv_descs": dv_descs or {},
                     "dv_protocol": bool(dv_protocol),
+                    "cdf": bool(cdf),
                 }
             )
         )
@@ -393,12 +414,15 @@ def _read_marker(log_dir: Path) -> dict | None:
             # pre-DV-export markers lack these: default clean
             "dv_descs": dict(d.get("dv_descs") or {}),
             "dv_protocol": bool(d.get("dv_protocol")),
+            "cdf": bool(d.get("cdf")),
         }
     except (ValueError, KeyError, TypeError):
         return None
 
 
-def _full_export(table: TxnTable, version: int | None) -> Path:
+def _full_export(
+    table: TxnTable, version: int | None, cdf: bool = False
+) -> Path:
     m = table.manifest(version)
     _validate_exportable(table, m, m["files"])
     now_ms = int(time.time() * 1000)
@@ -434,10 +458,8 @@ def _full_export(table: TxnTable, version: int | None) -> Path:
         # vector-free snapshots stay minReader/Writer 1/2 (plain
         # parquet + partition columns) — maximally consumable; a
         # vectored snapshot must claim the deletionVectors feature
-        _DV_PROTOCOL
-        if dv_descs
-        else {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        _meta_action(m, now_ms, table_id),
+        _protocol_action(bool(dv_descs), cdf),
+        _meta_action(m, now_ms, table_id, cdf),
     ] + [
         _add_action(table, m, f, now_ms, names, dv_descs.get(f))
         for f in m["files"]
@@ -445,7 +467,8 @@ def _full_export(table: TxnTable, version: int | None) -> Path:
     log_dir.mkdir(parents=True)
     _write_commit(log_dir, 0, actions)
     _write_marker(
-        log_dir, m["version"], 0, table_id, dv_descs, bool(dv_descs)
+        log_dir, m["version"], 0, table_id, dv_descs, bool(dv_descs),
+        cdf,
     )
     return log_dir
 
@@ -455,6 +478,7 @@ def export_delta_log(
     version: int | None = None,
     mode: str = "replace",
     checkpoint_every: int = 10,
+    change_data: bool = False,
 ) -> Path:
     """Write a Delta ``_delta_log`` describing the TxnTable into the
     table's root — the root then IS a Delta table: ``add.path``
@@ -481,6 +505,19 @@ def export_delta_log(
     replay O(checkpoint + tail); :func:`expire_delta_log` then
     implements Delta's metadata retention by dropping the
     pre-checkpoint history.
+
+    ``change_data=True`` records Delta's CHANGE DATA FEED: the
+    metaData sets ``delta.enableChangeDataFeed``, the protocol claims
+    the ``changeDataFeed`` writer feature (legacy writer version 4 on
+    vector-free tables), and every mirrored DV-update commit writes
+    its exact row-level delta — vector position diffs plus added-file
+    inserts, straight from ``TxnTable.read_changes`` — as
+    ``_change_data/`` parquet referenced by ``cdc`` actions, the
+    authoritative change content compliant CDC readers consume
+    instead of file-action derivation. Pure appends and full-file
+    removes still derive (writing cdc there would duplicate data —
+    delta-spark's own rule). Enabling or disabling mid-mirror emits
+    the metaData/protocol transition in the next published commit.
 
     STALENESS CONTRACT (replace mode): the export describes the
     snapshot AT EXPORT TIME; later TxnTable commits do not update it
@@ -535,18 +572,23 @@ def export_delta_log(
                 f"lock — one export writer at a time"
             )
         if mode == "replace":
-            return _full_export(table, version)
+            return _full_export(table, version, change_data)
         marker = _read_marker(log_dir) if log_dir.exists() else None
         if marker is None:
             # no marker, or a torn one: restart with a full export
-            return _full_export(table, None)
-        return _mirror_locked(table, log_dir, checkpoint_every)
+            return _full_export(table, None, change_data)
+        return _mirror_locked(
+            table, log_dir, checkpoint_every, change_data
+        )
     finally:
         os.close(lock_fd)
 
 
 def _mirror_locked(
-    table: TxnTable, log_dir: Path, checkpoint_every: int = 10
+    table: TxnTable,
+    log_dir: Path,
+    checkpoint_every: int = 10,
+    change_data: bool = False,
 ) -> Path:
     # marker re-read UNDER the lock: decisions below must be based on
     # the acknowledged state no concurrent writer can move
@@ -577,6 +619,8 @@ def _mirror_locked(
     # file later must name the EXACT previously-published descriptor
     dv_descs = dict(marker.get("dv_descs") or {})
     dv_protocol_claimed = bool(marker.get("dv_protocol"))
+    cdf = bool(change_data)
+    cdf_claimed = bool(marker.get("cdf"))
     for v in range(base_txn + 1, cur + 1):
         m = table.manifest(v)
         prev_files = set(prev["files"])
@@ -652,12 +696,26 @@ def _mirror_locked(
             op = None  # checkpoint-folded record: assume data change
         dc = op not in ("compact", "consolidate_dv")
         actions = [_commit_info(now_ms, op, v)]
-        if new_descs and not dv_protocol_claimed:
-            # first vectored commit in this mirror: upgrade the
-            # published protocol in-commit (Delta's own upgrade path)
-            actions.append(_DV_PROTOCOL)
-        if m.get("schema") != prev.get("schema") or spec_changed:
-            actions.append(_meta_action(m, now_ms, table_id))
+        if (new_descs and not dv_protocol_claimed) or (
+            cdf != cdf_claimed
+        ):
+            # first vectored commit / CDF transition in this mirror:
+            # upgrade the published protocol in-commit (Delta's own
+            # upgrade path)
+            actions.append(
+                _protocol_action(
+                    dv_protocol_claimed or bool(new_descs), cdf
+                )
+            )
+        if (
+            m.get("schema") != prev.get("schema")
+            or spec_changed
+            or cdf != cdf_claimed
+        ):
+            # a CDF transition re-emits metaData: the
+            # delta.enableChangeDataFeed configuration is what
+            # compliant readers key the feature on
+            actions.append(_meta_action(m, now_ms, table_id, cdf))
         actions += [
             _remove_action(
                 f, now_ms, dv_descs.get(f), dc,
@@ -688,6 +746,14 @@ def _mirror_locked(
             )
             for f in added
         ]
+        if cdf and dc and dv_changed:
+            # CHANGE DATA FILES (Delta's cdc actions): only DV-update
+            # commits need them — their row-level delta is a vector
+            # position diff no file-action derivation can see. Pure
+            # add commits derive as inserts and full-file removes as
+            # deletes under the protocol's own rule, so writing cdc
+            # there would only duplicate data.
+            actions += _write_change_data(table, v, m)
         if len(actions) > 1:  # beyond the commitInfo provenance row
             for f in removed:
                 dv_descs.pop(f, None)
@@ -697,6 +763,7 @@ def _mirror_locked(
                 else:
                     dv_descs.pop(f, None)
             dv_protocol_claimed = dv_protocol_claimed or bool(new_descs)
+            cdf_claimed = cdf
             delta_v += 1
             _write_commit(log_dir, delta_v, actions)
             # marker advances per PUBLISHED commit, right after it: a
@@ -706,7 +773,7 @@ def _mirror_locked(
             # don't pay an fsync (round-8 reviews 4+5)
             _write_marker(
                 log_dir, v, delta_v, table_id, dv_descs,
-                dv_protocol_claimed,
+                dv_protocol_claimed, cdf_claimed,
             )
             marked = v
             if checkpoint_every and delta_v % checkpoint_every == 0:
@@ -715,7 +782,7 @@ def _mirror_locked(
                 # replay O(checkpoint + tail), not the whole history
                 _write_delta_checkpoint(
                     table, log_dir, delta_v, m, table_id, dv_descs,
-                    dv_protocol_claimed, now_ms,
+                    dv_protocol_claimed, now_ms, cdf_claimed,
                 )
         prev = m
     if marked != cur:
@@ -725,9 +792,55 @@ def _mirror_locked(
         # concurrent replace/vacuum removed the log; round-8 review 6)
         _write_marker(
             log_dir, cur, delta_v, table_id, dv_descs,
-            dv_protocol_claimed,
+            dv_protocol_claimed, cdf_claimed,
         )
     return log_dir
+
+
+def _write_change_data(table: TxnTable, v: int, m: dict) -> list[dict]:
+    """One TxnTable version's exact change rows written as Delta
+    CHANGE DATA FILES under ``<root>/_change_data/`` (hive layout —
+    cdc files follow data-file partitioning rules, so partition
+    columns live in partitionValues, not the parquet) and returned as
+    ``cdc`` actions. The change set comes from
+    ``TxnTable.read_changes(include_deletes=True)`` restricted to
+    this version — exact for the DV-update commits this is written
+    for (vector position diffs + added-file inserts). ``cdc``
+    actions carry ``dataChange=false`` per the protocol (readers of
+    the DATA stream ignore them; CDC readers treat them as the
+    commit's authoritative change content)."""
+    ch = table.read_changes(v - 1, v, include_deletes=True).drop(
+        "_commit_version"
+    )
+    pcols = m.get("partition_cols") or []
+    sub = f"cdc-{uuid.uuid4().hex}"
+    dest = table.root / "_change_data" / sub
+    writer = ch.write.mode("error")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(str(dest))
+    actions = []
+    for p in sorted(dest.rglob("*.parquet")):
+        if p.name.startswith(("_", ".")):
+            continue
+        rel = str(p.relative_to(table.root))
+        pv = {}
+        for seg in p.relative_to(dest).parts[:-1]:
+            if "=" in seg:
+                k, _, raw = seg.partition("=")
+                if k in pcols:
+                    pv[k] = None if raw == _HIVE_NULL else unquote(raw)
+        actions.append(
+            {
+                "cdc": {
+                    "path": quote(rel, safe="/="),
+                    "partitionValues": pv,
+                    "size": p.stat().st_size,
+                    "dataChange": False,
+                }
+            }
+        )
+    return actions
 
 
 def _remove_action(
@@ -775,6 +888,7 @@ def _write_delta_checkpoint(
     dv_descs: dict,
     dv_protocol: bool,
     now_ms: int,
+    cdf: bool = False,
 ) -> None:
     """Write a CLASSIC single-part parquet checkpoint of the log state
     at ``delta_v`` (one action per row: protocol + metaData + every
@@ -862,15 +976,11 @@ def _write_delta_checkpoint(
             ),
         ]
     )
-    proto = (
-        _DV_PROTOCOL["protocol"]
-        if dv_protocol
-        else {"minReaderVersion": 1, "minWriterVersion": 2}
-    )
+    proto = _protocol_action(dv_protocol, cdf)["protocol"]
     names = _schema_names(m)
     rows = [
         {"protocol": proto},
-        {"metaData": _meta_action(m, now_ms, table_id)["metaData"]},
+        {"metaData": _meta_action(m, now_ms, table_id, cdf)["metaData"]},
     ]
     for f in m["files"]:
         # checkpoint file actions carry dataChange=false (delta-spark

@@ -347,3 +347,151 @@ class TestCdcActions:
         ])
         with pytest.raises(ValueError, match="partitionValues"):
             read_delta_changes(spark, str(root2), -1).collect()
+
+
+class TestChangeDataWrite:
+    """export_delta_log(change_data=True): the mirror writes Delta
+    CHANGE DATA FILES (cdc actions + _change_data parquet) for
+    DV-update commits, claims the changeDataFeed writer feature, and
+    sets delta.enableChangeDataFeed — so compliant engines (and this
+    repo's own CDF readers, via the authoritative-cdc route instead
+    of derivation) consume the mirrored change feed directly."""
+
+    def _actions(self, log_dir, v):
+        return [
+            json.loads(line)
+            for line in (log_dir / f"{v:020d}.json")
+            .read_text()
+            .splitlines()
+            if line.strip()
+        ]
+
+    def test_dv_commit_writes_cdc_and_reads_back(self, spark, lake):
+        t = TxnTable(lake, "cdw1", stats_cols=["k"])
+        t.append(
+            spark.range(0, 30)
+            .selectExpr("id as k", "cast(id % 3 as int) as g")
+            .repartition(2)
+        )
+        log_dir = export_delta_log(t, mode="mirror", change_data=True)
+        # v0: vector-free + CDF → legacy writer version 4, config set
+        a0 = self._actions(log_dir, 0)
+        proto0 = next(a["protocol"] for a in a0 if "protocol" in a)
+        assert proto0 == {"minReaderVersion": 1, "minWriterVersion": 4}
+        meta0 = next(a["metaData"] for a in a0 if "metaData" in a)
+        assert meta0["configuration"] == {
+            "delta.enableChangeDataFeed": "true"
+        }
+        assert not any("cdc" in a for a in a0)  # adds derive as inserts
+
+        t.delete_where(F.col("k") % 4 == 0, merge_on_read=True)
+        export_delta_log(t, mode="mirror", change_data=True)
+        a1 = self._actions(log_dir, 1)
+        proto1 = next(a["protocol"] for a in a1 if "protocol" in a)
+        assert set(proto1["writerFeatures"]) == {
+            "deletionVectors", "changeDataFeed",
+        }
+        cdc1 = [a["cdc"] for a in a1 if "cdc" in a]
+        assert cdc1 and all(c["dataChange"] is False for c in cdc1)
+        assert all(
+            c["path"].startswith("_change_data/") for c in cdc1
+        )
+        # the CDF read takes the authoritative cdc route and equals
+        # the TxnTable's own change feed
+        want = {
+            (r["k"], r["g"], r["_change_type"], r["_commit_version"])
+            for r in t.read_changes(0, include_deletes=True).collect()
+        }
+        got = {
+            (r["k"], r["g"], r["_change_type"], r["_commit_version"] + 1)
+            for r in read_delta_changes(spark, str(t.root), -1).collect()
+        }
+        assert got == want
+        # the snapshot read is untouched by cdc actions
+        assert read_delta(spark, str(t.root)).count() == 30 - 8
+
+    def test_partitioned_cdc_files_carry_partition_values(
+        self, spark, lake
+    ):
+        t = TxnTable(lake, "cdw2", partition_cols=["site"],
+                     stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "a"), (2, "a"), (3, "b"), (4, None)],
+                "k INT, site STRING",
+            )
+        )
+        log_dir = export_delta_log(t, mode="mirror", change_data=True)
+        t.delete_where(F.col("k").isin(1, 3, 4), merge_on_read=True)
+        export_delta_log(t, mode="mirror", change_data=True)
+        cdc1 = [
+            a["cdc"] for a in self._actions(log_dir, 1) if "cdc" in a
+        ]
+        assert cdc1
+        # partition columns live in partitionValues (NULL partition
+        # included), never in the cdc parquet
+        assert all(list(c["partitionValues"]) == ["site"] for c in cdc1)
+        assert {c["partitionValues"]["site"] for c in cdc1} == {
+            "a", "b", None,
+        }
+        got = {
+            (r["k"], r["site"], r["_change_type"])
+            for r in read_delta_changes(spark, str(t.root), 0).collect()
+        }
+        assert got == {
+            (1, "a", "delete"), (3, "b", "delete"), (4, None, "delete"),
+        }
+
+    def test_cdc_stream_consumes_written_change_data(
+        self, spark, lake, tmp_path
+    ):
+        from interop_datalake_spark.streaming.delta_source import (
+            read_delta_cdc_stream,
+        )
+
+        t = TxnTable(lake, "cdw3", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").coalesce(1))
+        export_delta_log(t, mode="mirror", change_data=True)
+        t.delete_where(F.col("k") < 3, merge_on_read=True)
+        export_delta_log(t, mode="mirror", change_data=True)
+        got: list = []
+        q = (
+            read_delta_cdc_stream(spark, str(t.root))
+            .writeStream.foreachBatch(
+                lambda bdf, eid: got.extend(bdf.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        want = {(k, "insert", 0) for k in range(10)} | {
+            (k, "delete", 1) for k in range(3)
+        }
+        assert {
+            (r.k, r._change_type, r._commit_version) for r in got
+        } == want
+
+    def test_mid_mirror_cdf_transition(self, spark, lake):
+        t = TxnTable(lake, "cdw4", stats_cols=["k"])
+        t.append(spark.range(0, 5).selectExpr("id as k").coalesce(1))
+        log_dir = export_delta_log(t, mode="mirror")  # CDF off
+        a0 = self._actions(log_dir, 0)
+        assert next(
+            a["protocol"] for a in a0 if "protocol" in a
+        )["minWriterVersion"] == 2
+        t.append(spark.range(5, 8).selectExpr("id as k").coalesce(1))
+        export_delta_log(t, mode="mirror", change_data=True)  # enable
+        a1 = self._actions(log_dir, 1)
+        assert next(
+            a["protocol"] for a in a1 if "protocol" in a
+        )["minWriterVersion"] == 4
+        assert next(
+            a["metaData"] for a in a1 if "metaData" in a
+        )["configuration"] == {"delta.enableChangeDataFeed": "true"}
+        # steady state: no repeated metaData churn
+        t.append(spark.range(8, 9).selectExpr("id as k").coalesce(1))
+        export_delta_log(t, mode="mirror", change_data=True)
+        a2 = self._actions(log_dir, 2)
+        assert not any("metaData" in a for a in a2)
+        assert not any("protocol" in a for a in a2)
