@@ -112,6 +112,9 @@ HEADLINE = [
     # delta_cdc readStream (executor-side vector decode)
     "lake_delta_cdf",
     "stream_delta_cdc",
+    # round 12: APPLY CHANGES INTO — fold a change feed to
+    # latest-per-key and apply (keyed merge + keyed semi-join delete)
+    "lake_cdc_apply",
     # round 9: deterministic epoch shuffle + curriculum ordering
     # (hash-key window per shard / per tier)
     "corpus_shuffle_deterministic",

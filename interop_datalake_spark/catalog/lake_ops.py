@@ -1248,6 +1248,89 @@ ORDER BY commit_version, change_type
 """
 
 
+def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO (round 12; lake/cdc_apply.py — the Delta
+    Live Tables APPLY CHANGES / upsert-sink analog): a SOURCE table
+    runs append → merge-on-read DELETE (lang='de') → merge-on-read
+    MERGE (every doc_id % 50 == 0 re-priced to n_chars=1111, plus one
+    new id); its delete-emitting change feed is folded to
+    latest-per-key and applied into a FRESH table — upserts via keyed
+    MERGE, deletions via TxnTable.delete_keys (a distributed
+    semi-join, never a driver isin list). Output = the TARGET's
+    per-lang rollup, which must equal the oracle's pure-SQL replay of
+    the same history (and therefore the source's final state)."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.cdc_apply import apply_changes_into
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("doc_id") < 300)
+    root = tempfile.mkdtemp(prefix="lake_cdc_apply_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        src = TxnTable(session, "cdc_src", stats_cols=["doc_id"])
+        src.append(docs.repartition(4))
+        src.delete_where(F.col("lang") == "de", merge_on_read=True)
+        upserts = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "n_chars", F.lit(1111).cast("bigint")
+        ).unionByName(
+            spark.createDataFrame(
+                [(9000, "en", 1000)],
+                "doc_id BIGINT, lang STRING, n_chars BIGINT",
+            )
+        )
+        src.merge(upserts, ["doc_id"], merge_on_read=True)
+        tgt = TxnTable(session, "cdc_tgt", stats_cols=["doc_id"])
+        apply_changes_into(
+            tgt, src.read_changes(0, include_deletes=True), ["doc_id"]
+        )
+        rows = (
+            tgt.read()
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .collect()  # one row per language — bounded
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["lang"], r["n"], r["sum_chars"], r["min_id"], r["max_id"])
+            for r in rows
+        ],
+        "lang STRING, n BIGINT, sum_chars BIGINT,"
+        " min_id BIGINT, max_id BIGINT",
+    ).orderBy("lang")
+
+
+LAKE_CDC_APPLY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300
+), final AS (
+  SELECT doc_id, lang, n_chars FROM base
+  WHERE lang <> 'de' AND doc_id % 50 <> 0
+  UNION ALL
+  SELECT doc_id, lang, 1111 FROM base WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT 9000, 'en', 1000
+)
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+FROM final
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def lake_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (lake/ivm.py:IncrementalAggView):
     a per-language (count, sum n_chars) rollup of ``documents`` kept
@@ -2084,6 +2167,7 @@ QUERIES = {
     "lake_deletion_vectors": lake_deletion_vectors,
     "lake_change_feed_deletes": lake_change_feed_deletes,
     "lake_delta_cdf": lake_delta_cdf,
+    "lake_cdc_apply": lake_cdc_apply,
     "lake_incremental_view": lake_incremental_view,
     "lake_incremental_join_view": lake_incremental_join_view,
     "lake_join_rollup": lake_join_rollup,
@@ -2112,6 +2196,7 @@ ORACLES = {
     "lake_deletion_vectors": LAKE_DV_ORACLE,
     "lake_change_feed_deletes": LAKE_CDF_ORACLE,
     "lake_delta_cdf": LAKE_DELTA_CDF_ORACLE,
+    "lake_cdc_apply": LAKE_CDC_APPLY_ORACLE,
     "lake_incremental_view": LAKE_IVM_ORACLE,
     "lake_incremental_join_view": LAKE_IVM_JOIN_ORACLE,
     "lake_join_rollup": LAKE_JOIN_ROLLUP_ORACLE,

@@ -1,0 +1,113 @@
+"""APPLY CHANGES INTO — consume a change feed into a keyed state
+table (the SCD1 CDC-upsert every streaming-lakehouse stack ships:
+Delta Live Tables' APPLY CHANGES, Flink's upsert sink, Iceberg's
+upsert mode).
+
+The input is any frame shaped like this repo's change feeds —
+``TxnTable.read_changes(include_deletes=True)``,
+``read_delta_changes`` (foreign Delta CDF, cdc actions included),
+``read_iceberg_changes(include_deletes=True)`` — i.e. data columns +
+a change-type column + a monotone sequence column. The fold keeps
+ONE event per key (latest sequence wins; within a sequence value
+``update_postimage`` > ``insert`` > ``delete`` > ``update_preimage``,
+so an update's two images and a same-version delete+reinsert both net
+to the surviving row) and applies it in two ACID commits: a keyed
+MERGE for the upserts and a keyed DELETE (:meth:`TxnTable.
+delete_keys` — a distributed semi-join, never a driver ``isin``
+list) for the deletions. Both commits are idempotent for a replayed
+batch (the merge re-writes identical values; the delete no-ops), so
+a crash between them is repaired by re-applying the same window.
+
+Scale shape: the fold is one shuffle over the CHANGE rows (window by
+key), never the state table; the merge and delete both file-prune to
+the keys they touch. With ``merge_on_read=True`` (default) neither
+moves existing data bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from interop_datalake_spark.lake.txn import TxnTable
+
+#: same-sequence tie-break: an update's postimage beats its preimage,
+#: and a delete+reinsert within one version nets to the insert
+_CHANGE_PRIORITY = {
+    "update_postimage": 3,
+    "insert": 2,
+    "delete": 1,
+    "update_preimage": 0,
+}
+
+
+def fold_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    sequence_col: str = "_commit_version",
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """The latest event per key: one row per key tuple carrying the
+    winning change (data columns + ``change_col``), ready to split
+    into upserts and deletes. Unknown change types refuse via the
+    priority map (a silent 0 would make a new protocol type lose
+    every tie)."""
+    pri = F.lit(None).cast("int")
+    for name, p in _CHANGE_PRIORITY.items():
+        pri = F.when(F.col(change_col) == name, F.lit(p)).otherwise(pri)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(sequence_col), F.desc("_pri")
+    )
+    folded = (
+        changes.withColumn("_pri", pri)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pri", sequence_col)
+    )
+    return folded
+
+
+def apply_changes_into(
+    table: TxnTable,
+    changes: DataFrame,
+    key_cols: list[str],
+    sequence_col: str = "_commit_version",
+    change_col: str = "_change_type",
+    merge_on_read: bool = True,
+) -> int:
+    """Fold ``changes`` to its latest event per key and apply into
+    ``table``: upserts (insert / update_postimage) MERGE on
+    ``key_cols``, deletions remove their keys. Returns the table's
+    version after the apply. Extra feed columns that are not table
+    columns (``_commit_timestamp``, ``_snapshot_id``,
+    ``_change_ordinal``…) are dropped automatically."""
+    bad = changes.filter(
+        ~F.col(change_col).isin(list(_CHANGE_PRIORITY))
+    ).limit(1)
+    bad_rows = bad.collect()
+    if bad_rows:
+        raise ValueError(
+            f"unknown change type {bad_rows[0][change_col]!r} in the "
+            f"feed — implemented: {sorted(_CHANGE_PRIORITY)}"
+        )
+    folded = fold_changes(changes, key_cols, sequence_col, change_col)
+    meta_cols = [
+        c
+        for c in ("_commit_timestamp", "_snapshot_id", "_change_ordinal")
+        if c in folded.columns
+    ]
+    folded = folded.drop(*meta_cols)
+    upserts = folded.filter(
+        F.col(change_col).isin("insert", "update_postimage")
+    ).drop(change_col)
+    deletes = folded.filter(F.col(change_col) == "delete").select(
+        *key_cols
+    )
+    v = table.current_version()
+    if upserts.limit(1).count():
+        v = table.merge(upserts, key_cols, merge_on_read=merge_on_read)
+    if deletes.limit(1).count():
+        v = table.delete_keys(
+            deletes, key_cols, merge_on_read=merge_on_read
+        )
+    return v

@@ -2589,6 +2589,110 @@ class TxnTable:
             partition_types=ptypes,
         )
 
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        key_cols: list[str],
+        merge_on_read: bool = False,
+    ) -> int:
+        """Keyed ACID delete: remove every row whose ``key_cols``
+        tuple appears in the ``keys`` FRAME — the CDC-consumer shape
+        (a delete set arrives as a DataFrame; expressing it as a
+        driver-side ``isin`` literal list would collect the whole set
+        through the driver, the anti-pattern this method exists to
+        avoid). Matching is a distributed semi-join, so the delete
+        set scales with the cluster, and file pruning works exactly
+        like :meth:`delete_where`: only files that actually contain
+        matching rows rewrite (copy-on-write) or get vector entries
+        (``merge_on_read=True`` — zero data bytes moved). SQL join
+        semantics: NULL key components never match (a CDC feed does
+        not carry NULL-keyed deletes)."""
+        from pyspark.sql import functions as F
+
+        kset = keys.select(*key_cols).dropDuplicates(key_cols)
+        base = self.current_version()
+        prev = self._state(base)
+        if merge_on_read:
+            for attempt in range(4):
+                try:
+                    return self._delete_keys_dv(
+                        kset, key_cols, base, prev
+                    )
+                except CommitConflictError:
+                    if attempt == 3:
+                        raise
+                    base = self.current_version()
+                    prev = self._state(base)
+        scan = self._load_files(prev["files"], prev, keep_lineage=True)
+        hit_files = {
+            r["_f"]
+            for r in scan.join(kset, key_cols, "left_semi")
+            .select(F.col("_dv_file").alias("_f"))
+            .distinct()
+            .collect()  # one row per file containing matches — bounded
+        }
+        touched = [f for f in prev["files"] if f in hit_files]
+        if not touched:
+            return self._commit(
+                base,
+                op="delete",
+                added=[],
+                removed=[],
+                rows_total=prev["rows"],
+            )
+        remaining = self._load_files(touched, prev).join(
+            kset, key_cols, "left_anti"
+        )
+        new_files, new_rows, new_stats, new_parts, ptypes = (
+            self._write_data(remaining)
+        )
+        return self._commit_retry(
+            base,
+            op="delete",
+            added=new_files,
+            removed=touched,
+            new_rows=new_rows,
+            removed_rows=self._rows_of(prev, touched),
+            stats=new_stats,
+            partitions=new_parts,
+            partition_types=ptypes,
+        )
+
+    def _delete_keys_dv(
+        self, kset: DataFrame, key_cols: list[str], base: int, prev: dict
+    ) -> int:
+        """Merge-on-read tail of :meth:`delete_keys` — the keyed twin
+        of :meth:`_delete_where_dv` (same CAS-only commit rule; the
+        caller re-runs against a fresh snapshot on conflict)."""
+        from pyspark.sql import functions as F
+
+        live = self._load_files(prev["files"], prev, keep_lineage=True)
+        matches = live.join(kset, key_cols, "left_semi").select(
+            F.col("_dv_file").alias("file_key"),
+            F.col("_dv_row").alias("row_idx"),
+        )
+        dv = self._write_dv_vector(matches, prev)
+        if dv is None:
+            return self._commit(
+                base,
+                op="delete",
+                added=[],
+                removed=[],
+                rows_total=prev["rows"],
+            )
+        try:
+            return self._commit(
+                base,
+                op="delete",
+                added=[],
+                removed=[],
+                rows_total=prev["rows"] - sum(dv["files"].values()),
+                dv=dv,
+            )
+        except CommitConflictError:
+            shutil.rmtree(self.root / dv["path"], ignore_errors=True)
+            raise
+
     def _write_dv_vector(self, matches: DataFrame, prev: dict):
         """Shared vector-commit tail of the two merge-on-read writers
         (:meth:`_delete_where_dv`, :meth:`_merge_dv`): write the
