@@ -1951,12 +1951,11 @@ def read_delta_changes(
     timestamp when present, else the commit file's mtime — Delta's
     own in-commit-timestamp fallback order.
 
-    Refuses loudly (never a wrong row): expired in-window commit
-    jsons, column-mapped tables (cdc/data files are physically
-    named — a mapped CDC read needs the rename pass the snapshot
-    reader does; use :func:`read_delta` for snapshots), a partitioned
-    remove without recorded ``partitionValues``, and DV decode past
-    the driver bound."""
+    Column-mapped tables read under both modes (``name`` /``id``),
+    with the same physical→logical rename pass as the snapshot
+    reader. Refuses loudly (never a wrong row): expired in-window
+    commit jsons, a partitioned remove without recorded
+    ``partitionValues``, and DV decode past the driver bound."""
     log_dir = Path(path) / "_delta_log"
     json_commits = {
         int(p.stem): p
@@ -1984,24 +1983,32 @@ def read_delta_changes(
     # features; last metaData wins — schema-on-read null-fills older
     # files exactly like the snapshot reader)
     meta, _ = _replay_log(path, to)
-    mode = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode"
-    )
-    if mode and mode != "none":
-        raise NotImplementedError(
-            f"delta.columnMapping.mode={mode!r}: the CDF read does "
-            f"not implement the physical→logical rename pass; read "
-            f"snapshots via read_delta"
-        )
     st = StructType.fromJson(json.loads(meta["schemaString"]))
-    pcols = list(meta.get("partitionColumns") or [])
+    # column mapping (name AND id modes): scan by the physical
+    # schema, rename/cast back to logical after — the same pass the
+    # snapshot reader applies. partitionValues and partitionColumns
+    # are PHYSICALLY keyed in mapped logs; cdc files' _change_type
+    # column is a protocol column and is never mapped.
+    phys_st, phys_of = _mapping_ctx(meta, st, spark)
+    logical_of = {p: l for l, p in phys_of.items()}
+    pcols = [
+        logical_of.get(c, c)
+        for c in (meta.get("partitionColumns") or [])
+    ]
     ptypes = {
         f.name: f.dataType.simpleString()
         for f in st.fields
         if f.name in pcols
     }
-    data_schema = StructType(
-        [f for f in st.fields if f.name not in pcols]
+    data_fields = [
+        (lf, pf)
+        for lf, pf in zip(st.fields, phys_st.fields)
+        if lf.name not in pcols
+    ]
+    data_schema = StructType([pf for _, pf in data_fields])
+    mapped = any(
+        lf.name != pf.name or lf.dataType != pf.dataType
+        for lf, pf in data_fields
     )
     from pyspark.sql.types import StringType, StructField
 
@@ -2011,12 +2018,15 @@ def read_delta_changes(
     root_abs = Path(path).resolve()
 
     def _scan(files_pv: dict, schema, lineage: bool):
-        """files_pv: {relpath: partitionValues dict} → one frame per
-        partition-value tuple (never per file), partition columns
-        injected as typed literals."""
+        """files_pv: {relpath: partitionValues dict (physically
+        keyed)} → one frame per partition-value tuple (never per
+        file), partition columns injected as typed literals under
+        their LOGICAL names, physical data columns renamed back."""
         groups: dict[tuple, list[str]] = {}
         for f, pv in files_pv.items():
-            key = tuple((pv or {}).get(c) for c in pcols)
+            key = tuple(
+                (pv or {}).get(phys_of.get(c, c)) for c in pcols
+            )
             groups.setdefault(key, []).append(f)
         frames = []
         for key, files in groups.items():
@@ -2025,6 +2035,19 @@ def read_delta_changes(
             )
             if lineage:
                 fr = _with_row_lineage(fr, root_abs)
+            if mapped:
+                extras = [
+                    c
+                    for c in ("_change_type", "_dv_file", "_dv_row")
+                    if c in fr.columns
+                ]
+                fr = fr.select(
+                    *[
+                        F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                        for lf, pf in data_fields
+                    ],
+                    *extras,
+                )
             for c, v in zip(pcols, key):
                 fr = fr.withColumn(
                     c,

@@ -301,16 +301,6 @@ class TestCdcActions:
             read_delta_changes(spark, str(t.root), -1)
         # a retained window still reads
         assert read_delta_changes(spark, str(t.root), 1).count() == 3
-        # column-mapped table
-        root = tmp_path / "cdcm"
-        (root / "_delta_log").mkdir(parents=True)
-        acts = _base_actions()
-        acts[1]["metaData"]["configuration"][
-            "delta.columnMapping.mode"
-        ] = "name"
-        _commit(root, 0, acts)
-        with pytest.raises(NotImplementedError, match="columnMapping"):
-            read_delta_changes(spark, str(root), -1)
         # partitioned remove without partitionValues
         root2 = tmp_path / "cdcp"
         (root2 / "_delta_log").mkdir(parents=True)
@@ -347,6 +337,70 @@ class TestCdcActions:
         ])
         with pytest.raises(ValueError, match="partitionValues"):
             read_delta_changes(spark, str(root2), -1).collect()
+
+
+class TestMappedCdf:
+    def test_name_mapped_table_reads_logical_changes(
+        self, spark, tmp_path
+    ):
+        """columnMapping=name: derivation scans physical column names
+        and renames back — change rows come out fully logical (the
+        round-12 lift of the mapped-CDF refusal)."""
+        root = tmp_path / "cdfm"
+        (root / "_delta_log").mkdir(parents=True)
+        f0 = _write_parquet(
+            spark, root, "f0", [(1, "a"), (2, "b")],
+            "`col-aaa` INT, `col-bbb` STRING",
+        )
+        f1 = _write_parquet(
+            spark, root, "f1", [(1, "a")],
+            "`col-aaa` INT, `col-bbb` STRING",
+        )
+        fields = [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName":
+                              "col-aaa"}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName":
+                              "col-bbb"}},
+        ]
+        _commit(root, 0, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": {"id": "cdf-cm",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": json.dumps(
+                              {"type": "struct", "fields": fields}
+                          ),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "name"
+                          }}},
+            {"add": {"path": f0, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ])
+        _commit(root, 1, [
+            {"remove": {"path": f0, "dataChange": True}},
+            {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ])
+        df = read_delta_changes(spark, str(root), -1)
+        assert set(df.columns) == {
+            "k", "v", "_change_type", "_commit_version",
+            "_commit_timestamp",
+        }
+        got = _changes_set(
+            df, ["k", "v", "_change_type", "_commit_version"]
+        )
+        assert got == {
+            (1, "a", "insert", 0), (2, "b", "insert", 0),
+            (1, "a", "delete", 1), (2, "b", "delete", 1),
+            (1, "a", "insert", 1),
+        }
 
 
 class TestChangeDataWrite:
