@@ -49,9 +49,10 @@ def fold_changes(
 ) -> DataFrame:
     """The latest event per key: one row per key tuple carrying the
     winning change (data columns + ``change_col``), ready to split
-    into upserts and deletes. Unknown change types refuse via the
-    priority map (a silent 0 would make a new protocol type lose
-    every tie)."""
+    into upserts and deletes. Unknown change types get NULL priority
+    (they lose every same-sequence tie but can still win a key
+    outright) — :func:`apply_changes_into` pre-checks and refuses
+    them; direct callers of this fold own that check."""
     pri = F.lit(None).cast("int")
     for name, p in _CHANGE_PRIORITY.items():
         pri = F.when(F.col(change_col) == name, F.lit(p)).otherwise(pri)
@@ -81,33 +82,51 @@ def apply_changes_into(
     version after the apply. Extra feed columns that are not table
     columns (``_commit_timestamp``, ``_snapshot_id``,
     ``_change_ordinal``…) are dropped automatically."""
-    bad = changes.filter(
-        ~F.col(change_col).isin(list(_CHANGE_PRIORITY))
-    ).limit(1)
-    bad_rows = bad.collect()
-    if bad_rows:
-        raise ValueError(
-            f"unknown change type {bad_rows[0][change_col]!r} in the "
-            f"feed — implemented: {sorted(_CHANGE_PRIORITY)}"
+    # the feed plan (a CDF read: log parse + scans + DV joins + the
+    # fold's window shuffle) is consumed by FOUR actions below — the
+    # type probe, the upsert/delete split counts, the merge, and the
+    # keyed delete. Persist the folded frame so the expensive plan
+    # runs once, not per action.
+    changes = changes.persist()
+    try:
+        bad = changes.filter(
+            ~F.col(change_col).isin(list(_CHANGE_PRIORITY))
+        ).limit(1)
+        bad_rows = bad.collect()  # materializes the persist too
+        if bad_rows:
+            raise ValueError(
+                f"unknown change type {bad_rows[0][change_col]!r} in "
+                f"the feed — implemented: {sorted(_CHANGE_PRIORITY)}"
+            )
+        folded = fold_changes(
+            changes, key_cols, sequence_col, change_col
         )
-    folded = fold_changes(changes, key_cols, sequence_col, change_col)
-    meta_cols = [
-        c
-        for c in ("_commit_timestamp", "_snapshot_id", "_change_ordinal")
-        if c in folded.columns
-    ]
-    folded = folded.drop(*meta_cols)
-    upserts = folded.filter(
-        F.col(change_col).isin("insert", "update_postimage")
-    ).drop(change_col)
-    deletes = folded.filter(F.col(change_col) == "delete").select(
-        *key_cols
-    )
-    v = table.current_version()
-    if upserts.limit(1).count():
-        v = table.merge(upserts, key_cols, merge_on_read=merge_on_read)
-    if deletes.limit(1).count():
-        v = table.delete_keys(
-            deletes, key_cols, merge_on_read=merge_on_read
-        )
-    return v
+        meta_cols = [
+            c
+            for c in (
+                "_commit_timestamp", "_snapshot_id", "_change_ordinal"
+            )
+            if c in folded.columns
+        ]
+        folded = folded.drop(*meta_cols).persist()
+        try:
+            upserts = folded.filter(
+                F.col(change_col).isin("insert", "update_postimage")
+            ).drop(change_col)
+            deletes = folded.filter(
+                F.col(change_col) == "delete"
+            ).select(*key_cols)
+            v = table.current_version()
+            if upserts.limit(1).count():
+                v = table.merge(
+                    upserts, key_cols, merge_on_read=merge_on_read
+                )
+            if deletes.limit(1).count():
+                v = table.delete_keys(
+                    deletes, key_cols, merge_on_read=merge_on_read
+                )
+            return v
+        finally:
+            folded.unpersist()
+    finally:
+        changes.unpersist()

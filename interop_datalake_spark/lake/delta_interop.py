@@ -453,6 +453,12 @@ def _full_export(
         p.unlink(missing_ok=True)
     if dv_dir.exists() and not any(dv_dir.iterdir()):
         dv_dir.rmdir()
+    # the old log's change-data files are referenced only by the
+    # commits just deleted — a fresh single-commit export has no CDC
+    # history, so leaving them would accumulate forever
+    cdc_dir = table.root / "_change_data"
+    if cdc_dir.exists():
+        shutil.rmtree(cdc_dir)
     actions = [
         _commit_info(now_ms, "append", m["version"]),
         # vector-free snapshots stay minReader/Writer 1/2 (plain
@@ -746,13 +752,30 @@ def _mirror_locked(
             )
             for f in added
         ]
-        if cdf and dc and dv_changed:
+        if (
+            cdf
+            and dc
+            and dv_changed
+            and not removed
+            and v == prev["version"] + 1
+        ):
             # CHANGE DATA FILES (Delta's cdc actions): only DV-update
             # commits need them — their row-level delta is a vector
             # position diff no file-action derivation can see. Pure
             # add commits derive as inserts and full-file removes as
             # deletes under the protocol's own rule, so writing cdc
-            # there would only duplicate data.
+            # there would only duplicate data. The guard is EXACT,
+            # not just minimal: cdc is authoritative (readers ignore
+            # the commit's add/remove for CDC once present), and
+            # read_changes(v-1, v) describes exactly ONE txn version
+            # with no copy-on-write removals — a commit that FOLDS
+            # transient-skipped versions (v > prev+1) or mixes in
+            # removed files would get cdc content missing the folded
+            # versions' inserts / the removed files' deletes (silent
+            # CDC data loss). Those shapes fall back to file-action
+            # derivation, which stays net-correct (a DV-update pair
+            # derives as delete-all-old-live + insert-all-new-live in
+            # engines without position diffing — fat but right).
             actions += _write_change_data(table, v, m)
         if len(actions) > 1:  # beyond the commitInfo provenance row
             for f in removed:
@@ -1049,6 +1072,35 @@ def expire_delta_log(table: TxnTable) -> int:
             if v.isdigit() and int(v) < newest:
                 p.unlink()
                 removed += 1
+        # change-data files referenced ONLY by the jsons just expired
+        # are unreachable (checkpoints carry no cdc actions): sweep
+        # everything the retained commits don't name
+        cdc_dir = table.root / "_change_data"
+        if cdc_dir.exists():
+            kept: set[str] = set()
+            for p in log_dir.glob("*.json"):
+                if not p.stem.isdigit():
+                    continue
+                for line in p.read_text().splitlines():
+                    if '"cdc"' not in line:
+                        continue
+                    action = json.loads(line)
+                    if "cdc" in action:
+                        kept.add(unquote(action["cdc"]["path"]))
+            for f in sorted(cdc_dir.rglob("*")):
+                if f.is_file() and str(
+                    f.relative_to(table.root)
+                ) not in kept:
+                    f.unlink()
+                    removed += 1
+            for d in sorted(
+                (d for d in cdc_dir.rglob("*") if d.is_dir()),
+                key=lambda d: -len(d.parts),
+            ):
+                if not any(d.iterdir()):
+                    d.rmdir()
+            if not any(cdc_dir.iterdir()):
+                cdc_dir.rmdir()
         return removed
     finally:
         os.close(lock_fd)
@@ -1583,14 +1635,24 @@ def _check_reader_features(meta: dict, protocol: dict | None) -> None:
         # a field with no recorded id can't resolve by id; Spark's
         # fieldId reader would silently fall back to NAME matching
         # for it — exactly the wrong-column read this gate exists to
-        # prevent. The spec requires ids on every field of a mapped
-        # table, so a missing one is corrupt metadata: refuse.
-        missing = [
-            f["name"]
-            for f in json.loads(meta["schemaString"])["fields"]
-            if (f.get("metadata") or {}).get("delta.columnMapping.id")
-            is None
-        ]
+        # prevent. The spec requires ids on EVERY field of a mapped
+        # table — nested struct fields included (they resolve by id
+        # in the parquet too) — so a missing one anywhere in the
+        # tree is corrupt metadata: refuse.
+        missing: list[str] = []
+
+        def walk(fields, prefix):
+            for f in fields:
+                name = f"{prefix}{f['name']}"
+                if (f.get("metadata") or {}).get(
+                    "delta.columnMapping.id"
+                ) is None:
+                    missing.append(name)
+                t = f.get("type")
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    walk(t["fields"], name + ".")
+
+        walk(json.loads(meta["schemaString"])["fields"], "")
         if missing:
             raise ValueError(
                 f"delta.columnMapping.mode='id' but field(s) "
@@ -1912,6 +1974,48 @@ def read_delta(
     return out
 
 
+def parse_cdc_commit(text: str) -> dict:
+    """One commit json's CDC-relevant actions, the SINGLE parse rule
+    batch (:func:`read_delta_changes`) and streaming
+    (``streaming/delta_source.py`` delta_cdc) CDC share so the two
+    can never drift on identical commits: ``{"ts_ms": commitInfo
+    timestamp or None, "cdc": [cdc actions], "adds": {decoded path →
+    add}, "removes": {decoded path → remove}, "metas": [metaData],
+    "protocols": [protocol]}``. Only ``dataChange=true`` file actions
+    count (OPTIMIZE rewrites are no change)."""
+    out = {
+        "ts_ms": None,
+        "cdc": [],
+        "adds": {},
+        "removes": {},
+        "metas": [],
+        "protocols": [],
+    }
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        if "commitInfo" in action:
+            t = action["commitInfo"].get("timestamp")
+            if t is not None:
+                out["ts_ms"] = int(t)
+        elif "cdc" in action:
+            out["cdc"].append(action["cdc"])
+        elif "add" in action:
+            a = action["add"]
+            if a.get("dataChange", True):
+                out["adds"][unquote(a["path"])] = a
+        elif "remove" in action:
+            r = action["remove"]
+            if r.get("dataChange", True):
+                out["removes"][unquote(r["path"])] = r
+        elif "metaData" in action:
+            out["metas"].append(action["metaData"])
+        elif "protocol" in action:
+            out["protocols"].append(action["protocol"])
+    return out
+
+
 def read_delta_changes(
     spark: SparkSession,
     path: str,
@@ -2097,28 +2201,11 @@ def read_delta_changes(
 
     tagged: list[DataFrame] = []
     for v in range(from_version + 1, to + 1):
-        cdc: list[dict] = []
-        adds: dict[str, dict] = {}
-        removes: dict[str, dict] = {}
-        ts_ms = None
-        for line in json_commits[v].read_text().splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
-            if "commitInfo" in action:
-                t = action["commitInfo"].get("timestamp")
-                if t is not None:
-                    ts_ms = int(t)
-            elif "cdc" in action:
-                cdc.append(action["cdc"])
-            elif "add" in action:
-                a = action["add"]
-                if a.get("dataChange", True):
-                    adds[unquote(a["path"])] = a
-            elif "remove" in action:
-                r = action["remove"]
-                if r.get("dataChange", True):
-                    removes[unquote(r["path"])] = r
+        parsed = parse_cdc_commit(json_commits[v].read_text())
+        cdc, adds, removes = (
+            parsed["cdc"], parsed["adds"], parsed["removes"],
+        )
+        ts_ms = parsed["ts_ms"]
         if ts_ms is None:
             ts_ms = int(json_commits[v].stat().st_mtime * 1000)
         frames: list[DataFrame] = []

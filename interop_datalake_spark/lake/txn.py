@@ -2531,6 +2531,27 @@ class TxnTable:
         clean and drops their vectors."""
         from pyspark.sql import functions as F
 
+        # SQL DELETE removes rows only where the predicate is TRUE: a
+        # NULL predicate keeps the row (same three-valued ~NULL trap
+        # fixed in merge_sync — without the coalesce, a NULL-predicate
+        # row in a touched file was silently deleted while an
+        # identical row in an untouched file survived)
+        return self._delete_matching(
+            match=lambda df: df.filter(condition),
+            keep=lambda df: df.filter(
+                ~F.coalesce(condition, F.lit(False))
+            ),
+            merge_on_read=merge_on_read,
+        )
+
+    def _delete_matching(self, match, keep, merge_on_read: bool) -> int:
+        """Shared core of :meth:`delete_where` (predicate) and
+        :meth:`delete_keys` (keyed semi-join): ``match(df)`` filters a
+        scan to the rows to delete, ``keep(df)`` to the survivors —
+        the two spellings of one membership test, supplied together
+        so they can never drift."""
+        from pyspark.sql import functions as F
+
         base = self.current_version()
         prev = self._state(base)
         if merge_on_read:
@@ -2540,7 +2561,7 @@ class TxnTable:
             # same outcome the cow path's rebase-or-retry gives
             for attempt in range(4):
                 try:
-                    return self._delete_where_dv(condition, base, prev)
+                    return self._delete_matching_dv(match, base, prev)
                 except CommitConflictError:
                     if attempt == 3:
                         raise
@@ -2552,7 +2573,7 @@ class TxnTable:
             # lineage, not input_file_name(): exact manifest-relative
             # paths, well-defined even when the scan plan is the DV
             # anti-join of two file sources
-            for r in scan.filter(condition)
+            for r in match(scan)
             .select(F.col("_dv_file").alias("_f"))
             .distinct()
             .collect()  # one row per file containing matches — bounded
@@ -2566,14 +2587,7 @@ class TxnTable:
                 removed=[],
                 rows_total=prev["rows"],
             )
-        # SQL DELETE removes rows only where the predicate is TRUE: a
-        # NULL predicate keeps the row (same three-valued ~NULL trap
-        # fixed in merge_sync — without the coalesce, a NULL-predicate
-        # row in a touched file was silently deleted while an
-        # identical row in an untouched file survived)
-        remaining = self._load_files(touched, prev).filter(
-            ~F.coalesce(condition, F.lit(False))
-        )
+        remaining = keep(self._load_files(touched, prev))
         new_files, new_rows, new_stats, new_parts, ptypes = self._write_data(
             remaining
         )
@@ -2607,95 +2621,16 @@ class TxnTable:
         (``merge_on_read=True`` — zero data bytes moved). SQL join
         semantics: NULL key components never match (a CDC feed does
         not carry NULL-keyed deletes)."""
-        from pyspark.sql import functions as F
-
         kset = keys.select(*key_cols).dropDuplicates(key_cols)
-        base = self.current_version()
-        prev = self._state(base)
-        if merge_on_read:
-            for attempt in range(4):
-                try:
-                    return self._delete_keys_dv(
-                        kset, key_cols, base, prev
-                    )
-                except CommitConflictError:
-                    if attempt == 3:
-                        raise
-                    base = self.current_version()
-                    prev = self._state(base)
-        scan = self._load_files(prev["files"], prev, keep_lineage=True)
-        hit_files = {
-            r["_f"]
-            for r in scan.join(kset, key_cols, "left_semi")
-            .select(F.col("_dv_file").alias("_f"))
-            .distinct()
-            .collect()  # one row per file containing matches — bounded
-        }
-        touched = [f for f in prev["files"] if f in hit_files]
-        if not touched:
-            return self._commit(
-                base,
-                op="delete",
-                added=[],
-                removed=[],
-                rows_total=prev["rows"],
-            )
-        remaining = self._load_files(touched, prev).join(
-            kset, key_cols, "left_anti"
+        return self._delete_matching(
+            match=lambda df: df.join(kset, key_cols, "left_semi"),
+            keep=lambda df: df.join(kset, key_cols, "left_anti"),
+            merge_on_read=merge_on_read,
         )
-        new_files, new_rows, new_stats, new_parts, ptypes = (
-            self._write_data(remaining)
-        )
-        return self._commit_retry(
-            base,
-            op="delete",
-            added=new_files,
-            removed=touched,
-            new_rows=new_rows,
-            removed_rows=self._rows_of(prev, touched),
-            stats=new_stats,
-            partitions=new_parts,
-            partition_types=ptypes,
-        )
-
-    def _delete_keys_dv(
-        self, kset: DataFrame, key_cols: list[str], base: int, prev: dict
-    ) -> int:
-        """Merge-on-read tail of :meth:`delete_keys` — the keyed twin
-        of :meth:`_delete_where_dv` (same CAS-only commit rule; the
-        caller re-runs against a fresh snapshot on conflict)."""
-        from pyspark.sql import functions as F
-
-        live = self._load_files(prev["files"], prev, keep_lineage=True)
-        matches = live.join(kset, key_cols, "left_semi").select(
-            F.col("_dv_file").alias("file_key"),
-            F.col("_dv_row").alias("row_idx"),
-        )
-        dv = self._write_dv_vector(matches, prev)
-        if dv is None:
-            return self._commit(
-                base,
-                op="delete",
-                added=[],
-                removed=[],
-                rows_total=prev["rows"],
-            )
-        try:
-            return self._commit(
-                base,
-                op="delete",
-                added=[],
-                removed=[],
-                rows_total=prev["rows"] - sum(dv["files"].values()),
-                dv=dv,
-            )
-        except CommitConflictError:
-            shutil.rmtree(self.root / dv["path"], ignore_errors=True)
-            raise
 
     def _write_dv_vector(self, matches: DataFrame, prev: dict):
         """Shared vector-commit tail of the two merge-on-read writers
-        (:meth:`_delete_where_dv`, :meth:`_merge_dv`): write the
+        (:meth:`_delete_matching_dv`, :meth:`_merge_dv`): write the
         (file_key, row_idx) matches as one parquet vector via a
         distributed job, aggregate per-file deleted counts (one
         bounded collect — rows = touched files, not deleted rows),
@@ -2727,20 +2662,20 @@ class TxnTable:
             dv_files[r["file_key"]] = int(r["n"])
         return {"path": dv_rel, "files": dv_files}
 
-    def _delete_where_dv(self, condition, base: int, prev: dict) -> int:
-        """Merge-on-read delete: ONE metadata+vector commit, zero data
-        bytes moved. SQL DELETE semantics: only rows where the
-        predicate is TRUE are deleted — a NULL predicate row simply
-        doesn't match the filter and survives, no three-valued trap on
-        this path. Commits via plain CAS, never a rebase — a vector
-        is only valid against the exact snapshot whose files it
-        indexes; on conflict the caller (:meth:`delete_where`)
-        re-RUNS the whole delete against the fresh snapshot, which is
-        the correct serial order."""
+    def _delete_matching_dv(self, match, base: int, prev: dict) -> int:
+        """Merge-on-read tail of :meth:`_delete_matching`: ONE
+        metadata+vector commit, zero data bytes moved. SQL DELETE
+        semantics ride the ``match`` callback (a NULL predicate row /
+        NULL key simply doesn't match and survives — no three-valued
+        trap on this path). Commits via plain CAS, never a rebase — a
+        vector is only valid against the exact snapshot whose files
+        it indexes; on conflict the caller re-RUNS the whole delete
+        against the fresh snapshot, which is the correct serial
+        order."""
         from pyspark.sql import functions as F
 
         live = self._load_files(prev["files"], prev, keep_lineage=True)
-        matches = live.filter(condition).select(
+        matches = match(live).select(
             F.col("_dv_file").alias("file_key"),
             F.col("_dv_row").alias("row_idx"),
         )

@@ -400,6 +400,12 @@ class DeltaCdcStreamReader(DataSourceStreamReader):
         }
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # the SAME per-commit parse as read_delta_changes — batch and
+        # streaming CDC must never drift on identical commits
+        from interop_datalake_spark.lake.delta_interop import (
+            parse_cdc_commit,
+        )
+
         log = self.root / "_delta_log"
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -413,62 +419,43 @@ class DeltaCdcStreamReader(DataSourceStreamReader):
                     f"with starting_after_version at or past the "
                     f"oldest retained commit"
                 )
-            cdc: list[dict] = []
-            adds: dict[str, dict] = {}
-            removes: dict[str, dict] = {}
-            ts_ms = None
-            for line in text.splitlines():
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "commitInfo" in action:
-                    t = action["commitInfo"].get("timestamp")
-                    if t is not None:
-                        ts_ms = int(t)
-                elif "protocol" in action:
-                    feats = (
-                        set(action["protocol"].get("readerFeatures")
-                            or [])
-                        - _STREAM_SAFE_READER_FEATURES
+            parsed = parse_cdc_commit(text)
+            for proto in parsed["protocols"]:
+                feats = (
+                    set(proto.get("readerFeatures") or [])
+                    - _STREAM_SAFE_READER_FEATURES
+                )
+                if feats:
+                    raise ValueError(
+                        f"version {v} upgrades the table to reader "
+                        f"features {sorted(feats)} this streaming "
+                        f"source does not implement"
                     )
-                    if feats:
-                        raise ValueError(
-                            f"version {v} upgrades the table to "
-                            f"reader features {sorted(feats)} this "
-                            f"streaming source does not implement"
-                        )
-                elif "metaData" in action:
-                    md = action["metaData"]
-                    mode = (md.get("configuration") or {}).get(
-                        "delta.columnMapping.mode"
+            for md in parsed["metas"]:
+                mode = (md.get("configuration") or {}).get(
+                    "delta.columnMapping.mode"
+                )
+                if mode and mode != "none":
+                    raise ValueError(
+                        f"version {v} sets delta.columnMapping."
+                        f"mode={mode!r} mid-stream; use the "
+                        f"batch reader"
                     )
-                    if mode and mode != "none":
-                        raise ValueError(
-                            f"version {v} sets delta.columnMapping."
-                            f"mode={mode!r} mid-stream; use the "
-                            f"batch reader"
-                        )
-                    extra = set(
-                        _schema_fingerprint(md["schemaString"])
-                    ) - set(self.fingerprint)
-                    if extra:
-                        raise ValueError(
-                            f"table schema changed at version {v} "
-                            f"(new/retyped columns "
-                            f"{sorted(n for n, _ in extra)}) — "
-                            f"restart the stream to pick up the new "
-                            f"schema"
-                        )
-                elif "cdc" in action:
-                    cdc.append(action["cdc"])
-                elif "add" in action:
-                    a = action["add"]
-                    if a.get("dataChange", True):
-                        adds[unquote(a["path"])] = a
-                elif "remove" in action:
-                    r = action["remove"]
-                    if r.get("dataChange", True):
-                        removes[unquote(r["path"])] = r
+                extra = set(
+                    _schema_fingerprint(md["schemaString"])
+                ) - set(self.fingerprint)
+                if extra:
+                    raise ValueError(
+                        f"table schema changed at version {v} "
+                        f"(new/retyped columns "
+                        f"{sorted(n for n, _ in extra)}) — "
+                        f"restart the stream to pick up the new "
+                        f"schema"
+                    )
+            cdc, adds, removes = (
+                parsed["cdc"], parsed["adds"], parsed["removes"],
+            )
+            ts_ms = parsed["ts_ms"]
             if ts_ms is None:
                 ts_ms = int(p.stat().st_mtime * 1000)
             if cdc:

@@ -549,3 +549,147 @@ class TestChangeDataWrite:
         a2 = self._actions(log_dir, 2)
         assert not any("metaData" in a for a in a2)
         assert not any("protocol" in a for a in a2)
+
+
+class TestReviewFixes:
+    """Round-12 review findings on the fresh CDF code."""
+
+    def test_folded_commit_suppresses_cdc(self, spark, lake, monkeypatch):
+        """A mirror commit that FOLDS a transient-skipped version must
+        NOT write cdc (its read_changes window would cover one version
+        while the commit's actions cover several — authoritative-cdc
+        data loss); derivation keeps the feed net-correct."""
+        import interop_datalake_spark.lake.delta_interop as di
+
+        src = TxnTable(lake, "rf1", stats_cols=["k"])
+        src.append(
+            spark.range(0, 20).selectExpr("id as k").repartition(2)
+        )
+        log_dir = export_delta_log(src, mode="mirror", change_data=True)
+        src.delete_where(F.col("k") < 3, merge_on_read=True)   # txn v2
+        src.delete_where(F.col("k") >= 17, merge_on_read=True)  # txn v3
+        real = di._collect_txn_dv_indexes
+        calls = {"n": 0}
+
+        def flaky(table, m, only=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ValueError("transient: simulated over-bound")
+            return real(table, m, only=only)
+
+        monkeypatch.setattr(di, "_collect_txn_dv_indexes", flaky)
+        export_delta_log(src, mode="mirror", change_data=True)
+        monkeypatch.undo()
+        # txn v2 skipped, v3 folded into Delta commit 1: no cdc action
+        acts = [
+            json.loads(line)
+            for line in (log_dir / f"{1:020d}.json").read_text().splitlines()
+            if line.strip()
+        ]
+        assert not any("cdc" in a for a in acts)
+        assert not (log_dir / f"{2:020d}.json").exists()
+        # the derived feed still nets to the right state
+        from interop_datalake_spark.lake.cdc_apply import (
+            apply_changes_into,
+        )
+
+        tgt = TxnTable(lake, "rf1_t", stats_cols=["k"])
+        apply_changes_into(
+            tgt, read_delta_changes(spark, str(src.root), -1), ["k"]
+        )
+        assert {r["k"] for r in tgt.read().collect()} == {
+            r["k"] for r in src.read().collect()
+        } == set(range(3, 17))
+        # a following SINGLE-version DV commit writes cdc again
+        src.delete_where(F.col("k") == 10, merge_on_read=True)
+        export_delta_log(src, mode="mirror", change_data=True)
+        acts2 = [
+            json.loads(line)
+            for line in (log_dir / f"{2:020d}.json").read_text().splitlines()
+            if line.strip()
+        ]
+        assert any("cdc" in a for a in acts2)
+
+    def test_full_export_sweeps_change_data(self, spark, lake):
+        t = TxnTable(lake, "rf2", stats_cols=["k"])
+        t.append(spark.range(0, 10).selectExpr("id as k").coalesce(1))
+        export_delta_log(t, mode="mirror", change_data=True)
+        t.delete_where(F.col("k") < 2, merge_on_read=True)
+        export_delta_log(t, mode="mirror", change_data=True)
+        assert (t.root / "_change_data").exists()
+        # snapshot replace: single-commit log, old cdc unreachable
+        export_delta_log(t, mode="replace")
+        assert not (t.root / "_change_data").exists()
+        assert read_delta(spark, str(t.root)).count() == 8
+
+    def test_expire_sweeps_unreferenced_change_data(self, spark, lake):
+        from interop_datalake_spark.lake.delta_interop import (
+            expire_delta_log,
+        )
+
+        t = TxnTable(lake, "rf3", stats_cols=["k"])
+        t.append(spark.range(0, 12).selectExpr("id as k").coalesce(1))
+        export_delta_log(t, mode="mirror", change_data=True,
+                         checkpoint_every=2)
+        t.delete_where(F.col("k") < 2, merge_on_read=True)   # Δ1 + cdc
+        export_delta_log(t, mode="mirror", change_data=True,
+                         checkpoint_every=2)
+        t.delete_where(F.col("k") == 11, merge_on_read=True)  # Δ2 + cdc
+        export_delta_log(t, mode="mirror", change_data=True,
+                         checkpoint_every=2)
+        t.delete_where(F.col("k") == 10, merge_on_read=True)  # Δ3 + cdc
+        export_delta_log(t, mode="mirror", change_data=True,
+                         checkpoint_every=2)
+        cdc_files_before = {
+            p for p in (t.root / "_change_data").rglob("*.parquet")
+        }
+        assert len(cdc_files_before) >= 3
+        assert expire_delta_log(t) > 0  # drops jsons before the ckpt
+        # only the retained commits' cdc files remain, and the
+        # retained CDC window still reads
+        remaining = {
+            p for p in (t.root / "_change_data").rglob("*.parquet")
+        }
+        assert remaining < cdc_files_before
+        kept_window = read_delta_changes(spark, str(t.root), 2)
+        assert {
+            (r["k"], r["_change_type"])
+            for r in kept_window.collect()
+        } == {(10, "delete")}
+
+    def test_id_mode_nested_missing_id_refused(self, spark, tmp_path):
+        root = tmp_path / "rfid"
+        (root / "_delta_log").mkdir(parents=True)
+        fields = [
+            {"name": "k", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName":
+                              "col-a"}},
+            {"name": "payload", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName":
+                              "col-b"},
+             "type": {"type": "struct", "fields": [
+                 # nested field WITHOUT an id: silent name-matching
+                 # hazard → must refuse
+                 {"name": "x", "type": "integer", "nullable": True,
+                  "metadata": {}},
+             ]}},
+        ]
+        _commit(root, 0, [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": {"id": "rfid",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": json.dumps(
+                              {"type": "struct", "fields": fields}
+                          ),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "id"
+                          }}},
+        ])
+        with pytest.raises(ValueError, match="payload.x"):
+            read_delta(spark, str(root))
