@@ -1815,12 +1815,81 @@ def _map_predicates(
     return mapped_kr, mapped_pf
 
 
+def _to_epoch_ms(ts) -> int:
+    """A TIMESTAMP AS OF argument → epoch millis: datetime (naive =
+    UTC, the repo's session convention), ISO-8601 string, or raw
+    epoch millis int."""
+    from datetime import datetime, timezone
+
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    if isinstance(ts, datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        return int(ts.timestamp() * 1000)
+    raise TypeError(f"unsupported timestamp {ts!r}")
+
+
+def delta_version_at(path: str, timestamp) -> int:
+    """Delta ``TIMESTAMP AS OF`` resolution: the LAST version whose
+    commit timestamp is ≤ the requested instant. Per-commit
+    timestamps come from ``commitInfo`` when present, else the commit
+    file's mtime — and are MONOTONIZED ascending exactly like
+    delta-spark's history reconstruction (file mtimes can go
+    backwards after copies; an out-of-order stamp must not make a
+    later version resolve earlier). Refuses an instant before the
+    earliest RETAINED commit (expired history can't prove which
+    version held) and after the latest (the caller probably wants
+    plain latest — being implicit about that hides clock skew
+    bugs)."""
+    log_dir = Path(path) / "_delta_log"
+    json_commits = {
+        int(p.stem): p
+        for p in log_dir.glob("*.json")
+        if p.stem.isdigit()
+    }
+    if not json_commits:
+        raise FileNotFoundError(f"no Delta commit json under {log_dir}")
+    want = _to_epoch_ms(timestamp)
+    out = None
+    prev_ts = None
+    latest_ts = None
+    for v in sorted(json_commits):
+        parsed = parse_cdc_commit(json_commits[v].read_text())
+        t = parsed["ts_ms"]
+        if t is None:
+            t = int(json_commits[v].stat().st_mtime * 1000)
+        if prev_ts is not None and t < prev_ts:
+            t = prev_ts  # monotonize (delta-spark's rule)
+        prev_ts = latest_ts = t
+        if t <= want:
+            out = v
+    if out is None:
+        raise ValueError(
+            f"timestamp {timestamp!r} is before the earliest retained "
+            f"commit of {log_dir} — history was expired or the table "
+            f"is newer than the instant"
+        )
+    if want > latest_ts:
+        # delta-spark's guard: an instant past the newest commit
+        # resolves loudly, not silently to "latest"
+        raise ValueError(
+            f"timestamp {timestamp!r} is after the latest commit "
+            f"({latest_ts} ms); read the table without time travel "
+            f"for the current snapshot"
+        )
+    return out
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     key_range=None,
     partition_filter: dict | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read a Delta table by replaying its JSON transaction log — no
     delta-spark needed. ``version`` is Delta's ``VERSION AS OF``
@@ -1851,7 +1920,16 @@ def read_delta(
     (mapInPandas over descriptor rows — per-task bound, no refusal).
     Column-mapped tables read under BOTH modes: ``name`` resolves by
     physicalName metadata, ``id`` strictly by parquet field id
-    (Spark's fieldId read path, enabled here)."""
+    (Spark's fieldId read path, enabled here). ``timestamp`` is
+    Delta's ``TIMESTAMP AS OF`` (datetime / ISO string / epoch
+    millis; mutually exclusive with ``version``) — resolved via
+    :func:`delta_version_at`."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version or timestamp, not both"
+            )
+        version = delta_version_at(path, timestamp)
     meta, adds = _replay_log(path, version)
     st = StructType.fromJson(json.loads(meta["schemaString"]))
     phys_st, phys_of = _mapping_ctx(meta, st, spark)

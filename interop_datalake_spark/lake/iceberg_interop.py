@@ -1538,6 +1538,54 @@ def _load_metadata(path: str) -> dict:
     return json.loads(cands[-1].read_text())
 
 
+def iceberg_snapshot_at(meta_or_path, timestamp) -> int:
+    """Iceberg timestamp travel (``FOR SYSTEM_TIME AS OF``): the
+    snapshot CURRENT at the instant — resolved from the metadata's
+    ``snapshot-log`` (the spec's authoritative (timestamp-ms,
+    snapshot-id) history; falls back to the snapshots' own
+    ``timestamp-ms`` when a writer kept no log). Accepts a loaded
+    metadata dict or a table path; timestamp as datetime / ISO
+    string / epoch millis. Refuses an instant before the earliest
+    retained entry or after the latest (same loud-ends contract as
+    the Delta twin, delta_interop.delta_version_at)."""
+    from interop_datalake_spark.lake.delta_interop import _to_epoch_ms
+
+    meta = (
+        meta_or_path
+        if isinstance(meta_or_path, dict)
+        else _load_metadata(str(meta_or_path))
+    )
+    want = _to_epoch_ms(timestamp)
+    entries = [
+        (int(e["timestamp-ms"]), int(e["snapshot-id"]))
+        for e in (meta.get("snapshot-log") or [])
+    ] or [
+        (int(s.get("timestamp-ms") or 0), int(s["snapshot-id"]))
+        for s in sorted(
+            meta.get("snapshots") or [],
+            key=lambda s: s["sequence-number"],
+        )
+    ]
+    if not entries:
+        raise ValueError("table has no snapshot history")
+    out = None
+    for ts, sid in entries:
+        if ts <= want:
+            out = sid
+    if out is None:
+        raise ValueError(
+            f"timestamp {timestamp!r} is before the earliest retained "
+            f"snapshot ({entries[0][0]} ms)"
+        )
+    if want > entries[-1][0]:
+        raise ValueError(
+            f"timestamp {timestamp!r} is after the latest "
+            f"snapshot ({entries[-1][0]} ms); read without time "
+            f"travel for the current state"
+        )
+    return out
+
+
 def _resolve_snapshot(meta: dict, snapshot_id: int | None) -> dict:
     snaps = meta.get("snapshots") or []
     target = (
@@ -1913,9 +1961,13 @@ def read_iceberg(
     snapshot_id: int | None = None,
     key_range: tuple | None = None,
     partition_filter: dict | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read an Iceberg Hadoop table by replaying its metadata — no
-    iceberg-spark runtime needed. Time travel via ``snapshot_id``.
+    iceberg-spark runtime needed. Time travel via ``snapshot_id`` or
+    ``timestamp`` (``FOR SYSTEM_TIME AS OF`` — datetime / ISO string /
+    epoch millis, resolved through the snapshot-log by
+    :func:`iceberg_snapshot_at`; mutually exclusive).
     Identity-partition values are injected as per-file constants
     (the spec's Column Projection rule), so hive-layout data files
     that omit the partition column read back complete. Pruning
@@ -1924,6 +1976,12 @@ def read_iceberg(
     matching file's full contents — apply the exact filter on the
     returned frame, as with any manifest-level pruning."""
     meta = _load_metadata(path)
+    if timestamp is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass either snapshot_id or timestamp, not both"
+            )
+        snapshot_id = iceberg_snapshot_at(meta, timestamp)
     snap = _resolve_snapshot(meta, snapshot_id)
     schema = _schema_of(meta, snap)
     spark_fields = _spark_fields(schema)
