@@ -329,14 +329,18 @@ WITNESS_PRIORITY = [
     # format DV class keeps lake_incremental_view/lake_join_rollup,
     # whose lifecycles exercise TxnTable vectors, and the delta/
     # iceberg roundtrips cover vector reconciliation)
-    # Round-12 flagship rotation: lake_delta_cdf — the foreign-Delta
-    # CHANGE DATA FEED batch read, this round's new operator — debuts
-    # in-window, displacing lake_delta_roundtrip (r11-hash-green; the
-    # delta-interop class keeps lake_delta_dv_read + the new CDF
-    # witness, and the roundtrip stays oracle-backed past the cut)
+    # Round-12 flagship rotations: lake_delta_cdf (foreign-Delta
+    # CHANGE DATA FEED batch read) displaces lake_delta_roundtrip
+    # (r11-hash-green; the delta-interop class keeps
+    # lake_delta_dv_read + the CDF witness) and lake_cdc_apply
+    # (APPLY CHANGES INTO — the feed-consumption end of the same
+    # pipeline) displaces lake_join_rollup (r11-hash-green, the
+    # window's single most expensive row; its IVM-join class stays
+    # witnessed by lake_incremental_join_view and the rollup stays
+    # oracle-backed past the cut)
     "lake_publish_roundtrip", "lake_txn_acid",
     "lake_delta_dv_read", "lake_incremental_view",
-    "lake_incremental_join_view", "lake_join_rollup",
+    "lake_incremental_join_view", "lake_cdc_apply",
     "lake_delta_cdf", "lake_iceberg_roundtrip",
     "lake_iceberg_bucket", "lake_expectations",
     # NULL semantics / reshape

@@ -188,3 +188,62 @@ class TestApplyChanges:
         )
         with pytest.raises(ValueError, match="unknown change type"):
             apply_changes_into(t, ch, ["k"])
+
+
+class TestStreamingApply:
+    def test_cdc_stream_foreachbatch_apply(self, spark, lake, tmp_path):
+        """The full streaming pipeline: a mirrored Delta table's
+        delta_cdc readStream feeds apply_changes_into inside
+        foreachBatch — the upsert-sink idiom — and the target
+        converges to the source state across two drains (initial
+        snapshot + a later retraction commit)."""
+        from interop_datalake_spark.lake.delta_interop import (
+            export_delta_log,
+        )
+        from interop_datalake_spark.streaming.delta_source import (
+            read_delta_cdc_stream,
+        )
+
+        src = TxnTable(lake, "sa_src", stats_cols=["k"])
+        src.append(
+            spark.range(0, 15).selectExpr("id as k", "'v1' as v")
+            .repartition(2)
+        )
+        export_delta_log(src, mode="mirror")
+        tgt = TxnTable(lake, "sa_tgt", stats_cols=["k"])
+
+        def drain():
+            q = (
+                read_delta_cdc_stream(spark, str(src.root))
+                .writeStream.foreachBatch(
+                    lambda bdf, eid: apply_changes_into(
+                        tgt, bdf, ["k"]
+                    )
+                    if not bdf.isEmpty()
+                    else None
+                )
+                .option(
+                    "checkpointLocation", str(tmp_path / "ck_apply")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), "stream did not drain"
+
+        drain()
+        assert {(r["k"], r["v"]) for r in tgt.read().collect()} == {
+            (k, "v1") for k in range(15)
+        }
+        # a retraction commit (the shape delta_appends refuses)
+        # streams as deletes and applies
+        src.delete_where(F.col("k") % 3 == 0, merge_on_read=True)
+        src.merge(
+            spark.createDataFrame([(1, "v2")], "k BIGINT, v STRING"),
+            ["k"],
+            merge_on_read=True,
+        )
+        export_delta_log(src, mode="mirror")
+        drain()
+        assert {(r["k"], r["v"]) for r in tgt.read().collect()} == {
+            (r["k"], r["v"]) for r in src.read().collect()
+        }
