@@ -2097,8 +2097,10 @@ def parse_cdc_commit(text: str) -> dict:
 def read_delta_changes(
     spark: SparkSession,
     path: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Delta CHANGE DATA FEED read over a foreign ``_delta_log`` —
     the ``table_changes()`` / ``readChangeFeed`` analog, and the
@@ -2146,6 +2148,28 @@ def read_delta_changes(
     }
     if not json_commits:
         raise FileNotFoundError(f"no Delta commit json under {log_dir}")
+    # timestamp bounds (Delta's startingTimestamp/endingTimestamp):
+    # the START resolves to the version AT the instant — i.e. changes
+    # AFTER it stream, since the window is exclusive-from — and the
+    # END to the version at the instant inclusively. Version args
+    # take the same (from, to] spelling directly.
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError(
+                "pass either from_version or from_timestamp, not both"
+            )
+        from_version = delta_version_at(path, from_timestamp)
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError(
+                "pass either to_version or to_timestamp, not both"
+            )
+        to_version = delta_version_at(path, to_timestamp)
+    if from_version is None:
+        raise ValueError(
+            "read_delta_changes needs from_version or from_timestamp "
+            "(-1 = the whole retained history)"
+        )
     to = max(json_commits) if to_version is None else to_version
     if from_version > to:
         raise ValueError(

@@ -132,6 +132,45 @@ class TestDeltaTimestamp:
         with pytest.raises(ValueError, match="not both"):
             read_delta(spark, str(t.root), version=0, timestamp=1)
 
+    def test_cdf_timestamp_bounds(self, spark, lake):
+        from interop_datalake_spark.lake.delta_interop import (
+            export_delta_log,
+            read_delta_changes,
+        )
+
+        t = TxnTable(lake, "dct", stats_cols=["k"])
+        t.append(spark.range(0, 3).selectExpr("id as k").coalesce(1))
+        log_dir = export_delta_log(t, mode="mirror")
+        t.append(spark.range(3, 5).selectExpr("id as k").coalesce(1))
+        export_delta_log(t, mode="mirror")
+        t.append(spark.range(5, 6).selectExpr("id as k").coalesce(1))
+        export_delta_log(t, mode="mirror")
+        for v, ts in ((0, 10_000), (1, 20_000), (2, 30_000)):
+            p = log_dir / f"{v:020d}.json"
+            out = []
+            for line in p.read_text().splitlines():
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    a["commitInfo"]["timestamp"] = ts
+                out.append(json.dumps(a))
+            p.write_text("\n".join(out) + "\n")
+        # start at v0's instant (exclusive), end at v1's (inclusive)
+        got = {
+            (r["k"], r["_commit_version"])
+            for r in read_delta_changes(
+                spark, str(t.root),
+                from_timestamp=10_000, to_timestamp=20_000,
+            ).collect()
+        }
+        assert got == {(3, 1), (4, 1)}
+        with pytest.raises(ValueError, match="not both"):
+            read_delta_changes(
+                spark, str(t.root), from_version=0,
+                from_timestamp=10_000,
+            )
+        with pytest.raises(ValueError, match="needs from_version"):
+            read_delta_changes(spark, str(t.root))
+
     def test_mtime_fallback(self, spark, tmp_path):
         import os
 
