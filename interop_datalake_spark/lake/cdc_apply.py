@@ -75,13 +75,28 @@ def apply_changes_into(
     sequence_col: str = "_commit_version",
     change_col: str = "_change_type",
     merge_on_read: bool = True,
+    stored_as_scd2: bool = False,
 ) -> int:
     """Fold ``changes`` to its latest event per key and apply into
     ``table``: upserts (insert / update_postimage) MERGE on
     ``key_cols``, deletions remove their keys. Returns the table's
     version after the apply. Extra feed columns that are not table
     columns (``_commit_timestamp``, ``_snapshot_id``,
-    ``_change_ordinal``…) are dropped automatically."""
+    ``_change_ordinal``…) are dropped automatically.
+
+    ``stored_as_scd2=True`` is DLT's ``APPLY CHANGES … STORED AS SCD
+    TYPE 2``: instead of latest-state, the target keeps the full
+    Type-2 version history (valid_from / valid_to / is_current keyed
+    off the sequence column) — routed through
+    :func:`~interop_datalake_spark.lake.scd.scd2_apply_changes`, see
+    its docstring for the validity rules."""
+    if stored_as_scd2:
+        from interop_datalake_spark.lake.scd import scd2_apply_changes
+
+        v = scd2_apply_changes(
+            table, changes, key_cols, sequence_col, change_col
+        )
+        return table.current_version() if v is None else v
     # the feed plan (a CDF read: log parse + scans + DV joins + the
     # fold's window shuffle) is consumed by FOUR actions below — the
     # type probe, the upsert/delete split counts, the merge, and the

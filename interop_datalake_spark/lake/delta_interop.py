@@ -1641,6 +1641,23 @@ def _check_reader_features(meta: dict, protocol: dict | None) -> None:
         # tree is corrupt metadata: refuse.
         missing: list[str] = []
 
+        def walk_type(t, name):
+            # descend through array/map wrappers: struct fields nested
+            # inside them resolve by id too (Spark's fieldId reader
+            # handles them — probed empirically against pyarrow-written
+            # field ids on list elements and map values), so their ids
+            # are load-bearing and must be present
+            if not isinstance(t, dict):
+                return
+            kind = t.get("type")
+            if kind == "struct":
+                walk(t["fields"], name + ".")
+            elif kind == "array":
+                walk_type(t.get("elementType"), name + ".element")
+            elif kind == "map":
+                walk_type(t.get("keyType"), name + ".key")
+                walk_type(t.get("valueType"), name + ".value")
+
         def walk(fields, prefix):
             for f in fields:
                 name = f"{prefix}{f['name']}"
@@ -1648,9 +1665,7 @@ def _check_reader_features(meta: dict, protocol: dict | None) -> None:
                     "delta.columnMapping.id"
                 ) is None:
                     missing.append(name)
-                t = f.get("type")
-                if isinstance(t, dict) and t.get("type") == "struct":
-                    walk(t["fields"], name + ".")
+                walk_type(f.get("type"), name)
 
         walk(json.loads(meta["schemaString"])["fields"], "")
         if missing:
@@ -1780,9 +1795,16 @@ def _mapping_ctx(meta: dict, st: StructType, spark=None):
     the physical schema's fields carry ``parquet.field.id`` metadata
     and, when a session is given, ``spark.sql.parquet.fieldId.read.
     enabled`` is switched on so the scan resolves columns strictly by
-    id (the conf stays on — it is inert for schemas without field-id
-    metadata, and flipping it back before the lazy scan executes
-    would silently restore name matching)."""
+    id. The conf stays on FOR THE REST OF THE SESSION — flipping it
+    back before the lazy scan executes would silently restore name
+    matching (Spark reads the conf at execution, not plan, time).
+    Known side effect: the flip is inert for request schemas without
+    ``parquet.field.id`` metadata (Spark keeps name matching there),
+    but a later unrelated ``spark.read.schema(...)`` whose
+    user-supplied schema DOES carry field-id metadata will resolve by
+    id instead of name from then on. Callers who need the old
+    behavior back can reset the conf themselves once every id-mapped
+    DataFrame from this reader has been fully consumed."""
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode"
     )
@@ -1832,6 +1854,37 @@ def _to_epoch_ms(ts) -> int:
     raise TypeError(f"unsupported timestamp {ts!r}")
 
 
+def _delta_commit_history(path: str) -> list[tuple[int, int]]:
+    """``[(version, monotonized_ts_ms), …]`` ascending over the
+    RETAINED commit jsons — per-commit timestamps from ``commitInfo``
+    when present, else the commit file's mtime, monotonized ascending
+    exactly like delta-spark's history reconstruction (file mtimes can
+    go backwards after copies; an out-of-order stamp must not make a
+    later version resolve earlier). Shared by :func:`delta_version_at`
+    and the change feed's ``from_timestamp`` resolution so the two
+    can never drift."""
+    log_dir = Path(path) / "_delta_log"
+    json_commits = {
+        int(p.stem): p
+        for p in log_dir.glob("*.json")
+        if p.stem.isdigit()
+    }
+    if not json_commits:
+        raise FileNotFoundError(f"no Delta commit json under {log_dir}")
+    history: list[tuple[int, int]] = []
+    prev_ts = None
+    for v in sorted(json_commits):
+        parsed = parse_cdc_commit(json_commits[v].read_text())
+        t = parsed["ts_ms"]
+        if t is None:
+            t = int(json_commits[v].stat().st_mtime * 1000)
+        if prev_ts is not None and t < prev_ts:
+            t = prev_ts  # monotonize (delta-spark's rule)
+        prev_ts = t
+        history.append((v, t))
+    return history
+
+
 def delta_version_at(path: str, timestamp) -> int:
     """Delta ``TIMESTAMP AS OF`` resolution: the LAST version whose
     commit timestamp is ≤ the requested instant. Per-commit
@@ -1844,28 +1897,14 @@ def delta_version_at(path: str, timestamp) -> int:
     version held) and after the latest (the caller probably wants
     plain latest — being implicit about that hides clock skew
     bugs)."""
-    log_dir = Path(path) / "_delta_log"
-    json_commits = {
-        int(p.stem): p
-        for p in log_dir.glob("*.json")
-        if p.stem.isdigit()
-    }
-    if not json_commits:
-        raise FileNotFoundError(f"no Delta commit json under {log_dir}")
+    history = _delta_commit_history(path)
     want = _to_epoch_ms(timestamp)
     out = None
-    prev_ts = None
-    latest_ts = None
-    for v in sorted(json_commits):
-        parsed = parse_cdc_commit(json_commits[v].read_text())
-        t = parsed["ts_ms"]
-        if t is None:
-            t = int(json_commits[v].stat().st_mtime * 1000)
-        if prev_ts is not None and t < prev_ts:
-            t = prev_ts  # monotonize (delta-spark's rule)
-        prev_ts = latest_ts = t
+    for v, t in history:
         if t <= want:
             out = v
+    latest_ts = history[-1][1]
+    log_dir = Path(path) / "_delta_log"
     if out is None:
         raise ValueError(
             f"timestamp {timestamp!r} is before the earliest retained "
@@ -1920,7 +1959,10 @@ def read_delta(
     (mapInPandas over descriptor rows — per-task bound, no refusal).
     Column-mapped tables read under BOTH modes: ``name`` resolves by
     physicalName metadata, ``id`` strictly by parquet field id
-    (Spark's fieldId read path, enabled here). ``timestamp`` is
+    (Spark's fieldId read path — NOTE: reading an id-mapped table
+    enables ``spark.sql.parquet.fieldId.read.enabled`` for the REST
+    of the session, see :func:`_mapping_ctx` for why and what it
+    affects). ``timestamp`` is
     Delta's ``TIMESTAMP AS OF`` (datetime / ISO string / epoch
     millis; mutually exclusive with ``version``) — resolved via
     :func:`delta_version_at`."""
@@ -2149,16 +2191,32 @@ def read_delta_changes(
     if not json_commits:
         raise FileNotFoundError(f"no Delta commit json under {log_dir}")
     # timestamp bounds (Delta's startingTimestamp/endingTimestamp):
-    # the START resolves to the version AT the instant — i.e. changes
-    # AFTER it stream, since the window is exclusive-from — and the
-    # END to the version at the instant inclusively. Version args
-    # take the same (from, to] spelling directly.
+    # the START includes the FIRST commit stamped at-or-after the
+    # instant (delta-spark's startingTimestamp rule — a commit at
+    # exactly the instant is IN), so it resolves to (that version)-1
+    # in this function's exclusive-from spelling, with a floor of -1
+    # when the instant predates the earliest retained commit
+    # (delta-spark resolves to version 0 there). An instant past the
+    # newest commit refuses loudly (delta-spark's
+    # timestampGreaterThanLatestCommit). The END resolves to the
+    # version at the instant inclusively (endingTimestamp). Version
+    # args take the same (from, to] spelling directly.
     if from_timestamp is not None:
         if from_version is not None:
             raise ValueError(
                 "pass either from_version or from_timestamp, not both"
             )
-        from_version = delta_version_at(path, from_timestamp)
+        history = _delta_commit_history(path)
+        want = _to_epoch_ms(from_timestamp)
+        if want > history[-1][1]:
+            raise ValueError(
+                f"from_timestamp {from_timestamp!r} is after the "
+                f"latest commit ({history[-1][1]} ms); no changes "
+                f"exist at or past it"
+            )
+        from_version = next(
+            v for v, t in history if t >= want
+        ) - 1
     if to_timestamp is not None:
         if to_version is not None:
             raise ValueError(
@@ -2394,35 +2452,41 @@ def read_delta_changes(
                     pr.append(dels)
                     pr.append(ress)
                     pt += ["delete"] * len(dels) + ["insert"] * len(ress)
-                pos_df = spark.createDataFrame(
-                    pd.DataFrame(
-                        {
-                            "_dv_file": pd.Series(pf, dtype="string"),
-                            "_dv_row": (
-                                np.concatenate(pr)
-                                if pr
-                                else np.empty(0, dtype=np.int64)
-                            ),
-                            "_change_type": pd.Series(
-                                pt, dtype="string"
-                            ),
-                        }
+                # a pair whose position diff is empty (notably a
+                # no-vector remove+add of the same file) changed no
+                # rows: scan only files that contribute positions —
+                # an all-empty commit emits nothing (the delta_cdc
+                # stream applies the same skip; the two must match)
+                touched = sorted(set(pf))
+                if touched:
+                    pos_df = spark.createDataFrame(
+                        pd.DataFrame(
+                            {
+                                "_dv_file": pd.Series(
+                                    pf, dtype="string"
+                                ),
+                                "_dv_row": np.concatenate(pr),
+                                "_change_type": pd.Series(
+                                    pt, dtype="string"
+                                ),
+                            }
+                        )
                     )
-                )
-                fr = _union(
-                    _scan(
-                        {
-                            f: adds[f].get("partitionValues") or {}
-                            for f in paired
-                        },
-                        data_schema,
-                        lineage=True,
+                    fr = _union(
+                        _scan(
+                            {
+                                f: adds[f].get("partitionValues") or {}
+                                for f in touched
+                            },
+                            data_schema,
+                            lineage=True,
+                        )
                     )
-                )
-                frames.append(
-                    fr.join(pos_df, ["_dv_file", "_dv_row"], "inner")
-                    .drop("_dv_file", "_dv_row")
-                )
+                    frames.append(
+                        fr.join(
+                            pos_df, ["_dv_file", "_dv_row"], "inner"
+                        ).drop("_dv_file", "_dv_row")
+                    )
         for fr in frames:
             tagged.append(
                 fr.withColumn(

@@ -119,3 +119,110 @@ def scd2_snapshot_at(table: TxnTable, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def scd2_apply_changes(
+    table: TxnTable,
+    changes: DataFrame,
+    key_cols: list[str],
+    sequence_col: str = "_commit_version",
+    change_col: str = "_change_type",
+) -> int | None:
+    """APPLY CHANGES … STORED AS SCD TYPE 2 (the DLT spelling): fold
+    a change feed — the same shape :func:`~interop_datalake_spark.
+    lake.cdc_apply.apply_changes_into` consumes — into a Type-2
+    HISTORY table instead of latest-state, so every version a key
+    passed through stays queryable (:func:`scd2_snapshot_at` over the
+    sequence values replays the source's own time travel).
+
+    Validity comes from the sequencing column (DLT's ``__START_AT`` /
+    ``__END_AT`` rule): each surviving insert/update_postimage event
+    opens a version at its sequence value, closed by the key's NEXT
+    event (delete events close their predecessor without opening
+    anything — a deleted key has no covering row until re-inserted).
+    Within one sequence value the same tie-break as the SCD1 fold
+    applies (postimage > insert > delete > preimage). Pre-existing
+    current rows for keys whose first feed event lands later are
+    closed at that first event.
+
+    One atomic TxnTable MERGE keyed on (key, valid_from) — the
+    invariant :func:`scd2_apply` established: a replayed feed
+    rewrites identical version rows and re-closes the same rows, so
+    crash-replay and at-least-once delivery are idempotent. Returns
+    the committed version, or None for an empty feed.
+
+    Scale shape: TWO window shuffles over the CHANGE rows only
+    (the per-sequence tie-break, then the per-key lead/last), one
+    update-batch-sized join against the table's ``is_current`` slice,
+    and a key-pruned merge — the history's closed rows are never
+    scanned."""
+    from interop_datalake_spark.lake.cdc_apply import _CHANGE_PRIORITY
+
+    bad = changes.filter(
+        ~F.col(change_col).isin(list(_CHANGE_PRIORITY))
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"unknown change type {bad[0][change_col]!r} in the "
+            f"feed — implemented: {sorted(_CHANGE_PRIORITY)}"
+        )
+    drop_meta = [
+        c
+        for c in ("_commit_timestamp", "_snapshot_id", "_change_ordinal")
+        if c in changes.columns
+    ]
+    changes = changes.drop(*drop_meta)
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in key_cols and c not in (sequence_col, change_col)
+    ]
+
+    pri = F.lit(None).cast("int")
+    for name, p in _CHANGE_PRIORITY.items():
+        pri = F.when(F.col(change_col) == name, F.lit(p)).otherwise(pri)
+    w_seq = Window.partitionBy(*key_cols, sequence_col).orderBy(
+        F.desc("_pri")
+    )
+    ev = (
+        changes.withColumn("_pri", pri)
+        .withColumn("_rn", F.row_number().over(w_seq))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pri")
+    )
+    w_key = Window.partitionBy(*key_cols).orderBy(F.asc(sequence_col))
+    ev = ev.withColumn("_next_seq", F.lead(sequence_col).over(w_key))
+    versions = ev.filter(
+        F.col(change_col).isin("insert", "update_postimage")
+    ).select(
+        *key_cols,
+        *data_cols,
+        F.col(sequence_col).alias("valid_from"),
+        F.col("_next_seq").alias("valid_to"),
+        F.col("_next_seq").isNull().alias("is_current"),
+    )
+
+    if table.current_version() == 0:
+        if not versions.take(1):
+            return None
+        return table.append(versions)
+
+    firsts = ev.groupBy(*key_cols).agg(
+        F.min(sequence_col).alias("_first_seq")
+    )
+    cur = table.read().filter(F.col("is_current"))
+    closed = (
+        cur.join(firsts, list(key_cols))
+        .filter(F.col("valid_from") < F.col("_first_seq"))
+        .select(
+            *key_cols,
+            *data_cols,
+            F.col("valid_from"),
+            F.col("_first_seq").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    delta = versions.unionByName(closed.select(*versions.columns))
+    if not delta.take(1):
+        return None
+    return table.merge(delta, key_cols=list(key_cols) + ["valid_from"])

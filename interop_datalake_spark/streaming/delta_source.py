@@ -495,6 +495,17 @@ class DeltaCdcStreamReader(DataSourceStreamReader):
                     ctype="delete", drop_desc=r.get("deletionVector"),
                 ))
             for f in paired:
+                old_desc = removes[f].get("deletionVector")
+                new_desc = adds[f].get("deletionVector")
+                if old_desc is None and new_desc is None:
+                    # remove+add of the same file with no vectors on
+                    # either side: the position diff is empty, so the
+                    # commit changed no rows of this file. The batch
+                    # reader (read_delta_changes) emits nothing here;
+                    # without this skip the slices below would fall
+                    # through read()'s ctype branch and emit the whole
+                    # file as delete+insert — batch/stream drift.
+                    continue
                 common = dict(
                     root=str(self.root),
                     path=str(self.root / f),
@@ -503,8 +514,8 @@ class DeltaCdcStreamReader(DataSourceStreamReader):
                     part_values=self._typed(
                         adds[f].get("partitionValues")
                     ),
-                    old_desc=removes[f].get("deletionVector"),
-                    new_desc=adds[f].get("deletionVector"),
+                    old_desc=old_desc,
+                    new_desc=new_desc,
                 )
                 slices.append(_CdcSlice(**common, ctype="delete"))
                 slices.append(_CdcSlice(**common, ctype="insert"))

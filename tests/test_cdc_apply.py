@@ -247,3 +247,149 @@ class TestStreamingApply:
         assert {(r["k"], r["v"]) for r in tgt.read().collect()} == {
             (r["k"], r["v"]) for r in src.read().collect()
         }
+
+
+class TestScd2ApplyChanges:
+    """APPLY CHANGES … STORED AS SCD TYPE 2: the folded feed routes
+    into a Type-2 history table; scd2_snapshot_at over the sequence
+    values must replay the SOURCE's own time travel version for
+    version — the oracle the docstring promises."""
+
+    def _source_with_history(self, spark, lake, name):
+        src = TxnTable(lake, name, stats_cols=["k"])
+        src.append(
+            spark.range(0, 12)
+            .selectExpr("id as k", "cast(id % 3 as int) as g")
+            .repartition(2)
+        )  # v1
+        src.delete_where(F.col("k") % 4 == 0, merge_on_read=True)  # v2
+        up = spark.createDataFrame(
+            [(1, 99), (50, 7)], "k BIGINT, g INT"
+        )
+        src.merge(up, ["k"], merge_on_read=True)  # v3
+        src.delete_where(F.col("k") == 1, merge_on_read=True)  # v4
+        return src
+
+    def test_snapshot_at_equals_source_time_travel(self, spark, lake):
+        from interop_datalake_spark.lake.scd import scd2_snapshot_at
+
+        src = self._source_with_history(spark, lake, "s2_src")
+        dim = TxnTable(lake, "s2_dim", stats_cols=["k"])
+        apply_changes_into(
+            dim,
+            src.read_changes(0, include_deletes=True),
+            ["k"],
+            stored_as_scd2=True,
+        )
+        for v in range(1, src.current_version() + 1):
+            want = {
+                (r["k"], r["g"])
+                for r in src.read(version=v).collect()
+            }
+            got = {
+                (r["k"], r["g"])
+                for r in scd2_snapshot_at(dim, v).collect()
+            }
+            assert got == want, f"version {v}"
+        # history invariants: exactly one current row per live key,
+        # no overlapping intervals
+        rows = dim.read().collect()
+        cur = [r for r in rows if r["is_current"]]
+        assert len(cur) == len({r["k"] for r in cur})
+        assert {r["k"] for r in cur} == {
+            r["k"] for r in src.read().collect()
+        }
+        assert all(
+            r["valid_to"] is None or r["valid_to"] > r["valid_from"]
+            for r in rows
+        )
+
+    def test_incremental_windows_and_replay(self, spark, lake):
+        """Applying the feed window-by-window (the foreachBatch
+        shape) builds the same history as one shot, and replaying an
+        already-applied window is idempotent."""
+        from interop_datalake_spark.lake.scd import scd2_snapshot_at
+
+        src = self._source_with_history(spark, lake, "s2i_src")
+        dim = TxnTable(lake, "s2i_dim", stats_cols=["k"])
+        mid = 2
+        apply_changes_into(
+            dim,
+            src.read_changes(0, to_version=mid, include_deletes=True),
+            ["k"],
+            stored_as_scd2=True,
+        )
+        apply_changes_into(
+            dim,
+            src.read_changes(mid, include_deletes=True),
+            ["k"],
+            stored_as_scd2=True,
+        )
+        hist1 = {
+            (r["k"], r["g"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in dim.read().collect()
+        }
+        # replay the SECOND window again: history unchanged
+        apply_changes_into(
+            dim,
+            src.read_changes(mid, include_deletes=True),
+            ["k"],
+            stored_as_scd2=True,
+        )
+        assert {
+            (r["k"], r["g"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in dim.read().collect()
+        } == hist1
+        # equals the one-shot build
+        dim2 = TxnTable(lake, "s2i_dim2", stats_cols=["k"])
+        apply_changes_into(
+            dim2,
+            src.read_changes(0, include_deletes=True),
+            ["k"],
+            stored_as_scd2=True,
+        )
+        assert {
+            (r["k"], r["g"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in dim2.read().collect()
+        } == hist1
+        for v in range(1, src.current_version() + 1):
+            assert {
+                (r["k"], r["g"])
+                for r in scd2_snapshot_at(dim, v).collect()
+            } == {
+                (r["k"], r["g"]) for r in src.read(version=v).collect()
+            }
+
+    def test_delete_then_reinsert_gap(self, spark, lake):
+        """A deleted key has NO covering row between its delete and
+        re-insert; the re-insert opens a fresh current version."""
+        from interop_datalake_spark.lake.scd import (
+            scd2_apply_changes,
+            scd2_snapshot_at,
+        )
+
+        feed = spark.createDataFrame(
+            [
+                (1, "a", 1, "insert"),
+                (1, "a", 3, "delete"),
+                (1, "b", 7, "insert"),
+            ],
+            "k INT, v STRING, _commit_version BIGINT, "
+            "_change_type STRING",
+        )
+        dim = TxnTable(lake, "s2g_dim", stats_cols=["k"])
+        scd2_apply_changes(dim, feed, ["k"])
+        assert {
+            (r["k"], r["v"])
+            for r in scd2_snapshot_at(dim, 2).collect()
+        } == {(1, "a")}
+        assert scd2_snapshot_at(dim, 5).count() == 0
+        assert {
+            (r["k"], r["v"], r["is_current"])
+            for r in scd2_snapshot_at(dim, 7).collect()
+        } == {(1, "b", True)}
+        # empty feed: no commit
+        assert scd2_apply_changes(dim, feed.limit(0), ["k"]) is None

@@ -1727,3 +1727,64 @@ def test_exported_commits_carry_commit_info(spark, lake):
     ci1 = first_action(1)["commitInfo"]
     assert ci1["operation"] == "OPTIMIZE"
     assert read_delta(spark, str(t.root)).count() == 6
+
+
+def test_id_gate_descends_array_and_map_nests():
+    """columnMapping=id missing-id detection walks through array
+    elements and map keys/values: a struct-in-array subfield with no
+    delta.columnMapping.id is corrupt metadata and refuses (it would
+    otherwise silently fall back to name matching); a fully-id'd
+    schema with the same nesting passes."""
+    from interop_datalake_spark.lake.delta_interop import (
+        _check_reader_features,
+    )
+
+    def meta_of(fields):
+        return {
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+        }
+
+    idm = lambda i: {  # noqa: E731
+        "delta.columnMapping.id": i,
+        "delta.columnMapping.physicalName": f"col-{i}",
+    }
+    nested_bad = [
+        {"name": "arr", "nullable": True, "metadata": idm(1),
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "x", "type": "integer",
+                       "nullable": True, "metadata": {}},  # NO id
+                  ]}}},
+    ]
+    with pytest.raises(ValueError, match=r"arr\.element\.x"):
+        _check_reader_features(meta_of(nested_bad), None)
+    map_bad = [
+        {"name": "m", "nullable": True, "metadata": idm(1),
+         "type": {"type": "map", "valueContainsNull": True,
+                  "keyType": "string",
+                  "valueType": {"type": "struct", "fields": [
+                      {"name": "y", "type": "long",
+                       "nullable": True, "metadata": {}},  # NO id
+                  ]}}},
+    ]
+    with pytest.raises(ValueError, match=r"m\.value\.y"):
+        _check_reader_features(meta_of(map_bad), None)
+    nested_ok = [
+        {"name": "arr", "nullable": True, "metadata": idm(1),
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "x", "type": "integer",
+                       "nullable": True, "metadata": idm(2)},
+                  ]}}},
+        {"name": "m", "nullable": True, "metadata": idm(3),
+         "type": {"type": "map", "valueContainsNull": True,
+                  "keyType": "string",
+                  "valueType": {"type": "struct", "fields": [
+                      {"name": "y", "type": "long",
+                       "nullable": True, "metadata": idm(4)},
+                  ]}}},
+    ]
+    _check_reader_features(meta_of(nested_ok), None)  # no raise

@@ -482,3 +482,54 @@ class TestDeltaCdcStream:
             (2, "a", "delete"),
             (9, "a", "insert"),
         }
+
+    def test_paired_no_dv_rewrite_matches_batch(
+        self, spark, lake, tmp_path
+    ):
+        """remove+add of the SAME file with dataChange=true and no
+        deletion vector on either side: the position diff is empty,
+        so the commit changed nothing — the batch reader emits zero
+        rows and the stream must match (it used to fall through to a
+        whole-file delete+insert)."""
+        from interop_datalake_spark.lake.delta_interop import (
+            read_delta_changes,
+        )
+
+        t = TxnTable(lake, "dsc4", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+            .coalesce(1)
+        )
+        log_dir = export_delta_log(t, mode="mirror")
+        add0 = next(
+            json.loads(line)["add"]
+            for line in (log_dir / f"{0:020d}.json").read_text()
+            .splitlines()
+            if "\"add\"" in line
+        )
+        (log_dir / f"{1:020d}.json").write_text(
+            "\n".join(
+                json.dumps(a)
+                for a in [
+                    {"commitInfo": {"timestamp": 1700000001000,
+                                    "operation": "REWRITE"}},
+                    {"remove": {"path": add0["path"],
+                                "partitionValues": {},
+                                "dataChange": True}},
+                    {"add": {"path": add0["path"],
+                             "partitionValues": {},
+                             "size": add0.get("size", 1),
+                             "modificationTime": 1700000001000,
+                             "dataChange": True}},
+                ]
+            )
+            + "\n"
+        )
+        assert (
+            read_delta_changes(spark, str(t.root), 0).count() == 0
+        )
+        got: list = []
+        self._drain_cdc(
+            spark, str(t.root), str(tmp_path / "c4"), got, after=0
+        )
+        assert got == []
