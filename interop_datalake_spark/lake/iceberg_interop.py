@@ -802,17 +802,14 @@ def _typed_partition_value(pf: dict, ids_to_type, v):
     raise ValueError(f"unsupported partition source type {icetype!r}")
 
 
-def _write_position_deletes(
-    table: TxnTable, m: dict, meta_dir: Path
-) -> tuple[Path, int]:
-    """Serialize the snapshot's deletion vectors as ONE Iceberg
-    position-delete parquet: (file_path URI, pos), deduped and sorted
-    by (path, pos) — the spec's recommended layout — with the RESERVED
-    field ids (2147483546 file_path / 2147483545 pos) stamped through
-    pyarrow so compliant engines project by id. Driver-side and
-    bounded by _DELETE_EXPORT_MAX_ROWS (validated before any write):
-    vectors are metadata-sized by the table's own DV design, and
-    Iceberg's own delete-file writers are coordinator-side too."""
+def _dv_position_pairs(table: TxnTable, m: dict) -> list:
+    """The snapshot's deletion vectors as sorted, deduped
+    ``[(data file URI, position), …]`` — driver-side and bounded by
+    ``_DELETE_EXPORT_MAX_ROWS`` (validated before any read): vectors
+    are metadata-sized by the table's own DV design, and Iceberg's
+    own delete-file writers are coordinator-side too. Shared by the
+    v2 position-delete parquet writer and the v3 Puffin DV writer so
+    the two export shapes can never drift on content."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -843,7 +840,21 @@ def _write_position_deletes(
             t.column("row_idx").to_pylist(),
         ):
             pairs.add(((table.root / f).resolve().as_uri(), int(r)))
-    ordered = sorted(pairs)
+    return sorted(pairs)
+
+
+def _write_position_deletes(
+    table: TxnTable, m: dict, meta_dir: Path
+) -> tuple[Path, int]:
+    """Serialize the snapshot's deletion vectors as ONE Iceberg
+    position-delete parquet: (file_path URI, pos), deduped and sorted
+    by (path, pos) — the spec's recommended layout — with the RESERVED
+    field ids (2147483546 file_path / 2147483545 pos) stamped through
+    pyarrow so compliant engines project by id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ordered = _dv_position_pairs(table, m)
     schema = pa.schema(
         [
             pa.field(
@@ -892,7 +903,9 @@ def _prev_metadata(meta_dir: Path) -> tuple[dict | None, int]:
 
 
 def export_iceberg_metadata(
-    table: TxnTable, version: int | None = None
+    table: TxnTable,
+    version: int | None = None,
+    format_version: int | None = None,
 ) -> Path:
     """Write Iceberg v2 table metadata for the TxnTable snapshot into
     ``<root>/metadata`` — the root then IS an Iceberg Hadoop table:
@@ -910,9 +923,26 @@ def export_iceberg_metadata(
     only — readable until :meth:`TxnTable.vacuum` reclaims them, the
     same staleness contract as Delta time travel after VACUUM.
 
-    Vectored snapshots export as MERGE-ON-READ: the deletion vectors
-    become an Iceberg v2 position-delete parquet + DELETE manifest
-    (module docstring). Refuses loudly: xxhash-bucket partitioning,
+    Vectored snapshots export as MERGE-ON-READ: under
+    ``format_version=2`` (the default for fresh tables; appending
+    exports inherit the history's version when the argument is
+    omitted) the deletion vectors become an Iceberg v2
+    position-delete parquet + DELETE manifest (module docstring);
+    under ``format_version=3`` they become a PUFFIN
+    ``deletion-vector-v1`` blob file (:mod:`.puffin`) whose delete
+    manifest entries carry the spec's v3 DV fields
+    (``referenced_data_file`` 143 / ``content_offset`` 144 /
+    ``content_size_in_bytes`` 145, ``file_format='PUFFIN'``) and the
+    table metadata is stamped ``format-version: 3``. Once a history
+    is v3 it stays v3 (Iceberg format upgrades are one-way; a v2
+    re-export over a v3 history refuses); the v2→v3 upgrade is
+    allowed mid-history. The v3 mode targets the deletion-vector
+    feature — row-lineage fields (``next-row-id`` /
+    ``first-row-id``), which full v3 writers also assign, are not
+    emitted (this repo's reader does not consume them; noted for
+    foreign-engine expectations).
+
+    Refuses loudly: xxhash-bucket partitioning,
     nested types, stats-less files, vector sets beyond the bounded
     delete-file serialization, and re-exporting an OLDER TxnTable
     version into an appending history
@@ -921,9 +951,15 @@ def export_iceberg_metadata(
     ``export_delta_log``). Returns the ``metadata`` directory path."""
     import os
 
+    if format_version not in (None, 2, 3):
+        raise ValueError(
+            f"format_version={format_version!r}: this exporter writes "
+            f"Iceberg format-version 2 (default) or 3 (Puffin "
+            f"deletion vectors)"
+        )
     lock_fd = _export_lock(table, "export")
     try:
-        return _export_locked(table, version)
+        return _export_locked(table, version, format_version)
     finally:
         os.close(lock_fd)
 
@@ -965,7 +1001,11 @@ def _export_lock(table: TxnTable, what: str):
     return lock_fd
 
 
-def _export_locked(table: TxnTable, version: int | None) -> Path:
+def _export_locked(
+    table: TxnTable,
+    version: int | None,
+    format_version: int | None = None,
+) -> Path:
     m = table.manifest(version)
     _validate_exportable(table, m)
     jvm = _jvm(table.spark)
@@ -973,6 +1013,17 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
     meta_dir = table.root / "metadata"
     meta_dir.mkdir(parents=True, exist_ok=True)
     prev, prev_hint = _prev_metadata(meta_dir)
+    prev_fv = int((prev or {}).get("format-version") or 2)
+    if format_version is None:
+        # inherit: a v3 history keeps exporting v3 without the caller
+        # re-stating it every time; fresh tables default to v2
+        format_version = prev_fv
+    if prev_fv > format_version:
+        raise ValueError(
+            f"table {table.name}: the exported history is "
+            f"format-version {prev_fv}; Iceberg format upgrades are "
+            f"one-way — re-export with format_version={prev_fv}"
+        )
 
     st = StructType.fromJson(json.loads(m["schema"]))
     schema, ids, last_col_id = _iceberg_schema(st)
@@ -1262,7 +1313,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
             "schema-id": schema_id,
             "partition-spec": json.dumps(spec_fields_final),
             "partition-spec-id": spec_id,
-            "format-version": "2",
+            "format-version": str(format_version),
             "content": "data",
         },
     )
@@ -1355,7 +1406,6 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
     if carry_deletes:
         carried_delete_mfs = prev_delete_mfs
     elif dvs_now:
-        delete_pq, n_del = _write_position_deletes(table, m, meta_dir)
         empty_spec = next((s for s in specs if not s["fields"]), None)
         if empty_spec is None:
             del_spec_id = max(s["spec-id"] for s in specs) + 1
@@ -1365,38 +1415,94 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
         dm_path = meta_dir / f"{uuid.uuid4().hex}-deletes-m0.avro"
         dw = _AvroFileWriter(
             jvm,
-            _manifest_entry_schema([]),
+            _manifest_entry_schema([], v3_dv=(format_version == 3)),
             dm_path,
             {
                 "schema": json.dumps({**schema, "schema-id": schema_id}),
                 "schema-id": schema_id,
                 "partition-spec": json.dumps([]),
                 "partition-spec-id": del_spec_id,
-                "format-version": "2",
+                "format-version": str(format_version),
                 "content": "deletes",
             },
         )
-        dw.append_json(
-            {
-                "status": 1,
-                "snapshot_id": None,
-                "sequence_number": None,
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 1,  # POSITION_DELETES
-                    "file_path": delete_pq.resolve().as_uri(),
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n_del,
-                    "file_size_in_bytes": delete_pq.stat().st_size,
-                    "lower_bounds": None,
-                    "upper_bounds": None,
-                    "equality_ids": None,
-                },
-            }
-        )
+        if format_version == 3:
+            # v3: ONE Puffin file, a deletion-vector-v1 blob per
+            # referenced data file; manifest entries pin-point each
+            # blob (referenced_data_file/content_offset/
+            # content_size_in_bytes) so readers never touch the
+            # footer. Both halves are the already-pinned .puffin
+            # module (write_puffin_dv_file / read_puffin_dv).
+            from interop_datalake_spark.lake.puffin import (
+                write_puffin_dv_file,
+            )
+
+            per_file: dict[str, list[int]] = {}
+            for uri_, pos_ in _dv_position_pairs(table, m):
+                per_file.setdefault(uri_, []).append(pos_)
+            pf_path = meta_dir / f"dv-{uuid.uuid4().hex}.puffin"
+            blob_info = write_puffin_dv_file(
+                pf_path, per_file,
+                snapshot_id=snap_id, sequence_number=seq,
+            )
+            pf_uri = pf_path.resolve().as_uri()
+            pf_size = pf_path.stat().st_size
+            n_del = 0
+            for ref, info in blob_info.items():
+                n_del += info["cardinality"]
+                dw.append_json(
+                    {
+                        "status": 1,
+                        "snapshot_id": None,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,  # POSITION_DELETES (DV)
+                            "file_path": pf_uri,
+                            "file_format": "PUFFIN",
+                            "partition": {},
+                            "record_count": info["cardinality"],
+                            "file_size_in_bytes": pf_size,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "equality_ids": None,
+                            "referenced_data_file": {"string": ref},
+                            "content_offset": {
+                                "long": info["offset"]
+                            },
+                            "content_size_in_bytes": {
+                                "long": info["length"]
+                            },
+                        },
+                    }
+                )
+            n_del_files = len(blob_info)
+        else:
+            delete_pq, n_del = _write_position_deletes(
+                table, m, meta_dir
+            )
+            dw.append_json(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": delete_pq.resolve().as_uri(),
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_del,
+                        "file_size_in_bytes": delete_pq.stat().st_size,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": None,
+                    },
+                }
+            )
+            n_del_files = 1
         dw.close()
-        delete_mf = (dm_path, n_del, del_spec_id)
+        delete_mf = (dm_path, n_del, del_spec_id, n_del_files)
 
     # -- manifest list -------------------------------------------------------
     ml_path = meta_dir / f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
@@ -1409,7 +1515,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
             "snapshot-id": snap_id,
             "parent-snapshot-id": parent if parent is not None else "null",
             "sequence-number": seq,
-            "format-version": "2",
+            "format-version": str(format_version),
         },
     )
     lw.append_json(
@@ -1432,7 +1538,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
     for cmf in carried_delete_mfs:
         lw.append_json(cmf)
     if delete_mf is not None:
-        dm_path, n_del, del_spec_id = delete_mf
+        dm_path, n_del, del_spec_id, n_del_files = delete_mf
         lw.append_json(
             {
                 "manifest_path": dm_path.resolve().as_uri(),
@@ -1442,7 +1548,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
-                "added_files_count": 1,
+                "added_files_count": n_del_files,
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
                 "added_rows_count": n_del,
@@ -1463,7 +1569,7 @@ def _export_locked(table: TxnTable, version: int | None) -> Path:
         "schema-id": schema_id,
     }
     meta = {
-        "format-version": 2,
+        "format-version": format_version,
         "table-uuid": table_uuid,
         "location": table.root.resolve().as_uri(),
         "last-sequence-number": seq,
@@ -1538,6 +1644,42 @@ def _load_metadata(path: str) -> dict:
     return json.loads(cands[-1].read_text())
 
 
+def _snapshot_history(meta: dict) -> list[tuple[int, int]]:
+    """``[(monotonized_ts_ms, snapshot_id), …]`` ascending — the
+    metadata's ``snapshot-log`` (the spec's authoritative
+    (timestamp-ms, snapshot-id) history), falling back to the
+    snapshots' own ``timestamp-ms`` when a writer kept no log
+    (format-version 1 snapshots carry no sequence-number, so the
+    fallback orders by (sequence-number or 0, timestamp-ms) instead
+    of raising KeyError). Timestamps are monotonized ascending
+    (delta_version_at's rule): an out-of-order stamp must not make a
+    later snapshot resolve earlier. Shared by
+    :func:`iceberg_snapshot_at` and the changelog's timestamp bounds
+    so the two can never drift."""
+    entries = [
+        (int(e["timestamp-ms"]), int(e["snapshot-id"]))
+        for e in (meta.get("snapshot-log") or [])
+    ] or [
+        (int(s.get("timestamp-ms") or 0), int(s["snapshot-id"]))
+        for s in sorted(
+            meta.get("snapshots") or [],
+            key=lambda s: (
+                int(s.get("sequence-number", 0)),
+                int(s.get("timestamp-ms") or 0),
+            ),
+        )
+    ]
+    if not entries:
+        raise ValueError("table has no snapshot history")
+    mono, prev = [], None
+    for ts, sid in entries:
+        if prev is not None and ts < prev:
+            ts = prev
+        prev = ts
+        mono.append((ts, sid))
+    return mono
+
+
 def iceberg_snapshot_at(meta_or_path, timestamp) -> int:
     """Iceberg timestamp travel (``FOR SYSTEM_TIME AS OF``): the
     snapshot CURRENT at the instant — resolved from the metadata's
@@ -1556,18 +1698,7 @@ def iceberg_snapshot_at(meta_or_path, timestamp) -> int:
         else _load_metadata(str(meta_or_path))
     )
     want = _to_epoch_ms(timestamp)
-    entries = [
-        (int(e["timestamp-ms"]), int(e["snapshot-id"]))
-        for e in (meta.get("snapshot-log") or [])
-    ] or [
-        (int(s.get("timestamp-ms") or 0), int(s["snapshot-id"]))
-        for s in sorted(
-            meta.get("snapshots") or [],
-            key=lambda s: s["sequence-number"],
-        )
-    ]
-    if not entries:
-        raise ValueError("table has no snapshot history")
+    entries = _snapshot_history(meta)
     out = None
     for ts, sid in entries:
         if ts <= want:
@@ -2265,9 +2396,11 @@ def _grouped_read(
 def read_iceberg_changes(
     spark: SparkSession,
     path: str,
-    from_snapshot_id: int,
+    from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
     include_deletes: bool = False,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Iceberg INCREMENTAL APPEND SCAN (the spec's incremental-read
     model, Spark's `spark.readStream.format("iceberg")` contract):
@@ -2302,12 +2435,57 @@ def read_iceberg_changes(
     rewrite snapshot (compact) folds to an unchanged state — note a
     rewrite still EMITS its full row set both ways (a content-level
     no-op proof would need a row diff; Iceberg's own changelog scan
-    punts on replace snapshots the same way, by skipping them)."""
+    punts on replace snapshots the same way, by skipping them).
+
+    ``from_timestamp`` / ``to_timestamp`` are the timestamp spellings
+    of the same bounds (datetime / ISO string / epoch millis, each
+    mutually exclusive with its id twin), resolved through the
+    snapshot history exactly like the Delta CDF's
+    (:func:`~interop_datalake_spark.lake.delta_interop.
+    read_delta_changes`): the start INCLUDES the first snapshot
+    stamped at-or-after the instant (an instant before the earliest
+    retained snapshot resolves to the full history; one past the
+    newest refuses loudly), the end resolves to the snapshot current
+    AT the instant (:func:`iceberg_snapshot_at`)."""
+    from interop_datalake_spark.lake.delta_interop import _to_epoch_ms
+
     meta = _load_metadata(path)
     snaps = sorted(
         meta.get("snapshots") or [], key=lambda s: s["sequence-number"]
     )
     ids = [s["snapshot-id"] for s in snaps]
+    from_start = False  # include the very first snapshot
+    if from_timestamp is not None:
+        if from_snapshot_id is not None:
+            raise ValueError(
+                "pass either from_snapshot_id or from_timestamp, "
+                "not both"
+            )
+        hist = _snapshot_history(meta)
+        want = _to_epoch_ms(from_timestamp)
+        if want > hist[-1][0]:
+            raise ValueError(
+                f"from_timestamp {from_timestamp!r} is after the "
+                f"latest snapshot ({hist[-1][0]} ms); no changes "
+                f"exist at or past it"
+            )
+        idx = next(i for i, (t, _) in enumerate(hist) if t >= want)
+        if idx == 0:
+            from_start = True
+            from_snapshot_id = hist[0][1]
+        else:
+            from_snapshot_id = hist[idx - 1][1]
+    if to_timestamp is not None:
+        if to_snapshot_id is not None:
+            raise ValueError(
+                "pass either to_snapshot_id or to_timestamp, not both"
+            )
+        to_snapshot_id = iceberg_snapshot_at(meta, to_timestamp)
+    if from_snapshot_id is None:
+        raise ValueError(
+            "read_iceberg_changes needs from_snapshot_id or "
+            "from_timestamp"
+        )
     if from_snapshot_id not in ids:
         raise ValueError(
             f"from_snapshot_id {from_snapshot_id} not present "
@@ -2323,6 +2501,10 @@ def read_iceberg_changes(
             f"to_snapshot_id {to} not present (available: {ids})"
         )
     lo = ids.index(from_snapshot_id)
+    if from_start:
+        lo = -1  # instant predates history: the window is inclusive
+        # of the first snapshot (delta-spark resolves the analogous
+        # startingTimestamp to version 0)
     hi = ids.index(to)
     if hi < lo:
         raise ValueError(

@@ -261,7 +261,10 @@ def _add_dv_snapshot(spark, t, per_file: dict, shrink_ok=False):
         },
     )
     for rec in carried:
-        if "-dv-m0" in str(rec.get("manifest_path")):
+        if int(rec.get("content") or 0) == 1:
+            # replace ANY older delete manifest (fixture-written
+            # -dv-m0 or exporter-written -deletes-m0): the published
+            # vector is cumulative
             continue
         lw.append_json(
             {
@@ -419,3 +422,190 @@ class TestReadWithDVs:
         }
         with pytest.raises(ValueError, match="content_offset"):
             _split_delete_files([(e, dfr, [], mf)])
+
+
+class TestV3Export:
+    """export_iceberg_metadata(format_version=3): vectored snapshots
+    publish Puffin deletion-vector-v1 blobs + v3 DV manifest entries
+    instead of v2 position-delete parquet — the write half of the
+    already-pinned read path."""
+
+    def _delete_entries(self, spark, t):
+        """[(file_format, referenced_data_file, offset, size,
+        record_count)] of the current snapshot's delete manifests."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            _jvm,
+            _load_metadata,
+            _read_avro,
+            _resolve_snapshot,
+            _uri_to_path,
+        )
+
+        meta = _load_metadata(str(t.root))
+        snap = _resolve_snapshot(meta, None)
+        jvm = _jvm(spark)
+        lists, _m = _read_avro(
+            jvm, Path(_uri_to_path(snap["manifest-list"]))
+        )
+        out = []
+        for mf in lists:
+            if (mf.get("content") or 0) != 1:
+                continue
+            entries, _ = _read_avro(
+                jvm, Path(_uri_to_path(str(mf.get("manifest_path"))))
+            )
+            for e in entries:
+                d = e.get("data_file")
+
+                def opt(rec, name):
+                    try:
+                        return rec.get(name)
+                    except Exception:
+                        return None  # field absent in a v2 schema
+
+                out.append(
+                    (
+                        str(d.get("file_format")),
+                        opt(d, "referenced_data_file"),
+                        opt(d, "content_offset"),
+                        opt(d, "content_size_in_bytes"),
+                        int(d.get("record_count")),
+                    )
+                )
+        return out
+
+    def test_v3_mor_roundtrip_and_shape(self, spark, lake):
+        t = TxnTable(lake, "v3e1", stats_cols=["k"])
+        t.append(
+            spark.range(0, 12)
+            .selectExpr("id as k", "concat('r', id) as v")
+            .orderBy("k")
+            .coalesce(2)
+        )
+        t.delete_where(F.col("k") % 3 == 0, merge_on_read=True)
+        export_iceberg_metadata(t, format_version=3)
+        meta_dir = t.root / "metadata"
+        meta = json.loads(
+            (meta_dir / "v1.metadata.json").read_text()
+        )
+        assert meta["format-version"] == 3
+        # the delete manifest carries PUFFIN DV entries, one per
+        # referenced data file, blob-addressed
+        ents = self._delete_entries(spark, t)
+        assert ents and all(f == "PUFFIN" for f, *_ in ents)
+        assert all(
+            ref is not None and off is not None and size is not None
+            for _, ref, off, size, _n in ents
+        )
+        # exactly one puffin file, discoverable via the footer too
+        puffins = list(meta_dir.glob("dv-*.puffin"))
+        assert len(puffins) == 1
+        footer_dvs = read_puffin_dvs(puffins[0])
+        assert sum(len(v) for v in footer_dvs.values()) == sum(
+            n for *_x, n in ents
+        )
+        # blob coordinates in the manifest decode to the same vectors
+        for _f, ref, off, size, n in ents:
+            idxs = read_puffin_dv(puffins[0], int(off), int(size))
+            assert len(idxs) == n and footer_dvs[str(ref)] == list(
+                idxs
+            )
+        # merge-on-read roundtrip: reader == TxnTable state
+        got = {
+            (r["k"], r["v"])
+            for r in read_iceberg(spark, str(t.root)).collect()
+        }
+        want = {(r["k"], r["v"]) for r in t.read().collect()}
+        assert got == want and {k for k, _ in got} == {
+            k for k in range(12) if k % 3 != 0
+        }
+
+    def test_v3_cdc_and_fixture_interop(self, spark, lake):
+        """The exporter's v3 DV snapshots diff in the changelog, and
+        a FIXTURE-written DV snapshot layered on a REAL v3 export
+        keeps the cumulative-vector CDC semantics — the exporter's
+        shape is bit-compatible with the hand-built one the reader
+        was pinned against."""
+        t = TxnTable(lake, "v3e2", stats_cols=["k"])
+        t.append(
+            spark.range(0, 10)
+            .selectExpr("id as k")
+            .orderBy("k")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(t, format_version=3)
+        base = json.loads(
+            (t.root / "metadata" / "v1.metadata.json").read_text()
+        )["current-snapshot-id"]
+        t.delete_where(F.col("k").isin(1, 3), merge_on_read=True)
+        export_iceberg_metadata(t)  # inherits v3
+        meta = json.loads(
+            (
+                t.root
+                / "metadata"
+                / f"v{int((t.root / 'metadata' / 'version-hint.text').read_text())}.metadata.json"
+            ).read_text()
+        )
+        assert meta["format-version"] == 3
+        s1 = meta["current-snapshot-id"]
+        (uri,) = _data_file_uris(spark, t)
+        # fixture-written cumulative superset on top of the real
+        # export
+        s2 = _add_dv_snapshot(spark, t, {uri: [1, 3, 5]})
+        got = {
+            r["k"] for r in read_iceberg(spark, str(t.root)).collect()
+        }
+        assert got == set(range(10)) - {1, 3, 5}
+        ch = read_iceberg_changes(
+            spark, str(t.root), base, include_deletes=True
+        ).collect()
+        by_snap = {}
+        for r in ch:
+            by_snap.setdefault(r["_snapshot_id"], set()).add(
+                (r["k"], r["_change_type"])
+            )
+        assert by_snap[s1] == {(1, "delete"), (3, "delete")}
+        assert by_snap[s2] == {(5, "delete")}
+
+    def test_upgrade_one_way_and_v2_unchanged(self, spark, lake):
+        # v2 default: vectored export still writes position-delete
+        # PARQUET, no puffin anywhere
+        t = TxnTable(lake, "v3e3", stats_cols=["k"])
+        t.append(
+            spark.range(0, 8).selectExpr("id as k").orderBy("k")
+            .coalesce(1)
+        )
+        t.delete_where(F.col("k") == 2, merge_on_read=True)
+        export_iceberg_metadata(t)
+        meta_dir = t.root / "metadata"
+        assert json.loads(
+            (meta_dir / "v1.metadata.json").read_text()
+        )["format-version"] == 2
+        assert not list(meta_dir.glob("*.puffin"))
+        ents = self._delete_entries(spark, t)
+        assert ents and all(f == "PARQUET" for f, *_ in ents)
+        # v2 → v3 upgrade mid-history is allowed; time travel still
+        # reads the v2 snapshot
+        t.delete_where(F.col("k") == 4, merge_on_read=True)
+        export_iceberg_metadata(t, format_version=3)
+        n = int((meta_dir / "version-hint.text").read_text())
+        meta = json.loads((meta_dir / f"v{n}.metadata.json").read_text())
+        assert meta["format-version"] == 3
+        got = {
+            r["k"] for r in read_iceberg(spark, str(t.root)).collect()
+        }
+        assert got == {0, 1, 3, 5, 6, 7}
+        old_snap = meta["snapshots"][0]["snapshot-id"]
+        got_v2 = {
+            r["k"]
+            for r in read_iceberg(
+                spark, str(t.root), snapshot_id=old_snap
+            ).collect()
+        }
+        assert got_v2 == {0, 1, 3, 4, 5, 6, 7}
+        # downgrade refuses
+        t.append(spark.range(8, 9).selectExpr("id as k").coalesce(1))
+        with pytest.raises(ValueError, match="one-way"):
+            export_iceberg_metadata(t, format_version=2)
+        with pytest.raises(ValueError, match="format_version"):
+            export_iceberg_metadata(t, format_version=4)

@@ -154,15 +154,38 @@ class TestDeltaTimestamp:
                     a["commitInfo"]["timestamp"] = ts
                 out.append(json.dumps(a))
             p.write_text("\n".join(out) + "\n")
-        # start at v0's instant (exclusive), end at v1's (inclusive)
+        # delta-spark's startingTimestamp rule: the first commit
+        # stamped AT-or-after the instant is IN — so starting at
+        # v1's exact stamp includes v1; ending at it includes v1 too
         got = {
             (r["k"], r["_commit_version"])
             for r in read_delta_changes(
                 spark, str(t.root),
-                from_timestamp=10_000, to_timestamp=20_000,
+                from_timestamp=20_000, to_timestamp=20_000,
             ).collect()
         }
         assert got == {(3, 1), (4, 1)}
+        # an instant strictly between v0 and v1 starts at v1 as well
+        got2 = {
+            r["_commit_version"]
+            for r in read_delta_changes(
+                spark, str(t.root), from_timestamp=10_001
+            ).collect()
+        }
+        assert got2 == {1, 2}
+        # an instant BEFORE the earliest retained commit resolves to
+        # the full history (delta-spark resolves to version 0)
+        assert (
+            read_delta_changes(
+                spark, str(t.root), from_timestamp=5_000
+            ).count()
+            == 6
+        )
+        # an instant past the newest commit refuses loudly
+        with pytest.raises(ValueError, match="after the latest"):
+            read_delta_changes(
+                spark, str(t.root), from_timestamp=30_001
+            )
         with pytest.raises(ValueError, match="not both"):
             read_delta_changes(
                 spark, str(t.root), from_version=0,
@@ -215,3 +238,122 @@ class TestIcebergTimestamp:
             read_iceberg(
                 spark, str(t.root), snapshot_id=s1, timestamp=1
             )
+
+    def test_v1_metadata_no_snapshot_log(self, spark, tmp_path):
+        """format-version 1 metadata: snapshots carry no
+        sequence-number and a writer kept no snapshot-log — the
+        fallback orders by timestamp-ms (the only ordering signal v1
+        has) instead of raising KeyError."""
+        meta = {
+            "format-version": 1,
+            "table-uuid": "t-v1",
+            "location": str(tmp_path),
+            "current-snapshot-id": 20,
+            "snapshots": [
+                # list order scrambled on purpose: resolution must
+                # not depend on it
+                {"snapshot-id": 30, "timestamp-ms": 15_000},
+                {"snapshot-id": 10, "timestamp-ms": 10_000},
+                {"snapshot-id": 20, "timestamp-ms": 20_000},
+            ],
+        }
+        assert iceberg_snapshot_at(meta, 10_000) == 10
+        assert iceberg_snapshot_at(meta, 14_999) == 10
+        assert iceberg_snapshot_at(meta, 19_999) == 30
+        assert iceberg_snapshot_at(meta, 20_000) == 20
+        with pytest.raises(ValueError, match="before the earliest"):
+            iceberg_snapshot_at(meta, 9_999)
+        with pytest.raises(ValueError, match="after the latest"):
+            iceberg_snapshot_at(meta, 20_001)
+
+    def test_v2_fallback_monotonizes_like_delta(self, spark, tmp_path):
+        """No snapshot-log but sequence-numbers present: order by
+        sequence, and a later snapshot with an EARLIER stamp clamps
+        up (delta_version_at's monotonize rule) so it never resolves
+        before its predecessor."""
+        meta = {
+            "format-version": 2,
+            "table-uuid": "t-v2",
+            "location": str(tmp_path),
+            "current-snapshot-id": 30,
+            "snapshots": [
+                {"snapshot-id": 10, "sequence-number": 1,
+                 "timestamp-ms": 10_000},
+                {"snapshot-id": 20, "sequence-number": 2,
+                 "timestamp-ms": 20_000},
+                {"snapshot-id": 30, "sequence-number": 3,
+                 "timestamp-ms": 15_000},
+            ],
+        }
+        assert iceberg_snapshot_at(meta, 19_999) == 10
+        # 30's stamp clamps to 20_000; both land there, last wins
+        assert iceberg_snapshot_at(meta, 20_000) == 30
+        with pytest.raises(ValueError, match="after the latest"):
+            iceberg_snapshot_at(meta, 20_001)
+
+    def test_changelog_timestamp_bounds(self, spark, lake):
+        """read_iceberg_changes(from_timestamp/to_timestamp): the
+        Delta CDF spelling mirrored — start includes the first
+        snapshot stamped at-or-after the instant, end resolves to
+        the snapshot current at the instant, before-history floors
+        to the full history, past-latest refuses."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "ict", stats_cols=["k"])
+        t.append(spark.range(0, 3).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.append(spark.range(3, 5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.append(spark.range(5, 6).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        meta_dir = t.root / "metadata"
+        n = int((meta_dir / "version-hint.text").read_text())
+        mp = meta_dir / f"v{n}.metadata.json"
+        meta = json.loads(mp.read_text())
+        assert len(meta["snapshot-log"]) == 3
+        for e, ts in zip(
+            meta["snapshot-log"], (10_000, 20_000, 30_000)
+        ):
+            e["timestamp-ms"] = ts
+        mp.write_text(json.dumps(meta))
+        s1, s2, s3 = (e["snapshot-id"] for e in meta["snapshot-log"])
+
+        def ks(**kw):
+            return {
+                (r["k"], r["_snapshot_id"])
+                for r in read_iceberg_changes(
+                    spark, str(t.root), **kw
+                ).collect()
+            }
+
+        # start at s2's exact stamp: s2 is IN; end there: s2 is last
+        assert ks(from_timestamp=20_000, to_timestamp=20_000) == {
+            (3, s2), (4, s2),
+        }
+        # strictly between s1 and s2 starts at s2 as well
+        assert ks(from_timestamp=10_001) == {
+            (3, s2), (4, s2), (5, s3),
+        }
+        # before the earliest snapshot: the FULL history, first
+        # snapshot included
+        assert ks(from_timestamp=5_000) == {
+            (0, s1), (1, s1), (2, s1), (3, s2), (4, s2), (5, s3),
+        }
+        with pytest.raises(ValueError, match="after the latest"):
+            read_iceberg_changes(
+                spark, str(t.root), from_timestamp=30_001
+            )
+        with pytest.raises(ValueError, match="not both"):
+            read_iceberg_changes(
+                spark, str(t.root), from_snapshot_id=s1,
+                from_timestamp=10_000,
+            )
+        with pytest.raises(ValueError, match="not both"):
+            read_iceberg_changes(
+                spark, str(t.root), from_snapshot_id=s1,
+                to_snapshot_id=s2, to_timestamp=20_000,
+            )
+        with pytest.raises(ValueError, match="needs from_snapshot_id"):
+            read_iceberg_changes(spark, str(t.root))
