@@ -2148,6 +2148,310 @@ SELECT * FROM (
 """
 
 
+
+def lake_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES ... STORED AS SCD TYPE 2 (round 13;
+    lake/scd.py:scd2_apply_changes routed via apply_changes_into —
+    the DLT spelling): the SAME source history as lake_cdc_apply
+    (append -> merge-on-read DELETE of lang='de' -> merge-on-read
+    MERGE re-pricing doc_id % 50 == 0 to n_chars=1111 plus one new
+    id) applies into a TYPE-2 HISTORY table instead of latest-state.
+    Output = scd2_snapshot_at over each source version, rolled up per
+    (version, lang) — the point-in-time reads over the built history
+    must equal the oracle's pure-SQL expression of each version's
+    state (i.e. the source's own time travel), which pins the whole
+    open/close validity chain: delete-closes, same-version
+    image-pair folds, re-inserts of previously deleted keys, and the
+    update chain on re-priced keys."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.cdc_apply import apply_changes_into
+    from interop_datalake_spark.lake.scd import scd2_snapshot_at
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("doc_id") < 300)
+    root = tempfile.mkdtemp(prefix="lake_scd2_apply_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        src = TxnTable(session, "s2a_src", stats_cols=["doc_id"])
+        src.append(docs.repartition(4))                        # v1
+        src.delete_where(F.col("lang") == "de", merge_on_read=True)
+        upserts = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+            "n_chars", F.lit(1111).cast("bigint")
+        ).unionByName(
+            spark.createDataFrame(
+                [(9000, "en", 1000)],
+                "doc_id BIGINT, lang STRING, n_chars BIGINT",
+            )
+        )
+        src.merge(upserts, ["doc_id"], merge_on_read=True)     # v3
+        dim = TxnTable(session, "s2a_dim", stats_cols=["doc_id"])
+        apply_changes_into(
+            dim,
+            src.read_changes(0, include_deletes=True),
+            ["doc_id"],
+            stored_as_scd2=True,
+        )
+        rows = []
+        for v in range(1, src.current_version() + 1):
+            rows += (
+                scd2_snapshot_at(dim, v)
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_chars").alias("sum_chars"),
+                )
+                .withColumn("v", F.lit(v).cast("bigint"))
+                .collect()  # one row per (version, language) - bounded
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["v"], r["lang"], r["n"], r["sum_chars"]) for r in rows],
+        "v BIGINT, lang STRING, n BIGINT, sum_chars BIGINT",
+    ).orderBy("v", "lang")
+
+
+LAKE_SCD2_APPLY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 300
+), states AS (
+  SELECT 1 AS v, doc_id, lang, n_chars FROM base
+  UNION ALL
+  SELECT 2, doc_id, lang, n_chars FROM base WHERE lang <> 'de'
+  UNION ALL
+  SELECT 3, doc_id, lang, n_chars FROM base
+  WHERE lang <> 'de' AND doc_id % 50 <> 0
+  UNION ALL
+  SELECT 3, doc_id, lang, 1111 FROM base WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT 3, 9000, 'en', 1000
+)
+SELECT v::BIGINT AS v, lang, count(*)::BIGINT AS n,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM states
+GROUP BY v, lang
+ORDER BY v, lang
+"""
+
+
+def lake_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 Puffin deletion-vector EXPORT lifecycle (round 13;
+    lake/puffin.py write_puffin_dv_file wired into
+    export_iceberg_metadata(format_version=3)): append documents
+    (doc_id < 400) and export a v3 snapshot, merge-on-read DELETE
+    doc_id % 6 == 0 and export (the vectors publish as ONE Puffin
+    file of deletion-vector-v1 blobs + a delete manifest whose
+    entries carry referenced_data_file/content_offset/
+    content_size_in_bytes), then a second MOR delete of lang='de' and
+    a third export (the CUMULATIVE vector replaces the first). Probes
+    read back through the self-contained reader: the current
+    merge-on-read state, time travel to both earlier snapshots, and
+    the v3 CDC diff (read_iceberg_changes include_deletes — each
+    snapshot emits only its vector DIFF, cumulative supersets never
+    re-emit). The oracle replays every probe as plain filters over
+    the raw parquet."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        export_iceberg_metadata,
+        read_iceberg,
+        read_iceberg_changes,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("doc_id") < 400)
+    root = tempfile.mkdtemp(prefix="lake_ice_v3_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "docs_v3", stats_cols=["doc_id"])
+        t.append(docs.repartition(2))
+        export_iceberg_metadata(t, format_version=3)  # snapshot 1
+        t.delete_where(F.col("doc_id") % 6 == 0, merge_on_read=True)
+        export_iceberg_metadata(t)  # snapshot 2: Puffin DV (inherits v3)
+        t.delete_where(F.col("lang") == "de", merge_on_read=True)
+        export_iceberg_metadata(t)  # snapshot 3: cumulative Puffin DV
+        import json as _json
+
+        meta_dir = t.root / "metadata"
+        n_hint = int((meta_dir / "version-hint.text").read_text())
+        meta = _json.loads(
+            (meta_dir / f"v{n_hint}.metadata.json").read_text()
+        )
+        assert meta["format-version"] == 3  # inherited, not re-stated
+        snaps = [e["snapshot-id"] for e in meta["snapshot-log"]]
+
+        rows = []
+
+        def probe(name, frame):
+            r = frame.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("sum_chars"),
+            ).collect()[0]
+            rows.append((name, r["n"], r["sum_chars"]))
+
+        probe("current", read_iceberg(spark, str(t.root)))
+        probe(
+            "snap1",
+            read_iceberg(spark, str(t.root), snapshot_id=snaps[0]),
+        )
+        probe(
+            "snap2",
+            read_iceberg(spark, str(t.root), snapshot_id=snaps[1]),
+        )
+        probe(
+            "cdc_deletes",
+            read_iceberg_changes(
+                spark, str(t.root), snaps[0], include_deletes=True
+            ).filter(F.col("_change_type") == "delete"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe STRING, n BIGINT, sum_chars BIGINT"
+    ).orderBy("probe")
+
+
+LAKE_ICEBERG_V3_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 400
+), probes AS (
+  SELECT 'current' AS probe, count(*)::BIGINT AS n,
+         sum(n_chars)::BIGINT AS sum_chars
+  FROM base WHERE doc_id % 6 <> 0 AND lang <> 'de'
+  UNION ALL
+  SELECT 'snap1', count(*)::BIGINT, sum(n_chars)::BIGINT FROM base
+  UNION ALL
+  SELECT 'snap2', count(*)::BIGINT, sum(n_chars)::BIGINT
+  FROM base WHERE doc_id % 6 <> 0
+  UNION ALL
+  SELECT 'cdc_deletes', count(*)::BIGINT, sum(n_chars)::BIGINT
+  FROM base WHERE doc_id % 6 = 0 OR lang = 'de'
+)
+SELECT probe, n, sum_chars FROM probes ORDER BY probe
+"""
+
+
+def lake_delta_v2_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta V2 (sidecar) CHECKPOINT write lifecycle (round 13;
+    export_delta_log(checkpoint_format='v2')): mirror an orders slice
+    over three commits with checkpoint_every=2 — the log claims the
+    v2Checkpoint table feature from version 0 and the second mirrored
+    commit (a merge-on-read DELETE, so DV descriptors ride the
+    sidecar) publishes a UUID-named manifest + _delta_log/_sidecars/
+    parquet instead of the classic shape — then EXPIRE the
+    pre-checkpoint history, so every probe below must replay from the
+    V2 checkpoint alone: the current merge-on-read state, a
+    stats-pruned key-range read, and a residual row filter. The
+    oracle replays the probes as plain filters over the raw
+    parquet."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.delta_interop import (
+        expire_delta_log,
+        export_delta_log,
+        read_delta,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).filter(F.col("o_orderkey") < 800)
+    root = tempfile.mkdtemp(prefix="lake_dv2ck_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "ord_v2ck", stats_cols=["o_orderkey"])
+        t.append(
+            orders.filter(F.col("o_orderkey") < 400).repartition(2)
+        )
+        export_delta_log(
+            t, mode="mirror", checkpoint_every=2,
+            checkpoint_format="v2",
+        )  # delta v0 (full export, v2Checkpoint claimed)
+        t.append(
+            orders.filter(F.col("o_orderkey") >= 400).repartition(2)
+        )
+        export_delta_log(
+            t, mode="mirror", checkpoint_every=2,
+            checkpoint_format="v2",
+        )  # delta v1
+        t.delete_where(F.col("o_orderkey") % 5 == 0, merge_on_read=True)
+        export_delta_log(
+            t, mode="mirror", checkpoint_every=2,
+            checkpoint_format="v2",
+        )  # delta v2 + V2 checkpoint (sidecar carries the DVs)
+        log = t.root / "_delta_log"
+        assert list(log.glob(f"{2:020d}.checkpoint.*.parquet")), (
+            "V2 checkpoint manifest missing"
+        )
+        expire_delta_log(t)  # jsons v0/v1 gone: checkpoint-only replay
+
+        rows = []
+
+        def probe(name, frame):
+            r = frame.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_custkey").alias("sum_cust"),
+            ).collect()[0]
+            rows.append((name, r["n"], r["sum_cust"]))
+
+        probe("current", read_delta(spark, str(t.root)))
+        probe(
+            "key_range",
+            read_delta(
+                spark, str(t.root),
+                key_range=("o_orderkey", 100, 300),
+            ).filter(F.col("o_orderkey").between(100, 300)),
+        )
+        probe(
+            "urgent",
+            read_delta(spark, str(t.root)).filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe STRING, n BIGINT, sum_cust BIGINT"
+    ).orderBy("probe")
+
+
+LAKE_DELTA_V2CK_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+  WHERE o_orderkey < 800
+), live AS (
+  SELECT * FROM base WHERE o_orderkey % 5 <> 0
+), probes AS (
+  SELECT 'current' AS probe, count(*)::BIGINT AS n,
+         sum(o_custkey)::BIGINT AS sum_cust
+  FROM live
+  UNION ALL
+  SELECT 'key_range', count(*)::BIGINT, sum(o_custkey)::BIGINT
+  FROM live WHERE o_orderkey BETWEEN 100 AND 300
+  UNION ALL
+  SELECT 'urgent', count(*)::BIGINT, sum(o_custkey)::BIGINT
+  FROM live WHERE o_orderpriority = '1-URGENT'
+)
+SELECT probe, n, sum_cust FROM probes ORDER BY probe
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -2175,6 +2479,9 @@ QUERIES = {
     "lake_delta_dv_read": lake_delta_dv_read,
     "lake_iceberg_roundtrip": lake_iceberg_roundtrip,
     "lake_iceberg_bucket": lake_iceberg_bucket,
+    "lake_scd2_apply": lake_scd2_apply,
+    "lake_iceberg_v3_dv": lake_iceberg_v3_dv,
+    "lake_delta_v2_checkpoint": lake_delta_v2_checkpoint,
 }
 
 ORACLES = {
@@ -2204,4 +2511,7 @@ ORACLES = {
     "lake_delta_dv_read": LAKE_DELTA_DV_ORACLE,
     "lake_iceberg_roundtrip": LAKE_ICEBERG_ORACLE,
     "lake_iceberg_bucket": LAKE_ICEBERG_BUCKET_ORACLE,
+    "lake_scd2_apply": LAKE_SCD2_APPLY_ORACLE,
+    "lake_iceberg_v3_dv": LAKE_ICEBERG_V3_ORACLE,
+    "lake_delta_v2_checkpoint": LAKE_DELTA_V2CK_ORACLE,
 }

@@ -123,21 +123,25 @@ def _meta_action(
     }
 
 
-def _protocol_action(dv: bool, cdf: bool) -> dict:
+def _protocol_action(dv: bool, cdf: bool, v2c: bool = False) -> dict:
     """The protocol a snapshot/commit must claim: vector-free tables
     stay maximally consumable (1/2, or 1/4 — the legacy CDF writer
     version — when change data is recorded); vectored tables claim
     3/7 with the deletionVectors feature, plus the writer-only
-    changeDataFeed feature when cdc actions are written."""
-    if dv:
-        feats_w = ["deletionVectors"] + (
-            ["changeDataFeed"] if cdf else []
+    changeDataFeed feature when cdc actions are written. ``v2c``
+    (sidecar-based V2 checkpoints published) forces 3/7 with the
+    ``v2Checkpoint`` reader+writer feature — the spec's gate: a
+    reader that cannot follow sidecars must not replay the table."""
+    if dv or v2c:
+        feats_r = (["deletionVectors"] if dv else []) + (
+            ["v2Checkpoint"] if v2c else []
         )
+        feats_w = list(feats_r) + (["changeDataFeed"] if cdf else [])
         return {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
+                "readerFeatures": feats_r,
                 "writerFeatures": feats_w,
             }
         }
@@ -365,6 +369,7 @@ def _write_marker(
     dv_descs: dict | None = None,
     dv_protocol: bool = False,
     cdf: bool = False,
+    v2c: bool = False,
 ):
     """Atomic + fsync'd like the commits — INCLUDING the directory
     fsync after the rename (round-8 review 5): a dir-cached rename
@@ -386,6 +391,7 @@ def _write_marker(
                     "dv_descs": dv_descs or {},
                     "dv_protocol": bool(dv_protocol),
                     "cdf": bool(cdf),
+                    "v2c": bool(v2c),
                 }
             )
         )
@@ -415,13 +421,17 @@ def _read_marker(log_dir: Path) -> dict | None:
             "dv_descs": dict(d.get("dv_descs") or {}),
             "dv_protocol": bool(d.get("dv_protocol")),
             "cdf": bool(d.get("cdf")),
+            "v2c": bool(d.get("v2c")),
         }
     except (ValueError, KeyError, TypeError):
         return None
 
 
 def _full_export(
-    table: TxnTable, version: int | None, cdf: bool = False
+    table: TxnTable,
+    version: int | None,
+    cdf: bool = False,
+    v2c: bool = False,
 ) -> Path:
     m = table.manifest(version)
     _validate_exportable(table, m, m["files"])
@@ -464,7 +474,7 @@ def _full_export(
         # vector-free snapshots stay minReader/Writer 1/2 (plain
         # parquet + partition columns) — maximally consumable; a
         # vectored snapshot must claim the deletionVectors feature
-        _protocol_action(bool(dv_descs), cdf),
+        _protocol_action(bool(dv_descs), cdf, v2c),
         _meta_action(m, now_ms, table_id, cdf),
     ] + [
         _add_action(table, m, f, now_ms, names, dv_descs.get(f))
@@ -474,7 +484,7 @@ def _full_export(
     _write_commit(log_dir, 0, actions)
     _write_marker(
         log_dir, m["version"], 0, table_id, dv_descs, bool(dv_descs),
-        cdf,
+        cdf, v2c,
     )
     return log_dir
 
@@ -485,6 +495,7 @@ def export_delta_log(
     mode: str = "replace",
     checkpoint_every: int = 10,
     change_data: bool = False,
+    checkpoint_format: str = "classic",
 ) -> Path:
     """Write a Delta ``_delta_log`` describing the TxnTable into the
     table's root — the root then IS a Delta table: ``add.path``
@@ -505,12 +516,19 @@ def export_delta_log(
     ``version`` must be None in mirror mode.
 
     CHECKPOINTS: every ``checkpoint_every``-th mirrored Delta commit
-    also writes a classic single-part parquet checkpoint +
-    ``_last_checkpoint`` (the state at that version: protocol,
-    metaData, live adds with DV descriptors), so external engines
-    replay O(checkpoint + tail); :func:`expire_delta_log` then
-    implements Delta's metadata retention by dropping the
-    pre-checkpoint history.
+    also writes a parquet checkpoint + ``_last_checkpoint`` (the
+    state at that version: protocol, metaData, live adds with DV
+    descriptors), so external engines replay O(checkpoint + tail);
+    :func:`expire_delta_log` then implements Delta's metadata
+    retention by dropping the pre-checkpoint history (V2 sidecars
+    orphaned by expired manifests included).
+    ``checkpoint_format="classic"`` (default) writes the single-part
+    action-per-row shape; ``"v2"`` writes the sidecar-based V2 shape
+    (UUID-named manifest + ``_delta_log/_sidecars/`` parquet) and
+    upgrades the published protocol to claim the ``v2Checkpoint``
+    reader+writer feature in the next published commit — a one-way
+    table feature: once claimed it stays claimed even if a later
+    mirror reverts to classic files.
 
     ``change_data=True`` records Delta's CHANGE DATA FEED: the
     metaData sets ``delta.enableChangeDataFeed``, the protocol claims
@@ -552,6 +570,10 @@ def export_delta_log(
     path."""
     if mode not in ("replace", "mirror"):
         raise ValueError("mode must be 'replace' or 'mirror'")
+    if checkpoint_format not in ("classic", "v2"):
+        raise ValueError(
+            "checkpoint_format must be 'classic' or 'v2'"
+        )
     if mode == "mirror" and version is not None:
         raise ValueError("mirror mode always exports to the latest version")
     log_dir = table.root / "_delta_log"
@@ -577,14 +599,18 @@ def export_delta_log(
                 f"table {table.name}: another Delta export holds the "
                 f"lock — one export writer at a time"
             )
+        v2 = checkpoint_format == "v2"
         if mode == "replace":
-            return _full_export(table, version, change_data)
+            return _full_export(table, version, change_data, v2)
         marker = _read_marker(log_dir) if log_dir.exists() else None
         if marker is None:
-            # no marker, or a torn one: restart with a full export
-            return _full_export(table, None, change_data)
+            # no marker, or a torn one: restart with a full export —
+            # claiming v2Checkpoint up front when requested, so the
+            # mirror's own checkpoints need no later upgrade commit
+            return _full_export(table, None, change_data, v2)
         return _mirror_locked(
-            table, log_dir, checkpoint_every, change_data
+            table, log_dir, checkpoint_every, change_data,
+            checkpoint_format,
         )
     finally:
         os.close(lock_fd)
@@ -595,12 +621,15 @@ def _mirror_locked(
     log_dir: Path,
     checkpoint_every: int = 10,
     change_data: bool = False,
+    checkpoint_format: str = "classic",
 ) -> Path:
     # marker re-read UNDER the lock: decisions below must be based on
     # the acknowledged state no concurrent writer can move
     marker = _read_marker(log_dir)
     if marker is None:
-        return _full_export(table, None)
+        return _full_export(
+            table, None, change_data, checkpoint_format == "v2"
+        )
     base_txn = marker["txn_version"]
     delta_v = marker["delta_version"]
     table_id = marker["table_id"]
@@ -627,6 +656,12 @@ def _mirror_locked(
     dv_protocol_claimed = bool(marker.get("dv_protocol"))
     cdf = bool(change_data)
     cdf_claimed = bool(marker.get("cdf"))
+    # v2Checkpoint is a one-way table feature: once published, the
+    # protocol keeps claiming it (readers must still follow sidecars
+    # in the history) even if a later mirror reverts to classic
+    # checkpoint files
+    v2c = bool(marker.get("v2c")) or checkpoint_format == "v2"
+    v2c_claimed = bool(marker.get("v2c"))
     for v in range(base_txn + 1, cur + 1):
         m = table.manifest(v)
         prev_files = set(prev["files"])
@@ -702,15 +737,17 @@ def _mirror_locked(
             op = None  # checkpoint-folded record: assume data change
         dc = op not in ("compact", "consolidate_dv")
         actions = [_commit_info(now_ms, op, v)]
-        if (new_descs and not dv_protocol_claimed) or (
-            cdf != cdf_claimed
+        if (
+            (new_descs and not dv_protocol_claimed)
+            or cdf != cdf_claimed
+            or v2c != v2c_claimed
         ):
-            # first vectored commit / CDF transition in this mirror:
-            # upgrade the published protocol in-commit (Delta's own
-            # upgrade path)
+            # first vectored commit / CDF transition / v2Checkpoint
+            # enablement in this mirror: upgrade the published
+            # protocol in-commit (Delta's own upgrade path)
             actions.append(
                 _protocol_action(
-                    dv_protocol_claimed or bool(new_descs), cdf
+                    dv_protocol_claimed or bool(new_descs), cdf, v2c
                 )
             )
         if (
@@ -787,6 +824,7 @@ def _mirror_locked(
                     dv_descs.pop(f, None)
             dv_protocol_claimed = dv_protocol_claimed or bool(new_descs)
             cdf_claimed = cdf
+            v2c_claimed = v2c
             delta_v += 1
             _write_commit(log_dir, delta_v, actions)
             # marker advances per PUBLISHED commit, right after it: a
@@ -796,7 +834,7 @@ def _mirror_locked(
             # don't pay an fsync (round-8 reviews 4+5)
             _write_marker(
                 log_dir, v, delta_v, table_id, dv_descs,
-                dv_protocol_claimed, cdf_claimed,
+                dv_protocol_claimed, cdf_claimed, v2c_claimed,
             )
             marked = v
             if checkpoint_every and delta_v % checkpoint_every == 0:
@@ -806,6 +844,8 @@ def _mirror_locked(
                 _write_delta_checkpoint(
                     table, log_dir, delta_v, m, table_id, dv_descs,
                     dv_protocol_claimed, now_ms, cdf_claimed,
+                    v2c=(checkpoint_format == "v2" and v2c_claimed),
+                    v2c_protocol=v2c_claimed,
                 )
         prev = m
     if marked != cur:
@@ -912,12 +952,21 @@ def _write_delta_checkpoint(
     dv_protocol: bool,
     now_ms: int,
     cdf: bool = False,
+    v2c: bool = False,
+    v2c_protocol: bool | None = None,
 ) -> None:
-    """Write a CLASSIC single-part parquet checkpoint of the log state
-    at ``delta_v`` (one action per row: protocol + metaData + every
-    live add, DV descriptors included) plus the ``_last_checkpoint``
-    pointer — the layout every long-lived Delta table gets from log
-    cleanup, and the exact shape :func:`_load_checkpoint` consumes.
+    """Write a parquet checkpoint of the log state at ``delta_v`` —
+    CLASSIC single-part by default (one action per row: protocol +
+    metaData + every live add, DV descriptors included), or the V2
+    sidecar shape when ``v2c`` (UUID-named manifest + one
+    ``_sidecars/`` parquet holding the adds) — plus the
+    ``_last_checkpoint`` pointer: the layouts every long-lived Delta
+    table gets from log cleanup, and the exact shapes
+    :func:`_load_checkpoint` consumes. ``v2c`` picks the LAYOUT;
+    ``v2c_protocol`` (default: follow ``v2c``) is whether the
+    table's protocol claims the v2Checkpoint feature — a v2c-claimed
+    history that reverts to classic checkpoint files must still
+    record the claimed protocol in its checkpoint rows.
     External engines then replay O(checkpoint + tail) instead of the
     whole JSON history, and :func:`expire_delta_log` may drop the
     pre-checkpoint tail entirely. Remove tombstones are deliberately
@@ -999,12 +1048,12 @@ def _write_delta_checkpoint(
             ),
         ]
     )
-    proto = _protocol_action(dv_protocol, cdf)["protocol"]
+    if v2c_protocol is None:
+        v2c_protocol = v2c
+    proto = _protocol_action(dv_protocol, cdf, v2c_protocol)["protocol"]
     names = _schema_names(m)
-    rows = [
-        {"protocol": proto},
-        {"metaData": _meta_action(m, now_ms, table_id, cdf)["metaData"]},
-    ]
+    meta_row = _meta_action(m, now_ms, table_id, cdf)["metaData"]
+    add_rows = []
     for f in m["files"]:
         # checkpoint file actions carry dataChange=false (delta-spark
         # canonicalizes on state reconstruction): a checkpoint is a
@@ -1016,9 +1065,72 @@ def _write_delta_checkpoint(
         )["add"]
         a.setdefault("stats", None)
         a.setdefault("deletionVector", None)
-        rows.append({"add": a})
-    tbl = pa.Table.from_pylist(rows, schema=schema)
-    dest = log_dir / f"{delta_v:020d}.checkpoint.parquet"
+        add_rows.append({"add": a})
+    if v2c:
+        # V2 (sidecar) shape: the adds land in ONE parquet under
+        # _delta_log/_sidecars/, and the UUID-named manifest holds
+        # checkpointMetadata + protocol + metaData + the sidecar
+        # pointer — the layout _load_v2_checkpoint consumes and
+        # delta-spark's v2Checkpoint writers produce. Publish order
+        # is sidecar → manifest → _last_checkpoint, each tmp+rename:
+        # a torn write never leaves a manifest naming a missing
+        # sidecar.
+        sc_dir = log_dir / "_sidecars"
+        sc_dir.mkdir(exist_ok=True)
+        sc_name = f"{uuid.uuid4().hex}.parquet"
+        sc_tmp = log_dir / f".tmp-{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(
+                add_rows, schema=pa.schema([schema.field("add")])
+            ),
+            sc_tmp,
+        )
+        sc_tmp.replace(sc_dir / sc_name)
+        sc_stat = (sc_dir / sc_name).stat()
+        man_schema = pa.schema(
+            [
+                (
+                    "checkpointMetadata",
+                    pa.struct([("version", pa.int64())]),
+                ),
+                schema.field("protocol"),
+                schema.field("metaData"),
+                (
+                    "sidecar",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("sizeInBytes", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        rows = [
+            {"checkpointMetadata": {"version": delta_v}},
+            {"protocol": proto},
+            {"metaData": meta_row},
+            {
+                "sidecar": {
+                    "path": sc_name,
+                    "sizeInBytes": sc_stat.st_size,
+                    "modificationTime": int(sc_stat.st_mtime * 1000),
+                }
+            },
+        ]
+        dest = (
+            log_dir
+            / f"{delta_v:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+        )
+        tbl = pa.Table.from_pylist(rows, schema=man_schema)
+    else:
+        rows = [
+            {"protocol": proto},
+            {"metaData": meta_row},
+        ] + add_rows
+        dest = log_dir / f"{delta_v:020d}.checkpoint.parquet"
+        tbl = pa.Table.from_pylist(rows, schema=schema)
     tmp = log_dir / f".tmp-{uuid.uuid4().hex}.parquet"
     pq.write_table(tbl, tmp)
     tmp.replace(dest)
@@ -1072,6 +1184,32 @@ def expire_delta_log(table: TxnTable) -> int:
             if v.isdigit() and int(v) < newest:
                 p.unlink()
                 removed += 1
+        # V2 sidecars referenced only by the checkpoints just expired
+        # are unreachable: keep exactly the files the RETAINED v2
+        # manifests name, sweep the rest
+        sc_dir = log_dir / "_sidecars"
+        if sc_dir.exists():
+            import pyarrow.parquet as _pq
+
+            kept_sc: set[str] = set()
+            for p in log_dir.glob("*.checkpoint*.parquet"):
+                if len(p.name.split(".")) != 4:
+                    continue  # classic shapes carry no sidecar rows
+                names = set(_pq.read_schema(p).names)
+                if "sidecar" not in names:
+                    continue
+                for row in _pq.read_table(
+                    p, columns=["sidecar"]
+                ).to_pylist():
+                    sc = row.get("sidecar")
+                    if sc and sc.get("path"):
+                        kept_sc.add(Path(sc["path"]).name)
+            for f in sc_dir.iterdir():
+                if f.is_file() and f.name not in kept_sc:
+                    f.unlink()
+                    removed += 1
+            if not any(sc_dir.iterdir()):
+                sc_dir.rmdir()
         # change-data files referenced ONLY by the jsons just expired
         # are unreachable (checkpoints carry no cdc actions): sweep
         # everything the retained commits don't name

@@ -32,8 +32,14 @@ wrong row):
   (``dataChange=false`` on both sides) is skipped as pure rewrite;
 - an ``add`` carrying a ``deletionVector`` (its rows need a MOR
   anti-join — the ``delta_cdc`` stream performs it positionally);
-- a ``metaData`` whose schema differs from the stream's declared one
-  (restart the stream to pick up evolution);
+- a ``metaData`` whose schema carries columns the stream's declared
+  one lacks — the delta-spark ``schemaTrackingLocation`` UX, pinned
+  by ``tests/test_delta_stream.py::TestEvolutionRestart``: the
+  refusal fires BEFORE offsets advance, so a restarted query on the
+  same checkpoint re-resolves the widened schema and resumes exactly
+  at the evolution commit (pre-evolution files null-fill through the
+  schema-on-read subset rule; nothing skips or double-reads). Both
+  formats behave the same;
 - expired history: a window whose commit json was removed by log
   cleanup (``expire_delta_log``) refuses rather than silently
   skipping its rows;

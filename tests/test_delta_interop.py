@@ -1788,3 +1788,158 @@ def test_id_gate_descends_array_and_map_nests():
                   ]}}},
     ]
     _check_reader_features(meta_of(nested_ok), None)  # no raise
+
+
+class TestV2CheckpointWriting:
+    def test_mirror_writes_v2_checkpoints(self, spark, lake):
+        """checkpoint_format='v2': the mirror publishes UUID-named
+        manifests + _sidecars parquet, upgrades the protocol to claim
+        v2Checkpoint, replays checkpoint-only after expiry, and the
+        sidecar sweep reclaims superseded files. Classic default is
+        byte-shape-unchanged (separate tests pin it)."""
+        from interop_datalake_spark.lake.delta_interop import (
+            expire_delta_log,
+        )
+
+        t = TxnTable(lake, "v2ck", stats_cols=["k"])
+        t.append(
+            spark.range(0, 10).selectExpr("id as k", "'a' as v")
+            .coalesce(1)
+        )
+        export_delta_log(
+            t, mode="mirror", checkpoint_every=2,
+            checkpoint_format="v2",
+        )
+        for i in range(1, 5):
+            t.append(
+                spark.range(10 * i, 10 * i + 10)
+                .selectExpr("id as k", "'a' as v")
+                .coalesce(1)
+            )
+            export_delta_log(
+                t, mode="mirror", checkpoint_every=2,
+                checkpoint_format="v2",
+            )
+        log = t.root / "_delta_log"
+        v2_manifests = sorted(log.glob("*.checkpoint.*.parquet"))
+        assert [p.name.split(".")[0] for p in v2_manifests] == [
+            f"{2:020d}", f"{4:020d}",
+        ]
+        assert all(len(p.name.split(".")) == 4 for p in v2_manifests)
+        sidecars = list((log / "_sidecars").glob("*.parquet"))
+        assert len(sidecars) == 2
+        # protocol claims the v2Checkpoint feature in the log
+        proto = next(
+            json.loads(line)["protocol"]
+            for line in (log / f"{0:020d}.json").read_text()
+            .splitlines()
+            if '"protocol"' in line
+        )
+        assert "v2Checkpoint" in proto["readerFeatures"]
+        assert "v2Checkpoint" in proto["writerFeatures"]
+        assert proto["minReaderVersion"] == 3
+        want = {r["k"] for r in t.read().collect()}
+        assert {
+            r["k"] for r in read_delta(spark, str(t.root)).collect()
+        } == want
+        # expiry: pre-checkpoint history AND the superseded v2
+        # manifest + its orphaned sidecar go; replay is
+        # checkpoint-only and still correct
+        removed = expire_delta_log(t)
+        assert removed >= 5
+        assert not (log / f"{1:020d}.json").exists()
+        assert len(list(log.glob("*.checkpoint.*.parquet"))) == 1
+        assert len(list((log / "_sidecars").glob("*.parquet"))) == 1
+        assert {
+            r["k"] for r in read_delta(spark, str(t.root)).collect()
+        } == want and len(want) == 50
+
+    def test_classic_to_v2_transition_and_streams(
+        self, spark, lake, tmp_path
+    ):
+        """A classic mirror continued with checkpoint_format='v2'
+        emits the protocol upgrade in the next published commit; the
+        delta_appends stream keeps streaming across it (v2Checkpoint
+        is stream-safe), and a vectored v2 checkpoint replays its DV
+        descriptors after expiry."""
+        from interop_datalake_spark.lake.delta_interop import (
+            expire_delta_log,
+        )
+        from interop_datalake_spark.streaming.delta_source import (
+            read_delta_stream,
+        )
+
+        t = TxnTable(lake, "v2ck2", stats_cols=["k"])
+        t.append(
+            spark.range(0, 15).selectExpr("id as k").coalesce(1)
+        )
+        export_delta_log(t, mode="mirror", checkpoint_every=1)
+        t.append(
+            spark.range(15, 20).selectExpr("id as k").coalesce(1)
+        )
+        export_delta_log(t, mode="mirror", checkpoint_every=1)
+        log = t.root / "_delta_log"
+        # classic shape at commit 1 (the full export at v0 writes no
+        # checkpoint), and no v2Checkpoint claim yet
+        assert (log / f"{1:020d}.checkpoint.parquet").exists()
+        proto0 = next(
+            json.loads(line)["protocol"]
+            for line in (log / f"{0:020d}.json").read_text()
+            .splitlines()
+            if '"protocol"' in line
+        )
+        assert "readerFeatures" not in proto0
+
+        got: list = []
+        q = (
+            read_delta_stream(spark, str(t.root))
+            .writeStream.foreachBatch(
+                lambda b, e: got.extend(b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "v2ck_s"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        assert sorted(r.k for r in got) == list(range(20))
+
+        t.append(spark.range(20, 25).selectExpr("id as k").coalesce(1))
+        export_delta_log(
+            t, mode="mirror", checkpoint_every=1,
+            checkpoint_format="v2",
+        )
+        proto = next(
+            json.loads(line)["protocol"]
+            for line in (log / f"{2:020d}.json").read_text()
+            .splitlines()
+            if '"protocol"' in line
+        )
+        assert "v2Checkpoint" in proto["readerFeatures"]
+        assert list(log.glob(f"{2:020d}.checkpoint.*.parquet"))
+        # the stream resumes across the upgrade commit
+        got2: list = []
+        q2 = (
+            read_delta_stream(spark, str(t.root))
+            .writeStream.foreachBatch(
+                lambda b, e: got2.extend(b.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "v2ck_s"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q2.awaitTermination(120)
+        assert sorted(r.k for r in got2) == list(range(20, 25))
+
+        # vectored v2 checkpoint: DV descriptors ride the sidecar
+        t.delete_where(F.col("k") % 3 == 0, merge_on_read=True)
+        export_delta_log(
+            t, mode="mirror", checkpoint_every=1,
+            checkpoint_format="v2",
+        )
+        assert expire_delta_log(t) >= 1
+        got3 = {
+            r["k"] for r in read_delta(spark, str(t.root)).collect()
+        }
+        assert got3 == {k for k in range(25) if k % 3 != 0}
+        with pytest.raises(ValueError, match="checkpoint_format"):
+            export_delta_log(t, checkpoint_format="v3")

@@ -533,3 +533,100 @@ class TestDeltaCdcStream:
             spark, str(t.root), str(tmp_path / "c4"), got, after=0
         )
         assert got == []
+
+
+class TestEvolutionRestart:
+    """delta-spark's schemaTrackingLocation UX, pinned: a running
+    stream REFUSES at an add-column evolution commit (loud, offsets
+    not advanced), and a restarted query on the SAME checkpoint
+    re-resolves the widened schema and resumes exactly where it
+    stopped — the evolution commit streams, nothing is skipped or
+    double-read, and post-restart pre-evolution files null-fill."""
+
+    def test_appends_resume_across_add_column(
+        self, spark, lake, tmp_path
+    ):
+        t = TxnTable(lake, "evo1", stats_cols=["k"])
+        t.append(spark.range(0, 3).selectExpr("id as k").coalesce(1))
+        export_delta_log(t, mode="mirror")
+        ck = str(tmp_path / "evo_ck")
+        r1: list = []
+        _drain(spark, str(t.root), ck, r1)
+        assert sorted(r.k for r in r1) == [0, 1, 2]
+
+        # the table evolves while the stream is down; a reader still
+        # holding the OLD schema would refuse this window (the
+        # mid-stream case test_schema_evolution_semantics pins)
+        t.append(
+            spark.createDataFrame(
+                [(3, "x")], "k BIGINT, extra STRING"
+            ).coalesce(1)
+        )
+        export_delta_log(t, mode="mirror")
+        t.append(
+            spark.createDataFrame(
+                [(4, "y")], "k BIGINT, extra STRING"
+            ).coalesce(1)
+        )
+        export_delta_log(t, mode="mirror")
+
+        # restart on the SAME checkpoint: the new query resolves the
+        # widened schema and resumes from the stored offset — both
+        # the evolution commit and the later one stream, once each
+        r2: list = []
+        _drain(spark, str(t.root), ck, r2)
+        assert sorted((r.k, r.extra) for r in r2) == [
+            (3, "x"), (4, "y"),
+        ]
+
+    def test_cdc_resume_across_add_column_with_retraction(
+        self, spark, lake, tmp_path
+    ):
+        """The delta_cdc twin — and the post-restart window also
+        replays a PRE-evolution file (a DV delete touches it), which
+        must null-fill the new column under the widened schema."""
+        from interop_datalake_spark.streaming.delta_source import (
+            read_delta_cdc_stream,
+        )
+
+        def drain_cdc(path, ck, rows):
+            q = (
+                read_delta_cdc_stream(spark, path)
+                .writeStream.foreachBatch(
+                    lambda b, e: rows.extend(b.collect())
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+
+        t = TxnTable(lake, "evo2", stats_cols=["k"])
+        t.append(
+            spark.range(0, 4).selectExpr("id as k").coalesce(1)
+        )
+        export_delta_log(t, mode="mirror")
+        ck = str(tmp_path / "evo2_ck")
+        r1: list = []
+        drain_cdc(str(t.root), ck, r1)
+        assert {(r.k, r._change_type) for r in r1} == {
+            (k, "insert") for k in range(4)
+        }
+
+        t.append(
+            spark.createDataFrame(
+                [(9, "n")], "k BIGINT, extra STRING"
+            ).coalesce(1)
+        )
+        export_delta_log(t, mode="mirror")
+        # a MOR delete on a PRE-evolution file: its delete rows
+        # stream post-restart and must null-fill `extra`
+        t.delete_where(F.col("k") == 1, merge_on_read=True)
+        export_delta_log(t, mode="mirror")
+
+        r2: list = []
+        drain_cdc(str(t.root), ck, r2)
+        assert {(r.k, r.extra, r._change_type) for r in r2} == {
+            (9, "n", "insert"),
+            (1, None, "delete"),
+        }
