@@ -115,6 +115,15 @@ HEADLINE = [
     # round 12: APPLY CHANGES INTO — fold a change feed to
     # latest-per-key and apply (keyed merge + keyed semi-join delete)
     "lake_cdc_apply",
+    # round 13: the three feature debuts — SCD2 APPLY CHANGES history
+    # build, Iceberg v3 Puffin DV export lifecycle, Delta V2 sidecar
+    # checkpoint write + expiry + checkpoint-only replay
+    "lake_scd2_apply",
+    "lake_iceberg_v3_dv",
+    "lake_delta_v2_checkpoint",
+    # round 13: the Iceberg changelog readStream (iceberg_cdc —
+    # executor-side position resolution, pure-Python Avro planning)
+    "stream_iceberg_cdc",
     # round 9: deterministic epoch shuffle + curriculum ordering
     # (hash-key window per shard / per tier)
     "corpus_shuffle_deterministic",

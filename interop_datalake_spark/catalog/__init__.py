@@ -338,11 +338,24 @@ WITNESS_PRIORITY = [
     # window's single most expensive row; its IVM-join class stays
     # witnessed by lake_incremental_join_view and the rollup stays
     # oracle-backed past the cut)
-    "lake_publish_roundtrip", "lake_txn_acid",
+    # Round-13 flagship rotations, all three debuts of this round's
+    # features: lake_iceberg_v3_dv (Puffin deletion-vector WRITE wired
+    # into the v3 export) displaces lake_iceberg_bucket (r11+r12
+    # hash-green; the iceberg class keeps lake_iceberg_roundtrip +
+    # the v3 debut), lake_delta_v2_checkpoint (sidecar checkpoint
+    # WRITE + expiry + checkpoint-only replay) displaces
+    # lake_txn_acid (green since r6; the ACID class stays witnessed
+    # by every lake lifecycle row and its pytest suite), and
+    # lake_scd2_apply (APPLY CHANGES STORED AS SCD TYPE 2 — the
+    # version-for-version time-travel replay) displaces join_anti
+    # (r12-green; the join class keeps join_full_outer +
+    # lateral_topk_orders). All three debuts are oracle-backed.
+    "lake_publish_roundtrip", "lake_delta_v2_checkpoint",
     "lake_delta_dv_read", "lake_incremental_view",
     "lake_incremental_join_view", "lake_cdc_apply",
     "lake_delta_cdf", "lake_iceberg_roundtrip",
-    "lake_iceberg_bucket", "lake_expectations",
+    "lake_iceberg_v3_dv", "lake_expectations",
+    "lake_scd2_apply",
     # NULL semantics / reshape
     "null_semantics",
     "unpivot_order_metrics",
@@ -359,7 +372,7 @@ WITNESS_PRIORITY = [
     # exclude_self change and stay recall/determinism-pinned in
     # pytest. In their place: the two stalest oracle-backed
     # previously-green entries (r1-era join witnesses).
-    "ann_index_incremental", "join_full_outer", "join_anti",
+    "ann_index_incremental", "join_full_outer",
     # retrieval (BM25 index gained the exactly-once gate this round)
     "search_bm25_indexed", "search_hybrid_rrf",
     # text analysis + tokenizer training
@@ -380,8 +393,12 @@ WITNESS_PRIORITY = [
     # retraction-capable source lifting delta_appends' refusal —
     # debuts in-window, displacing r11-green stream_delta_appends;
     # the foreign-format-stream class keeps the new CDC rep and the
-    # appends pipeline stays oracle-backed past the cut)
-    "stream_join_outer", "stream_delta_cdc",
+    # appends pipeline stays oracle-backed past the cut. Round 13:
+    # stream_iceberg_cdc — the Iceberg changelog readStream debut,
+    # this round's fourth new operator — displaces stream_join_outer
+    # (r12-hash-green; stream-stream joins stay pinned in pytest and
+    # the streaming class keeps three in-window reps))
+    "stream_iceberg_cdc", "stream_delta_cdc",
     # multimodal
     "multimodal_phash_dedup",
     # event analytics + association mining (the graph class's

@@ -490,6 +490,105 @@ ORDER BY o_orderkey
 
 
 
+def stream_iceberg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-Iceberg CDC streaming (round 13;
+    streaming/iceberg_source.py iceberg_cdc format — the changelog
+    readStream, lifting the append source's retraction refusal; the
+    Iceberg twin of stream_delta_cdc): a TxnTable ingests a bounded
+    orders slice (snapshot 1), a merge-on-read DELETE of every
+    o_orderkey % 10 == 0 exports as a position-delete snapshot
+    (snapshot 2), and a true readStream over the exported metadata
+    drains with availableNow — the deleted rows arrive as
+    ``_change_type='delete'`` via EXECUTOR-side position resolution
+    (the planner stays manifest-scale, decoding with the pure-Python
+    Avro reader). Snapshot ids are random, so the output carries the
+    snapshot's ORDINAL in the history; one SQL statement replays the
+    pipeline."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        export_iceberg_metadata,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.streaming.iceberg_source import (
+        read_iceberg_cdc_stream,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)  # SF-independent bound
+        .select("o_orderkey", "o_orderstatus")
+    )
+    root = tempfile.mkdtemp(prefix="ice_cdc_q_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "ordic", stats_cols=["o_orderkey"])
+        t.append(orders.coalesce(2))
+        export_iceberg_metadata(t)
+        t.delete_where(
+            F.col("o_orderkey") % 10 == 0, merge_on_read=True
+        )
+        export_iceberg_metadata(t)
+        meta_dir = t.root / "metadata"
+        n = int((meta_dir / "version-hint.text").read_text())
+        meta = _json.loads(
+            (meta_dir / f"v{n}.metadata.json").read_text()
+        )
+        ordinal_of = {
+            e["snapshot-id"]: i
+            for i, e in enumerate(meta["snapshot-log"])
+        }
+        got: list = []
+        q = (
+            read_iceberg_cdc_stream(spark, str(t.root))
+            .writeStream.foreachBatch(
+                lambda bdf, eid: got.extend(bdf.collect())
+            )
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "iceberg cdc stream did not drain in 300s — refusing "
+                "to return a silently partial result"
+            )
+        rows = [
+            (
+                r.o_orderkey,
+                r.o_orderstatus,
+                r._change_type,
+                ordinal_of[r._snapshot_id],
+            )
+            for r in got
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_orderstatus STRING, "
+        "change_type STRING, snap_ordinal INT",
+    ).orderBy("snap_ordinal", "o_orderkey")
+
+
+STREAM_ICEBERG_CDC_ORACLE = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderstatus, 'insert' AS change_type,
+         0::INT AS snap_ordinal
+  FROM orders WHERE o_orderkey <= 2000
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, 'delete', 1::INT
+  FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 10 = 0
+)
+ORDER BY snap_ordinal, o_orderkey
+"""
+
+
+
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL OPERATOR witnessed end-to-end through a true
     readStream (streaming/stateful.py:stateful_dedup_stream —
@@ -563,6 +662,7 @@ QUERIES = {
     "stream_enrich_join": stream_enrich_join,
     "stream_join_outer": stream_join_outer,
     "stream_iceberg_appends": stream_iceberg_appends,
+    "stream_iceberg_cdc": stream_iceberg_cdc,
     "stream_delta_appends": stream_delta_appends,
     "stream_delta_cdc": stream_delta_cdc,
     "stream_stateful_dedup": stream_stateful_dedup,
@@ -577,6 +677,7 @@ ORACLES = {
     "stream_enrich_join": STREAM_ENRICH_ORACLE,
     "stream_join_outer": STREAM_JOIN_OUTER_ORACLE,
     "stream_iceberg_appends": STREAM_ICEBERG_ORACLE,
+    "stream_iceberg_cdc": STREAM_ICEBERG_CDC_ORACLE,
     "stream_delta_appends": STREAM_DELTA_ORACLE,
     "stream_delta_cdc": STREAM_DELTA_CDC_ORACLE,
     "stream_stateful_dedup": STREAM_STATEFUL_DEDUP_ORACLE,

@@ -325,9 +325,10 @@ class IcebergAppendsDataSource(DataSource):
 
 
 def register_iceberg_source(spark) -> None:
-    """Idempotently register the ``iceberg_appends`` streaming
-    format."""
+    """Idempotently register the ``iceberg_appends`` + ``iceberg_cdc``
+    streaming formats."""
     spark.dataSource.register(IcebergAppendsDataSource)
+    spark.dataSource.register(IcebergCdcDataSource)
 
 
 def read_iceberg_stream(spark, path: str, starting_after_sequence: int = 0):
@@ -337,6 +338,418 @@ def read_iceberg_stream(spark, path: str, starting_after_sequence: int = 0):
     register_iceberg_source(spark)
     return (
         spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("starting_after_sequence", starting_after_sequence)
+        .load()
+    )
+
+
+# -- iceberg_cdc: the changelog readStream -----------------------------------
+
+CDC_FORMAT_NAME = "iceberg_cdc"
+
+
+class _IcebergCdcSlice(InputPartition):
+    """One data file's contribution to one window snapshot's change
+    set. ``mode``: 'insert' (file added — ``drop_specs`` = deletes
+    already applying at the snapshot, so rows killed within their own
+    snapshot never surface), 'delete' (file dropped — ``drop_specs``
+    = the PARENT's deletes, so only parent-live rows emit), or 'diff'
+    (file live at both with a changed delete state — executor emits
+    positions(new) ∖ positions(old) as deletes and REFUSES a
+    shrinking set, the batch reader's cumulative rule). Delete-source
+    specs are ('parquet', path) — a v2 position-delete parquet the
+    executor filters to this file's URI — or ('puffin', path, offset,
+    size) — a v3 DV blob."""
+
+    def __init__(
+        self, path, uri, snapshot_id, ts_ms, part_values, mode,
+        old_specs=(), new_specs=(),
+    ):
+        self.path = path
+        self.uri = uri
+        self.snapshot_id = snapshot_id
+        self.ts_ms = ts_ms
+        self.part_values = part_values
+        self.mode = mode
+        self.old_specs = tuple(old_specs)
+        self.new_specs = tuple(new_specs)
+
+
+def _live_state(meta: dict, snap: dict):
+    """A snapshot's live state via the pure-Python Avro reader:
+    ``({file URI: {"seq", "spec_id", "dfr"}}, [delete spec dicts])``.
+    Equality-delete files refuse loudly (their semi-join semantics
+    are the batch CDC mode's job — read_iceberg_changes applies
+    them; a row-feed stream cannot without scanning live data at
+    plan time)."""
+    from interop_datalake_spark.lake.avro_read import read_avro_file
+
+    ml, _ = read_avro_file(_uri_path(str(snap["manifest-list"])))
+    data: dict[str, dict] = {}
+    dels: list[dict] = []
+    for mf in ml:
+        mseq = int(mf.get("sequence_number") or 0)
+        entries, _m = read_avro_file(
+            _uri_path(str(mf["manifest_path"]))
+        )
+        if (mf.get("content") or 0) == 1:
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                dfr = e["data_file"]
+                eseq = e.get("sequence_number")
+                seq = int(eseq) if eseq is not None else mseq
+                if int(dfr.get("content") or 0) == 2:
+                    raise ValueError(
+                        f"snapshot {snap['snapshot-id']} carries "
+                        f"EQUALITY delete files — the stream cannot "
+                        f"express their semi-join; use the batch "
+                        f"CDC mode (read_iceberg_changes("
+                        f"include_deletes=True))"
+                    )
+                fmt = str(dfr.get("file_format") or "").upper()
+                ref = dfr.get("referenced_data_file")
+                if fmt == "PUFFIN" or ref is not None:
+                    off = dfr.get("content_offset")
+                    size = dfr.get("content_size_in_bytes")
+                    if ref is None or off is None or size is None:
+                        raise ValueError(
+                            f"DV delete entry in snapshot "
+                            f"{snap['snapshot-id']} lacks "
+                            f"referenced_data_file/content_offset/"
+                            f"content_size_in_bytes — required by "
+                            f"the v3 spec"
+                        )
+                    dels.append(
+                        {
+                            "seq": seq,
+                            "ref": str(ref),
+                            "spec": (
+                                "puffin",
+                                _uri_path(str(dfr["file_path"])),
+                                int(off),
+                                int(size),
+                            ),
+                        }
+                    )
+                else:
+                    dels.append(
+                        {
+                            "seq": seq,
+                            "ref": None,  # path-keyed parquet deletes
+                            "spec": (
+                                "parquet",
+                                _uri_path(str(dfr["file_path"])),
+                            ),
+                        }
+                    )
+            continue
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            dfr = e["data_file"]
+            eseq = e.get("sequence_number")
+            data[str(dfr["file_path"])] = {
+                "seq": int(eseq) if eseq is not None else mseq,
+                "spec_id": mf.get("partition_spec_id"),
+                "dfr": dfr,
+            }
+    return data, dels
+
+
+def _specs_for(dels: list[dict], uri: str, data_seq: int) -> tuple:
+    """The delete-source specs applying to a data file: position
+    deletes apply at delete_seq >= data_seq (the v2 rule); DV entries
+    only when they reference the file, path-keyed parquet always (the
+    executor filters by URI)."""
+    return tuple(
+        sorted(
+            d["spec"]
+            for d in dels
+            if d["seq"] >= data_seq
+            and (d["ref"] is None or d["ref"] == uri)
+        )
+    )
+
+
+class IcebergCdcStreamReader(DataSourceStreamReader):
+    """The changelog twin of :class:`IcebergStreamReader` — per
+    window snapshot, DIFF against its parent exactly like the batch
+    ``read_iceberg_changes(include_deletes=True)`` (the two must
+    never drift on identical histories): added files stream as
+    inserts (same-snapshot deletes folded out), dropped files stream
+    their PARENT-live rows as deletes, and a live file whose delete
+    state changed streams the position DIFF as deletes (a shrinking
+    set — a restore — refuses with the batch's cumulative rule).
+    Deletion positions resolve on EXECUTORS (parquet filter or
+    Puffin blob decode per slice); the planner stays
+    manifest-scale."""
+
+    def __init__(self, root: str, schema, start_seq: int):
+        self.root = Path(root)
+        self.schema_struct = schema
+        self.start_seq = start_seq
+
+    def initialOffset(self) -> dict:
+        return {"seq": self.start_seq}
+
+    def latestOffset(self) -> dict:
+        meta = _load_meta(self.root)
+        return {"seq": int(meta.get("last-sequence-number") or 0)}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        meta = _load_meta(self.root)
+        fields = _schema_fields(meta)
+        ids_to_type = {f["id"]: f["type"] for f in fields}
+        specs = {
+            s["spec-id"]: s["fields"] for s in meta["partition-specs"]
+        }
+        snaps = meta.get("snapshots") or []
+        if start["seq"] < end["seq"]:
+            retained = [s["sequence-number"] for s in snaps]
+            if not retained or start["seq"] + 1 < min(retained):
+                expired_evidence = json.loads(
+                    (meta.get("properties") or {}).get(
+                        "txn.expired-snapshot-ids", "[]"
+                    )
+                )
+                if start["seq"] != self.start_seq or expired_evidence:
+                    raise ValueError(
+                        f"offset window ({start['seq']}, "
+                        f"{end['seq']}] begins before the oldest "
+                        f"retained snapshot — history was expired; "
+                        f"restart the stream from a retained "
+                        f"sequence number"
+                    )
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        order = [
+            s["snapshot-id"]
+            for s in sorted(snaps, key=lambda s: s["sequence-number"])
+        ]
+        window = sorted(
+            (
+                s
+                for s in snaps
+                if start["seq"] < s["sequence-number"] <= end["seq"]
+            ),
+            key=lambda s: s["sequence-number"],
+        )
+        slices: list[InputPartition] = []
+        state_cache: dict[int, tuple] = {}
+
+        def state_of(sid):
+            if sid not in state_cache:
+                state_cache[sid] = _live_state(meta, by_id[sid])
+            return state_cache[sid]
+
+        for snap in window:
+            sid = snap["snapshot-id"]
+            parent_id = snap.get("parent-snapshot-id")
+            if parent_id not in by_id:
+                idx = order.index(sid)
+                parent_id = order[idx - 1] if idx > 0 else None
+            s_data, s_dels = state_of(sid)
+            if parent_id is not None:
+                p_data, p_dels = state_of(parent_id)
+            else:
+                p_data, p_dels = {}, []
+            ts_ms = int(snap.get("timestamp-ms") or 0)
+
+            def pv_of(info):
+                return _interop()._entry_partition_values(
+                    None,
+                    info["dfr"],
+                    specs.get(info["spec_id"], []),
+                    ids_to_type,
+                )
+
+            for uri, info in s_data.items():
+                new_specs = _specs_for(s_dels, uri, info["seq"])
+                if uri not in p_data:
+                    slices.append(
+                        _IcebergCdcSlice(
+                            _uri_path(uri), uri, sid, ts_ms,
+                            pv_of(info), "insert",
+                            new_specs=new_specs,
+                        )
+                    )
+                    continue
+                old_specs = _specs_for(
+                    p_dels, uri, p_data[uri]["seq"]
+                )
+                if old_specs != new_specs:
+                    slices.append(
+                        _IcebergCdcSlice(
+                            _uri_path(uri), uri, sid, ts_ms,
+                            pv_of(info), "diff",
+                            old_specs=old_specs,
+                            new_specs=new_specs,
+                        )
+                    )
+            for uri, info in p_data.items():
+                if uri in s_data:
+                    continue
+                slices.append(
+                    _IcebergCdcSlice(
+                        _uri_path(uri), uri, sid, ts_ms,
+                        pv_of(info), "delete",
+                        old_specs=_specs_for(p_dels, uri, info["seq"]),
+                    )
+                )
+        return slices
+
+    def read(self, partition: _IcebergCdcSlice):
+        from datetime import datetime, timezone
+
+        import numpy as np
+
+        from interop_datalake_spark.streaming.arrow_yield import (
+            arrow_batches,
+        )
+
+        s = partition
+
+        def positions(spec_set) -> "np.ndarray":
+            out = []
+            for spec in spec_set:
+                if spec[0] == "puffin":
+                    from interop_datalake_spark.lake.puffin import (
+                        read_puffin_dv,
+                    )
+
+                    out.append(
+                        np.asarray(
+                            read_puffin_dv(spec[1], spec[2], spec[3]),
+                            dtype=np.int64,
+                        )
+                    )
+                else:
+                    import pyarrow.compute as pc
+                    import pyarrow.parquet as pq
+
+                    t = pq.read_table(
+                        spec[1], columns=["file_path", "pos"]
+                    )
+                    t = t.filter(
+                        pc.equal(t.column("file_path"), s.uri)
+                    )
+                    out.append(
+                        np.asarray(
+                            t.column("pos").to_pylist(),
+                            dtype=np.int64,
+                        )
+                    )
+            if not out:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate(out))
+
+        keep = drop = None
+        ctype = s.mode
+        if s.mode == "diff":
+            old, new = positions(s.old_specs), positions(s.new_specs)
+            restored = np.setdiff1d(old, new)
+            if len(restored):
+                raise ValueError(
+                    f"delete state for {s.uri} SHRANK at snapshot "
+                    f"{s.snapshot_id} ({len(restored)} positions "
+                    f"restored) — a changelog requires cumulative "
+                    f"per-file deletes (the batch reader refuses the "
+                    f"same shape); read full snapshots instead"
+                )
+            keep = np.setdiff1d(new, old)
+            ctype = "delete"
+            if len(keep) == 0:
+                return
+        elif s.mode == "insert":
+            drop = positions(s.new_specs)
+            drop = drop if len(drop) else None
+        else:  # dropped file: parent-live rows emit as deletes
+            drop = positions(s.old_specs)
+            drop = drop if len(drop) else None
+        yield from arrow_batches(
+            s.path,
+            self.schema_struct,
+            {
+                **s.part_values,
+                "_change_type": ctype,
+                "_snapshot_id": s.snapshot_id,
+                "_commit_timestamp": datetime.fromtimestamp(
+                    s.ts_ms / 1000, tz=timezone.utc
+                ),
+            },
+            keep_positions=keep,
+            drop_positions=drop,
+        )
+
+
+class IcebergCdcDataSource(DataSource):
+    """``spark.readStream.format("iceberg_cdc").option("path", <table
+    root>)`` — register with :func:`register_iceberg_source`. Schema
+    = the current Iceberg schema's columns + ``_change_type string``
+    + ``_snapshot_id bigint`` + ``_commit_timestamp timestamp``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return CDC_FORMAT_NAME
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "iceberg_cdc source requires "
+                ".option('path', <table root>)"
+            )
+        meta = _load_meta(Path(path))
+        if int(meta.get("format-version") or 1) < 2:
+            raise ValueError(
+                "this streaming source requires Iceberg "
+                "format-version 2+: v1 tables have no sequence "
+                "numbers to use as offsets; read v1 tables with the "
+                "batch reader"
+            )
+        parts = []
+        for f in _schema_fields(meta):
+            t = f["type"]
+            if isinstance(t, dict):
+                raise ValueError(
+                    f"column {f['name']!r} is nested ({t['type']}) — "
+                    f"the streaming source's row feed is "
+                    f"primitive-only; read nested tables with "
+                    f"read_iceberg"
+                )
+            parts.append(
+                f"`{f['name']}` {_interop()._spark_type_of(t)}"
+            )
+        parts += [
+            "`_change_type` string",
+            "`_snapshot_id` bigint",
+            "`_commit_timestamp` timestamp",
+        ]
+        return ", ".join(parts)
+
+    def streamReader(self, schema) -> IcebergCdcStreamReader:
+        return IcebergCdcStreamReader(
+            str(self.options["path"]),
+            schema,
+            int(self.options.get("starting_after_sequence", 0)),
+        )
+
+
+def read_iceberg_cdc_stream(
+    spark, path: str, starting_after_sequence: int = 0
+):
+    """Convenience: a streaming DataFrame over the CHANGELOG of the
+    Iceberg table at ``path`` — every snapshot's diff as tagged
+    change rows (the retraction-capable sibling of
+    :func:`read_iceberg_stream`, matching the batch
+    ``read_iceberg_changes(include_deletes=True)`` row for row)."""
+    register_iceberg_source(spark)
+    return (
+        spark.readStream.format(CDC_FORMAT_NAME)
         .option("path", path)
         .option("starting_after_sequence", starting_after_sequence)
         .load()

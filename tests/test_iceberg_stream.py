@@ -413,3 +413,128 @@ class TestExpireSnapshots:
         assert sorted(r.k for r in back.collect()) == [
             0, 1, 2, 4, 5, 6, 7,
         ]
+
+
+class TestIcebergCdcStream:
+    """The iceberg_cdc readStream: every snapshot's DIFF as tagged
+    change rows, matching the batch
+    read_iceberg_changes(include_deletes=True) row for row."""
+
+    def _drain_cdc(self, spark, path, ckpt, rows, after=0):
+        from interop_datalake_spark.streaming.iceberg_source import (
+            read_iceberg_cdc_stream,
+        )
+
+        q = (
+            read_iceberg_cdc_stream(spark, path, after)
+            .writeStream.foreachBatch(
+                lambda bdf, eid: rows.extend(bdf.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "cdc stream did not drain"
+
+    def test_matches_batch_changelog(self, spark, lake, tmp_path):
+        """append → append → MOR delete → cumulative MOR delete →
+        compact (rewrite): the stream's cumulative change rows equal
+        the batch changelog, and a checkpointed resume streams only
+        the new snapshot."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "icdc1", stats_cols=["k"])
+        t.append(
+            spark.range(0, 20).selectExpr("id as k").coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        base = json.loads(
+            (t.root / "metadata" / "v1.metadata.json").read_text()
+        )["current-snapshot-id"]
+        t.append(
+            spark.range(20, 30).selectExpr("id as k").coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") % 4 == 0, merge_on_read=True)
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") == 1, merge_on_read=True)
+        export_iceberg_metadata(t)  # cumulative delete parquet
+        t.compact()
+        export_iceberg_metadata(t)  # rewrite: drops + adds
+
+        got: list = []
+        self._drain_cdc(spark, str(t.root), str(tmp_path / "ic1"), got)
+        want = {
+            (r["k"], r["_change_type"], r["_snapshot_id"])
+            for r in read_iceberg_changes(
+                spark, str(t.root), base, include_deletes=True
+            ).collect()
+        }
+        # the stream ALSO covers the base snapshot (offset 0 = from
+        # the beginning); align by starting the batch read before it
+        base_rows = {
+            (k, "insert", base) for k in range(20)
+        }
+        assert {
+            (r.k, r._change_type, r._snapshot_id) for r in got
+        } == want | base_rows
+        assert all(r._commit_timestamp is not None for r in got)
+
+        # resume: one more MOR delete streams incrementally
+        t.delete_where(F.col("k") == 7, merge_on_read=True)
+        export_iceberg_metadata(t)
+        more: list = []
+        self._drain_cdc(
+            spark, str(t.root), str(tmp_path / "ic1"), more
+        )
+        assert {(r.k, r._change_type) for r in more} == {
+            (7, "delete")
+        }
+
+    def test_v3_puffin_dvs_stream(self, spark, lake, tmp_path):
+        """v3 Puffin deletion vectors: the DV diff streams
+        executor-decoded, cumulative across snapshots."""
+        t = TxnTable(lake, "icdc2", stats_cols=["k"])
+        t.append(
+            spark.range(0, 12).selectExpr("id as k").coalesce(1)
+        )
+        export_iceberg_metadata(t, format_version=3)
+        t.delete_where(F.col("k").isin(2, 5), merge_on_read=True)
+        export_iceberg_metadata(t)  # Puffin DV snapshot
+        t.delete_where(F.col("k") == 9, merge_on_read=True)
+        export_iceberg_metadata(t)  # cumulative Puffin DV
+
+        got: list = []
+        self._drain_cdc(spark, str(t.root), str(tmp_path / "ic2"), got)
+        by_type: dict = {}
+        for r in got:
+            by_type.setdefault(r._change_type, set()).add(r.k)
+        assert by_type["insert"] == set(range(12))
+        assert by_type["delete"] == {2, 5, 9}
+        # each delete emitted exactly once (the cumulative rule)
+        assert (
+            len([r for r in got if r._change_type == "delete"]) == 3
+        )
+
+    def test_shrinking_deletes_refuse(self, spark, lake, tmp_path):
+        """A restored position (delete state SHRINKS) refuses like
+        the batch reader — never a silent wrong change set."""
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        t = TxnTable(lake, "icdc3", stats_cols=["k"])
+        t.append(spark.range(0, 6).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k").isin(1, 2), merge_on_read=True)
+        export_iceberg_metadata(t)
+        t.restore(1)  # vector cleared: delete state shrinks
+        t.append(spark.range(6, 7).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        got: list = []
+        with pytest.raises(StreamingQueryException):
+            self._drain_cdc(
+                spark, str(t.root), str(tmp_path / "ic3"), got
+            )
