@@ -145,3 +145,49 @@ def apply_changes_into(
             folded.unpersist()
     finally:
         changes.unpersist()
+
+
+def pair_changelog_updates(
+    changes: DataFrame,
+    key_cols: list[str],
+    sequence_col: str = "_commit_version",
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Iceberg's ``create_changelog_view(compute_updates)`` / Delta
+    CDF's update-image pairing, as a post-processing step over any
+    change feed: when ONE sequence value (snapshot/commit) carries
+    both a ``delete`` and an ``insert`` for the same key, the pair IS
+    an update — retag them ``update_preimage`` / ``update_postimage``
+    so consumers see updates as updates instead of
+    delete-then-reinsert. Rows without a counterpart keep their tag.
+
+    Identifier semantics: ``key_cols`` must identify a row within one
+    sequence value (Iceberg's identifier-field requirement). A key
+    with MULTIPLE inserts or deletes in one sequence value is
+    ambiguous — this retags them all rather than guessing pairings,
+    which preserves the fold semantics of
+    :func:`apply_changes_into`/:func:`~interop_datalake_spark.lake.
+    scd.scd2_apply_changes` (their priority rule treats
+    postimage-beats-preimage exactly like insert-beats-delete).
+
+    Scale shape: one window shuffle over the change rows, no join
+    against any table."""
+    w = Window.partitionBy(*key_cols, sequence_col)
+    has_del = F.max(
+        F.when(F.col(change_col) == "delete", 1).otherwise(0)
+    ).over(w)
+    has_ins = F.max(
+        F.when(F.col(change_col) == "insert", 1).otherwise(0)
+    ).over(w)
+    retag = (
+        F.when(
+            (F.col(change_col) == "delete") & (has_ins == 1),
+            F.lit("update_preimage"),
+        )
+        .when(
+            (F.col(change_col) == "insert") & (has_del == 1),
+            F.lit("update_postimage"),
+        )
+        .otherwise(F.col(change_col))
+    )
+    return changes.withColumn(change_col, retag)

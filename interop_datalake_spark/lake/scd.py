@@ -151,6 +151,15 @@ def scd2_apply_changes(
     crash-replay and at-least-once delivery are idempotent. Returns
     the committed version, or None for an empty feed.
 
+    Ordering contract (DLT's sequencing rule): windows must be
+    applied in sequence order. Replaying the LATEST window (the
+    foreachBatch crash-recovery shape) or the FULL feed is idempotent
+    — both rewrite the identical history — but applying a strictly
+    OLDER partial window after a newer one would re-open its last
+    event as current (the old window cannot know about the closures
+    that followed); out-of-order late events need the full feed
+    re-applied.
+
     Scale shape: TWO window shuffles over the CHANGE rows only
     (the per-sequence tie-break, then the per-key lead/last), one
     update-batch-sized join against the table's ``is_current`` slice,

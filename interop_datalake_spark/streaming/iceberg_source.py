@@ -363,12 +363,13 @@ class _IcebergCdcSlice(InputPartition):
     size) — a v3 DV blob."""
 
     def __init__(
-        self, path, uri, snapshot_id, ts_ms, part_values, mode,
+        self, path, uri, snapshot_id, seq, ts_ms, part_values, mode,
         old_specs=(), new_specs=(),
     ):
         self.path = path
         self.uri = uri
         self.snapshot_id = snapshot_id
+        self.seq = seq
         self.ts_ms = ts_ms
         self.part_values = part_values
         self.mode = mode
@@ -548,6 +549,7 @@ class IcebergCdcStreamReader(DataSourceStreamReader):
 
         for snap in window:
             sid = snap["snapshot-id"]
+            seq = int(snap["sequence-number"])
             parent_id = snap.get("parent-snapshot-id")
             if parent_id not in by_id:
                 idx = order.index(sid)
@@ -572,7 +574,7 @@ class IcebergCdcStreamReader(DataSourceStreamReader):
                 if uri not in p_data:
                     slices.append(
                         _IcebergCdcSlice(
-                            _uri_path(uri), uri, sid, ts_ms,
+                            _uri_path(uri), uri, sid, seq, ts_ms,
                             pv_of(info), "insert",
                             new_specs=new_specs,
                         )
@@ -584,7 +586,7 @@ class IcebergCdcStreamReader(DataSourceStreamReader):
                 if old_specs != new_specs:
                     slices.append(
                         _IcebergCdcSlice(
-                            _uri_path(uri), uri, sid, ts_ms,
+                            _uri_path(uri), uri, sid, seq, ts_ms,
                             pv_of(info), "diff",
                             old_specs=old_specs,
                             new_specs=new_specs,
@@ -595,7 +597,7 @@ class IcebergCdcStreamReader(DataSourceStreamReader):
                     continue
                 slices.append(
                     _IcebergCdcSlice(
-                        _uri_path(uri), uri, sid, ts_ms,
+                        _uri_path(uri), uri, sid, seq, ts_ms,
                         pv_of(info), "delete",
                         old_specs=_specs_for(p_dels, uri, info["seq"]),
                     )
@@ -677,6 +679,7 @@ class IcebergCdcStreamReader(DataSourceStreamReader):
                 **s.part_values,
                 "_change_type": ctype,
                 "_snapshot_id": s.snapshot_id,
+                "_sequence_number": s.seq,
                 "_commit_timestamp": datetime.fromtimestamp(
                     s.ts_ms / 1000, tz=timezone.utc
                 ),
@@ -690,7 +693,9 @@ class IcebergCdcDataSource(DataSource):
     """``spark.readStream.format("iceberg_cdc").option("path", <table
     root>)`` — register with :func:`register_iceberg_source`. Schema
     = the current Iceberg schema's columns + ``_change_type string``
-    + ``_snapshot_id bigint`` + ``_commit_timestamp timestamp``."""
+    + ``_snapshot_id bigint`` + ``_sequence_number bigint`` (the
+    monotone fold key — snapshot ids are random) +
+    ``_commit_timestamp timestamp``."""
 
     @classmethod
     def name(cls) -> str:
@@ -727,6 +732,10 @@ class IcebergCdcDataSource(DataSource):
         parts += [
             "`_change_type` string",
             "`_snapshot_id` bigint",
+            # the MONOTONE ordering column (snapshot ids are random):
+            # apply_changes_into / scd2_apply_changes consumers fold
+            # on it — sequence_col="_sequence_number"
+            "`_sequence_number` bigint",
             "`_commit_timestamp` timestamp",
         ]
         return ", ".join(parts)

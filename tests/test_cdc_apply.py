@@ -393,3 +393,137 @@ class TestScd2ApplyChanges:
         } == {(1, "b", True)}
         # empty feed: no commit
         assert scd2_apply_changes(dim, feed.limit(0), ["k"]) is None
+
+
+class TestPairChangelogUpdates:
+    def test_retags_same_sequence_pairs(self, spark):
+        feed = spark.createDataFrame(
+            [
+                # key 1: delete+insert at v2 → an update pair
+                (1, "old", 2, "delete"),
+                (1, "new", 2, "insert"),
+                # key 2: bare delete stays a delete
+                (2, "x", 2, "delete"),
+                # key 3: bare insert stays an insert
+                (3, "y", 2, "insert"),
+                # key 4: delete v2, insert v3 — different sequence
+                # values, NOT an update pair
+                (4, "a", 2, "delete"),
+                (4, "b", 3, "insert"),
+            ],
+            "k INT, v STRING, _commit_version BIGINT, "
+            "_change_type STRING",
+        )
+        from interop_datalake_spark.lake.cdc_apply import (
+            pair_changelog_updates,
+        )
+
+        got = {
+            (r.k, r.v, r._commit_version, r._change_type)
+            for r in pair_changelog_updates(feed, ["k"]).collect()
+        }
+        assert got == {
+            (1, "old", 2, "update_preimage"),
+            (1, "new", 2, "update_postimage"),
+            (2, "x", 2, "delete"),
+            (3, "y", 2, "insert"),
+            (4, "a", 2, "delete"),
+            (4, "b", 3, "insert"),
+        }
+
+    def test_apply_agrees_with_raw_feed(self, spark, lake):
+        """Retagging never changes what APPLY CHANGES produces — the
+        priority rule treats the pair exactly like delete+insert."""
+        src = TxnTable(lake, "pcu_src", stats_cols=["k"])
+        src.append(
+            spark.range(0, 20).selectExpr("id as k", "'a' as v")
+            .coalesce(1)
+        )
+        up = spark.createDataFrame(
+            [(3, "B"), (7, "C")], "k BIGINT, v STRING"
+        )
+        src.merge(up, ["k"], merge_on_read=True)
+        src.delete_where(F.col("k") == 5, merge_on_read=True)
+        feed = src.read_changes(0, include_deletes=True)
+        from interop_datalake_spark.lake.cdc_apply import (
+            pair_changelog_updates,
+        )
+
+        paired = pair_changelog_updates(feed, ["k"])
+        # the merge's delete+insert pairs retagged as update images
+        assert (
+            paired.filter(
+                F.col("_change_type") == "update_postimage"
+            ).count()
+            == 2
+        )
+        t1 = TxnTable(lake, "pcu_t1", stats_cols=["k"])
+        t2 = TxnTable(lake, "pcu_t2", stats_cols=["k"])
+        apply_changes_into(t1, feed, ["k"])
+        apply_changes_into(t2, paired, ["k"])
+        assert {(r.k, r.v) for r in t1.read().collect()} == {
+            (r.k, r.v) for r in t2.read().collect()
+        } == {(r.k, r.v) for r in src.read().collect()}
+
+
+class TestIcebergCdcStreamApply:
+    def test_stream_foreachbatch_apply_converges(
+        self, spark, lake, tmp_path
+    ):
+        """The cross-format composition, Iceberg edition: an
+        iceberg_cdc readStream piped through foreachBatch
+        apply_changes_into (folding on the stream's monotone
+        _sequence_number) converges the target to the source across
+        the initial snapshot and a later retraction snapshot."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            export_iceberg_metadata,
+        )
+        from interop_datalake_spark.streaming.iceberg_source import (
+            read_iceberg_cdc_stream,
+        )
+
+        src = TxnTable(lake, "isa_src", stats_cols=["k"])
+        src.append(
+            spark.range(0, 30)
+            .selectExpr("id as k", "cast(id % 3 as int) as g")
+            .coalesce(1)
+        )
+        export_iceberg_metadata(src)
+        tgt = TxnTable(lake, "isa_tgt", stats_cols=["k"])
+
+        def apply_batch(bdf, epoch_id):
+            if bdf.isEmpty():
+                return
+            apply_changes_into(
+                tgt, bdf, ["k"], sequence_col="_sequence_number"
+            )
+
+        ck = str(tmp_path / "isa_ck")
+
+        def drain():
+            q = (
+                read_iceberg_cdc_stream(spark, str(src.root))
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180)
+
+        drain()
+        assert {(r.k, r.g) for r in tgt.read().collect()} == {
+            (r.k, r.g) for r in src.read().collect()
+        }
+        # retraction + upsert snapshot streams incrementally and
+        # converges again
+        src.delete_where(F.col("k") % 5 == 0, merge_on_read=True)
+        export_iceberg_metadata(src)
+        up = spark.createDataFrame(
+            [(1, 77)], "k BIGINT, g INT"
+        ).coalesce(1)
+        src.merge(up, ["k"], merge_on_read=True)
+        export_iceberg_metadata(src)
+        drain()
+        assert {(r.k, r.g) for r in tgt.read().collect()} == {
+            (r.k, r.g) for r in src.read().collect()
+        }
