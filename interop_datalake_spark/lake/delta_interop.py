@@ -2254,7 +2254,17 @@ def parse_cdc_commit(text: str) -> dict:
             continue
         action = json.loads(line)
         if "commitInfo" in action:
-            t = action["commitInfo"].get("timestamp")
+            # in-commit timestamps (the inCommitTimestamp writer
+            # feature): when present, it is THE authoritative commit
+            # time — monotone by protocol, immune to file copies —
+            # and delta-spark's time travel prefers it over the
+            # wall-clock `timestamp` field
+            ict = action["commitInfo"].get("inCommitTimestamp")
+            t = (
+                int(ict)
+                if ict is not None
+                else action["commitInfo"].get("timestamp")
+            )
             if t is not None:
                 out["ts_ms"] = int(t)
         elif "cdc" in action:

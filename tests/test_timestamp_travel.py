@@ -357,3 +357,49 @@ class TestIcebergTimestamp:
             )
         with pytest.raises(ValueError, match="needs from_snapshot_id"):
             read_iceberg_changes(spark, str(t.root))
+
+
+class TestInCommitTimestamps:
+    def test_ict_preferred_over_wall_clock(self, spark, tmp_path):
+        """commitInfo.inCommitTimestamp (the ICT writer feature) is
+        the authoritative commit time when present — time travel and
+        the CDF timestamp bounds resolve by it, not the wall-clock
+        `timestamp` field (which ICT tables may still carry, skewed)."""
+        root = tmp_path / "ict"
+        log = root / "_delta_log"
+        log.mkdir(parents=True)
+        schema = json.dumps(
+            {"type": "struct", "fields": [
+                {"name": "k", "type": "integer", "nullable": True,
+                 "metadata": {}}]}
+        )
+        for v, (wall, ict) in enumerate(
+            ((5_000, 10_000), (6_000, 20_000))
+        ):
+            actions = [
+                {"commitInfo": {"timestamp": wall,
+                                "inCommitTimestamp": ict,
+                                "operation": "WRITE"}}
+            ]
+            if v == 0:
+                actions += [
+                    {"protocol": {"minReaderVersion": 1,
+                                  "minWriterVersion": 7,
+                                  "writerFeatures":
+                                      ["inCommitTimestamp"]}},
+                    {"metaData": {"id": "ict",
+                                  "format": {"provider": "parquet",
+                                             "options": {}},
+                                  "schemaString": schema,
+                                  "partitionColumns": [],
+                                  "configuration": {}}},
+                ]
+            (log / f"{v:020d}.json").write_text(
+                "\n".join(json.dumps(a) for a in actions) + "\n"
+            )
+        assert delta_version_at(str(root), 10_000) == 0
+        assert delta_version_at(str(root), 19_999) == 0
+        assert delta_version_at(str(root), 20_000) == 1
+        # the wall-clock stamps (5k/6k) must NOT resolve
+        with pytest.raises(ValueError, match="before the earliest"):
+            delta_version_at(str(root), 6_000)
