@@ -1601,6 +1601,23 @@ def _export_locked(
             ),
         },
         "current-snapshot-id": snap_id,
+        # refs (branches/tags) carry forward; a "main" BRANCH tracks
+        # the current snapshot like Iceberg's own commit path (tags
+        # stay pinned to their snapshot)
+        **(
+            {
+                "refs": {
+                    name: (
+                        {**r, "snapshot-id": snap_id}
+                        if name == "main" and r.get("type") == "branch"
+                        else r
+                    )
+                    for name, r in (prev or {}).get("refs", {}).items()
+                }
+            }
+            if (prev or {}).get("refs")
+            else {}
+        ),
         "snapshots": prev_snaps + [snapshot],
         "snapshot-log": ((prev or {}).get("snapshot-log") or [])
         + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
@@ -2086,6 +2103,24 @@ def _dv_positions_frame(spark: SparkSession, dv_entries: list):
     return spark.createDataFrame(pdf)
 
 
+def resolve_iceberg_ref(meta_or_path, name: str) -> int:
+    """The snapshot id a named ref (branch or tag, the metadata's
+    ``refs`` map — Iceberg's ``VERSION AS OF 'name'`` /
+    ``branch_*``/``tag_*`` addressing) points at. Unknown names
+    refuse with the available refs listed."""
+    meta = (
+        meta_or_path
+        if isinstance(meta_or_path, dict)
+        else _load_metadata(str(meta_or_path))
+    )
+    refs = meta.get("refs") or {}
+    if name not in refs:
+        raise ValueError(
+            f"ref {name!r} not found (available: {sorted(refs)})"
+        )
+    return int(refs[name]["snapshot-id"])
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -2093,12 +2128,15 @@ def read_iceberg(
     key_range: tuple | None = None,
     partition_filter: dict | None = None,
     timestamp=None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg Hadoop table by replaying its metadata — no
     iceberg-spark runtime needed. Time travel via ``snapshot_id`` or
     ``timestamp`` (``FOR SYSTEM_TIME AS OF`` — datetime / ISO string /
     epoch millis, resolved through the snapshot-log by
-    :func:`iceberg_snapshot_at`; mutually exclusive).
+    :func:`iceberg_snapshot_at`) or ``ref`` (a branch/tag name from
+    the metadata's ``refs`` map — Iceberg's ``VERSION AS OF 'name'``);
+    the three are mutually exclusive.
     Identity-partition values are injected as per-file constants
     (the spec's Column Projection rule), so hive-layout data files
     that omit the partition column read back complete. Pruning
@@ -2107,11 +2145,13 @@ def read_iceberg(
     matching file's full contents — apply the exact filter on the
     returned frame, as with any manifest-level pruning."""
     meta = _load_metadata(path)
+    if sum(x is not None for x in (snapshot_id, timestamp, ref)) > 1:
+        raise ValueError(
+            "pass one of snapshot_id, timestamp, ref — not both/all"
+        )
+    if ref is not None:
+        snapshot_id = resolve_iceberg_ref(meta, ref)
     if timestamp is not None:
-        if snapshot_id is not None:
-            raise ValueError(
-                "pass either snapshot_id or timestamp, not both"
-            )
         snapshot_id = iceberg_snapshot_at(meta, timestamp)
     snap = _resolve_snapshot(meta, snapshot_id)
     schema = _schema_of(meta, snap)
@@ -2969,6 +3009,83 @@ def _changes_with_deletes(
     return out
 
 
+def iceberg_set_ref(
+    table: TxnTable,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> int:
+    """Create or move a named REF (Iceberg branches and tags — the
+    metadata ``refs`` map behind ``ALTER TABLE … CREATE TAG/BRANCH``):
+    publish a new metadata version whose ``refs[name]`` points at
+    ``snapshot_id`` (default: the current snapshot). Tags pin a
+    snapshot for as long as they live — :func:`expire_iceberg_snapshots`
+    retains ref'd snapshots regardless of ``keep_last`` — and the
+    ``main`` branch follows each new export automatically. Same
+    atomic publish + single-writer lock as every metadata writer.
+    Returns the snapshot id the ref points at."""
+    import os
+
+    if ref_type not in ("tag", "branch"):
+        raise ValueError("ref_type must be 'tag' or 'branch'")
+    meta_dir = table.root / "metadata"
+    lock_fd = _export_lock(table, "ref")
+    try:
+        prev, prev_hint = _prev_metadata(meta_dir)
+        if prev is None:
+            raise FileNotFoundError(
+                f"table {table.name}: no Iceberg export to tag"
+            )
+        sid = (
+            int(prev["current-snapshot-id"])
+            if snapshot_id is None
+            else int(snapshot_id)
+        )
+        ids = {s["snapshot-id"] for s in prev.get("snapshots") or []}
+        if sid not in ids:
+            raise ValueError(
+                f"snapshot {sid} not present (available: "
+                f"{sorted(ids)})"
+            )
+        meta = dict(prev)
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        meta["refs"] = {
+            **(prev.get("refs") or {}),
+            name: {"snapshot-id": sid, "type": ref_type},
+        }
+        _publish_metadata(meta_dir, meta, prev_hint)
+        return sid
+    finally:
+        os.close(lock_fd)
+
+
+def iceberg_drop_ref(table: TxnTable, name: str) -> None:
+    """Remove a named ref (releases its snapshot for expiry).
+    Unknown names refuse — silently 'dropping' a typo would leave
+    the real ref retaining snapshots forever."""
+    import os
+
+    meta_dir = table.root / "metadata"
+    lock_fd = _export_lock(table, "ref")
+    try:
+        prev, prev_hint = _prev_metadata(meta_dir)
+        refs = dict((prev or {}).get("refs") or {})
+        if name not in refs:
+            raise ValueError(
+                f"ref {name!r} not found (available: {sorted(refs)})"
+            )
+        del refs[name]
+        meta = dict(prev)
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        if refs:
+            meta["refs"] = refs
+        else:
+            meta.pop("refs", None)
+        _publish_metadata(meta_dir, meta, prev_hint)
+    finally:
+        os.close(lock_fd)
+
+
 def expire_iceberg_snapshots(
     table: TxnTable, keep_last: int = 1
 ) -> list[int]:
@@ -2989,7 +3106,10 @@ def expire_iceberg_snapshots(
     time travel to an expired id refuses (unknown id), and the
     streaming source's expiry guard refuses resumes from before the
     retained history. A metadata-log entry records the superseded
-    version like every export. Returns the expired snapshot ids.
+    version like every export. Snapshots referenced by a branch/tag
+    in the metadata's ``refs`` map are RETAINED regardless of
+    ``keep_last`` (Iceberg's own contract — drop the ref to release
+    them). Returns the expired snapshot ids.
 
     Crash ordering: the new metadata version goes live BEFORE any
     deletion, so a crash leaves only harmless orphan Avro/parquet
@@ -3012,7 +3132,22 @@ def expire_iceberg_snapshots(
             raise ValueError("keep_last must be >= 1")
         if len(snaps) <= keep_last:
             return []
-        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        # refs RETAIN (Iceberg's expireSnapshots contract): a
+        # snapshot a branch/tag points at never expires while the
+        # ref exists — drop the ref first to release it
+        ref_ids = {
+            int(r["snapshot-id"])
+            for r in (prev.get("refs") or {}).values()
+        }
+        tail = snaps[-keep_last:]
+        kept = [
+            sn
+            for sn in snaps
+            if sn in tail or sn["snapshot-id"] in ref_ids
+        ]
+        expired = [sn for sn in snaps if sn not in kept]
+        if not expired:
+            return []
         jvm = _jvm(table.spark)
 
         def _reachable(snapshots) -> set[str]:

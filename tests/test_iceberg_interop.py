@@ -1678,3 +1678,84 @@ class TestChangesCDCReviewFixes:
         _add_eq_delete_snapshot(spark, t, [(1,)], ["k"], ["k"])
         with pytest.raises(ValueError, match="_dataseq"):
             read_iceberg(spark, str(t.root))
+
+
+class TestIcebergRefs:
+    """Branches/tags (the metadata refs map): set/drop, read-by-ref,
+    main-branch follow, and the refs-retain expiry contract."""
+
+    def test_tag_read_carry_and_expiry(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            expire_iceberg_snapshots,
+            iceberg_drop_ref,
+            iceberg_set_ref,
+            read_iceberg,
+            resolve_iceberg_ref,
+        )
+
+        t = TxnTable(lake, "refs1", stats_cols=["k"])
+        t.append(spark.range(0, 5).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        s1 = iceberg_set_ref(t, "v1.0")  # tag the current snapshot
+        iceberg_set_ref(t, "main", ref_type="branch")
+        t.append(spark.range(5, 8).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        t.append(spark.range(8, 9).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+
+        # the tag still reads the old snapshot; main followed exports
+        assert read_iceberg(spark, str(t.root), ref="v1.0").count() == 5
+        meta_dir = t.root / "metadata"
+        n = int((meta_dir / "version-hint.text").read_text())
+        meta = json.loads(
+            (meta_dir / f"v{n}.metadata.json").read_text()
+        )
+        assert meta["refs"]["v1.0"]["snapshot-id"] == s1
+        assert (
+            meta["refs"]["main"]["snapshot-id"]
+            == meta["current-snapshot-id"]
+        )
+        assert resolve_iceberg_ref(meta, "main") == meta[
+            "current-snapshot-id"
+        ]
+        with pytest.raises(ValueError, match="not found"):
+            read_iceberg(spark, str(t.root), ref="nope")
+        with pytest.raises(ValueError, match="not both"):
+            read_iceberg(
+                spark, str(t.root), ref="v1.0", snapshot_id=s1
+            )
+
+        # expiry RETAINS the tagged snapshot despite keep_last=1
+        expired = expire_iceberg_snapshots(t, keep_last=1)
+        meta = json.loads(
+            (
+                meta_dir
+                / f"v{int((meta_dir / 'version-hint.text').read_text())}.metadata.json"
+            ).read_text()
+        )
+        kept_ids = {s["snapshot-id"] for s in meta["snapshots"]}
+        assert s1 in kept_ids and len(expired) == 1
+        assert read_iceberg(spark, str(t.root), ref="v1.0").count() == 5
+
+        # dropping the tag releases it; the next expiry removes it
+        iceberg_drop_ref(t, "v1.0")
+        iceberg_drop_ref(t, "main")
+        expired2 = expire_iceberg_snapshots(t, keep_last=1)
+        assert s1 in expired2
+        with pytest.raises(ValueError, match="not found"):
+            resolve_iceberg_ref(str(t.root), "v1.0")
+        with pytest.raises(ValueError, match="not found"):
+            iceberg_drop_ref(t, "v1.0")
+
+    def test_tag_unknown_snapshot_refuses(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            iceberg_set_ref,
+        )
+
+        t = TxnTable(lake, "refs2", stats_cols=["k"])
+        t.append(spark.range(0, 3).selectExpr("id as k").coalesce(1))
+        export_iceberg_metadata(t)
+        with pytest.raises(ValueError, match="not present"):
+            iceberg_set_ref(t, "bad", snapshot_id=12345)
+        with pytest.raises(ValueError, match="tag' or 'branch"):
+            iceberg_set_ref(t, "x", ref_type="wat")
