@@ -2452,6 +2452,80 @@ SELECT probe, n, sum_cust FROM probes ORDER BY probe
 """
 
 
+
+def lake_uniform_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm-style DUAL export (round 13): one TxnTable root
+    carries BOTH a mirrored Delta log and Iceberg metadata over the
+    SAME parquet (zero data bytes copied) through an
+    append → merge-on-read delete lifecycle; the probes roll up the
+    CURRENT state through each foreign reader independently, so the
+    oracle equality pins that Delta and Iceberg readers agree with
+    each other and with the raw-parquet replay of the history."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.delta_interop import (
+        export_delta_log,
+        read_delta,
+    )
+    from interop_datalake_spark.lake.iceberg_interop import (
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("doc_id") < 350)
+    root = tempfile.mkdtemp(prefix="lake_uniform_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "uni_docs", stats_cols=["doc_id"])
+        t.append(docs.repartition(2))
+        export_delta_log(t, mode="mirror")
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("doc_id") % 7 == 0, merge_on_read=True)
+        export_delta_log(t, mode="mirror")
+        export_iceberg_metadata(t)
+        rows = []
+        for probe, frame in (
+            ("delta", read_delta(spark, str(t.root))),
+            ("iceberg", read_iceberg(spark, str(t.root))),
+        ):
+            r = frame.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.countDistinct("lang").alias("n_langs"),
+            ).collect()[0]
+            rows.append(
+                (probe, r["n"], r["sum_chars"], r["n_langs"])
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "probe STRING, n BIGINT, sum_chars BIGINT, n_langs BIGINT",
+    ).orderBy("probe")
+
+
+LAKE_UNIFORM_ORACLE = """
+WITH live AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id < 350 AND doc_id % 7 <> 0
+), agg AS (
+  SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars,
+         count(DISTINCT lang)::BIGINT AS n_langs
+  FROM live
+)
+SELECT 'delta' AS probe, n, sum_chars, n_langs FROM agg
+UNION ALL
+SELECT 'iceberg', n, sum_chars, n_langs FROM agg
+ORDER BY probe
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -2482,6 +2556,7 @@ QUERIES = {
     "lake_scd2_apply": lake_scd2_apply,
     "lake_iceberg_v3_dv": lake_iceberg_v3_dv,
     "lake_delta_v2_checkpoint": lake_delta_v2_checkpoint,
+    "lake_uniform_dual": lake_uniform_dual,
 }
 
 ORACLES = {
@@ -2514,4 +2589,5 @@ ORACLES = {
     "lake_scd2_apply": LAKE_SCD2_APPLY_ORACLE,
     "lake_iceberg_v3_dv": LAKE_ICEBERG_V3_ORACLE,
     "lake_delta_v2_checkpoint": LAKE_DELTA_V2CK_ORACLE,
+    "lake_uniform_dual": LAKE_UNIFORM_ORACLE,
 }
