@@ -527,3 +527,94 @@ class TestIcebergCdcStreamApply:
         assert {(r.k, r.g) for r in tgt.read().collect()} == {
             (r.k, r.g) for r in src.read().collect()
         }
+
+
+class TestScd2StreamingApply:
+    def test_cdc_stream_foreachbatch_scd2(self, spark, lake, tmp_path):
+        """The streaming STORED AS SCD TYPE 2 shape: a delta_cdc
+        readStream piped through foreachBatch
+        apply_changes_into(stored_as_scd2=True) builds the same
+        history as the one-shot batch apply, across an initial
+        snapshot and a later retraction+upsert window."""
+        from interop_datalake_spark.lake.delta_interop import (
+            export_delta_log,
+        )
+        from interop_datalake_spark.lake.scd import scd2_snapshot_at
+        from interop_datalake_spark.streaming.delta_source import (
+            read_delta_cdc_stream,
+        )
+
+        src = TxnTable(lake, "s2s_src", stats_cols=["k"])
+        src.append(
+            spark.range(0, 16)
+            .selectExpr("id as k", "cast(id % 2 as int) as g")
+            .coalesce(1)
+        )
+        export_delta_log(src, mode="mirror")
+        dim = TxnTable(lake, "s2s_dim", stats_cols=["k"])
+
+        def apply_batch(bdf, epoch_id):
+            if bdf.isEmpty():
+                return
+            apply_changes_into(
+                dim, bdf, ["k"], stored_as_scd2=True
+            )
+
+        ck = str(tmp_path / "s2s_ck")
+
+        def drain():
+            q = (
+                read_delta_cdc_stream(spark, str(src.root))
+                .writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180)
+
+        drain()
+        src.delete_where(F.col("k") % 4 == 0, merge_on_read=True)
+        export_delta_log(src, mode="mirror")
+        up = spark.createDataFrame([(1, 55)], "k BIGINT, g INT").coalesce(1)
+        src.merge(up, ["k"], merge_on_read=True)
+        export_delta_log(src, mode="mirror")
+        drain()
+
+        # the streamed history equals the one-shot batch build over
+        # the foreign feed (same commit-version sequence)
+        from interop_datalake_spark.lake.delta_interop import (
+            read_delta_changes,
+        )
+
+        dim2 = TxnTable(lake, "s2s_dim2", stats_cols=["k"])
+        apply_changes_into(
+            dim2,
+            read_delta_changes(spark, str(src.root), -1),
+            ["k"],
+            stored_as_scd2=True,
+        )
+
+        def hist(d):
+            return sorted(
+                (r["k"], r["g"], r["valid_from"], r["valid_to"],
+                 r["is_current"])
+                for r in d.read().collect()
+            )
+
+        assert hist(dim) == hist(dim2)
+        # and the history replays the source's own time travel
+        # (delta version 0..2 == scd2 snapshot at 0..2)
+        for v in range(0, 3):
+            from interop_datalake_spark.lake.delta_interop import (
+                read_delta,
+            )
+
+            assert {
+                (r["k"], r["g"])
+                for r in scd2_snapshot_at(dim, v).collect()
+            } == {
+                (r["k"], r["g"])
+                for r in read_delta(
+                    spark, str(src.root), version=v
+                ).collect()
+            }, f"version {v}"
