@@ -167,6 +167,27 @@ def scd2_apply_changes(
     scanned."""
     from interop_datalake_spark.lake.cdc_apply import _CHANGE_PRIORITY
 
+    # the feed plan is consumed three times below (the type check,
+    # the versions chain, the per-key firsts) and a fourth by the
+    # merge — persist it once, like apply_changes_into does
+    changes = changes.persist()
+    try:
+        return _scd2_apply_persisted(
+            table, changes, key_cols, sequence_col, change_col
+        )
+    finally:
+        changes.unpersist()
+
+
+def _scd2_apply_persisted(
+    table: TxnTable,
+    changes: DataFrame,
+    key_cols: list[str],
+    sequence_col: str,
+    change_col: str,
+) -> int | None:
+    from interop_datalake_spark.lake.cdc_apply import _CHANGE_PRIORITY
+
     bad = changes.filter(
         ~F.col(change_col).isin(list(_CHANGE_PRIORITY))
     ).limit(1).collect()

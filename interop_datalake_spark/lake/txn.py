@@ -2202,6 +2202,37 @@ class TxnTable:
         base = self.current_version()
         prev = self._state(base)
         self._merge_schema(prev, updates)  # validate before writing
+        # the updates PLAN is consumed 3x below (key-range agg,
+        # key semi-join, data write) — for a trivial frame that is
+        # noise, but callers routinely pass a full change-feed fold
+        # (CDF parse + scans + window shuffles), which would otherwise
+        # execute per consumer. Persist for the duration (spills past
+        # memory; never larger than the one materialization each
+        # consumer would pay anyway) — unless the CALLER already
+        # persisted this exact frame, whose cache must survive us.
+        sl = updates.storageLevel
+        ours = not (sl.useMemory or sl.useDisk or sl.useOffHeap)
+        if ours:
+            updates = updates.persist()
+        try:
+            return self._merge_persisted(
+                updates, key_cols, prune, _epoch, merge_on_read,
+                base, prev,
+            )
+        finally:
+            if ours:
+                updates.unpersist()
+
+    def _merge_persisted(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        prune: bool,
+        _epoch: int | None,
+        merge_on_read: bool,
+        base: int,
+        prev: dict,
+    ) -> int | None:
         if merge_on_read and base > 0:
             # conflict = re-run on the fresh snapshot (see delete_where)
             for attempt in range(4):
@@ -2641,13 +2672,20 @@ class TxnTable:
 
         dv_rel = f"dv/{uuid.uuid4().hex}"
         dv_dir = self.root / dv_rel
-        matches.write.mode("overwrite").parquet(str(dv_dir))
-        per_file = (
-            self.spark.read.parquet(str(dv_dir))
-            .groupBy("file_key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()  # one row per touched file — bounded
-        )
+        # persist: the matches plan (a lineage scan + key semi-join)
+        # feeds BOTH the vector write and the per-file counts; without
+        # it the counts re-read the just-written parquet from disk —
+        # an extra listing + scan round-trip per merge-on-read commit
+        matches = matches.persist()
+        try:
+            matches.write.mode("overwrite").parquet(str(dv_dir))
+            per_file = (
+                matches.groupBy("file_key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # one row per touched file — bounded
+            )
+        finally:
+            matches.unpersist()
         if not per_file:
             shutil.rmtree(dv_dir, ignore_errors=True)
             return None
