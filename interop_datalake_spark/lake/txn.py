@@ -2427,6 +2427,35 @@ class TxnTable:
         base = self.current_version()
         prev = self._state(base)
         self._merge_schema(prev, source)  # validate BEFORE any data write
+        # same multi-consumption as merge (key-range agg, key
+        # anti-join, data write) — and IVM refreshes pass a JOIN plan
+        # as source; persist unless the caller already did
+        _sl = source.storageLevel
+        _ours = not (_sl.useMemory or _sl.useDisk or _sl.useOffHeap)
+        if _ours:
+            source = source.persist()
+        try:
+            return self._merge_sync_persisted(
+                source, key_cols, scope, scope_partition_filter,
+                scope_candidate_files, _epoch, base, prev,
+            )
+        finally:
+            if _ours:
+                source.unpersist()
+
+    def _merge_sync_persisted(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        scope,
+        scope_partition_filter,
+        scope_candidate_files,
+        _epoch: int | None,
+        base: int,
+        prev: dict,
+    ) -> int | None:
+        from pyspark.sql import functions as F
+
         if not prev["files"]:
             new_files, new_rows, new_stats, new_parts, ptypes = (
                 self._write_data(source)
