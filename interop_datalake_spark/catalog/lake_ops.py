@@ -2526,6 +2526,87 @@ ORDER BY probe
 """
 
 
+
+def lake_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog update PAIRING (round 13; lake/cdc_apply.py:
+    pair_changelog_updates — Iceberg's create_changelog_view
+    compute-updates / Delta CDF update-image analog): a merge-on-read
+    MERGE emits its touched keys as same-version delete+insert pairs
+    in the change feed; the pairing retags them update_preimage /
+    update_postimage while bare deletes and inserts keep their tags.
+    Output = per-change-type rollup of the paired feed; the oracle
+    replays the event algebra in SQL."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.cdc_apply import (
+        pair_changelog_updates,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).filter(F.col("doc_id") < 250)
+    root = tempfile.mkdtemp(prefix="lake_chup_")
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "chup", stats_cols=["doc_id"])
+        t.append(docs.repartition(2))                           # v1
+        t.delete_where(F.col("lang") == "de", merge_on_read=True)  # v2
+        up = docs.filter(F.col("doc_id") % 40 == 0).withColumn(
+            "n_chars", F.lit(7777).cast("bigint")
+        )
+        t.merge(up, ["doc_id"], merge_on_read=True)             # v3
+        paired = pair_changelog_updates(
+            t.read_changes(0, include_deletes=True), ["doc_id"]
+        )
+        rows = (
+            paired.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_id").alias("sum_ids"),
+            )
+            .collect()  # one row per change type — bounded
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["_change_type"], r["n"], r["sum_ids"]) for r in rows],
+        "change_type STRING, n BIGINT, sum_ids BIGINT",
+    ).orderBy("change_type")
+
+
+LAKE_CHANGELOG_UPDATES_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id < 250
+), events AS (
+  -- v1: every row inserts
+  SELECT doc_id, 'insert' AS change_type FROM base
+  UNION ALL
+  -- v2: the 'de' rows delete (bare: no same-version insert)
+  SELECT doc_id, 'delete' FROM base WHERE lang = 'de'
+  UNION ALL
+  -- v3 MERGE on doc_id % 40 = 0: keys alive at v2 emit an update
+  -- PAIR; keys deleted at v2 ('de') re-insert bare
+  SELECT doc_id, 'update_preimage' FROM base
+  WHERE doc_id % 40 = 0 AND lang <> 'de'
+  UNION ALL
+  SELECT doc_id, 'update_postimage' FROM base
+  WHERE doc_id % 40 = 0 AND lang <> 'de'
+  UNION ALL
+  SELECT doc_id, 'insert' FROM base
+  WHERE doc_id % 40 = 0 AND lang = 'de'
+)
+SELECT change_type, count(*)::BIGINT AS n,
+       sum(doc_id)::BIGINT AS sum_ids
+FROM events
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -2557,6 +2638,7 @@ QUERIES = {
     "lake_iceberg_v3_dv": lake_iceberg_v3_dv,
     "lake_delta_v2_checkpoint": lake_delta_v2_checkpoint,
     "lake_uniform_dual": lake_uniform_dual,
+    "lake_changelog_updates": lake_changelog_updates,
 }
 
 ORACLES = {
@@ -2590,4 +2672,5 @@ ORACLES = {
     "lake_iceberg_v3_dv": LAKE_ICEBERG_V3_ORACLE,
     "lake_delta_v2_checkpoint": LAKE_DELTA_V2CK_ORACLE,
     "lake_uniform_dual": LAKE_UNIFORM_ORACLE,
+    "lake_changelog_updates": LAKE_CHANGELOG_UPDATES_ORACLE,
 }
