@@ -1867,7 +1867,7 @@ def _split_delete_files(delete_entries):
                 )
             ptn = _raw_ptn_key(dfr, spec_fields, mf) if spec_fields else None
             eq.append((uri, seq, fids, ptn))
-        elif fmt == "PUFFIN" or _opt(dfr, "referenced_data_file"):
+        elif fmt == "PUFFIN":
             ref = _opt(dfr, "referenced_data_file")
             off = _opt(dfr, "content_offset")
             size = _opt(dfr, "content_size_in_bytes")
@@ -1879,6 +1879,12 @@ def _split_delete_files(delete_entries):
                 )
             dvs.append((uri, seq, str(ref), int(off), int(size)))
         else:
+            # a PARQUET position-delete file MAY also carry
+            # referenced_data_file (the spec's single-file hint) —
+            # it is still a parquet delete, not a DV (routing it to
+            # the DV branch refused a valid v2 shape on the missing
+            # blob coordinates); the (file_path, pos) content is
+            # authoritative either way
             pos.append((uri, seq))
     return pos, eq, dvs
 

@@ -411,7 +411,7 @@ def _live_state(meta: dict, snap: dict):
                     )
                 fmt = str(dfr.get("file_format") or "").upper()
                 ref = dfr.get("referenced_data_file")
-                if fmt == "PUFFIN" or ref is not None:
+                if fmt == "PUFFIN":
                     off = dfr.get("content_offset")
                     size = dfr.get("content_size_in_bytes")
                     if ref is None or off is None or size is None:

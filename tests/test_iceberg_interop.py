@@ -1759,3 +1759,180 @@ class TestIcebergRefs:
             iceberg_set_ref(t, "bad", snapshot_id=12345)
         with pytest.raises(ValueError, match="tag' or 'branch"):
             iceberg_set_ref(t, "x", ref_type="wat")
+
+
+def test_parquet_position_delete_with_referenced_data_file(spark, lake):
+    """The spec allows PARQUET position-delete files to carry the
+    optional referenced_data_file single-file hint — that must stay a
+    parquet delete (the (file_path, pos) content is authoritative),
+    not route to the DV branch and refuse on missing blob
+    coordinates. Both the batch reader and the iceberg_cdc stream
+    classifier handle it."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        _MANIFEST_FILE_SCHEMA,
+        _AvroFileWriter,
+        _jvm,
+        _manifest_entry_schema,
+        _read_avro,
+        _uri_to_path,
+        read_iceberg,
+    )
+
+    t = TxnTable(lake, "refdel", stats_cols=["k"])
+    t.append(spark.range(0, 8).selectExpr("id as k").orderBy("k").coalesce(1))
+    export_iceberg_metadata(t)
+    meta_dir = t.root / "metadata"
+    meta = json.loads((meta_dir / "v1.metadata.json").read_text())
+    schema = meta["schemas"][0]
+    jvm = _jvm(spark)
+
+    # the data file URI
+    snap = meta["snapshots"][0]
+    lists, _ = _read_avro(jvm, Path(_uri_to_path(snap["manifest-list"])))
+    entries, _ = _read_avro(
+        jvm, Path(_uri_to_path(str(lists[0].get("manifest_path"))))
+    )
+    uri = str(entries[0].get("data_file").get("file_path"))
+
+    # a position-delete PARQUET killing rows 2 and 5, with the
+    # reserved field ids
+    del_pq = meta_dir / f"{_uuid.uuid4().hex}-refdel.parquet"
+    pq_schema = pa.schema(
+        [
+            pa.field("file_path", pa.string(), nullable=False,
+                     metadata={b"PARQUET:field_id": b"2147483546"}),
+            pa.field("pos", pa.int64(), nullable=False,
+                     metadata={b"PARQUET:field_id": b"2147483545"}),
+        ]
+    )
+    papq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([uri, uri]), pa.array([2, 5], pa.int64())],
+            schema=pq_schema,
+        ),
+        str(del_pq),
+    )
+
+    seq = int(meta["last-sequence-number"]) + 1
+    snap_id = snap["snapshot-id"] + 777
+    specs = list(meta["partition-specs"])
+    del_spec_id = next(
+        (s["spec-id"] for s in specs if not s["fields"]), None
+    )
+    if del_spec_id is None:
+        del_spec_id = max(s["spec-id"] for s in specs) + 1
+        specs.append({"spec-id": del_spec_id, "fields": []})
+    dm = meta_dir / f"{_uuid.uuid4().hex}-refdel-m0.avro"
+    dw = _AvroFileWriter(
+        jvm,
+        _manifest_entry_schema([], v3_dv=True),
+        dm,
+        {
+            "schema": json.dumps(schema),
+            "schema-id": schema["schema-id"],
+            "partition-spec": "[]",
+            "partition-spec-id": del_spec_id,
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    dw.append_json(
+        {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": 1,
+                "file_path": del_pq.resolve().as_uri(),
+                "file_format": "PARQUET",  # NOT a puffin DV
+                "partition": {},
+                "record_count": 2,
+                "file_size_in_bytes": del_pq.stat().st_size,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": None,
+                "referenced_data_file": {"string": uri},  # the hint
+                "content_offset": None,
+                "content_size_in_bytes": None,
+            },
+        }
+    )
+    dw.close()
+    ml = meta_dir / f"snap-{snap_id}-{_uuid.uuid4().hex}.avro"
+    lw = _AvroFileWriter(
+        jvm, _MANIFEST_FILE_SCHEMA, ml,
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": snap["snapshot-id"],
+            "sequence-number": seq,
+            "format-version": "2",
+        },
+    )
+    names_int = [
+        "manifest_length", "partition_spec_id", "content",
+        "sequence_number", "min_sequence_number", "added_snapshot_id",
+        "added_files_count", "existing_files_count",
+        "deleted_files_count", "added_rows_count",
+        "existing_rows_count", "deleted_rows_count",
+    ]
+    for rec in lists:
+        lw.append_json(
+            {
+                "manifest_path": str(rec.get("manifest_path")),
+                **{nm: int(rec.get(nm)) for nm in names_int},
+            }
+        )
+    lw.append_json(
+        {
+            "manifest_path": dm.resolve().as_uri(),
+            "manifest_length": dm.stat().st_size,
+            "partition_spec_id": del_spec_id,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 2,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    )
+    lw.close()
+    meta2 = dict(meta)
+    meta2["partition-specs"] = specs
+    meta2["last-sequence-number"] = seq
+    meta2["current-snapshot-id"] = snap_id
+    meta2["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snap_id,
+            "parent-snapshot-id": snap["snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": snap["timestamp-ms"] + 1000,
+            "manifest-list": ml.resolve().as_uri(),
+            "summary": {"operation": "overwrite"},
+            "schema-id": schema["schema-id"],
+        }
+    ]
+    (meta_dir / "v2.metadata.json").write_text(json.dumps(meta2))
+    (meta_dir / "version-hint.text").write_text("2")
+
+    # batch: the parquet delete applies (rows 2 and 5 gone)
+    got = {r["k"] for r in read_iceberg(spark, str(t.root)).collect()}
+    assert got == {0, 1, 3, 4, 6, 7}
+    # stream classifier: the delete diffs, not refuses
+    from interop_datalake_spark.streaming.iceberg_source import (
+        _live_state,
+        _specs_for,
+    )
+
+    _data, dels = _live_state(meta2, meta2["snapshots"][-1])
+    assert [d["spec"][0] for d in dels] == ["parquet"]
+    assert _specs_for(dels, uri, 1)
