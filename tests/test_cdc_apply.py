@@ -618,3 +618,57 @@ class TestScd2StreamingApply:
                     spark, str(src.root), version=v
                 ).collect()
             }, f"version {v}"
+
+
+class TestPairingFoldInvariance:
+    """Property: pair_changelog_updates never changes what the fold
+    produces — retagging a delete+insert pair as update images is
+    apply-neutral by the priority symmetry (postimage>preimage ≡
+    insert>delete). Pure DataFrame check, no table I/O."""
+
+    def test_random_feeds_fold_identically(self, spark):
+        import random
+
+        from interop_datalake_spark.lake.cdc_apply import (
+            pair_changelog_updates,
+        )
+
+        rng = random.Random(13)
+        types = ["insert", "delete"]
+        for trial in range(6):
+            rows = []
+            for _ in range(rng.randint(1, 30)):
+                rows.append(
+                    (
+                        rng.randint(0, 5),           # key
+                        rng.randint(0, 9),           # value
+                        rng.randint(1, 4),           # seq
+                        rng.choice(types),           # change type
+                    )
+                )
+            # dedup (key, seq, type): two different values for one
+            # slot make the winner arbitrary in BOTH spellings
+            rows = list(
+                {(k, s, c): (k, v, s, c) for k, v, s, c in rows}
+                .values()
+            )
+            feed = spark.createDataFrame(
+                rows,
+                "k INT, v INT, _commit_version BIGINT, "
+                "_change_type STRING",
+            )
+            paired = pair_changelog_updates(feed, ["k"])
+
+            def net(df):
+                f = fold_changes(df, ["k"])
+                return {
+                    (
+                        r["k"],
+                        r["v"],
+                        r["_change_type"]
+                        in ("insert", "update_postimage"),
+                    )
+                    for r in f.collect()
+                }
+
+            assert net(feed) == net(paired), f"trial {trial}: {rows}"
