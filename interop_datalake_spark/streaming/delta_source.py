@@ -135,7 +135,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         start_version: int,
         schema_string: str,
         partition_cols: list[str],
+        max_versions_per_trigger: int | None = None,
     ):
+        from interop_datalake_spark.streaming.pacing import Pacer
+
         self.root = Path(root)
         self.schema_struct = schema  # declared StructType (picklable)
         self.start_version = start_version
@@ -148,25 +151,55 @@ class DeltaStreamReader(DataSourceStreamReader):
             for f in json.loads(schema_string)["fields"]
             if f["name"] in partition_cols
         }
+        #: rate limit — every micro-batch (the opener of a fresh or
+        #: restarted run included) spans at most this many commits;
+        #: streaming/pacing.py documents the measured call order
+        #: that seeds the base on both run shapes
+        self.max_versions_per_trigger = max_versions_per_trigger
+        self._pacer = Pacer(start_version)
+        #: listing floor: the highest commit version known to exist.
+        #: Seeded by ONE glob, then advanced by O(new commits)
+        #: exists() probes per trigger — latestOffset stops listing
+        #: the entire _delta_log every micro-batch (commit jsons are
+        #: written contiguously by version, so probing head+1, head+2,
+        #: … finds every new commit)
+        self._head: int | None = None
 
     def initialOffset(self) -> dict:
+        self._pacer.note(self.start_version)
         return {"version": self.start_version}
 
-    def latestOffset(self) -> dict:
+    def _latest_version(self) -> int:
         log = self.root / "_delta_log"
-        versions = [
-            int(p.stem)
-            for p in log.glob("*.json")
-            if p.stem.isdigit()
-        ]
+        if self._head is None:
+            versions = [
+                int(p.stem)
+                for p in log.glob("*.json")
+                if p.stem.isdigit()
+            ]
+            self._head = max(versions) if versions else self.start_version
+        v = self._head + 1
+        while (log / f"{v:020d}.json").exists():
+            self._head = v
+            v += 1
+        return self._head
+
+    def latestOffset(self) -> dict:
+        n = self.max_versions_per_trigger
         return {
-            "version": max(versions) if versions else self.start_version
+            "version": self._pacer.advance(
+                self._latest_version(),
+                None if n is None else (lambda base: base + n),
+            )
         }
 
     def commit(self, end: dict) -> None:
         pass  # commit jsons are immutable; Spark checkpoints progress
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # restart replay reveals the checkpointed base BEFORE the
+        # first latestOffset (measured — streaming/pacing.py)
+        self._pacer.note(end["version"])
         log = self.root / "_delta_log"
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -329,12 +362,14 @@ class DeltaAppendsDataSource(DataSource):
 
     def streamReader(self, schema) -> DeltaStreamReader:
         meta = self._meta()
+        mvpt = self.options.get("max_versions_per_trigger")
         return DeltaStreamReader(
             str(self.options["path"]),
             schema,
             int(self.options.get("starting_after_version", -1)),
             meta["schemaString"],
             list(meta.get("partitionColumns") or []),
+            int(mvpt) if mvpt is not None else None,
         )
 
 
@@ -373,28 +408,11 @@ class DeltaCdcStreamReader(DataSourceStreamReader):
     DELETE/UPDATE/MERGE commit streams as its delete/insert rows
     instead of refusing."""
 
-    def __init__(
-        self,
-        root: str,
-        schema,
-        start_version: int,
-        schema_string: str,
-        partition_cols: list[str],
-    ):
-        self.root = Path(root)
-        self.schema_struct = schema
-        self.start_version = start_version
-        self.fingerprint = _schema_fingerprint(schema_string)
-        self.partition_cols = partition_cols
-        self.ptypes = {
-            f["name"]: (
-                f["type"] if isinstance(f["type"], str) else "string"
-            )
-            for f in json.loads(schema_string)["fields"]
-            if f["name"] in partition_cols
-        }
-
+    # offset/pacing machinery is identical to the appends reader —
+    # __init__ included (same signature, same attributes)
+    __init__ = DeltaStreamReader.__init__
     initialOffset = DeltaStreamReader.initialOffset
+    _latest_version = DeltaStreamReader._latest_version
     latestOffset = DeltaStreamReader.latestOffset
     commit = DeltaStreamReader.commit
 
@@ -412,6 +430,9 @@ class DeltaCdcStreamReader(DataSourceStreamReader):
             parse_cdc_commit,
         )
 
+        # restart replay reveals the checkpointed base BEFORE the
+        # first latestOffset (measured — streaming/pacing.py)
+        self._pacer.note(end["version"])
         log = self.root / "_delta_log"
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -611,12 +632,14 @@ class DeltaCdcDataSource(DataSource):
 
     def streamReader(self, schema) -> DeltaCdcStreamReader:
         meta = self._meta()
+        mvpt = self.options.get("max_versions_per_trigger")
         return DeltaCdcStreamReader(
             str(self.options["path"]),
             schema,
             int(self.options.get("starting_after_version", -1)),
             meta["schemaString"],
             list(meta.get("partitionColumns") or []),
+            int(mvpt) if mvpt is not None else None,
         )
 
 
@@ -627,32 +650,61 @@ def register_delta_source(spark) -> None:
     spark.dataSource.register(DeltaCdcDataSource)
 
 
-def read_delta_stream(spark, path: str, starting_after_version: int = -1):
+def _delta_stream_reader(
+    spark,
+    fmt: str,
+    path: str,
+    starting_after_version: int,
+    max_versions_per_trigger: int | None,
+):
+    register_delta_source(spark)
+    reader = (
+        spark.readStream.format(fmt)
+        .option("path", path)
+        .option("starting_after_version", starting_after_version)
+    )
+    if max_versions_per_trigger is not None:
+        reader = reader.option(
+            "max_versions_per_trigger", max_versions_per_trigger
+        )
+    return reader.load()
+
+
+def read_delta_stream(
+    spark,
+    path: str,
+    starting_after_version: int = -1,
+    max_versions_per_trigger: int | None = None,
+):
     """Convenience: a streaming DataFrame tailing the append history
     of the Delta table at ``path``, starting after the given version
     (-1 = from version 0, i.e. the initial snapshot is the first
-    micro-batch — Delta's own ``startingVersion=0`` shape)."""
-    register_delta_source(spark)
-    return (
-        spark.readStream.format(FORMAT_NAME)
-        .option("path", path)
-        .option("starting_after_version", starting_after_version)
-        .load()
+    micro-batch — Delta's own ``startingVersion=0`` shape).
+    ``max_versions_per_trigger`` (delta-spark's ``maxFilesPerTrigger``
+    analog, at per-commit granularity) bounds EVERY micro-batch —
+    catch-up over a long history drains in bounded hops instead of one
+    giant batch; use a processing-time trigger for throttled catch-up
+    (streaming/pacing.py)."""
+    return _delta_stream_reader(
+        spark, FORMAT_NAME, path, starting_after_version,
+        max_versions_per_trigger,
     )
 
 
 def read_delta_cdc_stream(
-    spark, path: str, starting_after_version: int = -1
+    spark,
+    path: str,
+    starting_after_version: int = -1,
+    max_versions_per_trigger: int | None = None,
 ):
     """Convenience: a CDC streaming DataFrame over the Delta table at
     ``path`` — delta-spark's ``readChangeFeed`` stream analog. Unlike
     :func:`read_delta_stream`, retraction commits (DELETE / UPDATE /
     MERGE, with or without cdc actions) stream as tagged
-    ``_change_type`` rows instead of refusing."""
-    register_delta_source(spark)
-    return (
-        spark.readStream.format(CDC_FORMAT_NAME)
-        .option("path", path)
-        .option("starting_after_version", starting_after_version)
-        .load()
+    ``_change_type`` rows instead of refusing.
+    ``max_versions_per_trigger`` bounds every micro-batch's commit
+    span, exactly as in :func:`read_delta_stream`."""
+    return _delta_stream_reader(
+        spark, CDC_FORMAT_NAME, path, starting_after_version,
+        max_versions_per_trigger,
     )

@@ -83,24 +83,59 @@ class _IcebergSlice(InputPartition):
 
 
 class IcebergStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, schema, start_seq: int):
+    def __init__(
+        self,
+        root: str,
+        schema,
+        start_seq: int,
+        max_snapshots_per_trigger: int | None = None,
+    ):
+        from interop_datalake_spark.streaming.pacing import Pacer
+
         self.root = Path(root)
         self.schema_struct = schema  # declared StructType (picklable)
         self.field_names = [f.name for f in schema.fields]
         self.start_seq = start_seq
+        #: rate limit — every micro-batch (the opener of a fresh or
+        #: restarted run included) covers at most this many SNAPSHOTS.
+        #: The cap counts retained snapshots, not raw sequence
+        #: numbers: sequence numbers burned by failed commits never
+        #: had data, and counting them would silently shrink batches.
+        #: streaming/pacing.py documents the measured call order that
+        #: seeds the base on both run shapes.
+        self.max_snapshots_per_trigger = max_snapshots_per_trigger
+        self._pacer = Pacer(start_seq)
 
     def initialOffset(self) -> dict:
+        self._pacer.note(self.start_seq)
         return {"seq": self.start_seq}
 
     def latestOffset(self) -> dict:
         meta = _load_meta(self.root)
-        return {"seq": int(meta.get("last-sequence-number") or 0)}
+        latest = int(meta.get("last-sequence-number") or 0)
+        n = self.max_snapshots_per_trigger
+        if n is None:
+            cap = None
+        else:
+            def cap(base: int) -> int:
+                seqs = sorted(
+                    int(s["sequence-number"])
+                    for s in (meta.get("snapshots") or [])
+                    if int(s["sequence-number"]) > base
+                )
+                return seqs[n - 1] if len(seqs) >= n else latest
+
+        return {"seq": self._pacer.advance(latest, cap)}
 
     def commit(self, end: dict) -> None:
         pass  # snapshots are immutable; Spark's checkpoint is progress
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         from interop_datalake_spark.lake.avro_read import read_avro_file
+
+        # restart replay reveals the checkpointed base BEFORE the
+        # first latestOffset (measured — streaming/pacing.py)
+        self._pacer.note(end["seq"])
 
         meta = _load_meta(self.root)
         fields = _schema_fields(meta)
@@ -317,10 +352,12 @@ class IcebergAppendsDataSource(DataSource):
         return ", ".join(parts)
 
     def streamReader(self, schema) -> IcebergStreamReader:
+        mspt = self.options.get("max_snapshots_per_trigger")
         return IcebergStreamReader(
             str(self.options["path"]),
             schema,
             int(self.options.get("starting_after_sequence", 0)),
+            int(mspt) if mspt is not None else None,
         )
 
 
@@ -331,16 +368,43 @@ def register_iceberg_source(spark) -> None:
     spark.dataSource.register(IcebergCdcDataSource)
 
 
-def read_iceberg_stream(spark, path: str, starting_after_sequence: int = 0):
-    """Convenience: a streaming DataFrame tailing the append history
-    of the Iceberg table at ``path``, starting after the given
-    sequence number (0 = from the beginning)."""
+def _iceberg_stream_reader(
+    spark,
+    fmt: str,
+    path: str,
+    starting_after_sequence: int,
+    max_snapshots_per_trigger: int | None,
+):
     register_iceberg_source(spark)
-    return (
-        spark.readStream.format(FORMAT_NAME)
+    reader = (
+        spark.readStream.format(fmt)
         .option("path", path)
         .option("starting_after_sequence", starting_after_sequence)
-        .load()
+    )
+    if max_snapshots_per_trigger is not None:
+        reader = reader.option(
+            "max_snapshots_per_trigger", max_snapshots_per_trigger
+        )
+    return reader.load()
+
+
+def read_iceberg_stream(
+    spark,
+    path: str,
+    starting_after_sequence: int = 0,
+    max_snapshots_per_trigger: int | None = None,
+):
+    """Convenience: a streaming DataFrame tailing the append history
+    of the Iceberg table at ``path``, starting after the given
+    sequence number (0 = from the beginning).
+    ``max_snapshots_per_trigger`` bounds EVERY micro-batch — the
+    opener of a fresh or restarted run included — to that many
+    snapshots, so catch-up over a long history drains in bounded hops
+    instead of one giant batch; use a processing-time trigger for
+    throttled catch-up (streaming/pacing.py)."""
+    return _iceberg_stream_reader(
+        spark, FORMAT_NAME, path, starting_after_sequence,
+        max_snapshots_per_trigger,
     )
 
 
@@ -487,22 +551,17 @@ class IcebergCdcStreamReader(DataSourceStreamReader):
     Puffin blob decode per slice); the planner stays
     manifest-scale."""
 
-    def __init__(self, root: str, schema, start_seq: int):
-        self.root = Path(root)
-        self.schema_struct = schema
-        self.start_seq = start_seq
-
-    def initialOffset(self) -> dict:
-        return {"seq": self.start_seq}
-
-    def latestOffset(self) -> dict:
-        meta = _load_meta(self.root)
-        return {"seq": int(meta.get("last-sequence-number") or 0)}
-
-    def commit(self, end: dict) -> None:
-        pass
+    # offset/pacing machinery is identical to the appends reader
+    # (field_names is unused here but harmless)
+    __init__ = IcebergStreamReader.__init__
+    initialOffset = IcebergStreamReader.initialOffset
+    latestOffset = IcebergStreamReader.latestOffset
+    commit = IcebergStreamReader.commit
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # restart replay reveals the checkpointed base BEFORE the
+        # first latestOffset (measured — streaming/pacing.py)
+        self._pacer.note(end["seq"])
         meta = _load_meta(self.root)
         fields = _schema_fields(meta)
         ids_to_type = {f["id"]: f["type"] for f in fields}
@@ -741,25 +800,29 @@ class IcebergCdcDataSource(DataSource):
         return ", ".join(parts)
 
     def streamReader(self, schema) -> IcebergCdcStreamReader:
+        mspt = self.options.get("max_snapshots_per_trigger")
         return IcebergCdcStreamReader(
             str(self.options["path"]),
             schema,
             int(self.options.get("starting_after_sequence", 0)),
+            int(mspt) if mspt is not None else None,
         )
 
 
 def read_iceberg_cdc_stream(
-    spark, path: str, starting_after_sequence: int = 0
+    spark,
+    path: str,
+    starting_after_sequence: int = 0,
+    max_snapshots_per_trigger: int | None = None,
 ):
     """Convenience: a streaming DataFrame over the CHANGELOG of the
     Iceberg table at ``path`` — every snapshot's diff as tagged
     change rows (the retraction-capable sibling of
     :func:`read_iceberg_stream`, matching the batch
-    ``read_iceberg_changes(include_deletes=True)`` row for row)."""
-    register_iceberg_source(spark)
-    return (
-        spark.readStream.format(CDC_FORMAT_NAME)
-        .option("path", path)
-        .option("starting_after_sequence", starting_after_sequence)
-        .load()
+    ``read_iceberg_changes(include_deletes=True)`` row for row).
+    ``max_snapshots_per_trigger`` bounds every micro-batch's snapshot
+    span, exactly as in :func:`read_iceberg_stream`."""
+    return _iceberg_stream_reader(
+        spark, CDC_FORMAT_NAME, path, starting_after_sequence,
+        max_snapshots_per_trigger,
     )

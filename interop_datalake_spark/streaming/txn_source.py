@@ -128,41 +128,33 @@ class TxnTableStreamReader(DataSourceStreamReader):
         self.starting_version = starting_version
         self.schema_struct = schema  # declared StructType (picklable)
         self.field_names = [f.name for f in schema.fields]
-        #: rate limit: after the first batch of a run, each
-        #: micro-batch covers at most this many commits — steady-state
-        #: pacing (Delta's maxFilesPerTrigger analog; per-commit
-        #: granularity because offsets ARE versions). The Python
-        #: DataSource API exposes no ReadLimit and calls latestOffset
-        #: BEFORE anything reveals the run's start offset (measured),
-        #: so the FIRST batch of any run — fresh or restarted — is
-        #: unthrottled; the base is then tracked in-process via
-        #: partitions(). Honest limitation until a
-        #: latestOffset(start, limit) form reaches the Python surface.
+        #: rate limit: each micro-batch — INCLUDING the first of a
+        #: fresh or restarted run — covers at most this many commits
+        #: (Delta's maxFilesPerTrigger analog; per-commit granularity
+        #: because offsets ARE versions). The base seeds from the
+        #: configured starting_version on fresh runs and from the
+        #: partitions() replay of the checkpointed window on restarts
+        #: — streaming/pacing.py documents the measured call order
+        #: that makes both safe.
         self.max_versions_per_trigger = max_versions_per_trigger
-        self._base: int | None = None
+        from interop_datalake_spark.streaming.pacing import Pacer
+
+        self._pacer = Pacer(starting_version)
 
     # -- offsets ------------------------------------------------------------
 
     def initialOffset(self) -> dict:
-        self._base = self.starting_version
+        self._pacer.note(self.starting_version)
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         latest = _latest_version(self.manifest_dir)
         n = self.max_versions_per_trigger
-        if n is None or self._base is None:
-            # first call of a query run: the engine asks for the latest
-            # offset BEFORE initialOffset/partitions reveal where the
-            # run actually starts (measured call order), so the first
-            # batch cannot be throttled safely — capping it against a
-            # guessed base could move offsets backwards after a restart
-            # and double-deliver. Return the truth; throttle from the
-            # second batch on.
-            self._base = latest
-            return {"version": latest}
-        end = min(latest, self._base + n)
-        self._base = max(self._base, end)
-        return {"version": end}
+        return {
+            "version": self._pacer.advance(
+                latest, None if n is None else (lambda base: base + n)
+            )
+        }
 
     def commit(self, end: dict) -> None:
         # progress is tracked by Spark's streaming checkpoint; manifests
@@ -172,9 +164,11 @@ class TxnTableStreamReader(DataSourceStreamReader):
     # -- planning (driver): manifests only, never data ----------------------
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        # authoritative progress (works across restarts, where the
-        # checkpointed start is otherwise invisible to this process)
-        self._base = max(self._base or 0, end["version"])
+        # authoritative progress: on a restart Spark re-plans the
+        # checkpointed window through here BEFORE the first
+        # latestOffset (measured — streaming/pacing.py), so this
+        # note() is what keeps the throttled advance monotone
+        self._pacer.note(end["version"])
         slices: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             rec = json.loads((self.manifest_dir / f"v{v}.json").read_text())
@@ -345,9 +339,12 @@ def read_txn_stream(
 ):
     """Convenience: a streaming DataFrame tailing ``table``'s change
     feed from ``starting_version`` (exclusive).
-    ``max_versions_per_trigger`` bounds each micro-batch to that many
-    commits — bounded catch-up after downtime instead of one giant
-    batch (see TxnTableStreamReader for the restart caveat)."""
+    ``max_versions_per_trigger`` bounds EVERY micro-batch (including
+    the first of a fresh or restarted run) to that many commits —
+    bounded catch-up after downtime instead of one giant batch. Use a
+    processing-time trigger for throttled catch-up: AvailableNow
+    captures one latestOffset and would stop after a single bounded
+    hop (streaming/pacing.py)."""
     register_txn_source(session.spark)
     reader = (
         session.spark.readStream.format(FORMAT_NAME)

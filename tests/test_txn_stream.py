@@ -122,12 +122,12 @@ def test_source_rejects_empty_table(session):
 def test_max_versions_per_trigger_paces_steady_state(
     session, spark, tmp_path
 ):
-    """Rate limiting: the FIRST batch of a run is unthrottled (the
-    Python DataSource API reveals no start offset before latestOffset
-    — measured, documented in txn_source.py), but every later
-    micro-batch spans at most max_versions_per_trigger commits. Pinned
-    by gating the sink: batch 1 blocks while 6 commits pile up, then
-    the backlog must drain in ≤2-commit hops."""
+    """Rate limiting: EVERY micro-batch — the opener included — spans
+    at most max_versions_per_trigger commits (the base seeds from the
+    configured start on fresh runs; streaming/pacing.py documents the
+    measured call order). Pinned by gating the sink: batch 1 blocks
+    while 6 commits pile up, then the backlog must drain in ≤2-commit
+    hops."""
     import threading
 
     t = TxnTable(session, "cdc_rl")
@@ -155,7 +155,8 @@ def test_max_versions_per_trigger_paces_steady_state(
 
         # wait until batch 1 (just v1) is IN the gated sink before
         # building the backlog — otherwise a slow first trigger could
-        # absorb the appends into the unthrottled opener (race)
+        # absorb two of the appends into the opener's 2-commit hop
+        # (race)
         deadline = time.time() + 60
         while time.time() < deadline and not batches:
             time.sleep(0.1)
@@ -172,8 +173,8 @@ def test_max_versions_per_trigger_paces_steady_state(
     finally:
         q.stop()
     assert set().union(*batches) == {1, 2, 3, 4, 5, 6, 7}, batches
-    # batch 1 = the unthrottled opener; every later batch ≤ 2 commits
-    assert all(len(b) <= 2 for b in batches[1:]), batches
+    # EVERY batch — the opener included — spans ≤ 2 commits
+    assert all(len(b) <= 2 for b in batches), batches
     assert any(len(b) == 2 for b in batches[1:]), (
         "backlog should drain in 2-commit hops",
         batches,
