@@ -121,6 +121,89 @@ def _decode_range(rng):
     return None if rng is None else [_stats_decode(rng[0]), _stats_decode(rng[1])]
 
 
+#: dtypes whose parquet FOOTER statistics are proven equivalent to the
+#: Spark min/max agg (probed on this build): integers and dates are
+#: exact logical values; strings compare identically (python code-point
+#: order == UTF-8 byte order == parquet's UNSIGNED column order == the
+#: UTF8String order Spark aggregates with, and parquet-mr stores them
+#: untruncated). NOT here, each for a measured reason: timestamps
+#: (Spark writes INT96 — footers carry no stats), float/double (a NaN
+#: max poisons the bound: parquet max=NaN vs Spark's NaN-greatest
+#: semantics), decimal (pyarrow raises extracting FLBA decimal stats),
+#: boolean (pointless to stat).
+_FOOTER_STAT_TYPES = {"tinyint", "smallint", "int", "bigint", "date", "string"}
+
+
+def _footer_stats(
+    root: Path, rel_files: list[str], stat_cols: list[str]
+) -> tuple[dict, int] | None:
+    """Per-file (min/max stats, row counts) read from the parquet
+    FOOTERS just written — O(files) driver-side metadata reads in
+    place of a SECOND Spark job re-scanning the data (the stats agg
+    was ~40% of a steady-state append commit's wall). Only called for
+    _FOOTER_STAT_TYPES columns; any surprise (missing footer, chunk
+    without bounds while non-null values exist) degrades per-column
+    to recorded-nothing (pruning treats absent stats as always-scan —
+    a WIDER bound is always safe) or, on real errors, returns None so
+    the caller falls back to the agg path."""
+    import pyarrow.parquet as pq
+
+    try:
+        stats: dict[str, dict] = {}
+        total = 0
+        want = set(stat_cols)
+        for rel in rel_files:
+            md = pq.read_metadata(root / rel)
+            n = md.num_rows
+            total += n
+            entry: dict = {"rows": n}
+            if n and want:
+                mins: dict = {}
+                maxs: dict = {}
+                bad: set = set()
+                for rgi in range(md.num_row_groups):
+                    rg = md.row_group(rgi)
+                    for ci in range(rg.num_columns):
+                        col = rg.column(ci)
+                        name = col.path_in_schema
+                        if name not in want or name in bad:
+                            continue
+                        st = col.statistics
+                        if st is None:
+                            bad.add(name)
+                            continue
+                        if not st.has_min_max:
+                            # an all-null chunk legitimately has no
+                            # bounds and cannot move min/max; bounds
+                            # missing with non-null values present
+                            # means the writer withheld them — record
+                            # nothing (always-scan) for the column
+                            if st.num_values:
+                                bad.add(name)
+                            continue
+                        lo, hi = st.min, st.max
+                        if name not in mins or lo < mins[name]:
+                            mins[name] = lo
+                        if name not in maxs or hi > maxs[name]:
+                            maxs[name] = hi
+                for c in stat_cols:
+                    if c in bad:
+                        continue
+                    if c in mins:
+                        entry[c] = [
+                            _stats_encode(mins[c]),
+                            _stats_encode(maxs[c]),
+                        ]
+                    else:
+                        # present but all-null: the agg path records
+                        # [null, null] — match it exactly
+                        entry[c] = [None, None]
+            stats[rel] = entry
+        return stats, total
+    except Exception:
+        return None  # any surprise: the Spark agg is the slow truth
+
+
 # -- partition transforms (hidden partitioning) ---------------------------
 #
 # Iceberg's partition-transform model (Iceberg table spec, "Partition
@@ -1334,6 +1417,46 @@ class TxnTable:
                         if k in pcols or k in transforms:
                             vals[k] = unquote(raw)
                 partitions[rel] = vals
+        # FOOTER FAST PATH: when every effective stats column is a
+        # type whose parquet footer statistics are proven equivalent
+        # to the Spark agg (_FOOTER_STAT_TYPES) and lives IN the data
+        # files (not path-encoded by the layout), and no bloom columns
+        # are declared, the per-file stats come straight from the
+        # footers just written — O(files) driver metadata reads
+        # instead of a SECOND Spark job re-scanning the data (~40% of
+        # a steady-state append commit, measured round 14). Anything
+        # else falls through to the agg below, the slow truth.
+        in_types_all = dict(df.dtypes)
+        layout_set = set(
+            list(pcols)
+            + list(transforms)
+            + list(layout_partition_by or [])
+        )
+        eff_stat_cols = [c for c in self.stats_cols if c in df.columns]
+        if (
+            self.session.format == "parquet"
+            and not self.bloom_cols
+            and all(
+                in_types_all.get(c) in _FOOTER_STAT_TYPES
+                and c not in layout_set
+                for c in eff_stat_cols
+            )
+        ):
+            got = _footer_stats(self.root, rel_files, eff_stat_cols)
+            if got is not None:
+                stats, rows = got
+                empty = {
+                    f for f in rel_files if stats[f]["rows"] == 0
+                }
+                # same empty-part-file drop as the agg path below:
+                # zero-row parts pollute manifests and refuse exports
+                for f in empty:
+                    (self.root / f).unlink(missing_ok=True)
+                    partitions.pop(f, None)
+                    stats.pop(f, None)
+                rel_files = [f for f in rel_files if f not in empty]
+                return rel_files, rows, stats, partitions, ptypes
+
         # Partition TYPE INFERENCE on the stats read-back is disabled:
         # inference is LOSSY for numeric-looking strings (path value
         # '0103' → INT 103 → cast back to STRING gives '103'), so a
@@ -1435,6 +1558,31 @@ class TxnTable:
                         if len(pos) > cap
                         else {"bits": self.bloom_bits, "pos": pos}
                     )
+        # Spark's writer emits EMPTY part files when input partitions
+        # hold no rows (tiny frames, skewed layout splits). They never
+        # appear in the stats agg (no rows → no group), so recording
+        # them would add statless manifest entries that every snapshot
+        # scan lists forever and the Iceberg export refuses. Drop them
+        # from the commit — and from disk (the per-commit subdir is
+        # invisible until the manifest references it). Footer-verified
+        # before unlinking: a file the stats agg missed for any OTHER
+        # reason (URI-match drift) stays recorded rather than deleted.
+        statless = [f for f in rel_files if f not in stats]
+        if statless:
+            import pyarrow.parquet as _pq
+
+            empty = set()
+            for f in statless:
+                try:
+                    if _pq.read_metadata(self.root / f).num_rows == 0:
+                        empty.add(f)
+                except Exception:
+                    pass  # unreadable → keep the entry, refuse later
+            if empty:
+                rel_files = [f for f in rel_files if f not in empty]
+                for f in empty:
+                    (self.root / f).unlink(missing_ok=True)
+                    partitions.pop(f, None)
         return rel_files, rows, stats, partitions, ptypes
 
     def _bloom_pos(self, col, probe: int, bits: int | None = None):

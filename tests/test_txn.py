@@ -991,3 +991,102 @@ def test_dv_subset_read_broadcast_is_restricted_to_requested_files(
     # the vector scan carries the file_key subset filter
     assert "file_key" in explain_str(sub)
     assert sub.count() == 900
+
+
+def test_append_drops_empty_part_files(table, spark):
+    """Spark's writer emits zero-row part files when input partitions
+    hold no rows (a 1-row frame on local[N] always does); recording
+    them would add statless manifest entries that every scan lists
+    forever and the Iceberg export refuses. _write_data must drop
+    them from the commit AND from disk."""
+    import json
+
+    table.append(_df(spark, [(1, "solo")]))
+    rec = json.loads(
+        (table.root / "_manifests" / "v1.json").read_text()
+    )
+    assert len(rec["added"]) == 1, rec["added"]
+    assert all(
+        rec["stats"][f].get("rows", 0) > 0 for f in rec["added"]
+    )
+    data_files = [
+        p
+        for p in (table.root / "data").rglob("*")
+        if p.is_file() and not p.name.startswith(("_", "."))
+    ]
+    assert len(data_files) == 1, data_files
+    assert _snapshot(table) == {(1, "solo")}
+
+
+def test_footer_stats_equivalent_to_agg(session, spark):
+    """The round-14 footer fast path (stats from parquet footers, no
+    second Spark job) must record EXACTLY what the Spark agg records
+    for every _FOOTER_STAT_TYPES shape — ints, strings (non-ASCII),
+    dates, all-null columns — including the rows count the Iceberg
+    export requires. Pinned by running BOTH paths on the same frame."""
+    import json as _json
+
+    from datetime import date as _date
+
+    from interop_datalake_spark.lake import txn as _txn
+
+    rows = [
+        (5, "beta", _date(2021, 5, 6), None),
+        (2, "alphaé", _date(2020, 1, 1), None),
+        (9, None, _date(2023, 12, 31), None),
+    ]
+    ddl = "k INT, s STRING, d DATE, n STRING"
+    cols = ["k", "s", "d", "n"]
+
+    t1 = TxnTable(session, "fs_fast", stats_cols=cols)
+    t1.append(spark.createDataFrame(rows, ddl).coalesce(1))
+    fast = _json.loads(
+        (t1.root / "_manifests" / "v1.json").read_text()
+    )["stats"]
+
+    # force the agg path by disabling the footer reader
+    orig = _txn._footer_stats
+    _txn._footer_stats = lambda *a, **k: None
+    try:
+        t2 = TxnTable(session, "fs_agg", stats_cols=cols)
+        t2.append(spark.createDataFrame(rows, ddl).coalesce(1))
+    finally:
+        _txn._footer_stats = orig
+    agg = _json.loads(
+        (t2.root / "_manifests" / "v1.json").read_text()
+    )["stats"]
+
+    assert len(fast) == len(agg) == 1
+    fstats = next(iter(fast.values()))
+    astats = next(iter(agg.values()))
+    assert fstats == astats, (fstats, astats)
+    assert fstats["rows"] == 3
+    assert fstats["k"] == [2, 9]
+    assert fstats["s"] == ["alphaé", "beta"]
+    assert fstats["n"] == [None, None]
+
+
+def test_footer_stats_fallback_types_still_pruned(session, spark):
+    """Timestamp stats columns fall back to the agg path (INT96
+    footers carry no statistics) — pruning still works."""
+    from datetime import datetime as _dt
+
+    t = TxnTable(session, "fs_ts", stats_cols=["ts"])
+    t.append(
+        spark.createDataFrame(
+            [(_dt(2020, 1, 1),)], "ts TIMESTAMP"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(_dt(2024, 1, 1),)], "ts TIMESTAMP"
+        ).coalesce(1)
+    )
+    assert (
+        len(
+            t.resolve_files(
+                key_range=("ts", _dt(2023, 1, 1), _dt(2025, 1, 1))
+            )
+        )
+        == 1
+    )
