@@ -102,28 +102,57 @@ def _validate_exportable(
             )
 
 
+def _ict_configuration(
+    ict: bool, enablement: dict | None = None
+) -> dict:
+    """The table-property keys the inCommitTimestamp writer feature
+    requires in ``metaData.configuration`` (Delta PROTOCOL.md,
+    In-Commit Timestamps): the enablement flag, plus — when the
+    feature was turned on AFTER table creation — the provenance pair
+    naming the first ICT-stamped version and its timestamp, which
+    compliant engines use to know where mtime-based history ends and
+    ICT-based history begins."""
+    if not ict:
+        return {}
+    conf = {"delta.enableInCommitTimestamps": "true"}
+    if enablement:
+        conf["delta.inCommitTimestampEnablementVersion"] = str(
+            enablement["version"]
+        )
+        conf["delta.inCommitTimestampEnablementTimestamp"] = str(
+            enablement["timestamp"]
+        )
+    return conf
+
+
 def _meta_action(
-    m: dict, now_ms: int, table_id: str, cdf: bool = False
+    m: dict,
+    now_ms: int,
+    table_id: str,
+    cdf: bool = False,
+    extra_conf: dict | None = None,
 ) -> dict:
     # metaData.id is the table's STABLE unique identifier (Delta
     # PROTOCOL.md) — external engines key snapshot caches and
     # streaming-source identity on it, so a mirrored schema evolution
     # must re-emit the SAME id, never a fresh uuid (round-8 review 4)
+    conf = {"delta.enableChangeDataFeed": "true"} if cdf else {}
+    conf.update(extra_conf or {})
     return {
         "metaData": {
             "id": table_id,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": m["schema"],
             "partitionColumns": m.get("partition_cols") or [],
-            "configuration": (
-                {"delta.enableChangeDataFeed": "true"} if cdf else {}
-            ),
+            "configuration": conf,
             "createdTime": now_ms,
         }
     }
 
 
-def _protocol_action(dv: bool, cdf: bool, v2c: bool = False) -> dict:
+def _protocol_action(
+    dv: bool, cdf: bool, v2c: bool = False, ict: bool = False
+) -> dict:
     """The protocol a snapshot/commit must claim: vector-free tables
     stay maximally consumable (1/2, or 1/4 — the legacy CDF writer
     version — when change data is recorded); vectored tables claim
@@ -131,17 +160,34 @@ def _protocol_action(dv: bool, cdf: bool, v2c: bool = False) -> dict:
     changeDataFeed feature when cdc actions are written. ``v2c``
     (sidecar-based V2 checkpoints published) forces 3/7 with the
     ``v2Checkpoint`` reader+writer feature — the spec's gate: a
-    reader that cannot follow sidecars must not replay the table."""
-    if dv or v2c:
+    reader that cannot follow sidecars must not replay the table.
+    ``ict`` (in-commit timestamps stamped) claims the writer-only
+    ``inCommitTimestamp`` feature: writer features require writer
+    version 7, but the READER version stays at whatever the reader
+    features demand (1 when none — ICT-stamped vector-free tables
+    remain readable by engines that predate table features)."""
+    if dv or v2c or ict:
         feats_r = (["deletionVectors"] if dv else []) + (
             ["v2Checkpoint"] if v2c else []
         )
-        feats_w = list(feats_r) + (["changeDataFeed"] if cdf else [])
+        feats_w = (
+            list(feats_r)
+            + (["changeDataFeed"] if cdf else [])
+            + (["inCommitTimestamp"] if ict else [])
+        )
+        if feats_r:
+            return {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": feats_r,
+                    "writerFeatures": feats_w,
+                }
+            }
         return {
             "protocol": {
-                "minReaderVersion": 3,
+                "minReaderVersion": 1,
                 "minWriterVersion": 7,
-                "readerFeatures": feats_r,
                 "writerFeatures": feats_w,
             }
         }
@@ -292,16 +338,23 @@ _DELTA_OP_NAMES = {
 }
 
 
-def _commit_info(now_ms: int, op: str | None, txn_version=None) -> dict:
+def _commit_info(
+    now_ms: int, op: str | None, txn_version=None, ict: int | None = None
+) -> dict:
     """A ``commitInfo`` action (PROTOCOL.md: free-form provenance;
     engines surface it as DESCRIBE HISTORY). Readers — including this
-    module's — ignore it for replay."""
+    module's — ignore it for replay, EXCEPT ``inCommitTimestamp``
+    (present iff the ICT writer feature is claimed): the protocol's
+    authoritative, monotone commit time, which time travel and CDF
+    timestamp bounds prefer over file mtimes."""
     info = {
         "timestamp": now_ms,
         "operation": _DELTA_OP_NAMES.get(op, op or "WRITE"),
         "operationParameters": {},
         "engineInfo": "interop-datalake-spark txn mirror",
     }
+    if ict is not None:
+        info["inCommitTimestamp"] = int(ict)
     if txn_version is not None:
         info["operationParameters"] = {"txnVersion": str(txn_version)}
     return {"commitInfo": info}
@@ -370,6 +423,9 @@ def _write_marker(
     dv_protocol: bool = False,
     cdf: bool = False,
     v2c: bool = False,
+    ict: bool = False,
+    ict_last: int = 0,
+    ict_enablement: dict | None = None,
 ):
     """Atomic + fsync'd like the commits — INCLUDING the directory
     fsync after the rename (round-8 review 5): a dir-cached rename
@@ -392,6 +448,14 @@ def _write_marker(
                     "dv_protocol": bool(dv_protocol),
                     "cdf": bool(cdf),
                     "v2c": bool(v2c),
+                    # ICT is one-way once claimed: ict_last carries the
+                    # last stamped timestamp across export sessions so
+                    # monotonicity survives process restarts;
+                    # ict_enablement the provenance pair checkpoints
+                    # must keep re-emitting
+                    "ict": bool(ict),
+                    "ict_last": int(ict_last),
+                    "ict_enablement": ict_enablement,
                 }
             )
         )
@@ -422,6 +486,9 @@ def _read_marker(log_dir: Path) -> dict | None:
             "dv_protocol": bool(d.get("dv_protocol")),
             "cdf": bool(d.get("cdf")),
             "v2c": bool(d.get("v2c")),
+            "ict": bool(d.get("ict")),
+            "ict_last": int(d.get("ict_last") or 0),
+            "ict_enablement": d.get("ict_enablement"),
         }
     except (ValueError, KeyError, TypeError):
         return None
@@ -432,6 +499,7 @@ def _full_export(
     version: int | None,
     cdf: bool = False,
     v2c: bool = False,
+    ict: bool = False,
 ) -> Path:
     m = table.manifest(version)
     _validate_exportable(table, m, m["files"])
@@ -470,12 +538,19 @@ def _full_export(
     if cdc_dir.exists():
         shutil.rmtree(cdc_dir)
     actions = [
-        _commit_info(now_ms, "append", m["version"]),
+        # ICT enabled at table creation (version 0) needs no
+        # enablement-provenance properties — the whole history is
+        # ICT-stamped
+        _commit_info(
+            now_ms, "append", m["version"], ict=now_ms if ict else None
+        ),
         # vector-free snapshots stay minReader/Writer 1/2 (plain
         # parquet + partition columns) — maximally consumable; a
         # vectored snapshot must claim the deletionVectors feature
-        _protocol_action(bool(dv_descs), cdf, v2c),
-        _meta_action(m, now_ms, table_id, cdf),
+        _protocol_action(bool(dv_descs), cdf, v2c, ict),
+        _meta_action(
+            m, now_ms, table_id, cdf, _ict_configuration(ict) or None
+        ),
     ] + [
         _add_action(table, m, f, now_ms, names, dv_descs.get(f))
         for f in m["files"]
@@ -484,7 +559,7 @@ def _full_export(
     _write_commit(log_dir, 0, actions)
     _write_marker(
         log_dir, m["version"], 0, table_id, dv_descs, bool(dv_descs),
-        cdf, v2c,
+        cdf, v2c, ict, now_ms if ict else 0,
     )
     return log_dir
 
@@ -496,6 +571,7 @@ def export_delta_log(
     checkpoint_every: int = 10,
     change_data: bool = False,
     checkpoint_format: str = "classic",
+    in_commit_timestamps: bool = False,
 ) -> Path:
     """Write a Delta ``_delta_log`` describing the TxnTable into the
     table's root — the root then IS a Delta table: ``add.path``
@@ -542,6 +618,18 @@ def export_delta_log(
     removes still derive (writing cdc there would duplicate data —
     delta-spark's own rule). Enabling or disabling mid-mirror emits
     the metaData/protocol transition in the next published commit.
+
+    ``in_commit_timestamps=True`` claims the ``inCommitTimestamp``
+    writer feature and stamps every published commit's ``commitInfo``
+    with a strictly-monotone ``inCommitTimestamp`` — the mirrored
+    TxnTable commit's own recorded time — so foreign readers resolve
+    time travel and CDF timestamp bounds by protocol-authoritative
+    commit times instead of file mtimes (immune to copies/restores
+    perturbing mtime). Mirror enablement mid-history emits the
+    enablement-provenance properties the spec requires; once claimed
+    the feature is ONE-WAY (later mirrors keep stamping even without
+    the flag). Vector-free ICT tables keep minReaderVersion 1 — the
+    feature is writer-only.
 
     STALENESS CONTRACT (replace mode): the export describes the
     snapshot AT EXPORT TIME; later TxnTable commits do not update it
@@ -601,16 +689,21 @@ def export_delta_log(
             )
         v2 = checkpoint_format == "v2"
         if mode == "replace":
-            return _full_export(table, version, change_data, v2)
+            return _full_export(
+                table, version, change_data, v2, in_commit_timestamps
+            )
         marker = _read_marker(log_dir) if log_dir.exists() else None
         if marker is None:
             # no marker, or a torn one: restart with a full export —
-            # claiming v2Checkpoint up front when requested, so the
-            # mirror's own checkpoints need no later upgrade commit
-            return _full_export(table, None, change_data, v2)
+            # claiming v2Checkpoint (and ICT) up front when requested,
+            # so the mirror's own checkpoints need no later upgrade
+            # commit
+            return _full_export(
+                table, None, change_data, v2, in_commit_timestamps
+            )
         return _mirror_locked(
             table, log_dir, checkpoint_every, change_data,
-            checkpoint_format,
+            checkpoint_format, in_commit_timestamps,
         )
     finally:
         os.close(lock_fd)
@@ -622,13 +715,15 @@ def _mirror_locked(
     checkpoint_every: int = 10,
     change_data: bool = False,
     checkpoint_format: str = "classic",
+    in_commit_timestamps: bool = False,
 ) -> Path:
     # marker re-read UNDER the lock: decisions below must be based on
     # the acknowledged state no concurrent writer can move
     marker = _read_marker(log_dir)
     if marker is None:
         return _full_export(
-            table, None, change_data, checkpoint_format == "v2"
+            table, None, change_data, checkpoint_format == "v2",
+            in_commit_timestamps,
         )
     base_txn = marker["txn_version"]
     delta_v = marker["delta_version"]
@@ -637,8 +732,14 @@ def _mirror_locked(
     if cur <= base_txn:
         return log_dir  # already current: idempotent no-op
     if base_txn not in table._retained_versions() and base_txn != 0:
-        # the marked version was vacuumed away: can't diff — restart
-        return _full_export(table, None)
+        # the marked version was vacuumed away: can't diff — restart,
+        # carrying the requested feature set (plus any the old mirror
+        # had already claimed one-way) into the fresh export
+        return _full_export(
+            table, None, change_data,
+            checkpoint_format == "v2" or bool(marker.get("v2c")),
+            in_commit_timestamps or bool(marker.get("ict")),
+        )
     # CRASH RECOVERY (round-8 reviews 5+6): a crash between a commit's
     # publish and its marker write leaves exactly ONE unacknowledged
     # commit — at delta_v+1, because the marker follows every publish.
@@ -662,6 +763,13 @@ def _mirror_locked(
     # checkpoint files
     v2c = bool(marker.get("v2c")) or checkpoint_format == "v2"
     v2c_claimed = bool(marker.get("v2c"))
+    # ICT is one-way like v2Checkpoint: once a mirror stamped it, the
+    # property is on and every later commit must carry a monotone
+    # inCommitTimestamp — even if a later caller forgets the flag
+    ict = bool(marker.get("ict")) or in_commit_timestamps
+    ict_claimed = bool(marker.get("ict"))
+    ict_last = int(marker.get("ict_last") or 0)
+    ict_enablement = marker.get("ict_enablement")
     for v in range(base_txn + 1, cur + 1):
         m = table.manifest(v)
         prev_files = set(prev["files"])
@@ -732,33 +840,61 @@ def _mirror_locked(
         # this repo's delta_appends source alike) skip them instead
         # of REPROCESSING every rewritten row after each compaction
         try:
-            op = table.commit_record(v).get("op")
+            rec = table.commit_record(v)
         except (OSError, ValueError):
-            op = None  # checkpoint-folded record: assume data change
+            rec = {}  # checkpoint-folded record: assume data change
+        op = rec.get("op")
         dc = op not in ("compact", "consolidate_dv")
-        actions = [_commit_info(now_ms, op, v)]
+        ict_ts = None
+        if ict:
+            # the ICT is the mirrored TxnTable commit's OWN time when
+            # recorded (provenance-accurate history), monotonized
+            # strictly increasing per the feature spec; wall clock
+            # only when the record is gone (checkpoint-folded)
+            try:
+                base_ts = _to_epoch_ms(rec["ts_utc"])
+            except (KeyError, TypeError, ValueError):
+                base_ts = now_ms
+            ict_ts = max(ict_last + 1, base_ts)
+            if not ict_claimed and ict_enablement is None:
+                # enabling mid-history: record the provenance pair
+                # (first ICT version + its timestamp) the spec
+                # requires when the feature is not creation-enabled
+                ict_enablement = {
+                    "version": delta_v + 1,
+                    "timestamp": ict_ts,
+                }
+        actions = [_commit_info(now_ms, op, v, ict=ict_ts)]
         if (
             (new_descs and not dv_protocol_claimed)
             or cdf != cdf_claimed
             or v2c != v2c_claimed
+            or ict != ict_claimed
         ):
             # first vectored commit / CDF transition / v2Checkpoint
-            # enablement in this mirror: upgrade the published
+            # or ICT enablement in this mirror: upgrade the published
             # protocol in-commit (Delta's own upgrade path)
             actions.append(
                 _protocol_action(
-                    dv_protocol_claimed or bool(new_descs), cdf, v2c
+                    dv_protocol_claimed or bool(new_descs), cdf, v2c,
+                    ict,
                 )
             )
         if (
             m.get("schema") != prev.get("schema")
             or spec_changed
             or cdf != cdf_claimed
+            or ict != ict_claimed
         ):
-            # a CDF transition re-emits metaData: the
-            # delta.enableChangeDataFeed configuration is what
-            # compliant readers key the feature on
-            actions.append(_meta_action(m, now_ms, table_id, cdf))
+            # a CDF or ICT transition re-emits metaData: the
+            # delta.enable* configuration is what compliant readers
+            # key the feature on
+            actions.append(
+                _meta_action(
+                    m, now_ms, table_id, cdf,
+                    _ict_configuration(ict, ict_enablement) or None,
+                )
+            )
         actions += [
             _remove_action(
                 f, now_ms, dv_descs.get(f), dc,
@@ -825,6 +961,9 @@ def _mirror_locked(
             dv_protocol_claimed = dv_protocol_claimed or bool(new_descs)
             cdf_claimed = cdf
             v2c_claimed = v2c
+            if ict_ts is not None:
+                ict_claimed = True
+                ict_last = ict_ts
             delta_v += 1
             _write_commit(log_dir, delta_v, actions)
             # marker advances per PUBLISHED commit, right after it: a
@@ -835,6 +974,7 @@ def _mirror_locked(
             _write_marker(
                 log_dir, v, delta_v, table_id, dv_descs,
                 dv_protocol_claimed, cdf_claimed, v2c_claimed,
+                ict_claimed, ict_last, ict_enablement,
             )
             marked = v
             if checkpoint_every and delta_v % checkpoint_every == 0:
@@ -846,6 +986,8 @@ def _mirror_locked(
                     dv_protocol_claimed, now_ms, cdf_claimed,
                     v2c=(checkpoint_format == "v2" and v2c_claimed),
                     v2c_protocol=v2c_claimed,
+                    ict=ict_claimed,
+                    ict_enablement=ict_enablement,
                 )
         prev = m
     if marked != cur:
@@ -855,7 +997,8 @@ def _mirror_locked(
         # concurrent replace/vacuum removed the log; round-8 review 6)
         _write_marker(
             log_dir, cur, delta_v, table_id, dv_descs,
-            dv_protocol_claimed, cdf_claimed,
+            dv_protocol_claimed, cdf_claimed, v2c_claimed,
+            ict_claimed, ict_last, ict_enablement,
         )
     return log_dir
 
@@ -954,6 +1097,8 @@ def _write_delta_checkpoint(
     cdf: bool = False,
     v2c: bool = False,
     v2c_protocol: bool | None = None,
+    ict: bool = False,
+    ict_enablement: dict | None = None,
 ) -> None:
     """Write a parquet checkpoint of the log state at ``delta_v`` —
     CLASSIC single-part by default (one action per row: protocol +
@@ -1050,9 +1195,14 @@ def _write_delta_checkpoint(
     )
     if v2c_protocol is None:
         v2c_protocol = v2c
-    proto = _protocol_action(dv_protocol, cdf, v2c_protocol)["protocol"]
+    proto = _protocol_action(dv_protocol, cdf, v2c_protocol, ict)[
+        "protocol"
+    ]
     names = _schema_names(m)
-    meta_row = _meta_action(m, now_ms, table_id, cdf)["metaData"]
+    meta_row = _meta_action(
+        m, now_ms, table_id, cdf,
+        _ict_configuration(ict, ict_enablement) or None,
+    )["metaData"]
     add_rows = []
     for f in m["files"]:
         # checkpoint file actions carry dataChange=false (delta-spark
@@ -2058,6 +2208,76 @@ def delta_version_at(path: str, timestamp) -> int:
             f"for the current snapshot"
         )
     return out
+
+
+def delta_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY over a foreign ``_delta_log`` — one row per
+    RETAINED commit json, newest first (delta-spark's ordering): the
+    provenance ``commitInfo`` fields plus per-commit action counts.
+    The TxnTable sibling of :meth:`TxnTable.history_df
+    <interop_datalake_spark.lake.txn.TxnTable.history_df>`, completing
+    the audit surface the file-level ``delta_files`` observable
+    started.
+
+    ``timestamp`` is the AUTHORITATIVE commit time — the monotonized
+    value time travel resolves by (``inCommitTimestamp`` preferred,
+    then ``commitInfo.timestamp``, then file mtime) — while
+    ``in_commit_timestamp`` carries the raw ICT stamp (NULL on
+    non-ICT commits) so audits can see which regime each commit is
+    in. Driver work is O(retained commits) json parses — metadata
+    scale, the same bound as log replay; no data files open."""
+    from datetime import datetime, timezone
+
+    log_dir = Path(path) / "_delta_log"
+    json_commits = {
+        int(p.stem): p
+        for p in log_dir.glob("*.json")
+        if p.stem.isdigit()
+    }
+    if not json_commits:
+        raise FileNotFoundError(f"no Delta commit json under {log_dir}")
+    mono_ts = dict(_delta_commit_history(path))
+    rows = []
+    for v in sorted(json_commits, reverse=True):
+        ci = {}
+        n_add = n_remove = n_cdc = 0
+        for line in json_commits[v].read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                ci = action["commitInfo"]
+            elif "add" in action:
+                n_add += 1
+            elif "remove" in action:
+                n_remove += 1
+            elif "cdc" in action:
+                n_cdc += 1
+        params = ci.get("operationParameters") or {}
+        txn_v = params.get("txnVersion")
+        ict = ci.get("inCommitTimestamp")
+        rows.append(
+            (
+                v,
+                datetime.fromtimestamp(
+                    mono_ts[v] / 1000, tz=timezone.utc
+                ),
+                ci.get("operation"),
+                ci.get("engineInfo"),
+                int(txn_v) if txn_v is not None else None,
+                int(ict) if ict is not None else None,
+                n_add,
+                n_remove,
+                n_cdc,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, timestamp TIMESTAMP, operation STRING, "
+        "engine_info STRING, txn_version BIGINT, "
+        "in_commit_timestamp BIGINT, n_adds INT, n_removes INT, "
+        "n_cdc INT",
+    )
 
 
 def read_delta(

@@ -403,3 +403,159 @@ class TestInCommitTimestamps:
         # the wall-clock stamps (5k/6k) must NOT resolve
         with pytest.raises(ValueError, match="before the earliest"):
             delta_version_at(str(root), 6_000)
+
+
+class TestInCommitTimestampWrite:
+    """The WRITE half of the ICT feature (round-14): mirror exports
+    with in_commit_timestamps=True stamp every published commit and
+    claim the writer feature, so foreign readers resolve time travel
+    and CDF bounds by protocol-authoritative commit times even after
+    file mtimes are perturbed — the twin of
+    TestInCommitTimestamps.test_ict_preferred_over_wall_clock."""
+
+    @staticmethod
+    def _commits(root):
+        import json as _json
+
+        log = root / "_delta_log"
+        out = {}
+        for p in sorted(log.glob("*.json")):
+            if not p.stem.isdigit():
+                continue
+            acts = [
+                _json.loads(ln)
+                for ln in p.read_text().splitlines()
+                if ln.strip()
+            ]
+            out[int(p.stem)] = acts
+        return out
+
+    def _perturb_mtimes(self, root):
+        """Scramble commit-file mtimes BACKWARDS (the copy/restore
+        hazard ICT exists to survive)."""
+        import os
+
+        for i, p in enumerate(
+            sorted((root / "_delta_log").glob("*.json"))
+        ):
+            os.utime(p, (1_000_000 - i * 1000, 1_000_000 - i * 1000))
+
+    def test_mirror_stamps_monotone_ict_and_claims_feature(
+        self, spark, lake
+    ):
+        from interop_datalake_spark.lake.delta_interop import (
+            export_delta_log,
+            read_delta_changes,
+        )
+
+        t = TxnTable(lake, "ictw", stats_cols=["k"])
+        for i in range(3):
+            t.append(spark.createDataFrame([(i,)], "k INT"))
+            export_delta_log(
+                t, mode="mirror", in_commit_timestamps=True
+            )
+        commits = self._commits(t.root)
+        assert set(commits) == {0, 1, 2}
+        icts = []
+        for v, acts in commits.items():
+            ci = next(a for a in acts if "commitInfo" in a)
+            icts.append(ci["commitInfo"]["inCommitTimestamp"])
+        assert icts == sorted(icts) and len(set(icts)) == 3, icts
+        proto = next(
+            a for a in commits[0] if "protocol" in a
+        )["protocol"]
+        # writer-only feature: reader version stays 1
+        assert proto["minReaderVersion"] == 1
+        assert proto["minWriterVersion"] == 7
+        assert "inCommitTimestamp" in proto["writerFeatures"]
+        meta = next(
+            a for a in commits[0] if "metaData" in a
+        )["metaData"]
+        assert (
+            meta["configuration"]["delta.enableInCommitTimestamps"]
+            == "true"
+        )
+        # enabled at creation → no enablement-provenance properties
+        assert (
+            "delta.inCommitTimestampEnablementVersion"
+            not in meta["configuration"]
+        )
+
+        # mtime perturbation must not move resolution: travel + CDF
+        # bounds resolve by ICT
+        self._perturb_mtimes(t.root)
+        assert delta_version_at(str(t.root), icts[0]) == 0
+        assert delta_version_at(str(t.root), icts[1]) == 1
+        assert delta_version_at(str(t.root), icts[2]) == 2
+        assert delta_version_at(str(t.root), icts[2] - 1) == 1
+        ch = read_delta_changes(
+            spark,
+            str(t.root),
+            from_timestamp=icts[1],
+            to_timestamp=icts[2],
+        )
+        assert {r["k"] for r in ch.collect()} == {1, 2}
+        # the plain reader still consumes the table (no reader gate)
+        assert {r["k"] for r in read_delta(spark, str(t.root)).collect()} \
+            == {0, 1, 2}
+
+    def test_mid_mirror_enablement_and_one_way(self, spark, lake):
+        from interop_datalake_spark.lake.delta_interop import (
+            export_delta_log,
+        )
+
+        t = TxnTable(lake, "ictm", stats_cols=["k"])
+        t.append(spark.createDataFrame([(0,)], "k INT"))
+        export_delta_log(t, mode="mirror")  # ICT off at creation
+        t.append(spark.createDataFrame([(1,)], "k INT"))
+        export_delta_log(t, mode="mirror", in_commit_timestamps=True)
+        # one-way: the NEXT mirror forgets the flag, must keep stamping
+        t.append(spark.createDataFrame([(2,)], "k INT"))
+        export_delta_log(t, mode="mirror")
+        commits = self._commits(t.root)
+        assert set(commits) == {0, 1, 2}
+        ci0 = next(a for a in commits[0] if "commitInfo" in a)
+        assert "inCommitTimestamp" not in ci0["commitInfo"]
+        ci1 = next(a for a in commits[1] if "commitInfo" in a)
+        ci2 = next(a for a in commits[2] if "commitInfo" in a)
+        t1 = ci1["commitInfo"]["inCommitTimestamp"]
+        t2 = ci2["commitInfo"]["inCommitTimestamp"]
+        assert t2 > t1
+        # the enablement commit re-emits metaData with the provenance
+        # pair naming ITSELF (version 1, its own ICT)
+        meta1 = next(
+            a for a in commits[1] if "metaData" in a
+        )["metaData"]
+        conf = meta1["configuration"]
+        assert conf["delta.enableInCommitTimestamps"] == "true"
+        assert conf["delta.inCommitTimestampEnablementVersion"] == "1"
+        assert conf["delta.inCommitTimestampEnablementTimestamp"] == str(t1)
+        proto1 = next(
+            a for a in commits[1] if "protocol" in a
+        )["protocol"]
+        assert "inCommitTimestamp" in proto1["writerFeatures"]
+        # version 2 (flag forgotten) publishes no NEW protocol/meta —
+        # the claim is already on — but still stamps
+        assert not any("protocol" in a for a in commits[2])
+
+    def test_full_export_with_ict(self, spark, lake):
+        from interop_datalake_spark.lake.delta_interop import (
+            export_delta_log,
+        )
+
+        t = TxnTable(lake, "ictf", stats_cols=["k"])
+        t.append(spark.createDataFrame([(0,), (1,)], "k INT"))
+        export_delta_log(t, in_commit_timestamps=True)  # replace mode
+        commits = self._commits(t.root)
+        ci = next(a for a in commits[0] if "commitInfo" in a)
+        assert isinstance(
+            ci["commitInfo"]["inCommitTimestamp"], int
+        )
+        proto = next(
+            a for a in commits[0] if "protocol" in a
+        )["protocol"]
+        assert proto == {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["inCommitTimestamp"],
+        }
