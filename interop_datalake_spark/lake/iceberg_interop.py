@@ -86,6 +86,7 @@ contract — consumers bring their own engine.
 from __future__ import annotations
 
 import json
+import shutil
 import struct
 import time
 import uuid
@@ -437,13 +438,19 @@ def _bounds_map_schema(outer_id: int, key_id: int, value_id: int) -> dict:
 
 
 def _manifest_entry_schema(
-    partition_fields: list, v3_dv: bool = False
+    partition_fields: list,
+    v3_dv: bool = False,
+    v3_lineage: bool = False,
 ) -> str:
     """``v3_dv`` appends the spec's v3 deletion-vector fields
     (referenced_data_file 143, content_offset 144,
     content_size_in_bytes 145) — used by DV-bearing delete manifests
     (the reader is schema-driven and handles both shapes; this
-    repo's own exporter writes v2 manifests without them)."""
+    repo's own exporter writes v2 manifests without them).
+    ``v3_lineage`` appends the v3 row-lineage field
+    (``first_row_id``, spec field 142) used by DATA manifests of v3
+    exports: the ``_row_id`` assigned to the file's first row (null =
+    pre-upgrade file with unknown lineage, whose rows read NULL)."""
     data_file = {
         "type": "record",
         "name": "r2",
@@ -494,6 +501,15 @@ def _manifest_entry_schema(
             },
         ],
     }
+    if v3_lineage:
+        data_file["fields"].append(
+            {
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 142,
+            }
+        )
     if v3_dv:
         data_file["fields"] += [
             {
@@ -586,6 +602,41 @@ _MANIFEST_FILE_SCHEMA = json.dumps(
         ],
     }
 )
+
+
+def _rec_get_opt(rec, name: str):
+    """Read an OPTIONAL field off a decoded Avro record: the Java
+    ``GenericData.Record.get(name)`` THROWS AvroRuntimeException when
+    the writer's schema lacks the field (a pre-v3 manifest has no
+    ``first_row_id``), while the pure-Python reader's dicts return
+    None — normalize both to None-when-absent."""
+    if isinstance(rec, dict):
+        return rec.get(name)
+    try:
+        if rec.getSchema().getField(name) is None:
+            return None
+        return rec.get(name)
+    except Exception:
+        return None
+
+
+def _manifest_file_schema(v3_lineage: bool = False) -> str:
+    """The manifest-list entry schema — v2 verbatim, plus the v3
+    row-lineage field ``first_row_id`` (spec field 520: the starting
+    ``_row_id`` for rows in the manifest's ADDED data files; null on
+    DELETE manifests) when ``v3_lineage``."""
+    if not v3_lineage:
+        return _MANIFEST_FILE_SCHEMA
+    s = json.loads(_MANIFEST_FILE_SCHEMA)
+    s["fields"].append(
+        {
+            "name": "first_row_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 520,
+        }
+    )
+    return json.dumps(s)
 
 
 # -- Avro via the bundled Java library (py4j) -------------------------------
@@ -843,6 +894,100 @@ def _dv_position_pairs(table: TxnTable, m: dict) -> list:
     return sorted(pairs)
 
 
+def _write_equality_deletes(
+    table: TxnTable,
+    m: dict,
+    meta_dir: Path,
+    key_cols: list[str],
+    ids: dict,
+    existing_rel: set,
+) -> tuple[Path, int]:
+    """Serialize the snapshot's deletion vectors as ONE Iceberg
+    EQUALITY-delete parquet (content=2 — the Flink-CDC shape this
+    repo's reader already applies): the DELETED rows' ``key_cols``
+    values, distinct, written DISTRIBUTED (no driver materialization)
+    with each column's schema field id stamped in the footer.
+
+    Equality semantics are stronger than position semantics — a keyed
+    delete kills EVERY lower-sequence row matching the key — so the
+    conversion refuses loudly unless it is provably
+    position-equivalent:
+
+    - every vectored file must be EXISTING (lower sequence than the
+      delete file): the spec's STRICT ``delete_seq > data_seq`` rule
+      means an equality delete cannot touch same-snapshot files, so
+      vectors on a file added by THIS export (e.g. a first full
+      export) would silently resurrect their rows;
+    - no LIVE lower-sequence row may match a deleted key (null-safe,
+      matching the reader's ``eqNullSafe``): otherwise the equality
+      file would delete rows the vectors never named."""
+    from pyspark.sql import functions as F
+
+    spark = table.spark
+    dvs = m.get("dvs") or {}
+    dv_files = sorted(f for f in m["files"] if dvs.get(f))
+    not_existing = [f for f in dv_files if f not in existing_rel]
+    if not_existing:
+        raise ValueError(
+            f"table {table.name}: vectored file(s) "
+            f"{not_existing[:3]} are ADDED by this very export — the "
+            f"spec's strict sequence rule (delete_seq > data_seq) "
+            f"means an equality delete cannot touch them and their "
+            f"deleted rows would resurrect; export once without "
+            f"equality_delete_cols first (position deletes/DVs "
+            f"express the same state), then switch"
+        )
+    state_nodv = {**m, "dvs": {}}
+    raw = table._load_files(dv_files, state_nodv, keep_lineage=True)
+    dv_paths = sorted({p for f in dv_files for p in dvs[f]})
+    vec = spark.read.parquet(
+        *[str(table.root / p) for p in dv_paths]
+    ).select(
+        F.col("file_key").alias("_dv_file"),
+        F.col("row_idx").alias("_dv_row"),
+    )
+    deleted_keys = (
+        raw.join(vec, ["_dv_file", "_dv_row"], "left_semi")
+        .select(*key_cols)
+        .distinct()
+    )
+    lower_live = [f for f in m["files"] if f in existing_rel]
+    if lower_live:
+        live = table._load_files(lower_live, m).alias("_el")
+        dk = deleted_keys.alias("_ek")
+        cond = F.lit(True)
+        for c in key_cols:
+            cond = cond & F.col(f"_el.{c}").eqNullSafe(
+                F.col(f"_ek.{c}")
+            )
+        clash = live.join(dk, cond, "left_semi").limit(1).take(1)
+        if clash:
+            raise ValueError(
+                f"table {table.name}: a LIVE row shares its "
+                f"{key_cols} key with a vector-deleted row — an "
+                f"equality delete would remove it too (keys are not "
+                f"unique per live row); export without "
+                f"equality_delete_cols (position deletes express "
+                f"this state exactly)"
+            )
+    kdf = deleted_keys
+    for c in key_cols:
+        kdf = kdf.withMetadata(c, {"parquet.field.id": ids[c]})
+    tmp = meta_dir / f".eqtmp-{uuid.uuid4().hex}"
+    kdf.coalesce(1).write.parquet(str(tmp))
+    part = next(
+        p
+        for p in tmp.iterdir()
+        if p.suffix == ".parquet" and not p.name.startswith(("_", "."))
+    )
+    out = meta_dir / f"{uuid.uuid4().hex}-eq-deletes.parquet"
+    part.rename(out)
+    shutil.rmtree(tmp, ignore_errors=True)
+    import pyarrow.parquet as _pq
+
+    return out, _pq.read_metadata(out).num_rows
+
+
 def _write_position_deletes(
     table: TxnTable, m: dict, meta_dir: Path
 ) -> tuple[Path, int]:
@@ -906,6 +1051,7 @@ def export_iceberg_metadata(
     table: TxnTable,
     version: int | None = None,
     format_version: int | None = None,
+    equality_delete_cols: list[str] | None = None,
 ) -> Path:
     """Write Iceberg v2 table metadata for the TxnTable snapshot into
     ``<root>/metadata`` — the root then IS an Iceberg Hadoop table:
@@ -936,11 +1082,20 @@ def export_iceberg_metadata(
     table metadata is stamped ``format-version: 3``. Once a history
     is v3 it stays v3 (Iceberg format upgrades are one-way; a v2
     re-export over a v3 history refuses); the v2→v3 upgrade is
-    allowed mid-history. The v3 mode targets the deletion-vector
-    feature — row-lineage fields (``next-row-id`` /
-    ``first-row-id``), which full v3 writers also assign, are not
-    emitted (this repo's reader does not consume them; noted for
-    foreign-engine expectations).
+    allowed mid-history. v3 exports also assign ROW LINEAGE (round
+    14): ``next-row-id`` / snapshot ``first-row-id`` / per-entry
+    ``first_row_id`` per the spec's assignment rule, read back by
+    ``read_iceberg(with_lineage=True)`` and preserved through
+    rewrites by :func:`compact_preserving_row_lineage`.
+
+    ``equality_delete_cols`` switches the merge-on-read delete
+    export from position style to EQUALITY style (content=2 — the
+    Flink-CDC shape): the vector-deleted rows' key values export as
+    one keyed delete file under the unpartitioned spec. Refuses
+    loudly unless provably position-equivalent
+    (:func:`_write_equality_deletes`: vectored files must be
+    lower-sequence EXISTING entries, and no live lower-sequence row
+    may share a deleted key).
 
     Refuses loudly: xxhash-bucket partitioning,
     nested types, stats-less files, vector sets beyond the bounded
@@ -959,7 +1114,9 @@ def export_iceberg_metadata(
         )
     lock_fd = _export_lock(table, "export")
     try:
-        return _export_locked(table, version, format_version)
+        return _export_locked(
+            table, version, format_version, equality_delete_cols
+        )
     finally:
         os.close(lock_fd)
 
@@ -1005,6 +1162,7 @@ def _export_locked(
     table: TxnTable,
     version: int | None,
     format_version: int | None = None,
+    equality_delete_cols: list[str] | None = None,
 ) -> Path:
     m = table.manifest(version)
     _validate_exportable(table, m)
@@ -1244,15 +1402,39 @@ def _export_locked(
                     entries, _ = _read_avro(jvm, mp)
                     lseq = mf.get("sequence_number")
                     lsnap = mf.get("added_snapshot_id")
+                    mf_first = _rec_get_opt(mf, "first_row_id")
+                    run_first = (
+                        int(mf_first) if mf_first is not None else None
+                    )
                     for e in entries:
                         if e.get("status") == 2:
                             continue
                         df = e.get("data_file")
                         sid = e.get("snapshot_id")
                         sq = e.get("sequence_number")
+                        # v3 row lineage carry: an EXISTING entry must
+                        # keep the first_row_id its rows were assigned
+                        # when ADDED — explicit on the entry, else
+                        # inherited from the manifest's first_row_id +
+                        # the running record counts of preceding ADDED
+                        # files (the spec's assignment rule); None on
+                        # pre-v3 history (rows read NULL _row_id)
+                        fr = _rec_get_opt(df, "first_row_id")
+                        if fr is not None:
+                            fr = int(fr)
+                        elif run_first is not None and e.get(
+                            "status"
+                        ) == 1:
+                            fr = run_first
+                        if (
+                            run_first is not None
+                            and e.get("status") == 1
+                        ):
+                            run_first += int(df.get("record_count"))
                         prev_entries[str(df.get("file_path"))] = (
                             int(sid) if sid is not None else int(lsnap),
                             int(sq) if sq is not None else int(lseq),
+                            fr,
                         )
             except Exception:
                 prev_entries = {}  # unreadable history: all ADDED
@@ -1267,10 +1449,27 @@ def _export_locked(
     import hashlib as _hashlib
 
     dvs_now = m.get("dvs") or {}
+    if equality_delete_cols:
+        for c in equality_delete_cols:
+            if c not in ids or isinstance(
+                ids_to_type.get(ids[c]), dict
+            ):
+                raise ValueError(
+                    f"equality_delete_cols column {c!r} is not a "
+                    f"top-level primitive column of the schema"
+                )
     dv_fp = (
         _hashlib.md5(
             json.dumps(
-                sorted((f, sorted(ps)) for f, ps in dvs_now.items())
+                [
+                    sorted(
+                        (f, sorted(ps)) for f, ps in dvs_now.items()
+                    ),
+                    # the delete STYLE is part of the identity: a
+                    # position↔equality switch with unchanged vectors
+                    # must regenerate, not carry, the delete files
+                    sorted(equality_delete_cols or []),
+                ]
             ).encode()
         ).hexdigest()
         if dvs_now
@@ -1302,7 +1501,9 @@ def _export_locked(
 
     # -- one manifest for the snapshot's files ------------------------------
     part_avro = _partition_avro_fields(spec_fields_final, ids_to_type)
-    entry_schema = _manifest_entry_schema(part_avro)
+    entry_schema = _manifest_entry_schema(
+        part_avro, v3_lineage=(format_version == 3)
+    )
     manifest_path = meta_dir / f"{uuid.uuid4().hex}-m0.avro"
     w = _AvroFileWriter(
         jvm,
@@ -1322,6 +1523,18 @@ def _export_locked(
     stats = m.get("stats", {})
     parts_map = m.get("partitions", {})
     from interop_datalake_spark.lake.txn import _decode_range
+
+    # v3 ROW LINEAGE: this snapshot's first-row-id is the table's
+    # next-row-id; ADDED files get explicit first_row_id values by the
+    # spec's assignment rule (running record counts in manifest
+    # order), EXISTING files carry the value from when they were
+    # added (None on pre-v3 history — their rows read NULL _row_id)
+    snapshot_first_row = (
+        int((prev or {}).get("next-row-id") or 0)
+        if format_version == 3
+        else None
+    )
+    row_id_cursor = snapshot_first_row
 
     for f in m["files"]:
         uri = (table.root / f).resolve().as_uri()
@@ -1364,7 +1577,14 @@ def _export_locked(
         }
         carried = prev_entries.get(uri)
         if carried is not None:
-            # EXISTING: explicit origin (snapshot, sequence) ids
+            # EXISTING: explicit origin (snapshot, sequence) ids,
+            # plus the v3 first_row_id its rows were assigned when
+            # added (None when the history predates v3)
+            if format_version == 3:
+                fr = carried[2]
+                data_file["first_row_id"] = (
+                    {"long": fr} if fr is not None else None
+                )
             entry = {
                 "status": 0,
                 "snapshot_id": {"long": carried[0]},
@@ -1377,7 +1597,12 @@ def _export_locked(
             counts["existing"][1] += int(fstat["rows"])
         else:
             # ADDED: null ids inherit the manifest list's snapshot /
-            # sequence number, per the v2 inheritance rules
+            # sequence number, per the v2 inheritance rules; the v3
+            # first_row_id is written EXPLICITLY (the spec's assigned
+            # value — equal to what null-inheritance would compute)
+            if format_version == 3:
+                data_file["first_row_id"] = {"long": row_id_cursor}
+                row_id_cursor += int(fstat["rows"])
             entry = {
                 "status": 1,
                 "snapshot_id": None,
@@ -1426,7 +1651,51 @@ def _export_locked(
                 "content": "deletes",
             },
         )
-        if format_version == 3:
+        if equality_delete_cols:
+            # EQUALITY style (content=2): the deleted rows' key
+            # values, validated position-equivalent or refused
+            existing_rel = {
+                f
+                for f in m["files"]
+                if (table.root / f).resolve().as_uri() in prev_entries
+            }
+            eq_pq, n_del = _write_equality_deletes(
+                table, m, meta_dir, list(equality_delete_cols),
+                ids, existing_rel,
+            )
+            eq_entry = {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": eq_pq.resolve().as_uri(),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_del,
+                    "file_size_in_bytes": eq_pq.stat().st_size,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": {
+                        "array": [
+                            ids[c] for c in equality_delete_cols
+                        ]
+                    },
+                    **(
+                        {
+                            "referenced_data_file": None,
+                            "content_offset": None,
+                            "content_size_in_bytes": None,
+                        }
+                        if format_version == 3
+                        else {}
+                    ),
+                },
+            }
+            dw.append_json(eq_entry)
+            n_del_files = 1
+        elif format_version == 3:
             # v3: ONE Puffin file, a deletion-vector-v1 blob per
             # referenced data file; manifest entries pin-point each
             # blob (referenced_data_file/content_offset/
@@ -1507,9 +1776,10 @@ def _export_locked(
     # -- manifest list -------------------------------------------------------
     ml_path = meta_dir / f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     parent = (prev or {}).get("current-snapshot-id")
+    v3 = format_version == 3
     lw = _AvroFileWriter(
         jvm,
-        _MANIFEST_FILE_SCHEMA,
+        _manifest_file_schema(v3_lineage=v3),
         ml_path,
         {
             "snapshot-id": snap_id,
@@ -1533,10 +1803,21 @@ def _export_locked(
             "added_rows_count": counts["added"][1],
             "existing_rows_count": counts["existing"][1],
             "deleted_rows_count": 0,
+            # v3 row lineage: rows in this manifest's ADDED files
+            # start at the snapshot's first-row-id
+            **(
+                {"first_row_id": {"long": snapshot_first_row}}
+                if v3
+                else {}
+            ),
         }
     )
     for cmf in carried_delete_mfs:
-        lw.append_json(cmf)
+        # JsonDecoder applies no defaults: carried v2-era delete
+        # manifests must state the v3-schema union fields explicitly
+        lw.append_json(
+            {**cmf, "first_row_id": None} if v3 else cmf
+        )
     if delete_mf is not None:
         dm_path, n_del, del_spec_id, n_del_files = delete_mf
         lw.append_json(
@@ -1554,6 +1835,8 @@ def _export_locked(
                 "added_rows_count": n_del,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                # deletes add no rows: no lineage range
+                **({"first_row_id": None} if v3 else {}),
             }
         )
     lw.close()
@@ -1564,8 +1847,23 @@ def _export_locked(
         **({"parent-snapshot-id": parent} if parent is not None else {}),
         "sequence-number": seq,
         "timestamp-ms": now_ms,
+        # v3 row lineage: the first _row_id assigned by this snapshot
+        **({"first-row-id": snapshot_first_row} if v3 else {}),
         "manifest-list": ml_path.resolve().as_uri(),
-        "summary": {"operation": snapshot_op},
+        # the spec's standard summary metrics (string-valued, like
+        # every Iceberg summary entry) — engines surface them in the
+        # snapshots metadata table, and iceberg_history projects them
+        "summary": {
+            "operation": snapshot_op,
+            "added-data-files": str(counts["added"][0]),
+            "added-records": str(counts["added"][1]),
+            "total-data-files": str(
+                counts["added"][0] + counts["existing"][0]
+            ),
+            "total-records": str(
+                counts["added"][1] + counts["existing"][1]
+            ),
+        },
         "schema-id": schema_id,
     }
     meta = {
@@ -1574,6 +1872,13 @@ def _export_locked(
         "location": table.root.resolve().as_uri(),
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
+        # v3 row lineage: the next _row_id to assign — advanced by
+        # exactly this snapshot's added rows
+        **(
+            {"next-row-id": snapshot_first_row + counts["added"][1]}
+            if v3
+            else {}
+        ),
         "last-column-id": last_col_id,
         "current-schema-id": schema_id,
         "schemas": schemas,
@@ -2127,6 +2432,102 @@ def resolve_iceberg_ref(meta_or_path, name: str) -> int:
     return int(refs[name]["snapshot-id"])
 
 
+def iceberg_history(spark: SparkSession, path: str) -> DataFrame:
+    """Snapshot history AS A DATAFRAME — the ``snapshots`` metadata
+    table / DESCRIBE HISTORY analog, newest first: one row per
+    RETAINED snapshot with its sequence number, parent, operation and
+    the summary's record counts, plus the MONOTONIZED snapshot-log
+    timestamp time travel resolves by (:func:`iceberg_snapshot_at`'s
+    exact values — the surfaced history and the travel resolution can
+    never disagree) and ``is_current``. Driver work is O(retained
+    snapshots) over the already-loaded metadata json — no manifest
+    or data file opens. The Delta twin is
+    :func:`~interop_datalake_spark.lake.delta_interop.delta_history`;
+    branches/tags surface via :func:`iceberg_refs`."""
+    meta = _load_metadata(str(path))
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        raise ValueError(f"table at {path} has no snapshots")
+    mono = {sid: ts for ts, sid in _snapshot_history(meta)}
+    current = meta.get("current-snapshot-id")
+    rows = []
+    for s in sorted(
+        snaps, key=lambda s: int(s.get("sequence-number") or 0),
+        reverse=True,
+    ):
+        sid = int(s["snapshot-id"])
+        summary = s.get("summary") or {}
+
+        def _n(key):
+            v = summary.get(key)
+            return int(v) if v is not None else None
+
+        ts_ms = mono.get(sid, int(s.get("timestamp-ms") or 0))
+        parent = s.get("parent-snapshot-id")
+        rows.append(
+            (
+                sid,
+                int(s.get("sequence-number") or 0),
+                datetime.fromtimestamp(ts_ms / 1000, tz=timezone.utc),
+                int(parent) if parent is not None else None,
+                summary.get("operation"),
+                _n("added-records"),
+                _n("deleted-records"),
+                _n("total-records"),
+                sid == current,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id BIGINT, sequence_number BIGINT, "
+        "timestamp TIMESTAMP, parent_snapshot_id BIGINT, "
+        "operation STRING, added_records BIGINT, "
+        "deleted_records BIGINT, total_records BIGINT, "
+        "is_current BOOLEAN",
+    )
+
+
+def iceberg_refs(spark: SparkSession, path: str) -> DataFrame:
+    """The metadata's ``refs`` map (branches and tags) as a DataFrame
+    — the ``refs`` metadata table analog: name, type, target snapshot
+    and that snapshot's sequence number (NULL for a ref left dangling
+    by snapshot expiry), plus the retention fields when set. Refs are
+    opt-in on this exporter (:func:`iceberg_set_ref` creates them; a
+    ``main`` branch then follows each export); no-refs tables return
+    an empty frame with the stable schema rather than raising (a v2
+    table without refs is valid)."""
+    meta = _load_metadata(str(path))
+    seq_of = {
+        int(s["snapshot-id"]): int(s.get("sequence-number") or 0)
+        for s in meta.get("snapshots") or []
+    }
+    rows = []
+    for name, r in sorted((meta.get("refs") or {}).items()):
+        sid = int(r["snapshot-id"])
+
+        def _i(key):
+            v = r.get(key)
+            return int(v) if v is not None else None
+
+        rows.append(
+            (
+                name,
+                r.get("type"),
+                sid,
+                seq_of.get(sid),
+                _i("min-snapshots-to-keep"),
+                _i("max-snapshot-age-ms"),
+                _i("max-ref-age-ms"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "name STRING, type STRING, snapshot_id BIGINT, "
+        "sequence_number BIGINT, min_snapshots_to_keep INT, "
+        "max_snapshot_age_ms BIGINT, max_ref_age_ms BIGINT",
+    )
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -2135,6 +2536,7 @@ def read_iceberg(
     partition_filter: dict | None = None,
     timestamp=None,
     ref: str | None = None,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Read an Iceberg Hadoop table by replaying its metadata — no
     iceberg-spark runtime needed. Time travel via ``snapshot_id`` or
@@ -2149,7 +2551,19 @@ def read_iceberg(
     (``key_range`` / ``partition_filter``) drops FILES via
     :func:`iceberg_files`; the residual rows still carry every
     matching file's full contents — apply the exact filter on the
-    returned frame, as with any manifest-level pruning."""
+    returned frame, as with any manifest-level pruning.
+
+    ``with_lineage=True`` projects the v3 ROW-LINEAGE metadata
+    columns ``_row_id`` / ``_last_updated_sequence_number`` (spec
+    reserved field ids 2147483540 / 2147483539): per the spec's
+    assignment rule a row's id is its file's ``first_row_id`` + its
+    position — UNLESS the file MATERIALIZES the column (what
+    lineage-preserving rewrites write,
+    :func:`compact_preserving_row_lineage`), in which case non-null
+    stored values win and null cells fall back to the computed
+    value. Files whose history predates v3 (null ``first_row_id``)
+    read NULL lineage, exactly as the spec prescribes for upgraded
+    tables."""
     meta = _load_metadata(path)
     if sum(x is not None for x in (snapshot_id, timestamp, ref)) > 1:
         raise ValueError(
@@ -2162,6 +2576,23 @@ def read_iceberg(
     snap = _resolve_snapshot(meta, snapshot_id)
     schema = _schema_of(meta, snap)
     spark_fields = _spark_fields(schema)
+    if with_lineage:
+        clash = {n for n, _ in spark_fields} & {
+            "_row_id", "_last_updated_sequence_number",
+        }
+        if clash:
+            raise ValueError(
+                f"table columns {sorted(clash)} collide with the v3 "
+                f"row-lineage metadata columns — rename upstream"
+            )
+        # the two lineage fields join the READ schema so files that
+        # MATERIALIZE them (lineage-preserving rewrites) surface the
+        # stored values; plain files null-fill (schema-on-read) and
+        # take the computed fallback below
+        spark_fields = spark_fields + [
+            ("_row_id", "BIGINT"),
+            ("_last_updated_sequence_number", "BIGINT"),
+        ]
     # ONE manifest-list replay covers data AND delete manifests
     data_e, del_e = _snapshot_entries_all(spark, meta, snap)
     pos_deletes, eq_deletes, dv_entries = _split_delete_files(del_e)
@@ -2172,7 +2603,9 @@ def read_iceberg(
         (_uri_to_path(str(dfr.get("file_path"))), pvals)
         for dfr, pvals, _sq in entries
     ]
-    need_lineage = bool(pos_deletes or eq_deletes or dv_entries)
+    need_lineage = (
+        bool(pos_deletes or eq_deletes or dv_entries) or with_lineage
+    )
     out = _grouped_read(spark, spark_fields, items, lineage=need_lineage)
     if out is None:
         return _empty_frame(spark, spark_fields)
@@ -2234,8 +2667,184 @@ def read_iceberg(
         out = _apply_equality_deletes(
             spark, out, dmap, eq_deletes, schema
         )
+    if with_lineage:
+        # per-file (first_row_id, data seq) as a broadcast map —
+        # bounded by file count, the dmap pattern above. Null
+        # inheritance resolves HERE for foreign writers that wrote
+        # null first_row_id on added entries (this exporter writes
+        # explicit values).
+        first_of = _lineage_first_rows(data_e)
+        lrows = [
+            (
+                _uri_to_path(str(dfr.get("file_path"))),
+                first_of.get(str(dfr.get("file_path"))),
+                sq,
+            )
+            for dfr, _pv, sq in entries
+        ]
+        lmap = spark.createDataFrame(
+            lrows, "_ib_file STRING, _ib_first BIGINT, _ib_lseq BIGINT"
+        )
+        out = (
+            out.join(F.broadcast(lmap), "_ib_file", "left")
+            .withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"),
+                    F.col("_ib_first") + F.col("_ib_pos"),
+                ),
+            )
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"),
+                    F.col("_ib_lseq"),
+                ),
+            )
+            .drop("_ib_first", "_ib_lseq")
+        )
     if need_lineage:
         out = out.drop("_ib_file", "_ib_pos")
+    return out
+
+
+def compact_preserving_row_lineage(
+    table: TxnTable, target_files: int = 1
+) -> int:
+    """Rewrite the table's snapshot into ``target_files`` files while
+    PRESERVING v3 row lineage — the spec's mandate for rewrites: rows
+    moved to a new data file must carry their ``_row_id`` /
+    ``_last_updated_sequence_number`` values, which this writer
+    MATERIALIZES as physical parquet columns stamped with the spec's
+    reserved field ids (2147483540 / 2147483539). The columns stay
+    OUT of the TxnTable log schema, so every schema-on-read consumer
+    (TxnTable reads, the Delta mirror, plain ``read_iceberg``) never
+    sees them; ``read_iceberg(with_lineage=True)`` prefers the stored
+    values over position arithmetic, making lineage stable across
+    append → compact → read.
+
+    Mechanics: the CURRENT v3 export assigns each live file's
+    ``first_row_id``; one distributed scan with row lineage
+    (``_load_files(keep_lineage=True)`` — deletion vectors already
+    anti-joined) broadcast-joins the per-file (first_row_id, data
+    sequence) map and computes each surviving row's id as
+    ``first_row_id + position``; the rewrite commits through the
+    ordinary ``compact`` commit path (op="compact" — the Delta mirror
+    labels it OPTIMIZE/dataChange=false, the Iceberg export an
+    overwrite snapshot). Export the table again afterwards to publish
+    the compacted snapshot.
+
+    Refuses when the current export is not format-version 3, when it
+    does not cover the table's CURRENT version (stale lineage would
+    mis-id rows committed since), or when the table's columns collide
+    with the reserved names."""
+    meta = _load_metadata(str(table.root))
+    if int(meta.get("format-version") or 1) != 3:
+        raise ValueError(
+            f"table {table.name}: the current Iceberg export is not "
+            f"format-version 3 — row lineage exists only in v3; "
+            f"export with format_version=3 first"
+        )
+    cur = table.current_version()
+    if int(meta.get("current-snapshot-id")) != cur:
+        raise ValueError(
+            f"table {table.name}: the Iceberg export covers snapshot "
+            f"{meta.get('current-snapshot-id')} but the table is at "
+            f"version {cur} — re-export before a lineage-preserving "
+            f"compact (stale lineage would mis-id newer rows)"
+        )
+    snap = _resolve_snapshot(meta, None)
+    data_e, _del_e = _snapshot_entries_all(table.spark, meta, snap)
+    first_of = _lineage_first_rows(data_e)
+    seq_of_uri: dict[str, int] = {}
+    for e, dfr, _sf, mf in data_e:
+        sq = e.get("sequence_number")
+        seq_of_uri[str(dfr.get("file_path"))] = (
+            int(sq)
+            if sq is not None
+            else int(mf.get("sequence_number"))
+        )
+    state = table._state(cur)
+    if not state.get("files"):
+        raise ValueError(f"table {table.name}: nothing to compact")
+    clash = {"_row_id", "_last_updated_sequence_number"} & {
+        f.name
+        for f in StructType.fromJson(json.loads(state["schema"])).fields
+    }
+    if clash:
+        raise ValueError(
+            f"table columns {sorted(clash)} collide with the v3 "
+            f"row-lineage metadata columns — rename upstream"
+        )
+    lrows = []
+    for rel in state["files"]:
+        uri = (table.root / rel).resolve().as_uri()
+        lrows.append((rel, first_of.get(uri), seq_of_uri.get(uri)))
+    lmap = table.spark.createDataFrame(
+        lrows, "_dv_file STRING, _lin_first BIGINT, _lin_seq BIGINT"
+    )
+    live = table._load_files(state["files"], state, keep_lineage=True)
+    logical = [
+        c for c in live.columns if c not in ("_dv_file", "_dv_row")
+    ]
+    df = (
+        live.join(F.broadcast(lmap), "_dv_file", "left")
+        .select(
+            *logical,
+            (F.col("_lin_first") + F.col("_dv_row"))
+            .cast("bigint")
+            .alias("_row_id"),
+            F.col("_lin_seq").cast("bigint").alias(
+                "_last_updated_sequence_number"
+            ),
+        )
+        # the spec's reserved field ids ride in the parquet footers
+        # (Spark writes them from this metadata key), so field-id
+        # resolving engines find the lineage columns too
+        .withMetadata("_row_id", {"parquet.field.id": 2147483540})
+        .withMetadata(
+            "_last_updated_sequence_number",
+            {"parquet.field.id": 2147483539},
+        )
+        .coalesce(target_files)
+    )
+    files, rows, stats, parts, ptypes = table._write_data(df)
+    return table._commit(
+        cur,
+        op="compact",
+        added=files,
+        removed=list(state["files"]),
+        rows_total=rows,
+        stats=stats,
+        partitions=parts,
+        partition_types=ptypes,
+    )
+
+
+def _lineage_first_rows(data_e) -> dict[str, int | None]:
+    """Each data file's effective v3 ``first_row_id`` (URI-keyed):
+    the entry's explicit value when written, else the spec's
+    inheritance — the manifest's ``first_row_id`` plus the record
+    counts of preceding ADDED files in that manifest; None when the
+    history predates v3 (rows read NULL lineage)."""
+    out: dict[str, int | None] = {}
+    run_by_mf: dict[str, int | None] = {}
+    for e, dfr, _spec_fields, mf in data_e:
+        mfp = str(mf.get("manifest_path"))
+        if mfp not in run_by_mf:
+            mf_first = _rec_get_opt(mf, "first_row_id")
+            run_by_mf[mfp] = (
+                int(mf_first) if mf_first is not None else None
+            )
+        fr = _rec_get_opt(dfr, "first_row_id")
+        added = e.get("status") == 1
+        if fr is not None:
+            fr = int(fr)
+        elif added and run_by_mf[mfp] is not None:
+            fr = run_by_mf[mfp]
+        if added and run_by_mf[mfp] is not None:
+            run_by_mf[mfp] += int(dfr.get("record_count"))
+        out[str(dfr.get("file_path"))] = fr
     return out
 
 

@@ -1936,3 +1936,353 @@ def test_parquet_position_delete_with_referenced_data_file(spark, lake):
     _data, dels = _live_state(meta2, meta2["snapshots"][-1])
     assert [d["spec"][0] for d in dels] == ["parquet"]
     assert _specs_for(dels, uri, 1)
+
+
+class TestRowLineage:
+    """Iceberg v3 ROW LINEAGE (round 14): next-row-id / first-row-id
+    assignment on export, manifest first_row_id (explicit + the
+    null-inheritance rule for foreign writers), the _row_id /
+    _last_updated_sequence_number read projection, and
+    lineage-preserving compaction via materialized reserved-id
+    columns — stable across append → compact → read, invisible to
+    every schema-on-read consumer."""
+
+    def _table(self, spark, lake, name):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            export_iceberg_metadata,
+        )
+
+        t = TxnTable(lake, name, stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(i, f"a{i}") for i in range(5)], "k INT, v STRING"
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t, format_version=3)
+        t.append(
+            spark.createDataFrame(
+                [(i, f"b{i}") for i in range(5, 8)], "k INT, v STRING"
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        return t
+
+    def _lineage(self, spark, t):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg,
+        )
+
+        df = read_iceberg(spark, str(t.root), with_lineage=True)
+        return {
+            r.k: (r._row_id, r._last_updated_sequence_number)
+            for r in df.collect()
+        }
+
+    def test_assignment_and_metadata_fields(self, spark, lake):
+        t = self._table(spark, lake, "rl1")
+        meta_dir = t.root / "metadata"
+        n = int((meta_dir / "version-hint.text").read_text())
+        meta = json.loads(
+            (meta_dir / f"v{n}.metadata.json").read_text()
+        )
+        assert meta["next-row-id"] == 8
+        snaps = {
+            s["sequence-number"]: s for s in meta["snapshots"]
+        }
+        assert snaps[1]["first-row-id"] == 0
+        assert snaps[2]["first-row-id"] == 5
+        got = self._lineage(spark, t)
+        assert got == {
+            **{i: (i, 1) for i in range(5)},
+            **{i: (i, 2) for i in range(5, 8)},
+        }
+
+    def test_existing_entries_carry_first_row_id(self, spark, lake):
+        from interop_datalake_spark.lake.avro_read import (
+            read_avro_file,
+        )
+        from interop_datalake_spark.lake.iceberg_interop import (
+            _uri_to_path,
+        )
+
+        t = self._table(spark, lake, "rl2")
+        meta_dir = t.root / "metadata"
+        n = int((meta_dir / "version-hint.text").read_text())
+        meta = json.loads(
+            (meta_dir / f"v{n}.metadata.json").read_text()
+        )
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        ml, _ = read_avro_file(_uri_to_path(cur["manifest-list"]))
+        data_mf = next(m for m in ml if (m.get("content") or 0) == 0)
+        # the manifest-list carries the snapshot's first-row-id
+        assert data_mf["first_row_id"] == 5
+        entries, _ = read_avro_file(
+            _uri_to_path(str(data_mf["manifest_path"]))
+        )
+        by_status = {}
+        for e in entries:
+            by_status.setdefault(e["status"], []).append(
+                e["data_file"]["first_row_id"]
+            )
+        assert by_status[0] == [0]  # EXISTING keeps its original
+        assert by_status[1] == [5]  # ADDED assigned from the cursor
+
+    def test_compact_preserves_lineage_and_stays_invisible(
+        self, spark, lake
+    ):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            compact_preserving_row_lineage,
+            export_iceberg_metadata,
+            read_iceberg,
+        )
+
+        t = self._table(spark, lake, "rl3")
+        before = self._lineage(spark, t)
+        compact_preserving_row_lineage(t, target_files=1)
+        export_iceberg_metadata(t)
+        assert self._lineage(spark, t) == before
+        # materialized columns invisible to schema-on-read consumers
+        assert read_iceberg(spark, str(t.root)).columns == ["k", "v"]
+        assert t.read().columns == ["k", "v"]
+
+    def test_lineage_survives_dv_delete(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            export_iceberg_metadata,
+        )
+        from pyspark.sql import functions as F
+
+        t = self._table(spark, lake, "rl4")
+        t.delete_where(F.col("k") % 2 == 1, merge_on_read=True)
+        export_iceberg_metadata(t)
+        got = self._lineage(spark, t)
+        # survivors keep their original ids; deleted rows vanish
+        assert got == {
+            **{i: (i, 1) for i in (0, 2, 4)},
+            6: (6, 2),
+        }
+
+    def test_v2_history_upgrade_reads_null_lineage(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            export_iceberg_metadata,
+            read_iceberg,
+        )
+
+        t = TxnTable(lake, "rl5", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame([(0,), (1,)], "k INT").coalesce(1)
+        )
+        export_iceberg_metadata(t)  # v2
+        t.append(
+            spark.createDataFrame([(2,)], "k INT").coalesce(1)
+        )
+        export_iceberg_metadata(t, format_version=3)  # upgrade
+        df = read_iceberg(spark, str(t.root), with_lineage=True)
+        got = {
+            r.k: (r._row_id, r._last_updated_sequence_number)
+            for r in df.collect()
+        }
+        # pre-upgrade file: unknown lineage → NULL ids (the spec's
+        # upgraded-table rule); the seq still projects
+        assert got[0] == (None, 1) and got[1] == (None, 1)
+        # the upgrade snapshot assigns from 0
+        assert got[2] == (0, 2)
+
+    def test_foreign_null_inheritance(self):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            _lineage_first_rows,
+        )
+
+        mf = {"manifest_path": "m1", "first_row_id": 100}
+        data_e = [
+            # foreign writer: ADDED entries with null first_row_id
+            ({"status": 1}, {"file_path": "f1", "record_count": 4,
+                             "first_row_id": None}, [], mf),
+            ({"status": 1}, {"file_path": "f2", "record_count": 3,
+                             "first_row_id": None}, [], mf),
+            # EXISTING with explicit value — no cursor advance
+            ({"status": 0}, {"file_path": "f0", "record_count": 9,
+                             "first_row_id": 7}, [], mf),
+            ({"status": 1}, {"file_path": "f3", "record_count": 2,
+                             "first_row_id": None}, [], mf),
+        ]
+        assert _lineage_first_rows(data_e) == {
+            "f1": 100, "f2": 104, "f0": 7, "f3": 107,
+        }
+
+    def test_refusals(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            compact_preserving_row_lineage,
+            export_iceberg_metadata,
+        )
+
+        t = TxnTable(lake, "rl6", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame([(0,)], "k INT").coalesce(1)
+        )
+        export_iceberg_metadata(t)  # v2
+        with pytest.raises(ValueError, match="format-version 3"):
+            compact_preserving_row_lineage(t)
+        export_iceberg_metadata2 = export_iceberg_metadata
+        t.append(
+            spark.createDataFrame([(1,)], "k INT").coalesce(1)
+        )
+        export_iceberg_metadata2(t, format_version=3)
+        t.append(
+            spark.createDataFrame([(2,)], "k INT").coalesce(1)
+        )  # table moved past the export
+        with pytest.raises(ValueError, match="re-export"):
+            compact_preserving_row_lineage(t)
+
+
+class TestEqualityDeleteWrite:
+    """Equality-delete WRITE (round 14,
+    export_iceberg_metadata(equality_delete_cols=...)): the snapshot's
+    deletion vectors export as ONE content=2 keyed delete file —
+    applied by this repo's own reader (the same code path the foreign
+    Flink-CDC fixtures pin) — with loud refusals whenever the
+    conversion is not provably position-equivalent."""
+
+    def test_roundtrip_matches_txn_state(self, spark, lake):
+        t = TxnTable(lake, "eqw1", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(10)], "k INT, v STRING"
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") % 3 == 0, merge_on_read=True)
+        export_iceberg_metadata(t, equality_delete_cols=["k"])
+        got = sorted(
+            r.k for r in read_iceberg(spark, str(t.root)).collect()
+        )
+        assert got == sorted(r.k for r in t.read().collect())
+        # the delete file is REALLY content=2 with the schema's ids
+        from interop_datalake_spark.lake.avro_read import (
+            read_avro_file,
+        )
+        from interop_datalake_spark.lake.iceberg_interop import (
+            _uri_to_path,
+        )
+
+        meta_dir = t.root / "metadata"
+        n = int((meta_dir / "version-hint.text").read_text())
+        meta = json.loads(
+            (meta_dir / f"v{n}.metadata.json").read_text()
+        )
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        ml, _ = read_avro_file(_uri_to_path(cur["manifest-list"]))
+        del_mf = next(m for m in ml if (m.get("content") or 0) == 1)
+        entries, _ = read_avro_file(
+            _uri_to_path(str(del_mf["manifest_path"]))
+        )
+        dfr = entries[0]["data_file"]
+        assert dfr["content"] == 2
+        assert dfr["equality_ids"] == [1]  # field id of k
+        assert dfr["record_count"] == 4  # keys 0,3,6,9
+
+        # CDC still surfaces the deletions
+        from interop_datalake_spark.lake.iceberg_interop import (
+            read_iceberg_changes,
+        )
+
+        ch = read_iceberg_changes(
+            spark, str(t.root), include_deletes=True,
+            from_snapshot_id=1,
+        )
+        assert sorted(
+            (r.k, r._change_type) for r in ch.collect()
+        ) == [(0, "delete"), (3, "delete"), (6, "delete"),
+              (9, "delete")]
+
+    def test_refuses_same_snapshot_vectored_files(self, spark, lake):
+        # a FULL first export: every file is ADDED at the delete's
+        # own sequence — the strict rule would resurrect the rows
+        t = TxnTable(lake, "eqw2", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(i,) for i in range(4)], "k INT"
+            ).coalesce(1)
+        )
+        t.delete_where(F.col("k") == 1, merge_on_read=True)
+        with pytest.raises(ValueError, match="strict sequence rule"):
+            export_iceberg_metadata(t, equality_delete_cols=["k"])
+
+    def test_refuses_live_key_clash(self, spark, lake):
+        t = TxnTable(lake, "eqw3", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(1, "a"), (1, "b"), (2, "c")], "k INT, v STRING"
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("v") == "a", merge_on_read=True)
+        with pytest.raises(ValueError, match="LIVE row shares"):
+            export_iceberg_metadata(t, equality_delete_cols=["k"])
+
+    def test_refuses_unknown_or_nested_column(self, spark, lake):
+        t = TxnTable(lake, "eqw4", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame([(1,)], "k INT").coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") == 1, merge_on_read=True)
+        with pytest.raises(ValueError, match="top-level primitive"):
+            export_iceberg_metadata(
+                t, equality_delete_cols=["nope"]
+            )
+
+    def test_style_switch_regenerates_not_carries(self, spark, lake):
+        """The dv-state fingerprint includes the delete STYLE: an
+        unchanged vector state re-exported in the other style must
+        regenerate the delete files, never carry the old shape."""
+        t = TxnTable(lake, "eqw5", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(i,) for i in range(6)], "k INT"
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        t.delete_where(F.col("k") >= 4, merge_on_read=True)
+        export_iceberg_metadata(t)  # position style
+        # new txn version (epoch stamp) so the snapshot id moves and
+        # a re-export is possible with the SAME vector state
+        t.stamp_epoch(7)
+        export_iceberg_metadata(t, equality_delete_cols=["k"])
+        got = sorted(
+            r.k for r in read_iceberg(spark, str(t.root)).collect()
+        )
+        assert got == [0, 1, 2, 3]
+        from interop_datalake_spark.lake.avro_read import (
+            read_avro_file,
+        )
+        from interop_datalake_spark.lake.iceberg_interop import (
+            _uri_to_path,
+        )
+
+        meta_dir = t.root / "metadata"
+        n = int((meta_dir / "version-hint.text").read_text())
+        meta = json.loads(
+            (meta_dir / f"v{n}.metadata.json").read_text()
+        )
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        ml, _ = read_avro_file(_uri_to_path(cur["manifest-list"]))
+        del_mfs = [m for m in ml if (m.get("content") or 0) == 1]
+        kinds = set()
+        for dm in del_mfs:
+            entries, _ = read_avro_file(
+                _uri_to_path(str(dm["manifest_path"]))
+            )
+            kinds |= {e["data_file"]["content"] for e in entries}
+        assert kinds == {2}, kinds  # equality only — no stale carry
