@@ -124,6 +124,9 @@ HEADLINE = [
     # round 13: the Iceberg changelog readStream (iceberg_cdc —
     # executor-side position resolution, pure-Python Avro planning)
     "stream_iceberg_cdc",
+    # round 14: DESCRIBE HISTORY surfaces over a dual-exported
+    # lifecycle (ICT-stamped delta_history + iceberg_history + refs)
+    "lake_history_surfaces",
     # round 9: deterministic epoch shuffle + curriculum ordering
     # (hash-key window per shard / per tier)
     "corpus_shuffle_deterministic",

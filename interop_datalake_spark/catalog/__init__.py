@@ -350,8 +350,16 @@ WITNESS_PRIORITY = [
     # version-for-version time-travel replay) displaces join_anti
     # (r12-green; the join class keeps join_full_outer +
     # lateral_topk_orders). All three debuts are oracle-backed.
+    # Round-14 rotation: lake_history_surfaces (the DESCRIBE HISTORY
+    # debut — delta_history with ICT-stamped mirrored commits,
+    # iceberg_history over the enriched snapshot summaries,
+    # iceberg_refs with a tag + main branch) displaces
+    # lake_delta_dv_read (hash-green r11/r12/r13; the delta-interop
+    # class keeps lake_delta_cdf + lake_delta_v2_checkpoint in-window
+    # and the DV MOR read stays oracle-backed past the cut, pinned in
+    # tests/test_delta_dv.py with its own bench row).
     "lake_publish_roundtrip", "lake_delta_v2_checkpoint",
-    "lake_delta_dv_read", "lake_incremental_view",
+    "lake_history_surfaces", "lake_incremental_view",
     "lake_incremental_join_view", "lake_cdc_apply",
     "lake_delta_cdf", "lake_iceberg_roundtrip",
     "lake_iceberg_v3_dv", "lake_expectations",

@@ -2607,6 +2607,130 @@ ORDER BY change_type
 """
 
 
+def lake_history_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-table DESCRIBE HISTORY surfaces (round 14):
+    ``delta_history`` / ``iceberg_history`` / ``iceberg_refs`` over a
+    dual-exported lifecycle — three ICT-stamped mirrored Delta commits
+    and three Iceberg snapshots on the same root, with a tag pinned at
+    the middle snapshot. The probes project the DETERMINISTIC audit
+    fields: per-commit operation/action counts/txnVersion and the
+    ICT-present + strictly-monotone facts for Delta; per-snapshot
+    operation, the summary's added/total record metrics and
+    ``is_current`` for Iceberg; name→(type, sequence) for refs. The
+    oracle recomputes the record metrics from the raw orders slices
+    and pins the rest as protocol-determined literals."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.delta_interop import (
+        delta_history,
+        export_delta_log,
+    )
+    from interop_datalake_spark.lake.iceberg_interop import (
+        export_iceberg_metadata,
+        iceberg_history,
+        iceberg_refs,
+        iceberg_set_ref,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).filter(F.col("o_orderkey") < 900)
+    root = tempfile.mkdtemp(prefix="lake_hist_")
+    rows = []
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "hist", stats_cols=["o_orderkey"])
+        for lo, hi in ((0, 300), (300, 600), (600, 900)):
+            t.append(
+                orders.filter(
+                    (F.col("o_orderkey") >= lo)
+                    & (F.col("o_orderkey") < hi)
+                ).repartition(2)
+            )
+            export_delta_log(
+                t, mode="mirror", in_commit_timestamps=True
+            )
+            export_iceberg_metadata(t)
+        iceberg_set_ref(t, "audit", snapshot_id=2, ref_type="tag")
+        iceberg_set_ref(t, "main", ref_type="branch")
+
+        dh = sorted(
+            delta_history(spark, str(t.root)).collect(),
+            key=lambda r: r["version"],
+        )
+        for r in dh:
+            rows.append(
+                (
+                    "delta", str(r["version"]), r["operation"],
+                    r["n_adds"], r["txn_version"],
+                    1 if r["in_commit_timestamp"] is not None else 0,
+                )
+            )
+        icts = [r["in_commit_timestamp"] for r in dh]
+        mono = all(
+            a is not None and b is not None and a < b
+            for a, b in zip(icts, icts[1:])
+        )
+        rows.append(
+            ("delta_meta", "ict_monotone", None, 1 if mono else 0,
+             None, None)
+        )
+        for r in iceberg_history(spark, str(t.root)).collect():
+            rows.append(
+                (
+                    "iceberg", str(r["sequence_number"]),
+                    r["operation"], r["added_records"],
+                    r["total_records"], 1 if r["is_current"] else 0,
+                )
+            )
+        for r in iceberg_refs(spark, str(t.root)).collect():
+            rows.append(
+                ("ref", r["name"], r["type"], r["sequence_number"],
+                 None, None)
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "surface STRING, item STRING, op STRING, a BIGINT, "
+        "b BIGINT, flag INT",
+    ).orderBy("surface", "item")
+
+
+LAKE_HISTORY_ORACLE = """
+WITH c AS (
+  SELECT
+    count(*) FILTER (WHERE o_orderkey < 300)::BIGINT AS na,
+    count(*) FILTER (
+      WHERE o_orderkey >= 300 AND o_orderkey < 600
+    )::BIGINT AS nb,
+    count(*) FILTER (
+      WHERE o_orderkey >= 600 AND o_orderkey < 900
+    )::BIGINT AS nc
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'delta' AS surface, '0' AS item, 'WRITE' AS op,
+         2::BIGINT AS a, 1::BIGINT AS b, 1 AS flag FROM c
+  UNION ALL SELECT 'delta', '1', 'WRITE', 2, 2, 1 FROM c
+  UNION ALL SELECT 'delta', '2', 'WRITE', 2, 3, 1 FROM c
+  UNION ALL SELECT 'delta_meta', 'ict_monotone', NULL, 1, NULL,
+    NULL FROM c
+  UNION ALL SELECT 'iceberg', '1', 'append', na, na, 0 FROM c
+  UNION ALL SELECT 'iceberg', '2', 'append', nb, na + nb, 0 FROM c
+  UNION ALL SELECT 'iceberg', '3', 'append', nc, na + nb + nc, 1
+    FROM c
+  UNION ALL SELECT 'ref', 'audit', 'tag', 2, NULL, NULL FROM c
+  UNION ALL SELECT 'ref', 'main', 'branch', 3, NULL, NULL FROM c
+)
+ORDER BY surface, item
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -2639,6 +2763,7 @@ QUERIES = {
     "lake_delta_v2_checkpoint": lake_delta_v2_checkpoint,
     "lake_uniform_dual": lake_uniform_dual,
     "lake_changelog_updates": lake_changelog_updates,
+    "lake_history_surfaces": lake_history_surfaces,
 }
 
 ORACLES = {
@@ -2673,4 +2798,5 @@ ORACLES = {
     "lake_delta_v2_checkpoint": LAKE_DELTA_V2CK_ORACLE,
     "lake_uniform_dual": LAKE_UNIFORM_ORACLE,
     "lake_changelog_updates": LAKE_CHANGELOG_UPDATES_ORACLE,
+    "lake_history_surfaces": LAKE_HISTORY_ORACLE,
 }
