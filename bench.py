@@ -125,8 +125,12 @@ HEADLINE = [
     # executor-side position resolution, pure-Python Avro planning)
     "stream_iceberg_cdc",
     # round 14: DESCRIBE HISTORY surfaces over a dual-exported
-    # lifecycle (ICT-stamped delta_history + iceberg_history + refs)
+    # lifecycle (ICT-stamped delta_history + iceberg_history + refs),
+    # v3 row-lineage assignment + lineage-preserving compaction, and
+    # the equality-delete (content=2) write lifecycle
     "lake_history_surfaces",
+    "lake_row_lineage",
+    "lake_equality_delete",
     # round 9: deterministic epoch shuffle + curriculum ordering
     # (hash-key window per shard / per tier)
     "corpus_shuffle_deterministic",

@@ -350,17 +350,27 @@ WITNESS_PRIORITY = [
     # version-for-version time-travel replay) displaces join_anti
     # (r12-green; the join class keeps join_full_outer +
     # lateral_topk_orders). All three debuts are oracle-backed.
-    # Round-14 rotation: lake_history_surfaces (the DESCRIBE HISTORY
-    # debut — delta_history with ICT-stamped mirrored commits,
+    # Round-14 rotations, the three debuts of this round's features:
+    # lake_history_surfaces (the DESCRIBE HISTORY debut —
+    # delta_history with ICT-stamped mirrored commits,
     # iceberg_history over the enriched snapshot summaries,
     # iceberg_refs with a tag + main branch) displaces
     # lake_delta_dv_read (hash-green r11/r12/r13; the delta-interop
     # class keeps lake_delta_cdf + lake_delta_v2_checkpoint in-window
     # and the DV MOR read stays oracle-backed past the cut, pinned in
-    # tests/test_delta_dv.py with its own bench row).
+    # tests/test_delta_dv.py with its own bench row);
+    # lake_row_lineage (Iceberg v3 row-lineage assignment +
+    # lineage-preserving compaction) displaces lake_incremental_view
+    # (green since r10; the IVM class keeps
+    # lake_incremental_join_view in-window and the agg view stays
+    # oracle-backed past the cut with its 11-test pytest suite);
+    # lake_equality_delete (content=2 keyed delete WRITE, read back
+    # by this repo's own equality-delete reader) displaces
+    # lake_cdc_apply (hash-green r12/r13; the CDC-apply class keeps
+    # lake_scd2_apply in-window). All three debuts are oracle-backed.
     "lake_publish_roundtrip", "lake_delta_v2_checkpoint",
-    "lake_history_surfaces", "lake_incremental_view",
-    "lake_incremental_join_view", "lake_cdc_apply",
+    "lake_history_surfaces", "lake_row_lineage",
+    "lake_incremental_join_view", "lake_equality_delete",
     "lake_delta_cdf", "lake_iceberg_roundtrip",
     "lake_iceberg_v3_dv", "lake_expectations",
     "lake_scd2_apply",

@@ -2731,6 +2731,187 @@ ORDER BY surface, item
 """
 
 
+def lake_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE lifecycle (round 14): two appends under
+    a format-version-3 export assign ``_row_id`` 0..nA-1 then
+    nA..nA+nB-1 (each append = one file, ids = the spec's
+    first_row_id + position), then a LINEAGE-PRESERVING compaction
+    (materialized reserved-id columns) rewrites everything into one
+    file — and the per-sequence id-set aggregates (count, min, max,
+    sum) must be IDENTICAL before and after, which is the whole
+    point of the feature. Aggregating over id SETS keeps the oracle
+    independent of intra-file row order: append A owns exactly
+    {0..nA-1} regardless of which row got which id. The oracle
+    derives nA/nB from the same orders slices and emits both stages'
+    closed-form aggregates."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        compact_preserving_row_lineage,
+        export_iceberg_metadata,
+        read_iceberg,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    root = tempfile.mkdtemp(prefix="lake_lineage_")
+    rows = []
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "lin", stats_cols=["o_orderkey"])
+        t.append(
+            orders.filter(F.col("o_orderkey") < 400).coalesce(1)
+        )
+        export_iceberg_metadata(t, format_version=3)
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= 400)
+                & (F.col("o_orderkey") < 800)
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t)
+
+        def probe(stage):
+            got = (
+                read_iceberg(spark, str(t.root), with_lineage=True)
+                .groupBy("_last_updated_sequence_number")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("_row_id").alias("min_id"),
+                    F.max("_row_id").alias("max_id"),
+                    F.sum("_row_id").alias("sum_id"),
+                )
+                .collect()
+            )
+            for r in got:
+                rows.append(
+                    (
+                        stage,
+                        r["_last_updated_sequence_number"],
+                        r["n"], r["min_id"], r["max_id"], r["sum_id"],
+                    )
+                )
+
+        probe("pre")
+        compact_preserving_row_lineage(t, target_files=1)
+        export_iceberg_metadata(t)
+        probe("post")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage STRING, seq BIGINT, n BIGINT, min_id BIGINT, "
+        "max_id BIGINT, sum_id BIGINT",
+    ).orderBy("stage", "seq")
+
+
+LAKE_ROW_LINEAGE_ORACLE = """
+WITH c AS (
+  SELECT
+    count(*) FILTER (WHERE o_orderkey < 400)::BIGINT AS na,
+    count(*) FILTER (
+      WHERE o_orderkey >= 400 AND o_orderkey < 800
+    )::BIGINT AS nb
+  FROM orders
+), stages AS (
+  SELECT 'pre' AS stage FROM c UNION ALL SELECT 'post' FROM c
+)
+SELECT stage, seq, n, min_id, max_id, sum_id FROM (
+  SELECT stage, 1::BIGINT AS seq, na AS n, 0::BIGINT AS min_id,
+         na - 1 AS max_id, (na * (na - 1) // 2)::BIGINT AS sum_id
+  FROM stages, c
+  UNION ALL
+  SELECT stage, 2::BIGINT, nb, na, na + nb - 1,
+         (nb * (2 * na + nb - 1) // 2)::BIGINT
+  FROM stages, c
+)
+ORDER BY stage, seq
+"""
+
+
+def lake_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete WRITE lifecycle (round 14): append → export →
+    merge-on-read DELETE → export with
+    ``equality_delete_cols=['o_orderkey']`` — the vectors publish as
+    one content=2 KEYED delete file, applied back by this repo's own
+    reader (the same code path the foreign Flink-CDC fixtures pin)
+    and surfaced by the CDC read. The oracle replays the state as
+    plain filters and the delete feed as the deleted-key set."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.iceberg_interop import (
+        export_iceberg_metadata,
+        read_iceberg,
+        read_iceberg_changes,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).filter(F.col("o_orderkey") < 900)
+    root = tempfile.mkdtemp(prefix="lake_eqdel_")
+    rows = []
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "eqd", stats_cols=["o_orderkey"])
+        t.append(orders.repartition(2))
+        export_iceberg_metadata(t)
+        t.delete_where(
+            F.col("o_orderkey") % 7 == 0, merge_on_read=True
+        )
+        export_iceberg_metadata(
+            t, equality_delete_cols=["o_orderkey"]
+        )
+
+        cur = read_iceberg(spark, str(t.root)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_custkey").alias("s"),
+        ).collect()[0]
+        rows.append(("current", cur["n"], cur["s"]))
+        dels = (
+            read_iceberg_changes(
+                spark, str(t.root), include_deletes=True,
+                from_snapshot_id=1,
+            )
+            .filter(F.col("_change_type") == "delete")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("s"),
+            )
+            .collect()[0]
+        )
+        rows.append(("deleted", dels["n"], dels["s"]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "probe STRING, n BIGINT, s BIGINT"
+    ).orderBy("probe")
+
+
+LAKE_EQ_DELETE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 900
+)
+SELECT * FROM (
+  SELECT 'current' AS probe, count(*)::BIGINT AS n,
+         sum(o_custkey)::BIGINT AS s
+  FROM base WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT 'deleted', count(*)::BIGINT, sum(o_orderkey)::BIGINT
+  FROM base WHERE o_orderkey % 7 = 0
+)
+ORDER BY probe
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -2764,6 +2945,8 @@ QUERIES = {
     "lake_uniform_dual": lake_uniform_dual,
     "lake_changelog_updates": lake_changelog_updates,
     "lake_history_surfaces": lake_history_surfaces,
+    "lake_row_lineage": lake_row_lineage,
+    "lake_equality_delete": lake_equality_delete,
 }
 
 ORACLES = {
@@ -2799,4 +2982,6 @@ ORACLES = {
     "lake_uniform_dual": LAKE_UNIFORM_ORACLE,
     "lake_changelog_updates": LAKE_CHANGELOG_UPDATES_ORACLE,
     "lake_history_surfaces": LAKE_HISTORY_ORACLE,
+    "lake_row_lineage": LAKE_ROW_LINEAGE_ORACLE,
+    "lake_equality_delete": LAKE_EQ_DELETE_ORACLE,
 }

@@ -3056,6 +3056,7 @@ def read_iceberg_changes(
     include_deletes: bool = False,
     from_timestamp=None,
     to_timestamp=None,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Iceberg INCREMENTAL APPEND SCAN (the spec's incremental-read
     model, Spark's `spark.readStream.format("iceberg")` contract):
@@ -3168,6 +3169,14 @@ def read_iceberg_changes(
         )
     window = snaps[lo + 1 : hi + 1]
     if include_deletes:
+        if with_lineage:
+            raise ValueError(
+                "with_lineage is the append scan's option: the "
+                "changelog mode diffs files positionally and cannot "
+                "attribute row ids to its delete events; track "
+                "updates by reading snapshots with "
+                "read_iceberg(with_lineage=True) instead"
+            )
         return _changes_with_deletes(spark, meta, snaps, window, to)
     frames = []
     for s in window:
@@ -3203,6 +3212,7 @@ def read_iceberg_changes(
                 f"refuses the same way); read full snapshots instead"
             )
         items = []
+        item_uris: list[str] = []
         for e, dfr, spec_fields, mf in data_e:
             # v2 inheritance: a null-id entry belongs to the MANIFEST
             # LIST ENTRY's added snapshot (round-9 review: real Iceberg
@@ -3222,8 +3232,51 @@ def read_iceberg_changes(
                     ),
                 )
             )
-        fr = _grouped_read(spark, spark_fields, items)
+            item_uris.append(str(dfr.get("file_path")))
+        read_fields = spark_fields
+        if with_lineage:
+            # the new rows' assigned v3 row ids ride the feed — the
+            # update-tracking key downstream folds on. Same mechanics
+            # as read_iceberg(with_lineage=True): materialized
+            # columns win, computed first_row_id + position fills
+            # null cells, pre-v3 files read NULL.
+            read_fields = spark_fields + [
+                ("_row_id", "BIGINT"),
+                ("_last_updated_sequence_number", "BIGINT"),
+            ]
+        fr = _grouped_read(
+            spark, read_fields, items, lineage=with_lineage
+        )
         if fr is not None:
+            if with_lineage:
+                first_of = _lineage_first_rows(data_e)
+                lrows = [
+                    (p, first_of.get(uri))
+                    for (p, _pv), uri in zip(items, item_uris)
+                ]
+                lmap = spark.createDataFrame(
+                    lrows, "_ib_file STRING, _ib_first BIGINT"
+                )
+                fr = (
+                    fr.join(F.broadcast(lmap), "_ib_file", "left")
+                    .withColumn(
+                        "_row_id",
+                        F.coalesce(
+                            F.col("_row_id"),
+                            F.col("_ib_first") + F.col("_ib_pos"),
+                        ),
+                    )
+                    .withColumn(
+                        "_last_updated_sequence_number",
+                        F.coalesce(
+                            F.col("_last_updated_sequence_number"),
+                            F.lit(
+                                int(s["sequence-number"])
+                            ).cast("bigint"),
+                        ),
+                    )
+                    .drop("_ib_first", "_ib_file", "_ib_pos")
+                )
             frames.append(
                 fr.withColumn(
                     "_snapshot_id",
@@ -3234,8 +3287,17 @@ def read_iceberg_changes(
         # cheap empty: the schema alone shapes the frame — no
         # manifest I/O for the steady-state "no new snapshots" poll
         schema = _schema_of(meta, _resolve_snapshot(meta, to))
+        extra = (
+            [
+                ("_row_id", "bigint"),
+                ("_last_updated_sequence_number", "bigint"),
+            ]
+            if with_lineage
+            else []
+        )
         return _empty_frame(
-            spark, _spark_fields(schema) + [("_snapshot_id", "bigint")]
+            spark,
+            _spark_fields(schema) + extra + [("_snapshot_id", "bigint")],
         )
     out = frames[0]
     for fr in frames[1:]:

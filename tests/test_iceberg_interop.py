@@ -2286,3 +2286,58 @@ class TestEqualityDeleteWrite:
             )
             kinds |= {e["data_file"]["content"] for e in entries}
         assert kinds == {2}, kinds  # equality only — no stale carry
+
+
+class TestChangesLineage:
+    def test_append_scan_surfaces_row_ids(self, spark, lake):
+        """read_iceberg_changes(with_lineage=True): the incremental
+        append feed carries each new row's assigned v3 _row_id — the
+        update-tracking key consumers fold on."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            export_iceberg_metadata,
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "chl1", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(i,) for i in range(4)], "k INT"
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t, format_version=3)
+        t.append(
+            spark.createDataFrame(
+                [(i,) for i in range(4, 7)], "k INT"
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        ch = read_iceberg_changes(
+            spark, str(t.root), from_snapshot_id=1,
+            with_lineage=True,
+        )
+        got = {
+            r.k: (
+                r._row_id,
+                r._last_updated_sequence_number,
+                r._snapshot_id,
+            )
+            for r in ch.collect()
+        }
+        assert got == {4: (4, 2, 2), 5: (5, 2, 2), 6: (6, 2, 2)}
+
+    def test_changelog_mode_refuses_lineage(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            export_iceberg_metadata,
+            read_iceberg_changes,
+        )
+
+        t = TxnTable(lake, "chl2", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame([(0,)], "k INT").coalesce(1)
+        )
+        export_iceberg_metadata(t, format_version=3)
+        with pytest.raises(ValueError, match="append scan's option"):
+            read_iceberg_changes(
+                spark, str(t.root), from_snapshot_id=1,
+                include_deletes=True, with_lineage=True,
+            )
