@@ -131,6 +131,7 @@ HEADLINE = [
     "lake_history_surfaces",
     "lake_row_lineage",
     "lake_equality_delete",
+    "lake_delta_row_tracking",
     # round 9: deterministic epoch shuffle + curriculum ordering
     # (hash-key window per shard / per tier)
     "corpus_shuffle_deterministic",

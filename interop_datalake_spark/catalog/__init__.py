@@ -367,11 +367,17 @@ WITNESS_PRIORITY = [
     # lake_equality_delete (content=2 keyed delete WRITE, read back
     # by this repo's own equality-delete reader) displaces
     # lake_cdc_apply (hash-green r12/r13; the CDC-apply class keeps
-    # lake_scd2_apply in-window). All three debuts are oracle-backed.
+    # lake_scd2_apply in-window); lake_delta_row_tracking (the Delta
+    # rowTracking twin of the v3 lineage — enablement backfill + DV
+    # stability + id conservation) displaces lake_delta_cdf
+    # (hash-green r12/r13; the delta-interop class keeps
+    # lake_delta_v2_checkpoint + lake_history_surfaces + this debut,
+    # and the CDF read stays oracle-backed past the cut with its
+    # pytest suite). All four debuts are oracle-backed.
     "lake_publish_roundtrip", "lake_delta_v2_checkpoint",
     "lake_history_surfaces", "lake_row_lineage",
     "lake_incremental_join_view", "lake_equality_delete",
-    "lake_delta_cdf", "lake_iceberg_roundtrip",
+    "lake_delta_row_tracking", "lake_iceberg_roundtrip",
     "lake_iceberg_v3_dv", "lake_expectations",
     "lake_scd2_apply",
     # NULL semantics / reshape

@@ -2912,6 +2912,146 @@ ORDER BY probe
 """
 
 
+def lake_delta_row_tracking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ROW TRACKING lifecycle (round 14 — the Delta twin of
+    lake_row_lineage): a no-tracking mirror of append A, a mid-mirror
+    ENABLEMENT (which backfills A's published file with its assigned
+    baseRowId as a dataChange=false re-add) folded with append B,
+    then a merge-on-read DELETE — after which every surviving row
+    still carries the id it was assigned at enablement. Probes are
+    id-SET aggregates per _row_commit_version (count/min/max/sum —
+    independent of intra-file row order) plus the post-delete
+    id-conservation fact: the survivor id-set's size equals the
+    surviving row count while min/max stay at the enablement range's
+    ends (keys 0 and the last key survive the %7 predicate for these
+    slices). The oracle derives every number from the same orders
+    slices in closed form."""
+    import shutil
+    import tempfile
+
+    from interop_datalake_spark.lake.delta_interop import (
+        export_delta_log,
+        read_delta,
+    )
+    from interop_datalake_spark.lake.txn import TxnTable
+    from interop_datalake_spark.session import DatalakeSession
+    from interop_datalake_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    root = tempfile.mkdtemp(prefix="lake_drt_")
+    rows = []
+    try:
+        session = DatalakeSession(lake_root=root, spark=spark)
+        t = TxnTable(session, "drt", stats_cols=["o_orderkey"])
+        t.append(
+            orders.filter(F.col("o_orderkey") < 400).coalesce(1)
+        )
+        export_delta_log(t, mode="mirror")  # delta v0, no tracking
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= 400)
+                & (F.col("o_orderkey") < 800)
+            ).coalesce(1)
+        )
+        # delta v1: enablement + backfill of A + append of B
+        export_delta_log(t, mode="mirror", row_tracking=True)
+
+        def probe(stage, df):
+            got = (
+                df.groupBy("_row_commit_version")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("_row_id").alias("min_id"),
+                    F.max("_row_id").alias("max_id"),
+                    F.sum("_row_id").alias("sum_id"),
+                )
+                .collect()
+            )
+            for r in got:
+                rows.append(
+                    (
+                        stage, r["_row_commit_version"],
+                        r["n"], r["min_id"], r["max_id"], r["sum_id"],
+                    )
+                )
+
+        enabled_df = read_delta(
+            spark, str(t.root), with_row_tracking=True
+        )
+        total_rows = enabled_df.count()
+        probe("enabled", enabled_df)
+        t.delete_where(
+            F.col("o_orderkey") % 7 == 0, merge_on_read=True
+        )
+        export_delta_log(t, mode="mirror")  # delta v2: DV update
+        after = read_delta(
+            spark, str(t.root), with_row_tracking=True
+        )
+        # id conservation under MOR delete: every survivor keeps a
+        # DISTINCT non-null id inside the enablement range (which id
+        # belongs to which key depends on intra-file order, so the
+        # deterministic facts are the count, distinctness, and
+        # range containment — encoded as the in_range count)
+        c = after.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_row_id").alias("n_ids"),
+            F.sum(
+                F.when(
+                    F.col("_row_id").between(
+                        0, F.lit(total_rows - 1)
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("in_range"),
+        ).collect()[0]
+        rows.append(
+            ("after_delete", None, c["n"], c["in_range"], None,
+             c["n_ids"])
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "stage STRING, rcv BIGINT, n BIGINT, min_id BIGINT, "
+        "max_id BIGINT, x BIGINT",
+    ).orderBy("stage", "rcv")
+
+
+LAKE_DELTA_RT_ORACLE = """
+WITH c AS (
+  SELECT
+    count(*) FILTER (WHERE o_orderkey < 400)::BIGINT AS na,
+    count(*) FILTER (
+      WHERE o_orderkey >= 400 AND o_orderkey < 800
+    )::BIGINT AS nb,
+    count(*) FILTER (
+      WHERE o_orderkey < 800 AND o_orderkey % 7 <> 0
+    )::BIGINT AS nlive
+  FROM orders
+)
+SELECT stage, rcv, n, min_id, max_id, x FROM (
+  -- enablement commit (delta v1) assigns ids 0..na+nb-1: the
+  -- backfill of A then the fresh adds of B, every row at rcv=1
+  SELECT 'enabled' AS stage, 1::BIGINT AS rcv, na + nb AS n,
+         0::BIGINT AS min_id, na + nb - 1 AS max_id,
+         ((na + nb) * (na + nb - 1) // 2)::BIGINT AS x
+  FROM c
+  UNION ALL
+  -- MOR delete conserves ids: one DISTINCT id per survivor
+  -- (x == n), every one inside the enablement range (min_id column
+  -- reuses as the in-range count; which id maps to which key is
+  -- intra-file order, deliberately not pinned)
+  SELECT 'after_delete', NULL, nlive, nlive, NULL, nlive
+  FROM c
+)
+ORDER BY stage, rcv
+"""
+
+
 QUERIES = {
     "hl7_msh9": hl7_msh9,
     "object_url_parse": object_url_parse,
@@ -2947,6 +3087,7 @@ QUERIES = {
     "lake_history_surfaces": lake_history_surfaces,
     "lake_row_lineage": lake_row_lineage,
     "lake_equality_delete": lake_equality_delete,
+    "lake_delta_row_tracking": lake_delta_row_tracking,
 }
 
 ORACLES = {
@@ -2984,4 +3125,5 @@ ORACLES = {
     "lake_history_surfaces": LAKE_HISTORY_ORACLE,
     "lake_row_lineage": LAKE_ROW_LINEAGE_ORACLE,
     "lake_equality_delete": LAKE_EQ_DELETE_ORACLE,
+    "lake_delta_row_tracking": LAKE_DELTA_RT_ORACLE,
 }

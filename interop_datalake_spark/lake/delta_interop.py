@@ -151,7 +151,11 @@ def _meta_action(
 
 
 def _protocol_action(
-    dv: bool, cdf: bool, v2c: bool = False, ict: bool = False
+    dv: bool,
+    cdf: bool,
+    v2c: bool = False,
+    ict: bool = False,
+    rt: bool = False,
 ) -> dict:
     """The protocol a snapshot/commit must claim: vector-free tables
     stay maximally consumable (1/2, or 1/4 — the legacy CDF writer
@@ -165,8 +169,12 @@ def _protocol_action(
     ``inCommitTimestamp`` feature: writer features require writer
     version 7, but the READER version stays at whatever the reader
     features demand (1 when none — ICT-stamped vector-free tables
-    remain readable by engines that predate table features)."""
-    if dv or v2c or ict:
+    remain readable by engines that predate table features).
+    ``rt`` (row tracking) claims the writer-only ``rowTracking``
+    feature plus ``domainMetadata`` (the high-water mark lives in a
+    ``delta.rowTracking`` domain per the protocol) — also
+    reader-transparent."""
+    if dv or v2c or ict or rt:
         feats_r = (["deletionVectors"] if dv else []) + (
             ["v2Checkpoint"] if v2c else []
         )
@@ -174,6 +182,7 @@ def _protocol_action(
             list(feats_r)
             + (["changeDataFeed"] if cdf else [])
             + (["inCommitTimestamp"] if ict else [])
+            + (["rowTracking", "domainMetadata"] if rt else [])
         )
         if feats_r:
             return {
@@ -208,6 +217,20 @@ def _schema_names(m: dict) -> set[str]:
     }
 
 
+def _rt_domain_action(hwm: int) -> dict:
+    """The row-tracking HIGH-WATER MARK carrier (PROTOCOL.md, Row
+    Tracking + Domain Metadata): a ``delta.rowTracking`` domain whose
+    configuration records the highest assigned fresh row id — what a
+    compliant writer reads before assigning new ``baseRowId``s."""
+    return {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }
+    }
+
+
 def _add_action(
     table: TxnTable,
     m: dict,
@@ -216,6 +239,7 @@ def _add_action(
     names: set[str],
     dv_desc: dict | None = None,
     data_change: bool = True,
+    row_base: tuple[int, int] | None = None,
 ) -> dict:
     p = table.root / f
     fstat = m.get("stats", {}).get(f, {})
@@ -254,6 +278,18 @@ def _add_action(
             "size": p.stat().st_size if p.exists() else 0,
             "modificationTime": now_ms,
             "dataChange": data_change,
+            # row tracking: (baseRowId, defaultRowCommitVersion) —
+            # fresh on first add, PRESERVED verbatim on every re-add
+            # of the same file (DV updates, backfills): stable row ids
+            # are the feature's whole contract
+            **(
+                {
+                    "baseRowId": row_base[0],
+                    "defaultRowCommitVersion": row_base[1],
+                }
+                if row_base is not None
+                else {}
+            ),
             **(
                 {"stats": json.dumps(stats_payload)}
                 if stats_payload
@@ -426,6 +462,8 @@ def _write_marker(
     ict: bool = False,
     ict_last: int = 0,
     ict_enablement: dict | None = None,
+    rt: bool = False,
+    rt_hwm: int = -1,
 ):
     """Atomic + fsync'd like the commits — INCLUDING the directory
     fsync after the rename (round-8 review 5): a dir-cached rename
@@ -456,6 +494,12 @@ def _write_marker(
                     "ict": bool(ict),
                     "ict_last": int(ict_last),
                     "ict_enablement": ict_enablement,
+                    # row tracking is one-way once claimed; the
+                    # high-water mark persists so fresh baseRowIds
+                    # never collide across export sessions (per-file
+                    # bases recover from the published log itself)
+                    "rt": bool(rt),
+                    "rt_hwm": int(rt_hwm),
                 }
             )
         )
@@ -489,6 +533,10 @@ def _read_marker(log_dir: Path) -> dict | None:
             "ict": bool(d.get("ict")),
             "ict_last": int(d.get("ict_last") or 0),
             "ict_enablement": d.get("ict_enablement"),
+            "rt": bool(d.get("rt")),
+            "rt_hwm": int(
+                d["rt_hwm"] if d.get("rt_hwm") is not None else -1
+            ),
         }
     except (ValueError, KeyError, TypeError):
         return None
@@ -500,6 +548,7 @@ def _full_export(
     cdf: bool = False,
     v2c: bool = False,
     ict: bool = False,
+    rt: bool = False,
 ) -> Path:
     m = table.manifest(version)
     _validate_exportable(table, m, m["files"])
@@ -537,6 +586,9 @@ def _full_export(
     cdc_dir = table.root / "_change_data"
     if cdc_dir.exists():
         shutil.rmtree(cdc_dir)
+    extra_conf = dict(_ict_configuration(ict))
+    if rt:
+        extra_conf["delta.enableRowTracking"] = "true"
     actions = [
         # ICT enabled at table creation (version 0) needs no
         # enablement-provenance properties — the whole history is
@@ -547,19 +599,31 @@ def _full_export(
         # vector-free snapshots stay minReader/Writer 1/2 (plain
         # parquet + partition columns) — maximally consumable; a
         # vectored snapshot must claim the deletionVectors feature
-        _protocol_action(bool(dv_descs), cdf, v2c, ict),
-        _meta_action(
-            m, now_ms, table_id, cdf, _ict_configuration(ict) or None
-        ),
-    ] + [
-        _add_action(table, m, f, now_ms, names, dv_descs.get(f))
-        for f in m["files"]
+        _protocol_action(bool(dv_descs), cdf, v2c, ict, rt),
+        _meta_action(m, now_ms, table_id, cdf, extra_conf or None),
     ]
+    rt_hwm = -1
+    for f in m["files"]:
+        row_base = None
+        if rt:
+            # row tracking from creation: every file's rows get fresh
+            # ids (baseRowId + position), commit version 0
+            n = int(m.get("stats", {}).get(f, {}).get("rows") or 0)
+            row_base = (rt_hwm + 1, 0)
+            rt_hwm += n
+        actions.append(
+            _add_action(
+                table, m, f, now_ms, names, dv_descs.get(f),
+                row_base=row_base,
+            )
+        )
+    if rt:
+        actions.append(_rt_domain_action(rt_hwm))
     log_dir.mkdir(parents=True)
     _write_commit(log_dir, 0, actions)
     _write_marker(
         log_dir, m["version"], 0, table_id, dv_descs, bool(dv_descs),
-        cdf, v2c, ict, now_ms if ict else 0,
+        cdf, v2c, ict, now_ms if ict else 0, rt=rt, rt_hwm=rt_hwm,
     )
     return log_dir
 
@@ -572,6 +636,7 @@ def export_delta_log(
     change_data: bool = False,
     checkpoint_format: str = "classic",
     in_commit_timestamps: bool = False,
+    row_tracking: bool = False,
 ) -> Path:
     """Write a Delta ``_delta_log`` describing the TxnTable into the
     table's root — the root then IS a Delta table: ``add.path``
@@ -630,6 +695,18 @@ def export_delta_log(
     the feature is ONE-WAY (later mirrors keep stamping even without
     the flag). Vector-free ICT tables keep minReaderVersion 1 — the
     feature is writer-only.
+
+    ``row_tracking=True`` claims the writer-only ``rowTracking`` (+
+    ``domainMetadata``) features and assigns each add action a
+    ``baseRowId`` / ``defaultRowCommitVersion`` with the
+    ``delta.rowTracking`` domain carrying the high-water mark — a
+    row's id is its file's base + position, read back by
+    ``read_delta(with_row_tracking=True)`` and STABLE across DV
+    deletes and re-adds (re-adds preserve bases verbatim; mid-mirror
+    enablement backfills the already-published live files as
+    dataChange=false re-adds, delta-spark's own mechanism). One-way
+    once claimed; checkpoints preserve the ids and the domain. The
+    Delta twin of the Iceberg v3 row lineage this repo also writes.
 
     STALENESS CONTRACT (replace mode): the export describes the
     snapshot AT EXPORT TIME; later TxnTable commits do not update it
@@ -690,20 +767,22 @@ def export_delta_log(
         v2 = checkpoint_format == "v2"
         if mode == "replace":
             return _full_export(
-                table, version, change_data, v2, in_commit_timestamps
+                table, version, change_data, v2,
+                in_commit_timestamps, row_tracking,
             )
         marker = _read_marker(log_dir) if log_dir.exists() else None
         if marker is None:
             # no marker, or a torn one: restart with a full export —
-            # claiming v2Checkpoint (and ICT) up front when requested,
-            # so the mirror's own checkpoints need no later upgrade
-            # commit
+            # claiming v2Checkpoint (and ICT / row tracking) up front
+            # when requested, so the mirror's own checkpoints need no
+            # later upgrade commit
             return _full_export(
-                table, None, change_data, v2, in_commit_timestamps
+                table, None, change_data, v2,
+                in_commit_timestamps, row_tracking,
             )
         return _mirror_locked(
             table, log_dir, checkpoint_every, change_data,
-            checkpoint_format, in_commit_timestamps,
+            checkpoint_format, in_commit_timestamps, row_tracking,
         )
     finally:
         os.close(lock_fd)
@@ -716,6 +795,7 @@ def _mirror_locked(
     change_data: bool = False,
     checkpoint_format: str = "classic",
     in_commit_timestamps: bool = False,
+    row_tracking: bool = False,
 ) -> Path:
     # marker re-read UNDER the lock: decisions below must be based on
     # the acknowledged state no concurrent writer can move
@@ -723,7 +803,7 @@ def _mirror_locked(
     if marker is None:
         return _full_export(
             table, None, change_data, checkpoint_format == "v2",
-            in_commit_timestamps,
+            in_commit_timestamps, row_tracking,
         )
     base_txn = marker["txn_version"]
     delta_v = marker["delta_version"]
@@ -739,6 +819,7 @@ def _mirror_locked(
             table, None, change_data,
             checkpoint_format == "v2" or bool(marker.get("v2c")),
             in_commit_timestamps or bool(marker.get("ict")),
+            row_tracking or bool(marker.get("rt")),
         )
     # CRASH RECOVERY (round-8 reviews 5+6): a crash between a commit's
     # publish and its marker write leaves exactly ONE unacknowledged
@@ -770,6 +851,23 @@ def _mirror_locked(
     ict_claimed = bool(marker.get("ict"))
     ict_last = int(marker.get("ict_last") or 0)
     ict_enablement = marker.get("ict_enablement")
+    # ROW TRACKING (one-way like the others): the high-water mark
+    # rides the marker; per-file (baseRowId, defaultRowCommitVersion)
+    # recover from the PUBLISHED log itself — re-adds (DV updates)
+    # must preserve them verbatim, the feature's stability contract
+    rt = bool(marker.get("rt")) or row_tracking
+    rt_claimed = bool(marker.get("rt"))
+    rt_hwm = int(marker.get("rt_hwm", -1))
+    rt_bases: dict[str, tuple[int, int]] = {}
+    if rt_claimed:
+        _meta_replay, prev_adds = _replay_log(str(table.root), None)
+        for f, a in prev_adds.items():
+            b = a.get("baseRowId")
+            if b is not None:
+                rt_bases[f] = (
+                    int(b),
+                    int(a.get("defaultRowCommitVersion") or 0),
+                )
     for v in range(base_txn + 1, cur + 1):
         m = table.manifest(v)
         prev_files = set(prev["files"])
@@ -870,14 +968,15 @@ def _mirror_locked(
             or cdf != cdf_claimed
             or v2c != v2c_claimed
             or ict != ict_claimed
+            or rt != rt_claimed
         ):
-            # first vectored commit / CDF transition / v2Checkpoint
-            # or ICT enablement in this mirror: upgrade the published
-            # protocol in-commit (Delta's own upgrade path)
+            # first vectored commit / CDF transition / v2Checkpoint,
+            # ICT or row-tracking enablement in this mirror: upgrade
+            # the published protocol in-commit (Delta's own path)
             actions.append(
                 _protocol_action(
                     dv_protocol_claimed or bool(new_descs), cdf, v2c,
-                    ict,
+                    ict, rt,
                 )
             )
         if (
@@ -885,16 +984,61 @@ def _mirror_locked(
             or spec_changed
             or cdf != cdf_claimed
             or ict != ict_claimed
+            or rt != rt_claimed
         ):
-            # a CDF or ICT transition re-emits metaData: the
-            # delta.enable* configuration is what compliant readers
-            # key the feature on
+            # a CDF / ICT / row-tracking transition re-emits metaData:
+            # the delta.enable* configuration is what compliant
+            # readers key the feature on
+            extra_conf = dict(
+                _ict_configuration(ict, ict_enablement)
+            )
+            if rt:
+                extra_conf["delta.enableRowTracking"] = "true"
             actions.append(
                 _meta_action(
-                    m, now_ms, table_id, cdf,
-                    _ict_configuration(ict, ict_enablement) or None,
+                    m, now_ms, table_id, cdf, extra_conf or None
                 )
             )
+        if rt and added and removed:
+            # a COPY-ON-WRITE rewrite (compact, cow delete/merge)
+            # moves surviving rows into new files — the rowTracking
+            # contract requires their ids preserved, which delta-spark
+            # does by MATERIALIZING the id columns into the rewritten
+            # parquet; a zero-copy mirror cannot, and silently
+            # assigning fresh ids would break every consumer keying on
+            # them. Row-tracked mirrors therefore support the
+            # merge-on-read family (append / DV delete / DV merge —
+            # ids provably stable); rewrites refuse loudly.
+            raise ValueError(
+                f"table {table.name}: version {v} rewrites files "
+                f"(adds AND removes) under row tracking — a zero-copy "
+                f"mirror cannot preserve the moved rows' ids. Use "
+                f"merge-on-read operations (delete_where/merge with "
+                f"merge_on_read=True), or re-export with "
+                f"mode='replace' (a fresh table identity signals the "
+                f"id reset to consumers)"
+            )
+        rt_assigned = False
+
+        def _fresh_base(f: str) -> tuple[int, int]:
+            # fresh rows: ids start past the high-water mark; the
+            # row commit version is THIS Delta commit
+            nonlocal rt_hwm, rt_assigned
+            n = int(m.get("stats", {}).get(f, {}).get("rows") or 0)
+            base = rt_hwm + 1
+            rt_hwm += n
+            rt_assigned = True
+            rt_bases[f] = (base, delta_v + 1)
+            return rt_bases[f]
+
+        def _base_of(f: str, fresh_ok: bool = True):
+            if not rt:
+                return None
+            kept = rt_bases.get(f)
+            if kept is not None:
+                return kept  # re-add preserves ids verbatim
+            return _fresh_base(f) if fresh_ok else None
+
         actions += [
             _remove_action(
                 f, now_ms, dv_descs.get(f), dc,
@@ -903,9 +1047,28 @@ def _mirror_locked(
             for f in removed
         ]
         names = _schema_names(m)
+        if rt and not rt_claimed:
+            # ENABLEMENT BACKFILL (delta-spark's own mechanism): the
+            # already-published live files re-commit as
+            # dataChange=false adds carrying their assigned baseRowId
+            # — without it, pre-enablement rows would read NULL ids
+            # forever. Files this commit re-adds anyway (dv_changed)
+            # or adds fresh get their bases at those sites.
+            backfill = [
+                f
+                for f in m["files"]
+                if f not in set(added) | set(dv_changed)
+            ]
+            actions += [
+                _add_action(
+                    table, m, f, now_ms, names, dv_descs.get(f),
+                    data_change=False, row_base=_base_of(f),
+                )
+                for f in backfill
+            ]
         # the DV-update commit shape: remove naming the OLD vector +
         # re-add of the same path with the new one (or vector-free
-        # when a restore cleared it)
+        # when a restore cleared it) — row-tracking bases PRESERVED
         actions += [
             a
             for f in dv_changed
@@ -915,16 +1078,20 @@ def _mirror_locked(
                     _partition_values_of(m, f),
                 ),
                 _add_action(
-                    table, m, f, now_ms, names, new_descs.get(f), dc
+                    table, m, f, now_ms, names, new_descs.get(f), dc,
+                    row_base=_base_of(f),
                 ),
             )
         ]
         actions += [
             _add_action(
-                table, m, f, now_ms, names, new_descs.get(f), dc
+                table, m, f, now_ms, names, new_descs.get(f), dc,
+                row_base=_base_of(f),
             )
             for f in added
         ]
+        if rt and rt_assigned:
+            actions.append(_rt_domain_action(rt_hwm))
         if (
             cdf
             and dc
@@ -964,6 +1131,10 @@ def _mirror_locked(
             if ict_ts is not None:
                 ict_claimed = True
                 ict_last = ict_ts
+            if rt:
+                rt_claimed = True
+                for f in removed:
+                    rt_bases.pop(f, None)
             delta_v += 1
             _write_commit(log_dir, delta_v, actions)
             # marker advances per PUBLISHED commit, right after it: a
@@ -975,6 +1146,7 @@ def _mirror_locked(
                 log_dir, v, delta_v, table_id, dv_descs,
                 dv_protocol_claimed, cdf_claimed, v2c_claimed,
                 ict_claimed, ict_last, ict_enablement,
+                rt_claimed, rt_hwm,
             )
             marked = v
             if checkpoint_every and delta_v % checkpoint_every == 0:
@@ -988,6 +1160,8 @@ def _mirror_locked(
                     v2c_protocol=v2c_claimed,
                     ict=ict_claimed,
                     ict_enablement=ict_enablement,
+                    rt_bases=rt_bases if rt_claimed else None,
+                    rt_hwm=rt_hwm,
                 )
         prev = m
     if marked != cur:
@@ -999,6 +1173,7 @@ def _mirror_locked(
             log_dir, cur, delta_v, table_id, dv_descs,
             dv_protocol_claimed, cdf_claimed, v2c_claimed,
             ict_claimed, ict_last, ict_enablement,
+            rt_claimed, rt_hwm,
         )
     return log_dir
 
@@ -1099,6 +1274,8 @@ def _write_delta_checkpoint(
     v2c_protocol: bool | None = None,
     ict: bool = False,
     ict_enablement: dict | None = None,
+    rt_bases: dict | None = None,
+    rt_hwm: int = -1,
 ) -> None:
     """Write a parquet checkpoint of the log state at ``delta_v`` —
     CLASSIC single-part by default (one action per row: protocol +
@@ -1188,20 +1365,42 @@ def _write_delta_checkpoint(
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
                         ("deletionVector", dv_t),
+                        # row-tracking ids (null on non-RT tables):
+                        # the checkpoint must preserve them or a
+                        # checkpoint-replayed snapshot loses every
+                        # row's identity
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                # the delta.rowTracking high-water-mark domain rides
+                # the checkpoint too (the spec: checkpoints contain
+                # all live domainMetadata); null on non-RT tables
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
                     ]
                 ),
             ),
         ]
     )
+    rt = rt_bases is not None
     if v2c_protocol is None:
         v2c_protocol = v2c
-    proto = _protocol_action(dv_protocol, cdf, v2c_protocol, ict)[
+    proto = _protocol_action(dv_protocol, cdf, v2c_protocol, ict, rt)[
         "protocol"
     ]
     names = _schema_names(m)
+    extra_conf = dict(_ict_configuration(ict, ict_enablement))
+    if rt:
+        extra_conf["delta.enableRowTracking"] = "true"
     meta_row = _meta_action(
-        m, now_ms, table_id, cdf,
-        _ict_configuration(ict, ict_enablement) or None,
+        m, now_ms, table_id, cdf, extra_conf or None
     )["metaData"]
     add_rows = []
     for f in m["files"]:
@@ -1212,10 +1411,18 @@ def _write_delta_checkpoint(
         a = _add_action(
             table, m, f, now_ms, names, dv_descs.get(f),
             data_change=False,
+            row_base=(rt_bases or {}).get(f),
         )["add"]
         a.setdefault("stats", None)
         a.setdefault("deletionVector", None)
+        a.setdefault("baseRowId", None)
+        a.setdefault("defaultRowCommitVersion", None)
         add_rows.append({"add": a})
+    domain_rows = (
+        [{"domainMetadata": _rt_domain_action(rt_hwm)["domainMetadata"]}]
+        if rt
+        else []
+    )
     if v2c:
         # V2 (sidecar) shape: the adds land in ONE parquet under
         # _delta_log/_sidecars/, and the UUID-named manifest holds
@@ -1245,6 +1452,7 @@ def _write_delta_checkpoint(
                 ),
                 schema.field("protocol"),
                 schema.field("metaData"),
+                schema.field("domainMetadata"),
                 (
                     "sidecar",
                     pa.struct(
@@ -1261,6 +1469,7 @@ def _write_delta_checkpoint(
             {"checkpointMetadata": {"version": delta_v}},
             {"protocol": proto},
             {"metaData": meta_row},
+            *domain_rows,
             {
                 "sidecar": {
                     "path": sc_name,
@@ -1278,7 +1487,7 @@ def _write_delta_checkpoint(
         rows = [
             {"protocol": proto},
             {"metaData": meta_row},
-        ] + add_rows
+        ] + domain_rows + add_rows
         dest = log_dir / f"{delta_v:020d}.checkpoint.parquet"
         tbl = pa.Table.from_pylist(rows, schema=schema)
     tmp = log_dir / f".tmp-{uuid.uuid4().hex}.parquet"
@@ -2287,6 +2496,7 @@ def read_delta(
     key_range=None,
     partition_filter: dict | None = None,
     timestamp=None,
+    with_row_tracking: bool = False,
 ) -> DataFrame:
     """Read a Delta table by replaying its JSON transaction log — no
     delta-spark needed. ``version`` is Delta's ``VERSION AS OF``
@@ -2323,7 +2533,17 @@ def read_delta(
     affects). ``timestamp`` is
     Delta's ``TIMESTAMP AS OF`` (datetime / ISO string / epoch
     millis; mutually exclusive with ``version``) — resolved via
-    :func:`delta_version_at`."""
+    :func:`delta_version_at`.
+
+    ``with_row_tracking=True`` projects the ROW TRACKING metadata
+    columns ``_row_id`` / ``_row_commit_version`` (the
+    ``rowTracking`` writer feature this repo's mirror stamps with
+    ``export_delta_log(row_tracking=True)``): a row's id is its
+    file's ``baseRowId`` + its physical position, its commit version
+    the file's ``defaultRowCommitVersion`` — both stable across DV
+    deletes and re-adds by the feature's preservation contract.
+    Files without a ``baseRowId`` (pre-enablement, never backfilled)
+    read NULL ids."""
     if timestamp is not None:
         if version is not None:
             raise ValueError(
@@ -2332,6 +2552,16 @@ def read_delta(
         version = delta_version_at(path, timestamp)
     meta, adds = _replay_log(path, version)
     st = StructType.fromJson(json.loads(meta["schemaString"]))
+    rt = with_row_tracking
+    if rt:
+        clash = {f.name for f in st.fields} & {
+            "_row_id", "_row_commit_version",
+        }
+        if clash:
+            raise ValueError(
+                f"table columns {sorted(clash)} collide with the "
+                f"row-tracking metadata columns — rename upstream"
+            )
     phys_st, phys_of = _mapping_ctx(meta, st, spark)
     logical_of = {p: l for l, p in phys_of.items()}
     kr_phys, pf_phys = _map_predicates(
@@ -2360,7 +2590,18 @@ def read_delta(
     mapped = any(lf.name != pf.name or lf.dataType != pf.dataType
                  for lf, pf in data_fields)
     if not adds:
-        return spark.createDataFrame([], st)
+        empty_st = st
+        if rt:
+            from pyspark.sql.types import LongType, StructField
+
+            empty_st = StructType(
+                st.fields
+                + [
+                    StructField("_row_id", LongType()),
+                    StructField("_row_commit_version", LongType()),
+                ]
+            )
+        return spark.createDataFrame([], empty_st)
     # group files by their partition-value tuple: each group reads
     # once and injects its literals (combos are bounded by the
     # partition cardinality, never per-file frames)
@@ -2391,7 +2632,10 @@ def read_delta(
             fr = spark.read.schema(data_schema).parquet(
                 *[str(Path(path) / f) for f in sel]
             )
-            if vectored:
+            if vectored or rt:
+                # row tracking shares the MOR lineage plumbing: ids
+                # are baseRowId + physical position, so EVERY split
+                # needs (file, position) when projecting them
                 fr = _with_row_lineage(fr, root_abs)
             if mapped:
                 # physical → logical rename AFTER the lineage select
@@ -2400,7 +2644,9 @@ def read_delta(
                 # fields positionally, so deep physical names
                 # disappear too
                 keep_extra = (
-                    ["_dv_file", "_dv_row"] if vectored else []
+                    ["_dv_file", "_dv_row"]
+                    if vectored or rt
+                    else []
                 )
                 fr = fr.select(
                     *[
@@ -2423,14 +2669,44 @@ def read_delta(
         vec = dv_frames[0]
         for fr in dv_frames[1:]:
             vec = vec.unionByName(fr)
-        vec = vec.join(pos, ["_dv_file", "_dv_row"], "left_anti").drop(
-            "_dv_file", "_dv_row"
-        )
+        vec = vec.join(pos, ["_dv_file", "_dv_row"], "left_anti")
+        if not rt:
+            vec = vec.drop("_dv_file", "_dv_row")
         frames.append(vec)
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
-    out = out.select(*[f.name for f in st.fields])
+    keep_cols = [f.name for f in st.fields]
+    if rt:
+        # per-file (baseRowId, defaultRowCommitVersion) as a
+        # broadcast map — bounded by file count, the MOR pattern.
+        # Survivors of a DV anti-join keep their PHYSICAL positions,
+        # so ids stay stable under merge-on-read deletes.
+        base_rows = [
+            (
+                f,
+                int(a["baseRowId"])
+                if a.get("baseRowId") is not None
+                else None,
+                int(a["defaultRowCommitVersion"])
+                if a.get("defaultRowCommitVersion") is not None
+                else None,
+            )
+            for f, a in adds.items()
+        ]
+        bmap = spark.createDataFrame(
+            base_rows, "_dv_file STRING, _rt_base BIGINT, _rt_dcv BIGINT"
+        )
+        out = (
+            out.join(F.broadcast(bmap), "_dv_file", "left")
+            .withColumn(
+                "_row_id", F.col("_rt_base") + F.col("_dv_row")
+            )
+            .withColumn("_row_commit_version", F.col("_rt_dcv"))
+            .drop("_rt_base", "_rt_dcv", "_dv_file", "_dv_row")
+        )
+        keep_cols += ["_row_id", "_row_commit_version"]
+    out = out.select(*keep_cols)
     # residual row filters: pruning dropped whole files; rows inside
     # kept files must still match the predicates. Same normalization
     # helpers as the pruning side, so the two can never drift.
