@@ -1090,3 +1090,70 @@ def test_footer_stats_fallback_types_still_pruned(session, spark):
         )
         == 1
     )
+
+
+def test_footer_stats_property_random_frames(session, spark):
+    """Property fuzz for the footer fast path: random typed frames
+    (ints incl. extremes, strings incl. non-ASCII/empty, dates,
+    nulls, multiple files) must record IDENTICAL stats through the
+    footer path and the Spark agg path."""
+    import json as _json
+    import random
+
+    from datetime import date as _date
+
+    from interop_datalake_spark.lake import txn as _txn
+
+    rng = random.Random(14)
+    pool_s = ["", "a", "zz", "álpha", "Ωmega", "x" * 80, "naïve", None]
+    for trial in range(6):
+        n = rng.randint(1, 12)
+        rows = [
+            (
+                rng.choice(
+                    [None, -(2**31), 2**31 - 1, rng.randint(-99, 99)]
+                ),
+                rng.choice(pool_s),
+                rng.choice(
+                    [
+                        None,
+                        _date(1970, 1, 1),
+                        _date(2262, 4, 11),
+                        _date(2020, rng.randint(1, 12), 1),
+                    ]
+                ),
+            )
+            for _ in range(n)
+        ]
+        nparts = rng.randint(1, 3)
+        df = spark.createDataFrame(
+            rows, "i INT, s STRING, d DATE"
+        ).repartition(nparts)
+
+        t1 = TxnTable(
+            session, f"fsp_f{trial}", stats_cols=["i", "s", "d"]
+        )
+        t1.append(df)
+        fast = _json.loads(
+            (t1.root / "_manifests" / "v1.json").read_text()
+        )["stats"]
+
+        orig = _txn._footer_stats
+        _txn._footer_stats = lambda *a, **k: None
+        try:
+            t2 = TxnTable(
+                session, f"fsp_a{trial}", stats_cols=["i", "s", "d"]
+            )
+            t2.append(df)
+        finally:
+            _txn._footer_stats = orig
+        agg = _json.loads(
+            (t2.root / "_manifests" / "v1.json").read_text()
+        )["stats"]
+
+        # compare per-file stats VALUES (file names differ by uuid):
+        # sort each side's entries canonically
+        canon = lambda st: sorted(
+            _json.dumps(v, sort_keys=True) for v in st.values()
+        )
+        assert canon(fast) == canon(agg), (trial, fast, agg)
