@@ -1068,6 +1068,18 @@ class TxnTable:
             version = self.version_at_timestamp(as_of_ts)
         m = self.manifest(version)
         if not m["files"]:
+            if m.get("schema") is not None:
+                # a COMMITTED EMPTY state (every row deleted / an
+                # empty sync) is a valid snapshot, distinct from a
+                # never-written table: return the empty frame with
+                # the log schema. Before round 14 this case was
+                # masked by zero-row part files the writer recorded;
+                # commits no longer carry them.
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(m["schema"]))
+                )
             raise FileNotFoundError(
                 f"table {self.name} has no committed data at "
                 f"version {version if version is not None else self.current_version()}"

@@ -32,6 +32,14 @@ AvailableNow drains a single bounded hop rather than the whole
 backlog. Use a processing-time trigger for throttled catch-up (the
 same advice delta-spark gives for rate limits under old-style
 ``Trigger.Once``).
+
+``reportLatestOffset`` (the JVM API's monitoring hook that lets a
+throttled source still report the true head to the progress listener)
+has no Python DataSource surface on 4.1.2 (the runner protocol
+exposes exactly initialOffset/latestOffset/partitions/commit) —
+monitor backlog externally by comparing the checkpointed offset to
+the table's own head (``current_version()`` /
+``last-sequence-number``) until it does.
 """
 
 from __future__ import annotations

@@ -60,9 +60,13 @@ def test_restore_to_v0_empties_table(table, spark):
     table.restore(0)
     m = table.manifest()
     assert m["files"] == [] and m["rows"] == 0
-    # read() on a data-less snapshot raises by contract (test_txn.py)
-    with pytest.raises(FileNotFoundError):
-        table.read()
+    # a COMMITTED empty state (schema recorded) reads as an empty
+    # frame with the log schema — distinct from a never-written
+    # table, which still raises (round 14; test_txn.py pins the
+    # raise for the no-schema case)
+    empty = table.read()
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
     assert table.current_version() == 2
 
 
