@@ -1499,6 +1499,58 @@ def _export_locked(
         else "overwrite"
     )
 
+    # v3 ROW-LINEAGE preservation gate (the Delta mirror's
+    # row-tracking twin): a REWRITE (compact / copy-on-write
+    # delete/merge) moves rows whose ids the previous v3 export
+    # assigned into new files — the spec requires rewriters to carry
+    # the ids, which only files with MATERIALIZED lineage columns
+    # (compact_preserving_row_lineage) can do. Silently assigning
+    # fresh ids would break every consumer keying on them; refuse
+    # unless every added file carries the materialized column.
+    # Overwrites (logically NEW data) and unknown ops keep fresh
+    # assignment — only the known rewrite shapes gate.
+    if format_version == 3 and prev_fv == 3 and prev is not None:
+        removed_lineage = [
+            u
+            for u, ent in prev_entries.items()
+            if u not in cur_uris and ent[2] is not None
+        ]
+        added_rel = [
+            f
+            for f in m["files"]
+            if (table.root / f).resolve().as_uri() not in prev_entries
+        ]
+        if removed_lineage and added_rel:
+            try:
+                head_op = table.commit_record(m["version"]).get("op")
+            except (OSError, ValueError):
+                head_op = None
+            if head_op in ("compact", "delete", "merge", "merge_sync"):
+                import pyarrow.parquet as _pq
+
+                missing = [
+                    f
+                    for f in added_rel
+                    if "_row_id"
+                    not in set(
+                        _pq.read_schema(table.root / f).names
+                    )
+                ]
+                if missing:
+                    raise ValueError(
+                        f"table {table.name}: version "
+                        f"{m['version']} ({head_op}) rewrites files "
+                        f"whose rows carry assigned v3 row ids, and "
+                        f"{len(missing)} new file(s) lack the "
+                        f"materialized _row_id column — exporting "
+                        f"would silently re-identify those rows. "
+                        f"Rewrite with "
+                        f"compact_preserving_row_lineage(), use "
+                        f"merge-on-read operations "
+                        f"(merge_on_read=True), or overwrite() for "
+                        f"a genuine data replacement"
+                    )
+
     # -- one manifest for the snapshot's files ------------------------------
     part_avro = _partition_avro_fields(spec_fields_final, ids_to_type)
     entry_schema = _manifest_entry_schema(

@@ -2341,3 +2341,68 @@ class TestChangesLineage:
                 spark, str(t.root), from_snapshot_id=1,
                 include_deletes=True, with_lineage=True,
             )
+
+
+class TestLineageRewriteGate:
+    def test_plain_compact_refuses_under_v3(self, spark, lake):
+        """A lineage-losing rewrite (plain compact) on a v3-exported
+        table refuses; compact_preserving_row_lineage passes."""
+        from interop_datalake_spark.lake.iceberg_interop import (
+            compact_preserving_row_lineage,
+            export_iceberg_metadata,
+            read_iceberg,
+        )
+
+        t = TxnTable(lake, "lg1", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame(
+                [(i,) for i in range(6)], "k INT"
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t, format_version=3)
+        t.append(
+            spark.createDataFrame([(6,)], "k INT").coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        before = {
+            r.k: r._row_id
+            for r in read_iceberg(
+                spark, str(t.root), with_lineage=True
+            ).collect()
+        }
+        t.compact()
+        with pytest.raises(ValueError, match="re-identify"):
+            export_iceberg_metadata(t)
+        # the restore path: undo nothing — just rewrite WITH lineage
+        # (the preserving compact requires a current export, which
+        # still points at the pre-compact snapshot; rebuild from it)
+        t.restore(2)  # back to the pre-compact state
+        export_iceberg_metadata(t)
+        compact_preserving_row_lineage(t)
+        export_iceberg_metadata(t)
+        after = {
+            r.k: r._row_id
+            for r in read_iceberg(
+                spark, str(t.root), with_lineage=True
+            ).collect()
+        }
+        assert after == before
+
+    def test_v2_compact_still_exports(self, spark, lake):
+        from interop_datalake_spark.lake.iceberg_interop import (
+            export_iceberg_metadata,
+            read_iceberg,
+        )
+
+        t = TxnTable(lake, "lg2", stats_cols=["k"])
+        t.append(
+            spark.createDataFrame([(1,), (2,)], "k INT").coalesce(1)
+        )
+        export_iceberg_metadata(t)  # v2 — no lineage, no gate
+        t.append(
+            spark.createDataFrame([(3,)], "k INT").coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        t.compact()
+        export_iceberg_metadata(t)
+        assert read_iceberg(spark, str(t.root)).count() == 3
