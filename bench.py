@@ -174,6 +174,9 @@ HEADLINE = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q21_suppliers_kept_waiting",
+    # round 14: Q15 (view + scalar-max, decorrelated as a 1-row
+    # broadcast equality join)
+    "q15_top_supplier",
 ]
 # not in HEADLINE by design: dedup_minhash_lsh_skewsafe is a skew
 # PATHOLOGY DEMO (deliberately-injected 60-word boilerplate footer ×

@@ -305,9 +305,13 @@ def _with_required_conf(fn):
 # in-window so the changed paths are re-witnessed on the driver.
 WITNESS_PRIORITY = [
     # relational core + TPC-H chain (round 11 adds the q6/q8/q20/q22
-    # cohort; q5's orderdate window changed this round — stays)
+    # cohort). Round 14: q15_top_supplier debuts (the VIEW +
+    # scalar-max shape — the last analog expressible without
+    # partsupp), displacing q5_local_supplier_volume (hash-green
+    # since r1; the TPC-H class keeps eleven in-window reps and q5
+    # stays oracle-backed past the cut).
     "q1_pricing_summary", "scan_filter_project",
-    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q3_shipping_priority", "q15_top_supplier",
     "q18_large_orders", "q13_customer_distribution",
     "q17_small_quantity_revenue", "q21_suppliers_kept_waiting",
     "q6_forecast_revenue", "q8_market_share",

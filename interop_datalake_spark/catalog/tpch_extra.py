@@ -833,6 +833,61 @@ ORDER BY ship_year
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (top supplier — the VIEW + scalar-max shape, the last
+    TPC-H analog expressible without partsupp): per-supplier revenue
+    over a three-month l_shipdate window, then the supplier(s) whose
+    revenue EQUALS the maximum — decorrelated as one global max
+    aggregate (a 1-row broadcast) equality-joined back to the
+    revenue view, so the plan is scan → partial/final agg → broadcast
+    equality join → broadcast supplier join: two shuffles total, no
+    re-scan of lineitem for the max. Revenue compares EXACTLY
+    (decimal-summed, decimal-rounded — functions/money.py), so the
+    max-equality can't straddle a float ulp between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            money_sum(
+                money("l_extendedprice") * one_minus("l_discount")
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(
+            F.broadcast(mx), F.col("total_revenue") == F.col("_mx")
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice::DECIMAL(12,2)
+                   * (1 - l_discount::DECIMAL(3,2))), 2)::DOUBLE
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "basket_pair_lift": basket_pair_lift,
@@ -849,6 +904,7 @@ QUERIES = {
     "q22_dormant_customers": q22_dormant_customers,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
 }
 
 ORACLES = {
@@ -867,4 +923,5 @@ ORACLES = {
     "q22_dormant_customers": Q22_ORACLE,
     "q6_forecast_revenue": Q6_ORACLE,
     "q8_market_share": Q8_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
 }
