@@ -71,6 +71,15 @@ nested ``schema.name-mapping.default``, so the repo's own FHIR silver
 frames (lake/silver.py) round-trip; the reader maps the nested JSON
 types back to Spark DDL recursively.
 
+Round 14 closes the v3/write-side surface: ROW LINEAGE
+(``next-row-id``/``first-row-id``/``first_row_id`` assignment on v3
+exports, ``read_iceberg(with_lineage=True)``,
+:func:`compact_preserving_row_lineage`, and a rewrite gate refusing
+lineage-losing compactions), EQUALITY-delete WRITE
+(``equality_delete_cols=…`` — the content=2 shape, refused unless
+provably position-equivalent), snapshot-summary record metrics, and
+the :func:`iceberg_history` / :func:`iceberg_refs` audit DataFrames.
+
 Honest limitations, refused loudly (never silently wrong):
 xxhash-bucketed partitioning (above), interval/variant primitives,
 stats-less files (record_count is required and engines trust it),

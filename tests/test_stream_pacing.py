@@ -382,3 +382,47 @@ def test_measured_call_order(spark, tmp_path):
     ]
     assert replays, restart
     assert replays[0].split()[2] == "2", restart  # checkpointed end
+
+
+def test_pacer_property_monotone_and_bounded():
+    """Property fuzz: for ANY interleaving of note()s (restart
+    replays) and advance()s over a nondecreasing head, the pacer's
+    returned offsets are (a) nondecreasing, (b) never past the head,
+    and (c) each advance moves at most `cap` past the highest offset
+    previously revealed — the no-backwards / bounded-hop contract
+    Spark's offset WAL depends on."""
+    from hypothesis import given, strategies as st
+
+    @given(
+        st.integers(min_value=-1, max_value=3),
+        st.lists(
+            st.tuples(
+                st.sampled_from(["note", "advance"]),
+                st.integers(min_value=0, max_value=50),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(min_value=1, max_value=5),
+    )
+    def run(start, ops, n):
+        p = Pacer(start)
+        head = start
+        revealed = start
+        last_ret = None
+        for kind, bump in ops:
+            head = max(head, revealed) + bump
+            if kind == "note":
+                # a replayed window end can never exceed what was
+                # previously revealed (Spark replays its own WAL)
+                p.note(revealed)
+            else:
+                ret = p.advance(head, lambda b: b + n)
+                assert ret <= head
+                assert ret <= revealed + n  # bounded hop
+                if last_ret is not None:
+                    assert ret >= last_ret  # monotone
+                last_ret = ret
+                revealed = max(revealed, ret)
+
+    run()
