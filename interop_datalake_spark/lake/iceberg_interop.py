@@ -125,6 +125,10 @@ _SPARK_TO_ICEBERG = {
     "boolean": "boolean",
     "date": "date",
     "timestamp": "timestamptz",
+    # Iceberg's zoneless `timestamp` is exactly Spark's TIMESTAMP_NTZ
+    # (micros, no zone) — the reader has always mapped it back; the
+    # writer refusing it was an asymmetry (round 14)
+    "timestamp_ntz": "timestamp",
     "binary": "binary",
 }
 
@@ -342,7 +346,10 @@ def _bound_bytes(icetype: str, v) -> bytes | None:
         if icetype == "date":
             d = v if isinstance(v, date) else date.fromisoformat(str(v))
             return struct.pack("<i", (d - _EPOCH_DATE).days)
-        if icetype == "timestamptz":
+        if icetype in ("timestamptz", "timestamp"):
+            # both serialize as micros from epoch; a zoneless value's
+            # micros are its WALL reading taken as UTC (exactly what
+            # treating the naive datetime as UTC computes)
             ts = (
                 v
                 if isinstance(v, datetime)
@@ -380,6 +387,11 @@ def _bound_decode(icetype: str, b: bytes):
             return datetime.fromtimestamp(
                 struct.unpack("<q", b)[0] / 1_000_000, tz=timezone.utc
             )
+        if icetype == "timestamp":
+            # zoneless: decode the micros back to a NAIVE wall reading
+            return datetime.fromtimestamp(
+                struct.unpack("<q", b)[0] / 1_000_000, tz=timezone.utc
+            ).replace(tzinfo=None)
     except (ValueError, struct.error):
         return None
     return None

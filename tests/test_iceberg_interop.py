@@ -2406,3 +2406,54 @@ class TestLineageRewriteGate:
         t.compact()
         export_iceberg_metadata(t)
         assert read_iceberg(spark, str(t.root)).count() == 3
+
+
+class TestTimestampNtz:
+    def test_ntz_roundtrip_with_bounds(self, spark, lake):
+        """Spark TIMESTAMP_NTZ is exactly Iceberg's zoneless
+        `timestamp` — the reader always mapped it back; round 14
+        makes the WRITE side symmetric (schema, bounds serialization,
+        bound-pruned reads)."""
+        from datetime import datetime as _dt
+
+        from interop_datalake_spark.lake.iceberg_interop import (
+            export_iceberg_metadata,
+            iceberg_files,
+            read_iceberg,
+        )
+
+        t = TxnTable(lake, "ntz1", stats_cols=["ts"])
+        t.append(
+            spark.createDataFrame(
+                [(_dt(2020, 1, 1, 12), 1), (_dt(2020, 6, 1), 2)],
+                "ts TIMESTAMP_NTZ, k INT",
+            ).coalesce(1)
+        )
+        t.append(
+            spark.createDataFrame(
+                [(_dt(2024, 3, 1, 8, 30), 3)],
+                "ts TIMESTAMP_NTZ, k INT",
+            ).coalesce(1)
+        )
+        export_iceberg_metadata(t)
+        meta_dir = t.root / "metadata"
+        n = int((meta_dir / "version-hint.text").read_text())
+        meta = json.loads(
+            (meta_dir / f"v{n}.metadata.json").read_text()
+        )
+        fld = next(
+            f
+            for f in meta["schemas"][0]["fields"]
+            if f["name"] == "ts"
+        )
+        assert fld["type"] == "timestamp"  # zoneless, not timestamptz
+        df = read_iceberg(spark, str(t.root))
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        assert {r.k for r in df.collect()} == {1, 2, 3}
+        # bounds serialized → file-level skipping prunes by the ntz
+        # range (2 files; the probe covers only the 2024 file)
+        pruned = iceberg_files(
+            spark, str(t.root),
+            key_range=("ts", _dt(2023, 1, 1), _dt(2025, 1, 1)),
+        )
+        assert len(pruned) == 1
