@@ -29,7 +29,7 @@ from interop_datalake_spark.llm.similarity import (
     lsh_cosine_pairs_above,
     lsh_topk,
 )
-from interop_datalake_spark.sources.tables import load_table
+from interop_datalake_spark.sources.tables import fan_out, load_table
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +59,7 @@ FROM (
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 hashes) + LSH(4 bands × 4 rows) + exact-Jaccard
     verification at 0.8 over 5-word shingles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = minhash_lsh_dedup(
         docs, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4, threshold=0.8
     )
@@ -231,7 +231,7 @@ def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned Spark-vs-Spark instead: tests/test_dedup_fast_hash.py
     asserts the verified pair output equals the md5 path's
     oracle-checked pairs on the test corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = minhash_lsh_dedup(
         docs, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4,
         threshold=0.8, hash_name="xxhash64",
@@ -369,7 +369,7 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-ML MinHashLSH candidates + exact-Jaccard verification;
     shares the ground-truth oracle (candidate recall ≈1 at J≥0.8 with
     8 seeded hash tables, so the verified set equals ground truth)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = minhash_lsh_dedup_ml(docs, "text", "doc_id", k=5, threshold=0.8)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -914,7 +914,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from interop_datalake_spark.session import DatalakeSession
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     cutoff = 450
     root = tempfile.mkdtemp(prefix="lsh_store_")
     try:
@@ -1022,7 +1022,7 @@ def dedup_incremental_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from interop_datalake_spark.session import DatalakeSession
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     cutoff = 450
     key = str(sf_dir)
     root = _STEADY_STORE_ROOTS.get(key)
@@ -1603,6 +1603,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the cluster that clears the threshold."""
     from interop_datalake_spark.llm.clustering import semantic_dedup_pairs
 
+    # NOT fanned out: the k-means assignment loop re-consumes the
+    # embeddings per iteration, so an input repartition re-pays its
+    # shuffle every pass — measured 2.4s → 4.7s (interleaved A/B)
     emb = load_table(spark, sf_dir, "embeddings")
     out = semantic_dedup_pairs(
         emb, "embedding", "vec_id", k=8, iters=2, threshold=0.4
@@ -1895,7 +1898,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round4c_ops.py."""
     from interop_datalake_spark.llm.dedup import containment_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     out = containment_pairs(
         docs, "text", "doc_id", k=5, threshold=0.8, max_shingle_freq=50
     )
@@ -1948,7 +1951,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays it verbatim."""
     from interop_datalake_spark.llm.dedup import exact_substring_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return exact_substring_pairs(
         docs, "text", "doc_id", k=4, min_tokens=12, max_gram_freq=50
     ).orderBy("id_a", "id_b")
@@ -1995,7 +1998,7 @@ def dedup_containment_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh_fast)."""
     from interop_datalake_spark.llm.dedup import containment_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     out = containment_pairs(
         docs, "text", "doc_id", k=5, threshold=0.8, max_shingle_freq=50,
         hash_name="xxhash64",
@@ -2021,7 +2024,7 @@ def corpus_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-only verify) plus two broadcast-sized split joins; the
     split column is a pure projection, so no extra shuffle beyond the
     dedup pipeline itself."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     pairs = minhash_lsh_dedup(
         docs, "text", "doc_id", k=5, num_hashes=16, rows_per_band=4,
         threshold=0.8,

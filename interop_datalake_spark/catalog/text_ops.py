@@ -12,7 +12,7 @@ from interop_datalake_spark.functions.fixedpoint import (
     sql_exact_ratio,
     sql_try_exact_ratio,
 )
-from interop_datalake_spark.sources.tables import load_table
+from interop_datalake_spark.sources.tables import fan_out, load_table
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +234,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from interop_datalake_spark.llm.dedup import _hash64, positioned_shingles
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     exploded = positioned_shingles(docs, "text", "doc_id", k=4).withColumn(
         "h", _hash64(F.col("gram"))
     )

@@ -52,6 +52,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a NARROW scan across the cluster before CPU-heavy
+    per-row work (optimization guide §2.5, "input skew": a small
+    single-file table scans as ONE task, serializing map-side compute
+    — shingling, hashing, vector math — that the cluster could run in
+    parallel; measured 32× under-parallelized at sf0.1 on local[32]).
+
+    Scale-adaptive, never a constant: the target is
+    ``defaultParallelism`` and the repartition only fires when the
+    scan is NARROWER than that. A production-scale corpus scan
+    already carries thousands of splits, so this is a plan-time no-op
+    there — repartitioning it would shuffle the whole payload once
+    for nothing (guide §2.3: shuffle fewer bytes).
+
+    Only correct when every downstream consumer is row-placement-
+    insensitive (joins/aggregations — the relational pipelines); keep
+    it away from anything reading ``input_file_name()`` /
+    ``_metadata`` / ``monotonically_increasing_id()``."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
