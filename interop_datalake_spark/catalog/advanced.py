@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from interop_datalake_spark.sources.tables import load_table
+from interop_datalake_spark.sources.tables import load_table, local_frame
 
 
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,7 +353,7 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle from the same VALUES."""
     from interop_datalake_spark.operators.linkage import resolve_entities
 
-    df = spark.createDataFrame(
+    df = local_frame(spark, 
         _ER_FIXTURE, "rec_id INT, name STRING, region STRING"
     )
     return resolve_entities(

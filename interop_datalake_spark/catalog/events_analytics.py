@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from interop_datalake_spark.functions.money import money, money_sum
-from interop_datalake_spark.sources.tables import load_table
+from interop_datalake_spark.sources.tables import load_table, local_frame
 
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +38,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t_purchase"))
     )
     return (
-        spark.createDataFrame(
+        local_frame(spark, 
             [(1, "signup"), (2, "click_after_signup"), (3, "purchase_after_click")],
             "step INT, step_name STRING",
         )
@@ -382,7 +382,7 @@ def events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # detach from the scratch store before rmtree
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "day DATE, n_events BIGINT, exact_to_date BIGINT, est_ok BOOLEAN"
     ).orderBy("day")
 

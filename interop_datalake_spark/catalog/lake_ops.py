@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from interop_datalake_spark.sources.tables import local_frame
+
 from interop_datalake_spark.functions.hl7 import msh9_event, msh9_type
 from interop_datalake_spark.functions.uris import (
     binary_file_path,
@@ -35,7 +37,7 @@ _HL7_CASES = [
 
 
 def hl7_msh9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(_HL7_CASES, "msg_id INT, message STRING")
+    df = local_frame(spark, _HL7_CASES, "msg_id INT, message STRING")
     return df.select(
         "msg_id",
         msh9_type("message").alias("message_type"),
@@ -61,7 +63,7 @@ _URL_CASES = [
 
 def object_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R14 URI parse; malformed → NULLs (OCIClientTest.kt:244-254)."""
-    df = spark.createDataFrame(_URL_CASES, "case_id INT, url STRING")
+    df = local_frame(spark, _URL_CASES, "case_id INT, url STRING")
     parsed = parse_object_url("url")
     return df.select(
         "case_id",
@@ -82,7 +84,7 @@ SELECT * FROM (VALUES
 def lake_path_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5/R12 path templating with the reference's golden expectations
     (pinned date 1990-01-03, DatalakePublishServiceTest.kt:39-93)."""
-    df = spark.createDataFrame(
+    df = local_frame(spark, 
         [
             ("Location", "abc", "mockTenant", "1990-01-03"),
             ("Practitioner", "abc", "mockTenant", "1990-01-03"),
@@ -130,7 +132,7 @@ def lake_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from interop_datalake_spark.lake.publish import publish_fhir_r4
     from interop_datalake_spark.lake.retrieve import retrieve_fhir
     from interop_datalake_spark.session import DatalakeSession
-    from interop_datalake_spark.sources.tables import load_table
+    from interop_datalake_spark.sources.tables import load_table, local_frame
 
     root = tempfile.mkdtemp(prefix="lake_rt_")
     try:
@@ -161,7 +163,7 @@ def lake_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(r["resource_type"], r["fhir_tenant_id"], r["n"]) for r in rows],
         "resource_type STRING, fhir_tenant_id STRING, n BIGINT",
     )
@@ -222,7 +224,7 @@ def lake_txn_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(v, r["n"], r["n_xx"]) for v, r in zip((1, 2, 3), collected)],
         "version INT, n BIGINT, n_xx BIGINT",
     ).orderBy("version")
@@ -280,7 +282,7 @@ def lake_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (r["_commit_version"], r["n"], r["min_doc"], r["max_doc"])
             for r in rows
@@ -322,7 +324,7 @@ def lake_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = TxnTable(session, "dim_scd2")
 
         def batch(rows, day):
-            return spark.createDataFrame(
+            return local_frame(spark, 
                 rows, "key BIGINT, attr STRING"
             ).withColumn(
                 "effective_ts",
@@ -353,7 +355,7 @@ def lake_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(r.key, r.attr, r.from_day, r.to_day, r.is_current) for r in hist],
         "key BIGINT, attr STRING, from_day INT, to_day INT, is_current BOOLEAN",
     ).orderBy("key", "from_day")
@@ -396,7 +398,7 @@ def lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = TxnTable(session, "restore_demo")
 
         def df(rows):
-            return spark.createDataFrame(rows, "k INT, v STRING")
+            return local_frame(spark, rows, "k INT, v STRING")
 
         t.append(df([(1, "a"), (2, "b")]))          # v1
         t.append(df([(3, "c")]))                    # v2
@@ -417,7 +419,7 @@ def lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "version INT, op STRING, rows_total BIGINT, k_sum INT"
     ).orderBy("version")
 
@@ -458,7 +460,7 @@ def lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = TxnTable(session, "clone_src")
 
         def df(rows):
-            return spark.createDataFrame(rows, "k INT, v STRING")
+            return local_frame(spark, rows, "k INT, v STRING")
 
         src.append(df([(1, "a"), (2, "b")]))       # src v1
         dst = src.clone_to("clone_dst")            # dst v1 = clone
@@ -487,7 +489,7 @@ def lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "tbl STRING, version INT, op STRING, rows_total BIGINT, k_sum INT"
     ).orderBy("tbl", "version")
 
@@ -540,7 +542,7 @@ def lake_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "probe STRING, files_total INT, files_scanned INT, rows_found INT",
     ).orderBy("probe")
@@ -595,7 +597,7 @@ def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "probe STRING, k INT, v STRING"
     ).orderBy("probe", "k")
 
@@ -637,7 +639,7 @@ def lake_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = TxnTable(session, "sync_demo", stats_cols=["id"])
 
         def df(rows):
-            return spark.createDataFrame(
+            return local_frame(spark, 
                 rows, "id INT, tenant STRING, v STRING"
             )
 
@@ -659,7 +661,7 @@ def lake_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "phase STRING, id INT, tenant STRING, v STRING"
     ).orderBy("phase", "id")
 
@@ -698,7 +700,7 @@ def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = TxnTable(session, "meta_demo")
 
         def df(rows):
-            return spark.createDataFrame(rows, "k INT").coalesce(1)
+            return local_frame(spark, rows, "k INT").coalesce(1)
 
         t.append(df([(1,), (2,)]))
         t.append(df([(3,)]))
@@ -715,7 +717,7 @@ def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((f"files_v{v}", v, "snapshot", fd["nf"], fd["rows"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "probe STRING, version INT, op STRING, n INT, rows_total BIGINT"
     ).orderBy("probe", "version")
 
@@ -819,7 +821,7 @@ def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary = [("main", "rows", None, None, main_n)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         audit_rows + quar_rows + summary,
         "kind STRING, item STRING, detail STRING, violations BIGINT, n BIGINT",
     ).orderBy("kind", "item", "detail")
@@ -914,7 +916,7 @@ def lake_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # can be deleted before return
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "probe STRING, event_type STRING, n BIGINT, n_users BIGINT,"
         " min_eid BIGINT, max_eid BIGINT",
@@ -1024,7 +1026,7 @@ def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(probe("after_mor_merge", t.read()))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "probe STRING, n BIGINT, min_id BIGINT, max_id BIGINT"
     ).orderBy("probe")
 
@@ -1114,7 +1116,7 @@ def lake_change_feed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (r["_commit_version"], r["_change_type"], r["n"], r["min_id"], r["max_id"])
             for r in rows
@@ -1208,7 +1210,7 @@ def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (r["_commit_version"], r["_change_type"], r["n"],
              r["min_id"], r["max_id"])
@@ -1302,7 +1304,7 @@ def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (r["lang"], r["n"], r["sum_chars"], r["min_id"], r["max_id"])
             for r in rows
@@ -1383,7 +1385,7 @@ def lake_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap("s3_vector_delete")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "stage STRING, lang STRING, n BIGINT, sum_chars BIGINT"
     ).orderBy("stage", "lang")
 
@@ -1460,7 +1462,7 @@ def lake_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap("s3_vector_deletes")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "stage STRING, custkey BIGINT, o_orderkey BIGINT, "
         "price DOUBLE, segment STRING",
@@ -1535,7 +1537,7 @@ def lake_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap("s3_vector_deletes")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "stage STRING, segment STRING, n BIGINT, sum_cents BIGINT"
     ).orderBy("stage", "segment")
 
@@ -1669,7 +1671,7 @@ def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(r["l_returnflag"], r["n"], r["qty"], r["max_ok"]) for r in rows],
         "l_returnflag STRING, n BIGINT, qty BIGINT, max_ok BIGINT",
     ).orderBy("l_returnflag")
@@ -1861,7 +1863,7 @@ def lake_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (r["l_returnflag"], r["n"], r["qty"], r["max_ok"])
             for r in rows
@@ -1978,7 +1980,7 @@ def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "probe STRING, n BIGINT, min_k BIGINT, max_k BIGINT"
     ).orderBy("probe")
 
@@ -2115,7 +2117,7 @@ def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "probe STRING, n BIGINT, min_k BIGINT, max_k BIGINT"
     ).orderBy("probe")
 
@@ -2211,7 +2213,7 @@ def lake_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(r["v"], r["lang"], r["n"], r["sum_chars"]) for r in rows],
         "v BIGINT, lang STRING, n BIGINT, sum_chars BIGINT",
     ).orderBy("v", "lang")
@@ -2317,7 +2319,7 @@ def lake_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "probe STRING, n BIGINT, sum_chars BIGINT"
     ).orderBy("probe")
 
@@ -2426,7 +2428,7 @@ def lake_delta_v2_checkpoint(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "probe STRING, n BIGINT, sum_cust BIGINT"
     ).orderBy("probe")
 
@@ -2504,7 +2506,7 @@ def lake_uniform_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "probe STRING, n BIGINT, sum_chars BIGINT, n_langs BIGINT",
     ).orderBy("probe")
@@ -2572,7 +2574,7 @@ def lake_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(r["_change_type"], r["n"], r["sum_ids"]) for r in rows],
         "change_type STRING, n BIGINT, sum_ids BIGINT",
     ).orderBy("change_type")
@@ -2694,7 +2696,7 @@ def lake_history_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "surface STRING, item STRING, op STRING, a BIGINT, "
         "b BIGINT, flag INT",
@@ -2803,7 +2805,7 @@ def lake_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe("post")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "stage STRING, seq BIGINT, n BIGINT, min_id BIGINT, "
         "max_id BIGINT, sum_id BIGINT",
@@ -2891,7 +2893,7 @@ def lake_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("deleted", dels["n"], dels["s"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "probe STRING, n BIGINT, s BIGINT"
     ).orderBy("probe")
 
@@ -3014,7 +3016,7 @@ def lake_delta_row_tracking(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows,
         "stage STRING, rcv BIGINT, n BIGINT, min_id BIGINT, "
         "max_id BIGINT, x BIGINT",

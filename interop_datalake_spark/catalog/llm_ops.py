@@ -29,7 +29,7 @@ from interop_datalake_spark.llm.similarity import (
     lsh_cosine_pairs_above,
     lsh_topk,
 )
-from interop_datalake_spark.sources.tables import fan_out, load_table
+from interop_datalake_spark.sources.tables import fan_out, load_table, local_frame
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,7 +522,10 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_int8_topk.py."""
     from interop_datalake_spark.llm.similarity import int8_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # corpus side fanned out: the per-row int8 quantize + dot/norm
+    # folds are the map-heavy step (0.57x in the interleaved A/B);
+    # the query side stays a 10-row broadcast either way
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     out = int8_topk(
         emb.filter(F.col("vec_id") < 10), emb, "embedding", "vec_id", k=3
     )
@@ -642,7 +645,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     import math
 
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [
             (
                 r.query_id,
@@ -941,7 +944,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows],
         "id_a LONG, id_b LONG, jaccard DOUBLE",
     ).orderBy("id_a", "id_b")
@@ -1192,7 +1195,7 @@ def dedup_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows],
         "id_a LONG, id_b LONG, jaccard DOUBLE",
     ).orderBy("id_a", "id_b")
@@ -1686,7 +1689,7 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         [(r.query_id, r.neighbor_id, r.rn, round(r.cos, 6)) for r in out],
         "query_id BIGINT, neighbor_id BIGINT, rn INT, cos DOUBLE",
     ).orderBy("query_id", "rn")
@@ -1803,7 +1806,7 @@ def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()  # bounded: matching docs
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_frame(spark, 
         rows, "doc_id BIGINT, n_hit_terms BIGINT, score DOUBLE"
     ).orderBy("doc_id")
 

@@ -20,7 +20,7 @@ from interop_datalake_spark.operators.pandas_ops import (
     make_clip_scale_udf,
     make_weighted_mean_udf,
 )
-from interop_datalake_spark.sources.tables import load_table
+from interop_datalake_spark.sources.tables import load_table, local_frame
 
 
 def pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +86,7 @@ _FIXTURE = [
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = spark.createDataFrame(_FIXTURE, MEDIA_SCHEMA)
+    assets = local_frame(spark, _FIXTURE, MEDIA_SCHEMA)
     return decode_image_meta(assets).orderBy("asset_id")
 
 
@@ -103,7 +103,7 @@ ORDER BY asset_id
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = spark.createDataFrame(_FIXTURE, MEDIA_SCHEMA)
+    assets = local_frame(spark, _FIXTURE, MEDIA_SCHEMA)
     return sample_frames(assets, frame_size=16, every_n=4).orderBy(
         "asset_id", "frame_index"
     )
@@ -220,7 +220,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_near_dups,
     )
 
-    assets = spark.createDataFrame(_phash_fixture(), MEDIA_SCHEMA)
+    assets = local_frame(spark, _phash_fixture(), MEDIA_SCHEMA)
     return phash_near_dups(phash_images(assets), max_hamming=3).orderBy(
         "id_a", "id_b"
     )

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from interop_datalake_spark.functions.money import money, money_sum
-from interop_datalake_spark.sources.tables import load_table
+from interop_datalake_spark.sources.tables import load_table, local_frame
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -85,7 +85,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(start, end, F.expr("INTERVAL 1 HOUR"))
             ).alias("hour")
         )
-        .crossJoin(spark.createDataFrame([(t,) for t in _EVENT_TYPES], "event_type STRING"))
+        .crossJoin(local_frame(spark, [(t,) for t in _EVENT_TYPES], "event_type STRING"))
     )
     counts = (
         ev.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
