@@ -324,7 +324,8 @@ def _collect_txn_dv_indexes(
         return {}
     paths = sorted({p for ps in dvs_map.values() for p in ps})
     rows = (
-        table.spark.read.parquet(*[str(table.root / p) for p in paths])
+        table.spark.read.schema("file_key STRING, row_idx BIGINT")
+        .parquet(*[str(table.root / p) for p in paths])
         .select("file_key", "row_idx")
         .filter(F.col("file_key").isin(list(dvs_map)))
         .limit(_DV_POSITIONS_BOUND + 1)

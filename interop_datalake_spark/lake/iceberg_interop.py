@@ -961,7 +961,7 @@ def _write_equality_deletes(
     state_nodv = {**m, "dvs": {}}
     raw = table._load_files(dv_files, state_nodv, keep_lineage=True)
     dv_paths = sorted({p for f in dv_files for p in dvs[f]})
-    vec = spark.read.parquet(
+    vec = spark.read.schema("file_key STRING, row_idx BIGINT").parquet(
         *[str(table.root / p) for p in dv_paths]
     ).select(
         F.col("file_key").alias("_dv_file"),
@@ -2710,7 +2710,9 @@ def read_iceberg(
         # delete rows are metadata-sized — AQE picks the join shape.
         dels = None
         for duri, dseq in pos_deletes:
-            d = spark.read.parquet(_uri_to_path(duri)).select(
+            d = spark.read.schema(
+                "file_path STRING, pos BIGINT"
+            ).parquet(_uri_to_path(duri)).select(
                 _canon_path_expr(F.col("file_path")).alias("_ib_file"),
                 F.col("pos").alias("_ib_pos"),
                 F.lit(dseq).cast("bigint").alias("_dseq"),
@@ -3462,7 +3464,9 @@ def _changes_with_deletes(
         def _pos_rows(pos_list):
             dels = None
             for duri, dseq in pos_list:
-                d = spark.read.parquet(_uri_to_path(duri)).select(
+                d = spark.read.schema(
+                    "file_path STRING, pos BIGINT"
+                ).parquet(_uri_to_path(duri)).select(
                     _canon_path_expr(F.col("file_path")).alias(
                         "_ib_file"
                     ),

@@ -80,6 +80,13 @@ class SchemaEvolutionError(ValueError):
     (overwrite with the new schema), never an append side effect."""
 
 
+#: deletion-vector parquet schema — fixed by _write_dv_vector /
+#: consolidate_vectors; passing it to every DV read skips the reader's
+#: driver-side footer schema inference (~60 ms per reader build,
+#: several builds per merge-on-read lifecycle; round-14 measurement)
+_DV_SCHEMA = "file_key STRING, row_idx BIGINT"
+
+
 def _uri_endswith(uri: str, rel: str) -> bool:
     """True when the URI from input_file_name() names the manifest's
     relative file `rel`. input_file_name() returns a percent-ENCODED
@@ -990,7 +997,7 @@ class TxnTable:
             ]
             out = out.select(*ordered)
         if dv_paths:
-            dv = self.spark.read.parquet(
+            dv = self.spark.read.schema(_DV_SCHEMA).parquet(
                 *[str(self.root / p) for p in dv_paths]
             ).select(
                 F.col("file_key").alias("_dv_file"),
@@ -1298,7 +1305,7 @@ class TxnTable:
                     for f in prev_state["files"]
                     if f in rec["dv"]["files"]
                 ]
-                vec = self.spark.read.parquet(
+                vec = self.spark.read.schema(_DV_SCHEMA).parquet(
                     str(self.root / rec["dv"]["path"])
                 ).select(
                     F.col("file_key").alias("_dv_file"),
@@ -2978,7 +2985,7 @@ class TxnTable:
             [(f,) for f in dvs], "file_key STRING"
         )
         (
-            self.spark.read.parquet(
+            self.spark.read.schema(_DV_SCHEMA).parquet(
                 *[str(self.root / p) for p in all_paths]
             )
             .select("file_key", "row_idx")

@@ -47,6 +47,17 @@ DEFAULT_CONF = {
     # rejects; read as long and convert in sources.tables.load_table
     # (DuckDB's TIMESTAMP is µs, so ns→µs truncation keeps oracle parity).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write-commit overhead (optimization guide §1.2 step 2, measured
+    # round 14: 180 → 125 ms per small commit write, ~30%): nothing in
+    # this engine consumes _SUCCESS markers — TxnTable's manifest CAS
+    # is the commit point and its file listers skip '_'-prefixed names
+    # — and committer algorithm v2 (task commits rename straight to
+    # the destination) is safe here by construction at ANY scale:
+    # every data/DV/export write lands in a fresh per-commit UUID dir
+    # that readers cannot see until the manifest/log references it, so
+    # v2's partial-visibility-on-failure caveat has nothing to expose.
+    "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
 }
 
 

@@ -84,7 +84,8 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, SF_DIR).count()  # warmup
 
     for name in ("count", "collect", "take", "head", "first", "toPandas",
-                 "isEmpty", "tail", "foreach", "foreachPartition"):
+                 "isEmpty", "tail", "foreach", "foreachPartition",
+                 "localCheckpoint", "checkpoint"):
         _wrap(DataFrame, name)
     for name in ("save", "parquet", "json", "csv", "text", "saveAsTable"):
         _wrap(DataFrameWriter, name)
