@@ -13,6 +13,27 @@ from pyspark.sql import functions as F
 from interop_datalake_spark.sources.tables import local_frame
 
 from interop_datalake_spark.functions.hl7 import msh9_event, msh9_type
+
+
+def _probe_union(probes) -> list:
+    """Independent POST-lifecycle probes as ONE Spark action: each
+    probe's single-row aggregate unions into one frame collected once,
+    so k driver plan/job round-trips become one (measured 0.88x on the
+    5-probe iceberg roundtrip, round 14). Only legal when every probe
+    reads finished state — interleaved probe/mutate witnesses keep
+    their sequential collects.
+
+    ``probes``: list of (name, frame, [agg columns]); returns
+    (name, Row) pairs in input order."""
+    aggs = [
+        frame.agg(F.lit(name).alias("_probe"), *cols)
+        for name, frame, cols in probes
+    ]
+    u = aggs[0]
+    for a in aggs[1:]:
+        u = u.unionByName(a)
+    by_name = {r["_probe"]: r for r in u.collect()}
+    return [(name, by_name[name]) for name, _, _ in probes]
 from interop_datalake_spark.functions.uris import (
     binary_file_path,
     fhir_file_path,
@@ -1946,37 +1967,40 @@ def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         export_iceberg_metadata(t)  # snapshot 3: delete manifest
 
         def probe(name, frame):
-            r = frame.agg(
+            return (name, frame, [
                 F.count(F.lit(1)).alias("n"),
                 F.min("o_orderkey").alias("min_k"),
                 F.max("o_orderkey").alias("max_k"),
-            ).collect()[0]
-            return (name, r["n"], r["min_k"], r["max_k"])
+            ])
 
         rows = [
-            probe("current", read_iceberg(spark, str(t.root))),
-            probe(
-                "snap1_travel",
-                read_iceberg(spark, str(t.root), snapshot_id=1),
-            ),
-            probe(
-                "snap2_travel",  # pre-delete: the vector is invisible
-                read_iceberg(spark, str(t.root), snapshot_id=2),
-            ),
-            probe(
-                "key_pruned",
-                read_iceberg(
-                    spark, str(t.root), key_range=("o_orderkey", 100, 200)
-                ).filter(F.col("o_orderkey").between(100, 200)),
-            ),
-            probe(
-                "partition_urgent",
-                read_iceberg(
-                    spark,
-                    str(t.root),
-                    partition_filter={"o_orderpriority": "1-URGENT"},
-                ).filter(F.col("o_orderpriority") == "1-URGENT"),
-            ),
+            (nm, r["n"], r["min_k"], r["max_k"])
+            for nm, r in _probe_union([
+                probe("current", read_iceberg(spark, str(t.root))),
+                probe(
+                    "snap1_travel",
+                    read_iceberg(spark, str(t.root), snapshot_id=1),
+                ),
+                probe(
+                    # pre-delete: the vector is invisible
+                    "snap2_travel",
+                    read_iceberg(spark, str(t.root), snapshot_id=2),
+                ),
+                probe(
+                    "key_pruned",
+                    read_iceberg(
+                        spark, str(t.root), key_range=("o_orderkey", 100, 200)
+                    ).filter(F.col("o_orderkey").between(100, 200)),
+                ),
+                probe(
+                    "partition_urgent",
+                    read_iceberg(
+                        spark,
+                        str(t.root),
+                        partition_filter={"o_orderpriority": "1-URGENT"},
+                    ).filter(F.col("o_orderpriority") == "1-URGENT"),
+                ),
+            ])
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2071,12 +2095,11 @@ def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         export_iceberg_metadata(t)
 
         def probe(name, frame):
-            r = frame.agg(
+            return (name, frame, [
                 F.count(F.lit(1)).alias("n"),
                 F.min("o_orderkey").alias("min_k"),
                 F.max("o_orderkey").alias("max_k"),
-            ).collect()[0]
-            return (name, r["n"], r["min_k"], r["max_k"])
+            ])
 
         # bucket pruning observability: the point lookup must open
         # fewer files than the table holds (the derived bucket dir is
@@ -2087,27 +2110,31 @@ def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 if (all_files and len(pruned) < len(all_files)) else 0
         )
         rows = [
-            probe("iceberg_read", read_iceberg(spark, str(t.root))),
-            probe(
-                "point_7",
-                t.read(key_range=("o_custkey", 7, 7)).filter(
-                    F.col("o_custkey") == 7
+            (nm, r["n"], r["min_k"], r["max_k"])
+            for nm, r in _probe_union([
+                probe("iceberg_read", read_iceberg(spark, str(t.root))),
+                probe(
+                    "point_7",
+                    t.read(key_range=("o_custkey", 7, 7)).filter(
+                        F.col("o_custkey") == 7
+                    ),
                 ),
-            ),
-            probe(
-                "point_42",
-                t.read(key_range=("o_custkey", 42, 42)).filter(
-                    F.col("o_custkey") == 42
+                probe(
+                    "point_42",
+                    t.read(key_range=("o_custkey", 42, 42)).filter(
+                        F.col("o_custkey") == 42
+                    ),
                 ),
-            ),
-            probe(
-                "point_urgent",
-                t.read(
-                    key_range=(
-                        "o_orderpriority", "1-URGENT", "1-URGENT"
-                    )
-                ).filter(F.col("o_orderpriority") == "1-URGENT"),
-            ),
+                probe(
+                    "point_urgent",
+                    t.read(
+                        key_range=(
+                            "o_orderpriority", "1-URGENT", "1-URGENT"
+                        )
+                    ).filter(F.col("o_orderpriority") == "1-URGENT"),
+                ),
+            ])
+        ] + [
             (
                 "pruning_effective",
                 n_pruned,
@@ -2293,30 +2320,32 @@ def lake_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert meta["format-version"] == 3  # inherited, not re-stated
         snaps = [e["snapshot-id"] for e in meta["snapshot-log"]]
 
-        rows = []
-
         def probe(name, frame):
-            r = frame.agg(
+            return (name, frame, [
                 F.count(F.lit(1)).alias("n"),
                 F.sum("n_chars").alias("sum_chars"),
-            ).collect()[0]
-            rows.append((name, r["n"], r["sum_chars"]))
+            ])
 
-        probe("current", read_iceberg(spark, str(t.root)))
-        probe(
-            "snap1",
-            read_iceberg(spark, str(t.root), snapshot_id=snaps[0]),
-        )
-        probe(
-            "snap2",
-            read_iceberg(spark, str(t.root), snapshot_id=snaps[1]),
-        )
-        probe(
-            "cdc_deletes",
-            read_iceberg_changes(
-                spark, str(t.root), snaps[0], include_deletes=True
-            ).filter(F.col("_change_type") == "delete"),
-        )
+        rows = [
+            (nm, r["n"], r["sum_chars"])
+            for nm, r in _probe_union([
+                probe("current", read_iceberg(spark, str(t.root))),
+                probe(
+                    "snap1",
+                    read_iceberg(spark, str(t.root), snapshot_id=snaps[0]),
+                ),
+                probe(
+                    "snap2",
+                    read_iceberg(spark, str(t.root), snapshot_id=snaps[1]),
+                ),
+                probe(
+                    "cdc_deletes",
+                    read_iceberg_changes(
+                        spark, str(t.root), snaps[0], include_deletes=True
+                    ).filter(F.col("_change_type") == "delete"),
+                ),
+            ])
+        ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return local_frame(spark, 
@@ -2403,29 +2432,31 @@ def lake_delta_v2_checkpoint(
         )
         expire_delta_log(t)  # jsons v0/v1 gone: checkpoint-only replay
 
-        rows = []
-
         def probe(name, frame):
-            r = frame.agg(
+            return (name, frame, [
                 F.count(F.lit(1)).alias("n"),
                 F.sum("o_custkey").alias("sum_cust"),
-            ).collect()[0]
-            rows.append((name, r["n"], r["sum_cust"]))
+            ])
 
-        probe("current", read_delta(spark, str(t.root)))
-        probe(
-            "key_range",
-            read_delta(
-                spark, str(t.root),
-                key_range=("o_orderkey", 100, 300),
-            ).filter(F.col("o_orderkey").between(100, 300)),
-        )
-        probe(
-            "urgent",
-            read_delta(spark, str(t.root)).filter(
-                F.col("o_orderpriority") == "1-URGENT"
-            ),
-        )
+        rows = [
+            (nm, r["n"], r["sum_cust"])
+            for nm, r in _probe_union([
+                probe("current", read_delta(spark, str(t.root))),
+                probe(
+                    "key_range",
+                    read_delta(
+                        spark, str(t.root),
+                        key_range=("o_orderkey", 100, 300),
+                    ).filter(F.col("o_orderkey").between(100, 300)),
+                ),
+                probe(
+                    "urgent",
+                    read_delta(spark, str(t.root)).filter(
+                        F.col("o_orderpriority") == "1-URGENT"
+                    ),
+                ),
+            ])
+        ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return local_frame(spark, 
@@ -2491,19 +2522,18 @@ def lake_uniform_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete_where(F.col("doc_id") % 7 == 0, merge_on_read=True)
         export_delta_log(t, mode="mirror")
         export_iceberg_metadata(t)
-        rows = []
-        for probe, frame in (
-            ("delta", read_delta(spark, str(t.root))),
-            ("iceberg", read_iceberg(spark, str(t.root))),
-        ):
-            r = frame.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("n_chars").alias("sum_chars"),
-                F.countDistinct("lang").alias("n_langs"),
-            ).collect()[0]
-            rows.append(
-                (probe, r["n"], r["sum_chars"], r["n_langs"])
-            )
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        ]
+        rows = [
+            (nm, r["n"], r["sum_chars"], r["n_langs"])
+            for nm, r in _probe_union([
+                ("delta", read_delta(spark, str(t.root)), aggs),
+                ("iceberg", read_iceberg(spark, str(t.root)), aggs),
+            ])
+        ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return local_frame(spark, 
@@ -2873,24 +2903,30 @@ def lake_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             t, equality_delete_cols=["o_orderkey"]
         )
 
-        cur = read_iceberg(spark, str(t.root)).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("o_custkey").alias("s"),
-        ).collect()[0]
-        rows.append(("current", cur["n"], cur["s"]))
-        dels = (
-            read_iceberg_changes(
-                spark, str(t.root), include_deletes=True,
-                from_snapshot_id=1,
-            )
-            .filter(F.col("_change_type") == "delete")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("o_orderkey").alias("s"),
-            )
-            .collect()[0]
+        rows.extend(
+            (nm, r["n"], r["s"])
+            for nm, r in _probe_union([
+                (
+                    "current",
+                    read_iceberg(spark, str(t.root)),
+                    [
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("o_custkey").alias("s"),
+                    ],
+                ),
+                (
+                    "deleted",
+                    read_iceberg_changes(
+                        spark, str(t.root), include_deletes=True,
+                        from_snapshot_id=1,
+                    ).filter(F.col("_change_type") == "delete"),
+                    [
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("o_orderkey").alias("s"),
+                    ],
+                ),
+            ])
         )
-        rows.append(("deleted", dels["n"], dels["s"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return local_frame(spark, 

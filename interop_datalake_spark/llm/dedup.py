@@ -678,7 +678,11 @@ def verified_pairs_from_bands(
     (``llm/incremental.py``) incremental dedup paths. The doc table is
     semi-joined to the (broadcast, tiny) candidate id set BEFORE
     shingling, so verification text cost is O(candidates)."""
-    cand = incremental_candidates(bands_all, bands_new, id_col)
+    # materialize the (tiny) candidate set once: both the pair list
+    # and the candidate-id semi-join consume it, and without the
+    # barrier each consumer re-runs the store-join chain — measured
+    # 0.81x on dedup_incremental (interleaved A/B at sf0.1, round 14)
+    cand = incremental_candidates(bands_all, bands_new, id_col).localCheckpoint()
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
@@ -761,6 +765,12 @@ def minhash_lsh_dedup_ml(
             F.col(f"datasetB.{id_col}").alias("id_b"),
         )
         .distinct()
+        # materialize the (tiny) candidate set once: the verify stage
+        # consumes it twice (pair list + candidate-id semi-join), and
+        # without the barrier each consumer re-runs the WHOLE
+        # HashingTF→fit→approxSimilarityJoin chain — measured 0.75x
+        # (3.9 s → 2.9 s, interleaved A/B at sf0.1, round 14)
+        .localCheckpoint()
     )
     return jaccard_pairs(sh, id_col, threshold, candidates=cand)
 
