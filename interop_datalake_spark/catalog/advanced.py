@@ -353,7 +353,7 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle from the same VALUES."""
     from interop_datalake_spark.operators.linkage import resolve_entities
 
-    df = local_frame(spark, 
+    df = local_frame(spark,
         _ER_FIXTURE, "rec_id INT, name STRING, region STRING"
     )
     return resolve_entities(

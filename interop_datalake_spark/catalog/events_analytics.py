@@ -38,7 +38,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t_purchase"))
     )
     return (
-        local_frame(spark, 
+        local_frame(spark,
             [(1, "signup"), (2, "click_after_signup"), (3, "purchase_after_click")],
             "step INT, step_name STRING",
         )
@@ -382,7 +382,7 @@ def events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()  # detach from the scratch store before rmtree
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "day DATE, n_events BIGINT, exact_to_date BIGINT, est_ok BOOLEAN"
     ).orderBy("day")
 

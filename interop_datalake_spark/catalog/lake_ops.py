@@ -15,6 +15,13 @@ from interop_datalake_spark.sources.tables import local_frame
 from interop_datalake_spark.functions.hl7 import msh9_event, msh9_type
 
 
+from interop_datalake_spark.functions.uris import (
+    binary_file_path,
+    fhir_file_path,
+    parse_object_url,
+)
+
+
 def _probe_union(probes) -> list:
     """Independent POST-lifecycle probes as ONE Spark action: each
     probe's single-row aggregate unions into one frame collected once,
@@ -25,6 +32,11 @@ def _probe_union(probes) -> list:
 
     ``probes``: list of (name, frame, [agg columns]); returns
     (name, Row) pairs in input order."""
+    names = [name for name, _, _ in probes]
+    if len(set(names)) != len(names):
+        # duplicate names would silently collapse two probes onto one
+        # Row in the dict below — refuse loudly instead
+        raise ValueError(f"duplicate probe names: {sorted(names)}")
     aggs = [
         frame.agg(F.lit(name).alias("_probe"), *cols)
         for name, frame, cols in probes
@@ -34,11 +46,6 @@ def _probe_union(probes) -> list:
         u = u.unionByName(a)
     by_name = {r["_probe"]: r for r in u.collect()}
     return [(name, by_name[name]) for name, _, _ in probes]
-from interop_datalake_spark.functions.uris import (
-    binary_file_path,
-    fhir_file_path,
-    parse_object_url,
-)
 
 # the 8 pinned MSH-9 shapes (HL7UtilsTest.kt:8-106 via FIXTURES.md A4)
 _HL7_CASES = [
@@ -105,7 +112,7 @@ SELECT * FROM (VALUES
 def lake_path_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R5/R12 path templating with the reference's golden expectations
     (pinned date 1990-01-03, DatalakePublishServiceTest.kt:39-93)."""
-    df = local_frame(spark, 
+    df = local_frame(spark,
         [
             ("Location", "abc", "mockTenant", "1990-01-03"),
             ("Practitioner", "abc", "mockTenant", "1990-01-03"),
@@ -184,7 +191,7 @@ def lake_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [(r["resource_type"], r["fhir_tenant_id"], r["n"]) for r in rows],
         "resource_type STRING, fhir_tenant_id STRING, n BIGINT",
     )
@@ -245,7 +252,7 @@ def lake_txn_acid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [(v, r["n"], r["n_xx"]) for v, r in zip((1, 2, 3), collected)],
         "version INT, n BIGINT, n_xx BIGINT",
     ).orderBy("version")
@@ -303,7 +310,7 @@ def lake_txn_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [
             (r["_commit_version"], r["n"], r["min_doc"], r["max_doc"])
             for r in rows
@@ -345,7 +352,7 @@ def lake_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = TxnTable(session, "dim_scd2")
 
         def batch(rows, day):
-            return local_frame(spark, 
+            return local_frame(spark,
                 rows, "key BIGINT, attr STRING"
             ).withColumn(
                 "effective_ts",
@@ -376,7 +383,7 @@ def lake_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [(r.key, r.attr, r.from_day, r.to_day, r.is_current) for r in hist],
         "key BIGINT, attr STRING, from_day INT, to_day INT, is_current BOOLEAN",
     ).orderBy("key", "from_day")
@@ -440,7 +447,7 @@ def lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "version INT, op STRING, rows_total BIGINT, k_sum INT"
     ).orderBy("version")
 
@@ -510,7 +517,7 @@ def lake_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "tbl STRING, version INT, op STRING, rows_total BIGINT, k_sum INT"
     ).orderBy("tbl", "version")
 
@@ -563,7 +570,7 @@ def lake_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "probe STRING, files_total INT, files_scanned INT, rows_found INT",
     ).orderBy("probe")
@@ -618,7 +625,7 @@ def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "probe STRING, k INT, v STRING"
     ).orderBy("probe", "k")
 
@@ -660,7 +667,7 @@ def lake_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = TxnTable(session, "sync_demo", stats_cols=["id"])
 
         def df(rows):
-            return local_frame(spark, 
+            return local_frame(spark,
                 rows, "id INT, tenant STRING, v STRING"
             )
 
@@ -682,7 +689,7 @@ def lake_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "phase STRING, id INT, tenant STRING, v STRING"
     ).orderBy("phase", "id")
 
@@ -738,7 +745,7 @@ def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((f"files_v{v}", v, "snapshot", fd["nf"], fd["rows"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "probe STRING, version INT, op STRING, n INT, rows_total BIGINT"
     ).orderBy("probe", "version")
 
@@ -842,7 +849,7 @@ def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         summary = [("main", "rows", None, None, main_n)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         audit_rows + quar_rows + summary,
         "kind STRING, item STRING, detail STRING, violations BIGINT, n BIGINT",
     ).orderBy("kind", "item", "detail")
@@ -937,7 +944,7 @@ def lake_partition_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # can be deleted before return
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "probe STRING, event_type STRING, n BIGINT, n_users BIGINT,"
         " min_eid BIGINT, max_eid BIGINT",
@@ -1047,7 +1054,7 @@ def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(probe("after_mor_merge", t.read()))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "probe STRING, n BIGINT, min_id BIGINT, max_id BIGINT"
     ).orderBy("probe")
 
@@ -1137,7 +1144,7 @@ def lake_change_feed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [
             (r["_commit_version"], r["_change_type"], r["n"], r["min_id"], r["max_id"])
             for r in rows
@@ -1231,7 +1238,7 @@ def lake_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [
             (r["_commit_version"], r["_change_type"], r["n"],
              r["min_id"], r["max_id"])
@@ -1325,7 +1332,7 @@ def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [
             (r["lang"], r["n"], r["sum_chars"], r["min_id"], r["max_id"])
             for r in rows
@@ -1406,7 +1413,7 @@ def lake_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap("s3_vector_delete")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "stage STRING, lang STRING, n BIGINT, sum_chars BIGINT"
     ).orderBy("stage", "lang")
 
@@ -1483,7 +1490,7 @@ def lake_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap("s3_vector_deletes")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "stage STRING, custkey BIGINT, o_orderkey BIGINT, "
         "price DOUBLE, segment STRING",
@@ -1558,7 +1565,7 @@ def lake_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap("s3_vector_deletes")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "stage STRING, segment STRING, n BIGINT, sum_cents BIGINT"
     ).orderBy("stage", "segment")
 
@@ -1692,7 +1699,7 @@ def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [(r["l_returnflag"], r["n"], r["qty"], r["max_ok"]) for r in rows],
         "l_returnflag STRING, n BIGINT, qty BIGINT, max_ok BIGINT",
     ).orderBy("l_returnflag")
@@ -1884,7 +1891,7 @@ def lake_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [
             (r["l_returnflag"], r["n"], r["qty"], r["max_ok"])
             for r in rows
@@ -2004,7 +2011,7 @@ def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "probe STRING, n BIGINT, min_k BIGINT, max_k BIGINT"
     ).orderBy("probe")
 
@@ -2144,7 +2151,7 @@ def lake_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "probe STRING, n BIGINT, min_k BIGINT, max_k BIGINT"
     ).orderBy("probe")
 
@@ -2170,7 +2177,7 @@ SELECT * FROM (
   UNION ALL
   SELECT 'point_urgent', count(*)::BIGINT,
          min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
-  FROM s WHERE o_orderpriority = '1-URGENT' 
+  FROM s WHERE o_orderpriority = '1-URGENT'
   UNION ALL
   SELECT 'pruning_effective', 1::BIGINT, NULL::BIGINT, NULL::BIGINT
 ) ORDER BY probe
@@ -2240,7 +2247,7 @@ def lake_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [(r["v"], r["lang"], r["n"], r["sum_chars"]) for r in rows],
         "v BIGINT, lang STRING, n BIGINT, sum_chars BIGINT",
     ).orderBy("v", "lang")
@@ -2348,7 +2355,7 @@ def lake_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "probe STRING, n BIGINT, sum_chars BIGINT"
     ).orderBy("probe")
 
@@ -2459,7 +2466,7 @@ def lake_delta_v2_checkpoint(
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "probe STRING, n BIGINT, sum_cust BIGINT"
     ).orderBy("probe")
 
@@ -2536,7 +2543,7 @@ def lake_uniform_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "probe STRING, n BIGINT, sum_chars BIGINT, n_langs BIGINT",
     ).orderBy("probe")
@@ -2604,7 +2611,7 @@ def lake_changelog_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [(r["_change_type"], r["n"], r["sum_ids"]) for r in rows],
         "change_type STRING, n BIGINT, sum_ids BIGINT",
     ).orderBy("change_type")
@@ -2726,7 +2733,7 @@ def lake_history_surfaces(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "surface STRING, item STRING, op STRING, a BIGINT, "
         "b BIGINT, flag INT",
@@ -2835,7 +2842,7 @@ def lake_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe("post")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "stage STRING, seq BIGINT, n BIGINT, min_id BIGINT, "
         "max_id BIGINT, sum_id BIGINT",
@@ -2929,7 +2936,7 @@ def lake_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "probe STRING, n BIGINT, s BIGINT"
     ).orderBy("probe")
 
@@ -3052,7 +3059,7 @@ def lake_delta_row_tracking(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "stage STRING, rcv BIGINT, n BIGINT, min_id BIGINT, "
         "max_id BIGINT, x BIGINT",

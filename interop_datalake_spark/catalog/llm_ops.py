@@ -645,7 +645,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     import math
 
-    return local_frame(spark, 
+    return local_frame(spark,
         [
             (
                 r.query_id,
@@ -944,7 +944,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows],
         "id_a LONG, id_b LONG, jaccard DOUBLE",
     ).orderBy("id_a", "id_b")
@@ -1195,7 +1195,7 @@ def dedup_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows],
         "id_a LONG, id_b LONG, jaccard DOUBLE",
     ).orderBy("id_a", "id_b")
@@ -1689,7 +1689,7 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         [(r.query_id, r.neighbor_id, r.rn, round(r.cos, 6)) for r in out],
         "query_id BIGINT, neighbor_id BIGINT, rn INT, cos DOUBLE",
     ).orderBy("query_id", "rn")
@@ -1806,7 +1806,7 @@ def search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()  # bounded: matching docs
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "doc_id BIGINT, n_hit_terms BIGINT, score DOUBLE"
     ).orderBy("doc_id")
 

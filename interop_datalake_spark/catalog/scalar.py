@@ -278,7 +278,7 @@ FROM part ORDER BY p_partkey
 def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL algebra on a pinned fixture: coalesce/nullif/nvl2,
     null-safe equality (<=>), IS [NOT] DISTINCT FROM, null ordering."""
-    df = local_frame(spark, 
+    df = local_frame(spark,
         [(1, 10, 10), (2, None, 10), (3, 10, None), (4, None, None)],
         "row_id INT, a INT, b INT",
     )
@@ -449,7 +449,7 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-mode error-safe variants: try_divide / try_cast /
     try_element_at — NULL instead of runtime error (the engine runs
     with ANSI on; these are the sanctioned escape hatches)."""
-    df = local_frame(spark, 
+    df = local_frame(spark,
         [(1, 10.0, 2.0, "42"), (2, 5.0, 0.0, "abc"), (3, None, 1.0, None)],
         "row_id INT, num DOUBLE, den DOUBLE, txt STRING",
     )

@@ -308,7 +308,7 @@ def stream_iceberg_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
         "snapshot_id BIGINT",
@@ -387,7 +387,7 @@ def stream_delta_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
         "commit_version BIGINT",
@@ -460,7 +460,7 @@ def stream_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "o_orderkey BIGINT, o_orderstatus STRING, "
         "change_type STRING, commit_version BIGINT",
@@ -568,7 +568,7 @@ def stream_iceberg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows,
         "o_orderkey BIGINT, o_orderstatus STRING, "
         "change_type STRING, snap_ordinal INT",
@@ -640,7 +640,7 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(r.doc_id, r.first_seen_batch) for r in got]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return local_frame(spark, 
+    return local_frame(spark,
         rows, "key_id BIGINT, first_seen_batch BIGINT"
     ).orderBy("key_id")
 

@@ -2795,7 +2795,7 @@ def read_delta_changes(
     iceberg_interop.read_iceberg_changes` and
     ``TxnTable.read_changes(include_deletes=True)``: the rows changed
     by the commits in ``(from_version, to_version]`` (default
-    ``to_version``: latest), tagged ``_change_type`` / 
+    ``to_version``: latest), tagged ``_change_type`` /
     ``_commit_version`` / ``_commit_timestamp``.
 
     Per-commit semantics follow the protocol's Change Data Files

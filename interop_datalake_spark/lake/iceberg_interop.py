@@ -725,6 +725,28 @@ def _uri_to_path(uri: str) -> str:
     return unquote(parsed.path) if parsed.scheme else uri
 
 
+def _checked_pos_delete_path(uri: str) -> str:
+    """Resolve a position-delete file URI and footer-verify it carries
+    the spec columns. ``spark.read.schema(...)`` fills a MISSING
+    column with NULLs instead of raising, so a foreign/corrupt delete
+    file without ``file_path``/``pos`` would silently match nothing in
+    the MOR anti-join and deleted rows would resurrect (round-14
+    advice). One pyarrow footer read per delete file — O(delete
+    files), driver-side, no data scanned."""
+    import pyarrow.parquet as _pq
+
+    path = _uri_to_path(uri)
+    names = set(_pq.read_schema(path).names)
+    missing = {"file_path", "pos"} - names
+    if missing:
+        raise ValueError(
+            f"position-delete file {uri!r} lacks spec column(s) "
+            f"{sorted(missing)} (found {sorted(names)}) — refusing to "
+            f"silently skip its deletes"
+        )
+    return path
+
+
 def _read_avro(jvm, path: Path):
     """All records of one Avro container file as py4j GenericRecords,
     plus the file's key-value metadata getter."""
@@ -2712,7 +2734,7 @@ def read_iceberg(
         for duri, dseq in pos_deletes:
             d = spark.read.schema(
                 "file_path STRING, pos BIGINT"
-            ).parquet(_uri_to_path(duri)).select(
+            ).parquet(_checked_pos_delete_path(duri)).select(
                 _canon_path_expr(F.col("file_path")).alias("_ib_file"),
                 F.col("pos").alias("_ib_pos"),
                 F.lit(dseq).cast("bigint").alias("_dseq"),
@@ -3466,7 +3488,7 @@ def _changes_with_deletes(
             for duri, dseq in pos_list:
                 d = spark.read.schema(
                     "file_path STRING, pos BIGINT"
-                ).parquet(_uri_to_path(duri)).select(
+                ).parquet(_checked_pos_delete_path(duri)).select(
                     _canon_path_expr(F.col("file_path")).alias(
                         "_ib_file"
                     ),

@@ -47,6 +47,25 @@ FHIR_TABLE = "ehr"
 BINARY_TABLE = "ehr_binary"
 RAW_TABLE = "raw_data_response"
 
+#: The session default committer is algorithm v2 (session.py), which is
+#: safe for TxnTable because every ACID write lands in an invisible
+#: per-commit UUID dir. The non-ACID fallback writes here append
+#: straight into the LIVE directory-listed table path, where v2's task
+#: commits would leave partial part-files visible after a mid-write
+#: job failure. Scope v1 back onto exactly these writes (writer
+#: options merge into the write job's Hadoop conf via
+#: ``newHadoopConfWithOptions``): a failed non-ACID publish then
+#: leaves only ignored ``_temporary`` content, as before round 14.
+_NON_ACID_COMMITTER = {
+    "mapreduce.fileoutputcommitter.algorithm.version": "1",
+}
+
+
+def _non_acid_writer(writer):
+    for k, v in _NON_ACID_COMMITTER.items():
+        writer = writer.option(k, v)
+    return writer
+
 #: manifest-table layouts for the reference's three publish surfaces —
 #: partition columns mirror the reference's object-key templates
 #: (``DatalakePublishService.kt:68-73`` fhir, ``:148-153`` binary,
@@ -117,7 +136,7 @@ def publish_fhir_r4(
         txn_table(session, FHIR_TABLE).append(valid)
     else:
         (
-            valid.write.mode("append")
+            _non_acid_writer(valid.write.mode("append"))
             .partitionBy("resource_type", "fhir_tenant_id", "_date")
             .format(session.format)
             .save(session.table_path(FHIR_TABLE))
@@ -150,7 +169,7 @@ def publish_binary(
         txn_table(session, BINARY_TABLE).append(stamped)
     else:
         (
-            stamped.write.mode("append")
+            _non_acid_writer(stamped.write.mode("append"))
             .partitionBy("fhir_tenant_id")
             .format(session.format)
             .save(session.table_path(BINARY_TABLE))
@@ -187,7 +206,7 @@ def overwrite_tenant_partition(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            stamped.write.mode("overwrite")
+            _non_acid_writer(stamped.write.mode("overwrite"))
             .partitionBy(*partition_cols)
             .format(session.format)
             .save(session.table_path(table))
@@ -218,7 +237,7 @@ def publish_raw_data(
         txn_table(session, RAW_TABLE).append(row_df)
     else:
         (
-            row_df.write.mode("append")
+            _non_acid_writer(row_df.write.mode("append"))
             .partitionBy("tenant_id")
             .format(session.format)
             .save(session.table_path(RAW_TABLE))

@@ -682,7 +682,13 @@ def verified_pairs_from_bands(
     # and the candidate-id semi-join consume it, and without the
     # barrier each consumer re-runs the store-join chain — measured
     # 0.81x on dedup_incremental (interleaved A/B at sf0.1, round 14)
-    cand = incremental_candidates(bands_all, bands_new, id_col).localCheckpoint()
+    # eager=False: plan-only construction (tools/dump_query_plans.py,
+    # explain-only callers) stays side-effect free; the checkpoint
+    # materializes on the first real action and is reused by both
+    # consumers from there (round-14 advice)
+    cand = incremental_candidates(bands_all, bands_new, id_col).localCheckpoint(
+        eager=False
+    )
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
@@ -769,8 +775,10 @@ def minhash_lsh_dedup_ml(
         # consumes it twice (pair list + candidate-id semi-join), and
         # without the barrier each consumer re-runs the WHOLE
         # HashingTF→fit→approxSimilarityJoin chain — measured 0.75x
-        # (3.9 s → 2.9 s, interleaved A/B at sf0.1, round 14)
-        .localCheckpoint()
+        # (3.9 s → 2.9 s, interleaved A/B at sf0.1, round 14).
+        # eager=False keeps plan-only construction side-effect free
+        # (round-14 advice); first action materializes it.
+        .localCheckpoint(eager=False)
     )
     return jaccard_pairs(sh, id_col, threshold, candidates=cand)
 
