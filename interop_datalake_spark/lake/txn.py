@@ -211,6 +211,109 @@ def _footer_stats(
         return None  # any surprise: the Spark agg is the slow truth
 
 
+# -- bounded-commit driver write (round-15 optimization) -------------------
+#
+# The single highest fixed cost left in a lifecycle commit after the
+# round-14 committer knobs is the distributed write JOB itself: a tiny
+# commit frame pays ~125 ms of FileFormatWriter/commit-protocol/parquet
+# -writer setup where the same plan through the noop sink costs ~34 ms
+# (round-14 calibration). For a BOUNDED commit frame the cheapest
+# correct execution is: run the plan once (one Arrow collect), write
+# the parquet files on the driver with pyarrow, and compute the
+# per-file stats from the in-memory Arrow data — one Spark job instead
+# of a write job (+ footer metadata reads), identical on-disk layout.
+#
+# Scale discipline (guide §5: the driver does no DATA work): the path
+# fires only when Catalyst's own size estimate for the frame — the
+# same estimate the session already trusts for 64 MB auto-broadcasts —
+# is under ``spark.interop.datalake.driverCommit.maxBytes`` (default
+# 32 MB, conf-tunable, 0 disables). A 100 TB table's data writes blow
+# the estimate and take the distributed writer unchanged; what stays
+# on the driver is the metadata-sized commit traffic (IVM refresh
+# deltas, stream micro-batches, witness fixtures) that was paying a
+# cluster job per handful of rows. File-splitting semantics are
+# preserved exactly: rows are grouped by ``spark_partition_id()`` (+
+# layout values), one file per group, so file counts/contents match
+# what the distributed writer produces for the same execution.
+
+_DRIVER_COMMIT_MAX_BYTES_KEY = "spark.interop.datalake.driverCommit.maxBytes"
+_DRIVER_COMMIT_MAX_BYTES_DEFAULT = str(32 * 1024 * 1024)
+
+#: layout-column dtypes the driver writer can path-encode with byte-
+#: identical results to Spark's Hive escaping. Conservative: values
+#: must additionally match _PATH_SAFE_VALUE (no escaping needed) or
+#: be NULL (the Hive sentinel); anything else falls back to the
+#: distributed writer. Booleans/floats/timestamps are excluded —
+#: their to-string forms differ between Python and Spark.
+_PATH_SAFE_LAYOUT_TYPES = {"string", "tinyint", "smallint", "int", "bigint", "date"}
+#: characters Spark's Hive escaper percent-encodes in partition dir
+#: names — the EXACT set probed on this build by writing every ASCII
+#: char through partitionBy (2026-08-18): control chars + DEL and
+#: `"#%'*/:=?[\]^{` escape as %XX (uppercase hex); space , + & ( ) !
+#: @ ~ ; < > $ | } ` and non-ASCII write VERBATIM; the empty string
+#: writes the null sentinel.
+_PATH_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+_LEAF_SIZE_CAP = 1 << 50  # any leaf past 1 PiB estimate = "unknown/huge"
+
+
+def _plan_size_estimate(df) -> int | None:
+    """Upper-bound byte estimate for a write frame: the SUM of its
+    analyzed plan's LEAF sizeInBytes — the same per-relation statistic
+    the planner feeds auto-broadcast decisions (file scans report real
+    file bytes; LocalRelations their literal size). The sum of inputs,
+    not Catalyst's whole-plan stats: non-CBO join stats multiply the
+    sides, so any commit frame containing a join (every IVM scoped
+    merge) would report petabytes for kilobyte inputs. The commit
+    shapes written here (filters, anti-join rewrites, unions, FK
+    joins, aggregations) emit at most ~their input bytes; a
+    pathological fan-out past the inputs is caught by the Arrow
+    collect failing spark.driver.maxResultSize, which falls back to
+    the distributed writer. Unknown leaves (LogicalRDD, checkpoints)
+    report defaultSizeInBytes ≈ Long.Max and route the write to the
+    distributed path. Analysis has already run (DataFrames analyze
+    eagerly), so this is a tree walk, not an optimizer pass."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            # py4j maps the scala BigInt straight to a Python int
+            s = int(leaves.apply(i).stats().sizeInBytes())
+            if s >= _LEAF_SIZE_CAP:
+                return None
+            total += s
+        return total
+    except Exception:
+        return None
+
+
+def _part_dir_value(v) -> str | None:
+    """The Hive directory string Spark's writer would produce for a
+    layout value, or None when we cannot guarantee byte identity
+    (caller falls back to the distributed writer). Strings escape
+    exactly like Spark's Hive escaper (probe-derived set above);
+    NULL and the empty string map to the Hive null sentinel —
+    both probe-verified against Spark's own partitionBy output."""
+    if v is None:
+        return _HIVE_NULL
+    if isinstance(v, bool):  # bool is an int subclass — refuse first
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        if not v:
+            return _HIVE_NULL
+        return "".join(
+            f"%{ord(ch):02X}" if ch in _PATH_ESCAPED_CHARS else ch
+            for ch in v
+        )
+    if isinstance(v, date) and not isinstance(v, datetime):
+        return v.isoformat()
+    return None
+
+
 # -- partition transforms (hidden partitioning) ---------------------------
 #
 # Iceberg's partition-transform model (Iceberg table spec, "Partition
@@ -506,6 +609,56 @@ def _transform_value_expr(c, spec, src_dtype: str | None):
         cb = c.cast("bigint")
         return cb - F.pmod(cb, F.lit(w))  # floor-to-width, negatives too
     raise ValueError(f"unknown partition transform {spec!r}")
+
+
+#: built transform Column expressions, keyed by (applicationId, input
+#: column name, spec, source dtype). The bucket_mm3 expression is ~800
+#: py4j round-trips to BUILD (the murmur3 column algebra constructs
+#: dozens of nested lambda expressions — measured ~0.2 s per build,
+#: ~3.3 s of a 4.2 s bucket-witness run when rebuilt per probe, round
+#: 15); the Column is an immutable unresolved expression tree over a
+#: named attribute, so one build serves every frame carrying that
+#: column name for the life of the application.
+_TRANSFORM_EXPR_CACHE: dict[tuple, object] = {}
+
+
+def _cached_transform_expr(spark, colname: str, spec, src_dtype: str | None):
+    from pyspark.sql import functions as F
+
+    key = (
+        spark.sparkContext.applicationId,  # new app = new JVM state
+        colname,
+        tuple(spec),
+        src_dtype,
+    )
+    expr = _TRANSFORM_EXPR_CACHE.get(key)
+    if expr is None:
+        if len(_TRANSFORM_EXPR_CACHE) > 512:  # tables × specs bound
+            _TRANSFORM_EXPR_CACHE.clear()
+        expr = _transform_value_expr(F.col(colname), spec, src_dtype)
+        _TRANSFORM_EXPR_CACHE[key] = expr
+    return expr
+
+
+#: literal-probe column type for _transform_literals' batched
+#: evaluation — the type F.lit() inference and this mapping agree on
+#: AFTER the expression's own cast-to-source-type normalizes it; bool/
+#: Decimal/None stay on the per-literal path (bool is an int subclass,
+#: checked first).
+def _probe_sql_type(v) -> str | None:
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, datetime):
+        return "timestamp"
+    if isinstance(v, date):
+        return "date"
+    return None
 
 
 def _normalize_key_ranges(key_range):
@@ -1128,8 +1281,8 @@ class TxnTable:
                 if col in transforms:
                     spec = transforms[col]
                     src = spec[-1]
-                    col_expr = _transform_value_expr(
-                        F.col(src), spec, src_types.get(src)
+                    col_expr = _cached_transform_expr(
+                        self.spark, src, spec, src_types.get(src)
                     )
                 else:
                     col_expr = F.col(col)
@@ -1356,6 +1509,116 @@ class TxnTable:
             or {}
         )
 
+    def _driver_commit_write(
+        self,
+        wdf: DataFrame,
+        out: Path,
+        layout: list[str],
+        stat_cols: list[str],
+        pcols: list[str],
+        transforms: dict,
+        force_bounded: bool = False,
+    ) -> tuple[list[str], int, dict, dict] | None:
+        """Bounded-commit fast path: ONE Arrow collect + driver-side
+        pyarrow parquet writes in place of the distributed write job
+        (module comment above ``_DRIVER_COMMIT_MAX_BYTES_KEY`` has the
+        full scale rationale). Returns (rel_files, rows, stats,
+        partitions) with content IDENTICAL to the distributed path —
+        same per-``spark_partition_id`` file splitting, same Hive
+        ``key=value`` layout dirs, same per-file min/max stats the
+        footer path records — or None to fall back. Only called under
+        the footer-fast-path eligibility (parquet, no bloom columns,
+        footer-safe stats types), so the stats computed here from the
+        Arrow data equal what either existing stats path records."""
+        spark = self.spark
+        try:
+            max_bytes = int(
+                spark.conf.get(
+                    _DRIVER_COMMIT_MAX_BYTES_KEY,
+                    _DRIVER_COMMIT_MAX_BYTES_DEFAULT,
+                )
+            )
+        except ValueError:
+            return None
+        if max_bytes <= 0:
+            return None
+        dt = dict(wdf.dtypes)
+        if any(dt.get(c) not in _PATH_SAFE_LAYOUT_TYPES for c in layout):
+            return None
+        if not force_bounded:
+            # ``force_bounded`` marks frames whose rows ALREADY live on
+            # the driver (sources.tables.local_frame — bounded witness
+            # tails/fixtures by construction): their RDD-backed plans
+            # report defaultSizeInBytes ≈ Long.Max, so the estimate
+            # gate would route every such commit to the distributed
+            # writer for nothing.
+            est = _plan_size_estimate(wdf)
+            if est is None or est > max_bytes:
+                return None
+        from pyspark.sql import functions as F
+
+        pid = "_idl_pid"
+        while pid in wdf.columns:
+            pid = "_" + pid
+        try:
+            tbl = wdf.withColumn(pid, F.spark_partition_id()).toArrow()
+        except Exception:
+            return None  # unsupported type / result too large: fall back
+        if tbl.num_rows == 0:
+            # the distributed writer's empty part files are dropped
+            # from the commit anyway — the visible end state is the
+            # same empty add
+            return [], 0, {}, {}
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        key_cols = [pid] + list(layout)
+        keys = list(zip(*[tbl.column(c).to_pylist() for c in key_cols]))
+        groups: dict[tuple, list[int]] = {}
+        for i, k in enumerate(keys):
+            groups.setdefault(k, []).append(i)
+        encoded: dict[tuple, list[str]] = {}
+        for k in groups:
+            segs = []
+            for c, v in zip(layout, k[1:]):
+                s = _part_dir_value(v)
+                if s is None:
+                    return None  # value needs Spark's escaper: fall back
+                segs.append(f"{c}={s}")
+            encoded[k] = segs
+        data = tbl.drop_columns(key_cols)  # layout cols live in the path
+        rel_files: list[str] = []
+        stats: dict[str, dict] = {}
+        partitions: dict[str, dict] = {}
+        for k, idx in groups.items():
+            g = data.take(idx)  # ascending: preserves partition order
+            segs = encoded[k]
+            d = out.joinpath(*segs) if segs else out
+            d.mkdir(parents=True, exist_ok=True)
+            fpath = d / f"part-{k[0]:05d}-{uuid.uuid4().hex}.snappy.parquet"
+            pq.write_table(g, fpath, compression="snappy")
+            rel = str(fpath.relative_to(self.root))
+            rel_files.append(rel)
+            entry: dict = {"rows": g.num_rows}
+            for c in stat_cols:
+                try:
+                    mm = pc.min_max(g.column(c))
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                except Exception:
+                    vals = [v for v in g.column(c).to_pylist() if v is not None]
+                    lo = min(vals) if vals else None
+                    hi = max(vals) if vals else None
+                entry[c] = [_stats_encode(lo), _stats_encode(hi)]
+            stats[rel] = entry
+            if pcols or transforms:
+                partitions[rel] = {
+                    c: unquote(s.split("=", 1)[1])
+                    for c, s in zip(layout, segs)
+                    if c in pcols or c in transforms
+                }
+        rel_files.sort()
+        return rel_files, tbl.num_rows, stats, partitions
+
     def _write_data(
         self, df: DataFrame, layout_partition_by: list[str] | None = None
     ) -> tuple[list[str], int, dict[str, dict], dict[str, dict], dict[str, str]]:
@@ -1395,11 +1658,12 @@ class TxnTable:
                 )
             wdf = wdf.withColumn(
                 tname,
-                _transform_value_expr(F.col(src), spec, in_dtypes[src]),
+                _cached_transform_expr(
+                    self.spark, src, spec, in_dtypes[src]
+                ),
             )
         commit_dir = f"data/{uuid.uuid4().hex}"
         out = self.root / commit_dir
-        writer = wdf.write.mode("overwrite").format(self.session.format)
         layout = (
             list(pcols)
             + [t for t in transforms if t not in pcols]
@@ -1409,6 +1673,40 @@ class TxnTable:
                 if c not in pcols and c not in transforms
             ]
         )
+        # stats/bloom eligibility is shared by the footer fast path
+        # below AND the bounded-commit driver write: both require
+        # footer-safe stats types living IN the data files
+        in_types_all = dict(df.dtypes)
+        layout_set = set(
+            list(pcols)
+            + list(transforms)
+            + list(layout_partition_by or [])
+        )
+        eff_stat_cols = [c for c in self.stats_cols if c in df.columns]
+        stats_eligible = (
+            self.session.format == "parquet"
+            and not self.bloom_cols
+            and all(
+                in_types_all.get(c) in _FOOTER_STAT_TYPES
+                and c not in layout_set
+                for c in eff_stat_cols
+            )
+        )
+        if stats_eligible:
+            got = self._driver_commit_write(
+                wdf,
+                out,
+                layout,
+                eff_stat_cols,
+                pcols,
+                transforms,
+                force_bounded=getattr(df, "_idl_bounded_rows", None)
+                is not None,
+            )
+            if got is not None:
+                rel_files, rows, stats, partitions = got
+                return rel_files, rows, stats, partitions, ptypes
+        writer = wdf.write.mode("overwrite").format(self.session.format)
         if layout:
             # layout_partition_by groups rows into per-value files
             # EXACTLY (the writer splits by value — no range-sampling
@@ -1445,22 +1743,7 @@ class TxnTable:
         # instead of a SECOND Spark job re-scanning the data (~40% of
         # a steady-state append commit, measured round 14). Anything
         # else falls through to the agg below, the slow truth.
-        in_types_all = dict(df.dtypes)
-        layout_set = set(
-            list(pcols)
-            + list(transforms)
-            + list(layout_partition_by or [])
-        )
-        eff_stat_cols = [c for c in self.stats_cols if c in df.columns]
-        if (
-            self.session.format == "parquet"
-            and not self.bloom_cols
-            and all(
-                in_types_all.get(c) in _FOOTER_STAT_TYPES
-                and c not in layout_set
-                for c in eff_stat_cols
-            )
-        ):
+        if stats_eligible:
             got = _footer_stats(self.root, rel_files, eff_stat_cols)
             if got is not None:
                 stats, rows = got
@@ -1667,6 +1950,47 @@ class TxnTable:
             st = StructType.fromJson(json.loads(schema_json))
             src_types = {
                 f.name: f.dataType.simpleString() for f in st.fields
+            }
+        # BATCHED CACHED PATH (round 15): one row per literal through
+        # ONE cached expression per spec — still the same Column
+        # algebra as the write path, but built once per application
+        # instead of per (probe × spec): the bucket_mm3 tree alone is
+        # ~800 py4j round-trips per build (~0.2 s), which dominated
+        # every probed read on bucket tables. The expression casts its
+        # input to the source column's log-schema type first, so the
+        # probe column's bigint/double/string carrier type normalizes
+        # exactly like the old F.lit(v) literal did. Specs without a
+        # recorded source type (pre-schema tables) keep the
+        # per-literal path: their expressions hash the CARRIER type,
+        # which must stay the F.lit inference.
+        probe_t = _probe_sql_type(values[0]) if values else None
+        if (
+            probe_t is not None
+            and all(
+                v is not None and type(v) is type(values[0])
+                for v in values
+            )
+            and all(
+                src_types.get(spec[-1]) is not None
+                for spec in specs.values()
+            )
+        ):
+            frame = self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(
+                    [(v,) for v in values], 1  # one slice: order kept
+                ),
+                f"_idl_probe {probe_t}",
+            )
+            sel = [
+                _cached_transform_expr(
+                    self.spark, "_idl_probe", spec, src_types[spec[-1]]
+                ).alias(f"{name}__v")
+                for name, spec in specs.items()
+            ]
+            rows = frame.select(*sel).collect()
+            return {
+                name: [rows[i][f"{name}__v"] for i in range(len(values))]
+                for name in specs
             }
         sel = []
         for name, spec in specs.items():
@@ -2868,6 +3192,54 @@ class TxnTable:
 
         dv_rel = f"dv/{uuid.uuid4().hex}"
         dv_dir = self.root / dv_rel
+        # BOUNDED-VECTOR FAST PATH (round 15, same gate as the
+        # bounded-commit driver write): when the matched positions are
+        # estimate-bounded, ONE Arrow collect replaces persist + write
+        # job + count job — the vector parquet is written by pyarrow
+        # and the per-file counts fold in Python. The DV read path
+        # pins _DV_SCHEMA, so the single driver-written part file
+        # reads identically; nothing observes DV part-file counts
+        # (manifests record the DIRECTORY + per-data-file counts).
+        # A production-scale delete's estimate blows the gate and
+        # takes the distributed path below unchanged.
+        try:
+            max_bytes = int(
+                self.spark.conf.get(
+                    _DRIVER_COMMIT_MAX_BYTES_KEY,
+                    _DRIVER_COMMIT_MAX_BYTES_DEFAULT,
+                )
+            )
+        except ValueError:
+            max_bytes = 0
+        est = _plan_size_estimate(matches) if max_bytes > 0 else None
+        if est is not None and est <= max_bytes:
+            tbl = None
+            try:
+                tbl = matches.toArrow()
+            except Exception:
+                pass  # result too large / exotic plan: distributed path
+            if tbl is not None:
+                if tbl.num_rows == 0:
+                    return None
+                import pyarrow.parquet as _pq
+
+                dv_dir.mkdir(parents=True, exist_ok=True)
+                _pq.write_table(
+                    tbl,
+                    dv_dir / f"part-00000-{uuid.uuid4().hex}.snappy.parquet",
+                    compression="snappy",
+                )
+                live_set = set(prev["files"])
+                dv_files: dict[str, int] = {}
+                for k in tbl.column("file_key").to_pylist():
+                    if k not in live_set:
+                        shutil.rmtree(dv_dir, ignore_errors=True)
+                        raise RuntimeError(
+                            f"table {self.name}: deletion vector "
+                            f"references unknown file {k!r}"
+                        )
+                    dv_files[k] = dv_files.get(k, 0) + 1
+                return {"path": dv_rel, "files": dv_files}
         # persist: the matches plan (a lineage scan + key semi-join)
         # feeds BOTH the vector write and the per-file counts; without
         # it the counts re-read the just-written parquet from disk —
@@ -3130,8 +3502,17 @@ class TxnTable:
             )
             if stat_rows > 0 and dead > 0:
                 total = int(total * (stat_rows - dead) / stat_rows)
+            # ceil-divide with a 1% packing tolerance: a caller that
+            # derives target_mb as bytes/N loses up to a byte to float
+            # truncation, and without the tolerance that one byte
+            # spills an N+1th file ~0% full ("~target size" is the
+            # OPTIMIZE contract; a ≤1% overshoot beats a near-empty
+            # file at any scale)
+            tgt = max(1, int(target_mb * 1024 * 1024))
+            exact = total / tgt
             target_files = max(
-                1, -(-total // int(target_mb * 1024 * 1024))  # ceil div
+                1,
+                int(exact) if exact - int(exact) < 0.01 else -(-total // tgt),
             )
         df = self.read(base)
         layout_by = None
